@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Last-value-per-key — the reference's core materialization semantic.
+  *
+  * The reference's sink keeps exactly one document per tag via a replace
+  * upsert (/root/reference/OPC2MongoDB/Program.cs:1179-1182), with "latest"
+  * meaning queue-arrival order. We tighten that to event order — the row
+  * with the greatest (orderCol, tieBreak...) wins — which is deterministic
+  * and out-of-order safe (documented deviation, SURVEY.md §2.9).
+  *
+  * Implementation: `max_by(struct(*), struct(orderCol, tieBreak...))` —
+  * a single hash aggregation with map-side partial aggregation, so the
+  * shuffle carries at most one row per key per input partition. That is
+  * the 100 TB-safe shape: shuffle volume is O(distinct keys), not O(rows),
+  * and there is no window sort.
+  */
+object LastValue {
+
+  def latestPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(orderCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, ord).as("__latest"))
+      .select(col("__latest.*"))
+  }
+}
