@@ -1,0 +1,134 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 32-bit SimHash over a token array (document fingerprinting for near-dup
+  * detection, SURVEY.md §2.11).
+  *
+  * Per token: take the first 15 hex chars of md5(token) as a 60-bit hash;
+  * each of bits 0..31 votes +1/-1; the signature sets the bits with a
+  * positive vote. Order-independent, so distinct-token sets hash equally
+  * regardless of array order — and the same arithmetic is expressible in
+  * the DuckDB oracle (md5 + bit ops), keeping this oracle-checkable.
+  *
+  * Near-dup pairs then come from a banded self-join on the signature
+  * (4 bands x 8 bits): hamming distance <= 3 guarantees at least one equal
+  * band (pigeonhole), so the banded join is exact, not approximate — and at
+  * scale it replaces the O(n^2) pairwise scan with an equi-shuffle.
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](32)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < arr.numElements()) {
+      val tok = arr.getUTF8String(i)
+      if (tok != null) {
+        val h = HashExpressions.md5Prefix60(md, tok.toString)
+        var b = 0
+        while (b < 32) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Rabin–Karp-style rolling hash fingerprint of a string: fold chars with
+  * h = (h * 31 + c) mod 1e9+7, seeded with the first char (matches DuckDB's
+  * `list_reduce` over `ord()` so the oracle can replay it; for non-ASCII
+  * the engines differ — UTF-16 unit here vs codepoint there — documented,
+  * test data is ASCII). Codegen'd: the loop runs inside WholeStageCodegen.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires STRING, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    java.lang.Long.valueOf(HashExpressions.rollingHash(s))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val str = ctx.freshName("str")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+        java.lang.String $str = $c.toString();
+        long $h = 0L;
+        if ($str.length() > 0) {
+          $h = (long) $str.charAt(0);
+          for (int $i = 1; $i < $str.length(); $i++) {
+            $h = ($h * 31L + (long) $str.charAt($i)) % 1000000007L;
+          }
+        }
+        ${ev.value} = $h;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+
+  /** First 15 hex chars of md5(s) as a 60-bit non-negative long — the shared
+    * hashing primitive of SimHash/MinHash, chosen because both Spark and
+    * DuckDB expose md5-as-hex so oracles can reproduce it exactly.
+    */
+  def md5Prefix60(md: MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    // 15 hex chars = 7.5 bytes: take 8 bytes, drop the low nibble
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  def rollingHash(s: String): Long = {
+    if (s.isEmpty) 0L
+    else {
+      var h = s.charAt(0).toLong
+      var i = 1
+      while (i < s.length) { h = (h * 31L + s.charAt(i).toLong) % 1000000007L; i += 1 }
+      h
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Cosine similarity over two `ARRAY<FLOAT>` embedding columns as a native
+  * Catalyst expression with whole-stage codegen — the hot inner loop of
+  * similarity search (SURVEY.md §2.11). A Scala UDF here would box every
+  * float of every vector pair; at 100 TB the candidate-pair stream is the
+  * dominant cost, so this must stay inside WholeStageCodegen.
+  *
+  * Semantics (kept bit-stable so the DuckDB oracle can reproduce them):
+  * accumulate dot/na/nb sequentially in doubles over the float elements,
+  * return dot / (sqrt(na) * sqrt(nb)); null if either input is null, the
+  * lengths differ, or either norm is zero.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires (ARRAY<FLOAT>, ARRAY<FLOAT>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb"); val xi = ctx.freshName("xi")
+    val yi = ctx.freshName("yi"); val denom = ctx.freshName("denom")
+    val arrayCls = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          $arrayCls $x = ${leftGen.value};
+          $arrayCls $y = ${rightGen.value};
+          int $n = $x.numElements();
+          if ($n == $y.numElements()) {
+            double $dot = 0.0, $na = 0.0, $nb = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              double $xi = (double) $x.getFloat($i);
+              double $yi = (double) $y.getFloat($i);
+              $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+            }
+            double $denom = Math.sqrt($na) * Math.sqrt($nb);
+            if ($denom != 0.0) {
+              ${ev.isNull} = false;
+              ${ev.value} = $dot / $denom;
+            }
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-level entry points for the graft expressions. */
+object GraftFunctions {
+
+  /** Idempotent; call once per session before using the helpers below. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash32", exprs => SimHash32(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+  }
+
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
+  def rollingHash(text: Column): Column = call_function("rolling_hash", text)
+}

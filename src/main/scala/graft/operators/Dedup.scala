@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication — exact and near-duplicate — over a corpus table
+  * (SURVEY.md §2.11; no reference analog: the reference's only dedup-like
+  * semantic is the last-value upsert at
+  * /root/reference/OPC2MongoDB/Program.cs:1179-1182, which these operators
+  * generalize from "tag equality" to "content equality / similarity").
+  *
+  * 100 TB posture: every pipeline here is a sequence of narrow projections
+  * plus equi-shuffles (groupBy / equi-join on content-derived keys). There
+  * is no pairwise O(n²) stage: candidate pairs come from hash-bucket
+  * equi-joins (LSH bands / SimHash bands), so shuffle volume is
+  * O(rows × signature width), and the verify stage only touches candidate
+  * pairs. Skewed buckets (e.g. boilerplate shingles) are bounded because
+  * band keys include the full row-group of minhash values, not a single
+  * shingle.
+  *
+  * Hash primitive: the first 15 hex chars of md5 as a 60-bit long, computed
+  * with built-in (codegen'd) `md5`/`conv` so the DuckDB oracle can replay
+  * it exactly: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+  */
+object Dedup {
+
+  /** 60-bit md5-prefix hash of a string column (oracle-reproducible). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens of a text column (empty-safe via trim). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Exact dedup: one surviving row per distinct text, the survivor being
+    * the row with the smallest `idCol` (deterministic). Single hash
+    * aggregation on a 128-bit content key — shuffle is O(distinct texts).
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("__content_key"))
+      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__row"))
+      .select(col("__row.*"))
+
+  /** Distinct word k-shingles per document: (idCol, shingle). Documents
+    * shorter than k words produce no shingles (and thus never pair).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__toks) - $k), i -> concat_ws(' ', slice(__toks, i + 1, $k)))"
+      )).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: (idCol, seed ∈ [0, numHashes), mh). The hash
+    * family is h_seed(s) = hash60(seed || ':' || s) — independent salted
+    * md5 draws, chosen for oracle reproducibility; on a real cluster a
+    * cheaper tabulation/murmur family drops in without changing shape.
+    * One explode (×numHashes) + one partial-aggregating groupBy.
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    sh.select(col(idCol),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
+        col("shingle"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(hash60(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("mh"))
+
+  /** LSH banding: group seeds into bands of `rowsPerBand`, key each band by
+    * the ordered minhash values; candidate pairs are documents sharing any
+    * band key. Returns distinct (id1, id2) with id1 < id2. The self-join is
+    * an equi-join on (band, bkey) — shuffle-partitionable, no cross product.
+    */
+  def lshCandidates(sig: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
+    val banded = sig
+      .withColumn("band", floor(col("seed") / rowsPerBand))
+      .groupBy(col(idCol), col("band"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> cast(x.mh as string)), ',')"
+      ).as("bkey"))
+    val a = banded.select(col(idCol).as("id1"), col("band"), col("bkey"))
+    val b = banded.select(col(idCol).as("id2"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for the given candidate pairs:
+    * (id1, id2, jaccard). Only candidate pairs are scored — two equi-joins
+    * against the shingle table plus one count aggregation.
+    */
+  def jaccardVerify(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.as("s1"), pairs("id1") === col(s"s1.$idCol"))
+      .join(sh.as("s2"),
+        col(s"s2.$idCol") === pairs("id2") && col("s1.shingle") === col("s2.shingle"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("z1"), col("id1") === col(s"z1.$idCol"))
+      .join(sizes.as("z2"), col("id2") === col(s"z2.$idCol"))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") /
+          (col("z1.sz") + col("z2.sz") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
+    * equi-join → exact-Jaccard verify → threshold. Output:
+    * (id1, id2, jaccard) with id1 < id2 and jaccard ≥ threshold.
+    */
+  def nearDupPairsMinHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleK)
+    val sig = minhashSignatures(sh, idCol, numHashes)
+    val cand = lshCandidates(sig, idCol, rowsPerBand)
+    jaccardVerify(cand, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash banded near-dup pairs. Splits the 32-bit signature into
+    * `nBands` equal bit-bands; pairs sharing any band are candidates, then
+    * filtered to hamming(sig1, sig2) ≤ maxHamming. With maxHamming <
+    * nBands the banding is EXACT by pigeonhole (≤ maxHamming differing
+    * bits cannot touch all nBands bands), so this equals the brute-force
+    * O(n²) scan while costing only an equi-join.
+    *
+    * @param sigs (idCol, sigCol) with a 32-bit signature in a long
+    */
+  def simhashPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      nBands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < nBands, "banding is only exact when maxHamming < nBands")
+    val bandBits = 32 / nBands
+    val banded = sigs.select(col(idCol), col(sigCol),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bval",
+        expr(s"shiftright($sigCol, cast(band * $bandBits as int)) & ${(1L << bandBits) - 1}L"))
+    val a = banded.select(col(idCol).as("id1"), col(sigCol).as("sig1"), col("band"), col("bval"))
+    val b = banded.select(col(idCol).as("id2"), col(sigCol).as("sig2"), col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

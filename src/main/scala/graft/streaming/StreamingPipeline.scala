@@ -1,0 +1,168 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.functions.Normalize
+import graft.model.{OpcServer, OpcValue}
+import graft.operators.LastValue
+
+/** Structured-Streaming port of the reference's runtime topology
+  * (/root/reference/OPC2MongoDB/Program.cs):
+  *
+  *   - one OS thread per OPC server (Program.cs:1300-1312)
+  *       → one streaming query per server, each with its own
+  *         `Trigger.ProcessingTime(read_period)` (Program.cs:724's sleep);
+  *   - ConcurrentQueue handoff + single Mongo writer (Program.cs:44,1146)
+  *       → checkpointed micro-batches + an idempotent `foreachBatch`
+  *         last-value merge (the ReplaceOneAsync upsert of
+  *         Program.cs:1179-1182);
+  *   - arrival-order "latest" → event-order latest by
+  *         (serverTimestamp, sourceTimestamp): deterministic and
+  *         out-of-order safe (documented deviation, SURVEY.md §2.9).
+  *
+  * 100 TB posture: the merge keys on `tag`, so each micro-batch shuffles
+  * at most one row per (tag × input partition) thanks to partial
+  * aggregation; state (current-value table) is O(distinct tags), not
+  * O(events). The stateful variant keeps the same bound via
+  * `flatMapGroupsWithState`.
+  */
+object StreamingPipeline {
+
+  /** Normalize a stream of raw readings (FIXTURES.md A1) into OpcValue
+    * rows. Pure projection — works identically on batch and streaming
+    * DataFrames.
+    */
+  def normalizeStream(raw: DataFrame): DataFrame = Normalize.normalize(raw)
+
+  /** Current-value table merge: upsert the batch's latest row per tag into
+    * the parquet current-value table at `tablePath`. Idempotent (re-running
+    * a batch converges to the same table), which is what makes micro-batch
+    * retries exactly-once end-to-end.
+    */
+  def mergeLatest(spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
+    val keys = Seq("serverName", "tag")
+    val order = Seq("serverTimestamp", "sourceTimestamp")
+    val batchLatest = LastValue.latestPerKey(batch, keys, order)
+    val merged =
+      if (new java.io.File(tablePath).exists()) {
+        val current = spark.read.parquet(tablePath)
+        LastValue.latestPerKey(current.unionByName(batchLatest), keys, order)
+      } else batchLatest
+    // two-phase write: parquet overwrite of the read path is not readable
+    // mid-write; stage then swap (a table format with ACID swap — e.g.
+    // Delta/Iceberg — replaces this dance on a real deployment)
+    val staged = tablePath + ".staged"
+    merged.write.mode("overwrite").parquet(staged)
+    val target = new java.io.File(tablePath)
+    if (target.exists()) {
+      val old = new java.io.File(tablePath + ".old")
+      deleteRec(old)
+      target.renameTo(old)
+      new java.io.File(staged).renameTo(target)
+      deleteRec(old)
+    } else new java.io.File(staged).renameTo(target)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    if (f.exists()) f.delete()
+  }
+
+  /** Wire a normalized stream into the current-value sink (plus an
+    * append-only history table — the reference's commented-out
+    * InsertOneAsync path, Program.cs:1174-1176, kept here because at scale
+    * the history table IS the analytics input).
+    */
+  def currentValueSink(
+      normalized: DataFrame,
+      tablePath: String,
+      checkpointDir: String,
+      trigger: Trigger): DataStreamWriter[Row] =
+    normalized.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeLatest(batch.sparkSession, batch, tablePath)
+      }
+
+  /** Per-server query fan-out: one `currentValueSink` query per configured
+    * server, each at its own poll cadence — the Spark analog of the
+    * reference's thread-per-server Main (Program.cs:1300-1312). The caller
+    * provides a source stream per server (real OPC connector or test
+    * MemoryStream).
+    */
+  def startServerQueries(
+      servers: Seq[OpcServer],
+      sourceFor: OpcServer => DataFrame,
+      outDir: String,
+      checkpointRoot: String): Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    servers.map { srv =>
+      currentValueSink(
+        normalizeStream(sourceFor(srv)),
+        s"$outDir/${srv.serverName}",
+        s"$checkpointRoot/${srv.serverName}",
+        Trigger.ProcessingTime(srv.readPeriodSec * 1000L))
+        .queryName(s"graft-${srv.serverName}")
+        .start()
+    }
+
+  /** Stateful last-value keeper: emits, for every micro-batch, the keys
+    * whose current value changed. State per key is exactly one OpcValue —
+    * the `flatMapGroupsWithState` twin of the foreachBatch merge, for
+    * consumers that want a changelog stream instead of a table.
+    */
+  def latestPerTagStateful(normalized: DataFrame): DataFrame = {
+    import normalized.sparkSession.implicits._
+    implicit val ordTs: Ordering[(Timestamp, Timestamp)] =
+      Ordering.Tuple2(Ordering.by((_: Timestamp).getTime), Ordering.by((_: Timestamp).getTime))
+
+    def newer(a: OpcValue, b: OpcValue): Boolean =
+      ordTs.gt((a.serverTimestamp, a.sourceTimestamp), (b.serverTimestamp, b.sourceTimestamp))
+
+    normalized.as[OpcValue]
+      .groupByKey(v => (v.serverName, v.tag))
+      .flatMapGroupsWithState[OpcValue, OpcValue](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (_, values, state: GroupState[OpcValue]) =>
+          val incoming = values.reduceOption((a, b) => if (newer(a, b)) a else b)
+          (incoming, state.getOption) match {
+            case (Some(in), Some(cur)) if newer(in, cur) =>
+              state.update(in); Iterator.single(in)
+            case (Some(in), None) =>
+              state.update(in); Iterator.single(in)
+            case _ => Iterator.empty
+          }
+      }.toDF()
+  }
+
+  /** Watermarked tumbling-window stats per tag over event time — the
+    * windowed-aggregation surface (SURVEY.md §2.9) the reference lacks
+    * entirely (its only time bucket is the poll cadence, Program.cs:724).
+    */
+  def windowedStats(normalized: DataFrame, watermark: String, windowLen: String): DataFrame =
+    normalized
+      .withWatermark("sourceTimestamp", watermark)
+      .groupBy(window(col("sourceTimestamp"), windowLen),
+        col("serverName"), col("tag"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg("doubleValue").as("avg_value"),
+        min("doubleValue").as("min_value"),
+        max("doubleValue").as("max_value"),
+        max_by(col("doubleValue"), col("sourceTimestamp")).as("last_value"))
+
+  /** Streaming dedup of the reference's poll/subscribe double-read (a tag
+    * polled while also subscribed is read twice, Program.cs:448) within the
+    * watermark horizon.
+    */
+  def dedupReadings(normalized: DataFrame, watermark: String): DataFrame =
+    normalized
+      .withWatermark("sourceTimestamp", watermark)
+      .dropDuplicatesWithinWatermark("serverName", "tag", "sourceTimestamp")
+}
