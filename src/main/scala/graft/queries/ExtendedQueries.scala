@@ -1,0 +1,338 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import Q.t
+
+/** The LLM-data-pipeline query inventory over `documents`/`embeddings`
+  * (SURVEY.md §2.11): dedup (exact, MinHash-LSH, SimHash), similarity
+  * search, text analysis, multimodal plumbing — each with a DuckDB oracle
+  * where the semantics are SQL-expressible.
+  *
+  * Shared primitive: the 60-bit md5-prefix hash ([[Dedup.hash60]]),
+  * `('0x' || substr(md5(x), 1, 15))::BIGINT` on the DuckDB side.
+  */
+object ExtendedQueries {
+
+  /** Stopword list shared by the Spark impls and oracle SQL below. */
+  val Stop: Seq[String] = Seq("the", "a", "of", "and", "is", "in", "to")
+  private val stopSql = Stop.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB SQL for per-doc distinct 3-word shingles (mirrors
+    * [[Dedup.shingles]]).
+    */
+  private val shinglesCte =
+    """words AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |        FROM words WHERE len(w) >= 3))""".stripMargin
+
+  /** DuckDB SQL computing per-doc 32-bit SimHash (mirrors
+    * [[graft.functions.SimHash32]]).
+    */
+  private val simhashCte =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+      |votes AS (
+      |  SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+      |  GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------------- dedup
+    Q("q33_exact_dedup",
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    Q("q34_minhash_lsh_pairs",
+      s"""WITH $shinglesCte,
+         |sig AS (
+         |  SELECT doc_id, seed,
+         |    min(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed)
+         |  GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, seed // 4 AS band,
+         |    string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bkey
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id1, c.id2, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.id1
+         |  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+         |  GROUP BY c.id1, c.id2)
+         |SELECT i.id1, i.id2,
+         |  round(i.i::DOUBLE / (z1.sz + z2.sz - i.i), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes z1 ON z1.doc_id = i.id1
+         |JOIN sizes z2 ON z2.doc_id = i.id2
+         |WHERE i.i::DOUBLE / (z1.sz + z2.sz - i.i) >= 0.5
+         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      Dedup.nearDupPairsMinHash(t(s, d, "documents"), "doc_id", "text",
+          shingleK = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    },
+
+    Q("q35_simhash_signatures",
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          GraftFunctions.simhash32(TextAnalysis.tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    Q("q36_simhash_neardup_pairs",
+      // brute-force oracle; the Spark side uses banded LSH, which is EXACT
+      // for hamming <= 3 with 4 bands (pigeonhole) — see Dedup.simhashPairs
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM sig a JOIN sig b
+         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val sigs = t(s, d, "documents")
+        .select(col("doc_id"),
+          GraftFunctions.simhash32(TextAnalysis.tokens(col("text"))).as("simhash"))
+      Dedup.simhashPairs(sigs, "doc_id", "simhash", nBands = 4, maxHamming = 3)
+        .orderBy("id1", "id2")
+    },
+
+    // ------------------------------------------------- text analysis
+    Q("q37_text_metrics",
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         |    list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+         |      t -> length(t)))::DOUBLE
+         |      / len(string_split_regex(trim(text), '\\s+')) AS avg_tok_len,
+         |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+         |      / length(text) AS punct_ratio,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> lower(t) IN ($stopSql)))::DOUBLE
+         |      / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio,
+         |    greatest(len(string_split_regex(trim(text), '[^A-Za-z0-9]+'))::BIGINT,
+         |      ceil(length(text) / 4.0)::BIGINT) AS token_estimate
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, round(avg_tok_len, 6) AS avg_tok_len,
+         |  round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stop_ratio,
+         |  token_estimate,
+         |  round(0.4 * least(1.0, n_tokens / 64.0) + 0.3 * (1.0 - coalesce(punct_ratio, 0.0))
+         |    + 0.3 * least(1.0, coalesce(stop_ratio, 0.0) * 4.0), 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val txt = col("text")
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(txt).as("n_tokens"),
+          round(TextAnalysis.avgTokenLen(txt), 6).as("avg_tok_len"),
+          round(TextAnalysis.punctRatio(txt), 6).as("punct_ratio"),
+          round(TextAnalysis.stopwordRatio(txt, Stop), 6).as("stop_ratio"),
+          TextAnalysis.tokenEstimate(txt).as("token_estimate"),
+          TextAnalysis.qualityScore(txt, Stop).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    Q("q38_language_id",
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> lower(t) IN ('the','a','of','and','is')))::BIGINT AS s_en,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> lower(t) IN ('der','die','das','und','ist')))::BIGINT AS s_de,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> lower(t) IN ('le','la','les','et','est')))::BIGINT AS s_fr,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> lower(t) IN ('el','los','las','y','es')))::BIGINT AS s_es
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, CASE
+        |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
+        |    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
+        |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
+        |    WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_pred
+        |  FROM s)
+        |SELECT lang, lang_pred, count(*) AS n FROM p
+        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    },
+
+    Q("q39_doc_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(list_transform(regexp_split_to_array(text, ''),
+        |    c -> ord(c)::BIGINT), (x, y) -> (x * 31 + y) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"), GraftFunctions.rollingHash(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // -------------------------------------------- similarity search
+    Q("q40_ann_topk",
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+        |  neighbor_id, round(cosine, 6) AS cosine
+        |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.bruteForceTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    Q("q41_embedding_neardup",
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      SimilaritySearch.nearDupPairsBlocked(
+          t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = 0.35)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id1", "id2")
+    },
+
+    Q.noOracle("q42_lsh_topk") { (s, d) =>
+      // SRP-LSH is approximate (recall < 1): no SQL oracle; recall vs the
+      // exact q40 result is asserted in SimilaritySearchSpec.
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.lshTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, nPlanes = 8, nTables = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ------------------------------------------------- multimodal
+    Q("q43_blob_metadata",
+      // documents.text re-interpreted as an opaque BLOB column: byte
+      // length + content hash — the typed-metadata side of multimodal
+      // ingestion (decode itself is the stubbed q44)
+      """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes, md5(text) AS blob_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.withBlob(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), length(col("blob")).cast("long").as("n_bytes"),
+          md5(col("blob")).as("blob_md5"))
+        .orderBy("doc_id")
+    },
+
+    Q.noOracle("q44_multimodal_decode") { (s, d) =>
+      // decode is a deterministic STUB (no codec libs in-container); the
+      // Spark plumbing (binary col → mapPartitions → typed features) is
+      // real and verified in MultimodalSpec.
+      Multimodal.decodeFeaturesStub(
+          Multimodal.withBlob(t(s, d, "documents"), "doc_id", "text"), s)
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------ additional relational cover
+    Q("q45_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q1,
+        |  quantile_cont(l_quantity, 0.5) AS median,
+        |  quantile_cont(l_quantity, 0.75) AS q3,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          // exact interpolated percentile (matches DuckDB quantile_cont);
+          // l_quantity is integral so the interpolation is fp-exact
+          expr("percentile(l_quantity, 0.25)").as("q1"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q3"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    Q("q46_pivot",
+      """SELECT o_orderpriority,
+        |  round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS F,
+        |  round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2) AS O,
+        |  round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(coalesce(sum("o_totalprice"), lit(0d)), 2))
+        .na.fill(0d, Seq("F", "O", "P"))
+        .orderBy("o_orderpriority")
+    },
+
+    Q("q47_token_frequency",
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(20)
+    },
+
+    Q("q48_window_suite",
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  lead(o_orderkey, 1) OVER w AS next_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rnk, o_orderkey LIMIT 500""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"))
+        .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+        .limit(500)
+    }
+  )
+}
