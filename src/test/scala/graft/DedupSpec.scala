@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy cat tonight"), // near-dup of 1
+    (3L, "completely different text about spark query engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+    (5L, "short text"))                                          // < 3 words: no shingles
+    .toDF("doc_id", "text")
+
+  test("exactDedup keeps the min-id survivor per distinct text") {
+    val got = Dedup.exactDedup(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 deduped into 1
+  }
+
+  test("shingles: distinct word 3-grams; short docs yield none") {
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+    val byDoc = sh.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) == 8)      // 10 words → 8 shingles, all distinct here
+    assert(!byDoc.contains(5L)) // too short
+  }
+
+  test("minhash LSH finds the planted near-dup pair and the exact pair only") {
+    val pairs = Dedup.nearDupPairsMinHash(corpus, "doc_id", "text",
+        shingleK = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0) // exact dup
+    assert(pairs.contains((2L, 4L)) && pairs((2L, 4L)) < 1.0)
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash banded pairs equal brute force (pigeonhole exactness)") {
+    // 40 docs with overlapping vocab → plenty of small-hamming pairs
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i + j) % 15}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+      GraftFunctions.simhash32(TextAnalysis.tokens(col("text"))).as("sig"))
+
+    val banded = Dedup.simhashPairs(sigs, "doc_id", "sig", nBands = 4, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+
+    val local = sigs.as[(Long, Long)].collect()
+    val brute = (for {
+      (i, si) <- local; (j, sj) <- local if i < j
+      if java.lang.Long.bitCount(si ^ sj) <= 3
+    } yield (i, j)).toSet
+    assert(banded == brute)
+  }
+
+  test("minhash signature is the true min over the salted hash family") {
+    val sh = Dedup.shingles(corpus.filter(col("doc_id") === 1L), "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(sh, "doc_id", 4)
+      .as[(Long, Int, Long)].collect().map { case (_, s, m) => s -> m }.toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val shingleStrs = sh.select("shingle").as[String].collect()
+    (0 until 4).foreach { seed =>
+      val want = shingleStrs.map(s =>
+        graft.functions.HashExpressions.md5Prefix60(md, s"$seed:$s")).min
+      assert(sig(seed) == want, s"seed $seed")
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, HashExpressions}
+
+/** Custom Catalyst expressions: cosine_sim, simhash32, rolling_hash —
+  * interpreted vs codegen agreement, null semantics, reference values.
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("cosine_sim: known values") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), Some(1.0)),          // identical
+      (Array(1f, 0f), Array(0f, 1f), Some(0.0)),          // orthogonal
+      (Array(1f, 0f), Array(-1f, 0f), Some(-1.0)),        // opposite
+      (Array(1f, 2f), Array(2f, 4f), Some(1.0)))          // colinear
+      .toDF("a", "b", "expect")
+    val got = df.select(GraftFunctions.cosineSim(col("a"), col("b")).as("c"), col("expect"))
+      .as[(Option[Double], Option[Double])].collect()
+    got.foreach { case (c, e) =>
+      assert(c.isDefined && math.abs(c.get - e.get) < 1e-12, s"got $c want $e")
+    }
+  }
+
+  test("cosine_sim: null on length mismatch, zero norm, null input") {
+    val df = Seq(
+      (Some(Array(1f, 0f)), Some(Array(1f, 0f, 0f))), // length mismatch
+      (Some(Array(0f, 0f)), Some(Array(1f, 0f))),     // zero norm
+      (None, Some(Array(1f, 0f))))                    // null input
+      .toDF("a", "b")
+    val got = df.select(GraftFunctions.cosineSim(col("a"), col("b")))
+      .as[Option[Double]].collect()
+    assert(got.forall(_.isEmpty))
+  }
+
+  test("cosine_sim: codegen and interpreted paths agree") {
+    val vecs = (0 until 50).map { i =>
+      (Array.tabulate(16)(j => ((i * 31 + j * 7) % 13 - 6).toFloat),
+        Array.tabulate(16)(j => ((i * 17 + j * 11) % 9 - 4).toFloat))
+    }
+    val df = vecs.toDF("a", "b")
+    val expr = GraftFunctions.cosineSim(col("a"), col("b"))
+    val viaCodegen = df.select(expr).as[Option[Double]].collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.select(expr).as[Option[Double]].collect()
+      assert(viaCodegen.toSeq == interpreted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("simhash32 is order-independent over token multisets") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "a")),
+      (2L, Seq("a", "a", "b", "c")),  // same multiset, different order
+      (3L, Seq("a", "b", "c")))       // different multiset
+      .toDF("id", "toks")
+    val got = df.select(col("id"), GraftFunctions.simhash32(col("toks")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L))
+    assert((got(1L) & 0xffffffffL) == got(1L), "fits in 32 bits")
+  }
+
+  test("rolling_hash matches the scala reference implementation") {
+    val texts = Seq("", "a", "abc", "the quick brown fox", "x" * 1000)
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "t")
+    val got = df.select(col("id"), GraftFunctions.rollingHash(col("t")).as("h"))
+      .as[(Int, Long)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == HashExpressions.rollingHash(t), s"text #$i")
+    }
+    assert(HashExpressions.rollingHash("abc") == 96354L) // ((97*31)+98)*31+99 mod p
+  }
+
+  test("md5Prefix60 equals DuckDB's ('0x' || substr(md5(x),1,15))::BIGINT") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // DuckDB: SELECT ('0x'||substr(md5('hello'),1,15))::BIGINT → 419982666956583591
+    assert(HashExpressions.md5Prefix60(md, "hello") == 419982666956583591L)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, LastValue}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("leftAsOf attaches latest right row with ts <= left ts, per key") {
+    val left = Seq(
+      ("k1", 10L, "L1"), ("k1", 25L, "L2"), ("k1", 5L, "L0"),
+      ("k2", 50L, "L3"), ("k3", 7L, "L4"))
+      .toDF("key", "t", "lbl")
+      .select(col("key"), timestamp_seconds(col("t")).as("ts"), col("lbl"))
+    val right = Seq(
+      ("k1", 10L, 1.0), ("k1", 20L, 2.0), ("k2", 60L, 3.0))
+      .toDF("key", "t", "v")
+      .select(col("key"), timestamp_seconds(col("t")).as("ts"), col("v"))
+
+    val got = AsOfJoin.leftAsOf(left, right, "key", "ts", Seq("v"))
+      .select("lbl", "v").as[(String, Option[Double])].collect().toMap
+    assert(got("L0").isEmpty)        // before any right row
+    assert(got("L1").contains(1.0))  // equal ts is inclusive
+    assert(got("L2").contains(2.0))  // latest preceding
+    assert(got("L3").isEmpty)        // right row is later than left
+    assert(got("L4").isEmpty)        // key with no right rows
+  }
+
+  test("latestPerKey keeps exactly the max-order row per key") {
+    val df = Seq(
+      ("a", 1L, "x1"), ("a", 3L, "x3"), ("a", 2L, "x2"),
+      ("b", 9L, "y9"), ("b", 9L, "y9b"))
+      .toDF("k", "ord", "payload")
+    val got = LastValue.latestPerKey(df, Seq("k"), Seq("ord", "payload"))
+      .select("k", "payload").as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "x3", "b" -> "y9b")) // tie broken by payload
+  }
+
+  test("latestPerKey plans partial (map-side) aggregation and no window") {
+    val df = Seq(("a", 1L, "x")).toDF("k", "ord", "payload")
+    val plan = LastValue.latestPerKey(df, Seq("k"), Seq("ord"))
+      .queryExecution.executedPlan.toString
+    // the 100 TB property: shuffle carries at most one row per key per input
+    // partition (partial_max_by below the Exchange), and no window sort of
+    // the full input. (max_by over a struct buffer is sort-agg locally —
+    // per-partition sort, not a global one.)
+    assert(plan.contains("partial_max_by"), s"expected map-side combine:\n$plan")
+    assert(!plan.contains("Window"), "must not use a window sort")
+  }
+}

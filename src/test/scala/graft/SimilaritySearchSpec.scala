@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.SimilaritySearch
+
+class SimilaritySearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  /** Deterministic pseudo-random unit-ish vectors in 16 dims, clustered:
+    * vectors i and i+100 share a cluster direction (high cosine).
+    */
+  private def vec(i: Int): Array[Float] = {
+    val base = Array.tabulate(16)(j => math.sin(i % 10 + j * 0.7).toFloat)
+    val noise = Array.tabulate(16)(j => (((i * 31 + j * 13) % 7) - 3) * 0.02f)
+    base.zip(noise).map { case (a, b) => a + b }
+  }
+
+  private lazy val corpus = (0 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK returns the true top-k by cosine") {
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val got = SimilaritySearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+      .select("rank", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .sortBy(_._1)
+
+    // local ground truth
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (1 until 200).map(i => (i.toLong, cos(vec(0), vec(i))))
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(got.map(_._2).toSeq == truth.map(_._1))
+    got.zip(truth).foreach { case ((_, _, c1), (_, c2)) => assert(math.abs(c1 - c2) < 1e-9) }
+  }
+
+  test("nearDupPairsBlocked only compares within blocks and respects threshold") {
+    val df = Seq(
+      (1L, Array(1f, 0f), "A"), (2L, Array(1f, 0.01f), "A"),
+      (3L, Array(1f, 0f), "B"), (4L, Array(0f, 1f), "A"))
+      .toDF("vec_id", "embedding", "blk")
+    val got = SimilaritySearch.nearDupPairsBlocked(df, "vec_id", "embedding", "blk", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L))) // 1-3 cross-block, 1-4 below threshold
+  }
+
+  test("lshTopK achieves high recall@5 against brute force") {
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilaritySearch.lshTopK(corpus, queries, "vec_id", "embedding", 5,
+        nPlanes = 6, nTables = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.RawReading
+import graft.streaming.StreamingPipeline
+
+/** Streaming semantics (SURVEY.md §2.9): last-value-wins under out-of-order
+  * arrival, stateful changelog, double-read dedup — driven by MemoryStream
+  * micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def raw(tag: String, v: String, t: String): RawReading =
+    RawReading("srv1", tag, s"path/$tag", "Double", v, ts(t), ts(t), 192)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("foreachBatch merge: latest per (server, tag) survives across batches, late data loses") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[RawReading]
+    val table = tmp("graft-current") + "/current"
+    mem.addData(
+      raw("t1", "1.0", "2024-06-01 10:00:00"),
+      raw("t1", "2.0", "2024-06-01 10:00:05"),
+      raw("t2", "7.5", "2024-06-01 10:00:01"))
+    val q = StreamingPipeline.currentValueSink(
+      StreamingPipeline.normalizeStream(mem.toDF()),
+      table, tmp("graft-ckpt"), Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // batch 2: t1 late value (must NOT overwrite), t2 newer value (must win)
+    mem.addData(
+      raw("t1", "9.9", "2024-06-01 09:59:00"), // late — older than current
+      raw("t2", "8.0", "2024-06-01 10:00:30"))
+    val q2 = StreamingPipeline.currentValueSink(
+      StreamingPipeline.normalizeStream(mem.toDF()),
+      table, tmp("graft-ckpt2"), Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+
+    val cur = spark.read.parquet(table)
+      .select("tag", "doubleValue").as[(String, Double)].collect().toMap
+    assert(cur == Map("t1" -> 2.0, "t2" -> 8.0))
+  }
+
+  test("latestPerTagStateful emits only genuine updates per key") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[RawReading]
+    val out = StreamingPipeline.latestPerTagStateful(
+      StreamingPipeline.normalizeStream(mem.toDF()))
+    mem.addData(
+      raw("t1", "1.0", "2024-06-01 10:00:00"),
+      raw("t1", "2.0", "2024-06-01 10:00:10"), // same batch: only this survives
+      raw("t2", "5.0", "2024-06-01 10:00:00"))
+    val q = out.writeStream
+      .format("memory").queryName("stateful_out")
+      .outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt3"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val batch1 = spark.sql("SELECT tag, doubleValue FROM stateful_out")
+      .as[(String, Double)].collect().toMap
+    assert(batch1 == Map("t1" -> 2.0, "t2" -> 5.0))
+
+    mem.addData(raw("t1", "0.5", "2024-06-01 09:00:00")) // stale → no emit
+    val q2 = out.writeStream
+      .format("memory").queryName("stateful_out2")
+      .outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt4"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    // fresh checkpoint replays all data; stale t1 row still never wins
+    val batch2 = spark.sql("SELECT tag, doubleValue FROM stateful_out2")
+      .as[(String, Double)].collect().toMap
+    assert(batch2("t1") == 2.0)
+  }
+
+  test("windowedStats: tumbling windows with event-time watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[RawReading]
+    val out = StreamingPipeline.windowedStats(
+      StreamingPipeline.normalizeStream(mem.toDF()), "1 minute", "10 seconds")
+    val q = out.writeStream
+      .format("memory").queryName("win_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt5"))
+      .start()
+    mem.addData(
+      raw("t1", "1.0", "2024-06-01 10:00:01"),
+      raw("t1", "3.0", "2024-06-01 10:00:09"),
+      raw("t1", "5.0", "2024-06-01 10:00:11"))
+    q.processAllAvailable()
+    // a later batch advances the watermark far enough to close the windows
+    mem.addData(raw("t1", "0.0", "2024-06-01 10:05:00"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT window.start, n, avg_value, last_value FROM win_out ORDER BY 1")
+      .as[(Timestamp, Long, Double, Double)].collect()
+    assert(rows.length >= 2)
+    val first = rows.head
+    assert(first._2 == 2 && first._3 == 2.0 && first._4 == 3.0)
+  }
+
+  test("dedupReadings drops poll/subscribe double-reads within the watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[RawReading]
+    val out = StreamingPipeline.dedupReadings(
+      StreamingPipeline.normalizeStream(mem.toDF()), "1 minute")
+    val r = raw("t1", "1.0", "2024-06-01 10:00:00")
+    mem.addData(r, r, raw("t2", "2.0", "2024-06-01 10:00:00"))
+    val q = out.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt6"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val n = spark.sql("SELECT count(*) FROM dedup_out").as[Long].collect().head
+    assert(n == 2)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stop = Seq("the", "a", "of")
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): Option[Any] = {
+    val r = Seq(Tuple1(text)).toDF("t").select(c.as("v")).collect().head
+    if (r.isNullAt(0)) None else Some(r.get(0))
+  }
+
+  test("tokenCount / avgTokenLen") {
+    assert(one(TextAnalysis.tokenCount(col("t")), "a bb  ccc ").contains(3L))
+    assert(one(TextAnalysis.avgTokenLen(col("t")), "a bb ccc").contains(2.0))
+  }
+
+  test("stopwordRatio counts lowercase membership") {
+    assert(one(TextAnalysis.stopwordRatio(col("t"), stop), "The cat of a hat").contains(0.6))
+  }
+
+  test("punctRatio counts non-alphanumeric non-space chars") {
+    assert(one(TextAnalysis.punctRatio(col("t")), "ab,c!").contains(0.4))
+    assert(one(TextAnalysis.punctRatio(col("t")), "abc d").contains(0.0))
+  }
+
+  test("tokenEstimate: max of word pieces and chars/4") {
+    // "hello world" → 2 pieces, ceil(11/4)=3 → 3
+    assert(one(TextAnalysis.tokenEstimate(col("t")), "hello world").contains(3L))
+    // many short pieces beat chars/4: "a b c d e f" → 6 pieces, ceil(11/4)=3
+    assert(one(TextAnalysis.tokenEstimate(col("t")), "a b c d e f").contains(6L))
+  }
+
+  test("languageId: argmax with declaration-order ties, 'und' when no hits") {
+    assert(one(TextAnalysis.languageId(col("t")), "the house of cards").contains("en"))
+    assert(one(TextAnalysis.languageId(col("t")), "der die das haus").contains("de"))
+    assert(one(TextAnalysis.languageId(col("t")), "xyz qqq zzz").contains("und"))
+    // 'es' marker y vs 'en' marker the: tie 1-1 → declaration order wins (en)
+    assert(one(TextAnalysis.languageId(col("t")), "the y casa").contains("en"))
+  }
+
+  test("qualityScore stays within [0,1] and rewards stopword-bearing prose") {
+    val good = one(TextAnalysis.qualityScore(col("t"), stop),
+      ("the quick brown fox of the meadow " * 8).trim).get.asInstanceOf[Double]
+    val bad = one(TextAnalysis.qualityScore(col("t"), stop),
+      "!!! ??? ### $$$ %%%").get.asInstanceOf[Double]
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+}
