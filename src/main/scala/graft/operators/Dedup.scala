@@ -40,16 +40,20 @@ object Dedup {
       .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__row"))
       .select(col("__row.*"))
 
-  /** Distinct word k-shingles per document: (idCol, shingle). Documents
-    * shorter than k words produce no shingles (and thus never pair).
+  /** Word k-shingles per document, WITH duplicates: (idCol, shingle).
+    * Documents shorter than k words produce no shingles (and thus never
+    * pair). Narrow: scan + explode, no shuffle.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+  def rawShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= k)
       .select(col(idCol), explode(expr(
         s"transform(sequence(0, size(__toks) - $k), i -> concat_ws(' ', slice(__toks, i + 1, $k)))"
       )).as("shingle"))
-      .distinct()
+
+  /** Distinct word k-shingles per document: (idCol, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    rawShingles(df, idCol, textCol, k).distinct()
 
   /** MinHash signatures: (idCol, seed ∈ [0, numHashes), mh). The hash
     * family is h_seed(s) = hash60(seed || ':' || s) — independent salted
@@ -107,6 +111,17 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
     * equi-join → exact-Jaccard verify → threshold. Output:
     * (id1, id2, jaccard) with id1 < id2 and jaccard ≥ threshold.
+    *
+    * Design notes, measured (sf0.1, local[32], warm):
+    *   - the shingle lineage is recomputed per consumer rather than
+    *     persisted: MEMORY_AND_DISK caching of the exploded table measured
+    *     2× slower than recompute (narrow scan+explode is cheap, the cache
+    *     write/read of a post-shuffle table is not);
+    *   - a per-row array formulation (array_distinct + nested transform +
+    *     array_min, zero content shuffles) measured 4× slower — higher-
+    *     order lambdas are interpreted per element, while explode +
+    *     hash-agg is codegen'd. Flat streams + aggregations are the
+    *     Spark-native fast path even when they cost an extra exchange.
     */
   def nearDupPairsMinHash(
       df: DataFrame,

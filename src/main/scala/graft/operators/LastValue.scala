@@ -26,4 +26,29 @@ object LastValue {
       .agg(max_by(payload, ord).as("__latest"))
       .select(col("__latest.*"))
   }
+
+  /** Skew-safe variant: pre-reduce each key within `saltBuckets` random
+    * sub-groups, then reduce the ≤ saltBuckets survivors per key. For a hot
+    * key (one tag producing a large share of all events — common in
+    * telemetry) the single-phase aggregation funnels every pre-aggregated
+    * partial of that key through one reducer task; salting bounds any
+    * task's input to ~1/saltBuckets of the hot key's partials. Same result,
+    * two shuffles — use when key skew is known/measured, not by default.
+    */
+  def latestPerKeySalted(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      saltBuckets: Int = 32): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(orderCols.map(col): _*)
+    val salted = df
+      .withColumn("__salt", (rand() * saltBuckets).cast("int"))
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(max_by(payload, ord).as("__latest"), max(ord).as("__ord"))
+    salted
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(col("__latest"), col("__ord")).as("__latest"))
+      .select(col("__latest.*"))
+  }
 }

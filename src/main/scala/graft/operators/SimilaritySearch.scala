@@ -71,32 +71,35 @@ object SimilaritySearch {
   }
 
   /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): a 60-bit md5 hash mapped to (-1, 1). Pure column expression —
-    * identical on every executor with no RNG state to ship.
+    * dim): a 60-bit md5 hash mapped to (-1, 1). Computed ONCE on the
+    * driver — the planes are data-independent constants, so they ship to
+    * executors as array literals (no per-row hashing, no RNG state).
     */
-  private def planeComponent(table: Int, plane: Int, dim: org.apache.spark.sql.Column) =
-    (Dedup.hash60(concat_ws(":", lit(table), lit(plane), dim.cast("string")))
-      .cast("double") / lit((1L << 59).toDouble)) - lit(1.0)
+  private[operators] def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    graft.functions.HashExpressions.md5Prefix60(md, s"$table:$plane:$dim")
+      .toDouble / (1L << 59).toDouble - 1.0
+  }
 
   /** Sign-random-projection LSH bucket id for each vector: one bit per
-    * hyperplane, `nPlanes` planes, for LSH table `table`. The projection is
-    * sum_i v[i] * plane(dim = i) computed with `aggregate` over the zipped
-    * array — all built-ins, fully distributed.
+    * hyperplane, `nPlanes` planes, for LSH table `table`. The projection
+    * dot(v, plane_p) runs as `aggregate(zip_with(vec, litPlane, *), +)` —
+    * a codegen-friendly built-in pipeline against a constant plane array.
+    *
+    * @param dim vector dimensionality (plane literals are fixed-length)
     */
   def srpBucket(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       table: Int,
-      nPlanes: Int): DataFrame = {
+      nPlanes: Int,
+      dim: Int): DataFrame = {
     val bitCols = (0 until nPlanes).map { p =>
-      // dot(v, plane_p) > 0 → bit p
-      val dot = expr(
-        s"""aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
-           |  (v, i) -> cast(v as double) *
-           |    (cast(conv(substring(md5(concat_ws(':', '$table', '$p', cast(i as string))), 1, 15), 16, 10) as double)
-           |      / ${(1L << 59).toDouble} - 1.0d)),
-           |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+      val plane = typedLit((0 until dim).map(d => planeComponent(table, p, d)))
+      val dot = aggregate(
+        zip_with(col(vecCol), plane, (v, w) => v.cast("double") * w),
+        lit(0.0d), (acc, x) => acc + x)
       when(dot > 0d, lit(1L << p)).otherwise(lit(0L))
     }
     df.select(col(idCol), col(vecCol),
@@ -116,20 +119,25 @@ object SimilaritySearch {
       k: Int,
       nPlanes: Int = 8,
       nTables: Int = 4): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    // cosine is computed inside each table branch so the union/dedup only
+    // carries (long, long, double): the dedup stays a hash aggregate and
+    // the shuffle never moves the embedding arrays. A pair found by m
+    // tables costs m dot products — cheaper than shuffling vectors.
     val cand = (0 until nTables).map { t =>
-      val cb = srpBucket(corpus, idCol, vecCol, t, nPlanes)
+      val cb = srpBucket(corpus, idCol, vecCol, t, nPlanes, dim)
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"), col("bucket"))
-      val qb = srpBucket(queries, idCol, vecCol, t, nPlanes)
+      val qb = srpBucket(queries, idCol, vecCol, t, nPlanes, dim)
         .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"), col("bucket"))
-      cb.join(qb, "bucket").drop("bucket")
+      cb.join(qb, "bucket")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineSim(col("__qvec"), col("__cvec")).as("cosine"))
     }.reduce(_ unionByName _)
-      .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand
-      .select(col("query_id"), col("neighbor_id"),
-        cosineSim(col("__qvec"), col("__cvec")).as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")

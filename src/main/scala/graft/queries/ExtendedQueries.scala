@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import graft.operators.{Dedup, Multimodal, RangeJoin, SimilaritySearch}
 import Q.t
 
 /** The LLM-data-pipeline query inventory over `documents`/`embeddings`
@@ -310,6 +310,32 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok").asc)
         .limit(20)
+    },
+
+    Q("q49_range_join",
+      // DuckDB plans BETWEEN as an IEJoin; the Spark side uses the bucketed
+      // equi-join rewrite (RangeJoin) — same semantics, shuffle-partitionable
+      """SELECT l.l_returnflag, count(*) AS n_pairs,
+        |  round(sum(o.o_totalprice), 2) AS sum_price
+        |FROM lineitem l JOIN orders o
+        |  ON l.l_shipdate::DATE BETWEEN o.o_orderdate::DATE
+        |    AND o.o_orderdate::DATE + INTERVAL 30 DAY
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1995-02-01 00:00:00'
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
+      val pts = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1995-02-01 00:00:00").cast("timestamp"))
+        .select(col("l_returnflag"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("pt"))
+      val ivs = t(s, d, "orders")
+        .select(col("o_totalprice"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("start"))
+        .withColumn("end", col("start") + 30)
+      RangeJoin.pointInInterval(pts, ivs, "pt", "start", "end", bucketWidth = 32)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_pairs"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
     },
 
     Q("q48_window_suite",

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, LastValue}
+import graft.operators.{AsOfJoin, LastValue, RangeJoin}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -35,6 +35,31 @@ class OperatorsSpec extends SparkSpec {
     val got = LastValue.latestPerKey(df, Seq("k"), Seq("ord", "payload"))
       .select("k", "payload").as[(String, String)].collect().toMap
     assert(got == Map("a" -> "x3", "b" -> "y9b")) // tie broken by payload
+  }
+
+  test("latestPerKeySalted agrees with latestPerKey") {
+    val df = (1 to 500).map { i =>
+      (s"k${i % 7}", (i * 37 % 101).toLong, s"p$i")
+    }.toDF("k", "ord", "payload")
+    // orderCols fully disambiguate rows (payload unique), so the random
+    // salt assignment cannot change which row wins
+    val a = LastValue.latestPerKey(df, Seq("k"), Seq("ord", "payload"))
+      .select("k", "payload").as[(String, String)].collect().toMap
+    val b = LastValue.latestPerKeySalted(df, Seq("k"), Seq("ord", "payload"), 8)
+      .select("k", "payload").as[(String, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("rangeJoin pointInInterval equals the naive between-join") {
+    val pts = (0L to 200L by 3L).map(p => (p, s"pt$p")).toDF("pt", "plbl")
+    val ivs = Seq((0L, 10L, "a"), (5L, 64L, "b"), (63L, 65L, "c"),
+      (100L, 100L, "d"), (190L, 300L, "e"), (400L, 410L, "f"))
+      .toDF("start", "end", "ilbl")
+    val got = RangeJoin.pointInInterval(pts, ivs, "pt", "start", "end", bucketWidth = 16)
+      .select("pt", "ilbl").as[(Long, String)].collect().toSet
+    val naive = pts.join(ivs, col("pt") >= col("start") && col("pt") <= col("end"))
+      .select("pt", "ilbl").as[(Long, String)].collect().toSet
+    assert(got == naive && got.nonEmpty)
   }
 
   test("latestPerKey plans partial (map-side) aggregation and no window") {
