@@ -31,3 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// keep catalog-table tests (bucketed writes) out of the repo tree
+Test / javaOptions += "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse"
+Test / javaOptions += "-Dderby.system.home=/tmp/graft-derby"

@@ -1,0 +1,206 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.config.OpcConfigParser
+import graft.model.{OpcEntry, OpcServer, Schemas}
+
+/** Custom Structured-Streaming source simulating one OPC server's poll
+  * cycle — the Spark-native port of the reference's ingest threads
+  * (/root/reference/OPC2MongoDB/Program.cs: UA poll :446-726, DA poll
+  * :953-1133; one OS thread per server :1300-1312 → one streaming query
+  * per server here).
+  *
+  * Semantics ported:
+  *   - every cycle reads ALL configured tags (the reference's poll loop
+  *     has no subscribe filter — Program.cs:448 — so subscribed tags are
+  *     read twice there; we document and keep the read-all behavior);
+  *   - each reading carries (sourceTimestamp, serverTimestamp, quality)
+  *     and the declared type token, pre-normalization (FIXTURES.md A1).
+  *
+  * The value fetch is a deterministic simulator
+  * ([[OpcSimSource.rawValue]]); a real OPC connector replaces exactly
+  * that function (plus connection lifecycle) — offsets, partition
+  * planning, and the row contract stay as-is.
+  *
+  * Offset model: the poll-cycle counter. Batch (a, b] replays cycles
+  * a+1..b; `cyclesPerTrigger` advance per micro-batch up to `maxCycles`
+  * (exactly-once on restart: cycle data is a pure function of the cycle
+  * index). Partitioning: tags are split into `numPartitions` slices, so
+  * a server with many tags fans out across executors — the scale axis the
+  * reference's serial per-tag RPC loop lacks (Program.cs:463-464).
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("opcsim")
+  *     .option("config", configText)   // reference grammar (S1)
+  *     .option("server", "Server1")    // which server section to simulate
+  *     .option("cyclesPerTrigger", 1)
+  *     .option("maxCycles", 10)
+  *     .load()
+  * }}}
+  */
+class OpcSimSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "opcsim"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.rawReading
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new OpcSimTable(new CaseInsensitiveStringMap(properties))
+}
+
+object OpcSimSource {
+  /** Deterministic simulated reading for (tag, declared type, cycle). */
+  def rawValue(dataType: String, tagIdx: Int, cycle: Long): String =
+    dataType.toLowerCase match {
+      case t if t.contains("bool") => if ((cycle + tagIdx) % 2 == 0) "true" else "false"
+      case t if Seq("float", "single", "double", "vt_r4", "vt_r8", "decimal").exists(t.contains) =>
+        ((cycle * 37 + tagIdx * 11) % 1000 / 8.0).toString
+      case t if Seq("date", "time").exists(t.contains) =>
+        f"2024-01-01 ${(cycle / 3600) % 24}%02d:${(cycle / 60) % 60}%02d:${cycle % 60}%02d"
+      case t if Seq("int", "byte", "state", "statuscode", "vt_i", "vt_ui").exists(t.contains) =>
+        ((cycle * 13 + tagIdx * 7) % 10000).toString
+      case _ => s"str-$tagIdx-$cycle"
+    }
+
+  def selectServer(configText: String, serverName: String): OpcServer = {
+    val parsed = OpcConfigParser.parse(configText).config
+    parsed.servers.find(_.serverName == serverName).getOrElse(
+      throw new IllegalArgumentException(
+        s"server '$serverName' not found; have ${parsed.servers.map(_.serverName)}"))
+  }
+}
+
+private[sources] class OpcSimTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"opcsim(${options.get("server")})"
+  override def schema(): StructType = Schemas.rawReading
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = Schemas.rawReading
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new OpcSimMicroBatchStream(opts)
+      }
+    }
+}
+
+private[sources] case class CycleOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class OpcSimMicroBatchStream(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val server: OpcServer = OpcSimSource.selectServer(
+    Option(options.get("config")).getOrElse(
+      throw new IllegalArgumentException("opcsim requires option 'config'")),
+    Option(options.get("server")).getOrElse(
+      throw new IllegalArgumentException("opcsim requires option 'server'")))
+  private val cyclesPerTrigger = options.getLong("cyclesPerTrigger", 1L)
+  private val maxCycles = options.getLong("maxCycles", Long.MaxValue)
+  private val baseEpochMs = options.getLong("baseEpochMs", 1704067200000L) // 2024-01-01
+  private val numPartitions = options.getInt("numPartitions", 4)
+
+  @volatile private var advanced = 0L
+  // when Trigger.AvailableNow prepares, the run drains up to this target
+  // in cyclesPerTrigger-sized micro-batches
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def initialOffset(): Offset = CycleOffset(0L)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(
+      if (maxCycles != Long.MaxValue) maxCycles else advanced + cyclesPerTrigger)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset =
+    CycleOffset(availableNowTarget.getOrElse(advanced))
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[CycleOffset].n
+    val cap = availableNowTarget.getOrElse(maxCycles)
+    CycleOffset(math.min(start + cyclesPerTrigger, cap))
+  }
+
+  override def latestOffset(): Offset = {
+    // non-admission-control path (not used once SupportsAdmissionControl is
+    // implemented, kept for interface completeness)
+    advanced = math.min(advanced + cyclesPerTrigger, maxCycles)
+    CycleOffset(advanced)
+  }
+
+  override def deserializeOffset(json: String): Offset = CycleOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[CycleOffset].n
+    val b = end.asInstanceOf[CycleOffset].n
+    val indexed = server.entries.zipWithIndex
+    val slices = indexed.grouped(math.max(1, (indexed.size + numPartitions - 1) / numPartitions))
+    slices.map(s => OpcSimPartition(
+      server.serverName, server.readPeriodSec, baseEpochMs, a, b, s.toArray): InputPartition
+    ).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new OpcSimReader(partition.asInstanceOf[OpcSimPartition])
+}
+
+private[sources] case class OpcSimPartition(
+    serverName: String,
+    readPeriodSec: Int,
+    baseEpochMs: Long,
+    startCycle: Long,     // exclusive
+    endCycle: Long,       // inclusive
+    tags: Array[(OpcEntry, Int)]) extends InputPartition
+
+private[sources] class OpcSimReader(p: OpcSimPartition)
+    extends PartitionReader[InternalRow] {
+  // rows for cycles (start, end], every tag slice member per cycle
+  private val it: Iterator[(Long, (OpcEntry, Int))] =
+    (p.startCycle + 1 to p.endCycle).iterator.flatMap(c => p.tags.iterator.map(t => (c, t)))
+  private var cur: (Long, (OpcEntry, Int)) = _
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    cur = it.next()
+    true
+  }
+
+  override def get(): InternalRow = {
+    val (cycle, (entry, tagIdx)) = cur
+    val tsMicros = (p.baseEpochMs + cycle * p.readPeriodSec * 1000L) * 1000L
+    InternalRow(
+      UTF8String.fromString(p.serverName),
+      UTF8String.fromString(entry.tag),
+      UTF8String.fromString(entry.opcPath),
+      UTF8String.fromString(entry.dataType),
+      UTF8String.fromString(OpcSimSource.rawValue(entry.dataType, tagIdx, cycle)),
+      tsMicros,            // sourceTimestamp (µs)
+      tsMicros + 1000L,    // serverTimestamp: +1ms transport skew
+      192)                 // Quality.Good
+  }
+
+  override def close(): Unit = ()
+}

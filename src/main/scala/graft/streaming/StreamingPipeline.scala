@@ -73,22 +73,33 @@ object StreamingPipeline {
     if (f.exists()) f.delete()
   }
 
-  /** Wire a normalized stream into the current-value sink (plus an
-    * append-only history table — the reference's commented-out
-    * InsertOneAsync path, Program.cs:1174-1176, kept here because at scale
-    * the history table IS the analytics input).
+  /** Wire a normalized stream into the current-value sink, optionally also
+    * appending every reading to a history table — the reference's
+    * commented-out InsertOneAsync path (Program.cs:1174-1176), enabled here
+    * because at scale the history table IS the analytics input. History is
+    * partitioned by serverName (the reference's collection-per-server,
+    * Program.cs:1159): queries for one server prune to its partition.
     */
   def currentValueSink(
       normalized: DataFrame,
       tablePath: String,
       checkpointDir: String,
-      trigger: Trigger): DataStreamWriter[Row] =
+      trigger: Trigger,
+      historyPath: Option[String] = None): DataStreamWriter[Row] =
     normalized.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // batch reused twice (history append + merge): cache to avoid
+        // recomputing the source read + normalization
+        if (historyPath.isDefined) batch.persist()
+        historyPath.foreach { h =>
+          batch.write.mode("append").partitionBy("serverName").parquet(h)
+        }
         mergeLatest(batch.sparkSession, batch, tablePath)
+        if (historyPath.isDefined) batch.unpersist()
+        ()
       }
 
   /** Per-server query fan-out: one `currentValueSink` query per configured
