@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, RollingHash, SimHash32}
+
+/** SparkSessionExtensions entry point: makes the engine's Catalyst
+  * expressions available to pure-SQL users at session build time —
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     ...
+  *   spark.sql("SELECT cosine_sim(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * The same registrations are available imperatively via
+  * [[graft.functions.GraftFunctions.register]]; this path covers
+  * deployments where the session is built by infra (spark-submit,
+  * Thrift/Connect servers) and user code never sees the builder.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two ARRAY<FLOAT> vectors"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      info("simhash32", "simhash32(tokens) - 32-bit SimHash of an ARRAY<STRING>"),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(s) - Rabin-Karp fingerprint mod 1e9+7"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+  }
+}

@@ -152,6 +152,18 @@ object StreamingPipeline {
       }.toDF()
   }
 
+  /** Stream–static enrichment: attach tag-catalog metadata to every
+    * in-flight reading — the Spark-native form of the reference holding an
+    * `OPC_entry` inside each value (Program.cs:149,466). The catalog is a
+    * broadcast-joined static DataFrame: no stream state, no shuffle of the
+    * stream side.
+    */
+  def enrichWithCatalog(
+      normalized: DataFrame,
+      catalog: DataFrame,
+      keys: Seq[String] = Seq("serverName", "tag")): DataFrame =
+    normalized.join(broadcast(catalog), keys, "left_outer")
+
   /** Watermarked tumbling-window stats per tag over event time — the
     * windowed-aggregation surface (SURVEY.md §2.9) the reference lacks
     * entirely (its only time bucket is the poll cadence, Program.cs:724).

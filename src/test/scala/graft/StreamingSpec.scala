@@ -111,6 +111,26 @@ class StreamingSpec extends SparkSpec {
     assert(first._2 == 2 && first._3 == 2.0 && first._4 == 3.0)
   }
 
+  test("stream-static catalog enrichment broadcasts, attaches metadata") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[RawReading]
+    val catalog = Seq(("srv1", "t1", "ns=1;s=t1", true), ("srv1", "t2", "ns=1;s=t2", false))
+      .toDF("serverName", "tag", "opcPath2", "subscribe")
+    val out = StreamingPipeline.enrichWithCatalog(
+      StreamingPipeline.normalizeStream(mem.toDF()), catalog)
+    mem.addData(raw("t1", "1.5", "2024-06-01 10:00:00"), raw("t3", "2.5", "2024-06-01 10:00:00"))
+    val q = out.writeStream
+      .format("memory").queryName("enrich_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt7"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT tag, subscribe FROM enrich_out ORDER BY tag")
+      .as[(String, Option[Boolean])].collect()
+    assert(rows.toSeq == Seq(("t1", Some(true)), ("t3", None))) // left outer
+  }
+
   test("dedupReadings drops poll/subscribe double-reads within the watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[RawReading]
