@@ -343,6 +343,33 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     },
 
+    Q("q51_session_window",
+      // sessionization with a 30-minute gap: Spark's session_window vs the
+      // gaps-and-islands formulation in DuckDB
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           >= INTERVAL 30 MINUTE OR
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    },
+
     Q("q50_weighted_mean_udaf",
       // custom Aggregator UDAF (quality-weighted mean); weights here are
       // quantities so the oracle is plain SQL
