@@ -89,6 +89,43 @@ class NormalizeSpec extends SparkSpec {
     assert(out.toSeq == Seq("t2"))
   }
 
+  test("property: integer strings of any magnitude normalize consistently") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // scalacheck-sampled inputs, verified in one batch pass
+    val ns = (0 until 200).flatMap(i =>
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).apply(
+        Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, (1L << 53) + 1)
+    val df = ns.map(n => RawReading("srv", s"t$n", "p", "Int64", n.toString, t0, t0, 192)).toDF
+    val rows = Normalize.normalize(df)
+      .select("tag", "doubleValue", "boolValue", "stringValue")
+      .as[(String, Double, Boolean, String)].collect()
+    assert(rows.length == ns.length)
+    rows.foreach { case (tag, d, b, s) =>
+      val n = tag.drop(1).toLong
+      // doubleValue is the (possibly lossy) widening; stringValue keeps
+      // every digit; boolValue is !=0 on the parsed double
+      assert(d == n.toDouble, s"double for $n")
+      assert(s == n.toString, s"string for $n")
+      assert(b == (n.toDouble != 0.0), s"bool for $n")
+    }
+  }
+
+  test("property: doubles round-trip through the G-format string within 15 digits") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ds = (0 until 200).flatMap(i =>
+      Gen.chooseNum(-1e12, 1e12).apply(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq(0.0, -0.0, 1e-6, -1e-7, 123456.789, 1e15, 1e16, -2.5e-9)
+    ds.foreach { d =>
+      val back = GFormat.gDouble(d).toDouble
+      assert(d == 0.0 ||
+        math.abs(back - d) / math.max(math.abs(d), 1e-300) < 1e-14,
+        s"round-trip for $d -> ${GFormat.gDouble(d)} -> $back")
+    }
+  }
+
   test("G-format matches .NET en-US for representative doubles") {
     // GFormat is the engine's port of value.ToString("G", en-US)
     assert(GFormat.gDouble(1.0) == "1")

@@ -131,6 +131,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("t1", Some(true)), ("t3", None))) // left outer
   }
 
+  test("stream-stream interval join with watermarks (streaming as-of shape)") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+    val purchases = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val c = clicks.toDF().toDF("user", "cts").withWatermark("cts", "1 minute")
+    val p = purchases.toDF().toDF("puser", "pts", "amount").withWatermark("pts", "1 minute")
+    // purchase joins clicks at most 10 minutes before it — the event-time
+    // range condition bounds both watermarked states (SURVEY §2.3 as-of)
+    val joined = c.join(p,
+      col("user") === col("puser") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("interval 10 minutes"))
+
+    clicks.addData(("u1", ts("2024-06-01 10:00:00")), ("u2", ts("2024-06-01 10:00:00")))
+    purchases.addData(
+      ("u1", ts("2024-06-01 10:05:00"), 5.0),   // within 10 min → match
+      ("u2", ts("2024-06-01 10:30:00"), 9.0))   // outside range → no match
+    val q = joined.writeStream
+      .format("memory").queryName("ss_join")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt8"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT user, amount FROM ss_join")
+      .as[(String, Double)].collect().toSet
+    assert(rows == Set(("u1", 5.0)))
+  }
+
   test("dedupReadings drops poll/subscribe double-reads within the watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[RawReading]
