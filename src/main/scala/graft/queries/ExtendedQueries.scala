@@ -343,6 +343,32 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     },
 
+    Q("q52_string_agg",
+      // ordered collect_list materialized as a string (array-valued outputs
+      // don't hash portably across engines; the string form does)
+      """SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |count(*) AS n FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("c_mktsegment")))).as("segments"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+
+    Q("q53_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS revenue
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      // exercises the engine's SQL entry path (spark.sql over a temp view)
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |round(sum(o_totalprice),2) AS revenue
+          |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
     Q("q51_session_window",
       // sessionization with a 30-minute gap: Spark's session_window vs the
       // gaps-and-islands formulation in DuckDB
