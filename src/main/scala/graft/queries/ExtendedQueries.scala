@@ -249,6 +249,21 @@ object ExtendedQueries {
         .orderBy("query_id", "rank")
     },
 
+    Q.noOracle("q54_ivf_topk") { (s, d) =>
+      // IVF (k-means inverted lists, Lloyd's over DataFrames) — the
+      // data-adaptive ANN scale path; approximate, so no SQL oracle.
+      // Recall vs exact q40 asserted in QueriesSpec (beats SRP-LSH on
+      // clustered data because the partition adapts to it).
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.ivfTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 6, iters = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     // ------------------------------------------------- multimodal
     Q("q43_blob_metadata",
       // documents.text re-interpreted as an opaque BLOB column: byte

@@ -32,6 +32,15 @@ class QueriesSpec extends SparkSpec {
     assert(close(approx._2, exact._2), s"$approx vs $exact")
   }
 
+  test("q54 IVF top-k recall >= 0.5 against exact q40 on sf0.001") {
+    val exact = SparkEntry.queries("q40_ann_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SparkEntry.queries("q54_ivf_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("q42 LSH top-k recall >= 0.5 against exact q40 on sf0.001") {
     val exact = SparkEntry.queries("q40_ann_topk")(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

@@ -49,6 +49,36 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(got == Set((1L, 2L))) // 1-3 cross-block, 1-4 below threshold
   }
 
+  test("ivfTopK achieves high recall@5 against brute force on clustered data") {
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilaritySearch.ivfTopK(corpus, queries, "vec_id", "embedding", 5,
+        nCells = 10, nProbe = 3, iters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // corpus has 10 true cluster directions (i % 10); 10 cells / 3 probes
+    // should recover most true neighbors
+    assert(recall >= 0.7, s"recall $recall too low")
+  }
+
+  test("ivfTopK is deterministic across runs") {
+    val queries = corpus.filter(col("vec_id") === 40L)
+    def run() = SimilaritySearch.ivfTopK(corpus, queries, "vec_id", "embedding", 5,
+        nCells = 8, nProbe = 2, iters = 2)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(run() == run())
+  }
+
+  test("trainCentroids: every centroid has corpus dimensionality; assignment covers all rows") {
+    val cents = SimilaritySearch.trainCentroids(corpus, "vec_id", "embedding", 6, 2)
+    assert(cents.size == 6)
+    assert(cents.forall(_.size == 16))
+    val assigned = corpus.select(
+      SimilaritySearch.assignCell(col("embedding"), cents).as("cell"))
+    assert(assigned.filter(col("cell").isNull || col("cell") < 0 || col("cell") >= 6).count() == 0)
+  }
+
   test("lshTopK achieves high recall@5 against brute force") {
     val queries = corpus.filter(col("vec_id") % 20 === 0)
     val exact = SimilaritySearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
