@@ -35,28 +35,37 @@ case class SimHash32(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](32)
-    val md = MessageDigest.getInstance("MD5")
-    var i = 0
-    while (i < arr.numElements()) {
-      val tok = arr.getUTF8String(i)
-      if (tok != null) {
-        val h = HashExpressions.md5Prefix60(md, tok.toString)
-        var b = 0
-        while (b < 32) {
-          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 32) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(sig)
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashExpressions.simhash(input.asInstanceOf[ArrayData], 32))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash — the wide-signature variant of [[SimHash32]] for corpora
+  * whose (small) vocabulary saturates a 32-bit signature with incidental
+  * collisions (NOTES.md: sf0.01 documents keep ~1.2k candidate pairs at
+  * hamming ≤ 3 under 32 bits). 60 bits is the full md5-prefix width that
+  * still fits a signed BIGINT, so the DuckDB oracle replays it with the
+  * same `('0x' || substr(md5(tok), 1, 15))::BIGINT` arithmetic — a true
+  * 64-bit signature would overflow the oracle's integer type.
+  *
+  * Banding: 60 = 4 × 15 bits, so `Dedup.simhashPairs(sigBits = 60,
+  * nBands = 4, maxHamming = 3)` keeps the exact-by-pigeonhole property.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 requires ARRAY<STRING>, got ${other.simpleString}")
   }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashExpressions.simhash(input.asInstanceOf[ArrayData], 60))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -120,6 +129,32 @@ object HashExpressions {
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
     h >>> 4
+  }
+
+  /** Shared SimHash vote loop: per token, bits 0..(bits-1) of the 60-bit
+    * md5-prefix hash vote +1/-1; the signature sets positively-voted bits.
+    * Order-independent over the token array.
+    */
+  def simhash(arr: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < arr.numElements()) {
+      val tok = arr.getUTF8String(i)
+      if (tok != null) {
+        val h = md5Prefix60(md, tok.toString)
+        var b = 0
+        while (b < bits) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
   }
 
   def rollingHash(s: String): Long = {

@@ -105,10 +105,13 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "simhash32", exprs => SimHash32(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
+      "simhash60", exprs => SimHash60(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
+  def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
   def rollingHash(text: Column): Column = call_function("rolling_hash", text)
 }

@@ -137,23 +137,28 @@ object Dedup {
     jaccardVerify(cand, sh, idCol).filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash banded near-dup pairs. Splits the 32-bit signature into
+  /** SimHash banded near-dup pairs. Splits the `sigBits`-bit signature into
     * `nBands` equal bit-bands; pairs sharing any band are candidates, then
     * filtered to hamming(sig1, sig2) ≤ maxHamming. With maxHamming <
     * nBands the banding is EXACT by pigeonhole (≤ maxHamming differing
     * bits cannot touch all nBands bands), so this equals the brute-force
-    * O(n²) scan while costing only an equi-join.
+    * O(n²) scan while costing only an equi-join. Wider signatures
+    * (sigBits = 60 via [[graft.functions.SimHash60]]) cut incidental band
+    * collisions on small-vocabulary corpora — fewer false candidates into
+    * the hamming filter at identical shuffle shape.
     *
-    * @param sigs (idCol, sigCol) with a 32-bit signature in a long
+    * @param sigs (idCol, sigCol) with the signature in a long
     */
   def simhashPairs(
       sigs: DataFrame,
       idCol: String,
       sigCol: String,
       nBands: Int = 4,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      sigBits: Int = 32): DataFrame = {
     require(maxHamming < nBands, "banding is only exact when maxHamming < nBands")
-    val bandBits = 32 / nBands
+    require(sigBits % nBands == 0, s"nBands=$nBands must divide sigBits=$sigBits")
+    val bandBits = sigBits / nBands
     val banded = sigs.select(col(idCol), col(sigCol),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("bval",

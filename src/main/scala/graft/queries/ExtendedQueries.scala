@@ -32,22 +32,24 @@ object ExtendedQueries {
       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
       |        FROM words WHERE len(w) >= 3))""".stripMargin
 
-  /** DuckDB SQL computing per-doc 32-bit SimHash (mirrors
-    * [[graft.functions.SimHash32]]).
+  /** DuckDB SQL computing per-doc `bits`-wide SimHash (mirrors
+    * [[graft.functions.SimHash32]] / [[graft.functions.SimHash60]]).
     */
-  private val simhashCte =
-    """toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-      |  FROM documents),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
-      |votes AS (
-      |  SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
-      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
-      |  GROUP BY doc_id, b),
-      |sig AS (
-      |  SELECT doc_id,
-      |    sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-      |  FROM votes GROUP BY doc_id)""".stripMargin
+  private def simhashCteBits(bits: Int) =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, ${bits - 1})) AS b)
+       |  GROUP BY doc_id, b),
+       |sig AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  private val simhashCte = simhashCteBits(32)
 
   val all: Seq[Q] = Seq(
 
@@ -120,6 +122,26 @@ object ExtendedQueries {
         .select(col("doc_id"),
           GraftFunctions.simhash32(TextAnalysis.tokens(col("text"))).as("simhash"))
       Dedup.simhashPairs(sigs, "doc_id", "simhash", nBands = 4, maxHamming = 3)
+        .orderBy("id1", "id2")
+    },
+
+    Q("q55_simhash60_neardup_pairs",
+      // 60-bit signature (4 × 15-bit bands, still exact by pigeonhole at
+      // hamming <= 3): far fewer incidental band collisions than 32-bit on
+      // this small-vocabulary corpus — same shuffle shape, smaller
+      // candidate stream into the hamming filter
+      s"""WITH ${simhashCteBits(60)}
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM sig a JOIN sig b
+         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val sigs = t(s, d, "documents")
+        .select(col("doc_id"),
+          GraftFunctions.simhash60(TextAnalysis.tokens(col("text"))).as("simhash"))
+      Dedup.simhashPairs(sigs, "doc_id", "simhash",
+          nBands = 4, maxHamming = 3, sigBits = 60)
         .orderBy("id1", "id2")
     },
 

@@ -62,6 +62,33 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("simhash60 banded pairs equal brute force and cut candidates vs 32-bit") {
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i + j) % 15}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+      GraftFunctions.simhash60(TextAnalysis.tokens(col("text"))).as("sig"))
+
+    val banded = Dedup.simhashPairs(sigs, "doc_id", "sig",
+        nBands = 4, maxHamming = 3, sigBits = 60)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+
+    val local = sigs.as[(Long, Long)].collect()
+    val brute = (for {
+      (i, si) <- local; (j, sj) <- local if i < j
+      if java.lang.Long.bitCount(si ^ sj) <= 3
+    } yield (i, j)).toSet
+    assert(banded == brute)
+
+    // the wider signature separates docs a saturated 32-bit one conflates:
+    // hamming<=3 survivors under 60 bits are a subset of those under 32
+    val sigs32 = docs.select(col("doc_id"),
+      GraftFunctions.simhash32(TextAnalysis.tokens(col("text"))).as("sig"))
+    val pairs32 = Dedup.simhashPairs(sigs32, "doc_id", "sig", nBands = 4, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(brute.subsetOf(pairs32))
+  }
+
   test("minhash signature is the true min over the salted hash family") {
     val sh = Dedup.shingles(corpus.filter(col("doc_id") === 1L), "doc_id", "text", 3)
     val sig = Dedup.minhashSignatures(sh, "doc_id", 4)

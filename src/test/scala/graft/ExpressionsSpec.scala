@@ -69,6 +69,22 @@ class ExpressionsSpec extends SparkSpec {
     assert((got(1L) & 0xffffffffL) == got(1L), "fits in 32 bits")
   }
 
+  test("simhash60: low 32 bits equal simhash32 (same per-bit votes); fits 60 bits") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "a")),
+      (2L, Seq("the", "quick", "brown", "fox", "jumps")),
+      (3L, Seq.empty[String]))
+      .toDF("id", "toks")
+    val got = df.select(col("id"),
+        GraftFunctions.simhash32(col("toks")).as("h32"),
+        GraftFunctions.simhash60(col("toks")).as("h60"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, h32, h60) =>
+      assert((h60 & 0xffffffffL) == h32, s"id $id: low-32 mismatch")
+      assert((h60 >>> 60) == 0L, s"id $id: exceeds 60 bits")
+    }
+  }
+
   test("rolling_hash matches the scala reference implementation") {
     val texts = Seq("", "a", "abc", "the quick brown fox", "x" * 1000)
     val df = texts.zipWithIndex.map(_.swap).toDF("id", "t")
