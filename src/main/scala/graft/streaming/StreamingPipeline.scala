@@ -43,29 +43,54 @@ object StreamingPipeline {
     * the parquet current-value table at `tablePath`. Idempotent (re-running
     * a batch converges to the same table), which is what makes micro-batch
     * retries exactly-once end-to-end.
+    *
+    * The table is partitioned by `serverName` (the reference's
+    * collection-per-server, Program.cs:1159), and a batch only ever
+    * rewrites the partitions of servers it contains: the read side is
+    * partition-pruned to those servers, and the swap moves only their
+    * partition directories — untouched servers' files are never read nor
+    * written. With S servers and one active, a merge costs O(tags of the
+    * active server), not O(all tags): the whole-table rewrite this
+    * replaces would not survive 1000 servers × millions of tags. (A table
+    * format with ACID row-level merge — Delta/Iceberg — replaces the
+    * directory swap on a real deployment; the partition-pruned shape is
+    * the same.)
     */
   def mergeLatest(spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
     val keys = Seq("serverName", "tag")
     val order = Seq("serverTimestamp", "sourceTimestamp")
     val batchLatest = LastValue.latestPerKey(batch, keys, order)
-    val merged =
-      if (new java.io.File(tablePath).exists()) {
-        val current = spark.read.parquet(tablePath)
-        LastValue.latestPerKey(current.unionByName(batchLatest), keys, order)
-      } else batchLatest
-    // two-phase write: parquet overwrite of the read path is not readable
-    // mid-write; stage then swap (a table format with ACID swap — e.g.
-    // Delta/Iceberg — replaces this dance on a real deployment)
-    val staged = tablePath + ".staged"
-    merged.write.mode("overwrite").parquet(staged)
-    val target = new java.io.File(tablePath)
-    if (target.exists()) {
-      val old = new java.io.File(tablePath + ".old")
-      deleteRec(old)
-      target.renameTo(old)
-      new java.io.File(staged).renameTo(target)
-      deleteRec(old)
-    } else new java.io.File(staged).renameTo(target)
+    val root = new java.io.File(tablePath)
+    if (!root.exists()) {
+      batchLatest.write.mode("overwrite").partitionBy("serverName").parquet(tablePath)
+    } else {
+      val affected = batchLatest.select("serverName").distinct()
+        .collect().map(_.getString(0)).toSeq
+      // partition-pruned: only the affected servers' files are read
+      val current = spark.read.parquet(tablePath)
+        // partition-col type inference could widen a numeric-looking name
+        .withColumn("serverName", col("serverName").cast("string"))
+        .filter(col("serverName").isin(affected: _*))
+        .select(batchLatest.columns.map(col): _*)
+      val merged = LastValue.latestPerKey(
+        current.unionByName(batchLatest), keys, order)
+      // two-phase write: parquet can't overwrite the path it is reading;
+      // stage the affected partitions, then swap their directories only
+      val staged = tablePath + ".staged"
+      deleteRec(new java.io.File(staged))
+      merged.write.mode("overwrite").partitionBy("serverName").parquet(staged)
+      val stagedParts = Option(new java.io.File(staged).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("serverName="))
+      stagedParts.foreach { src =>
+        val dst = new java.io.File(root, src.getName)
+        val old = new java.io.File(root, src.getName + ".old")
+        deleteRec(old)
+        if (dst.exists()) dst.renameTo(old)
+        src.renameTo(dst)
+        deleteRec(old)
+      }
+      deleteRec(new java.io.File(staged))
+    }
   }
 
   private def deleteRec(f: java.io.File): Unit = {

@@ -49,6 +49,35 @@ class StreamingSpec extends SparkSpec {
     assert(cur == Map("t1" -> 2.0, "t2" -> 8.0))
   }
 
+  test("mergeLatest only rewrites partitions of servers present in the batch") {
+    def mkBatch(rows: (String, String, String, Double)*) =
+      rows.map { case (srv, tag, t, v) =>
+        (srv, tag, v, ts(t), ts(t))
+      }.toDF("serverName", "tag", "doubleValue", "serverTimestamp", "sourceTimestamp")
+
+    val table = tmp("graft-partmerge") + "/current"
+    StreamingPipeline.mergeLatest(spark, mkBatch(
+      ("srvA", "a1", "2024-06-01 10:00:00", 1.0),
+      ("srvB", "b1", "2024-06-01 10:00:00", 2.0)), table)
+
+    def partFiles(srv: String): Map[String, Long] =
+      Option(new java.io.File(table, s"serverName=$srv").listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val aBefore = partFiles("srvA")
+    assert(aBefore.nonEmpty)
+
+    // second batch touches only srvB: srvA's partition files must be
+    // byte-identical (merge never read nor rewrote them)
+    StreamingPipeline.mergeLatest(spark, mkBatch(
+      ("srvB", "b1", "2024-06-01 10:01:00", 9.0)), table)
+
+    assert(partFiles("srvA") == aBefore, "untouched partition was rewritten")
+    val cur = spark.read.parquet(table)
+      .select("tag", "doubleValue").as[(String, Double)].collect().toMap
+    assert(cur == Map("a1" -> 1.0, "b1" -> 9.0))
+  }
+
   test("latestPerTagStateful emits only genuine updates per key") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[RawReading]
