@@ -94,6 +94,98 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection bits over an `ARRAY<FLOAT>` vector against a
+  * flattened plane-major `ARRAY<DOUBLE>` literal of `nPlanes × dim`
+  * hyperplane components: bit p of the result is set iff
+  * dot(vec, plane_p) > 0. One codegen'd pass over the vector replaces
+  * `nPlanes` interpreted `aggregate(zip_with(...))` pipelines (higher-order
+  * lambdas don't participate in codegen and allocate a zipped array per
+  * plane per row — measurably dominant in the LSH bucketing hot path).
+  *
+  * Accumulation order per plane matches the former built-in pipeline
+  * (sequential double sum over dims), so bucket ids are bit-identical.
+  * Null if either input is null or the plane array length is not a
+  * positive multiple of the vector length.
+  */
+case class SrpBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"srp_bits requires (ARRAY<FLOAT>, ARRAY<DOUBLE>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "srp_bits"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val w = b.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val m = w.numElements()
+    if (n == 0 || m == 0 || m % n != 0) null
+    else {
+      val nPlanes = m / n
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var dot = 0.0; var i = 0; val base = p * n
+        while (i < n) {
+          dot += v.getFloat(i).toDouble * w.getDouble(base + i)
+          i += 1
+        }
+        if (dot > 0.0) bucket |= 1L << p
+        p += 1
+      }
+      java.lang.Long.valueOf(bucket)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val v = ctx.freshName("v"); val w = ctx.freshName("w")
+    val n = ctx.freshName("n"); val m = ctx.freshName("m")
+    val p = ctx.freshName("p"); val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot"); val base = ctx.freshName("base")
+    val nPlanes = ctx.freshName("nPlanes")
+    val arrayCls = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          $arrayCls $v = ${leftGen.value};
+          $arrayCls $w = ${rightGen.value};
+          int $n = $v.numElements();
+          int $m = $w.numElements();
+          if ($n > 0 && $m > 0 && $m % $n == 0) {
+            ${ev.isNull} = false;
+            int $nPlanes = $m / $n;
+            for (int $p = 0; $p < $nPlanes; $p++) {
+              double $dot = 0.0;
+              int $base = $p * $n;
+              for (int $i = 0; $i < $n; $i++) {
+                $dot += ((double) $v.getFloat($i)) * $w.getDouble($base + $i);
+              }
+              if ($dot > 0.0) ${ev.value} |= 1L << $p;
+            }
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration + Column-level entry points for the graft expressions. */
 object GraftFunctions {
 
@@ -108,10 +200,14 @@ object GraftFunctions {
       "simhash60", exprs => SimHash60(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "srp_bits", exprs => SrpBits(exprs(0), exprs(1)), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
   def rollingHash(text: Column): Column = call_function("rolling_hash", text)
+  def srpBits(vec: Column, planes: Column): Column =
+    call_function("srp_bits", vec, planes)
 }

@@ -75,16 +75,18 @@ object SimilaritySearch {
     * driver — the planes are data-independent constants, so they ship to
     * executors as array literals (no per-row hashing, no RNG state).
     */
-  private[operators] def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+  private[graft] def planeComponent(table: Int, plane: Int, dim: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     graft.functions.HashExpressions.md5Prefix60(md, s"$table:$plane:$dim")
       .toDouble / (1L << 59).toDouble - 1.0
   }
 
   /** Sign-random-projection LSH bucket id for each vector: one bit per
-    * hyperplane, `nPlanes` planes, for LSH table `table`. The projection
-    * dot(v, plane_p) runs as `aggregate(zip_with(vec, litPlane, *), +)` —
-    * a codegen-friendly built-in pipeline against a constant plane array.
+    * hyperplane, `nPlanes` planes, for LSH table `table`. All plane
+    * projections run in ONE codegen'd pass over the vector via the
+    * [[graft.functions.SrpBits]] expression against a flattened
+    * plane-major constant array (an earlier `aggregate(zip_with(...))`
+    * pipeline was interpreted per plane per row — the LSH hot-path cost).
     *
     * @param dim vector dimensionality (plane literals are fixed-length)
     */
@@ -95,15 +97,10 @@ object SimilaritySearch {
       table: Int,
       nPlanes: Int,
       dim: Int): DataFrame = {
-    val bitCols = (0 until nPlanes).map { p =>
-      val plane = typedLit((0 until dim).map(d => planeComponent(table, p, d)))
-      val dot = aggregate(
-        zip_with(col(vecCol), plane, (v, w) => v.cast("double") * w),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot > 0d, lit(1L << p)).otherwise(lit(0L))
-    }
+    val planes = typedLit(
+      (0 until nPlanes).flatMap(p => (0 until dim).map(d => planeComponent(table, p, d))))
     df.select(col(idCol), col(vecCol),
-      bitCols.reduce(_ + _).cast("long").as("bucket"))
+      graft.functions.GraftFunctions.srpBits(col(vecCol), planes).as("bucket"))
   }
 
   /** Spherical k-means coarse quantizer trained with Lloyd's iterations
@@ -132,32 +129,46 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       nCells: Int,
-      iters: Int): Seq[Seq[Float]] = {
-    val vecs = corpus.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
-    var cents: Seq[Seq[Float]] = vecs
-      .orderBy(md5(col("__id")), col("__id"))
-      .limit(nCells)
-      .select(col("__v"))
-      .collect()
-      .map(_.getSeq[Float](0).toIndexedSeq)
-      .toIndexedSeq
-    for (_ <- 0 until iters) {
-      val means = vecs
-        .select(assignCell(col("__v"), cents).as("__cell"),
-          posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("__cell", "__pos")
-        .agg(avg(col("__x")).as("__m"))
+      iters: Int,
+      trainOneIn: Int = 1): Seq[Seq[Float]] = {
+    val all = corpus.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
+    // deterministic hash-based training sample (not `sample()`, whose rows
+    // depend on partition layout): centroid quality converges long before
+    // full-data Lloyd's passes pay off, so at scale train on 1-in-N and
+    // cache the (small) sample across iterations; the unsampled path skips
+    // the cache — rescanning beats cache-materialization overhead until
+    // the corpus outgrows one pass, at which point you want sampling anyway
+    val vecs = if (trainOneIn > 1) {
+      all.filter(pmod(xxhash64(col("__id")), lit(trainOneIn)) === 0).persist()
+    } else all
+    try {
+      var cents: Seq[Seq[Float]] = vecs
+        .orderBy(md5(col("__id")), col("__id"))
+        .limit(nCells)
+        .select(col("__v"))
         .collect()
-      val byCell = means.groupBy(_.getInt(0))
-      cents = cents.indices.map { c =>
-        byCell.get(c) match {
-          case Some(rows) =>
-            rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toIndexedSeq
-          case None => cents(c)
+        .map(_.getSeq[Float](0).toIndexedSeq)
+        .toIndexedSeq
+      require(cents.size == nCells,
+        s"training sample has ${cents.size} rows < nCells=$nCells; lower trainOneIn")
+      for (_ <- 0 until iters) {
+        val means = vecs
+          .select(assignCell(col("__v"), cents).as("__cell"),
+            posexplode(col("__v")).as(Seq("__pos", "__x")))
+          .groupBy("__cell", "__pos")
+          .agg(avg(col("__x")).as("__m"))
+          .collect()
+        val byCell = means.groupBy(_.getInt(0))
+        cents = cents.indices.map { c =>
+          byCell.get(c) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toIndexedSeq
+            case None => cents(c)
+          }
         }
       }
-    }
-    cents
+      cents
+    } finally { vecs.unpersist(blocking = false); () }
   }
 
   /** Nearest-centroid cell id (0-based) for a vector column: argmax of
@@ -200,8 +211,9 @@ object SimilaritySearch {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 4,
-      iters: Int = 3): DataFrame = {
-    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters)
+      iters: Int = 3,
+      trainOneIn: Int = 1): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters, trainOneIn)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"),
       assignCell(col(vecCol), cents).as("__cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),

@@ -79,6 +79,55 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(assigned.filter(col("cell").isNull || col("cell") < 0 || col("cell") >= 6).count() == 0)
   }
 
+  test("srpBucket bits match a local reference dot-product computation") {
+    val nPlanes = 6; val dim = 16
+    val got = SimilaritySearch.srpBucket(corpus, "vec_id", "embedding",
+        table = 2, nPlanes = nPlanes, dim = dim)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    (0 until 200).foreach { i =>
+      val v = vec(i)
+      var expect = 0L
+      (0 until nPlanes).foreach { p =>
+        var dot = 0.0
+        (0 until dim).foreach { d =>
+          dot += v(d).toDouble * SimilaritySearch.planeComponent(2, p, d)
+        }
+        if (dot > 0.0) expect |= 1L << p
+      }
+      assert(got(i.toLong) == expect, s"vec $i bucket mismatch")
+    }
+  }
+
+  test("srp_bits is null on null input and length mismatch") {
+    val df = Seq(
+      (1L, Array(1f, 2f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    val planes3 = typedLit(Seq(1.0, 1.0, 1.0)) // not a multiple of dim 2
+    val planes4 = typedLit(Seq(1.0, 1.0, -1.0, -1.0))
+    val r = df.select(col("id"),
+      GraftFunctions.srpBits(col("v"), planes4).as("ok"),
+      GraftFunctions.srpBits(col("v"), planes3).as("bad"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(r(1L) == ((Some(1L), None))) // plane0 dot=3>0, plane1 dot=-3
+    assert(r(2L) == ((None, None)))
+  }
+
+  test("trainCentroids with trainOneIn sampling still yields usable centroids") {
+    val cents = SimilaritySearch.trainCentroids(corpus, "vec_id", "embedding", 6, 2,
+      trainOneIn = 3)
+    assert(cents.size == 6)
+    assert(cents.forall(_.size == 16))
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilaritySearch.ivfTopK(corpus, queries, "vec_id", "embedding", 5,
+        nCells = 6, nProbe = 3, iters = 2, trainOneIn = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"sampled-training recall $recall too low")
+  }
+
   test("lshTopK achieves high recall@5 against brute force") {
     val queries = corpus.filter(col("vec_id") % 20 === 0)
     val exact = SimilaritySearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
