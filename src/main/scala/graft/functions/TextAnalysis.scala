@@ -21,20 +21,35 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** Mean token length in characters (null for empty text). */
-  def avgTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def avgTokenLen(text: Column): Column = avgTokenLenOf(tokens(text))
+
+  /** Ratio of tokens that are stopwords (lowercased membership). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordRatioOf(tokens(text), stopwords)
+
+  // Variants over a pre-split token array. When several metrics are
+  // computed per document, project `tokens(text)` ONCE and fan the metrics
+  // out from the shared array in a follow-up select: the higher-order
+  // lambdas here are interpreted (no codegen), so nothing eliminates a
+  // repeated `split` common subexpression across metrics — sharing must be
+  // structural. Catalyst's CollapseProject keeps the producing projection
+  // separate because the array is consumed by multiple non-cheap
+  // expressions.
+
+  /** Token count from a pre-split token array. */
+  def tokenCountOf(toks: Column): Column = size(toks).cast("long")
+
+  /** Mean token length from a pre-split token array. */
+  def avgTokenLenOf(toks: Column): Column =
     when(size(toks) > 0,
       aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
         / size(toks).cast("double"))
-  }
 
-  /** Ratio of tokens that are stopwords (lowercased membership). */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
+  /** Stopword ratio from a pre-split token array. */
+  def stopwordRatioOf(toks: Column, stopwords: Seq[String]): Column =
     when(size(toks) > 0,
       size(filter(toks, x => lower(x).isin(stopwords: _*))).cast("double")
         / size(toks).cast("double"))
-  }
 
   /** Ratio of non-alphanumeric, non-space characters to total characters. */
   def punctRatio(text: Column): Column =
@@ -79,17 +94,25 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "es" -> Seq("el", "los", "las", "y", "es"))
 
-  def langScores(text: Column): Seq[(String, Column)] =
+  def langScores(text: Column): Seq[(String, Column)] = langScoresOf(tokens(text))
+
+  /** Per-language marker hit counts from a pre-split token array. */
+  def langScoresOf(toks: Column): Seq[(String, Column)] =
     LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(tokens(text), x => lower(x).isin(markers: _*))).cast("long")
+      lang -> size(filter(toks, x => lower(x).isin(markers: _*))).cast("long")
     }
 
-  def languageId(text: Column): Column = {
-    val scores = langScores(text)
+  /** Argmax cascade over already-computed score columns — pass score
+    * ATTRIBUTES (a prior projection's outputs), not the filter pipelines
+    * themselves: the cascade references each score several times.
+    */
+  def languageIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = greatest(scores.map(_._2): _*)
     // first language (in declaration order) achieving a positive max score
     scores.reverse.foldLeft(lit("und")) { case (acc, (lang, score)) =>
       when(score === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  def languageId(text: Column): Column = languageIdFromScores(langScores(text))
 }

@@ -167,15 +167,28 @@ object ExtendedQueries {
          |  round(0.4 * least(1.0, n_tokens / 64.0) + 0.3 * (1.0 - coalesce(punct_ratio, 0.0))
          |    + 0.3 * least(1.0, coalesce(stop_ratio, 0.0) * 4.0), 6) AS quality
          |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val txt = col("text")
-      t(s, d, "documents").select(
-          col("doc_id"),
-          TextAnalysis.tokenCount(txt).as("n_tokens"),
-          round(TextAnalysis.avgTokenLen(txt), 6).as("avg_tok_len"),
-          round(TextAnalysis.punctRatio(txt), 6).as("punct_ratio"),
-          round(TextAnalysis.stopwordRatio(txt, Stop), 6).as("stop_ratio"),
-          TextAnalysis.tokenEstimate(txt).as("token_estimate"),
-          TextAnalysis.qualityScore(txt, Stop).as("quality"))
+      // layered projections: split once (level 1), raw metrics once
+      // (level 2), rounding + the quality composite over level-2
+      // attributes (level 3). The HOF metrics are interpreted, so sharing
+      // must be structural — see TextAnalysis scaladoc.
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountOf(col("__toks")).as("n_tokens"),
+          TextAnalysis.avgTokenLenOf(col("__toks")).as("__avg"),
+          TextAnalysis.punctRatio(col("text")).as("__punct"),
+          TextAnalysis.stopwordRatioOf(col("__toks"), Stop).as("__stop"),
+          TextAnalysis.tokenEstimate(col("text")).as("token_estimate"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("__avg"), 6).as("avg_tok_len"),
+          round(col("__punct"), 6).as("punct_ratio"),
+          round(col("__stop"), 6).as("stop_ratio"),
+          col("token_estimate"),
+          round(lit(0.4d) * least(lit(1.0d), col("n_tokens").cast("double") / 64.0d)
+            + lit(0.3d) * (lit(1.0d) - coalesce(col("__punct"), lit(0.0d)))
+            + lit(0.3d) * least(lit(1.0d), coalesce(col("__stop"), lit(0.0d)) * 4.0d),
+            6).as("quality"))
         .orderBy("doc_id")
     },
 
@@ -201,8 +214,15 @@ object ExtendedQueries {
         |  FROM s)
         |SELECT lang, lang_pred, count(*) AS n FROM p
         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin) { (s, d) =>
-      t(s, d, "documents")
-        .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+      // split once, score each language once, then the argmax cascade over
+      // score attributes — the cascade references every score repeatedly
+      val scored = t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("lang") +:
+          TextAnalysis.langScoresOf(col("__toks")).map { case (l, c) => c.as(s"__s_$l") }: _*)
+      scored
+        .select(col("lang"), TextAnalysis.languageIdFromScores(
+          TextAnalysis.LangMarkers.map { case (l, _) => l -> col(s"__s_$l") }).as("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred")
