@@ -131,6 +131,19 @@ object HashExpressions {
     h >>> 4
   }
 
+  /** First 10 hex chars of md5(s) as a 40-bit non-negative long — the
+    * MinHash base-hash width: narrow enough that (b1 + seed * b2) stays
+    * clear of long overflow for any practical seed count.
+    */
+  def md5Prefix40(md: MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 5) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   /** Shared SimHash vote loop: per token, bits 0..(bits-1) of the 60-bit
     * md5-prefix hash vote +1/-1; the signature sets positively-voted bits.
     * Order-independent over the token array.

@@ -18,15 +18,23 @@ import org.apache.spark.sql.functions._
   * band keys include the full row-group of minhash values, not a single
   * shingle.
   *
-  * Hash primitive: the first 15 hex chars of md5 as a 60-bit long, computed
-  * with built-in (codegen'd) `md5`/`conv` so the DuckDB oracle can replay
-  * it exactly: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+  * Hash primitive: md5 hex prefixes as longs (60-bit for SimHash, 40-bit
+  * for the MinHash bases), computed with built-in (codegen'd) `md5`/`conv`
+  * so the DuckDB oracle can replay them exactly:
+  * `('0x' || substr(md5(x), 1, N))::BIGINT`.
   */
 object Dedup {
 
   /** 60-bit md5-prefix hash of a string column (oracle-reproducible). */
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 40-bit md5-prefix hash of a string column (oracle-reproducible);
+    * narrow enough that Kirsch-Mitzenmacher combinations stay clear of
+    * long overflow under ANSI arithmetic.
+    */
+  def hash40(c: Column): Column =
+    conv(substring(md5(c), 1, 10), 16, 10).cast("long")
 
   /** Whitespace tokens of a text column (empty-safe via trim). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
@@ -56,17 +64,24 @@ object Dedup {
     rawShingles(df, idCol, textCol, k).distinct()
 
   /** MinHash signatures: (idCol, seed ∈ [0, numHashes), mh). The hash
-    * family is h_seed(s) = hash60(seed || ':' || s) — independent salted
-    * md5 draws, chosen for oracle reproducibility; on a real cluster a
-    * cheaper tabulation/murmur family drops in without changing shape.
-    * One explode (×numHashes) + one partial-aggregating groupBy.
+    * family is the Kirsch-Mitzenmacher combination
+    * h_seed(s) = (b1(s) + seed · b2(s)) mod 2^40 over two independent
+    * 40-bit md5 base draws — two md5 evaluations per shingle regardless of
+    * `numHashes` (a salted-md5-per-seed family costs numHashes md5s per
+    * shingle; md5 dominates the signing stage). Still exactly
+    * oracle-reproducible in SQL. Base hashes are computed once per shingle
+    * row BEFORE the seed explode, so the per-seed work is two arithmetic
+    * ops. 40-bit bases keep seed · b2 within long range under ANSI
+    * arithmetic for any practical seed count.
     */
   def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
     sh.select(col(idCol),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
-        col("shingle"))
+        hash40(col("shingle")).as("__b1"),
+        hash40(concat(lit("~"), col("shingle"))).as("__b2"))
+      .select(col(idCol), col("__b1"), col("__b2"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
       .groupBy(col(idCol), col("seed"))
-      .agg(min(hash60(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("mh"))
+      .agg(min((col("__b1") + col("seed") * col("__b2")) % lit(1L << 40)).as("mh"))
 
   /** LSH banding: group seeds into bands of `rowsPerBand`, key each band by
     * the ordered minhash values; candidate pairs are documents sharing any

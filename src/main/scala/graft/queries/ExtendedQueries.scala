@@ -67,7 +67,9 @@ object ExtendedQueries {
       s"""WITH $shinglesCte,
          |sig AS (
          |  SELECT doc_id, seed,
-         |    min(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS mh
+         |    min((('0x' || substr(md5(shingle), 1, 10))::BIGINT
+         |       + seed * ('0x' || substr(md5('~' || shingle), 1, 10))::BIGINT)
+         |      % 1099511627776) AS mh
          |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed)
          |  GROUP BY doc_id, seed),
          |bands AS (

@@ -32,8 +32,11 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash LSH finds the planted near-dup pair and the exact pair only") {
+    // rowsPerBand=2 → 6 bands: detection probability for the planted
+    // j=0.6 pair is 1-(1-0.6^2)^6 ≈ 0.93 (vs ~0.34 at 3 bands of 4,
+    // where any hit is hash-family luck rather than LSH working)
     val pairs = Dedup.nearDupPairsMinHash(corpus, "doc_id", "text",
-        shingleK = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5)
+        shingleK = 3, numHashes = 12, rowsPerBand = 2, threshold = 0.5)
       .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
       .map { case (a, b, j) => (a, b) -> j }.toMap
     assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0) // exact dup
@@ -89,15 +92,18 @@ class DedupSpec extends SparkSpec {
     assert(brute.subsetOf(pairs32))
   }
 
-  test("minhash signature is the true min over the salted hash family") {
+  test("minhash signature is the true min over the Kirsch-Mitzenmacher family") {
     val sh = Dedup.shingles(corpus.filter(col("doc_id") === 1L), "doc_id", "text", 3)
     val sig = Dedup.minhashSignatures(sh, "doc_id", 4)
       .as[(Long, Int, Long)].collect().map { case (_, s, m) => s -> m }.toMap
     val md = java.security.MessageDigest.getInstance("MD5")
     val shingleStrs = sh.select("shingle").as[String].collect()
     (0 until 4).foreach { seed =>
-      val want = shingleStrs.map(s =>
-        graft.functions.HashExpressions.md5Prefix60(md, s"$seed:$s")).min
+      val want = shingleStrs.map { s =>
+        val b1 = graft.functions.HashExpressions.md5Prefix40(md, s)
+        val b2 = graft.functions.HashExpressions.md5Prefix40(md, "~" + s)
+        (b1 + seed * b2) % (1L << 40)
+      }.min
       assert(sig(seed) == want, s"seed $seed")
     }
   }
