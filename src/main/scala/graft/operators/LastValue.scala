@@ -27,13 +27,19 @@ object LastValue {
       .select(col("__latest.*"))
   }
 
-  /** Skew-safe variant: pre-reduce each key within `saltBuckets` random
+  /** Skew-safe variant: pre-reduce each key within `saltBuckets` salted
     * sub-groups, then reduce the ≤ saltBuckets survivors per key. For a hot
     * key (one tag producing a large share of all events — common in
     * telemetry) the single-phase aggregation funnels every pre-aggregated
     * partial of that key through one reducer task; salting bounds any
     * task's input to ~1/saltBuckets of the hot key's partials. Same result,
     * two shuffles — use when key skew is known/measured, not by default.
+    *
+    * The salt is a deterministic hash of the order columns, not `rand()`:
+    * a retried task re-derives identical salts (rand() re-rolls on
+    * recompute, which breaks idempotent-replay assumptions in foreachBatch
+    * sinks), and hot-key rows still spread because their order values
+    * differ.
     */
   def latestPerKeySalted(
       df: DataFrame,
@@ -43,7 +49,7 @@ object LastValue {
     val payload = struct(df.columns.map(col): _*)
     val ord = struct(orderCols.map(col): _*)
     val salted = df
-      .withColumn("__salt", (rand() * saltBuckets).cast("int"))
+      .withColumn("__salt", pmod(xxhash64(orderCols.map(col): _*), lit(saltBuckets)).cast("int"))
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(max_by(payload, ord).as("__latest"), max(ord).as("__ord"))
     salted

@@ -50,6 +50,28 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("latestPerKeySalted on a hot-key fixture: equivalent, deterministic, spread salts") {
+    // telemetry-shaped skew: one tag carries 95% of all events
+    val rows = (1 to 100000).map { i =>
+      val k = if (i % 20 != 0) "hot" else s"cold${i % 997}"
+      (k, i.toLong, s"p$i")
+    }
+    val df = rows.toDF("k", "ord", "payload").repartition(16)
+    val exact = LastValue.latestPerKey(df, Seq("k"), Seq("ord", "payload"))
+      .select("k", "payload").as[(String, String)].collect().toMap
+    def salted() = LastValue.latestPerKeySalted(df, Seq("k"), Seq("ord", "payload"), 32)
+      .select("k", "payload").as[(String, String)].collect().toMap
+    val s1 = salted()
+    assert(s1 == exact)
+    assert(s1 == salted()) // deterministic hash salt: identical across runs
+    // the hot key's rows actually spread across salt buckets (the point of
+    // salting: no single reducer sees all of the hot key's partials)
+    val nBuckets = df.filter(col("k") === "hot")
+      .select(pmod(xxhash64(col("ord"), col("payload")), lit(32)).as("b"))
+      .distinct().count()
+    assert(nBuckets == 32L, s"hot key only hit $nBuckets/32 salt buckets")
+  }
+
   test("rangeJoin pointInInterval equals the naive between-join") {
     val pts = (0L to 200L by 3L).map(p => (p, s"pt$p")).toDF("pt", "plbl")
     val ivs = Seq((0L, 10L, "a"), (5L, 64L, "b"), (63L, 65L, "c"),
