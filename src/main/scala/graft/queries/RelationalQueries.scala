@@ -263,6 +263,27 @@ object RelationalQueries {
         .orderBy("nationkey")
     },
 
+    Q("q56_multiset_ops",
+      // INTERSECT ALL / EXCEPT ALL — multiset semantics preserve duplicate
+      // counts (q15/q16 cover the set variants). Suppliers' nation keys
+      // appear many times each, so the ALL variants differ materially from
+      // the set ones.
+      """SELECT 'except_all' AS op, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |ORDER BY op, nationkey""".stripMargin) { (s, d) =>
+      val cust = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val supp = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cust.exceptAll(supp).select(lit("except_all").as("op"), col("nationkey"))
+        .unionByName(
+          cust.intersectAll(supp).select(lit("intersect_all").as("op"), col("nationkey")))
+        .orderBy("op", "nationkey")
+    },
+
     Q("q17_distinct",
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
