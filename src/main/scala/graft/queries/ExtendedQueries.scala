@@ -350,6 +350,24 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     },
 
+    Q.noOracle("q57_approx_percentiles") { (s, d) =>
+      // approx_percentile (bounded-memory sketch per group) — the scale
+      // path for q45's exact percentile, which buffers all group values;
+      // the sketch holds O(accuracy) entries. Approximate → no SQL oracle;
+      // closeness vs exact q45 asserted in QueriesSpec.
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)").as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("qs").getItem(0).as("q1"),
+          col("qs").getItem(1).as("median"),
+          col("qs").getItem(2).as("q3"),
+          col("n"))
+        .orderBy("l_returnflag")
+    },
+
     Q("q46_pivot",
       """SELECT o_orderpriority,
         |  round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS F,

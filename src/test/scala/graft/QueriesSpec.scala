@@ -32,6 +32,23 @@ class QueriesSpec extends SparkSpec {
     assert(close(approx._2, exact._2), s"$approx vs $exact")
   }
 
+  test("q57 approx percentiles close to exact q45") {
+    def byFlag(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select("l_returnflag", "q1", "median", "q3")
+      .as[(String, Double, Double, Double)].collect()
+      .map { case (f, a, b, c) => f -> Seq(a, b, c) }.toMap
+    val exact = byFlag("q45_percentiles")
+    val approx = byFlag("q57_approx_percentiles")
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (flag, e) =>
+      e.zip(approx(flag)).foreach { case (ev, av) =>
+        // l_quantity spans 1..50; accuracy=1000 keeps the sketch within a
+        // couple of quantity units at these group sizes
+        assert(math.abs(ev - av) <= 2.0, s"$flag exact=$ev approx=$av")
+      }
+    }
+  }
+
   test("q54 IVF top-k recall >= 0.5 against exact q40 on sf0.001") {
     val exact = SparkEntry.queries("q40_ann_topk")(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
