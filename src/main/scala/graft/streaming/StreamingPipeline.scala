@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.Row
 
 import graft.functions.Normalize
@@ -31,7 +31,7 @@ import graft.operators.LastValue
   * O(events). The stateful variant keeps the same bound via
   * `flatMapGroupsWithState`.
   */
-object StreamingPipeline {
+object StreamingPipeline extends Serializable {
 
   /** Normalize a stream of raw readings (FIXTURES.md A1) into OpcValue
     * rows. Pure projection — works identically on batch and streaming
@@ -153,13 +153,18 @@ object StreamingPipeline {
     * the `flatMapGroupsWithState` twin of the foreachBatch merge, for
     * consumers that want a changelog stream instead of a table.
     */
+  /** Event-order "newer" for OpcValue rows: (serverTimestamp,
+    * sourceTimestamp) lexicographic — shared by both stateful variants.
+    */
+  private[streaming] def newerValue(a: OpcValue, b: OpcValue): Boolean = {
+    val bySrv = java.lang.Long.compare(a.serverTimestamp.getTime, b.serverTimestamp.getTime)
+    if (bySrv != 0) bySrv > 0
+    else a.sourceTimestamp.getTime > b.sourceTimestamp.getTime
+  }
+
   def latestPerTagStateful(normalized: DataFrame): DataFrame = {
     import normalized.sparkSession.implicits._
-    implicit val ordTs: Ordering[(Timestamp, Timestamp)] =
-      Ordering.Tuple2(Ordering.by((_: Timestamp).getTime), Ordering.by((_: Timestamp).getTime))
-
-    def newer(a: OpcValue, b: OpcValue): Boolean =
-      ordTs.gt((a.serverTimestamp, a.sourceTimestamp), (b.serverTimestamp, b.sourceTimestamp))
+    def newer(a: OpcValue, b: OpcValue): Boolean = newerValue(a, b)
 
     normalized.as[OpcValue]
       .groupByKey(v => (v.serverName, v.tag))
@@ -175,6 +180,23 @@ object StreamingPipeline {
             case _ => Iterator.empty
           }
       }.toDF()
+  }
+
+  /** [[latestPerTagStateful]] re-expressed on `transformWithState` — the
+    * Spark 4 arbitrary-state API that supersedes flatMapGroupsWithState:
+    * typed named state cells, explicit time modes, per-cell TTL, state
+    * schema evolution. Same changelog semantics as the fMGWS twin; state
+    * remains one OpcValue per key. Requires the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass`), which is
+    * also the provider you'd run at scale — changelog checkpointing and
+    * out-of-heap state.
+    */
+  def latestPerTagTws(normalized: DataFrame): DataFrame = {
+    import normalized.sparkSession.implicits._
+    normalized.as[OpcValue]
+      .groupByKey(v => (v.serverName, v.tag))
+      .transformWithState(new LatestValueProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
   }
 
   /** Stream–static enrichment: attach tag-catalog metadata to every
@@ -213,4 +235,32 @@ object StreamingPipeline {
     normalized
       .withWatermark("sourceTimestamp", watermark)
       .dropDuplicatesWithinWatermark("serverName", "tag", "sourceTimestamp")
+}
+
+/** transformWithState processor for [[StreamingPipeline.latestPerTagTws]]:
+  * one named ValueState cell ("latest") holding the current OpcValue per
+  * (serverName, tag); emits only genuine updates (the changelog contract).
+  */
+class LatestValueProcessor
+    extends StatefulProcessor[(String, String), OpcValue, OpcValue] {
+
+  @transient private var latest: ValueState[OpcValue] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    latest = getHandle.getValueState[OpcValue](
+      "latest", org.apache.spark.sql.Encoders.product[OpcValue], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: (String, String),
+      rows: Iterator[OpcValue],
+      timerValues: TimerValues): Iterator[OpcValue] = {
+    val incoming = rows.reduceOption((a, b) =>
+      if (StreamingPipeline.newerValue(a, b)) a else b)
+    incoming match {
+      case Some(in) if !latest.exists() || StreamingPipeline.newerValue(in, latest.get()) =>
+        latest.update(in)
+        Iterator.single(in)
+      case _ => Iterator.empty
+    }
+  }
 }

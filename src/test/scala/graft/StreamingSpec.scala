@@ -78,6 +78,39 @@ class StreamingSpec extends SparkSpec {
     assert(cur == Map("a1" -> 1.0, "b1" -> 9.0))
   }
 
+  test("latestPerTagTws (transformWithState) matches the fMGWS changelog semantics") {
+    implicit val sc = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[RawReading]
+      val out = StreamingPipeline.latestPerTagTws(
+        StreamingPipeline.normalizeStream(mem.toDF()))
+      mem.addData(
+        raw("t1", "1.0", "2024-06-01 10:00:00"),
+        raw("t1", "2.0", "2024-06-01 10:00:10"), // same batch: only this survives
+        raw("t2", "5.0", "2024-06-01 10:00:00"),
+        raw("t1", "0.5", "2024-06-01 09:00:00")) // stale → never emitted
+      val q = out.writeStream
+        .format("memory").queryName("tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", tmp("graft-ckpt-tws"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.sql("SELECT tag, doubleValue FROM tws_out")
+        .as[(String, Double)].collect().toMap
+      assert(got == Map("t1" -> 2.0, "t2" -> 5.0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("latestPerTagStateful emits only genuine updates per key") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[RawReading]
