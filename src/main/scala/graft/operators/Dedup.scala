@@ -184,7 +184,9 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long").as("hamming"))
-      .distinct()
+      // hamming BEFORE distinct: the dedup exchange then carries only the
+      // near pairs, not every incidental band collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
