@@ -152,6 +152,67 @@ object Dedup {
     jaccardVerify(cand, sh, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate-cluster assignment: connected components over a
+    * near-duplicate pair graph — the step after any pair-producing dedup
+    * pipeline that turns pairs into "keep one survivor per cluster"
+    * (cluster id = smallest member id, so the survivor choice is
+    * deterministic). Output: (id, cluster) for every id appearing in a
+    * pair; singletons never pair, so they are implicitly their own
+    * cluster.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping —
+    * each round (a) hooks every node to the min label in its
+    * neighborhood, then (b) replaces each label by its label's label
+    * (path halving). Rounds are plain equi-joins + aggregations, and the
+    * jump step gives O(log diameter) convergence, so a 1000-link chain
+    * resolves in ~10 rounds — the same round structure as the
+    * large-star/small-star MapReduce connected-components decomposition.
+    * Labels decrease monotonically; the loop stops when a round changes
+    * nothing (checked via the strictly-decreasing label sum, one scalar
+    * per round on the driver).
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val c1 = pairs.columns(0); val c2 = pairs.columns(1)
+    val e0 = pairs.select(col(c1).cast("long").as("src"), col(c2).cast("long").as("dst"))
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    // each round's label table is localCheckpoint'ed: the jump step
+    // self-joins the round's result, so without lineage truncation the
+    // logical plan DOUBLES per round (exponential plan, OOM in the
+    // analyzer long before any data moves). On a cluster with a
+    // checkpoint dir, `checkpoint()` replaces this for fault tolerance —
+    // the round structure is unchanged.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum("cluster")).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = -1L
+    var curSum = labelSum(labels)
+    var it = 0
+    while (curSum != prevSum && it < maxIters) {
+      prevSum = curSum
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(min("cluster").as("nm"))
+        .withColumnRenamed("src", "id")
+      val hooked = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nm"), col("cluster"))).as("cluster"))
+      // pointer jump: cluster := cluster(cluster); cluster values are
+      // themselves node ids, so they resolve against the same label table
+      val jumped = hooked.as("a")
+        .join(hooked.select(col("id").as("cid"), col("cluster").as("cc")).as("b"),
+          col("a.cluster") === col("cid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.cluster"), coalesce(col("cc"), col("a.cluster"))).as("cluster"))
+        .localCheckpoint()
+      curSum = labelSum(jumped)
+      labels = jumped
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** SimHash banded near-dup pairs. Splits the `sigBits`-bit signature into
     * `nBands` equal bit-bands; pairs sharing any band are candidates, then
     * filtered to hamming(sig1, sig2) ≤ maxHamming. With maxHamming <

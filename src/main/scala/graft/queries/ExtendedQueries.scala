@@ -100,6 +100,32 @@ object ExtendedQueries {
         .orderBy("id1", "id2")
     },
 
+    Q("q58_dup_clusters",
+      // connected components over a pair graph — the cluster-assignment
+      // step downstream of every near-dup pair pipeline. The pair graph
+      // here is chosen for oracle checkability: consecutive orders of each
+      // customer form a path, so the true component of an order is
+      // "all orders of its customer" and the min label is the customer's
+      // min order key — trivially SQL-expressible, while the Spark side
+      // must genuinely propagate labels along the path (diameter = orders
+      // per customer).
+      """WITH m AS (
+        |  SELECT o_custkey, min(o_orderkey) AS c, count(*) AS n
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_orderkey AS id, m.c AS cluster
+        |FROM orders JOIN m USING (o_custkey)
+        |WHERE m.n >= 2 ORDER BY id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val pairs = t(s, d, "orders")
+        .select(col("o_orderkey").as("id2"),
+          lag("o_orderkey", 1).over(w).as("id1"))
+        .filter(col("id1").isNotNull)
+        .select("id1", "id2")
+      Dedup.dupClusters(pairs)
+        .select(col("id").as("id"), col("cluster").as("cluster"))
+        .orderBy("id")
+    },
+
     Q("q35_simhash_signatures",
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>

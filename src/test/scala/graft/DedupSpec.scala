@@ -92,6 +92,21 @@ class DedupSpec extends SparkSpec {
     assert(brute.subsetOf(pairs32))
   }
 
+  test("dupClusters resolves chains, rings, and isolated pairs to min-id components") {
+    // a 40-link chain (tests log-round pointer jumping: naive propagation
+    // would need 40 rounds, more than maxIters), a 4-ring, and a pair
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val ring = Seq((100L, 101L), (101L, 102L), (102L, 103L), (103L, 100L))
+    val pair = Seq((200L, 201L))
+    val pairs = (chain ++ ring ++ pair).toDF("id1", "id2")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    (0L to 40L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
+    (100L to 103L).foreach(i => assert(got(i) == 100L, s"ring node $i"))
+    assert(got(200L) == 200L && got(201L) == 200L)
+    assert(got.size == 47) // only ids that appear in pairs
+  }
+
   test("minhash signature is the true min over the Kirsch-Mitzenmacher family") {
     val sh = Dedup.shingles(corpus.filter(col("doc_id") === 1L), "doc_id", "text", 3)
     val sig = Dedup.minhashSignatures(sh, "doc_id", 4)
