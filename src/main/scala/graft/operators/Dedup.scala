@@ -182,8 +182,13 @@ object Dedup {
     // analyzer long before any data moves). On a cluster with a
     // checkpoint dir, `checkpoint()` replaces this for fault tolerance —
     // the round structure is unchanged.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+    //
+    // Init fuses round 1: against identity labels the neighborhood min is
+    // just min(self, neighbors) — one aggregation over edges, no join.
+    var labels = edges.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("cluster"))
+      .withColumnRenamed("src", "id")
+      .localCheckpoint()
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum("cluster")).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = -1L
