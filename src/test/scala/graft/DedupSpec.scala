@@ -107,6 +107,33 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 47) // only ids that appear in pairs
   }
 
+  test("dupClusters matches a local union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 3 deterministic random graphs: 120 edges over up to 80 node ids —
+    // dense enough for multi-edge components, cycles, and self-loops
+    (1 to 3).foreach { trial =>
+      val edges = (0 until 120).map { i =>
+        val g = Gen.zip(Gen.chooseNum(0L, 79L), Gen.chooseNum(0L, 79L))
+        g.apply(Gen.Parameters.default, Seed(trial * 1000L + i)).get
+      }
+      // local union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.dupClusters(edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("minhash signature is the true min over the Kirsch-Mitzenmacher family") {
     val sh = Dedup.shingles(corpus.filter(col("doc_id") === 1L), "doc_id", "text", 3)
     val sig = Dedup.minhashSignatures(sh, "doc_id", 4)
