@@ -67,6 +67,27 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize step over DECODED features: scale (width, height) to fit
+    * inside `maxSide` preserving aspect ratio (never upscale), and carry
+    * the feature vector through. Pure column arithmetic over the decoded
+    * table — the decode stub owns the pixel work; resize of the actual
+    * pixels happens inside the same codec call in a real deployment, so
+    * what the engine owns is exactly this metadata/plan shape: a narrow
+    * projection, no shuffle, composable with any downstream operator.
+    */
+  def resizeMeta(decoded: DataFrame, maxSide: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scale = least(
+      lit(1.0d),
+      lit(maxSide.toDouble) / greatest(col("width"), col("height")).cast("double"))
+    decoded.select(
+      col("doc_id"), col("width"), col("height"),
+      greatest(lit(1), ceil(col("width") * scale).cast("int")).as("out_width"),
+      greatest(lit(1), ceil(col("height") * scale).cast("int")).as("out_height"),
+      round(scale, 6).as("scale"),
+      col("feature"))
+  }
+
   /** "Frame sampling" for a chunked binary stream: split the blob into
     * fixed-size chunks, keep every `stride`-th chunk, fingerprint each kept
     * chunk (64-bit FNV-1a). Mirrors video-frame subsampling where the

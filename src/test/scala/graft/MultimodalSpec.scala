@@ -33,6 +33,26 @@ class MultimodalSpec extends SparkSpec {
     assert(again(3L) == rows(3L).getSeq[Float](5))
   }
 
+  test("resizeMeta: fits within maxSide, preserves aspect, never upscales") {
+    val decoded = Multimodal.decodeFeaturesStub(
+      Multimodal.withBlob(docs, "doc_id", "text"), spark)
+    val got = Multimodal.resizeMeta(decoded, maxSide = 32)
+      .select("doc_id", "width", "height", "out_width", "out_height")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, w, h, ow, oh) =>
+      assert(ow <= 32 && oh <= 32 && ow >= 1 && oh >= 1, s"doc $id out of bounds")
+      assert(ow <= w && oh <= h, s"doc $id upscaled")
+      if (math.max(w, h) <= 32) assert(ow == w && oh == h, s"doc $id needlessly resized")
+      // aspect preserved within ceil rounding: same scale applied to both
+      else {
+        val s = 32.0 / math.max(w, h)
+        assert(ow == math.max(1, math.ceil(w * s).toInt), s"doc $id width scale")
+        assert(oh == math.max(1, math.ceil(h * s).toInt), s"doc $id height scale")
+      }
+    }
+  }
+
   test("sampleChunks: chunk count and strided fingerprints") {
     val out = Multimodal.sampleChunks(
       Multimodal.withBlob(docs, "doc_id", "text"), spark, chunkSize = 16, stride = 4)
