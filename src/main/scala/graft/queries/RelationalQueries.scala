@@ -212,6 +212,44 @@ object RelationalQueries {
     },
 
     // -------------------------------------------------------- sorts / topk
+    Q("q59_right_join",
+      // RIGHT OUTER: orders ⟖ customer — every customer survives, orderless
+      // customers with null order columns (completes the §2.3 inner/left/
+      // right/full matrix; planner-wise Spark flips it to a left join)
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+
+    Q("q60_map_functions",
+      // map construction + lookup (§2.8 map_* surface): per-priority order
+      // counts pivoted into a map, then element_at lookups. The map is
+      // engine-internal; outputs are plain scalars so the oracle can
+      // compute them without map types.
+      """SELECT o_custkey,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n_urgent,
+        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS n_low
+        |FROM orders GROUP BY o_custkey
+        |HAVING sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) > 0
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("o_custkey")
+        .agg(map_from_entries(collect_list(struct(col("o_orderpriority"), col("n"))))
+          .as("by_priority"))
+        .select(col("o_custkey"),
+          coalesce(element_at(col("by_priority"), "1-URGENT"), lit(0L)).as("n_urgent"),
+          coalesce(element_at(col("by_priority"), "5-LOW"), lit(0L)).as("n_low"))
+        .filter(col("n_urgent") > 0)
+        .orderBy("o_custkey")
+    },
+
     Q("q12_global_topk",
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
