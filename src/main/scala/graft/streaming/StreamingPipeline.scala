@@ -127,6 +127,52 @@ object StreamingPipeline extends Serializable {
         ()
       }
 
+  /** Compact the history table's small files, per server partition. Every
+    * micro-batch appends at least one file per touched partition — at a
+    * 10 s cadence that is 8,640 files/server/day, and file-count, not
+    * data volume, is what kills scans and listings at scale (the classic
+    * streaming-sink small-files problem). Partitions with more than
+    * `maxFiles` parquet files are rewritten into
+    * ceil(rows / recordsPerFile) files and swapped in with the same
+    * stage-then-rename used by [[mergeLatest]]; partitions at or under
+    * the threshold are untouched (never read, never written). Run it as a
+    * maintenance job between batches; on a table format (Delta/Iceberg)
+    * OPTIMIZE/rewrite-data-files replaces this.
+    *
+    * @return (partition, filesBefore, filesAfter) for each rewritten one
+    */
+  def compactHistory(
+      spark: SparkSession,
+      historyPath: String,
+      maxFiles: Int = 8,
+      recordsPerFile: Long = 4L * 1024 * 1024): Seq[(String, Int, Int)] = {
+    val root = new java.io.File(historyPath)
+    val parts = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("serverName="))
+    parts.flatMap { dir =>
+      def parquetFiles = Option(dir.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val before = parquetFiles.size
+      if (before <= maxFiles) None
+      else {
+        val df = spark.read.parquet(dir.getPath)
+        val n = df.count()
+        val target = math.max(1, math.ceil(n.toDouble / recordsPerFile).toInt)
+        // "." prefix: FileIndex ignores dot-dirs, so the staging dir is
+        // invisible to concurrent readers of the table root
+        val staged = new java.io.File(root, "." + dir.getName + ".compact")
+        deleteRec(staged)
+        df.repartition(target).write.mode("overwrite").parquet(staged.getPath)
+        val old = new java.io.File(root, "." + dir.getName + ".old")
+        deleteRec(old)
+        dir.renameTo(old)
+        staged.renameTo(dir)
+        deleteRec(old)
+        Some((dir.getName, before, parquetFiles.size))
+      }
+    }
+  }
+
   /** Per-server query fan-out: one `currentValueSink` query per configured
     * server, each at its own poll cadence — the Spark analog of the
     * reference's thread-per-server Main (Program.cs:1300-1312). The caller

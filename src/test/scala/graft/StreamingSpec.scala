@@ -78,6 +78,30 @@ class StreamingSpec extends SparkSpec {
     assert(cur == Map("a1" -> 1.0, "b1" -> 9.0))
   }
 
+  test("compactHistory rewrites only over-threshold partitions, preserving rows") {
+    val hist = tmp("graft-hist") + "/history"
+    def append(srv: String, tag: String, v: Double): Unit =
+      Seq((srv, tag, v)).toDF("serverName", "tag", "doubleValue")
+        .write.mode("append").partitionBy("serverName").parquet(hist)
+    (1 to 6).foreach(i => append("srvA", s"t$i", i.toDouble)) // 6 files
+    append("srvB", "t1", 9.0)                                // 1 file
+
+    def files(srv: String): Map[String, Long] =
+      Option(new java.io.File(hist, s"serverName=$srv").listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val bBefore = files("srvB")
+
+    val report = StreamingPipeline.compactHistory(spark, hist, maxFiles = 3)
+    assert(report.map(r => (r._1, r._2)) == Seq(("serverName=srvA", 6)))
+    assert(files("srvA").size < 6)
+    assert(files("srvB") == bBefore, "under-threshold partition was touched")
+    val rows = spark.read.parquet(hist)
+      .select("serverName", "tag", "doubleValue")
+      .as[(String, String, Double)].collect().toSet
+    assert(rows.size == 7 && rows.contains(("srvA", "t3", 3.0)) && rows.contains(("srvB", "t1", 9.0)))
+  }
+
   test("latestPerTagTws (transformWithState) matches the fMGWS changelog semantics") {
     implicit val sc = spark.sqlContext
     val provKey = "spark.sql.streaming.stateStore.providerClass"
