@@ -58,15 +58,22 @@ object Normalize {
     */
   private def tryDouble(c: Column): Column = c.try_cast("double")
 
-  /** doubleValue for a raw text value of declared type `dt`. */
+  /** doubleValue for a raw text value of declared type `dt`.
+    *
+    * Every parse-may-fail branch uses try_cast so a malformed reading
+    * yields a null instead of an ANSI-mode exception that would kill the
+    * whole batch/streaming query — mirroring the reference's per-value
+    * try/catch tolerance (Program.cs:397-405 and the per-cycle retry
+    * loops), which never lets one bad value take down a poll cycle.
+    */
   private def doubleValueCol(dt: Column, raw: Column): Column = {
-    val asDouble = raw.cast("double")
+    val asDouble = raw.try_cast("double")
     when(dt.isin(BoolTypes: _*), when(lower(raw) === "true" || raw === "1", 1.0d).otherwise(0.0d))
       .when(dt.isin(DateTypes: _*),
-        (unix_millis(raw.cast("timestamp")) * lit(10000L) + lit(GFormat.TicksAtEpoch))
+        (unix_millis(raw.try_cast("timestamp")) * lit(10000L) + lit(GFormat.TicksAtEpoch))
           .cast("double"))
       .when(dt.isin(StringTypes: _*), coalesce(tryDouble(raw), lit(0.0d)))
-      .when(dt.isin(SingleTypes: _*), raw.cast("float").cast("double"))
+      .when(dt.isin(SingleTypes: _*), raw.try_cast("float").cast("double"))
       .otherwise(asDouble) // double/decimal/integer families: widen
   }
 
@@ -80,9 +87,9 @@ object Normalize {
   private def stringValueCol(dt: Column, raw: Column): Column = {
     when(dt.isin(BoolTypes: _*),
         when(lower(raw) === "true" || raw === "1", "true").otherwise("false"))
-      .when(dt.isin(SingleTypes: _*), gSingleUdf(raw.cast("double")))
-      .when(dt.isin(DoubleTypes: _*), gDoubleUdf(raw.cast("double")))
-      .when(dt.isin(IntTypes: _*), raw.cast("decimal(20,0)").cast("string"))
+      .when(dt.isin(SingleTypes: _*), gSingleUdf(raw.try_cast("double")))
+      .when(dt.isin(DoubleTypes: _*), gDoubleUdf(raw.try_cast("double")))
+      .when(dt.isin(IntTypes: _*), raw.try_cast("decimal(20,0)").cast("string"))
       .otherwise(raw) // string-likes and dates keep their text form
   }
 

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * Spark-first implementation: instead of a non-equi join (which Spark
   * plans as a broadcast-nested-loop — O(n*m) and never acceptable at
   * 100 TB), tag both inputs, UNION them, and run one window pass per key
-  * ordered by (ts, side): right rows carry their payload forward via
-  * `last(col, ignoreNulls = true)`, left rows read it. Cost: exactly one
+  * ordered by (ts, side): right rows carry their payload forward as a
+  * single struct via `last(struct, ignoreNulls = true)` (all fields from
+  * the same matched right row), left rows read it. Cost: exactly one
   * shuffle on the key, linear scan per partition, no state blow-up. At
   * equal timestamps the right row sorts first, so the semantics match an
   * inclusive `left.ts >= right.ts` as-of (DuckDB's ASOF JOIN).
@@ -40,23 +41,35 @@ object AsOfJoin {
     require(!payload.contains(keyCol) && !payload.contains(tsCol),
       "payload must not repeat the key/ts columns")
 
-    // align schemas: left gets null payload slots, right gets null left-only slots
+    // align schemas: left gets a null payload struct, right gets null
+    // left-only slots. The payload travels as ONE struct column so that
+    // `last(ignoreNulls)` either carries a whole right row or none of it —
+    // carrying each payload column independently would let a right row
+    // with a null field borrow that field from an older right row (row
+    // tearing). A right row whose payload fields are all null still
+    // produces a non-null struct, so it is matched as-is.
     val leftOnly = leftCols.filterNot(c => c == keyCol || c == tsCol)
-    val l = payload.foldLeft(left.withColumn("__side", lit(1))) { (df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    val payloadStruct = struct(payload.map(col): _*)
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__payload",
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType))
+    val r = leftOnly.foldLeft(
+        right.withColumn("__side", lit(0)).withColumn("__payload", payloadStruct)) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val r = leftOnly.foldLeft(right.withColumn("__side", lit(0))) { (df, c) =>
-      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }
-    val unioned = l.select((leftCols ++ payload :+ "__side").map(col): _*)
-      .unionByName(r.select((leftCols ++ payload :+ "__side").map(col): _*))
+    val outCols = leftCols ++ Seq("__payload", "__side")
+    val unioned = l.select(outCols.map(col): _*)
+      .unionByName(r.select(outCols.map(col): _*))
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    val carried = unioned
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+    payload.foldLeft(carried.filter(col("__side") === 1)) { (df, c) =>
+        df.withColumn(c, col("__payload").getField(c))
+      }
+      .drop("__side", "__payload")
   }
 }

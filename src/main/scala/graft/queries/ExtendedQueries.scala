@@ -350,9 +350,16 @@ object ExtendedQueries {
     Q.noOracle("q44_multimodal_decode") { (s, d) =>
       // decode is a deterministic STUB (no codec libs in-container); the
       // Spark plumbing (binary col → mapPartitions → typed features) is
-      // real and verified in MultimodalSpec.
-      Multimodal.decodeFeaturesStub(
-          Multimodal.withBlob(t(s, d, "documents"), "doc_id", "text"), s)
+      // real and verified in MultimodalSpec. The feature vector is
+      // flattened to scalar columns here (driver-side compare can't sort
+      // array cells); the operator itself keeps the ArrayType column.
+      val decoded = Multimodal.decodeFeaturesStub(
+        Multimodal.withBlob(t(s, d, "documents"), "doc_id", "text"), s)
+      val featureCols = (0 until 8).map(i =>
+        round(col("feature").getItem(i), 4).as(s"f$i"))
+      decoded
+        .select(Seq(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("n_channels")) ++ featureCols: _*)
         .orderBy("doc_id")
     },
 

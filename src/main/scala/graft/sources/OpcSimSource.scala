@@ -119,6 +119,11 @@ private[sources] class OpcSimMicroBatchStream(options: CaseInsensitiveStringMap)
   private val baseEpochMs = options.getLong("baseEpochMs", 1704067200000L) // 2024-01-01
   private val numPartitions = options.getInt("numPartitions", 4)
 
+  // Highest end offset handed out on either latestOffset path. Updated in
+  // BOTH paths so that prepareForTriggerAvailableNow computes its drain
+  // target from where the stream actually is — including a restart from a
+  // checkpoint offset — never below an already-committed start (which
+  // would be an offset regression replaying cycles).
   @volatile private var advanced = 0L
   // when Trigger.AvailableNow prepares, the run drains up to this target
   // in cyclesPerTrigger-sized micro-batches
@@ -138,7 +143,11 @@ private[sources] class OpcSimMicroBatchStream(options: CaseInsensitiveStringMap)
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val start = startOffset.asInstanceOf[CycleOffset].n
     val cap = availableNowTarget.getOrElse(maxCycles)
-    CycleOffset(math.min(start + cyclesPerTrigger, cap))
+    // clamp to >= start: after a restart the checkpoint start may already
+    // be beyond a stale AvailableNow target — never move backwards
+    val end = math.max(start, math.min(start + cyclesPerTrigger, cap))
+    advanced = math.max(advanced, end)
+    CycleOffset(end)
   }
 
   override def latestOffset(): Offset = {

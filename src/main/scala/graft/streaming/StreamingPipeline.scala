@@ -85,13 +85,22 @@ object StreamingPipeline extends Serializable {
         val dst = new java.io.File(root, src.getName)
         val old = new java.io.File(root, src.getName + ".old")
         deleteRec(old)
-        if (dst.exists()) dst.renameTo(old)
-        src.renameTo(dst)
+        if (dst.exists()) moveDir(dst, old)
+        moveDir(src, dst)
         deleteRec(old)
       }
       deleteRec(new java.io.File(staged))
     }
   }
+
+  /** Directory swap step that THROWS on failure (unlike File.renameTo's
+    * silent boolean): a failed rename must fail the micro-batch so Spark
+    * retries it — the merge is idempotent — instead of silently dropping
+    * or duplicating a server partition.
+    */
+  private def moveDir(src: java.io.File, dst: java.io.File): Unit =
+    java.nio.file.Files.move(src.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
 
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRec)
@@ -165,8 +174,8 @@ object StreamingPipeline extends Serializable {
         df.repartition(target).write.mode("overwrite").parquet(staged.getPath)
         val old = new java.io.File(root, "." + dir.getName + ".old")
         deleteRec(old)
-        dir.renameTo(old)
-        staged.renameTo(dir)
+        moveDir(dir, old)
+        moveDir(staged, dir)
         deleteRec(old)
         Some((dir.getName, before, parquetFiles.size))
       }
