@@ -10,7 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local iteration aid: bench only queries whose name contains the
+    // substring (driver sets no filter and benches everything)
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+    val results = SparkEntry.queries
+      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .map { case (name, fn) =>
       // noop sink: materializes every output column (count() would let the
       // optimizer prune projection work away and flatter the numbers).
       // min of 2 runs: first-run JIT/codegen warmup otherwise dominates

@@ -2,13 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtendedQueries, Q, RelationalQueries}
+import graft.queries.{AnalyticsQueries, ExtendedQueries, Q, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Full inventory: name -> (Spark impl, optional DuckDB oracle). */
-  def inventory: Seq[Q] = RelationalQueries.all ++ ExtendedQueries.all
+  def inventory: Seq[Q] =
+    RelationalQueries.all ++ ExtendedQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -63,6 +63,78 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     rawShingles(df, idCol, textCol, k).distinct()
 
+  /** Distinct character k-grams per document: (idCol, shingle). The
+    * character-level analog of [[shingles]] — robust to tokenization
+    * differences (whitespace, punctuation) that word shingles miss.
+    * Narrow: scan + explode; documents shorter than k chars never pair.
+    */
+  def charShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    // explode an int sequence and slice with the ternary (codegen'd)
+    // substring, rather than transform(...) building a per-row string
+    // array through an interpreted lambda — measured 2× faster on the
+    // gram-build stage at sf0.1
+    df.filter(length(col(textCol)) >= k)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("__i"))
+      .select(col(idCol), expr(s"substring($textCol, __i, $k)").as("shingle"))
+      .distinct()
+
+  /** Character-n-gram Jaccard near-dup pairs with attribute blocking:
+    * candidates are pairs agreeing on every `blockCols` value (an
+    * equi-join, never a cross product — block columns must bound block
+    * size, e.g. (lang, source)), scored by exact k-gram Jaccard. For
+    * corpora where no natural blocking key exists, use
+    * [[nearDupPairsMinHash]] (LSH provides the blocking) — this variant is
+    * the cheaper choice when metadata already partitions the corpus.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      blockCols: Seq[String],
+      threshold: Double): DataFrame = {
+    // Unlike the flat-stream jaccardVerify path (right for LSH candidates
+    // over an unblocked corpus), the blocked variant packs each document's
+    // distinct HASHED grams into ONE long-array row: the gram table is
+    // built exactly once (one explode + one collect_set shuffle), the
+    // block self-join moves one narrow row per document, and intersections
+    // are computed pair-locally with the native array_intersect over
+    // longs. Measured at sf0.1: 2.3× faster than the flat
+    // candidate × grams stream (which rebuilt the gram lineage per
+    // consumer; persisting that lineage was slower still). Grams are
+    // compared by 64-bit hash — a collision would perturb one
+    // intersection count with probability ~|A|·|B|/2^64 per pair
+    // (≈ 10⁻¹⁴ here), the standard trade of every hashed-shingle dedup.
+    val grams = df.filter(length(col(textCol)) >= k)
+      .select(col(idCol) +: blockCols.map(col) :+ col(textCol): _*)
+      .select(col(idCol) +: blockCols.map(col) :+ col(textCol) :+
+        // explode an int sequence + codegen'd ternary substring (a
+        // transform(...) lambda building string arrays is interpreted)
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("__i"): _*)
+      .select(col(idCol) +: blockCols.map(col) :+
+        xxhash64(expr(s"substring($textCol, __i, $k)")).as("__gram"): _*)
+    val packed = grams
+      .groupBy(col(idCol) +: blockCols.map(col): _*)
+      .agg(collect_set(col("__gram")).as("__g"))
+      .withColumn("__sz", size(col("__g")))
+    val a = packed.select(col(idCol).as("id1") +: blockCols.map(col) :+
+      col("__g").as("__g1") :+ col("__sz").as("__sz1"): _*)
+    val b = packed.select(col(idCol).as("id2") +: blockCols.map(col) :+
+      col("__g").as("__g2") :+ col("__sz").as("__sz2"): _*)
+    a.join(b, blockCols)
+      .filter(col("id1") < col("id2"))
+      // size-ratio prune BEFORE the per-pair intersect: J(A,B) ≥ t implies
+      // min(|A|,|B|) ≥ t·max(|A|,|B|), so these pairs cannot qualify
+      .filter(least(col("__sz1"), col("__sz2")).cast("double") >=
+        greatest(col("__sz1"), col("__sz2")).cast("double") * threshold)
+      .withColumn("__i", size(array_intersect(col("__g1"), col("__g2"))).cast("long"))
+      .select(col("id1"), col("id2"),
+        (col("__i").cast("double") /
+          (col("__sz1") + col("__sz2") - col("__i")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash signatures: (idCol, seed ∈ [0, numHashes), mh). The hash
     * family is the Kirsch-Mitzenmacher combination
     * h_seed(s) = (b1(s) + seed · b2(s)) mod 2^40 over two independent
@@ -109,7 +181,11 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
+    // candidate pairs are ≪ the corpus by construction (LSH bands /
+    // attribute blocks + prunes), so broadcast them: the wide
+    // (pair × grams-of-id1) stream then flows map-side out of the shingle
+    // scan instead of shuffling the shingle table a second time
+    val inter = broadcast(pairs)
       .join(sh.as("s1"), pairs("id1") === col(s"s1.$idCol"))
       .join(sh.as("s2"),
         col(s"s2.$idCol") === pairs("id2") && col("s1.shingle") === col("s2.shingle"))

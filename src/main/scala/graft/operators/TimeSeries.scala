@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling, gap filling, interpolation, and smoothing over a
+  * keyed telemetry stream — the batch analytics the reference's data model
+  * calls for but never implements (its only temporal semantic is
+  * last-value-wins per tag, /root/reference/OPC2MongoDB/Program.cs:1179-1182;
+  * these operators generalize that to "value at any point on a regular
+  * grid").
+  *
+  * 100 TB posture: everything here is per-key — one shuffle on the key (or
+  * (key, bucket) for the grid join), then linear window scans within each
+  * partition. Grid densification explodes `sequence()` per key, so output
+  * size is keys × buckets — bounded by the caller's bucket width, never by
+  * pairwise blowup. No driver-side collection anywhere.
+  */
+object TimeSeries {
+
+  /** Bucketize to `date_trunc(unit)` and average the value per
+    * (key, bucket). One partial-aggregated shuffle.
+    */
+  def resample(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      unit: String,
+      roundTo: Int = 6): DataFrame =
+    df.groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(round(avg(col(valCol)), roundTo).as("v"))
+
+  /** Densify per-key buckets to a regular grid from each key's min to max
+    * bucket with the given step (e.g. "1 day"), left-joining observed
+    * values; missing buckets carry a null value and `was_gap = 1`.
+    *
+    * Span computation reuses the bucket table (small: one row per
+    * (key, bucket)); the grid explode is narrow. The join shuffles on
+    * (key, bucket) — co-partitioned with the downstream per-key window up
+    * to AQE coalescing.
+    */
+  def denseGrid(
+      buckets: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valCol: String,
+      step: String): DataFrame = {
+    val spans = buckets.groupBy(col(keyCol))
+      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+    val grid = spans.select(col(keyCol),
+      explode(expr(s"sequence(__lo, __hi, interval $step)")).as(bucketCol))
+    grid.join(buckets, Seq(keyCol, bucketCol), "left_outer")
+      .withColumn("was_gap", when(col(valCol).isNull, 1L).otherwise(0L))
+  }
+
+  /** Last-observation-carried-forward over a dense grid: null values take
+    * the most recent non-null value per key. Leading nulls (no prior
+    * observation) stay null. One window pass per key.
+    */
+  def locf(grid: DataFrame, keyCol: String, bucketCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn(valCol, last(col(valCol), ignoreNulls = true).over(w))
+  }
+
+  /** Linear interpolation over a dense grid: null values become
+    * prev + (next - prev) · elapsed-fraction between the surrounding
+    * non-null observations; edges (no prev / no next) clamp to the nearest
+    * observation. Two frames over one per-key sort — Spark evaluates both
+    * in a single window exec.
+    */
+  def interpolateLinear(
+      grid: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val asc = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valCol)
+    val pv = last(v, ignoreNulls = true).over(asc)
+    val pt = last(when(v.isNotNull, col(bucketCol)), ignoreNulls = true).over(asc)
+    val nv = first(v, ignoreNulls = true).over(desc)
+    val nt = first(when(v.isNotNull, col(bucketCol)), ignoreNulls = true).over(desc)
+    val frac = (unix_timestamp(col(bucketCol)) - unix_timestamp(pt)).cast("double") /
+      (unix_timestamp(nt) - unix_timestamp(pt)).cast("double")
+    grid.withColumn("__pv", pv).withColumn("__pt", pt)
+      .withColumn("__nv", nv).withColumn("__nt", nt)
+      .withColumn(valCol, round(
+        when(v.isNotNull, v)
+          .when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((unix_timestamp(col(bucketCol)) - unix_timestamp(col("__pt"))).cast("double") /
+              (unix_timestamp(col("__nt")) - unix_timestamp(col("__pt"))).cast("double"))),
+        roundTo))
+      .drop("__pv", "__pt", "__nv", "__nt")
+  }
+
+  /** Exponential moving average over the trailing `lookback` observations
+    * per key: ewma ← ewma + (x - ewma)·α, seeded with the oldest value in
+    * the window. A bounded frame keeps state O(lookback) per row instead of
+    * carrying unbounded history; the fold itself is the sequential
+    * recurrence, evaluated left-to-right so results are bit-reproducible.
+    * The α-only form (rather than ewma·(1-α) + x·α) matters for that
+    * reproducibility: 1-α computed in IEEE double is NOT the same value as
+    * a decimal (1-α) literal an external oracle would parse, while this
+    * form only ever evaluates α itself. One shuffle on the key, one sort,
+    * no UDF.
+    */
+  def ewma(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      valCol: String,
+      alpha: Double,
+      lookback: Int,
+      roundTo: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    val l = collect_list(col(valCol)).over(w)
+    df.withColumn("ewma", round(
+      aggregate(
+        slice(l, 2, lookback),
+        element_at(l, 1),
+        (acc, x) => acc + (x - acc) * lit(alpha)),
+      roundTo))
+  }
+}

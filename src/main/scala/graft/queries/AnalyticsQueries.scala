@@ -1,0 +1,403 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PiiRedact, TextAnalysis}
+import graft.operators.{Dedup, TimeSeries}
+import Q.t
+
+/** Round-2 widening of the query inventory: subquery planning (scalar /
+  * EXISTS / IN through Catalyst's rewrite-to-join rules), unpivot, array
+  * higher-order functions, deterministic sampling, regression statistics,
+  * histogram binning, TF-IDF, PII redaction, time-series gap
+  * filling / interpolation / smoothing, and z-score outlier detection.
+  * Conventions follow RelationalQueries: every float aggregate rounded
+  * identically on both sides, every output fully ordered by the driver's
+  * sort anyway (ORDER BY kept for readability).
+  */
+object AnalyticsQueries {
+
+  /** 60-bit md5 hash of a string expr in DuckDB SQL (mirrors Dedup.hash60). */
+  private def sqlHash60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------ subqueries
+    Q("q61_scalar_subquery",
+      // Catalyst plans the scalar subquery as a broadcast one-row join;
+      // threshold on max() (exact) rather than avg() so the predicate
+      // boundary cannot move with summation order
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 0.8 * (SELECT max(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > 0.8 * (SELECT max(o_totalprice) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    Q("q62_exists_subquery",
+      // correlated EXISTS + NOT EXISTS — Catalyst rewrites to left-semi
+      // and left-anti joins (RewritePredicateSubquery), so the physical
+      // plan is two shuffled hash joins, never a per-row subquery
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |AND NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+          |AND NOT EXISTS (SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    Q("q63_in_subquery",
+      // IN / NOT IN subqueries (no NULLs in the key columns, so NOT IN is
+      // safe) — planned as semi/anti joins like q62
+      """SELECT p_brand, count(*) AS n FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        |AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.10)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      t(s, d, "part").createOrReplaceTempView("part")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT p_brand, count(*) AS n FROM part
+          |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+          |AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.10)
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    },
+
+    // ------------------------------------------------- reshaping / HOFs
+    Q("q64_unpivot",
+      // wide→long reshape then per-metric stats; the oracle spells the
+      // reshape as UNION ALL (the portable formulation of UNPIVOT)
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, count(*) AS n, round(min(val), 4) AS mn,
+        |  round(max(val), 4) AS mx, round(avg(val), 4) AS av
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), round(min("val"), 4).as("mn"),
+          round(max("val"), 4).as("mx"), round(avg("val"), 4).as("av"))
+        .orderBy("metric")
+    },
+
+    Q("q65_array_hof",
+      // higher-order functions over the embedding vectors; both sides fold
+      // left-to-right from the first element (list_reduce / aggregate with
+      // first-element seed), so the float math is order-identical
+      """SELECT vec_id,
+        |  round(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+        |    (acc, x) -> acc + x), 4) AS l2sq,
+        |  len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos,
+        |  round(list_reduce(list_transform(embedding::DOUBLE[], x -> abs(x)),
+        |    (acc, x) -> greatest(acc, x)), 6) AS max_abs
+        |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val dv = transform(col("embedding"), x => x.cast("double"))
+      val sq = transform(dv, x => x * x)
+      val av = transform(dv, x => abs(x))
+      t(s, d, "embeddings")
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          round(aggregate(slice(sq, 2, 10000), element_at(sq, 1), (acc, x) => acc + x), 4)
+            .as("l2sq"),
+          size(filter(dv, x => x > 0)).cast("long").as("n_pos"),
+          round(aggregate(slice(av, 2, 10000), element_at(av, 1), (acc, x) => greatest(acc, x)), 6)
+            .as("max_abs"))
+        .orderBy("vec_id")
+    },
+
+    // ------------------------------------------------------- sampling
+    Q("q66_hash_sample",
+      // deterministic hash sampling (the reproducible flavor of
+      // TABLESAMPLE): membership depends only on the row key, so the
+      // sample is stable across engines, runs, and partitionings — the
+      // property training-data pipelines need for resumable subsetting
+      s"""SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+         |FROM lineitem
+         |WHERE ${sqlHash60("l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR")} % 20 = 0
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(Dedup.hash60(concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"))) % 20 === 0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+
+    Q("q67_stratified_sample",
+      // variable-rate stratified sampling — downsample the majority class
+      // (en) to 10% while keeping 50% of everything else: the
+      // class-rebalancing primitive, as a pure filter (no shuffle)
+      s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id, max(doc_id) AS last_id
+         |FROM documents
+         |WHERE ${sqlHash60("doc_id::VARCHAR")} % 10 <
+         |  (CASE WHEN lang = 'en' THEN 1 ELSE 5 END)
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .filter(Dedup.hash60(col("doc_id").cast("string")) % 10 <
+          when(col("lang") === "en", 1).otherwise(5))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_id"),
+          max("doc_id").as("last_id"))
+        .orderBy("lang")
+    },
+
+    // ------------------------------------------------------ statistics
+    Q("q68_corr_regr",
+      """SELECT l_returnflag,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_pq,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_extendedprice", "l_quantity"), 6).as("corr_pq"),
+          round(covar_samp("l_extendedprice", "l_quantity"), 2).as("covar_pq"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("intercept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    Q("q69_histogram",
+      // fixed-width binning by arithmetic (identical IEEE division on both
+      // sides); top bin clamps the tail
+      """SELECT CAST(least(floor(o_totalprice / 25000.0), 23) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(least(floor(col("o_totalprice") / 25000.0), lit(23L)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("bucket")
+    },
+
+    // ------------------------------------------------- text / documents
+    Q("q70_tfidf",
+      // classic TF-IDF with top-3 terms per document; ranking is over the
+      // ROUNDED score (tok tiebreak), so 1-ulp ln() differences between
+      // engines cannot reorder the cut
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT t.doc_id, t.tok,
+        |    round(t.tf * ln((SELECT count(DISTINCT doc_id) FROM documents)::DOUBLE / df.df),
+        |      6) AS tfidf
+        |  FROM tf t JOIN dfreq df USING (tok) WHERE t.doc_id < 100)
+        |SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, tok) AS BIGINT) AS rank, tok, tfidf
+        |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(countDistinct("doc_id").as("__n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+      tf.filter(col("doc_id") < 100)
+        .join(dfreq, "tok")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * log(col("__n").cast("double") / col("df")), 6).as("tfidf"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "tfidf")
+        .orderBy("doc_id", "rank")
+    },
+
+    Q("q71_pii_redact",
+      // synthetic PII is appended deterministically (the corpus itself is
+      // clean), then redacted email → phone → digit-run; counts are
+      // per-kind audit metrics on the progressively-redacted text
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' Contact user' || doc_id::VARCHAR || '@example.com or +1 (212) 555-01'
+         |      || lpad((doc_id % 100)::VARCHAR, 2, '0') || ' ref ' || (doc_id * 7919)::VARCHAR AS txt
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, txt,
+         |    regexp_replace(txt, '${PiiRedact.EmailRe}', '[EMAIL]', 'g') AS t1
+         |  FROM aug),
+         |r2 AS (
+         |  SELECT doc_id, txt, t1,
+         |    regexp_replace(t1, '${PiiRedact.PhoneRe}', '[PHONE]', 'g') AS t2
+         |  FROM r)
+         |SELECT doc_id,
+         |  md5(regexp_replace(t2, '${PiiRedact.NumRe}', '[NUM]', 'g')) AS redacted_md5,
+         |  len(regexp_extract_all(txt, '${PiiRedact.EmailRe}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(t1, '${PiiRedact.PhoneRe}'))::BIGINT AS n_phones,
+         |  len(regexp_extract_all(t2, '${PiiRedact.NumRe}'))::BIGINT AS n_nums
+         |FROM r2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val aug = t(s, d, "documents")
+        .select(col("doc_id"), concat(
+          col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 (212) 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" ref "), (col("doc_id") * 7919).cast("string")).as("txt"))
+      aug.select(col("doc_id"),
+          md5(PiiRedact.redact(col("txt"))).as("redacted_md5"),
+          PiiRedact.emailCount(col("txt")).as("n_emails"),
+          PiiRedact.phoneCount(col("txt")).as("n_phones"),
+          PiiRedact.digitRunCount(col("txt")).as("n_nums"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------- time series
+    Q("q72_gapfill_locf",
+      // daily resample per user, densified to a regular grid, gaps filled
+      // by last observation carried forward — the telemetry "value at any
+      // time" read the reference's current-value table can't answer
+      """WITH b AS (
+        |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+        |    round(avg(value), 6) AS v
+        |  FROM events GROUP BY user_id, bucket),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
+        |  FROM b GROUP BY user_id),
+        |j AS (
+        |  SELECT g.user_id, g.bucket, b.v,
+        |    CAST(CASE WHEN b.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+        |  FROM g LEFT JOIN b USING (user_id, bucket))
+        |SELECT user_id, bucket,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+        |  was_gap
+        |FROM j ORDER BY user_id, bucket""".stripMargin) { (s, d) =>
+      val buckets = TimeSeries.resample(t(s, d, "events"), "user_id", "ts", "value", "day")
+      val grid = TimeSeries.denseGrid(buckets, "user_id", "bucket", "v", "1 day")
+      TimeSeries.locf(grid, "user_id", "bucket", "v")
+        .select("user_id", "bucket", "v", "was_gap")
+        .orderBy("user_id", "bucket")
+    },
+
+    Q("q73_interpolate",
+      // linear interpolation across grid gaps, clamped at the edges; the
+      // interpolation expression is written in the same shape on both
+      // sides so the doubles match bit-for-bit before rounding
+      """WITH b AS (
+        |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+        |    round(avg(value), 6) AS v
+        |  FROM events GROUP BY user_id, bucket),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
+        |  FROM b GROUP BY user_id),
+        |j AS (SELECT g.user_id, g.bucket, b.v FROM g LEFT JOIN b USING (user_id, bucket)),
+        |e AS (
+        |  SELECT user_id, bucket, v,
+        |    last_value(v IGNORE NULLS) OVER wa AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wa AS pt,
+        |    first_value(v IGNORE NULLS) OVER wd AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wd AS nt
+        |  FROM j
+        |  WINDOW wa AS (PARTITION BY user_id ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wd AS (PARTITION BY user_id ORDER BY bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, bucket,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * ((epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt)))
+        |  END, 6) AS v
+        |FROM e ORDER BY user_id, bucket""".stripMargin) { (s, d) =>
+      val buckets = TimeSeries.resample(t(s, d, "events"), "user_id", "ts", "value", "day")
+      val grid = TimeSeries.denseGrid(buckets, "user_id", "bucket", "v", "1 day")
+      TimeSeries.interpolateLinear(grid, "user_id", "bucket", "v")
+        .select("user_id", "bucket", "v")
+        .orderBy("user_id", "bucket")
+    },
+
+    Q("q74_zscore_outliers",
+      // per-type z-score anomaly flagging — the telemetry "bad reading"
+      // detector; the stats side is a tiny broadcast
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, round((e.value - s.mu) / s.sd, 4) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs((e.value - s.mu) / s.sd) > 3
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val stats = ev.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sd"))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
+        .orderBy("event_id")
+    },
+
+    Q("q75_ewma",
+      // trailing-20 EWMA per user; both sides fold the window list
+      // left-to-right with the α-only recurrence (see TimeSeries.ewma),
+      // so the doubles are identical before rounding
+      """WITH l AS (
+        |  SELECT user_id, event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lv
+        |  FROM events WHERE user_id < 30)
+        |SELECT user_id, event_id,
+        |  round(list_reduce(lv, (acc, x) -> acc + (x - acc) * 0.3), 6) AS ewma
+        |FROM l ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      TimeSeries.ewma(t(s, d, "events").filter(col("user_id") < 30),
+          "user_id", Seq(col("ts"), col("event_id")), "value", alpha = 0.3, lookback = 20)
+        .select("user_id", "event_id", "ewma")
+        .orderBy("user_id", "event_id")
+    },
+
+    // ------------------------------------------------- dedup (n-gram)
+    Q("q76_ngram_jaccard",
+      // character-4-gram Jaccard with (lang, source) attribute blocking —
+      // the metadata-blocked sibling of MinHash-LSH (q34)
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 4) AS shingle
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 3)) AS i
+        |        FROM documents WHERE length(text) >= 4)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.id1, c.id2, count(*) AS i
+        |  FROM cand c
+        |  JOIN g g1 ON g1.doc_id = c.id1
+        |  JOIN g g2 ON g2.doc_id = c.id2 AND g2.shingle = g1.shingle
+        |  GROUP BY c.id1, c.id2)
+        |SELECT i.id1, i.id2, round(i.i::DOUBLE / (z1.sz + z2.sz - i.i), 6) AS jaccard
+        |FROM inter i
+        |JOIN sizes z1 ON z1.doc_id = i.id1
+        |JOIN sizes z2 ON z2.doc_id = i.id2
+        |WHERE i.i::DOUBLE / (z1.sz + z2.sz - i.i) >= 0.35
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          k = 4, blockCols = Seq("lang", "source"), threshold = 0.35)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    }
+  )
+}

@@ -134,6 +134,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("charShingles: distinct char 4-grams; short texts yield none") {
+    val df = Seq((1L, "abcde"), (2L, "abc"), (3L, "aaaa")).toDF("doc_id", "text")
+    val got = Dedup.charShingles(df, "doc_id", "text", 4)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "abcd"), (1L, "bcde"), (3L, "aaaa")))
+  }
+
+  test("ngramJaccardPairs blocks on attributes and scores exact char-gram jaccard") {
+    val df = Seq(
+      (1L, "the quick brown fox", "en"),
+      (2L, "the quick brown fax", "en"),  // near-dup of 1, same block
+      (3L, "the quick brown fox", "de"),  // identical text, DIFFERENT block
+      (4L, "unrelated words here", "en")) // same block, dissimilar
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 4, Seq("lang"), 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // only (1,2): (1,3) is cross-block, (x,4) is below threshold
+    assert(got == Set((1L, 2L)))
+    // the (1,2) jaccard equals the hand-count of shared distinct 4-grams
+    val j = Dedup.ngramJaccardPairs(df, "doc_id", "text", 4, Seq("lang"), 0.0)
+      .filter(col("id1") === 1L && col("id2") === 2L)
+      .select("jaccard").as[Double].head()
+    val g = (s: String) => s.sliding(4).toSet
+    val (g1, g2) = (g("the quick brown fox"), g("the quick brown fax"))
+    assert(j === g1.intersect(g2).size.toDouble / g1.union(g2).size)
+  }
+
   test("minhash signature is the true min over the Kirsch-Mitzenmacher family") {
     val sh = Dedup.shingles(corpus.filter(col("doc_id") === 1L), "doc_id", "text", 3)
     val sig = Dedup.minhashSignatures(sh, "doc_id", 4)

@@ -43,6 +43,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one(TextAnalysis.languageId(col("t")), "the y casa").contains("en"))
   }
 
+  test("PiiRedact replaces emails, phones, and digit runs in order") {
+    import graft.functions.PiiRedact
+    val in = "mail bob.smith+x@corp.example.org or +1 (212) 555-0147, ref 99182 ok 123"
+    val out = one(PiiRedact.redact(col("t")), in).get.asInstanceOf[String]
+    assert(out == "mail [EMAIL] or [PHONE], ref [NUM] ok 123")
+    assert(one(PiiRedact.emailCount(col("t")), in).contains(1L))
+    assert(one(PiiRedact.phoneCount(col("t")), in).contains(1L))
+    // digit-run count sees ONLY runs surviving email+phone redaction,
+    // and "123" is below the 4-digit floor
+    assert(one(PiiRedact.digitRunCount(col("t")), in).contains(1L))
+  }
+
   test("qualityScore stays within [0,1] and rewards stopword-bearing prose") {
     val good = one(TextAnalysis.qualityScore(col("t"), stop),
       ("the quick brown fox of the meadow " * 8).trim).get.asInstanceOf[Double]

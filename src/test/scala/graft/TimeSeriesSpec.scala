@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+/** Semantics of the time-series operators on hand-built frames where the
+  * expected grids/fills/folds are computable by eye.
+  */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def obs = Seq(
+    // key "a": days 1, 2, 5 observed (gap at 3, 4)
+    ("a", ts("2024-01-01 06:00:00"), 10.0),
+    ("a", ts("2024-01-01 18:00:00"), 20.0), // same day → avg 15
+    ("a", ts("2024-01-02 12:00:00"), 30.0),
+    ("a", ts("2024-01-05 00:00:00"), 90.0),
+    // key "b": single day
+    ("b", ts("2024-01-03 01:00:00"), 7.0)
+  ).toDF("k", "t", "v")
+
+  private def grid = {
+    val buckets = TimeSeries.resample(obs, "k", "t", "v", "day")
+    TimeSeries.denseGrid(buckets, "k", "bucket", "v", "1 day")
+  }
+
+  test("resample buckets to day and averages within the bucket") {
+    val r = TimeSeries.resample(obs, "k", "t", "v", "day")
+      .orderBy("k", "bucket").collect()
+    assert(r.length === 4)
+    assert(r(0).getDouble(2) === 15.0) // (10+20)/2
+  }
+
+  test("denseGrid densifies each key's span and flags gaps") {
+    val g = grid.orderBy("k", "bucket").collect()
+    // a: 5 days (2 gaps), b: 1 day
+    assert(g.length === 6)
+    assert(g.count(_.getLong(3) == 1L) === 2)
+    val aDays = g.filter(_.getString(0) == "a").map(_.getTimestamp(1).toString)
+    assert(aDays.head.startsWith("2024-01-01") && aDays.last.startsWith("2024-01-05"))
+  }
+
+  test("locf carries the last observation across gaps") {
+    val f = TimeSeries.locf(grid, "k", "bucket", "v")
+      .filter($"k" === "a").orderBy("bucket")
+      .select("v").as[Double].collect()
+    assert(f.toSeq === Seq(15.0, 30.0, 30.0, 30.0, 90.0))
+  }
+
+  test("interpolateLinear fills gaps proportionally and clamps edges") {
+    val f = TimeSeries.interpolateLinear(grid, "k", "bucket", "v")
+      .filter($"k" === "a").orderBy("bucket")
+      .select("v").as[Double].collect()
+    // gap days 3 and 4 sit 1/3 and 2/3 between 30 (day 2) and 90 (day 5)
+    assert(f.toSeq === Seq(15.0, 30.0, 50.0, 70.0, 90.0))
+  }
+
+  test("ewma folds the trailing window with the α-only recurrence") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0)
+    ).toDF("k", "seq", "v")
+    val e = TimeSeries.ewma(df, "k", Seq(col("seq")), "v", alpha = 0.5, lookback = 20)
+      .orderBy("seq").select("ewma").as[Double].collect()
+    // seeds at the oldest value: 10; 10+(20-10)/2 = 15; 15+(30-15)/2 = 22.5
+    assert(e.toSeq === Seq(10.0, 15.0, 22.5))
+  }
+
+  test("ewma trailing window is bounded by lookback") {
+    val df = (1 to 5).map(i => ("a", i.toLong, if (i == 1) 1000.0 else 1.0))
+      .toDF("k", "seq", "v")
+    val e = TimeSeries.ewma(df, "k", Seq(col("seq")), "v", alpha = 0.5, lookback = 2)
+      .orderBy("seq").select("ewma").as[Double].collect()
+    // lookback 2: row 3+ never sees the 1000 spike
+    assert(e.drop(2).forall(_ === 1.0))
+  }
+}
