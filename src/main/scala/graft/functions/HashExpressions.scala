@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -69,6 +69,69 @@ case class SimHash60(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Count of common elements between two SORTED ARRAY<BIGINT> inputs (the
+  * caller guarantees ascending order and distinctness, e.g.
+  * `sort_array(collect_set(...))`). A single codegen'd linear merge — no
+  * per-call hash set, no boxing — replacing
+  * `size(array_intersect(a, b))`, whose interpreted evaluation (an
+  * OpenHashSet built per row) dominated the blocked-Jaccard verify stage
+  * (Dedup.ngramJaccardPairs) at sf0.1. Null inputs yield null; elements
+  * are compared as primitive longs.
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    java.lang.Long.valueOf(n)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val n = ctx.freshName("n")
+      s"""
+        int $i = 0, $j = 0;
+        long $n = 0L;
+        while ($i < $a.numElements() && $j < $b.numElements()) {
+          long $xv = $a.getLong($i);
+          long $yv = $b.getLong($j);
+          if ($xv == $yv) { $n++; $i++; $j++; }
+          else if ($xv < $yv) { $i++; }
+          else { $j++; }
+        }
+        ${ev.value} = $n;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Rabin–Karp-style rolling hash fingerprint of a string: fold chars with

@@ -202,6 +202,9 @@ object GraftFunctions {
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "srp_bits", exprs => SrpBits(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
@@ -210,4 +213,6 @@ object GraftFunctions {
   def rollingHash(text: Column): Column = call_function("rolling_hash", text)
   def srpBits(vec: Column, planes: Column): Column =
     call_function("srp_bits", vec, planes)
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 }

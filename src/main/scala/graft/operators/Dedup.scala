@@ -106,6 +106,7 @@ object Dedup {
     // compared by 64-bit hash — a collision would perturb one
     // intersection count with probability ~|A|·|B|/2^64 per pair
     // (≈ 10⁻¹⁴ here), the standard trade of every hashed-shingle dedup.
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val grams = df.filter(length(col(textCol)) >= k)
       .select(col(idCol) +: blockCols.map(col) :+ col(textCol): _*)
       .select(col(idCol) +: blockCols.map(col) :+ col(textCol) :+
@@ -116,7 +117,9 @@ object Dedup {
         xxhash64(expr(s"substring($textCol, __i, $k)")).as("__gram"): _*)
     val packed = grams
       .groupBy(col(idCol) +: blockCols.map(col): _*)
-      .agg(collect_set(col("__gram")).as("__g"))
+      // sorted so the pair-local intersect is a codegen'd linear merge
+      // (SortedLongIntersectCount) instead of a per-row hash set
+      .agg(sort_array(collect_set(col("__gram"))).as("__g"))
       .withColumn("__sz", size(col("__g")))
     val a = packed.select(col(idCol).as("id1") +: blockCols.map(col) :+
       col("__g").as("__g1") :+ col("__sz").as("__sz1"): _*)
@@ -128,7 +131,8 @@ object Dedup {
       // min(|A|,|B|) ≥ t·max(|A|,|B|), so these pairs cannot qualify
       .filter(least(col("__sz1"), col("__sz2")).cast("double") >=
         greatest(col("__sz1"), col("__sz2")).cast("double") * threshold)
-      .withColumn("__i", size(array_intersect(col("__g1"), col("__g2"))).cast("long"))
+      .withColumn("__i", graft.functions.GraftFunctions.sortedIntersectCount(
+        col("__g1"), col("__g2")))
       .select(col("id1"), col("id2"),
         (col("__i").cast("double") /
           (col("__sz1") + col("__sz2") - col("__i")).cast("double")).as("jaccard"))
@@ -181,11 +185,7 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    // candidate pairs are ≪ the corpus by construction (LSH bands /
-    // attribute blocks + prunes), so broadcast them: the wide
-    // (pair × grams-of-id1) stream then flows map-side out of the shingle
-    // scan instead of shuffling the shingle table a second time
-    val inter = broadcast(pairs)
+    val inter = pairs
       .join(sh.as("s1"), pairs("id1") === col(s"s1.$idCol"))
       .join(sh.as("s2"),
         col(s"s2.$idCol") === pairs("id2") && col("s1.shingle") === col("s2.shingle"))

@@ -96,6 +96,35 @@ class ExpressionsSpec extends SparkSpec {
     assert(HashExpressions.rollingHash("abc") == 96354L) // ((97*31)+98)*31+99 mod p
   }
 
+  test("sorted_intersect_count is a linear merge equal to array_intersect size") {
+    val cases = Seq(
+      (Seq(1L, 3L, 5L), Seq(2L, 3L, 5L, 9L), 2L),
+      (Seq.empty[Long], Seq(1L, 2L), 0L),
+      (Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L), 3L),
+      (Seq(1L, 2L), Seq(3L, 4L), 0L))
+    val df = cases.zipWithIndex.map { case ((a, b, _), i) => (i, a, b) }
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        GraftFunctions.sortedIntersectCount(col("a"), col("b")).as("n"))
+      .as[(Int, Long)].collect().toMap
+    cases.zipWithIndex.foreach { case ((_, _, want), i) =>
+      assert(got(i) == want, s"case $i")
+    }
+    // agreement with the built-in on random sorted distinct arrays
+    val r = new scala.util.Random(7)
+    val rnd = (1 to 50).map { i =>
+      val a = r.shuffle((0L to 400L).toList).take(r.nextInt(100)).distinct.sorted
+      val b = r.shuffle((0L to 400L).toList).take(r.nextInt(100)).distinct.sorted
+      (i, a, b)
+    }
+    val rdf = rnd.toDF("id", "a", "b")
+    val both = rdf.select(col("id"),
+        GraftFunctions.sortedIntersectCount(col("a"), col("b")).as("n"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("m"))
+      .as[(Int, Long, Long)].collect()
+    both.foreach { case (i, n, m) => assert(n == m, s"random case $i") }
+  }
+
   test("md5Prefix60 equals DuckDB's ('0x' || substr(md5(x),1,15))::BIGINT") {
     val md = java.security.MessageDigest.getInstance("MD5")
     // DuckDB: SELECT ('0x'||substr(md5('hello'),1,15))::BIGINT → 419982666956583591
