@@ -106,6 +106,55 @@ object Dedup {
     // compared by 64-bit hash — a collision would perturb one
     // intersection count with probability ~|A|·|B|/2^64 per pair
     // (≈ 10⁻¹⁴ here), the standard trade of every hashed-shingle dedup.
+    blockedPairs(df, idCol, textCol, k, blockCols)
+      // size-ratio prune BEFORE the per-pair intersect: J(A,B) ≥ t implies
+      // min(|A|,|B|) ≥ t·max(|A|,|B|), so these pairs cannot qualify
+      .filter(least(col("__sz1"), col("__sz2")).cast("double") >=
+        greatest(col("__sz1"), col("__sz2")).cast("double") * threshold)
+      .withColumn("__i", graft.functions.GraftFunctions.sortedIntersectCount(
+        col("__g1"), col("__g2")))
+      .select(col("id1"), col("id2"),
+        (col("__i").cast("double") /
+          (col("__sz1") + col("__sz2") - col("__i")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-superset (containment) pairs with attribute blocking:
+    * C = |A∩B| / min(|A|,|B|) — 1.0 when the smaller document's grams are
+    * entirely contained in the larger's, the signal for "quote of",
+    * "boilerplate-wrapped copy of", or "truncation of" relations that
+    * symmetric Jaccard misses (a short doc inside a long one has low J but
+    * C ≈ 1). No size-ratio prune applies — dissimilar sizes are exactly
+    * the interesting case. Same packed-gram plan shape as
+    * [[ngramJaccardPairs]]. Output: (id1, id2, containment) with
+    * id1 < id2 and containment ≥ threshold.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      blockCols: Seq[String],
+      threshold: Double): DataFrame =
+    blockedPairs(df, idCol, textCol, k, blockCols)
+      .withColumn("__i", graft.functions.GraftFunctions.sortedIntersectCount(
+        col("__g1"), col("__g2")))
+      .select(col("id1"), col("id2"),
+        (col("__i").cast("double") /
+          least(col("__sz1"), col("__sz2")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+
+  /** Shared packed-gram block self-join: one row per within-block candidate
+    * pair carrying both documents' sorted hashed-gram arrays
+    * (__g1/__g2) and sizes (__sz1/__sz2). One gram build, one collect_set
+    * shuffle, one narrow-row block join.
+    */
+  private def blockedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      blockCols: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val grams = df.filter(length(col(textCol)) >= k)
       .select(col(idCol) +: blockCols.map(col) :+ col(textCol): _*)
@@ -125,18 +174,7 @@ object Dedup {
       col("__g").as("__g1") :+ col("__sz").as("__sz1"): _*)
     val b = packed.select(col(idCol).as("id2") +: blockCols.map(col) :+
       col("__g").as("__g2") :+ col("__sz").as("__sz2"): _*)
-    a.join(b, blockCols)
-      .filter(col("id1") < col("id2"))
-      // size-ratio prune BEFORE the per-pair intersect: J(A,B) ≥ t implies
-      // min(|A|,|B|) ≥ t·max(|A|,|B|), so these pairs cannot qualify
-      .filter(least(col("__sz1"), col("__sz2")).cast("double") >=
-        greatest(col("__sz1"), col("__sz2")).cast("double") * threshold)
-      .withColumn("__i", graft.functions.GraftFunctions.sortedIntersectCount(
-        col("__g1"), col("__g2")))
-      .select(col("id1"), col("id2"),
-        (col("__i").cast("double") /
-          (col("__sz1") + col("__sz2") - col("__i")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    a.join(b, blockCols).filter(col("id1") < col("id2"))
   }
 
   /** MinHash signatures: (idCol, seed ∈ [0, numHashes), mh). The hash

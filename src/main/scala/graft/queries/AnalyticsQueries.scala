@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PiiRedact, TextAnalysis}
-import graft.operators.{Dedup, TimeSeries}
+import graft.operators.{Chunking, Dedup, TimeSeries}
 import Q.t
 
 /** Round-2 widening of the query inventory: subquery planning (scalar /
@@ -397,6 +397,55 @@ object AnalyticsQueries {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
           k = 4, blockCols = Seq("lang", "source"), threshold = 0.35)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    },
+
+    Q("q77_doc_chunking",
+      // overlapping token-window chunking (size 32, overlap 8 → stride
+      // 24); chunk content compared by md5 so rows stay narrow
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS start
+        |  FROM w)
+        |SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+        |  len(toks[start : least(start + 31, len(toks))])::BIGINT AS n_tokens,
+        |  md5(array_to_string(toks[start : least(start + 31, len(toks))], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Chunking.chunkByTokens(t(s, d, "documents"), "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    Q("q78_containment",
+      // near-superset detection: |A∩B| / min(|A|,|B|) — catches short-doc-
+      // inside-long-doc relations that symmetric Jaccard misses
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 4) AS shingle
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 3)) AS i
+        |        FROM documents WHERE length(text) >= 4)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.id1, c.id2, count(*) AS i
+        |  FROM cand c
+        |  JOIN g g1 ON g1.doc_id = c.id1
+        |  JOIN g g2 ON g2.doc_id = c.id2 AND g2.shingle = g1.shingle
+        |  GROUP BY c.id1, c.id2)
+        |SELECT i.id1, i.id2, round(i.i::DOUBLE / least(z1.sz, z2.sz), 6) AS containment
+        |FROM inter i
+        |JOIN sizes z1 ON z1.doc_id = i.id1
+        |JOIN sizes z2 ON z2.doc_id = i.id2
+        |WHERE i.i::DOUBLE / least(z1.sz, z2.sz) >= 0.5
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+          k = 4, blockCols = Seq("lang", "source"), threshold = 0.5)
+        .select(col("id1"), col("id2"), round(col("containment"), 6).as("containment"))
         .orderBy("id1", "id2")
     }
   )

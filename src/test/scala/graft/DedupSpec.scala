@@ -161,6 +161,22 @@ class DedupSpec extends SparkSpec {
     assert(j === g1.intersect(g2).size.toDouble / g1.union(g2).size)
   }
 
+  test("containmentPairs scores the smaller doc's coverage, ignoring size ratio") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "the quick brown", "en"),         // prefix of 1 → containment 1.0
+      (3L, "entirely different words", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 4, Seq("lang"), 0.9)
+      .select("id1", "id2", "containment").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    // the same pair under symmetric jaccard scores far below 0.9
+    val j = Dedup.ngramJaccardPairs(df, "doc_id", "text", 4, Seq("lang"), 0.0)
+      .filter(col("id1") === 1L && col("id2") === 2L)
+      .select("jaccard").as[Double].collect()
+    assert(j.isEmpty || j.head < 0.5) // size-ratio prune may drop it outright
+  }
+
   test("minhash signature is the true min over the Kirsch-Mitzenmacher family") {
     val sh = Dedup.shingles(corpus.filter(col("doc_id") === 1L), "doc_id", "text", 3)
     val sig = Dedup.minhashSignatures(sh, "doc_id", 4)
