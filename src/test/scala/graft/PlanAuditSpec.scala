@@ -78,4 +78,73 @@ class PlanAuditSpec extends SparkSpec {
       s"query side must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle to join:\n$p")
   }
+
+  test("q61: the scalar subquery is a one-row broadcast, not a per-row re-execution") {
+    val p = plan("q61_scalar_subquery")
+    assert(p.contains("Subquery") || p.contains("ReusedSubquery"),
+      s"scalar subquery must plan as a subquery node evaluated once:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
+
+  test("q62: EXISTS/NOT EXISTS rewrite to semi and anti hash joins") {
+    val p = plan("q62_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no per-row subquery loop:\n$p")
+  }
+
+  test("q66: deterministic sampling is a pure filter — no shuffle before the aggregation") {
+    val p = plan("q66_hash_sample")
+    // exactly one hash exchange (the group-by; ORDER BY range-partitions).
+    // The sample membership test itself must not repartition anything.
+    assert(p.split("Arguments: hashpartitioning").length - 1 == 1,
+      s"sampling must not add exchanges:\n$p")
+  }
+
+  test("q70: the corpus-size side of TF-IDF is a broadcast, the tf join partial-aggregates") {
+    val p = plan("q70_tfidf")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row corpus count must broadcast:\n$p")
+    assert(p.contains("partial_count"), s"tf/df must partial-aggregate:\n$p")
+  }
+
+  test("q74: the per-type stats join broadcasts the tiny stats side") {
+    val p = plan("q74_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"stats side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"events must not shuffle to join stats:\n$p")
+  }
+
+  test("q73: the interpolation window stack shares one exchange and one sort") {
+    val p = plan("q73_interpolate")
+    // ascending last() frames + descending-anchored first() frames share
+    // one partitionBy/orderBy: Spark may stack several Window operators,
+    // but no Exchange or Sort is allowed BETWEEN them — the whole stack
+    // runs off a single per-key sort.
+    val ops = """\(\d+\) (\w+)""".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    val first = ops.indexOf("Window"); val last = ops.lastIndexOf("Window")
+    assert(first >= 0, s"expected window operators:\n$p")
+    val between = ops.slice(first + 1, last)
+    assert(!between.exists(o => o == "Exchange" || o == "Sort"),
+      s"window stack must not re-sort or re-shuffle between frames ($ops):\n$p")
+  }
+
+  test("q76/q78: blocked pair generation is an equi-join on block attributes") {
+    Seq("q76_ngram_jaccard", "q78_containment").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: block join must stay an equi-join:\n$p")
+    }
+  }
+
+  test("q77: chunking is shuffle-free end to end") {
+    val p = plan("q77_doc_chunking")
+    // the only exchange allowed is the output ORDER BY's range partitioning
+    val body = p.substring(0, math.max(0, p.indexOf("Sort"))) match {
+      case "" => p
+      case pre => pre
+    }
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"chunking itself must not shuffle:\n$p")
+  }
 }
