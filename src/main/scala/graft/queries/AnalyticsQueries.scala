@@ -447,6 +447,102 @@ object AnalyticsQueries {
           k = 4, blockCols = Seq("lang", "source"), threshold = 0.5)
         .select(col("id1"), col("id2"), round(col("containment"), 6).as("containment"))
         .orderBy("id1", "id2")
+    },
+
+    Q("q79_correlated_scalar",
+      // correlated scalar subquery in the SELECT list — Catalyst
+      // decorrelates it into an aggregate + left outer join, never a
+      // per-row re-execution (asserted in PlanAuditSpec for q61's sibling)
+      """SELECT c_custkey, c_name,
+        |  (SELECT round(coalesce(max(o_totalprice), 0), 2) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |  (SELECT round(coalesce(max(o_totalprice), 0), 2) FROM orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS max_order
+          |FROM customer c ORDER BY c_custkey""".stripMargin)
+    },
+
+    Q("q80_lateral_topn",
+      // correlated LATERAL subquery with ORDER BY + LIMIT — per-group
+      // top-n through the SQL lateral path (the window formulation of the
+      // same shape is q09)
+      """SELECT n_name, c.c_name, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin) { (s, d) =>
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT n_name, c.c_name, c.c_acctbal
+          |FROM nation, LATERAL (
+          |  SELECT c_name, c_acctbal FROM customer
+          |  WHERE c_nationkey = n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+          |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+    },
+
+    Q("q81_event_funnel",
+      // ordered-step funnel (view → click → purchase by each user's
+      // earliest event of each type): one hash aggregation per user, one
+      // global roll-up — no self-joins, the shape that survives billions
+      // of events
+      """WITH m AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users, count(t_view) AS n_view,
+        |  count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+        |  count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS n_full_funnel
+        |FROM m""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("t_view")).as("n_view"),
+          count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+          count(when(col("t_purchase") > col("t_click") && col("t_click") > col("t_view"), 1))
+            .as("n_full_funnel"))
+    },
+
+    Q("q82_cohort_retention",
+      // cohort = each user's first-activity day; retention = distinct
+      // users active at day offsets 0/1/7/14 — two aggregations and one
+      // equi-join on user_id
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+        |  FROM events)
+        |SELECT f.cohort_day, CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS active_users
+        |FROM f JOIN a USING (user_id)
+        |WHERE date_diff('day', f.cohort_day, a.day) IN (0, 1, 7, 14)
+        |GROUP BY f.cohort_day, day_offset ORDER BY cohort_day, day_offset""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val f = ev.groupBy("user_id")
+        .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+      val a = ev.select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+      f.join(a, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+        .filter(col("day_offset").isin(0L, 1L, 7L, 14L))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("active_users"))
+        .orderBy("cohort_day", "day_offset")
     }
   )
 }
