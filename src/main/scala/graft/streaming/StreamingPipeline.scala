@@ -290,7 +290,66 @@ object StreamingPipeline extends Serializable {
     normalized
       .withWatermark("sourceTimestamp", watermark)
       .dropDuplicatesWithinWatermark("serverName", "tag", "sourceTimestamp")
+
+  /** Streaming z-score anomaly detector: per (serverName, tag), keep
+    * running count/mean/variance via Welford's online update — O(1) state
+    * per key, the streaming twin of the batch detector (q74) — and emit
+    * every reading whose z-score against the PRIOR state exceeds
+    * `zThreshold` (prior, so a spike cannot inflate its own baseline away).
+    * Nothing is emitted until a key has `minSamples` history. Within a
+    * micro-batch, readings apply in event order, so results do not depend
+    * on partition arrival order.
+    */
+  def anomalyStream(
+      normalized: DataFrame,
+      zThreshold: Double = 3.0,
+      minSamples: Int = 10): DataFrame = {
+    import normalized.sparkSession.implicits._
+    normalized.as[OpcValue]
+      .groupByKey(v => (v.serverName, v.tag))
+      .flatMapGroupsWithState[RunningStats, AnomalousReading](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, values, state: GroupState[RunningStats]) =>
+          var st = state.getOption.getOrElse(RunningStats(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[AnomalousReading]
+          values.toSeq.sortBy(v =>
+            (v.serverTimestamp.getTime, v.sourceTimestamp.getTime)).foreach { v =>
+            val x = v.doubleValue
+            if (st.n >= minSamples) {
+              val sd = math.sqrt(st.m2 / (st.n - 1))
+              if (sd > 0) {
+                val z = (x - st.mean) / sd
+                if (math.abs(z) > zThreshold)
+                  out += AnomalousReading(v.serverName, v.tag, x,
+                    v.sourceTimestamp, z, st.n)
+              }
+            }
+            val n1 = st.n + 1
+            val d = x - st.mean
+            val mean1 = st.mean + d / n1
+            st = RunningStats(n1, mean1, st.m2 + d * (x - mean1))
+          }
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
 }
+
+/** Welford accumulator for [[StreamingPipeline.anomalyStream]]:
+  * m2 = Σ(x - mean)², so variance = m2 / (n - 1).
+  */
+final case class RunningStats(n: Long, mean: Double, m2: Double)
+
+/** One flagged reading from [[StreamingPipeline.anomalyStream]]: `z` is
+  * the score against the baseline of `baselineN` PRIOR samples.
+  */
+final case class AnomalousReading(
+    serverName: String,
+    tag: String,
+    doubleValue: Double,
+    sourceTimestamp: Timestamp,
+    z: Double,
+    baselineN: Long)
 
 /** transformWithState processor for [[StreamingPipeline.latestPerTagTws]]:
   * one named ValueState cell ("latest") holding the current OpcValue per

@@ -170,6 +170,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch2("t1") == 2.0)
   }
 
+  test("anomalyStream flags outliers against the prior baseline only") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[RawReading]
+    val out = StreamingPipeline.anomalyStream(
+      StreamingPipeline.normalizeStream(mem.toDF()),
+      zThreshold = 3.0, minSamples = 10)
+    // 12 calm readings around 10.0 (warm-up + baseline), then a spike,
+    // then a calm reading again
+    val calm = (0 until 12).map(i =>
+      raw("t1", (10.0 + 0.1 * (i % 3)).toString, f"2024-06-01 10:00:${i}%02d"))
+    mem.addData(calm :+
+      raw("t1", "99.0", "2024-06-01 10:00:20") :+   // spike → flagged
+      raw("t1", "10.1", "2024-06-01 10:00:21"): _*)  // calm → not flagged
+    val q = out.writeStream
+      .format("memory").queryName("anomaly_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt-anom"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val flagged = spark.sql("SELECT tag, doubleValue, z, baselineN FROM anomaly_out")
+      .as[(String, Double, Double, Long)].collect()
+    assert(flagged.length == 1, s"only the spike flags: ${flagged.toSeq}")
+    val (tag, v, z, n) = flagged.head
+    assert(tag == "t1" && v == 99.0 && z > 3.0 && n >= 10)
+    // the post-spike calm reading was judged against a baseline already
+    // containing the spike (prior-state scoring) and still passed —
+    // i.e. the spike polluted the variance, not the emission logic
+  }
+
   test("windowedStats: tumbling windows with event-time watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[RawReading]
