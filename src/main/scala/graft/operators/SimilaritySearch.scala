@@ -213,20 +213,87 @@ object SimilaritySearch {
       nProbe: Int = 4,
       iters: Int = 3,
       trainOneIn: Int = 1): DataFrame = {
+    val (cents, assigned) =
+      ivfBuildIndex(corpus, idCol, vecCol, nCells, iters, trainOneIn)
+    ivfQueryIndex(cents, assigned, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Build the IVF index: train the coarse quantizer, then assign every
+    * corpus vector to its inverted list in one narrow pass. The returned
+    * `assigned` table is (neighbor_id, __cvec, __cell) — at scale you'd
+    * write it partitioned/bucketed by `__cell` so a probe reads only the
+    * probed lists ([[ivfSaveIndex]] does exactly that).
+    */
+  def ivfBuildIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int = 16,
+      iters: Int = 3,
+      trainOneIn: Int = 1): (Seq[Seq[Float]], DataFrame) = {
     val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters, trainOneIn)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"),
-      assignCell(col(vecCol), cents).as("__cell"))
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cvec"), assignCell(col(vecCol), cents).as("__cell"))
+    (cents, assigned)
+  }
+
+  /** Probe + exact re-rank against a built (or loaded) index. Separated
+    * from [[ivfBuildIndex]] because index build is the offline/expensive
+    * phase (full corpus scan + k-means) while querying touches only
+    * nProbe/nCells of the data — a production ANN service rebuilds rarely
+    * and queries constantly.
+    */
+  def ivfQueryIndex(
+      centroids: Seq[Seq[Float]],
+      assigned: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
-      explode(probeCells(col(vecCol), cents, nProbe)).as("__cell"))
+      explode(probeCells(col(vecCol), centroids, nProbe)).as("__cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(q, "__cell")
+    assigned.join(q, "__cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("__qvec"), col("__cvec")).as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Persist an IVF index: centroids as one tiny parquet table, the
+    * assigned corpus PARTITIONED BY cell — a later probe of p cells reads
+    * exactly p directories (partition pruning on the inverted lists),
+    * which is what makes a 100 TB corpus queryable without scanning it.
+    */
+  def ivfSaveIndex(
+      path: String,
+      centroids: Seq[Seq[Float]],
+      assigned: DataFrame): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$path/lists")
+  }
+
+  /** Load a saved IVF index. The lists table keeps its cell partitioning,
+    * so [[ivfQueryIndex]]'s probe join prunes to the probed cells.
+    */
+  def ivfLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Seq[Seq[Float]], DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      // partition-col inference reads __cell back as int — keep it int
+      .withColumn("__cell", col("__cell").cast("int"))
+    (cents, lists)
   }
 
   /** LSH-accelerated top-k: bucket corpus and queries with `nTables`

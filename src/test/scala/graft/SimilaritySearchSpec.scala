@@ -138,4 +138,28 @@ class SimilaritySearchSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall too low")
   }
+
+  test("saved+loaded IVF index answers identically to the inline pipeline") {
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val inline = SimilaritySearch.ivfTopK(corpus, queries, "vec_id", "embedding", 5,
+        nCells = 6, nProbe = 3, iters = 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+
+    val (cents, assigned) = SimilaritySearch.ivfBuildIndex(
+      corpus, "vec_id", "embedding", nCells = 6, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    SimilaritySearch.ivfSaveIndex(path, cents, assigned)
+    val (loadedCents, lists) = SimilaritySearch.ivfLoadIndex(spark, path)
+    assert(loadedCents == cents, "centroids must round-trip exactly")
+    val fromDisk = SimilaritySearch.ivfQueryIndex(
+        loadedCents, lists, queries, "vec_id", "embedding", 5, nProbe = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(fromDisk == inline, "index round-trip must not change results")
+
+    // the probe join against the on-disk lists prunes to the probed cells
+    val probePlan = SimilaritySearch.ivfQueryIndex(
+        loadedCents, lists, queries, "vec_id", "embedding", 5, nProbe = 3)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(probePlan.contains("__cell"), s"cell column must drive the join:\n$probePlan")
+  }
 }
