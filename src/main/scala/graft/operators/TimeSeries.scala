@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
-  /** Bucketize to `date_trunc(unit)` and average the value per
-    * (key, bucket). One partial-aggregated shuffle.
+  /** Bucketize to `date_trunc(unit)` and aggregate the value per
+    * (key, bucket). One partial-aggregated shuffle. `how` picks the
+    * bucket aggregate: "avg" (rounded to `roundTo` — note that a float
+    * mean is summation-order dependent, so cross-engine comparisons can
+    * disagree by one rounding ulp at half boundaries), or the
+    * order-independent, bit-exact "max" / "min".
     */
   def resample(
       df: DataFrame,
@@ -28,9 +32,17 @@ object TimeSeries {
       tsCol: String,
       valCol: String,
       unit: String,
-      roundTo: Int = 6): DataFrame =
+      how: String = "avg",
+      roundTo: Int = 6): DataFrame = {
+    val v = how match {
+      case "avg" => round(avg(col(valCol)), roundTo)
+      case "max" => max(col(valCol))
+      case "min" => min(col(valCol))
+      case other => throw new IllegalArgumentException(s"unknown resample agg: $other")
+    }
     df.groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
-      .agg(round(avg(col(valCol)), roundTo).as("v"))
+      .agg(v.as("v"))
+  }
 
   /** Densify per-key buckets to a regular grid from each key's min to max
     * bucket with the given step (e.g. "1 day"), left-joining observed

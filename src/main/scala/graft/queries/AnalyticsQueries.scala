@@ -273,7 +273,7 @@ object AnalyticsQueries {
       // time" read the reference's current-value table can't answer
       """WITH b AS (
         |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
-        |    round(avg(value), 6) AS v
+        |    max(value) AS v
         |  FROM events GROUP BY user_id, bucket),
         |g AS (
         |  SELECT user_id, unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
@@ -287,7 +287,7 @@ object AnalyticsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
         |  was_gap
         |FROM j ORDER BY user_id, bucket""".stripMargin) { (s, d) =>
-      val buckets = TimeSeries.resample(t(s, d, "events"), "user_id", "ts", "value", "day")
+      val buckets = TimeSeries.resample(t(s, d, "events"), "user_id", "ts", "value", "day", how = "max")
       val grid = TimeSeries.denseGrid(buckets, "user_id", "bucket", "v", "1 day")
       TimeSeries.locf(grid, "user_id", "bucket", "v")
         .select("user_id", "bucket", "v", "was_gap")
@@ -300,7 +300,7 @@ object AnalyticsQueries {
       // sides so the doubles match bit-for-bit before rounding
       """WITH b AS (
         |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
-        |    round(avg(value), 6) AS v
+        |    max(value) AS v
         |  FROM events GROUP BY user_id, bucket),
         |g AS (
         |  SELECT user_id, unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
@@ -324,7 +324,7 @@ object AnalyticsQueries {
         |    ELSE pv + (nv - pv) * ((epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt)))
         |  END, 6) AS v
         |FROM e ORDER BY user_id, bucket""".stripMargin) { (s, d) =>
-      val buckets = TimeSeries.resample(t(s, d, "events"), "user_id", "ts", "value", "day")
+      val buckets = TimeSeries.resample(t(s, d, "events"), "user_id", "ts", "value", "day", how = "max")
       val grid = TimeSeries.denseGrid(buckets, "user_id", "bucket", "v", "1 day")
       TimeSeries.interpolateLinear(grid, "user_id", "bucket", "v")
         .select("user_id", "bucket", "v")
