@@ -543,6 +543,69 @@ object AnalyticsQueries {
         .groupBy("cohort_day", "day_offset")
         .agg(countDistinct("user_id").as("active_users"))
         .orderBy("cohort_day", "day_offset")
+    },
+
+    Q("q83_sequence_packing",
+      // contiguous sequence packing: chunks fill 512-token training
+      // sequences in (doc_id, chunk_idx) order via a running token count —
+      // sharded so the cumsum window parallelizes (a GLOBAL packing order
+      // would serialize the window at scale; per-shard order is what a
+      // real pipeline uses). All-integer arithmetic: no float drift.
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+        |    len(toks[start : least(start + 31, len(toks))])::BIGINT AS n_tokens
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS start
+        |        FROM w)),
+        |s AS (
+        |  SELECT doc_id, chunk_idx, n_tokens, doc_id % 8 AS shard,
+        |    sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c)
+        |SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+        |  count(*) AS n_chunks, sum(n_tokens) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM s GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin) { (s, d) =>
+      val chunks = Chunking.chunkByTokens(t(s, d, "documents"), "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .withColumn("shard", col("doc_id") % 8)
+      val w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / 512).cast("long"))
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("seq_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard", "seq_id")
+    },
+
+    Q("q84_repetition_ratio",
+      // intra-document repetition (the C4/Gopher-style quality signal):
+      // share of word 3-shingles that are duplicates within the document.
+      // Integer counts + one exact rational division.
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM words WHERE len(w) >= 3)),
+        |m AS (
+        |  SELECT doc_id, count(*) AS total_shingles,
+        |    count(DISTINCT shingle) AS uniq_shingles
+        |  FROM sh GROUP BY doc_id)
+        |SELECT doc_id, total_shingles, uniq_shingles,
+        |  round(1.0 - uniq_shingles::DOUBLE / total_shingles, 6) AS rep_ratio
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.rawShingles(t(s, d, "documents"), "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total_shingles"),
+          countDistinct("shingle").as("uniq_shingles"))
+        .select(col("doc_id"), col("total_shingles"), col("uniq_shingles"),
+          round(lit(1.0d) - col("uniq_shingles").cast("double") /
+            col("total_shingles").cast("double"), 6).as("rep_ratio"))
+        .orderBy("doc_id")
     }
   )
 }
