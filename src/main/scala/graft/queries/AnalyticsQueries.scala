@@ -606,6 +606,63 @@ object AnalyticsQueries {
           round(lit(1.0d) - col("uniq_shingles").cast("double") /
             col("total_shingles").cast("double"), 6).as("rep_ratio"))
         .orderBy("doc_id")
+    },
+
+    Q("q85_window_extras",
+      // the analytic functions q48 leaves out: cume_dist, nth_value and
+      // first/last over explicit row frames — one shared window spec, one
+      // sort (same single-pass property PlanAuditSpec pins for q73)
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key,
+        |  first_value(o_orderkey) OVER w AS top_key,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, cd, o_orderkey LIMIT 400""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+          first(col("o_orderkey")).over(w).as("top_key"),
+          last(col("o_orderkey")).over(wFull).as("bottom_key"))
+        .orderBy(col("o_orderpriority"), col("cd"), col("o_orderkey"))
+        .limit(400)
+    },
+
+    Q("q86_fuzzy_match",
+      // edit-distance fuzzy matching (the typo-tolerant dedup modality the
+      // hash-based pipelines cannot provide): nation-blocked name pairs
+      // within levenshtein <= 2, aggregated per nation. Integer distances,
+      // no float drift.
+      """WITH p AS (
+        |  SELECT a.c_nationkey AS nk,
+        |    levenshtein(a.c_name, b.c_name) AS dist
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+        |SELECT nk, count(*) AS n_pairs,
+        |  count(CASE WHEN dist <= 2 THEN 1 END) AS n_close,
+        |  min(dist) AS min_dist
+        |FROM p GROUP BY nk ORDER BY nk""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k1"),
+        col("c_name").as("n1"))
+      val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k2"),
+        col("c_name").as("n2"))
+      a.join(b, Seq("nk"))
+        .filter(col("k1") < col("k2"))
+        .select(col("nk"), levenshtein(col("n1"), col("n2")).as("dist"))
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("dist") <= 2, 1)).as("n_close"),
+          min("dist").as("min_dist"))
+        .orderBy("nk")
     }
   )
 }
