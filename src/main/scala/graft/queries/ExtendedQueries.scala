@@ -429,9 +429,12 @@ object ExtendedQueries {
 
     Q("q49_range_join",
       // DuckDB plans BETWEEN as an IEJoin; the Spark side uses the bucketed
-      // equi-join rewrite (RangeJoin) — same semantics, shuffle-partitionable
+      // equi-join rewrite (RangeJoin) — same semantics, shuffle-partitionable.
+      // The pair sum reaches ~6e11 at sf0.1, where double reorder noise
+      // (~magnitude × 2⁻⁵²) exceeds a 2-decimal grid — report in millions
+      // so the rounding grid sits far above summation-order effects.
       """SELECT l.l_returnflag, count(*) AS n_pairs,
-        |  round(sum(o.o_totalprice), 2) AS sum_price
+        |  round(sum(o.o_totalprice) / 1000000, 2) AS sum_price_m
         |FROM lineitem l JOIN orders o
         |  ON l.l_shipdate::DATE BETWEEN o.o_orderdate::DATE
         |    AND o.o_orderdate::DATE + INTERVAL 30 DAY
@@ -449,7 +452,8 @@ object ExtendedQueries {
         .withColumn("end", col("start") + 30)
       RangeJoin.pointInInterval(pts, ivs, "pt", "start", "end", bucketWidth = 32)
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_pairs"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum("o_totalprice") / 1000000, 2).as("sum_price_m"))
         .orderBy("l_returnflag")
     },
 
