@@ -170,6 +170,35 @@ class StreamingSpec extends SparkSpec {
     assert(batch2("t1") == 2.0)
   }
 
+  test("streamed history table feeds the batch time-series operators end-to-end") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[RawReading]
+    val table = tmp("graft-cur2") + "/current"
+    val history = tmp("graft-hist2") + "/history"
+    // two days of readings for one tag with a one-day gap in the middle
+    mem.addData(
+      raw("t1", "10.0", "2024-06-01 10:00:00"),
+      raw("t1", "14.0", "2024-06-01 16:00:00"),
+      raw("t1", "30.0", "2024-06-03 09:00:00"))
+    val q = StreamingPipeline.currentValueSink(
+      StreamingPipeline.normalizeStream(mem.toDF()),
+      table, tmp("graft-ckpt-hist"), Trigger.AvailableNow(),
+      historyPath = Some(history)).start()
+    q.awaitTermination()
+
+    // the history table IS the analytics input: resample → grid → LOCF
+    val hist = spark.read.parquet(history)
+    val buckets = graft.operators.TimeSeries.resample(
+      hist, "tag", "sourceTimestamp", "doubleValue", "day")
+    val filled = graft.operators.TimeSeries.locf(
+      graft.operators.TimeSeries.denseGrid(buckets, "tag", "bucket", "v", "1 day"),
+      "tag", "bucket", "v")
+      .orderBy("bucket")
+      .select("v", "was_gap").as[(Double, Long)].collect()
+    // day 1 avg = 12.0; day 2 is a gap carried forward; day 3 = 30.0
+    assert(filled.toSeq === Seq((12.0, 0L), (12.0, 1L), (30.0, 0L)))
+  }
+
   test("anomalyStream flags outliers against the prior baseline only") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[RawReading]
