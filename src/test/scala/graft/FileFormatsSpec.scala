@@ -30,6 +30,18 @@ class FileFormatsSpec extends SparkSpec {
     assert(viaJson.exceptAll(src).isEmpty && src.exceptAll(viaJson).isEmpty)
   }
 
+  test("orc round-trips with predicate pushdown to the scan") {
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt-orc").toString
+    val src = Q.t(spark, "/root/testdata/sf0.001", "customer")
+    src.write.mode("overwrite").orc(s"$base/orc")
+    val back = spark.read.orc(s"$base/orc")
+    assert(back.count() === src.count())
+    val plan = back.filter(col("c_custkey") < 10)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(c_custkey"),
+      s"filter must reach the orc scan:\n$plan")
+  }
+
   test("csv scan pushes projection (ReadSchema pruned)") {
     val base = Files.createTempDirectory("graft-fmt2").toString
     Q.t(spark, "/root/testdata/sf0.001", "customer")
