@@ -26,6 +26,20 @@ class ChunkingSpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 3L, "only three tokens")))
   }
 
+  test("dropping each chunk's overlap reconstructs the token stream exactly") {
+    // lossless-coverage invariant over a sweep of lengths incl. edge cases
+    // around multiples of the stride
+    for (n <- Seq(1, 2, 7, 23, 24, 25, 47, 48, 49, 100)) {
+      val toks = (1 to n).map("t" + _)
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = Chunking.chunkByTokens(df, "doc_id", "text", chunkSize = 32, overlap = 8)
+        .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+        .map(_.split(" ").toSeq)
+      val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(8))
+      assert(rebuilt === toks, s"n=$n")
+    }
+  }
+
   test("consecutive chunks overlap by exactly `overlap` tokens") {
     val df = Seq((1L, (1 to 100).map("w" + _).mkString(" "))).toDF("doc_id", "text")
     val chunks = Chunking.chunkByTokens(df, "doc_id", "text", chunkSize = 10, overlap = 3)

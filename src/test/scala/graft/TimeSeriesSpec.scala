@@ -56,6 +56,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(f.toSeq === Seq(15.0, 30.0, 50.0, 70.0, 90.0))
   }
 
+  test("interpolated gap values always lie between their surrounding observations") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).flatMap { i =>
+      // ~40% of days observed, random values — gaps of random length
+      if (rnd.nextDouble() < 0.4)
+        Some(("k", ts(f"2024-01-01 00:00:00").toLocalDateTime
+          .plusDays(i).toString.replace('T', ' ') + ":00", rnd.nextDouble() * 100))
+      else None
+    }
+    val df = rows.toDF("k", "t", "v")
+      .withColumn("t", col("t").cast("timestamp"))
+    val buckets = TimeSeries.resample(df, "k", "t", "v", "day")
+    val grid = TimeSeries.denseGrid(buckets, "k", "bucket", "v", "1 day")
+    val interp = TimeSeries.interpolateLinear(grid, "k", "bucket", "v")
+      .orderBy("bucket").select("v", "was_gap").as[(Double, Long)].collect()
+    val obs = interp.zipWithIndex.filter(_._1._2 == 0L).map { case ((v, _), i) => (i, v) }
+    interp.zipWithIndex.filter(_._1._2 == 1L).foreach { case ((v, _), i) =>
+      val before = obs.filter(_._1 < i).lastOption.map(_._2)
+      val after = obs.find(_._1 > i).map(_._2)
+      (before, after) match {
+        case (Some(b), Some(a)) =>
+          assert(v >= math.min(a, b) - 1e-9 && v <= math.max(a, b) + 1e-9,
+            s"row $i: $v outside [$b, $a]")
+        case (None, Some(a)) => assert(v === a)
+        case (Some(b), None) => assert(v === b)
+        case _ => fail("gap with no observations at all")
+      }
+    }
+  }
+
   test("ewma folds the trailing window with the α-only recurrence") {
     val df = Seq(
       ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0)
