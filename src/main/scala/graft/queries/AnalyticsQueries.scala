@@ -667,6 +667,72 @@ object AnalyticsQueries {
           count(when(col("dist") >= 0, 1)).as("n_close"),
           coalesce(min(when(col("dist") >= 0, col("dist"))), lit(-1)).as("min_close"))
         .orderBy("nk")
+    },
+
+    Q("q87_equidepth_histogram",
+      // equi-depth (quantile) histogram via global ntile — the profiling
+      // twin of q69's equi-width bins. A global ntile serializes one
+      // window at scale; the 100 TB path is approx_percentile boundaries
+      // (q57) + a bucketing join — this query pins the exact semantics.
+      // Counts and min/max only: all order-independent and exact.
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |    CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n, round(min(o_totalprice), 2) AS mn,
+        |  round(max(o_totalprice), 2) AS mx
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_totalprice"), ntile(10).over(w).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(min("o_totalprice"), 2).as("mn"),
+          round(max("o_totalprice"), 2).as("mx"))
+        .orderBy("bucket")
+    },
+
+    Q("q88_null_semantics",
+      // NULL-semantics pin-down: a nullable group key (the NULL group),
+      // count(*) vs count(col), aggregates skipping NULLs, and distinct
+      // over a nullable column — the places engines classically diverge
+      """WITH e AS (
+        |  SELECT nullif(event_type, 'error') AS et,
+        |    CASE WHEN value < 1 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT et, count(*) AS n_rows, count(v) AS n_vals,
+        |  count(*) - count(v) AS n_nulls,
+        |  round(coalesce(avg(v), -1), 4) AS avg_v,
+        |  count(DISTINCT v) AS n_distinct_vals
+        |FROM e GROUP BY et ORDER BY et NULLS FIRST""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(expr("nullif(event_type, 'error')").as("et"),
+          when(col("value") < 1, lit(null)).otherwise(col("value")).as("v"))
+        .groupBy("et")
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_vals"),
+          (count(lit(1)) - count(col("v"))).as("n_nulls"),
+          round(coalesce(avg("v"), lit(-1d)), 4).as("avg_v"),
+          countDistinct(col("v")).as("n_distinct_vals"))
+        .orderBy(col("et").asc_nulls_first)
+    },
+
+    Q("q89_decimal_exact_sum",
+      // exact DECIMAL aggregation: cast cents-valued doubles to
+      // DECIMAL(18,2) and sum WITHOUT float reorder noise (integer cents
+      // under the hood, associative and order-independent) — the antidote
+      // to the magnitude-dependent rounding hazard q49 hit. One final
+      // double conversion of the exact total on both sides.
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     }
   )
 }
