@@ -137,6 +137,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q83: packing aggregates partially after the sharded cumsum window") {
+    val p = plan("q83_sequence_packing")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the per-sequence roll-up must partial-aggregate:\n$p")
+    // window partitions by shard, never globally
+    assert(!p.contains("No Partition Defined"), s"cumsum must be sharded:\n$p")
+  }
+
+  test("q85: all four analytic functions share one window sort") {
+    val p = plan("q85_window_extras")
+    val ops = """\(\d+\) (\w+)""".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    val first = ops.indexOf("Window"); val last = ops.lastIndexOf("Window")
+    assert(first >= 0, s"expected window operators:\n$p")
+    assert(!ops.slice(first + 1, last).exists(o => o == "Exchange" || o == "Sort"),
+      s"window stack must not re-sort between functions ($ops):\n$p")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
