@@ -39,10 +39,22 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     import os
+    # manifest.json records which queries Verify ATTEMPTED (name -> "ok" or
+    # error text), so a crashed query (attempted, no result dir) counts as
+    # FAIL instead of being indistinguishable from a name-filtered one.
+    manifest = None
+    if os.path.exists(f"{out_dir}/manifest.json"):
+        manifest = json.load(open(f"{out_dir}/manifest.json"))
     for name in sorted(oracles):
         sql = oracles[name]
-        if not os.path.isdir(f"{out_dir}/{name}"):
+        if manifest is not None and name not in manifest:
             continue  # query filtered out of this Verify run (local iteration)
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            if manifest is None:
+                continue  # pre-manifest output dir: can't distinguish, skip
+            print(f"FAIL {name}: verify crashed: {manifest.get(name, '?')}")
+            n_fail += 1
+            continue
         try:
             got = canon(con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
@@ -53,6 +65,18 @@ def main(sf_dir, out_dir):
             continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1
+            continue
+        # The driver's hash is TYPE-sensitive: DuckDB HUGEINT (e.g. an
+        # uncast sum(BIGINT)) surfaces as float64 and hashes differently
+        # from Spark's int64 even when every value is numerically equal.
+        # That bit q83 in round 2 — flag dtype kind mismatches as FAIL.
+        kind_bad = [c for c in got.columns
+                    if got[c].dtype.kind != exp[c].dtype.kind]
+        if kind_bad:
+            c = kind_bad[0]
+            print(f"FAIL {name}: col {c} dtype spark={got[c].dtype} "
+                  f"duckdb={exp[c].dtype} (driver hash is type-sensitive)")
             n_fail += 1
             continue
         if len(got) != len(exp):

@@ -98,8 +98,6 @@ object TimeSeries {
     val pt = last(when(v.isNotNull, col(bucketCol)), ignoreNulls = true).over(asc)
     val nv = first(v, ignoreNulls = true).over(desc)
     val nt = first(when(v.isNotNull, col(bucketCol)), ignoreNulls = true).over(desc)
-    val frac = (unix_timestamp(col(bucketCol)) - unix_timestamp(pt)).cast("double") /
-      (unix_timestamp(nt) - unix_timestamp(pt)).cast("double")
     grid.withColumn("__pv", pv).withColumn("__pt", pt)
       .withColumn("__nv", nv).withColumn("__nt", nt)
       .withColumn(valCol, round(
@@ -123,6 +121,12 @@ object TimeSeries {
     * a decimal (1-α) literal an external oracle would parse, while this
     * form only ever evaluates α itself. One shuffle on the key, one sort,
     * no UDF.
+    *
+    * The value column must be non-null: `collect_list` DROPS nulls, so a
+    * null row would silently shrink the trailing window (and misalign
+    * against engines whose list() keeps nulls). Null-valued rows are
+    * filtered out up front to make that contract explicit rather than
+    * position-dependent.
     */
   def ewma(
       df: DataFrame,
@@ -135,7 +139,7 @@ object TimeSeries {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
       .rowsBetween(-(lookback - 1), Window.currentRow)
     val l = collect_list(col(valCol)).over(w)
-    df.withColumn("ewma", round(
+    df.filter(col(valCol).isNotNull).withColumn("ewma", round(
       aggregate(
         slice(l, 2, lookback),
         element_at(l, 1),

@@ -359,7 +359,7 @@ object AnalyticsQueries {
         |  SELECT user_id, event_id,
         |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lv
-        |  FROM events WHERE user_id < 30)
+        |  FROM events WHERE user_id < 30 AND value IS NOT NULL)
         |SELECT user_id, event_id,
         |  round(list_reduce(lv, (acc, x) -> acc + (x - acc) * 0.3), 6) AS ewma
         |FROM l ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
@@ -564,7 +564,7 @@ object AnalyticsQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM c)
         |SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
-        |  count(*) AS n_chunks, sum(n_tokens) AS seq_tokens,
+        |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM s GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin) { (s, d) =>
       val chunks = Chunking.chunkByTokens(t(s, d, "documents"), "doc_id", "text",
