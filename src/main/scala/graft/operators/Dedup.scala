@@ -341,6 +341,91 @@ object Dedup {
     labels
   }
 
+  /** All deletion variants of `strCol` with up to `maxDist` characters
+    * removed (including the unmodified string), as 64-bit hashes:
+    * (blockCols..., idCol, __vh), deduplicated per row. The SymSpell /
+    * deletion-neighborhood candidate generator: if levenshtein(a, b) ≤ k,
+    * the characters matched by an optimal alignment form a common
+    * subsequence reachable from BOTH strings by at most k deletions, so a
+    * and b share at least one variant — candidate recall is EXACT for edit
+    * distance ≤ maxDist, no tuning. Variant count per row is
+    * O(len^maxDist) (len ≈ 18 ⇒ ≤ 172 for maxDist = 2), so this is the
+    * right tool for SHORT key strings (names, titles, codes), not document
+    * bodies. Built codegen-style: explode int sequences + substr/concat,
+    * no interpreted lambdas (q76 lesson).
+    */
+  private def deletionVariants(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int,
+      blockCols: Seq[String]): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, s"maxDist must be 1 or 2, got $maxDist")
+    val s = col(strCol)
+    def proj(variant: Column) =
+      blockCols.map(col) :+ col(idCol) :+ xxhash64(variant).as("__vh")
+    val base = df.select(proj(s): _*)
+    // single deletion at position __i (empty strings guarded: sequence()
+    // with start > stop would step BACKWARDS, not return empty)
+    val d1 = df.filter(length(s) >= 1)
+      .select(blockCols.map(col) :+ col(idCol) :+ s.as("__s") :+
+        explode(sequence(lit(1), length(s))).as("__i"): _*)
+      .select(proj(concat(
+        col("__s").substr(lit(1), col("__i") - 1),
+        col("__s").substr(col("__i") + 1, length(col("__s"))))): _*)
+    val d2 = if (maxDist < 2) Nil else Seq(
+      df.filter(length(s) >= 2)
+        .select(blockCols.map(col) :+ col(idCol) :+ s.as("__s") :+
+          explode(sequence(lit(1), length(s) - 1)).as("__i"): _*)
+        .select(blockCols.map(col) :+ col(idCol) :+ col("__s") :+ col("__i") :+
+          explode(sequence(col("__i") + 1, length(col("__s")))).as("__j"): _*)
+        .select(proj(concat(
+          col("__s").substr(lit(1), col("__i") - 1),
+          col("__s").substr(col("__i") + 1, col("__j") - col("__i") - 1),
+          col("__s").substr(col("__j") + 1, length(col("__s"))))): _*))
+    (Seq(base, d1) ++ d2).reduce(_ unionByName _).distinct()
+  }
+
+  /** Edit-distance pairs via deletion-neighborhood candidate generation:
+    * (blockCols..., id1, id2, dist) for every within-block pair with
+    * levenshtein ≤ maxDist, id1 < id2 — the EXACT result of the quadratic
+    * within-block scan, at candidate cost ∝ rows · len^maxDist instead of
+    * pairs ∝ block². The fixed-block quadratic formulation dies at scale
+    * (a 25-block key means 100× data ⇒ 10 000× pairs); here candidates
+    * grow linearly with the corpus because they come from an equi-join on
+    * variant hashes. Verification is the thresholded `levenshtein(_,_,k)`
+    * banded scan, run only on deduplicated candidates — it also absorbs
+    * the ~2⁻⁶⁴ variant-hash-collision false positives. This is also the
+    * candidate generator that does NOT degenerate on shared-template
+    * strings (all "Customer#…" names share their first piece, which kills
+    * piece-partition filters like PassJoin; a shared PREFIX is harmless
+    * here because candidates need a shared full-length-minus-k
+    * subsequence).
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val v = deletionVariants(df, idCol, strCol, maxDist, blockCols)
+    val keys = blockCols :+ "__vh"
+    val a = v.select(keys.map(col) :+ col(idCol).as("id1"): _*)
+    val b = v.select(keys.map(col) :+ col(idCol).as("id2"): _*)
+    val cand = a.join(b, keys)
+      .filter(col("id1") < col("id2"))
+      .select(blockCols.map(col) :+ col("id1") :+ col("id2"): _*)
+      // a close pair shares MANY variants (a distance-1 pair shares
+      // O(len)): dedupe before running the verify scan
+      .distinct()
+    val s1 = df.select(col(idCol).as("id1"), col(strCol).as("__s1"))
+    val s2 = df.select(col(idCol).as("id2"), col(strCol).as("__s2"))
+    cand.join(s1, "id1").join(s2, "id2")
+      .select(blockCols.map(col) :+ col("id1") :+ col("id2") :+
+        levenshtein(col("__s1"), col("__s2"), maxDist).as("dist"): _*)
+      .filter(col("dist") >= 0)
+  }
+
   /** SimHash banded near-dup pairs. Splits the `sigBits`-bit signature into
     * `nBands` equal bit-bands; pairs sharing any band are candidates, then
     * filtered to hamming(sig1, sig2) ≤ maxHamming. With maxHamming <

@@ -253,9 +253,18 @@ object SimilaritySearch {
       nProbe: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
       explode(probeCells(col(vecCol), centroids, nProbe)).as("__cell"))
+    // Push the probed-cell set onto the lists scan as a STATIC IN filter:
+    // the distinct cell count is bounded by nCells (a few thousand at
+    // most), so this driver collect is O(nCells) regardless of corpus or
+    // query volume, and on a cell-partitioned saved index
+    // ([[ivfSaveIndex]]) it becomes PartitionFilters — the probe reads
+    // exactly the probed list directories instead of relying on runtime
+    // DPP heuristics to maybe prune them.
+    val probedCells = q.select("__cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    assigned.join(q, "__cell")
+    assigned.filter(col("__cell").isInCollection(probedCells)).join(q, "__cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("__qvec"), col("__cvec")).as("cosine"))

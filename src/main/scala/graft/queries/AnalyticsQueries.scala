@@ -638,12 +638,16 @@ object AnalyticsQueries {
 
     Q("q86_fuzzy_match",
       // edit-distance fuzzy matching (the typo-tolerant dedup modality the
-      // hash-based pipelines cannot provide): nation-blocked name pairs
-      // within levenshtein <= 2, aggregated per nation. The engine side
-      // uses the THRESHOLDED levenshtein — a banded O(k·n) scan with early
-      // exit instead of the full O(n·m) matrix, 4× faster over the ~4.5M
-      // block pairs at sf0.1; the oracle spells the same semantics with
-      // the unbounded function. Integer distances, no float drift.
+      // hash-based pipelines cannot provide): within-nation name pairs at
+      // levenshtein <= 2, aggregated per nation. The engine side never
+      // forms the quadratic pair set: close pairs come from
+      // Dedup.editDistancePairs (deletion-neighborhood candidates — exact
+      // for d <= 2, candidates ∝ n·len², verified with the banded
+      // levenshtein(_,_,2)), and the total-pair count is C(n,2) per nation
+      // from a plain aggregate. The fixed-25-block quadratic this replaces
+      // was 4.5M pairs at sf0.1 → 45B at 100×; the oracle still spells the
+      // quadratic semantics, which is exactly what the operator must
+      // reproduce. Integer distances, no float drift.
       """WITH p AS (
         |  SELECT a.c_nationkey AS nk,
         |    levenshtein(a.c_name, b.c_name) AS dist
@@ -654,18 +658,20 @@ object AnalyticsQueries {
         |  coalesce(min(CASE WHEN dist <= 2 THEN dist END), -1) AS min_close
         |FROM p GROUP BY nk ORDER BY nk""".stripMargin) { (s, d) =>
       val c = t(s, d, "customer")
-      val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k1"),
-        col("c_name").as("n1"))
-      val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k2"),
-        col("c_name").as("n2"))
-      // levenshtein(_, _, 2) returns -1 for distances above the bound
-      a.join(b, Seq("nk"))
-        .filter(col("k1") < col("k2"))
-        .select(col("nk"), levenshtein(col("n1"), col("n2"), 2).as("dist"))
-        .groupBy("nk")
-        .agg(count(lit(1)).as("n_pairs"),
-          count(when(col("dist") >= 0, 1)).as("n_close"),
-          coalesce(min(when(col("dist") >= 0, col("dist"))), lit(-1)).as("min_close"))
+      val closeAgg = Dedup.editDistancePairs(c, "c_custkey", "c_name",
+          maxDist = 2, blockCols = Seq("c_nationkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("__n_close"), min("dist").as("__min_close"))
+      // total pairs per nation = C(cnt, 2), integer DIV (the product is
+      // even; DIV keeps it exact where a double division would lose
+      // precision past 2^53 at cluster-scale counts)
+      c.groupBy("c_nationkey").agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") >= 2)
+        .withColumn("n_pairs", expr("__cnt * (__cnt - 1) DIV 2"))
+        .join(closeAgg, Seq("c_nationkey"), "left")
+        .select(col("c_nationkey").as("nk"), col("n_pairs"),
+          coalesce(col("__n_close"), lit(0L)).as("n_close"),
+          coalesce(col("__min_close"), lit(-1)).as("min_close"))
         .orderBy("nk")
     },
 

@@ -177,6 +177,41 @@ class DedupSpec extends SparkSpec {
     assert(j.isEmpty || j.head < 0.5) // size-ratio prune may drop it outright
   }
 
+  test("editDistancePairs equals brute force, incl. shared-template strings") {
+    // covers substitution / insertion / deletion / mixed edits, length
+    // differences, a shared template prefix (the case that killed the
+    // PassJoin prototype), cross-block exclusion, and far pairs
+    val df = Seq(
+      (1L, "Customer#000000001", "A"),
+      (2L, "Customer#000000002", "A"),  // 1 substitution from 1
+      (3L, "Customer#000000012", "A"),  // 2 substitutions from 1
+      (4L, "Customer#00000001", "A"),   // 1 deletion from 1
+      (5L, "Customer#0000000012", "A"), // 1 insertion from 3
+      (6L, "Customer#000000001", "B"),  // identical to 1, DIFFERENT block
+      (7L, "Supplier#000000001", "A"),  // far from all (3 subs from 1)
+      (8L, "", "A"),                    // empty string edge case
+      (9L, "ab", "A"))                  // short string edge case
+      .toDF("id", "name", "blk")
+    val got = Dedup.editDistancePairs(df, "id", "name", maxDist = 2, Seq("blk"))
+      .select("id1", "id2", "dist").as[(Long, Long, Int)].collect().toSet
+    val local = df.select("id", "name", "blk").as[(Long, String, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (i, si, bi) <- local; (j, sj, bj) <- local
+      if i < j && bi == bj && lev(si, sj) <= 2
+    } yield (i, j, lev(si, sj))).toSet
+    assert(got == brute)
+    assert(brute.contains((1L, 4L, 1)) && brute.contains((3L, 5L, 1)))
+    assert(!brute.exists { case (a, b, _) => a == 6L || b == 6L })
+  }
+
   test("minhash signature is the true min over the Kirsch-Mitzenmacher family") {
     val sh = Dedup.shingles(corpus.filter(col("doc_id") === 1L), "doc_id", "text", 3)
     val sig = Dedup.minhashSignatures(sh, "doc_id", 4)

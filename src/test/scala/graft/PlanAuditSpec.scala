@@ -154,6 +154,41 @@ class PlanAuditSpec extends SparkSpec {
       s"window stack must not re-sort between functions ($ops):\n$p")
   }
 
+  test("q86: deletion-neighborhood fuzzy match joins only on equi-keys") {
+    val p = plan("q86_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$p")
+  }
+
+  test("q86: close-pair volume grows sub-quadratically with corpus size") {
+    // runtime property, not plan shape: deletion-neighborhood candidates
+    // come from an equi-join on variant hashes, so pair volume tracks the
+    // DATA's neighbor density (~n · digits²), not block². Measured on the
+    // fixed testdata: 8 327 close pairs at sf0.01 → 163 383 at sf0.1
+    // (19.6× for 10× rows); the quadratic fixed-block formulation grows
+    // 100×. The 40× bound separates the two regimes with headroom.
+    def closePairs(sf: String): Long =
+      graft.operators.Dedup.editDistancePairs(
+        graft.queries.Q.t(spark, s"/root/testdata/sf$sf", "customer"),
+        "c_custkey", "c_name", maxDist = 2, Seq("c_nationkey")).count()
+    val n1 = closePairs("0.01"); val n10 = closePairs("0.1")
+    assert(n1 > 0, "expected close pairs at sf0.01")
+    assert(n10.toDouble / n1 < 40.0,
+      s"close pairs grew $n1 -> $n10 (${n10.toDouble / n1}x) — quadratic regression?")
+  }
+
+  test("q58: dupClusters' iterative lineage is truncated by checkpointing") {
+    // a 40-link chain takes ~6 pointer-jumping rounds; each round
+    // self-joins the previous labels, so WITHOUT localCheckpoint the
+    // logical plan doubles per round (hundreds of nodes, analyzer OOM at
+    // scale). The returned plan must be a flat checkpointed scan.
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = graft.operators.Dedup.dupClusters(chain)
+    val nNodes = labels.queryExecution.optimizedPlan.collect { case n => n }.size
+    assert(nNodes < 10, s"expected a checkpoint-truncated plan, got $nNodes nodes")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning

@@ -157,9 +157,14 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(fromDisk == inline, "index round-trip must not change results")
 
     // the probe join against the on-disk lists prunes to the probed cells
+    // STATICALLY (the isInCollection pushdown in ivfQueryIndex), not via
+    // runtime DPP heuristics: PartitionFilters on the lists scan must
+    // constrain __cell, so a 100 TB index reads only the probed
+    // directories
     val probePlan = SimilaritySearch.ivfQueryIndex(
         loadedCents, lists, queries, "vec_id", "embedding", 5, nProbe = 3)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(probePlan.contains("__cell"), s"cell column must drive the join:\n$probePlan")
+    val pf = """PartitionFilters: \[[^\]]*__cell[^\]]*\]""".r.findFirstIn(probePlan)
+    assert(pf.isDefined, s"probe must prune list partitions statically:\n$probePlan")
   }
 }
