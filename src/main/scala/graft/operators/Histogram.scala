@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Equi-depth (quantile) histograms at scale (SURVEY.md §2 profiling
+  * extras — no reference analog; the reference has no analytics surface).
+  *
+  * The textbook formulation — `ntile(b) OVER (ORDER BY v)` — is an
+  * UNPARTITIONED window: Spark moves the entire input into one task and
+  * sorts it there, a driver-adjacent serial bottleneck that dies long
+  * before 100 TB. Both operators here produce equi-depth buckets without
+  * any global single-task stage:
+  *
+  *  - [[ntileExact]]: bit-identical to the ntile window (the exact
+  *    semantics an oracle can pin), built from a range repartition + local
+  *    sorts + a per-partition offset fix-up — the classic two-phase
+  *    distributed ranking. Every stage is parallel.
+  *  - [[equiDepthApprox]]: approx_percentile boundaries + a codegen'd
+  *    CASE-chain bucket assignment — zero extra shuffles beyond the final
+  *    tiny aggregation. The 100 TB default when "each bucket within ε of
+  *    n/b" is good enough (profiling, skew detection, bucketing joins).
+  */
+object Histogram {
+
+  /** Append an exact 0-based global rank in `orderCols` order, without an
+    * unpartitioned window. Phase 1: range-repartition + sort within
+    * partitions (parallel; range boundaries come from Spark's sampling
+    * sketch, so partitions are balanced under skew). Phase 2: zipWithIndex
+    * converts per-partition positions to global ranks with one O(partitions)
+    * count job — the standard distributed ranking shape.
+    *
+    * The RDD hop is deliberate: this is genuine per-partition imperative
+    * logic (emit position offsets), the one place mapPartitions-style code
+    * beats any DataFrame formulation. Ties in `orderCols` must be broken
+    * by the caller (include a unique key) for a deterministic rank.
+    */
+  def withGlobalRank(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      rankCol: String = "rank"): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(nPart, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = sorted.schema.add(rankCol, LongType, nullable = false)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+
+  /** Exact ntile(nBuckets) over a global (orderCols) order — the same
+    * bucket every engine's ntile window assigns (first `n mod b` buckets
+    * one row larger) — with no unpartitioned window anywhere in the plan.
+    * Adds a long `bucket` column in 1..nBuckets. One extra pass over the
+    * input (the total-row count) plus the two ranking phases; all
+    * parallel.
+    */
+  def ntileExact(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val n = df.count()
+    val q = n / nBuckets
+    val rem = n % nBuckets
+    val threshold = rem * (q + 1)
+    val r = col("__rank")
+    // SQL DIV: exact integer division (a double round-trip loses exactness
+    // past 2^53). greatest(q, 1) keeps the dead branch well-defined under
+    // ANSI when n < nBuckets (q = 0: every row is below threshold).
+    val bucket = when(r < threshold, expr(s"__rank DIV ${q + 1}"))
+      .otherwise(lit(rem) + expr(s"(__rank - $threshold) DIV ${math.max(q, 1L)}"))
+    withGlobalRank(df, orderCols, "__rank")
+      .withColumn("bucket", (bucket + 1).cast("long"))
+      .drop("__rank")
+  }
+
+  /** Approximate equi-depth histogram: (bucket, n, mn, mx) with bucket in
+    * 1..nBuckets. Boundaries are approx_percentile quantiles (collected to
+    * the driver: nBuckets-1 doubles, O(1) in data size); assignment is a
+    * codegen'd CASE chain (no lambda, no join, no shuffle); the only
+    * exchange is the final nBuckets-row aggregation. Bucket populations are
+    * within the sketch's rank error of n/nBuckets — tolerance asserted in
+    * HistogramSpec. `valueCol` must be numeric.
+    */
+  def equiDepthApprox(
+      df: DataFrame,
+      valueCol: String,
+      nBuckets: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val boundaries = df
+      .agg(expr(s"approx_percentile(CAST($valueCol AS DOUBLE), " +
+        s"array(${probs.mkString(", ")}), $accuracy)").as("__b"))
+      .head().getSeq[Double](0)
+    val v = col(valueCol).cast("double")
+    val first = when(v <= boundaries.head, 1)
+    val chain = boundaries.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (b, i)) => acc.when(v <= b, i + 2)
+    }
+    df.withColumn("bucket", chain.otherwise(nBuckets).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx"))
+      .orderBy("bucket")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PiiRedact, TextAnalysis}
-import graft.operators.{Chunking, Dedup, TimeSeries}
+import graft.operators.{Chunking, Dedup, Histogram, TimeSeries}
 import Q.t
 
 /** Round-2 widening of the query inventory: subquery planning (scalar /
@@ -676,10 +676,13 @@ object AnalyticsQueries {
     },
 
     Q("q87_equidepth_histogram",
-      // equi-depth (quantile) histogram via global ntile — the profiling
-      // twin of q69's equi-width bins. A global ntile serializes one
-      // window at scale; the 100 TB path is approx_percentile boundaries
-      // (q57) + a bucketing join — this query pins the exact semantics.
+      // equi-depth (quantile) histogram — the profiling twin of q69's
+      // equi-width bins. The ORACLE pins the textbook ntile semantics;
+      // the engine side reproduces them EXACTLY via Histogram.ntileExact
+      // (range repartition + local sorts + per-partition offset fix-up —
+      // the two-phase distributed ranking), so no unpartitioned window
+      // appears anywhere in the plan. The ε-tolerant 100 TB variant is
+      // Histogram.equiDepthApprox (spec-checked against this exact form).
       // Counts and min/max only: all order-independent and exact.
       """WITH r AS (
         |  SELECT o_totalprice,
@@ -688,9 +691,9 @@ object AnalyticsQueries {
         |SELECT bucket, count(*) AS n, round(min(o_totalprice), 2) AS mn,
         |  round(max(o_totalprice), 2) AS mx
         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, d, "orders")
-        .select(col("o_totalprice"), ntile(10).over(w).cast("long").as("bucket"))
+      Histogram.ntileExact(
+          t(s, d, "orders").select("o_totalprice", "o_orderkey"),
+          Seq(col("o_totalprice"), col("o_orderkey")), 10)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), round(min("o_totalprice"), 2).as("mn"),
           round(max("o_totalprice"), 2).as("mx"))
