@@ -88,6 +88,248 @@ object Multimodal {
       col("feature"))
   }
 
+  // ===================== REAL BMP DECODE (pure JVM) =====================
+  // 24-bit uncompressed BMP is fully parseable with no codec libraries:
+  // little-endian header fields, bottom-up padded pixel rows. This makes
+  // the image-decode path REAL (q44 is oracle-checked against it), while
+  // formats needing codecs (JPEG/MP4) keep the stub shape above.
+
+  val bmpStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false),
+    StructField("weighted_r", LongType, nullable = false)))
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** Parse a 24-bit uncompressed BMP and compute per-channel pixel stats.
+    * Handles bottom-up (positive height) and top-down (negative height)
+    * storage and 4-byte row padding. `weighted_r` = Σ i·R(i) over the
+    * LOGICAL pixel index i = y·width + x (y = 0 at the top) — a
+    * position-sensitive checksum that catches orientation and padding
+    * bugs that order-independent means would mask. Returns None for
+    * anything that is not a valid 24-bit BMP (wrong magic, compressed,
+    * truncated).
+    */
+  private[graft] def decodeBmpStats(id: Long, bytes: Array[Byte]): Option[Row] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val off = le32(bytes, 10)
+    val w = le32(bytes, 18)
+    val hRaw = le32(bytes, 22)
+    val bpp = le16(bytes, 28)
+    val comp = le32(bytes, 30)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || bpp != 24 || comp != 0) return None
+    val rowSize = ((3 * w + 3) / 4) * 4
+    if (off + rowSize.toLong * h > bytes.length) return None
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
+    var sr = 0
+    while (sr < h) {
+      val y = if (topDown) sr else h - 1 - sr
+      val base = off + sr * rowSize
+      var x = 0
+      while (x < w) {
+        val b = bytes(base + 3 * x) & 0xff
+        val g = bytes(base + 3 * x + 1) & 0xff
+        val r = bytes(base + 3 * x + 2) & 0xff
+        sumB += b; sumG += g; sumR += r
+        wR += (y.toLong * w + x) * r
+        x += 1
+      }
+      sr += 1
+    }
+    val n = w.toLong * h
+    Some(Row(id, w, h, n, sumR.toDouble / n, sumG.toDouble / n,
+      sumB.toDouble / n, wR))
+  }
+
+  /** Per-partition REAL decode of (idCol, blob) rows into
+    * [[bmpStatsSchema]]; rows that fail to parse are dropped (the at-scale
+    * posture for a corpus with stray corrupt payloads — count them
+    * upstream if the drop rate matters).
+    */
+  def decodeBmpFeatures(blobs: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(bmpStatsSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeBmpStats(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx))
+      }
+    }(enc)
+  }
+
+  /** Encode a 24-bit bottom-up BMP with the deterministic pixel formula
+    * r = (3·id + 7·i) mod 256, g = (2·id + 5·i) mod 256,
+    * b = (id + 3·i) mod 256 over logical index i = y·width + x. The
+    * fixture generator for the decode gate: the bytes are a REAL padded
+    * BMP, and an oracle can predict the decoded stats from the formula
+    * alone — any parser disagreement (offset, padding, orientation,
+    * channel order) breaks the match.
+    */
+  private[graft] def encodeSyntheticBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val size = 54 + rowSize * h
+    val b = new Array[Byte](size)
+    b(0) = 'B'; b(1) = 'M'
+    def putLe32(o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(2, size); putLe32(10, 54)
+    putLe32(14, 40); putLe32(18, w); putLe32(22, h)
+    b(26) = 1; b(28) = 24 // planes = 1, bpp = 24
+    putLe32(34, rowSize * h)
+    var sr = 0
+    while (sr < h) {
+      val y = h - 1 - sr // bottom-up storage
+      val base = 54 + sr * rowSize
+      var x = 0
+      while (x < w) {
+        val i = y.toLong * w + x
+        b(base + 3 * x) = ((id + 3 * i) % 256).toByte
+        b(base + 3 * x + 1) = ((2 * id + 5 * i) % 256).toByte
+        b(base + 3 * x + 2) = ((3 * id + 7 * i) % 256).toByte
+        x += 1
+      }
+      sr += 1
+    }
+    b
+  }
+
+  /** Deterministic fixture BMP per id: (id, blob) with
+    * width = 8 + id mod 9 (so row padding varies 0–3 bytes) and
+    * height = 8 + id mod 7. Narrow per-row work, no shuffle.
+    */
+  def syntheticBmps(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, encodeSyntheticBmp(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt))
+      }
+    }(enc)
+  }
+
+  // ===================== REAL WAV DECODE (pure JVM) =====================
+  // RIFF/WAVE PCM16 is the audio analog of the BMP path: chunked
+  // little-endian container, no codec needed. Real header walk (tolerates
+  // extra chunks before `data`), real sample parse.
+
+  val wavStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("mean_amp", DoubleType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false)))
+
+  /** Parse a RIFF/WAVE file containing PCM16 audio and compute sample
+    * stats: count, mean amplitude, Σ|sample| (exact integer). Walks the
+    * chunk list (so files with LIST/fact chunks between fmt and data still
+    * parse); returns None for non-RIFF input, non-PCM16 encodings, or a
+    * truncated data chunk.
+    */
+  private[graft] def decodeWavStats(id: Long, bytes: Array[Byte]): Option[Row] = {
+    if (bytes.length < 44) return None
+    if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
+    var pos = 12
+    var sampleRate = -1; var nChannels = -1; var bps = -1; var fmtOk = false
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
+      val cid = new String(bytes, pos, 4, "US-ASCII")
+      val clen = le32(bytes, pos + 4)
+      if (clen < 0 || pos + 8 + clen > bytes.length) return None
+      if (cid == "fmt " && clen >= 16) {
+        val audioFormat = le16(bytes, pos + 8)
+        nChannels = le16(bytes, pos + 10)
+        sampleRate = le32(bytes, pos + 12)
+        bps = le16(bytes, pos + 22)
+        fmtOk = audioFormat == 1 && bps == 16 && nChannels >= 1
+      } else if (cid == "data") {
+        dataOff = pos + 8; dataLen = clen
+      }
+      pos += 8 + clen + (clen & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0 || dataLen % 2 != 0) return None
+    val n = dataLen / 2
+    var sum = 0L; var sumAbs = 0L
+    var i = 0
+    while (i < n) {
+      val s = (le16(bytes, dataOff + 2 * i) << 16) >> 16 // sign-extend
+      sum += s; sumAbs += math.abs(s)
+      i += 1
+    }
+    Some(Row(id, sampleRate, nChannels, n.toLong,
+      if (n == 0) 0.0 else sum.toDouble / n, sumAbs))
+  }
+
+  /** Per-partition REAL WAV decode of (idCol, blob) rows into
+    * [[wavStatsSchema]]; unparseable rows are dropped.
+    */
+  def decodeWavFeatures(blobs: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(wavStatsSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWavStats(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx))
+      }
+    }(enc)
+  }
+
+  /** Encode a mono PCM16 WAV with the deterministic sample formula
+    * s(i) = ((13·id + 31·i) mod 65536) − 32768 — the audio fixture for the
+    * decode gate, predictable by an oracle from the formula alone.
+    */
+  private[graft] def encodeSyntheticWav(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val b = new Array[Byte](44 + dataLen)
+    def putStr(o: Int, s: String): Unit = s.zipWithIndex.foreach { case (c, i) => b(o + i) = c.toByte }
+    def put32(o: Int, v: Int): Unit = (0 until 4).foreach(k => b(o + k) = ((v >> (8 * k)) & 0xff).toByte)
+    def put16(o: Int, v: Int): Unit = { b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte }
+    putStr(0, "RIFF"); put32(4, 36 + dataLen); putStr(8, "WAVE")
+    putStr(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+    put32(24, sampleRate); put32(28, sampleRate * 2); put16(32, 2); put16(34, 16)
+    putStr(36, "data"); put32(40, dataLen)
+    var i = 0
+    while (i < nSamples) {
+      put16(44 + 2 * i, (((13 * id + 31 * i) % 65536) - 32768).toInt & 0xffff)
+      i += 1
+    }
+    b
+  }
+
+  /** Deterministic fixture WAV per id: (id, blob) with
+    * n_samples = 64 + id mod 129. Narrow per-row work, no shuffle.
+    */
+  def syntheticWavs(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodeSyntheticWav(id, 64 + (id % 129).toInt))
+      }
+    }(enc)
+  }
+
   /** "Frame sampling" for a chunked binary stream: split the blob into
     * fixed-size chunks, keep every `stride`-th chunk, fingerprint each kept
     * chunk (64-bit FNV-1a). Mirrors video-frame subsampling where the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PiiRedact, TextAnalysis}
-import graft.operators.{Chunking, Dedup, Histogram, TimeSeries}
+import graft.operators.{Chunking, Dedup, Histogram, Multimodal, TimeSeries}
 import Q.t
 
 /** Round-2 widening of the query inventory: subquery planning (scalar /
@@ -742,6 +742,32 @@ object AnalyticsQueries {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    },
+
+    Q("q90_audio_decode",
+      // REAL audio decode, oracle-checked — the WAV sibling of q44: the
+      // engine builds a genuine RIFF/WAVE PCM16 file per document
+      // (deterministic sample formula) and parses it back with the
+      // pure-JVM chunk-walking decoder. The oracle predicts the stats
+      // from the formula; sums are exact integers (|s| <= 32768, n <= 193
+      // → far below 2^53), the mean divides identical operands on both
+      // sides. CASTs pin BIGINT vs HUGEINT.
+      """WITH dims AS (
+        |  SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+        |sm AS (
+        |  SELECT doc_id, n, ((13 * doc_id + 31 * i) % 65536) - 32768 AS s
+        |  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM dims))
+        |SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  round(avg(s), 6) AS mean_amp,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+        |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeWavFeatures(
+          Multimodal.syntheticWavs(t(s, d, "documents").select("doc_id"), s), s)
+        .select(col("doc_id"), col("sample_rate"), col("n_channels"),
+          col("n_samples"), round(col("mean_amp"), 6).as("mean_amp"),
+          col("sum_abs"))
+        .orderBy("doc_id")
     }
   )
 }

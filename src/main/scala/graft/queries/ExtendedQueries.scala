@@ -347,19 +347,34 @@ object ExtendedQueries {
         .orderBy("doc_id")
     },
 
-    Q.noOracle("q44_multimodal_decode") { (s, d) =>
-      // decode is a deterministic STUB (no codec libs in-container); the
-      // Spark plumbing (binary col → mapPartitions → typed features) is
-      // real and verified in MultimodalSpec. The feature vector is
-      // flattened to scalar columns here (driver-side compare can't sort
-      // array cells); the operator itself keeps the ArrayType column.
-      val decoded = Multimodal.decodeFeaturesStub(
-        Multimodal.withBlob(t(s, d, "documents"), "doc_id", "text"), s)
-      val featureCols = (0 until 8).map(i =>
-        round(col("feature").getItem(i), 4).as(s"f$i"))
-      decoded
-        .select(Seq(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-          col("n_channels")) ++ featureCols: _*)
+    Q("q44_multimodal_decode",
+      // REAL image decode, oracle-checked: the engine builds a genuine
+      // 24-bit padded BMP per document (deterministic pixel formula) and
+      // parses it back with the pure-JVM decoder — header fields, 4-byte
+      // row padding, bottom-up rows, BGR channel order all exercised. The
+      // oracle predicts the decoded stats from the generation formula
+      // alone, so ANY parser bug breaks the hash. weighted_r is a
+      // position-sensitive checksum (Σ i·R(i)) that catches orientation
+      // errors the order-independent means would mask. Sums stay < 2^53:
+      // exact in both engines; CASTs pin BIGINT vs HUGEINT.
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM dims)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  round(avg((3 * doc_id + 7 * i) % 256), 6) AS mean_r,
+        |  round(avg((2 * doc_id + 5 * i) % 256), 6) AS mean_g,
+        |  round(avg((doc_id + 3 * i) % 256), 6) AS mean_b,
+        |  CAST(sum(i * ((3 * doc_id + 7 * i) % 256)) AS BIGINT) AS weighted_r
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeBmpFeatures(
+          Multimodal.syntheticBmps(t(s, d, "documents").select("doc_id"), s), s)
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("weighted_r"))
         .orderBy("doc_id")
     },
 

@@ -53,6 +53,81 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeBmpStats parses a hand-built 2x2 BMP: padding, bottom-up, BGR") {
+    // 2x2, 24bpp: rowSize = ceil(6/4)*4 = 8 → 2 pad bytes per row.
+    // Logical pixels (y=0 top): (0,0)=R10 G20 B30, (0,1)=R11 G21 B31,
+    //                           (1,0)=R12 G22 B32, (1,1)=R13 G23 B33.
+    // Stored BOTTOM-UP: first stored row is logical y=1.
+    val b = new Array[Byte](54 + 16)
+    b(0) = 'B'; b(1) = 'M'
+    def put32(o: Int, v: Int): Unit = (0 until 4).foreach(k => b(o + k) = ((v >> (8 * k)) & 0xff).toByte)
+    put32(10, 54); put32(14, 40); put32(18, 2); put32(22, 2)
+    b(26) = 1; b(28) = 24
+    // stored row 0 = logical y=1: [B32 G22 R12][B33 G23 R13] pad pad
+    val px = Seq(32, 22, 12, 33, 23, 13, 0, 0, 30, 20, 10, 31, 21, 11, 0, 0)
+    px.zipWithIndex.foreach { case (v, i) => b(54 + i) = v.toByte }
+    val r = Multimodal.decodeBmpStats(7L, b).get
+    assert(r.getInt(1) == 2 && r.getInt(2) == 2 && r.getLong(3) == 4L)
+    assert(r.getDouble(4) == (10 + 11 + 12 + 13) / 4.0) // mean_r
+    assert(r.getDouble(5) == (20 + 21 + 22 + 23) / 4.0) // mean_g
+    assert(r.getDouble(6) == (30 + 31 + 32 + 33) / 4.0) // mean_b
+    // weighted_r over logical i: 0*10 + 1*11 + 2*12 + 3*13 = 74 — wrong
+    // orientation (reading stored order as logical) would give
+    // 0*12 + 1*13 + 2*10 + 3*11 = 66
+    assert(r.getLong(7) == 74L)
+  }
+
+  test("decodeBmpStats rejects non-BMP, compressed, and truncated input") {
+    assert(Multimodal.decodeBmpStats(1L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeBmpStats(1L, "not a bitmap at all, just text!!!!!!!!!!!!!!!!!!!!!!!!!"
+      .getBytes("UTF-8")).isEmpty)
+    val valid = Multimodal.encodeSyntheticBmp(5L, 9, 8)
+    assert(Multimodal.decodeBmpStats(5L, valid).isDefined)
+    assert(Multimodal.decodeBmpStats(5L, valid.take(60)).isEmpty) // truncated
+    val compressed = valid.clone(); compressed(30) = 1 // BI_RLE8
+    assert(Multimodal.decodeBmpStats(5L, compressed).isEmpty)
+  }
+
+  test("encode -> real decode round-trips the generation formula") {
+    val ids = Seq(1L, 2L, 17L, 100L).toDF("doc_id")
+    val got = Multimodal.decodeBmpFeatures(
+        Multimodal.syntheticBmps(ids, spark), spark)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L, 17L, 100L).foreach { id =>
+      val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+      val n = w * h
+      val r = got(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getLong(3) == n.toLong)
+      val meanR = (0 until n).map(i => (3 * id + 7 * i) % 256).sum.toDouble / n
+      val wR = (0 until n).map(i => i * ((3 * id + 7 * i) % 256)).sum
+      assert(r.getDouble(4) == meanR, s"mean_r of $id")
+      assert(r.getLong(7) == wR, s"weighted_r of $id")
+    }
+  }
+
+  test("decodeWavStats parses PCM16, tolerates extra chunks, rejects non-PCM") {
+    val wav = Multimodal.encodeSyntheticWav(3L, 10)
+    val r = Multimodal.decodeWavStats(3L, wav).get
+    assert(r.getInt(1) == 8000 && r.getInt(2) == 1 && r.getLong(3) == 10L)
+    val want = (0 until 10).map(i => ((13 * 3 + 31 * i) % 65536) - 32768)
+    assert(r.getDouble(4) == want.sum.toDouble / 10)
+    assert(r.getLong(5) == want.map(math.abs(_).toLong).sum)
+
+    // insert a LIST chunk between fmt and data: still parses
+    val head = wav.take(36)          // RIFF..fmt chunk
+    val tail = wav.drop(36)          // data chunk
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val withList = head ++ listChunk ++ tail
+    assert(Multimodal.decodeWavStats(3L, withList).contains(r))
+
+    // non-PCM format code rejected; truncated data rejected; junk rejected
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // IEEE float
+    assert(Multimodal.decodeWavStats(3L, nonPcm).isEmpty)
+    assert(Multimodal.decodeWavStats(3L, wav.dropRight(3)).isEmpty)
+    assert(Multimodal.decodeWavStats(3L, Array.fill[Byte](100)(7)).isEmpty)
+  }
+
   test("sampleChunks: chunk count and strided fingerprints") {
     val out = Multimodal.sampleChunks(
       Multimodal.withBlob(docs, "doc_id", "text"), spark, chunkSize = 16, stride = 4)
