@@ -1,0 +1,204 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.LastValue
+
+/** Minimal ACID table format with row-level merge — the multi-writer sink
+  * the reference's Mongo upsert (ReplaceOneAsync,
+  * /root/reference/OPC2MongoDB/Program.cs:1179-1182) maps to when the
+  * store is parquet. The directory-swap sink ([[StreamingPipeline
+  * .mergeLatest]]) is atomic per partition for ONE writer; this one is
+  * correct under CONCURRENT writers, with the same design shape as
+  * Delta/Iceberg scaled down to zero dependencies:
+  *
+  *   - Data files are immutable, uniquely named, and written BEFORE the
+  *     commit that references them — a reader can never observe a
+  *     half-written file through the log.
+  *   - `_log/<version>.commit` files form the table's source of truth:
+  *     each lists files added/removed (with their partition value).
+  *     Snapshot = replay adds minus removes.
+  *   - A commit is PUBLISHED by `Files.createLink` (atomic hard-link
+  *     creation: fails with FileAlreadyExistsException if the version
+  *     exists) — the same atomic-rename trick Delta uses on HDFS.
+  *     Losers of the race re-read the new snapshot, re-apply their merge
+  *     on top (the last-value merge is commutative/associative, so rebase
+  *     is semantics-preserving) and retry at the next version: optimistic
+  *     concurrency, serializable history.
+  *   - Partition pruning is metadata-based: the log records each file's
+  *     partition value, so a merge or read touching S servers opens only
+  *     their files — no directory listing, which is also what makes the
+  *     scheme object-store friendly (S3 needs only a put-if-absent
+  *     primitive for the log).
+  *
+  * Micro-batch retries stay exactly-once in effect: re-merging the same
+  * batch is a no-op on table CONTENT (one more version, same rows).
+  */
+object TxTable {
+
+  final case class Snapshot(version: Long, filesByPartition: Map[String, Seq[String]]) {
+    def allFiles: Seq[String] = filesByPartition.values.flatten.toSeq
+  }
+
+  private def logDir(tablePath: String) = new File(tablePath, "_log")
+
+  private def versionOf(f: File): Option[Long] = {
+    val n = f.getName
+    if (n.endsWith(".commit")) n.stripSuffix(".commit").toLongOption else None
+  }
+
+  /** Replay the commit log. Version -1 = empty/uninitialized table. */
+  def snapshot(tablePath: String): Snapshot = {
+    val commits = Option(logDir(tablePath).listFiles()).toSeq.flatten
+      .flatMap(f => versionOf(f).map(_ -> f)).sortBy(_._1)
+    var files = Map.empty[String, String] // relative path -> partition
+    commits.foreach { case (_, f) =>
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).foreach { line =>
+          line.split("\t") match {
+            case Array("add", part, path) => files += (path -> part)
+            case Array("remove", path)    => files -= path
+            case _                        => // header/op lines are informational
+          }
+        }
+    }
+    Snapshot(commits.lastOption.map(_._1).getOrElse(-1L),
+      files.groupBy(_._2).map { case (p, m) => p -> m.keys.toSeq.sorted })
+  }
+
+  /** Read the current snapshot (optionally pruned to `partitions`) as a
+    * DataFrame. Empty table → None (caller decides the schema).
+    */
+  def read(spark: SparkSession, tablePath: String,
+      partitions: Option[Seq[String]] = None): Option[DataFrame] = {
+    val snap = snapshot(tablePath)
+    val selected = partitions match {
+      case Some(ps) => ps.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
+      case None     => snap.allFiles
+    }
+    if (selected.isEmpty) None
+    else Some(spark.read.parquet(selected.map(p => s"$tablePath/$p"): _*))
+  }
+
+  /** Atomically publish commit `version`; throws
+    * FileAlreadyExistsException when a concurrent writer won the race.
+    */
+  private def publishCommit(tablePath: String, version: Long, lines: Seq[String]): Unit = {
+    val dir = logDir(tablePath)
+    dir.mkdirs()
+    val tmp = new File(dir, s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp.toPath, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val target = Paths.get(dir.getPath, f"$version%020d.commit")
+    try Files.createLink(target, tmp.toPath)
+    finally Files.deleteIfExists(tmp.toPath)
+  }
+
+  /** Row-level last-value merge with optimistic concurrency: upsert the
+    * batch's latest row per `keys` (ordered by `order`) into the table,
+    * rewriting ONLY the partitions the batch touches. `partitionCol` must
+    * be one of `keys`' prefixes in spirit — here it is the physical
+    * pruning unit (the reference's collection-per-server).
+    *
+    * Returns the committed version.
+    */
+  def mergeLatest(
+      spark: SparkSession,
+      batch: DataFrame,
+      tablePath: String,
+      partitionCol: String = "serverName",
+      keys: Seq[String] = Seq("serverName", "tag"),
+      order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp"),
+      maxRetries: Int = 50): Long = {
+    val batchLatest = LastValue.latestPerKey(batch, keys, order).persist()
+    try {
+      val affected = batchLatest.select(partitionCol).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      var attempt = 0
+      while (true) {
+        val snap = snapshot(tablePath)
+        val removedFiles = affected.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
+        val current = if (removedFiles.isEmpty) None
+          else Some(spark.read.parquet(removedFiles.map(p => s"$tablePath/$p"): _*)
+            .select(batchLatest.columns.map(col): _*))
+        val merged = LastValue.latestPerKey(
+          current.fold(batchLatest)(_.unionByName(batchLatest)), keys, order)
+          .persist()
+        // one data directory per affected partition, written before the
+        // commit references it; unique names make them invisible until
+        // (and unless) the commit lands
+        val adds = affected.flatMap { p =>
+          val rel = s"data/${UUID.randomUUID()}"
+          val part = merged.filter(col(partitionCol) === p)
+          if (part.isEmpty) None
+          else {
+            part.write.mode("overwrite").parquet(s"$tablePath/$rel")
+            Some((p, rel))
+          }
+        }
+        merged.unpersist(blocking = false)
+        val lines = Seq(s"op\tmergeLatest\tattempt\t$attempt") ++
+          adds.map { case (p, rel) => s"add\t$p\t$rel" } ++
+          removedFiles.map(f => s"remove\t$f")
+        try {
+          publishCommit(tablePath, snap.version + 1, lines)
+          return snap.version + 1
+        } catch {
+          case _: FileAlreadyExistsException =>
+            // a concurrent writer committed first: orphan this attempt's
+            // data files (vacuum reclaims them) and rebase on the new
+            // snapshot
+            attempt += 1
+            if (attempt > maxRetries)
+              throw new IllegalStateException(
+                s"mergeLatest lost $maxRetries consecutive commit races on $tablePath")
+        }
+      }
+      -1L // unreachable
+    } finally batchLatest.unpersist(blocking = false)
+  }
+
+  /** Delete data directories no longer referenced by the current snapshot
+    * and older than `minAgeMs` (the age guard keeps in-flight writers'
+    * not-yet-committed files safe — same contract as Delta's VACUUM
+    * retention). Returns the deleted relative paths.
+    */
+  def vacuum(tablePath: String, minAgeMs: Long = 10L * 60 * 1000): Seq[String] = {
+    val live = snapshot(tablePath).allFiles.toSet
+    val dataRoot = new File(tablePath, "data")
+    val now = System.currentTimeMillis()
+    Option(dataRoot.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && !live.contains(s"data/${d.getName}"))
+      .filter(d => now - d.lastModified() >= minAgeMs)
+      .map { d =>
+        def rec(f: File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rec)
+          f.delete()
+        }
+        rec(d)
+        s"data/${d.getName}"
+      }
+  }
+
+  /** Streaming sink over the transactional merge — the multi-writer-safe
+    * twin of [[StreamingPipeline.currentValueSink]].
+    */
+  def currentValueSinkTx(
+      normalized: DataFrame,
+      tablePath: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    normalized.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeLatest(batch.sparkSession, batch, tablePath)
+        ()
+      }
+}

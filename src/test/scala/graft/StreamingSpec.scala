@@ -322,4 +322,123 @@ class StreamingSpec extends SparkSpec {
     val n = spark.sql("SELECT count(*) FROM dedup_out").as[Long].collect().head
     assert(n == 2)
   }
+
+  // ======================= TxTable (ACID merge sink) =======================
+
+  private def txBatch(rows: (String, String, String, Double)*) =
+    rows.map { case (srv, tag, t, v) => (srv, tag, v, ts(t), ts(t)) }
+      .toDF("serverName", "tag", "doubleValue", "serverTimestamp", "sourceTimestamp")
+
+  test("TxTable.mergeLatest: upserts, late data loses, re-merge is content-idempotent") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-tx") + "/tbl"
+    val b1 = txBatch(
+      ("srvA", "t1", "2024-06-01 10:00:00", 1.0),
+      ("srvA", "t1", "2024-06-01 10:00:05", 2.0),
+      ("srvA", "t2", "2024-06-01 10:00:01", 7.5))
+    val v1 = TxTable.mergeLatest(spark, b1, table)
+    assert(v1 == 0L)
+    def cur(): Map[String, Double] = TxTable.read(spark, table).get
+      .select("tag", "doubleValue").as[(String, Double)].collect().toMap
+    assert(cur() == Map("t1" -> 2.0, "t2" -> 7.5))
+
+    // late arrival must not regress t1; newer t2 must win
+    TxTable.mergeLatest(spark, txBatch(
+      ("srvA", "t1", "2024-06-01 09:59:00", 9.9),
+      ("srvA", "t2", "2024-06-01 10:00:30", 8.0)), table)
+    assert(cur() == Map("t1" -> 2.0, "t2" -> 8.0))
+
+    // re-merging an already-applied batch advances the version but not
+    // the content (micro-batch retry = exactly-once in effect)
+    val before = cur()
+    val v3 = TxTable.mergeLatest(spark, b1, table)
+    assert(v3 > v1 && cur() == before)
+  }
+
+  test("TxTable.mergeLatest rewrites only the partitions present in the batch") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-txpart") + "/tbl"
+    TxTable.mergeLatest(spark, txBatch(
+      ("srvA", "a1", "2024-06-01 10:00:00", 1.0),
+      ("srvB", "b1", "2024-06-01 10:00:00", 2.0)), table)
+    val filesA = TxTable.snapshot(table).filesByPartition("srvA")
+    TxTable.mergeLatest(spark, txBatch(
+      ("srvB", "b1", "2024-06-01 10:01:00", 9.0)), table)
+    assert(TxTable.snapshot(table).filesByPartition("srvA") == filesA,
+      "untouched partition's files must stay referenced, not rewritten")
+    val cur = TxTable.read(spark, table).get
+      .select("tag", "doubleValue").as[(String, Double)].collect().toMap
+    assert(cur == Map("a1" -> 1.0, "b1" -> 9.0))
+  }
+
+  test("TxTable: concurrent writers race, lose, rebase — no update is lost") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-txconc") + "/tbl"
+    // seed so concurrent merges contend on the SAME partition's files
+    TxTable.mergeLatest(spark, txBatch(("srvA", "seed", "2024-06-01 09:00:00", 0.0)), table)
+    val nWriters = 4
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(nWriters)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to nWriters).map { i =>
+        Future {
+          TxTable.mergeLatest(spark, txBatch(
+            ("srvA", s"tag$i", "2024-06-01 10:00:00", i.toDouble),
+            ("srvA", "shared", s"2024-06-01 10:00:0$i", i.toDouble)), table)
+        }
+      }
+      Await.result(Future.sequence(futures), 120.seconds)
+    } finally pool.shutdown()
+    // every writer's private tag landed; the shared tag holds the value
+    // with the LATEST timestamp (writer 4) regardless of commit order;
+    // the log is a contiguous serial history
+    val cur = TxTable.read(spark, table).get
+      .select("tag", "doubleValue").as[(String, Double)].collect().toMap
+    (1 to nWriters).foreach(i => assert(cur(s"tag$i") == i.toDouble, s"lost tag$i"))
+    assert(cur("shared") == nWriters.toDouble)
+    val snap = TxTable.snapshot(table)
+    assert(snap.version == nWriters.toLong, s"expected ${nWriters + 1} commits, got ${snap.version + 1}")
+  }
+
+  test("TxTable.vacuum reclaims only unreferenced data dirs, honoring min age") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-txvac") + "/tbl"
+    TxTable.mergeLatest(spark, txBatch(("srvA", "t1", "2024-06-01 10:00:00", 1.0)), table)
+    TxTable.mergeLatest(spark, txBatch(("srvA", "t1", "2024-06-01 10:01:00", 2.0)), table)
+    // v0's file is now unreferenced; age guard keeps it, zero age reclaims
+    assert(TxTable.vacuum(table).isEmpty, "min-age guard must keep young files")
+    val removed = TxTable.vacuum(table, minAgeMs = 0L)
+    assert(removed.size == 1)
+    val cur = TxTable.read(spark, table).get
+      .select("tag", "doubleValue").as[(String, Double)].collect().toMap
+    assert(cur == Map("t1" -> 2.0))
+  }
+
+  test("TxTable streaming sink: current-value table across micro-batches") {
+    import graft.streaming.TxTable
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[RawReading]
+    val table = tmp("graft-txsink") + "/tbl"
+    mem.addData(
+      raw("t1", "1.0", "2024-06-01 10:00:00"),
+      raw("t1", "2.0", "2024-06-01 10:00:05"),
+      raw("t2", "7.5", "2024-06-01 10:00:01"))
+    val q = TxTable.currentValueSinkTx(
+      StreamingPipeline.normalizeStream(mem.toDF()),
+      table, tmp("graft-txckpt"), Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    mem.addData(
+      raw("t1", "9.9", "2024-06-01 09:59:00"), // late
+      raw("t2", "8.0", "2024-06-01 10:00:30"))
+    val q2 = TxTable.currentValueSinkTx(
+      StreamingPipeline.normalizeStream(mem.toDF()),
+      table, tmp("graft-txckpt2"), Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val cur = TxTable.read(spark, table).get
+      .select("tag", "doubleValue").as[(String, Double)].collect().toMap
+    assert(cur == Map("t1" -> 2.0, "t2" -> 8.0))
+  }
 }
