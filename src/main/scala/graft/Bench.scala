@@ -79,7 +79,16 @@ object Bench {
       try { val (n, sec) = streamIngest(spark); if (sec > 0) n / sec else -1.0 }
       catch { case t: Throwable =>
         System.err.println(s"bench: streamIngest FAILED: ${t.getMessage}"); -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"stream_rows_per_sec":$streamRps,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"stream_rows_per_sec":$streamRps,"sf":"$sfDir"}"""
+    println(json)
+    // also persist to a file: round 2's driver capture truncated the
+    // stdout tail mid-JSON and lost 18 queries' timings — the file is the
+    // complete record either way
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"bench: could not write $outPath: ${t.getMessage}") }
     spark.stop()
   }
 }

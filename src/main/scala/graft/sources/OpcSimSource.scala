@@ -83,6 +83,29 @@ object OpcSimSource {
       throw new IllegalArgumentException(
         s"server '$serverName' not found; have ${parsed.servers.map(_.serverName)}"))
   }
+
+  /** Certificate material for the UA session open — the reference hands
+    * (certFile, certPassword) from the config line straight to its session
+    * factory (/root/reference/OPC2MongoDB/Program.cs:1247-1251). Source
+    * options override the config; a configured-but-missing cert file fails
+    * the query at START (fail-fast at plan time beats failing inside a
+    * reconnect loop after deployment). A real OPC UA connector consumes
+    * exactly this value next to the [[rawValue]] seam; the simulator
+    * validates it so the config round-trip is total.
+    */
+  final case class SessionAuth(certFile: Option[String], certPassword: Option[String])
+
+  def sessionAuth(server: OpcServer, options: CaseInsensitiveStringMap): SessionAuth = {
+    def nonEmpty(s: String) = Option(s).map(_.trim).filter(_.nonEmpty)
+    val file = nonEmpty(options.get("certFile")).orElse(nonEmpty(server.certificateFile))
+    val pass = nonEmpty(options.get("certPassword")).orElse(nonEmpty(server.certificatePassword))
+    file.foreach { f =>
+      if (!new java.io.File(f).isFile)
+        throw new IllegalArgumentException(
+          s"certFile '$f' for server '${server.serverName}' does not exist")
+    }
+    SessionAuth(file, pass)
+  }
 }
 
 private[sources] class OpcSimTable(options: CaseInsensitiveStringMap)
@@ -114,6 +137,9 @@ private[sources] class OpcSimMicroBatchStream(options: CaseInsensitiveStringMap)
       throw new IllegalArgumentException("opcsim requires option 'config'")),
     Option(options.get("server")).getOrElse(
       throw new IllegalArgumentException("opcsim requires option 'server'")))
+  // validated at stream construction = query start (fail-fast seam where a
+  // real UA connector would open its certificate-authenticated session)
+  private val auth: OpcSimSource.SessionAuth = OpcSimSource.sessionAuth(server, options)
   private val cyclesPerTrigger = options.getLong("cyclesPerTrigger", 1L)
   private val maxCycles = options.getLong("maxCycles", Long.MaxValue)
   private val baseEpochMs = options.getLong("baseEpochMs", 1704067200000L) // 2024-01-01

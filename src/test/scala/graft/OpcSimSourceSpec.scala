@@ -22,6 +22,49 @@ class OpcSimSourceSpec extends SparkSpec {
       |ns=1;s=Plant.Label  ,String  ,N ,Label
       |""".stripMargin
 
+  test("sessionAuth: option overrides config, missing cert fails at query start") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val certPath = Files.createTempFile("graft-cert", ".pfx")
+    val confWithCert =
+      s"""opc.tcp://host1:4840, 10, Server1, $certPath, hunter2
+         |ns=1;s=Plant.Temp,Double,Y,Temp
+         |""".stripMargin
+    val server = OpcSimSource.selectServer(confWithCert, "Server1")
+    assert(server.certificateFile == certPath.toString && server.certificatePassword == "hunter2")
+
+    // config-provided material resolves
+    val noOpts = new CaseInsensitiveStringMap(java.util.Map.of[String, String]())
+    val a1 = OpcSimSource.sessionAuth(server, noOpts)
+    assert(a1 == OpcSimSource.SessionAuth(Some(certPath.toString), Some("hunter2")))
+
+    // source options override the config line
+    val cert2 = Files.createTempFile("graft-cert2", ".pfx")
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("certFile", cert2.toString, "certPassword", "override"))
+    assert(OpcSimSource.sessionAuth(server, opts) ==
+      OpcSimSource.SessionAuth(Some(cert2.toString), Some("override")))
+
+    // a configured-but-absent cert file fails the STREAM START, not a
+    // later micro-batch: the stream init resolves sessionAuth eagerly
+    val badConf =
+      """opc.tcp://host1:4840, 10, Server1, /nonexistent/cert.pfx, pw
+        |ns=1;s=Plant.Temp,Double,Y,Temp
+        |""".stripMargin
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("opcsim")
+        .option("config", badConf).option("server", "Server1")
+        .option("cyclesPerTrigger", 1).option("maxCycles", 1)
+        .load()
+        .writeStream.format("memory").queryName("opcsim_badcert")
+        .option("checkpointLocation", Files.createTempDirectory("sim-ckpt-bad").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(ex.getMessage.contains("does not exist") ||
+      Option(ex.getCause).exists(_.getMessage.contains("does not exist")))
+  }
+
   test("source emits every tag per cycle with deterministic values and timestamps") {
     val stream = spark.readStream.format("opcsim")
       .option("config", conf).option("server", "Server1")
