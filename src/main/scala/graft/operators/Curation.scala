@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines (SURVEY.md §2.11
+  * round-3 widening — no reference analog): the selection/cleaning passes
+  * that sit between raw ingest and tokenization in an LLM data pipeline.
+  *
+  * 100 TB posture: every operator is hash-driven and shuffle-bounded —
+  * per-group windows shuffle once on the group key, segment/shingle joins
+  * are equi-joins on content-derived keys, and "random" orders are
+  * deterministic hash orders (reproducible across runs, engines, and
+  * partitionings — the property that makes a curation run auditable).
+  */
+object Curation {
+
+  /** Keep at most `quota` rows per `groupCol`, chosen in deterministic
+    * hash order of `idCol` (a reproducible "random" K-per-domain
+    * subsample — the domain-balancing pass that stops one crawl domain
+    * from dominating the mix). One shuffle on the group key; the
+    * per-group sort is bounded by the group size. For heavily skewed
+    * domains at extreme scale, pre-thin with a hash-threshold filter
+    * (`hash mod m < ceil(quota·m / est_count)`) before the exact window —
+    * same result, the sort then sees O(quota) rows per group.
+    */
+  def quotaPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Dedup.hash60(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
+  /** C4-style boilerplate removal at SEGMENT granularity: split each
+    * document into consecutive `segTokens`-token segments, drop every
+    * segment whose exact text occurs in more than `maxDf` distinct
+    * documents (navigation chrome, license blurbs, templated headers),
+    * and reassemble the survivors in order. Returns
+    * (idCol, n_segs, n_removed, clean_text).
+    *
+    * Plan shape: one explode, one distinct-doc count per segment text
+    * (hash aggregation), one equi-join back, one per-doc ordered
+    * reassembly — shuffles keyed by segment content then by document,
+    * never pairwise. Segment df is computed on the EXACT text; at scale
+    * hash the segment first (64-bit) — the join stays the same shape.
+    */
+  def removeBoilerplateSegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int,
+      maxDf: Long): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    // explode an int sequence + per-row slice/concat_ws (codegen'd) —
+    // never a transform(...) lambda building string arrays (interpreted;
+    // q76 lesson)
+    val segs = df
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+      .select(col(idCol), col("__toks"),
+        explode(expr(s"sequence(0, (size(__toks) - 1) DIV $segTokens)")).as("__idx"))
+      .select(col(idCol), col("__idx"),
+        concat_ws(" ", slice(col("__toks"), col("__idx") * segTokens + 1, lit(segTokens)))
+          .as("__seg"))
+    val segDf = segs.groupBy("__seg")
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val kept = segs.join(segDf, "__seg").filter(col("__df") <= maxDf)
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("__n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(__idx, __seg))), x -> x.__seg)"),
+          " ").as("clean_text"))
+    val totals = segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_segs"))
+    totals.join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        (col("n_segs") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one word `n`-gram with the benchmark corpus — the overlap
+    * check run before training so eval numbers stay meaningful. Returns
+    * the flagged (idCol, n_hits) rows; anti-join the result against the
+    * corpus to drop them. Benchmark shingles are distinct'd before the
+    * join (the benchmark is the small side — broadcastable at scale);
+    * everything is an equi-join on shingle text, no pairwise scan.
+    */
+  def contaminatedDocs(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val trainSh = Dedup.shingles(train, idCol, textCol, n)
+    val benchSh = Dedup.shingles(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    trainSh.join(benchSh, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Deterministic global shuffle: assign every row its position in the
+    * hash order of `idCol` (salted) — the reproducible training-order
+    * shuffle. Built on [[Histogram.withGlobalRank]], so the order is
+    * realized with a range repartition + local sorts, never a global
+    * single-task sort. Returns the input plus a 0-based `shuffle_pos`.
+    */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: String,
+      salt: String = ""): DataFrame =
+    Histogram.withGlobalRank(df,
+      Seq(Dedup.hash60(concat(lit(salt), col(idCol).cast("string"))), col(idCol)),
+      "shuffle_pos")
+}

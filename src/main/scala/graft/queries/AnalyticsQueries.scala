@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PiiRedact, TextAnalysis}
-import graft.operators.{Chunking, Dedup, Histogram, Multimodal, TimeSeries}
+import graft.operators.{Chunking, Curation, Dedup, Histogram, Multimodal, TimeSeries}
 import Q.t
 
 /** Round-2 widening of the query inventory: subquery planning (scalar /
@@ -768,6 +768,102 @@ object AnalyticsQueries {
           col("n_samples"), round(col("mean_amp"), 6).as("mean_amp"),
           col("sum_abs"))
         .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------ corpus curation
+    Q("q91_domain_quota",
+      // domain balancing: keep at most 10 docs per source, chosen in
+      // deterministic hash order (reproducible "random" — auditable
+      // curation). Per-group window, one shuffle on the group key.
+      s"""WITH r AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${sqlHash60("doc_id::VARCHAR")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum, min(doc_id) AS first_kept
+         |FROM r WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Curation.quotaPerGroup(t(s, d, "documents"), "source", "doc_id", 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum"),
+          min("doc_id").as("first_kept"))
+        .orderBy("source")
+    },
+
+    Q("q92_boilerplate_removal",
+      // C4-style boilerplate scrub at 8-token-segment granularity: drop
+      // segments whose exact text occurs in >1 document (the planted
+      // near-dup clusters share them), reassemble survivors in order.
+      // Content compared by md5 so rows stay narrow.
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, i AS idx, array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(0, (len(toks)-1)//8)) AS i
+        |        FROM w WHERE len(toks) >= 1)),
+        |d AS (SELECT seg, count(DISTINCT doc_id) AS df FROM s GROUP BY seg),
+        |k AS (SELECT s.doc_id, s.idx, s.seg FROM s JOIN d USING (seg) WHERE d.df <= 1),
+        |t AS (SELECT doc_id, count(*) AS n_segs FROM s GROUP BY doc_id),
+        |r AS (SELECT doc_id, count(*) AS n_kept,
+        |        md5(string_agg(seg, ' ' ORDER BY idx)) AS clean_md5
+        |      FROM k GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_segs, t.n_segs - coalesce(r.n_kept, 0) AS n_removed,
+        |  coalesce(r.clean_md5, md5('')) AS clean_md5
+        |FROM t LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Curation.removeBoilerplateSegments(t(s, d, "documents"), "doc_id", "text",
+          segTokens = 8, maxDf = 1L)
+        .select(col("doc_id"), col("n_segs"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
+    Q("q93_decontamination",
+      // benchmark decontamination: flag training docs sharing any word
+      // 8-gram with the held-out benchmark slice (doc_id < 100 — a
+      // fixed-size benchmark, like real ones) — the pre-training overlap
+      // check. Shingle equi-joins only; the planted near-dup clusters
+      // straddling the boundary are exactly what it must catch.
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source, array_to_string(t[i : i+7], ' ') AS g
+        |  FROM (SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM w WHERE len(t) >= 8)),
+        |bsh AS (SELECT DISTINCT g FROM sh WHERE doc_id < 100),
+        |flag AS (
+        |  SELECT sh.doc_id, sh.source, count(*) AS n_hits
+        |  FROM sh JOIN bsh USING (g) WHERE sh.doc_id >= 100
+        |  GROUP BY sh.doc_id, sh.source)
+        |SELECT source, count(*) AS n_contaminated,
+        |  CAST(sum(n_hits) AS BIGINT) AS total_hits, min(doc_id) AS first_doc
+        |FROM flag GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") < 100)
+      val train = docs.filter(col("doc_id") >= 100)
+      Curation.contaminatedDocs(train, bench, "doc_id", "text", n = 8)
+        .join(train.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_contaminated"), sum("n_hits").as("total_hits"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source")
+    },
+
+    Q("q94_deterministic_shuffle",
+      // reproducible training-order shuffle: every row's position in the
+      // salted-hash order, realized by the two-phase distributed ranking
+      // (no global single-task sort). Sampled every 50th position to keep
+      // the gate row count small while pinning the ENTIRE order.
+      s"""WITH r AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY ${sqlHash60("'r3' || doc_id::VARCHAR")}, doc_id) - 1 AS pos
+         |  FROM documents)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS shuffle_pos
+         |FROM r WHERE pos % 50 = 0 ORDER BY shuffle_pos""".stripMargin) { (s, d) =>
+      Curation.deterministicShuffle(
+          t(s, d, "documents").select("doc_id"), "doc_id", salt = "r3")
+        .filter(col("shuffle_pos") % 50 === 0)
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy("shuffle_pos")
     }
   )
 }

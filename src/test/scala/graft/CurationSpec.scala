@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quotaPerGroup keeps exactly quota rows per group, deterministically") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val kept = Curation.quotaPerGroup(df, "grp", "id", 5)
+    val byGrp = kept.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp.values.forall(_ == 5) && byGrp.size == 3)
+    // deterministic: same selection on re-run
+    val ids1 = kept.select("id").as[Long].collect().sorted.toSeq
+    val ids2 = Curation.quotaPerGroup(df, "grp", "id", 5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // groups smaller than the quota keep everything
+    val small = Curation.quotaPerGroup(df.filter($"id" <= 4), "grp", "id", 5)
+    assert(small.count() == 4)
+  }
+
+  test("removeBoilerplateSegments drops shared segments, keeps order") {
+    // segTokens=2: docs 1 and 2 share segment "nav bar"; doc 3 is clean
+    val df = Seq(
+      (1L, "nav bar unique one tail x"),
+      (2L, "nav bar other two"),
+      (3L, "fully distinct words here"))
+      .toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateSegments(df, "doc_id", "text", 2, 1L)
+      .select("doc_id", "n_segs", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 1L, "unique one tail x")))
+    assert(out(2L) == ((2L, 2L, 1L, "other two")))
+    assert(out(3L) == ((3L, 2L, 0L, "fully distinct words here")))
+  }
+
+  test("removeBoilerplateSegments: fully-boilerplate doc yields empty text") {
+    val df = Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateSegments(df, "doc_id", "text", 2, 1L)
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set((1L, 1L, ""), (2L, 1L, "")))
+  }
+
+  test("contaminatedDocs flags exactly the docs sharing an n-gram") {
+    val train = Seq(
+      (10L, "a b c d e f"),   // shares 4-gram "b c d e" with bench
+      (11L, "x y z w q r"))   // clean
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, "q b c d e k")).toDF("doc_id", "text")
+    val flagged = Curation.contaminatedDocs(train, bench, "doc_id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged == Map(10L -> 1L))
+  }
+
+  test("deterministicShuffle: a permutation, stable across runs and partitionings") {
+    val df = (1L to 500L).toDF("id")
+    val a = Curation.deterministicShuffle(df, "id")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(a.values.toSeq.sorted == (0L until 500L))
+    val b = Curation.deterministicShuffle(df.repartition(7), "id")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(a == b, "shuffle order must not depend on input partitioning")
+    // a different salt produces a different permutation
+    val c = Curation.deterministicShuffle(df, "id", salt = "other")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(c != a)
+  }
+}
