@@ -44,5 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b) - common-element count of two sorted ARRAY<BIGINT>"),
       (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))))
+    // optimizer rule: banded rewrite of levenshtein threshold predicates
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRewrite)
   }
 }

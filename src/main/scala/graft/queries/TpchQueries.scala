@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Q.t
+
+/** Classic TPC-H query shapes (Q3 / Q5 / Q10 adapted to the test schema) —
+  * the canonical multi-join analytical plans every warehouse engine is
+  * judged on, here as macro-tests of join ordering, dimension broadcasting
+  * and partial aggregation working together.
+  *
+  * All revenue math is DECIMAL end-to-end (exact, order-independent) with
+  * one final cast to double, so top-k cuts on revenue are deterministic
+  * across engines — a float sum would make the LIMIT boundary
+  * summation-order dependent (the q49/q89 lesson).
+  */
+object TpchQueries {
+
+  /** sum(extendedprice · (1 − discount)) as exact decimal, cast to double. */
+  private def revenue = sum(
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+    .cast("double")
+
+  private val revenueSql =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  val all: Seq[Q] = Seq(
+
+    Q("q95_tpch_q3",
+      // TPC-H Q3 (shipping priority): segment-filtered customers ⋈ orders
+      // ⋈ lineitem, top-10 orders by exact-decimal revenue. customer is a
+      // broadcast dim; the only shuffle join is lineitem ⋈ orders.
+      s"""SELECT l_orderkey, $revenueSql AS revenue,
+         |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue.as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    Q("q96_tpch_q5",
+      // TPC-H Q5 (local supplier volume): six-table join, revenue per
+      // nation where customer and supplier share the nation. region,
+      // nation, supplier, customer all broadcast; lineitem ⋈ orders is
+      // the single big shuffle.
+      s"""SELECT n_name, $revenueSql AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val asiaNations = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = t(s, d, "supplier")
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    Q("q97_tpch_q10",
+      // TPC-H Q10 (returned-item reporting): revenue lost to returns per
+      // customer in a quarter, top 20. nation broadcast onto the
+      // customer-side aggregate.
+      s"""SELECT c_custkey, c_name, $revenueSql AS revenue, n_name
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val custNation = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name")
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue.as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }
+  )
+}

@@ -189,6 +189,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(nNodes < 10, s"expected a checkpoint-truncated plan, got $nNodes nodes")
   }
 
+  test("q96: TPC-H Q5 broadcasts every dimension; one big shuffle join only") {
+    val p = plan("q96_tpch_q5")
+    // supplier+nation+region and customer reach lineitem⋈orders as
+    // broadcasts; the only SortMergeJoin (if any) is lineitem ⋈ orders
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3,
+      s"dims must broadcast:\n$p")
+    assert(p.split("SortMergeJoin").length - 1 <= 1,
+      s"only lineitem-orders may shuffle-join:\n$p")
+    assert(p.contains("partial_sum"), s"revenue must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
+
+  test("q95/q97: date filters push to the scans; top-k is TakeOrdered") {
+    Seq("q95_tpch_q3", "q97_tpch_q10").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+        s"$q: order-date filter must reach the scan:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: LIMIT must plan as top-k, not a full sort:\n$p")
+    }
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
