@@ -48,17 +48,26 @@ object TxTable {
 
   private def logDir(tablePath: String) = new File(tablePath, "_log")
 
-  private def versionOf(f: File): Option[Long] = {
+  private def versionOf(f: File, suffix: String): Option[Long] = {
     val n = f.getName
-    if (n.endsWith(".commit")) n.stripSuffix(".commit").toLongOption else None
+    if (n.endsWith(suffix)) n.stripSuffix(suffix).toLongOption else None
   }
 
-  /** Replay the commit log. Version -1 = empty/uninitialized table. */
+  /** Commits between two consecutive checkpoints (Delta writes one every
+    * 10; snapshot replay cost stays O(interval), not O(table age)).
+    */
+  val CheckpointInterval = 10
+
+  /** Replay the log: latest checkpoint (full file listing) + the commits
+    * after it. Version -1 = empty/uninitialized table.
+    */
   def snapshot(tablePath: String): Snapshot = {
-    val commits = Option(logDir(tablePath).listFiles()).toSeq.flatten
-      .flatMap(f => versionOf(f).map(_ -> f)).sortBy(_._1)
+    val entries = Option(logDir(tablePath).listFiles()).toSeq.flatten
+    val commits = entries.flatMap(f => versionOf(f, ".commit").map(_ -> f)).sortBy(_._1)
+    val ckpt = entries.flatMap(f => versionOf(f, ".checkpoint").map(_ -> f))
+      .sortBy(_._1).lastOption
     var files = Map.empty[String, String] // relative path -> partition
-    commits.foreach { case (_, f) =>
+    def applyLines(f: File): Unit =
       new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
         .split("\n").filter(_.nonEmpty).foreach { line =>
           line.split("\t") match {
@@ -67,10 +76,35 @@ object TxTable {
             case _                        => // header/op lines are informational
           }
         }
-    }
-    Snapshot(commits.lastOption.map(_._1).getOrElse(-1L),
+    ckpt.foreach { case (_, f) => applyLines(f) }
+    val base = ckpt.map(_._1).getOrElse(-1L)
+    commits.filter(_._1 > base).foreach { case (_, f) => applyLines(f) }
+    Snapshot(commits.lastOption.map(_._1).getOrElse(base),
       files.groupBy(_._2).map { case (p, m) => p -> m.keys.toSeq.sorted })
   }
+
+  /** Write `_log/<version>.checkpoint` — a full active-file listing — so
+    * later snapshots replay O(CheckpointInterval) files. Under concurrent
+    * writers the listing may capture a state LATER than `version`; that is
+    * safe because snapshot() replays every commit AFTER the checkpoint in
+    * order, and re-applying a commit over a later state is idempotent
+    * (spurious re-adds are re-removed by the later commits that removed
+    * them, which are always part of the replayed suffix). A name race on
+    * the checkpoint file keeps one writer's listing — correct either way.
+    */
+  private def maybeCheckpoint(tablePath: String, version: Long): Unit =
+    if (version > 0 && version % CheckpointInterval == 0) {
+      val snap = snapshot(tablePath)
+      val lines = snap.filesByPartition.toSeq.sortBy(_._1).flatMap {
+        case (part, paths) => paths.map(p => s"add\t$part\t$p")
+      }
+      val dir = logDir(tablePath)
+      val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
+      Files.write(tmp.toPath, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(Paths.get(dir.getPath, f"$version%020d.checkpoint"), tmp.toPath)
+      catch { case _: FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp.toPath)
+    }
 
   /** Read the current snapshot (optionally pruned to `partitions`) as a
     * DataFrame. Empty table → None (caller decides the schema).
@@ -147,6 +181,7 @@ object TxTable {
           removedFiles.map(f => s"remove\t$f")
         try {
           publishCommit(tablePath, snap.version + 1, lines)
+          maybeCheckpoint(tablePath, snap.version + 1)
           return snap.version + 1
         } catch {
           case _: FileAlreadyExistsException =>
@@ -172,7 +207,7 @@ object TxTable {
     val live = snapshot(tablePath).allFiles.toSet
     val dataRoot = new File(tablePath, "data")
     val now = System.currentTimeMillis()
-    Option(dataRoot.listFiles()).toSeq.flatten
+    val dataGone = Option(dataRoot.listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && !live.contains(s"data/${d.getName}"))
       .filter(d => now - d.lastModified() >= minAgeMs)
       .map { d =>
@@ -183,6 +218,18 @@ object TxTable {
         rec(d)
         s"data/${d.getName}"
       }
+    // log retention: commits at or below the latest checkpoint are
+    // subsumed by it — prune the aged ones so the log stays
+    // O(CheckpointInterval) files (same contract as Delta's log cleanup)
+    val entries = Option(logDir(tablePath).listFiles()).toSeq.flatten
+    val latestCkpt = entries.flatMap(f => versionOf(f, ".checkpoint")).sorted.lastOption
+    val logGone = latestCkpt.toSeq.flatMap { base =>
+      entries
+        .filter(f => versionOf(f, ".commit").exists(_ <= base))
+        .filter(f => now - f.lastModified() >= minAgeMs)
+        .map { f => f.delete(); s"_log/${f.getName}" }
+    }
+    dataGone ++ logGone
   }
 
   /** Streaming sink over the transactional merge — the multi-writer-safe

@@ -417,6 +417,36 @@ class StreamingSpec extends SparkSpec {
     assert(cur == Map("t1" -> 2.0))
   }
 
+  test("TxTable checkpoints the log every interval; vacuum prunes subsumed commits") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-txckptlog") + "/tbl"
+    // drive past one checkpoint interval (versions 0..11)
+    (0 to 11).foreach { i =>
+      TxTable.mergeLatest(spark, txBatch(
+        ("srvA", s"t${i % 3}", f"2024-06-01 10:00:${i}%02d", i.toDouble)), table)
+    }
+    val logFiles = Option(new java.io.File(table, "_log").listFiles()).toSeq.flatten
+      .map(_.getName).sorted
+    assert(logFiles.exists(_.endsWith(".checkpoint")),
+      s"expected a checkpoint in $logFiles")
+    def cur(): Map[String, Double] = TxTable.read(spark, table).get
+      .select("tag", "doubleValue").as[(String, Double)].collect().toMap
+    val before = cur()
+    assert(before == Map("t0" -> 9.0, "t1" -> 10.0, "t2" -> 11.0))
+
+    // prune subsumed commits + orphaned data; snapshot must be unchanged
+    TxTable.vacuum(table, minAgeMs = 0L)
+    val afterNames = Option(new java.io.File(table, "_log").listFiles()).toSeq.flatten
+      .map(_.getName)
+    assert(!afterNames.exists(n => n.endsWith(".commit") &&
+      n.stripSuffix(".commit").toLong <= 10L),
+      s"commits at or below the checkpoint must be pruned: $afterNames")
+    assert(cur() == before, "vacuum must not change the visible snapshot")
+    // and the table keeps working after the prune
+    TxTable.mergeLatest(spark, txBatch(("srvA", "t0", "2024-06-01 11:00:00", 99.0)), table)
+    assert(cur()("t0") == 99.0)
+  }
+
   test("TxTable streaming sink: current-value table across micro-batches") {
     import graft.streaming.TxTable
     implicit val sc = spark.sqlContext
