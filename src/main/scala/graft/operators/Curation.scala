@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -103,6 +103,45 @@ object Curation {
     trainSh.join(benchSh, "shingle")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Data-mixture rebalancing toward a UNIFORM share per group (the
+    * "equal parts per language" mixing step of a training-data recipe):
+    * each group keeps a deterministic hash sample at rate
+    * min(1, (N / nGroups) / n_g), expressed in integer BASIS POINTS so
+    * the keep decision is exact integer arithmetic — bit-reproducible
+    * across engines, runs, and partitionings (no float rate boundary).
+    * Over-represented groups are thinned toward N/nGroups; groups at or
+    * under the target keep everything (this operator never upsamples).
+    *
+    * Plan shape: one count aggregation (nGroups rows), broadcast back,
+    * then a pure filter — the input is never shuffled.
+    */
+  def mixtureResample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String): DataFrame = {
+    // group counts collected to the driver: cardinality is the number of
+    // DISTINCT group values (languages/sources — inherently small), the
+    // same bounded-collect contract as IVF centroids. One aggregation
+    // scan; rates go back as a literal broadcast table.
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n")).collect()
+    val total = counts.map(_.getLong(1)).sum
+    val nGroups = counts.length.toLong
+    // bps = min(10000, (N * 10000) DIV (nGroups * n_g)) — integer end to end
+    val spark = df.sparkSession
+    val rateRows = counts.map { r =>
+      Row(r.get(0), math.min(10000L, (total * 10000L) / (nGroups * r.getLong(1))))
+    }
+    val rates = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rateRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(groupCol),
+        org.apache.spark.sql.types.StructField("__bps",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    df.join(broadcast(rates), groupCol)
+      .filter(Dedup.hash60(col(idCol).cast("string")) % 10000 < col("__bps"))
+      .drop("__bps")
   }
 
   /** Deterministic global shuffle: assign every row its position in the

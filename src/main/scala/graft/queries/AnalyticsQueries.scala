@@ -864,6 +864,29 @@ object AnalyticsQueries {
         .filter(col("shuffle_pos") % 50 === 0)
         .select(col("doc_id"), col("shuffle_pos"))
         .orderBy("shuffle_pos")
+    },
+
+    Q("q98_mixture_resample",
+      // data-mixture rebalance toward equal share per language: each
+      // over-represented lang keeps a deterministic hash sample at
+      // integer-basis-point rate min(1, (N/nLangs)/n_l) — the "mixing
+      // weights" step of a training recipe, with an exact integer keep
+      // boundary (no float rate ulp can flip membership). Input is never
+      // shuffled: one tiny counts aggregate broadcast back as a filter.
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS N, count(*) AS g FROM c),
+         |r AS (SELECT lang, least(10000, (t.N * 10000) // (t.g * c.n)) AS bps
+         |      FROM c, t)
+         |SELECT d.lang, count(*) AS n_kept, min(d.doc_id) AS first_id,
+         |  CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${sqlHash60("d.doc_id::VARCHAR")} % 10000 < r.bps
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+      Curation.mixtureResample(t(s, d, "documents"), "lang", "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
     }
   )
 }

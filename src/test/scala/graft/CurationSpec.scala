@@ -56,6 +56,26 @@ class CurationSpec extends SparkSpec {
     assert(flagged == Map(10L -> 1L))
   }
 
+  test("mixtureResample thins over-represented groups toward uniform share") {
+    // 300 "en", 30 "de", 30 "fr": N=360, target=120/group → en keeps at
+    // 10000*360/(3*300) = 4000 bps ≈ 40%, de/fr keep 100%
+    val df = ((1L to 300L).map(i => (i, "en")) ++
+      (301L to 330L).map(i => (i, "de")) ++
+      (331L to 360L).map(i => (i, "fr"))).toDF("id", "lang")
+    val kept = Curation.mixtureResample(df, "lang", "id")
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("de") == 30 && byLang("fr") == 30, "under-target groups keep all")
+    // hash sample at 40%: expect ~120, allow generous noise band
+    assert(byLang("en") > 80 && byLang("en") < 160, s"en kept ${byLang("en")}")
+    // deterministic: identical selection across runs
+    val again = Curation.mixtureResample(df, "lang", "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
+    // no shuffle of the input: the rates join must be a broadcast
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
+  }
+
   test("deterministicShuffle: a permutation, stable across runs and partitionings") {
     val df = (1L to 500L).toDF("id")
     val a = Curation.deterministicShuffle(df, "id")
