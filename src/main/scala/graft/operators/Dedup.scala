@@ -316,23 +316,35 @@ object Dedup {
     var prevSum = -1L
     var curSum = labelSum(labels)
     var it = 0
+    // one jump step: compose the mapping with itself (cluster :=
+    // cluster(cluster)); cluster values are node ids, so they resolve
+    // against the same table
+    def jump(m: DataFrame): DataFrame = m.as("a")
+      .join(m.select(col("id").as("cid"), col("cluster").as("cc")).as("b"),
+        col("a.cluster") === col("cid"), "left")
+      .select(col("a.id").as("id"),
+        least(col("a.cluster"), coalesce(col("cc"), col("a.cluster"))).as("cluster"))
     while (curSum != prevSum && it < maxIters) {
       prevSum = curSum
-      // self-loops make this min(self, neighbors) in one aggregation
+      // self-loops make this min(self, neighbors) in one aggregation.
+      // Checkpointed BEFORE jumping: a jump self-joins its input, so an
+      // un-materialized hook plan would be re-evaluated per side (the
+      // round-2 "double jump was slower" measurement hit exactly that);
+      // over a materialized table the composed jumps are joins of tiny
+      // checkpointed RDDs.
       val hooked = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("cluster").as("cluster"))
         .withColumnRenamed("src", "id")
-      // pointer jump: cluster := cluster(cluster); cluster values are
-      // themselves node ids, so they resolve against the same label
-      // table. (A double jump per round was measured SLOWER here: the
-      // second self-join re-evaluates the un-materialized hook plan,
-      // costing more than the rounds it saves.)
-      val jumped = hooked.as("a")
-        .join(hooked.select(col("id").as("cid"), col("cluster").as("cc")).as("b"),
-          col("a.cluster") === col("cid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.cluster"), coalesce(col("cc"), col("a.cluster"))).as("cluster"))
         .localCheckpoint()
+      // two composed jumps: f → f² → f⁴: pointers skip 4× per round
+      // instead of 2×, so rounds ≈ log4(diameter) — fewer round-latency-
+      // bound materializations, which is what dominates wall-clock
+      // locally AND the critical path on a cluster. Measured (sf0.1,
+      // q58): single jump 7.2 s, double 6.5 s, triple 7.8 s — each
+      // composition doubles the lazy plan over the materialized hook
+      // table, and past f⁴ the extra join evaluations cost more than
+      // the rounds they save.
+      val jumped = jump(jump(hooked)).localCheckpoint()
       curSum = labelSum(jumped)
       labels = jumped
       it += 1
