@@ -68,6 +68,29 @@ object Demo {
         .orderBy("tag").show(20, truncate = false)
     }
 
+    // the same topology against the ACID transaction-log table — the
+    // multi-writer-safe sink (TxTable): both servers merge CONCURRENTLY
+    // into ONE table, which the directory-swap sink cannot do
+    println("-- TxTable (ACID log): both servers merged into one table --")
+    val txQueries = parsed.servers.map { srv =>
+      graft.streaming.TxTable.currentValueSinkTx(
+        StreamingPipeline.normalizeStream(
+          spark.readStream.format("opcsim")
+            .option("config", config).option("server", srv.serverName)
+            .option("cyclesPerTrigger", 20).option("maxCycles", 60)
+            .load()),
+        s"$out/tx-current",
+        s"$out/tx-ckpt/${srv.serverName}",
+        Trigger.AvailableNow())
+        .queryName(s"graft-tx-${srv.serverName}").start()
+    }
+    txQueries.foreach(_.awaitTermination())
+    graft.streaming.TxTable.read(spark, s"$out/tx-current").foreach {
+      _.orderBy("serverName", "tag")
+        .select("serverName", "tag", "doubleValue", "stringValue", "sourceTimestamp")
+        .show(20, truncate = false)
+    }
+
     println("-- history-backed analytics: per-tag stats over all cycles --")
     val history = parsed.servers.map(srv =>
       spark.read.parquet(s"$out/history/${srv.serverName}")).reduce(_ unionByName _)

@@ -56,6 +56,16 @@ class CurationSpec extends SparkSpec {
     assert(flagged == Map(10L -> 1L))
   }
 
+  test("curation operators are empty-input safe") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "grp")
+    assert(Curation.quotaPerGroup(empty, "grp", "id", 5).count() == 0)
+    assert(Curation.mixtureResample(empty, "grp", "id").count() == 0)
+    assert(Curation.deterministicShuffle(empty, "id").count() == 0)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.removeBoilerplateSegments(emptyDocs, "doc_id", "text", 8, 1L).count() == 0)
+    assert(Curation.contaminatedDocs(emptyDocs, emptyDocs, "doc_id", "text", 8).count() == 0)
+  }
+
   test("mixtureResample thins over-represented groups toward uniform share") {
     // 300 "en", 30 "de", 30 "fr": N=360, target=120/group → en keeps at
     // 10000*360/(3*300) = 4000 bps ≈ 40%, de/fr keep 100%

@@ -55,6 +55,12 @@ class HistogramSpec extends SparkSpec {
     assert(buckets.values.sum == 5000L)
   }
 
+  test("ntileExact and withGlobalRank are empty-input safe") {
+    val empty = df.filter(col("id") < 0)
+    assert(Histogram.ntileExact(empty, Seq(col("v"), col("id")), 10).count() == 0)
+    assert(Histogram.withGlobalRank(empty, Seq(col("id"))).count() == 0)
+  }
+
   test("equiDepthApprox bucket ranges are ordered and cover the data") {
     val data = (1L to 2000L).map(i => (i, (i % 500).toDouble)).toDF("id", "v")
     val rows = Histogram.equiDepthApprox(data, "v", 8)
