@@ -395,6 +395,11 @@ object Dedup {
           col("__s").substr(lit(1), col("__i") - 1),
           col("__s").substr(col("__i") + 1, col("__j") - col("__i") - 1),
           col("__s").substr(col("__j") + 1, length(col("__s"))))): _*))
+    // the per-row variant dedupe is LOAD-BEARING: without it, duplicate
+    // variants (deleting either of two equal adjacent chars, common in
+    // zero-padded keys) multiply the self-join's output quadratically per
+    // pair — measured at sf0.1 (q86): 4.8 s with the distinct, 7.6 s
+    // without. The extra shuffle is cheaper than the join blow-up.
     (Seq(base, d1) ++ d2).reduce(_ unionByName _).distinct()
   }
 
