@@ -887,6 +887,64 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang")
+    },
+
+    Q("q99_embedding_outliers",
+      // per-label centroid + the 3 vectors farthest from their own
+      // label's centroid — the "find broken embeddings" QA pass of a
+      // vector pipeline. Centroids are per-dimension averages ROUNDED to
+      // 6dp before use (the rounding grid sits ~1e8 above the fp-reorder
+      // noise floor, the q49 rule), and every fold (dot product, norms)
+      // runs left-to-right from a first-element seed on both engines, so
+      // the cosines match bit-for-bit; the top-3 cut ranks the ROUNDED
+      // cosine with a vec_id tiebreak.
+      """WITH px AS (
+        |  SELECT label, vec_id, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, i, round(avg(embedding[i]), 6) AS c
+        |  FROM px GROUP BY label, i),
+        |cv AS (SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label),
+        |scored AS (
+        |  SELECT e.label, e.vec_id,
+        |    round((SELECT list_reduce(l, (a, x) -> a + x) FROM (
+        |       SELECT list_transform(generate_series(1, len(e.embedding)),
+        |         k -> e.embedding[k] * cv.cvec[k]) AS l))
+        |      / sqrt((SELECT list_reduce(l, (a, x) -> a + x) FROM (
+        |       SELECT list_transform(generate_series(1, len(e.embedding)),
+        |         k -> e.embedding[k] * e.embedding[k]) AS l))
+        |      * (SELECT list_reduce(l, (a, x) -> a + x) FROM (
+        |       SELECT list_transform(generate_series(1, len(cv.cvec)),
+        |         k -> cv.cvec[k] * cv.cvec[k]) AS l))), 6) AS cos
+        |  FROM embeddings e JOIN cv USING (label))
+        |SELECT label, CAST(row_number() OVER (PARTITION BY label
+        |    ORDER BY cos, vec_id) AS BIGINT) AS rank, vec_id, cos
+        |FROM scored QUALIFY rank <= 3 ORDER BY label, rank""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("__i", "__v")))
+        .groupBy("label", "__i")
+        .agg(round(avg(col("__v")), 6).as("__c"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(__i, __c))), x -> x.__c)")
+          .as("cvec"))
+      // left fold seeded with the FIRST element (DuckDB list_reduce
+      // semantics) — identical operand order on both sides
+      def fold(products: org.apache.spark.sql.Column) =
+        aggregate(slice(products, 2, 10000), element_at(products, 1), (a, x) => a + x)
+      val dv = transform(col("embedding"), x => x.cast("double"))
+      val dot = fold(zip_with(dv, col("cvec"), (a, b) => a * b))
+      val n2v = fold(zip_with(dv, dv, (a, b) => a * b))
+      val n2c = fold(zip_with(col("cvec"), col("cvec"), (a, b) => a * b))
+      val w = Window.partitionBy("label").orderBy(col("cos"), col("vec_id"))
+      e.join(broadcast(cent), "label")
+        .select(col("label"), col("vec_id"),
+          round(dot / sqrt(n2v * n2c), 6).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("label", "rank", "vec_id", "cos")
+        .orderBy("label", "rank")
     }
   )
 }
