@@ -70,17 +70,24 @@ object Curation {
           .as("__seg"))
     val segDf = segs.groupBy("__seg")
       .agg(countDistinct(col(idCol)).as("__df"))
-    val kept = segs.join(segDf, "__seg").filter(col("__df") <= maxDf)
-    val reassembled = kept.groupBy(col(idCol))
+    // ONE aggregation computes totals, kept count, and the ordered
+    // reassembly together (collect_list drops the CASE's nulls, i.e. the
+    // boilerplate segments): the segs plan — a full tokenize+explode of
+    // the corpus — is consumed once by the df-count aggregation and once
+    // by this join probe, instead of a third time by a separate totals
+    // aggregation joined back in
+    segs.join(segDf, "__seg")
+      .withColumn("__keep", col("__df") <= maxDf)
+      .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("__n_kept"),
-        array_join(expr("transform(array_sort(collect_list(struct(__idx, __seg))), x -> x.__seg)"),
-          " ").as("clean_text"))
-    val totals = segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_segs"))
-    totals.join(reassembled, Seq(idCol), "left")
+        count(lit(1)).as("n_segs"),
+        count(when(col("__keep"), 1)).as("__n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN __keep THEN struct(__idx, __seg) END)), " +
+            "x -> x.__seg)"), " ").as("clean_text"))
       .select(col(idCol), col("n_segs"),
-        (col("n_segs") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        (col("n_segs") - col("__n_kept")).as("n_removed"),
+        col("clean_text"))
   }
 
   /** Benchmark decontamination: flag every training document sharing at
@@ -121,11 +128,15 @@ object Curation {
       df: DataFrame,
       groupCol: String,
       idCol: String): DataFrame = {
+    // null group keys would silently vanish in the rates equi-join while
+    // still skewing every other group's denominator — exclude them from
+    // BOTH the counts and the output, explicitly
+    val nonNull = df.filter(col(groupCol).isNotNull)
     // group counts collected to the driver: cardinality is the number of
     // DISTINCT group values (languages/sources — inherently small), the
     // same bounded-collect contract as IVF centroids. One aggregation
     // scan; rates go back as a literal broadcast table.
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n")).collect()
+    val counts = nonNull.groupBy(col(groupCol)).agg(count(lit(1)).as("__n")).collect()
     val total = counts.map(_.getLong(1)).sum
     val nGroups = counts.length.toLong
     // bps = min(10000, (N * 10000) DIV (nGroups * n_g)) — integer end to end
@@ -139,7 +150,7 @@ object Curation {
         df.schema(groupCol),
         org.apache.spark.sql.types.StructField("__bps",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    df.join(broadcast(rates), groupCol)
+    nonNull.join(broadcast(rates), groupCol)
       .filter(Dedup.hash60(col(idCol).cast("string")) % 10000 < col("__bps"))
       .drop("__bps")
   }

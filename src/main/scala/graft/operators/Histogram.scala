@@ -91,17 +91,39 @@ object Histogram {
       nBuckets: Int,
       accuracy: Int = 10000): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    // NULL values carry no rank information: drop them up front — a CASE
+    // chain would silently dump every NULL into the last bucket, inflating
+    // its count while mn/mx describe only the real values
+    val nonNull = df.filter(col(valueCol).isNotNull)
     val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    val boundaries = df
+    val boundariesRaw = nonNull
       .agg(expr(s"approx_percentile(CAST($valueCol AS DOUBLE), " +
         s"array(${probs.mkString(", ")}), $accuracy)").as("__b"))
       .head().getSeq[Double](0)
+    // empty (or fully-null) input: approx_percentile returns NULL —
+    // return an empty histogram with the right schema, like the sibling
+    // operators' empty-input contract
+    if (boundariesRaw == null) {
+      val spark = df.sparkSession
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("mn",
+            org.apache.spark.sql.types.DoubleType, nullable = true),
+          org.apache.spark.sql.types.StructField("mx",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
+    }
+    val boundaries = boundariesRaw
     val v = col(valueCol).cast("double")
     val first = when(v <= boundaries.head, 1)
     val chain = boundaries.tail.zipWithIndex.foldLeft(first) {
       case (acc, (b, i)) => acc.when(v <= b, i + 2)
     }
-    df.withColumn("bucket", chain.otherwise(nBuckets).cast("long"))
+    nonNull.withColumn("bucket", chain.otherwise(nBuckets).cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx"))
       .orderBy("bucket")

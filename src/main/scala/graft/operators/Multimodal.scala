@@ -127,15 +127,19 @@ object Multimodal {
     val bpp = le16(bytes, 28)
     val comp = le32(bytes, 30)
     val topDown = hRaw < 0
-    val h = math.abs(hRaw)
+    val h = if (hRaw == Int.MinValue) return None else math.abs(hRaw)
     if (w <= 0 || h == 0 || bpp != 24 || comp != 0) return None
-    val rowSize = ((3 * w + 3) / 4) * 4
-    if (off + rowSize.toLong * h > bytes.length) return None
+    // all bounds in Long: a hostile header (negative offset, w large
+    // enough that 3*w overflows Int) must land in None, never in an
+    // ArrayIndexOutOfBounds that fails the whole Spark task
+    if (off < 14 || off > bytes.length) return None
+    val rowSize = ((3L * w + 3) / 4) * 4
+    if (off.toLong + rowSize * h > bytes.length) return None
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
     var sr = 0
     while (sr < h) {
       val y = if (topDown) sr else h - 1 - sr
-      val base = off + sr * rowSize
+      val base = off + sr * rowSize.toInt
       var x = 0
       while (x < w) {
         val b = bytes(base + 3 * x) & 0xff
@@ -163,7 +167,12 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(bmpStatsSchema)
     blobs.mapPartitions { it =>
       it.flatMap { r =>
-        decodeBmpStats(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx))
+        // Try: the drop-corrupt-rows contract must hold even for a
+        // malformation the explicit header checks did not anticipate —
+        // one bad blob must never fail a 100 TB job
+        scala.util.Try(
+          decodeBmpStats(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx))
+        ).toOption.flatten
       }
     }(enc)
   }
@@ -252,8 +261,12 @@ object Multimodal {
     var dataOff = -1; var dataLen = -1
     while (pos + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
       val cid = new String(bytes, pos, 4, "US-ASCII")
-      val clen = le32(bytes, pos + 4)
-      if (clen < 0 || pos + 8 + clen > bytes.length) return None
+      // chunk size is uint32: read unsigned into a Long and bound-check
+      // in Long, so a hostile 0x7FFFFFF0-ish size cannot wrap the Int
+      // arithmetic past the check and crash the task
+      val clenU = le32(bytes, pos + 4).toLong & 0xffffffffL
+      if (pos + 8L + clenU > bytes.length) return None
+      val clen = clenU.toInt // safe: bounded by bytes.length
       if (cid == "fmt " && clen >= 16) {
         val audioFormat = le16(bytes, pos + 8)
         nChannels = le16(bytes, pos + 10)
@@ -287,7 +300,9 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(wavStatsSchema)
     blobs.mapPartitions { it =>
       it.flatMap { r =>
-        decodeWavStats(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx))
+        scala.util.Try(
+          decodeWavStats(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx))
+        ).toOption.flatten
       }
     }(enc)
   }

@@ -251,15 +251,21 @@ object SimilaritySearch {
       vecCol: String,
       k: Int,
       nProbe: Int = 4): DataFrame = {
+    // persisted: the per-query centroid-distance probe is consumed twice
+    // (the distinct-cells collect below, then the join) — without the
+    // persist it would be recomputed per consumer. The table is small:
+    // queries × nProbe rows.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
       explode(probeCells(col(vecCol), centroids, nProbe)).as("__cell"))
+      .persist()
     // Push the probed-cell set onto the lists scan as a STATIC IN filter:
     // the distinct cell count is bounded by nCells (a few thousand at
     // most), so this driver collect is O(nCells) regardless of corpus or
     // query volume, and on a cell-partitioned saved index
     // ([[ivfSaveIndex]]) it becomes PartitionFilters — the probe reads
     // exactly the probed list directories instead of relying on runtime
-    // DPP heuristics to maybe prune them.
+    // DPP heuristics to maybe prune them. (The collect makes this method
+    // eager at call time — the price of static pruning.)
     val probedCells = q.select("__cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy(col("query_id"))

@@ -149,7 +149,13 @@ object TxTable {
       keys: Seq[String] = Seq("serverName", "tag"),
       order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp"),
       maxRetries: Int = 50): Long = {
-    val batchLatest = LastValue.latestPerKey(batch, keys, order).persist()
+    // null partition keys are unrepresentable under partition pruning
+    // (an equi-join/filter on the partition value never matches null) and
+    // the canonical schema declares serverName non-null — drop them here
+    // rather than NPE the micro-batch, which would wedge a restarting
+    // stream on the same checkpointed batch forever
+    val batchLatest = LastValue.latestPerKey(
+      batch.filter(col(partitionCol).isNotNull), keys, order).persist()
     try {
       val affected = batchLatest.select(partitionCol).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
@@ -219,13 +225,17 @@ object TxTable {
         s"data/${d.getName}"
       }
     // log retention: commits at or below the latest checkpoint are
-    // subsumed by it — prune the aged ones so the log stays
-    // O(CheckpointInterval) files (same contract as Delta's log cleanup)
+    // subsumed by it, and so are OLDER checkpoints — prune the aged ones
+    // so the log stays O(CheckpointInterval) files (same contract as
+    // Delta's log cleanup). Without the checkpoint pruning, one
+    // checkpoint per interval accumulates forever and snapshot() listing
+    // cost grows with table age.
     val entries = Option(logDir(tablePath).listFiles()).toSeq.flatten
     val latestCkpt = entries.flatMap(f => versionOf(f, ".checkpoint")).sorted.lastOption
     val logGone = latestCkpt.toSeq.flatMap { base =>
       entries
-        .filter(f => versionOf(f, ".commit").exists(_ <= base))
+        .filter(f => versionOf(f, ".commit").exists(_ <= base) ||
+          versionOf(f, ".checkpoint").exists(_ < base))
         .filter(f => now - f.lastModified() >= minAgeMs)
         .map { f => f.delete(); s"_log/${f.getName}" }
     }

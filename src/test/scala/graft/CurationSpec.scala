@@ -86,6 +86,16 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
   }
 
+  test("mixtureResample excludes null groups from output AND rate denominators") {
+    val df = ((1L to 100L).map(i => (i, Option("en"))) ++
+      (101L to 200L).map(i => (i, Option.empty[String]))).toDF("id", "grp")
+    val kept = Curation.mixtureResample(df, "grp", "id")
+    // with the null group excluded, "en" is the ONLY group (rate 100%);
+    // counting nulls in the denominator would have halved its rate
+    assert(kept.count() == 100)
+    assert(kept.filter(col("grp").isNull).count() == 0)
+  }
+
   test("deterministicShuffle: a permutation, stable across runs and partitionings") {
     val df = (1L to 500L).toDF("id")
     val a = Curation.deterministicShuffle(df, "id")

@@ -61,6 +61,19 @@ class HistogramSpec extends SparkSpec {
     assert(Histogram.withGlobalRank(empty, Seq(col("id"))).count() == 0)
   }
 
+  test("equiDepthApprox: empty and all-null inputs yield an empty histogram; nulls excluded") {
+    val empty = df.filter(col("id") < 0)
+    assert(Histogram.equiDepthApprox(empty, "v", 10).count() == 0)
+    val allNull = df.withColumn("v", lit(null).cast("double"))
+    assert(Histogram.equiDepthApprox(allNull, "v", 10).count() == 0)
+    // nulls must not inflate the last bucket
+    val half = df.withColumn("v",
+      when(col("id") % 2 === 0, col("v")).otherwise(lit(null)))
+    val buckets = Histogram.equiDepthApprox(half, "v", 4)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    assert(buckets.values.sum == df.filter(col("id") % 2 === 0).count())
+  }
+
   test("equiDepthApprox bucket ranges are ordered and cover the data") {
     val data = (1L to 2000L).map(i => (i, (i % 500).toDouble)).toDF("id", "v")
     val rows = Histogram.equiDepthApprox(data, "v", 8)

@@ -88,6 +88,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBmpStats(5L, compressed).isEmpty)
   }
 
+  test("hostile headers land in None, never an out-of-bounds crash") {
+    // BMP: negative pixel-data offset
+    val bmp1 = Multimodal.encodeSyntheticBmp(1L, 9, 8)
+    val negOff = bmp1.clone(); negOff(13) = 0x80.toByte // off = 0x80000000
+    assert(Multimodal.decodeBmpStats(1L, negOff).isEmpty)
+    // BMP: width large enough that 3*w overflows Int
+    val hugeW = bmp1.clone()
+    hugeW(18) = 0; hugeW(19) = 0; hugeW(20) = 0; hugeW(21) = 0x40
+    assert(Multimodal.decodeBmpStats(1L, hugeW).isEmpty)
+    // BMP: height = Int.MinValue (abs() would overflow)
+    val minH = bmp1.clone()
+    minH(22) = 0; minH(23) = 0; minH(24) = 0; minH(25) = 0x80.toByte
+    assert(Multimodal.decodeBmpStats(1L, minH).isEmpty)
+    // WAV: chunk length near Int.MaxValue (Int bound check would wrap)
+    val wav = Multimodal.encodeSyntheticWav(1L, 10)
+    val hugeChunk = wav.clone()
+    hugeChunk(16) = 0xF0.toByte; hugeChunk(17) = 0xFF.toByte
+    hugeChunk(18) = 0xFF.toByte; hugeChunk(19) = 0x7F.toByte
+    assert(Multimodal.decodeWavStats(1L, hugeChunk).isEmpty)
+    // and through the Spark path: corrupt rows DROP, they never fail the job
+    val blobs = Seq((1L, negOff), (2L, Multimodal.encodeSyntheticBmp(2L, 10, 9)))
+      .toDF("doc_id", "blob")
+    val out = Multimodal.decodeBmpFeatures(blobs, spark).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(out == Seq(2L))
+  }
+
   test("encode -> real decode round-trips the generation formula") {
     val ids = Seq(1L, 2L, 17L, 100L).toDF("doc_id")
     val got = Multimodal.decodeBmpFeatures(

@@ -441,10 +441,27 @@ class StreamingSpec extends SparkSpec {
     assert(!afterNames.exists(n => n.endsWith(".commit") &&
       n.stripSuffix(".commit").toLong <= 10L),
       s"commits at or below the checkpoint must be pruned: $afterNames")
+    assert(afterNames.count(_.endsWith(".checkpoint")) <= 1,
+      s"superseded checkpoints must be pruned too: $afterNames")
     assert(cur() == before, "vacuum must not change the visible snapshot")
     // and the table keeps working after the prune
     TxTable.mergeLatest(spark, txBatch(("srvA", "t0", "2024-06-01 11:00:00", 99.0)), table)
     assert(cur()("t0") == 99.0)
+  }
+
+  test("TxTable.mergeLatest drops null-partition rows instead of failing the batch") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-txnull") + "/tbl"
+    val withNull = Seq(
+      (Option("srvA"), "t1", ts("2024-06-01 10:00:00"), 1.0),
+      (Option.empty[String], "t2", ts("2024-06-01 10:00:00"), 2.0))
+      .toDF("serverName", "tag", "serverTimestamp", "doubleValue")
+      .withColumn("sourceTimestamp",
+        org.apache.spark.sql.functions.col("serverTimestamp"))
+    TxTable.mergeLatest(spark, withNull, table) // must not throw
+    val cur = TxTable.read(spark, table).get
+      .select("tag", "doubleValue").as[(String, Double)].collect().toMap
+    assert(cur == Map("t1" -> 1.0))
   }
 
   test("TxTable streaming sink: current-value table across micro-batches") {
