@@ -111,6 +111,40 @@ object TimeSeries {
       .drop("__pv", "__pt", "__nv", "__nt")
   }
 
+  /** Time-weighted average per key over irregular samples: each value is
+    * held until the next sample (the LOCF integral — the statistic OPC
+    * historians report for unevenly-polled tags, which a plain avg() gets
+    * wrong whenever sampling density correlates with the value). Output:
+    * (key, n_samples, twa) with
+    * twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_max − t_min); the last sample holds no
+    * time and contributes nothing; keys with a single sample (zero span)
+    * are dropped. Durations are exact epoch-µs integers; the one float
+    * sum's reorder noise is ~10⁸ below the rounding grid.
+    *
+    * One shuffle on the key, one window sort, one aggregation.
+    */
+  def timeWeightedAvg(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tiebreakCol: String,
+      valCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tiebreakCol))
+    df.select(col(keyCol), col(tsCol), col(tiebreakCol),
+        unix_micros(col(tsCol)).as("__tu"), col(valCol).as("__v"))
+      .withColumn("__nu", lead(col("__tu"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(when(col("__nu").isNotNull,
+          col("__v") * (col("__nu") - col("__tu")))).as("__num"),
+        (max(col("__tu")) - min(col("__tu"))).as("__den"))
+      .filter(col("__den") > 0)
+      .select(col(keyCol), col("n_samples"),
+        round(col("__num") / col("__den"), roundTo).as("twa"))
+  }
+
   /** Exponential moving average over the trailing `lookback` observations
     * per key: ewma ← ewma + (x - ewma)·α, seeded with the oldest value in
     * the window. A bounded frame keeps state O(lookback) per row instead of

@@ -945,6 +945,29 @@ object AnalyticsQueries {
         .filter(col("rank") <= 3)
         .select("label", "rank", "vec_id", "cos")
         .orderBy("label", "rank")
+    },
+
+    Q("q100_time_weighted_avg",
+      // time-weighted average per user over irregular samples — the OPC-
+      // historian statistic a plain avg() gets wrong when sampling density
+      // correlates with the value. Each value holds until the next sample
+      // (LOCF integral); durations are exact epoch-µs integers; the one
+      // float sum's reorder noise sits ~1e8 below the 4dp rounding grid.
+      """WITH w AS (
+        |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+        |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nu
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_samples,
+        |    sum(value * (nu - tu)) FILTER (nu IS NOT NULL) AS num,
+        |    max(tu) - min(tu) AS den
+        |  FROM w GROUP BY user_id)
+        |SELECT user_id, n_samples, round(num / den, 4) AS twa
+        |FROM a WHERE den > 0 ORDER BY user_id""".stripMargin) { (s, d) =>
+      TimeSeries.timeWeightedAvg(t(s, d, "events"),
+          "user_id", "ts", "event_id", "value", roundTo = 4)
+        .orderBy("user_id")
     }
   )
 }

@@ -86,6 +86,35 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("timeWeightedAvg holds each value until the next sample") {
+    // key "a": v=10 held 1h, v=30 held 3h, last sample holds nothing:
+    // twa = (10·1 + 30·3) / 4 = 25.0 — the PLAIN avg is (10+30+50)/3 = 30
+    val df = Seq(
+      ("a", 1L, ts("2024-01-01 00:00:00"), 10.0),
+      ("a", 2L, ts("2024-01-01 01:00:00"), 30.0),
+      ("a", 3L, ts("2024-01-01 04:00:00"), 50.0),
+      ("b", 4L, ts("2024-01-01 00:00:00"), 7.0)) // single sample: dropped
+      .toDF("k", "id", "t", "v")
+    val got = TimeSeries.timeWeightedAvg(df, "k", "t", "id", "v")
+      .select("k", "n_samples", "twa").as[(String, Long, Double)].collect()
+    assert(got.toSeq == Seq(("a", 3L, 25.0)))
+  }
+
+  test("timeWeightedAvg is immune to the sampling-density bias plain avg has") {
+    // value 100 sampled once per hour for 10h, then a burst of 10
+    // samples of value 0 within one minute at the end: plain avg is
+    // dragged to ~50 by the burst; twa stays ≈ 100 (the zeros hold
+    // almost no time)
+    val steady = (0 until 10).map(h => ("k", h.toLong, ts(f"2024-01-01 $h%02d:00:00"), 100.0))
+    val burst = (0 until 10).map(i => ("k", 100L + i, ts(f"2024-01-01 10:00:${i}%02d"), 0.0))
+    val df = (steady ++ burst).toDF("k", "id", "t", "v")
+    val twa = TimeSeries.timeWeightedAvg(df, "k", "t", "id", "v")
+      .select("twa").as[Double].head()
+    val plain = df.agg(avg("v")).as[Double].head()
+    assert(twa > 99.0, s"twa $twa must ignore the zero-burst")
+    assert(plain < 51.0, s"plain avg $plain is biased by the burst")
+  }
+
   test("ewma folds the trailing window with the α-only recurrence") {
     val df = Seq(
       ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0)
