@@ -45,7 +45,7 @@ object Dedup {
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("__content_key"))
-      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__row"))
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), col(idCol)).as("__row"))
       .select(col("__row.*"))
 
   /** Word k-shingles per document, WITH duplicates: (idCol, shingle).
@@ -312,7 +312,7 @@ object Dedup {
       .withColumnRenamed("src", "id")
       .localCheckpoint()
     def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum("cluster")).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      Option(df.agg(sum("cluster")).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = -1L
     var curSum = labelSum(labels)
     var it = 0

@@ -46,7 +46,7 @@ object Histogram {
       .sortWithinPartitions(orderCols: _*)
     val schema = sorted.schema.add(rankCol, LongType, nullable = false)
     spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       schema)
   }
 

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object LastValue {
 
   def latestPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val ord = struct(orderCols.map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(payload, ord).as("__latest"))
@@ -46,7 +46,7 @@ object LastValue {
       keyCols: Seq[String],
       orderCols: Seq[String],
       saltBuckets: Int = 32): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val ord = struct(orderCols.map(col): _*)
     val salted = df
       .withColumn("__salt", pmod(xxhash64(orderCols.map(col): _*), lit(saltBuckets)).cast("int"))

@@ -505,7 +505,7 @@ object RelationalQueries {
         r("t_state", "state", "3"),
         r("t_str", "String", "hello"),
         r("t_strnum", "String", "12.5"),
-        r("t_vtr4", "VT_R4", "1.5")).toDF
+        r("t_vtr4", "VT_R4", "1.5")).toDF()
       Normalize.normalize(raw)
         .select(col("tag"), col("doubleValue").as("double_value"),
           col("boolValue").as("bool_value"), col("stringValue").as("string_value"))

@@ -71,7 +71,7 @@ object StreamingPipeline extends Serializable {
         // partition-col type inference could widen a numeric-looking name
         .withColumn("serverName", col("serverName").cast("string"))
         .filter(col("serverName").isin(affected: _*))
-        .select(batchLatest.columns.map(col): _*)
+        .select(batchLatest.columns.toIndexedSeq.map(col): _*)
       val merged = LastValue.latestPerKey(
         current.unionByName(batchLatest), keys, order)
       // two-phase write: parquet can't overwrite the path it is reading;

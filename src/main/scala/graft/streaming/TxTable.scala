@@ -165,7 +165,7 @@ object TxTable {
         val removedFiles = affected.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
         val current = if (removedFiles.isEmpty) None
           else Some(spark.read.parquet(removedFiles.map(p => s"$tablePath/$p"): _*)
-            .select(batchLatest.columns.map(col): _*))
+            .select(batchLatest.columns.toIndexedSeq.map(col): _*))
         val merged = LastValue.latestPerKey(
           current.fold(batchLatest)(_.unionByName(batchLatest)), keys, order)
           .persist()
