@@ -305,6 +305,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("u1", 5.0)))
   }
 
+  test("streaming session windows: gap-based sessions per tag with watermark") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, session_window, sum}
+    val mem = MemoryStream[RawReading]
+    // two sessions for t1 (gap > 30s between 10:00:20 and 10:02:00), one for t2
+    mem.addData(
+      raw("t1", "1.0", "2024-06-01 10:00:00"),
+      raw("t1", "2.0", "2024-06-01 10:00:20"),
+      raw("t1", "3.0", "2024-06-01 10:02:00"),
+      raw("t2", "7.0", "2024-06-01 10:00:05"))
+    val sessions = StreamingPipeline.normalizeStream(mem.toDF())
+      .withWatermark("sourceTimestamp", "10 minutes")
+      .groupBy(session_window(col("sourceTimestamp"), "30 seconds"), col("tag"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        sum("doubleValue").as("total"))
+    val q = sessions.writeStream
+      .format("memory").queryName("session_out")
+      .outputMode("complete")
+      .option("checkpointLocation", tmp("graft-ckpt-sess"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT tag, n, total FROM session_out")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows == Set(("t1", 2L, 3.0), ("t1", 1L, 3.0), ("t2", 1L, 7.0)))
+  }
+
   test("dedupReadings drops poll/subscribe double-reads within the watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[RawReading]
@@ -401,6 +428,20 @@ class StreamingSpec extends SparkSpec {
     assert(cur("shared") == nWriters.toDouble)
     val snap = TxTable.snapshot(table)
     assert(snap.version == nWriters.toLong, s"expected ${nWriters + 1} commits, got ${snap.version + 1}")
+  }
+
+  test("TxTable.read with a partition list opens only those partitions") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-txpread") + "/tbl"
+    TxTable.mergeLatest(spark, txBatch(
+      ("srvA", "a1", "2024-06-01 10:00:00", 1.0),
+      ("srvB", "b1", "2024-06-01 10:00:00", 2.0)), table)
+    val onlyA = TxTable.read(spark, table, Some(Seq("srvA"))).get
+    assert(onlyA.select("tag").as[String].collect().toSeq == Seq("a1"))
+    // unknown partition → no files → None
+    assert(TxTable.read(spark, table, Some(Seq("srvZ"))).isEmpty)
+    // empty/uninitialized table → None
+    assert(TxTable.read(spark, tmp("graft-txempty") + "/none").isEmpty)
   }
 
   test("TxTable.vacuum reclaims only unreferenced data dirs, honoring min age") {
