@@ -968,6 +968,25 @@ object AnalyticsQueries {
       TimeSeries.timeWeightedAvg(t(s, d, "events"),
           "user_id", "ts", "event_id", "value", roundTo = 4)
         .orderBy("user_id")
+    },
+
+    Q("q101_heavy_hitters",
+      // top-15 tokens through the SpaceSaving sketch pipeline (per-
+      // partition bounded summaries → candidate semi-join → exact count
+      // of candidates only) — shuffle is O(candidates), not O(distinct
+      // items). With capacity far above this corpus's vocabulary the
+      // candidate set provably covers the true top-k, so the result
+      // equals the exact top-k the oracle computes. Integer counts,
+      // (n desc, item) total order: deterministic cut.
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS item
+        |  FROM documents)
+        |SELECT item, count(*) AS n FROM toks GROUP BY item
+        |ORDER BY n DESC, item LIMIT 15""".stripMargin) { (s, d) =>
+      import graft.operators.HeavyHitters
+      val toks = t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
+      HeavyHitters.topK(toks, "item", 15, capacity = 4096)
     }
   )
 }
