@@ -112,6 +112,15 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Keep rate in basis points: min(10000, (N*10000) DIV (nGroups*n_g)).
+    * Integer end to end, through BigInt — `total * 10000L` overflows Long
+    * once total exceeds ~9.2e14 rows (a 100 TB table of narrow rows gets
+    * there), silently corrupting every keep rate. Driver-side, called
+    * nGroups times — the BigInt cost is free.
+    */
+  private[graft] def keepBps(total: Long, nGroups: Long, nGroup: Long): Long =
+    (BigInt(total) * 10000 / (BigInt(nGroups) * nGroup)).min(BigInt(10000)).toLong
+
   /** Data-mixture rebalancing toward a UNIFORM share per group (the
     * "equal parts per language" mixing step of a training-data recipe):
     * each group keeps a deterministic hash sample at rate
@@ -139,10 +148,9 @@ object Curation {
     val counts = nonNull.groupBy(col(groupCol)).agg(count(lit(1)).as("__n")).collect()
     val total = counts.map(_.getLong(1)).sum
     val nGroups = counts.length.toLong
-    // bps = min(10000, (N * 10000) DIV (nGroups * n_g)) — integer end to end
     val spark = df.sparkSession
     val rateRows = counts.map { r =>
-      Row(r.get(0), math.min(10000L, (total * 10000L) / (nGroups * r.getLong(1))))
+      Row(r.get(0), keepBps(total, nGroups, r.getLong(1)))
     }
     val rates = spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rateRows: _*)),

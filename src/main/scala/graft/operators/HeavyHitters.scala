@@ -39,16 +39,21 @@ object HeavyHitters {
     */
   def partitionSummaries(df: DataFrame, itemCol: String, capacity: Int): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
-    val idx = df.schema.fieldIndex(itemCol)
+    // SQL cast, not Java toString: [[topK]]'s verify pass semi-joins the
+    // candidates against cast(itemCol AS STRING), and for types whose Java
+    // rendering differs from the SQL cast (Timestamp '…00:00.0' vs
+    // '…00:00') a toString here would make every candidate miss the join
+    // and silently drop heavy items
+    val items = df.select(col(itemCol).cast("string").as("item"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(summarySchema)
-    df.mapPartitions { it =>
+    items.mapPartitions { it =>
       // (count, err) per tracked item; eviction replaces the current
       // minimum (linear min scan — a production impl keeps a heap, the
       // bound and the emitted summary are identical)
       val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
       it.foreach { r =>
-        val item = if (r.isNullAt(idx)) null else r.get(idx).toString
+        val item = if (r.isNullAt(0)) null else r.getString(0)
         m.get(item) match {
           case Some((c, e)) => m.update(item, (c + 1, e))
           case None if m.size < capacity => m.update(item, (1L, 0L))

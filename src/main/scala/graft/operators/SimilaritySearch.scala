@@ -251,13 +251,14 @@ object SimilaritySearch {
       vecCol: String,
       k: Int,
       nProbe: Int = 4): DataFrame = {
-    // persisted: the per-query centroid-distance probe is consumed twice
-    // (the distinct-cells collect below, then the join) — without the
-    // persist it would be recomputed per consumer. The table is small:
-    // queries × nProbe rows.
+    // NOT persisted: the probe is consumed twice (the distinct-cells
+    // collect below, then the join), but the recompute is one extra pass
+    // of centroid distances over the small query side — cheaper than a
+    // cache entry that would outlive the call and accumulate across
+    // repeated queries for the life of the session (a persist here has no
+    // safe unpersist point: the join consumes q lazily, after we return).
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
       explode(probeCells(col(vecCol), centroids, nProbe)).as("__cell"))
-      .persist()
     // Push the probed-cell set onto the lists scan as a STATIC IN filter:
     // the distinct cell count is bounded by nCells (a few thousand at
     // most), so this driver collect is O(nCells) regardless of corpus or

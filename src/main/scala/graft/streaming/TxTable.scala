@@ -60,9 +60,29 @@ object TxTable {
 
   /** Replay the log: latest checkpoint (full file listing) + the commits
     * after it. Version -1 = empty/uninitialized table.
+    *
+    * A concurrent [[vacuum]] can delete a subsumed commit/checkpoint
+    * between our directory listing and the read of that file; the replay
+    * then throws NoSuchFileException against the STALE listing, so the
+    * correct response is to re-list and replay again (the fresh log is
+    * complete — vacuum only deletes files a newer checkpoint subsumes).
+    * Bounded retries: persistent failure means real log corruption and
+    * should surface, not spin.
     */
   def snapshot(tablePath: String): Snapshot = {
-    val entries = Option(logDir(tablePath).listFiles()).toSeq.flatten
+    var last: java.nio.file.NoSuchFileException = null
+    var attempt = 0
+    while (attempt < 5) {
+      try return replay(Option(logDir(tablePath).listFiles()).toSeq.flatten)
+      catch { case e: java.nio.file.NoSuchFileException => last = e; attempt += 1 }
+    }
+    throw last
+  }
+
+  /** One replay pass over a fixed directory listing. Package-visible so
+    * the race (listing goes stale mid-replay) is testable directly.
+    */
+  private[graft] def replay(entries: Seq[File]): Snapshot = {
     val commits = entries.flatMap(f => versionOf(f, ".commit").map(_ -> f)).sortBy(_._1)
     val ckpt = entries.flatMap(f => versionOf(f, ".checkpoint").map(_ -> f))
       .sortBy(_._1).lastOption

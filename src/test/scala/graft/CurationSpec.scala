@@ -96,6 +96,20 @@ class CurationSpec extends SparkSpec {
     assert(kept.filter(col("grp").isNull).count() == 0)
   }
 
+  test("keepBps is exact at row counts where Long bps math overflows") {
+    // total ~9.2e14 made total*10000 overflow Long (round-3 ADVICE); the
+    // BigInt path must keep exact integer semantics at any Long total
+    val total = 922_337_203_685_477L * 1000 // 9.22e17 rows
+    // a group holding half the rows in a 2-group mixture keeps everything
+    assert(Curation.keepBps(total, 2, total / 2) == 10000L)
+    // a group holding 90% of a 2-group mixture keeps 5000/9000 bps = 5555
+    assert(Curation.keepBps(total, 2, total / 10 * 9) == 5555L)
+    // tiny groups cap at 10000, never a corrupted negative rate
+    assert(Curation.keepBps(total, 2, 1) == 10000L)
+    // and the small-scale value matches plain Long arithmetic
+    assert(Curation.keepBps(1000, 4, 500) == (1000L * 10000) / (4 * 500))
+  }
+
   test("deterministicShuffle: a permutation, stable across runs and partitionings") {
     val df = (1L to 500L).toDF("id")
     val a = Curation.deterministicShuffle(df, "id")

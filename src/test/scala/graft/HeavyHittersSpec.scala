@@ -46,6 +46,22 @@ class HeavyHittersSpec extends SparkSpec {
     assert(cands.contains("item1"))
   }
 
+  test("non-string item columns use SQL cast formatting end to end") {
+    // Timestamp is the canary: Java toString renders '…10:00:00.0' while
+    // the SQL cast renders '…10:00:00' — if the sketch keyed by toString,
+    // every candidate would miss the verify semi-join and topK would be
+    // empty (the round-3 ADVICE finding)
+    val ts = Seq.tabulate(100)(i => java.sql.Timestamp.valueOf(
+      s"2026-01-0${i % 3 + 1} 10:00:00")).toDF("t").repartition(4)
+    val got = HeavyHitters.topK(ts, "t", 3, capacity = 8)
+      .as[(String, Long)].collect().toSeq
+    val want = ts.groupBy(col("t").cast("string").as("item"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("item")).limit(3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("null items are tracked like a SQL group") {
     val df = Seq(Some("a"), Some("a"), None, None, None, Some("b"))
       .toDF("w").repartition(2)

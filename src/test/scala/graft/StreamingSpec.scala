@@ -490,6 +490,32 @@ class StreamingSpec extends SparkSpec {
     assert(cur()("t0") == 99.0)
   }
 
+  test("TxTable.snapshot retries when a vacuum races the directory listing") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-txracesnap") + "/tbl"
+    // versions 0..9 — below the checkpoint interval, so a reader's listing
+    // taken NOW sees only plain commits
+    (0 to 9).foreach { i =>
+      TxTable.mergeLatest(spark, txBatch(
+        ("srvA", s"t${i % 3}", f"2024-06-01 10:00:${i}%02d", i.toDouble)), table)
+    }
+    val stale = Option(new java.io.File(table, "_log").listFiles()).toSeq.flatten
+    // another writer crosses the interval (checkpoint v10), then a vacuum
+    // prunes the subsumed commits the stale listing still references
+    TxTable.mergeLatest(spark, txBatch(
+      ("srvA", "t0", "2024-06-01 10:00:10", 10.0)), table)
+    TxTable.vacuum(table, minAgeMs = 0L)
+    // one replay pass over the stale listing hits the deleted files — the
+    // exact race of the round-3 ADVICE finding...
+    intercept[java.nio.file.NoSuchFileException] { TxTable.replay(stale) }
+    // ...which snapshot() absorbs by re-listing and replaying fresh
+    val snap = TxTable.snapshot(table)
+    assert(snap.version == 10L)
+    val cur = TxTable.read(spark, table).get
+      .select("tag", "doubleValue").as[(String, Double)].collect().toMap
+    assert(cur == Map("t0" -> 10.0, "t1" -> 7.0, "t2" -> 8.0))
+  }
+
   test("TxTable.mergeLatest drops null-partition rows instead of failing the batch") {
     import graft.streaming.TxTable
     val table = tmp("graft-txnull") + "/tbl"
