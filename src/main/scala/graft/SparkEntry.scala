@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, ExtendedQueries, Q, RelationalQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, ExtendedQueries, PipelineQueries, Q, RelationalQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,7 @@ object SparkEntry {
   /** Full inventory: name -> (Spark impl, optional DuckDB oracle). */
   def inventory: Seq[Q] =
     RelationalQueries.all ++ ExtendedQueries.all ++ AnalyticsQueries.all ++
-      TpchQueries.all
+      TpchQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -56,18 +56,7 @@ object Curation {
       textCol: String,
       segTokens: Int,
       maxDf: Long): DataFrame = {
-    val toks = Dedup.tokens(col(textCol))
-    // explode an int sequence + per-row slice/concat_ws (codegen'd) —
-    // never a transform(...) lambda building string arrays (interpreted;
-    // q76 lesson)
-    val segs = df
-      .select(col(idCol), toks.as("__toks"))
-      .filter(size(col("__toks")) >= 1)
-      .select(col(idCol), col("__toks"),
-        explode(expr(s"sequence(0, (size(__toks) - 1) DIV $segTokens)")).as("__idx"))
-      .select(col(idCol), col("__idx"),
-        concat_ws(" ", slice(col("__toks"), col("__idx") * segTokens + 1, lit(segTokens)))
-          .as("__seg"))
+    val segs = segments(df, idCol, textCol, segTokens)
     val segDf = segs.groupBy("__seg")
       .agg(countDistinct(col(idCol)).as("__df"))
     // ONE aggregation computes totals, kept count, and the ordered
@@ -87,6 +76,66 @@ object Curation {
             "x -> x.__seg)"), " ").as("clean_text"))
       .select(col(idCol), col("n_segs"),
         (col("n_segs") - col("__n_kept")).as("n_removed"),
+        col("clean_text"))
+  }
+
+  /** Split each document into consecutive `segTokens`-token segments:
+    * (idCol, __idx, __seg). Explodes an int sequence + per-row
+    * slice/concat_ws (codegen'd) — never a transform(...) lambda building
+    * string arrays (interpreted; the q76 lesson).
+    */
+  private[operators] def segments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int): DataFrame =
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+      .select(col(idCol), col("__toks"),
+        explode(expr(s"sequence(0, (size(__toks) - 1) DIV $segTokens)")).as("__idx"))
+      .select(col(idCol), col("__idx"),
+        concat_ws(" ", slice(col("__toks"), col("__idx") * segTokens + 1, lit(segTokens)))
+          .as("__seg"))
+
+  /** Corpus-wide exact segment dedup, keep-FIRST occurrence (the
+    * RefinedWeb/C4 "exact line dedup" pass, at fixed-token-segment
+    * granularity since the corpus carries no line structure): a segment's
+    * first occurrence in (idCol, position) order survives; every later
+    * occurrence anywhere in the corpus is dropped, and documents are
+    * reassembled from their surviving segments. Complements
+    * [[removeBoilerplateSegments]]: that drops ALL copies of high-df
+    * segments; this keeps exactly one copy of every segment.
+    *
+    * Returns (idCol, n_segs, n_dropped, clean_text).
+    *
+    * Plan shape: the winner per segment is `min(struct(id, idx))` — a
+    * map-side-combining hash aggregate, so a segment duplicated a million
+    * times costs its reducer one row per map partition, not a million
+    * (skew-safe where a row_number() window over the segment key would
+    * sort the full duplicate stream). One equi-join back on segment
+    * content, one per-doc ordered reassembly. At 100 TB, hash the segment
+    * to 128 bits first and join on the hash — same shape, narrower
+    * shuffle.
+    */
+  def dedupSegmentsKeepFirst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int): DataFrame = {
+    val segs = segments(df, idCol, textCol, segTokens)
+    val winners = segs.groupBy("__seg")
+      .agg(min(struct(col(idCol), col("__idx"))).as("__w"))
+    segs.join(winners, "__seg")
+      .withColumn("__keep", struct(col(idCol), col("__idx")) === col("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(col("__keep"), 1)).as("__n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN __keep THEN struct(__idx, __seg) END)), " +
+            "x -> x.__seg)"), " ").as("clean_text"))
+      .select(col(idCol), col("n_segs"),
+        (col("n_segs") - col("__n_kept")).as("n_dropped"),
         col("clean_text"))
   }
 

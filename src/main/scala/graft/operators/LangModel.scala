@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained bigram language-model scoring — the KenLM-style
+  * perplexity proxy used to quality-filter web-scale training data (docs
+  * whose token transitions are improbable under the corpus model are
+  * gibberish / boilerplate / wrong-language candidates).
+  *
+  * Model: P(w2 | w1) = c(w1,w2) / c(w1·), both counts taken over the FULL
+  * corpus bigram stream; a document's score is the mean log-probability of
+  * its bigrams. Trained and scored in one job: the count tables are hash
+  * aggregates over the bigram stream, scoring re-joins the (optionally
+  * subset) stream against them.
+  *
+  * Plan shape / 100 TB posture: bigrams come from exploding an index
+  * sequence + two `element_at` lookups (codegen'd — never a transform()
+  * lambda materializing struct arrays, the q76 lesson). Counts are
+  * map-side-combining hash aggregates keyed by content. The scoring joins
+  * are equi-joins on (w1,w2) / (w1); for natural-language vocabularies the
+  * count tables are millions of rows — broadcastable at the low end, plain
+  * shuffle joins beyond; either way no pairwise blowup anywhere. Scoring a
+  * SUBSET (the common "train on all, score the new batch" shape) pushes
+  * the subset filter into the probe side only — the model side stays full.
+  */
+object LangModel {
+
+  /** (idCol, w1, w2) bigram stream of the corpus, in-document adjacency. */
+  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), col("__toks"),
+        explode(expr("sequence(1, size(__toks) - 1)")).as("__i"))
+      .select(col(idCol),
+        element_at(col("__toks"), col("__i")).as("w1"),
+        element_at(col("__toks"), col("__i") + 1).as("w2"))
+
+  /** Mean bigram log-prob per document, model trained on the whole `df`
+    * corpus, scores emitted for docs passing `scoreFilter` (null = all).
+    * Output: (idCol, n_bigrams, avg_logp rounded to 6 dp). Every scored
+    * bigram exists in the model by construction (trained on a superset),
+    * so no smoothing term is needed for finiteness.
+    */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreFilter: org.apache.spark.sql.Column = null): DataFrame = {
+    val bi = bigrams(df, idCol, textCol)
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("__c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).cast("double").as("__c1"))
+    val probe = if (scoreFilter == null) bi else bi.filter(scoreFilter)
+    probe
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("__c12") / col("__c1"))), 6).as("avg_logp"))
+  }
+}

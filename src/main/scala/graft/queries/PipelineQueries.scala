@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BloomPrune, Curation, Dedup, LangModel, Layout, Ranking}
+import Q.t
+
+/** Round-4 widening: scale-infrastructure operators (bloom-pruned joins,
+  * z-order layout) and the remaining LLM-corpus passes (BM25 retrieval,
+  * keep-first segment dedup, bigram-LM quality scoring, train/val/test
+  * splitting). No reference analog — this is the SURVEY.md §2.11 "beyond
+  * the reference" surface, each entry DuckDB-oracle-paired.
+  */
+object PipelineQueries {
+
+  private def sqlHash60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  val all: Seq[Q] = Seq(
+
+    Q("q102_bloom_pruned_join",
+      // Bloom-filter join pruning: lineitem rows are dropped in the scan
+      // stage (before the shuffle) unless their suppkey MIGHT be a German
+      // supplier; the exact join then removes the ~fpp false positives, so
+      // the result is bit-identical to this plain join — which is exactly
+      // what the oracle runs. Dim side is 1/25 of suppliers → ~96% of the
+      // fact shuffle is avoided at scale.
+      """SELECT s_suppkey, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem, supplier, nation
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'GERMANY'
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val germans = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "GERMANY")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val fact = t(s, d, "lineitem").select("l_suppkey", "l_extendedprice")
+      BloomPrune.prunedEquiJoin(fact, "l_suppkey", germans, "s_suppkey",
+          expectedItems = 1L << 12, fpp = 0.01)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("s_suppkey")
+    },
+
+    Q("q103_bm25_topk",
+      // BM25 retrieval over the corpus for a fixed 3-term query — the
+      // lexical scoring pass of retrieval-based curation. Fixed-order
+      // per-term summation + rounded-score ranking keep the top-k cut
+      // engine-stable (the q70 lesson).
+      Ranking.bm25Sql(Seq("spark", "stream", "vector"))) { (s, d) =>
+      Ranking.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "stream", "vector"))
+    },
+
+    Q("q104_segment_dedup_keep_first",
+      // corpus-wide exact segment dedup, keep-FIRST occurrence (RefinedWeb
+      // "exact substring dedup" at 8-token segments): min(struct) winner
+      // per segment — a map-side-combining aggregate, skew-safe where a
+      // row_number window would sort every duplicate. clean text md5'd so
+      // compared rows stay narrow (q92 convention).
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, i AS idx, array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(0, (len(toks)-1)//8)) AS i
+        |        FROM w WHERE len(toks) >= 1)),
+        |k AS (
+        |  SELECT doc_id, idx, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+        |  FROM s)
+        |SELECT doc_id, count(*) AS n_segs,
+        |  count(CASE WHEN rn > 1 THEN 1 END) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY idx), ''))
+        |    AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Curation.dedupSegmentsKeepFirst(t(s, d, "documents"), "doc_id", "text",
+          segTokens = 8)
+        .select(col("doc_id"), col("n_segs"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
+    Q("q105_bigram_lm_score",
+      // corpus-trained bigram-LM quality scoring (KenLM-style perplexity
+      // proxy): model counts over the FULL corpus, scores for the doc_id <
+      // 200 batch — train-on-all / score-the-batch, the standard quality-
+      // filter shape. avg(ln ·) is rounded to 6 dp: summation-order and
+      // libm 1-ulp noise sit ~1e-13 below the grid (q70/q49 rule).
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bi AS (
+        |  SELECT doc_id, toks[__i] AS w1, toks[__i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS __i
+        |        FROM w WHERE len(toks) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*)::DOUBLE AS __c12 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*)::DOUBLE AS __c1 FROM bi GROUP BY w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln(__c12 / __c1)), 6) AS avg_logp
+        |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |WHERE doc_id < 200 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      LangModel.bigramLogProb(t(s, d, "documents"), "doc_id", "text",
+          scoreFilter = col("doc_id") < 200)
+        .orderBy("doc_id")
+    },
+
+    Q("q106_zorder_values",
+      // Morton (z-order) interleave of (l_partkey, l_suppkey) — the layout
+      // key behind multi-dimension file skipping (Layout.zorderWrite +
+      // TxTable stats). Pure bitwise codegen'd arithmetic, identical
+      // expression on both engines; unique (orderkey, linenumber)
+      // tiebreak makes the LIMIT cut deterministic.
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${Layout.zorder16Sql("l_partkey", "l_suppkey")} AS zval
+         |FROM lineitem
+         |ORDER BY zval, l_orderkey, l_linenumber LIMIT 50""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Layout.zorder16(col("l_partkey"), col("l_suppkey")).as("zval"))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+        .limit(50)
+    },
+
+    Q("q107_train_val_test_split",
+      // deterministic 80/10/10 train/val/test split: membership is a pure
+      // function of the row key (hash60 mod 10), so the split is
+      // reproducible across engines/runs/partitionings, disjoint and
+      // exhaustive by construction — no shuffle, just a scan + aggregate.
+      s"""WITH b AS (
+         |  SELECT *, ${sqlHash60("doc_id::VARCHAR")} % 10 AS __b FROM documents)
+         |SELECT CASE WHEN __b < 8 THEN 'train' WHEN __b = 8 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  count(*) AS n_docs, min(doc_id) AS first_id, max(doc_id) AS last_id,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  count(DISTINCT lang) AS n_langs
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("__b", Dedup.hash60(col("doc_id").cast("string")) % 10)
+        .withColumn("split",
+          when(col("__b") < 8, "train").when(col("__b") === 8, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_id"),
+          max("doc_id").as("last_id"),
+          sum("n_chars").cast("long").as("total_chars"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("split")
+    }
+  )
+}
