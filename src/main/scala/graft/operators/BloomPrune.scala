@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.io.ByteArrayOutputStream
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,20 +30,30 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
-  /** Serialized Bloom filter of `dim`'s `dimKey` (a long-typed key column).
-    * One dim-side pass; the returned bytes are small enough to inline as a
-    * literal into the fact-side predicate (Spark broadcasts the task
-    * binary, so every executor deserializes it once per task-set).
+  /** Serialized Bloom filter of `dim`'s `dimKey` (a long-typed key column),
+    * or None when the dim side has no rows — `DataFrameStatFunctions
+    * .bloomFilter` NPEs on an empty input (the aggregate buffer is never
+    * allocated), and an empty dim side is a legitimate runtime state (a
+    * selective dim filter can match nothing at small scale). One dim-side
+    * pass; the returned bytes are small enough to inline as a literal into
+    * the fact-side predicate (Spark broadcasts the task binary, so every
+    * executor deserializes it once per task-set).
     */
   def buildBloom(
       dim: DataFrame,
       dimKey: String,
       expectedItems: Long,
-      fpp: Double): Array[Byte] = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bos = new ByteArrayOutputStream()
-    bf.writeTo(bos)
-    bos.toByteArray
+      fpp: Double): Option[Array[Byte]] = {
+    registerAgg(dim.sparkSession)
+    // Same sizing formula as util.sketch.BloomFilter.optimalNumOfBits.
+    val numBits = math.max(
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
+      64L)
+    val row = dim
+      .select(call_function("graft_bloom_agg",
+        col(dimKey).cast("long"), lit(expectedItems), lit(numBits)).as("bf"))
+      .head()
+    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
   }
 
   /** Codegen-friendly membership probe against a serialized Bloom filter.
@@ -61,6 +69,9 @@ object BloomPrune {
     * filter runs in the fact scan stage (before the shuffle), the join
     * afterwards guarantees exactness. `expectedItems` should be an upper
     * bound on dim-side distinct keys; overshooting only wastes sketch bits.
+    * An empty dim side short-circuits to `false` on the fact scan — the
+    * inner join's result is empty either way, and this keeps the fact side
+    * from shuffling a single row.
     */
   def prunedEquiJoin(
       fact: DataFrame,
@@ -70,10 +81,11 @@ object BloomPrune {
       expectedItems: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
     val spark = fact.sparkSession
-    val bloom = buildBloom(dim, dimKey, expectedItems, fpp)
-    fact
-      .filter(mightContain(spark, bloom, col(factKey)))
-      .join(dim, col(factKey) === col(dimKey))
+    val pruned = buildBloom(dim, dimKey, expectedItems, fpp) match {
+      case Some(bloom) => fact.filter(mightContain(spark, bloom, col(factKey)))
+      case None        => fact.filter(lit(false))
+    }
+    pruned.join(dim, col(factKey) === col(dimKey))
   }
 
   private def registerProbe(spark: SparkSession): Unit =
@@ -82,5 +94,13 @@ object BloomPrune {
       exprs =>
         org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
+
+  private def registerAgg(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
       "built-in")
 }

@@ -23,19 +23,20 @@ object PipelineQueries {
       // supplier; the exact join then removes the ~fpp false positives, so
       // the result is bit-identical to this plain join — which is exactly
       // what the oracle runs. Dim side is 1/25 of suppliers → ~96% of the
-      // fact shuffle is avoided at scale.
+      // fact shuffle is avoided at scale. (Testdata nations are synthetic
+      // NATION_0..NATION_24 — TESTDATA.md — not TPC-H country names.)
       """SELECT s_suppkey, count(*) AS n_items,
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem, supplier, nation
         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        |  AND n_name = 'GERMANY'
+        |  AND n_name = 'NATION_7'
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, d) =>
-      val germans = t(s, d, "supplier")
-        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "GERMANY")),
+      val dimNation = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_7")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
       val fact = t(s, d, "lineitem").select("l_suppkey", "l_extendedprice")
-      BloomPrune.prunedEquiJoin(fact, "l_suppkey", germans, "s_suppkey",
+      BloomPrune.prunedEquiJoin(fact, "l_suppkey", dimNation, "s_suppkey",
           expectedItems = 1L << 12, fpp = 0.01)
         .groupBy("s_suppkey")
         .agg(count(lit(1)).as("n_items"),
