@@ -16,6 +16,41 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Per-group token-distribution divergence from the corpus:
+    * KL(P_group ‖ P_corpus) over whitespace tokens, the drift signal
+    * behind mixture monitoring ("is this source's language distribution
+    * diverging from the blend it was sampled into?"). Zero-probability
+    * terms cannot occur: every group token is by construction in the
+    * corpus distribution.
+    *
+    * Shape at scale: two hash aggregations over the token stream (per
+    * (group, token) and per token) joined on the token key, per-group
+    * totals via a window partitioned by group (never unpartitioned), and
+    * the corpus total — one scalar — collected to a literal. No
+    * broadcast of anything data-sized, no self-join ambiguity (the
+    * tiny/scalar sides are literals, the NOTES.md lesson).
+    */
+  def tokenKlDivergence(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("g"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val gc = toks.groupBy("g", "tok").agg(count(lit(1)).as("k_g"))
+    val cc = toks.groupBy("tok").agg(count(lit(1)).as("k_c"))
+    val corpusN = cc.agg(sum("k_c")).head().getLong(0).toDouble
+    val wg = Window.partitionBy("g")
+    gc.join(cc, "tok")
+      .withColumn("n_g", sum("k_g").over(wg))
+      .groupBy(col("g"), col("n_g"))
+      .agg(round(sum(
+        (col("k_g") / col("n_g")) *
+          log((col("k_g") / col("n_g")) / (col("k_c") / lit(corpusN)))), 6)
+        .as("kl"))
+      .select(col("g"), col("n_g").cast("long").as("n_tokens"), col("kl"))
+  }
+
   /** Keep at most `quota` rows per `groupCol`, chosen in deterministic
     * hash order of `idCol` (a reproducible "random" K-per-domain
     * subsample — the domain-balancing pass that stops one crawl domain

@@ -353,6 +353,28 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-duplicate REMOVAL: given the corpus and a pair graph
+    * of confirmed duplicates (any pair-producing pipeline — [[nearDupPairsMinHash]],
+    * [[simhashPairs]], [[ngramJaccardPairs]]), keep exactly one
+    * representative per duplicate cluster plus every unpaired document.
+    * The representative is the cluster's smallest id — [[dupClusters]]
+    * labels every member with the min member id, so "survivor" is simply
+    * `id == cluster`, deterministic across runs/partitionings.
+    *
+    * 100 TB posture: the pair graph is orders of magnitude smaller than
+    * the corpus (only near-dups pair), clustering runs on pairs alone
+    * (log-round pointer jumping), and the final membership test is one
+    * left-anti hash join of the corpus against the (small) non-survivor
+    * id set — the corpus itself is never shuffled by anything wider than
+    * that join key.
+    */
+  def keepRepresentatives(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dropped = dupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__drop_id"))
+    df.join(dropped, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** All deletion variants of `strCol` with up to `maxDist` characters
     * removed (including the unmodified string), as 64-bit hashes:
     * (blockCols..., idCol, __vh), deduplicated per row. The SymSpell /

@@ -85,6 +85,41 @@ object Histogram {
     * within the sketch's rank error of n/nBuckets — tolerance asserted in
     * HistogramSpec. `valueCol` must be numeric.
     */
+  /** Per-group winsorized statistics: clip `valCol` at the exact
+    * [`loP`, `hiP`] percentiles of its group, then aggregate — the robust
+    * alternative to dropping outlier rows (feature normalization for
+    * training pipelines keeps every row but bounds leverage). Exact
+    * interpolated percentiles (`percentile`, the sort-based exact
+    * aggregate, linear interpolation at rank (n-1)·p — the same
+    * definition as ANSI `percentile_cont`); for the 100 TB path swap in
+    * `approx_percentile` with an ε budget — same plan shape, one
+    * aggregation pass instead of a per-group sort.
+    *
+    * One shuffle on the group key computes both percentiles; the clip +
+    * re-aggregate joins the tiny per-group bounds table back by the same
+    * key (broadcast — there are as many bound rows as groups).
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      loP: Double = 0.05,
+      hiP: Double = 0.95): DataFrame = {
+    val bounds = df.groupBy(groupCol).agg(
+      percentile(col(valCol), lit(loP)).as("__lo"),
+      percentile(col(valCol), lit(hiP)).as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("__w",
+        least(greatest(col(valCol), col("__lo")), col("__hi")))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("__lo")), 4).as("p_lo"),
+        round(first(col("__hi")), 4).as("p_hi"),
+        round(avg("__w"), 4).as("winsorized_mean"),
+        round(avg(valCol), 4).as("raw_mean"))
+  }
+
   def equiDepthApprox(
       df: DataFrame,
       valueCol: String,

@@ -22,15 +22,48 @@ object ExtendedQueries {
   private val stopSql = Stop.map(s => s"'$s'").mkString(", ")
 
   /** DuckDB SQL for per-doc distinct 3-word shingles (mirrors
-    * [[Dedup.shingles]]).
+    * [[Dedup.shingles]]). `private[queries]`: PipelineQueries' end-to-end
+    * dedup oracle (q108) reuses the same chain.
     */
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     """words AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
       |        FROM words WHERE len(w) >= 3))""".stripMargin
+
+  /** DuckDB SQL replicating the full MinHash-LSH pipeline (12 hashes,
+    * 4 rows/band — mirrors [[Dedup.nearDupPairsMinHash]]'s defaults) up
+    * through candidate verification: `inter` has (id1, id2, i = shingle
+    * intersection) for every banded candidate, `sizes` the per-doc shingle
+    * counts. Shared by q34's pair oracle and q108's end-to-end dedup
+    * oracle.
+    */
+  private[queries] val minhashCtes: String =
+    s"""$shinglesCte,
+       |sig AS (
+       |  SELECT doc_id, seed,
+       |    min((('0x' || substr(md5(shingle), 1, 10))::BIGINT
+       |       + seed * ('0x' || substr(md5('~' || shingle), 1, 10))::BIGINT)
+       |      % 1099511627776) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed)
+       |  GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, seed // 4 AS band,
+       |    string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bkey
+       |  FROM sig GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id1, c.id2, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.id1
+       |  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+       |  GROUP BY c.id1, c.id2)""".stripMargin
 
   /** DuckDB SQL computing per-doc `bits`-wide SimHash (mirrors
     * [[graft.functions.SimHash32]] / [[graft.functions.SimHash60]]).
@@ -64,29 +97,7 @@ object ExtendedQueries {
     },
 
     Q("q34_minhash_lsh_pairs",
-      s"""WITH $shinglesCte,
-         |sig AS (
-         |  SELECT doc_id, seed,
-         |    min((('0x' || substr(md5(shingle), 1, 10))::BIGINT
-         |       + seed * ('0x' || substr(md5('~' || shingle), 1, 10))::BIGINT)
-         |      % 1099511627776) AS mh
-         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed)
-         |  GROUP BY doc_id, seed),
-         |bands AS (
-         |  SELECT doc_id, seed // 4 AS band,
-         |    string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bkey
-         |  FROM sig GROUP BY doc_id, band),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.id1, c.id2, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh s1 ON s1.doc_id = c.id1
-         |  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
-         |  GROUP BY c.id1, c.id2)
+      s"""WITH $minhashCtes
          |SELECT i.id1, i.id2,
          |  round(i.i::DOUBLE / (z1.sz + z2.sz - i.i), 6) AS jaccard
          |FROM inter i
