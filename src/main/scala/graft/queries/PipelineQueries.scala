@@ -122,6 +122,38 @@ object PipelineQueries {
         .limit(50)
     },
 
+    Q("q108_neardup_removal",
+      // End-to-end near-duplicate REMOVAL: MinHash-LSH pairs (the q34
+      // pipeline) → connected components (log-round pointer jumping) →
+      // keep the min-id representative per cluster + every unpaired doc.
+      // The oracle replays the full LSH chain (shared minhashCtes), then
+      // closes the pair graph with a recursive CTE: a doc is dropped iff
+      // some SMALLER doc id is reachable in the (symmetrized) pair graph —
+      // exactly the min-label semantics of Dedup.dupClusters.
+      s"""WITH RECURSIVE ${ExtendedQueries.minhashCtes},
+         |p AS (
+         |  SELECT i.id1, i.id2 FROM inter i
+         |  JOIN sizes z1 ON z1.doc_id = i.id1
+         |  JOIN sizes z2 ON z2.doc_id = i.id2
+         |  WHERE i.i::DOUBLE / (z1.sz + z2.sz - i.i) >= 0.5),
+         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |drops AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5)
+        .select("id1", "id2")
+      Dedup.keepRepresentatives(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     Q("q107_train_val_test_split",
       // deterministic 80/10/10 train/val/test split: membership is a pure
       // function of the row key (hash60 mod 10), so the split is

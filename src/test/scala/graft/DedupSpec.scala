@@ -212,6 +212,30 @@ class DedupSpec extends SparkSpec {
     assert(!brute.exists { case (a, b, _) => a == 6L || b == 6L })
   }
 
+  test("keepRepresentatives keeps min-id per cluster plus every unpaired doc") {
+    // corpus 0..19; pair graph: a chain 1-2-3-4, a ring 10-11-12-13-10,
+    // and an isolated pair (7, 15). Survivors: chain→1, ring→10, pair→7,
+    // plus all 13 unpaired docs.
+    val docs = (0L until 20L).map(i => (i, s"doc $i")).toDF("doc_id", "body")
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),
+      (7L, 15L)).toDF("id1", "id2")
+    val kept = Dedup.keepRepresentatives(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    val dropped = Set(2L, 3L, 4L, 11L, 12L, 13L, 15L)
+    assert(kept == (0L until 20L).toSet -- dropped)
+    // schema passes through untouched
+    assert(Dedup.keepRepresentatives(docs, "doc_id", pairs).columns.toSeq ==
+      Seq("doc_id", "body"))
+  }
+
+  test("keepRepresentatives with an empty pair graph keeps everything") {
+    val docs = (0L until 5L).map(i => (i, s"doc $i")).toDF("doc_id", "body")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.keepRepresentatives(docs, "doc_id", noPairs).count() == 5L)
+  }
+
   test("minhash signature is the true min over the Kirsch-Mitzenmacher family") {
     val sh = Dedup.shingles(corpus.filter(col("doc_id") === 1L), "doc_id", "text", 3)
     val sig = Dedup.minhashSignatures(sh, "doc_id", 4)
