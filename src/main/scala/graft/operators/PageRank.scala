@@ -48,18 +48,35 @@ object PageRank {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist()
     var ranks = nodes.withColumn("pr", lit(1.0)).localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val inMass = contrib.join(ranks, col("src") === col("id"))
         .groupBy("dst").agg(sum(col("w") * col("pr")).as("m"))
-      ranks = nodes
+      val next = nodes
         .join(inMass, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the parent is freed
+      // free the previous round's checkpoint blocks — without this,
+      // executor storage grows linearly with iters (each round's rank
+      // table stays pinned). The final round's table stays persisted: it
+      // backs the returned DataFrame.
+      unpersistCheckpoint(ranks)
+      ranks = next
     }
     e.unpersist(blocking = false)
     contrib.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     ranks
   }
+
+  /** Drop the storage blocks behind a `localCheckpoint()`ed DataFrame.
+    * `Dataset.unpersist` only clears cache-manager entries, not the RDD a
+    * checkpoint pinned — that RDD sits inside the plan's `LogicalRDD` leaf.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, Curation, Dedup, LangModel, Layout, Ranking}
+import graft.operators.{BloomPrune, Curation, Dedup, LangModel, Layout, PageRank, Ranking}
 import Q.t
 
 /** Round-4 widening: scale-infrastructure operators (bloom-pruned joins,
@@ -14,6 +14,33 @@ import Q.t
 object PipelineQueries {
 
   private def sqlHash60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** DuckDB oracle for [[PageRank.pageRank]]: the iteration unrolled as
+    * chained CTEs (r0..rN) — no recursive CTE needed, and aggregates stay
+    * legal in every step. Literals are ::DOUBLE-cast so the constant
+    * arithmetic ((1.0 - d), 1/deg) runs in IEEE double on both engines
+    * (DuckDB decimal literals would otherwise fold (1.0 - 0.85) exactly
+    * while Scala computes the double 0.15000000000000002).
+    */
+  private def pageRankSql(iters: Int, damping: Double): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id, (1.0::DOUBLE - $damping::DOUBLE)
+         |      + $damping::DOUBLE * coalesce(m.m, 0.0::DOUBLE) AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT c.dst, sum(c.w * r.pr) AS m
+         |    FROM c JOIN r${i - 1} r ON c.src = r.id GROUP BY c.dst) m
+         |  ON n.id = m.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst FROM lineitem),
+       |deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+       |c AS (SELECT e.src, e.dst, 1.0::DOUBLE / deg.deg AS w FROM e JOIN deg USING (src)),
+       |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT id, 1.0::DOUBLE AS pr FROM n),
+       |$steps
+       |SELECT id, round(pr, 6) AS pagerank FROM r$iters ORDER BY id""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -152,6 +179,19 @@ object PipelineQueries {
       Dedup.keepRepresentatives(docs, "doc_id", pairs)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
+    },
+
+    Q("q109_pagerank",
+      // 5-iteration PageRank over the supplier -> part-bucket link graph
+      // (suppkey and partkey%100 share the 0..99 id space, so the graph is
+      // cyclic and dense). Values are ~1-magnitude sums of <=100 terms;
+      // the 6dp grid sits ~7 orders above cross-engine summation noise.
+      pageRankSql(iters = 5, damping = 0.85)) { (s, d) =>
+      val edges = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("src"), (col("l_partkey") % 100).as("dst"))
+      PageRank.pageRank(edges, iters = 5, damping = 0.85)
+        .select(col("id"), round(col("pr"), 6).as("pagerank"))
+        .orderBy("id")
     },
 
     Q("q107_train_val_test_split",
