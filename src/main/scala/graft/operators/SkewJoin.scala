@@ -36,7 +36,7 @@ object SkewJoin {
       numSalts: Int = 16): DataFrame = {
     require(numSalts >= 1, s"numSalts must be >= 1, got $numSalts")
     val fs = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(numSalts)))
+      pmod(hash(fact.columns.toIndexedSeq.map(col): _*), lit(numSalts)))
     val bs = build.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     fs.join(bs,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, Curation, Dedup, LangModel, Layout, PageRank, Ranking}
+import graft.operators.{BloomPrune, Curation, Dedup, LangModel, Layout, PageRank, Ranking, SkewJoin}
 import Q.t
 
 /** Round-4 widening: scale-infrastructure operators (bloom-pruned joins,
@@ -192,6 +192,25 @@ object PipelineQueries {
       PageRank.pageRank(edges, iters = 5, damping = 0.85)
         .select(col("id"), round(col("pr"), 6).as("pagerank"))
         .orderBy("id")
+    },
+
+    Q("q110_salted_skew_join",
+      // Salted equi-join: the fact side is salted by a deterministic
+      // row-hash, the build side replicated numSalts times, so a hot
+      // join key spreads over numSalts shuffle partitions instead of one
+      // straggler task. Salting only changes partitioning — the oracle is
+      // the PLAIN join, which is the operator's exactness contract.
+      """SELECT l_suppkey, s_name, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY l_suppkey, s_name ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+      val fact = t(s, d, "lineitem").select("l_suppkey", "l_quantity")
+      val build = t(s, d, "supplier").select("s_suppkey", "s_name")
+      SkewJoin.saltedEquiJoin(fact, "l_suppkey", build, "s_suppkey", numSalts = 8)
+        .groupBy("l_suppkey", "s_name")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_suppkey")
     },
 
     Q("q107_train_val_test_split",
