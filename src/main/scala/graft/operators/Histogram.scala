@@ -108,9 +108,13 @@ object Histogram {
     val bounds = df.groupBy(groupCol).agg(
       percentile(col(valCol), lit(loP)).as("__lo"),
       percentile(col(valCol), lit(hiP)).as("__hi"))
+    // NULL values must STAY null: least/greatest skip nulls, so an
+    // unguarded clip would coerce NULL to __lo — winsorized_mean would
+    // then count null rows while raw_mean (avg) excludes them.
     df.join(broadcast(bounds), groupCol)
       .withColumn("__w",
-        least(greatest(col(valCol), col("__lo")), col("__hi")))
+        when(col(valCol).isNotNull,
+          least(greatest(col(valCol), col("__lo")), col("__hi"))))
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n"),

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, Curation, Dedup, LangModel, Layout, PageRank, Ranking, SkewJoin}
+import graft.operators.{BloomPrune, Curation, Dedup, Histogram, LangModel, Layout, PageRank, Ranking, SkewJoin}
 import Q.t
 
 /** Round-4 widening: scale-infrastructure operators (bloom-pruned joins,
@@ -211,6 +211,33 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_items"),
           round(sum("l_quantity"), 2).as("sum_qty"))
         .orderBy("l_suppkey")
+    },
+
+    Q("q111_winsorized_stats",
+      // Winsorized per-group stats over a column WITH nulls (event_id%7
+      // slice nulled out): clipping keeps every row but bounds outlier
+      // leverage; null rows stay null in both means (they carry no
+      // measurement) while n counts all rows. percentile_cont is the ANSI
+      // twin of Spark's exact interpolated percentile.
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 <> 0 THEN value END AS v FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    percentile_cont(0.05) WITHIN GROUP (ORDER BY v) AS lo,
+        |    percentile_cont(0.95) WITHIN GROUP (ORDER BY v) AS hi
+        |  FROM v GROUP BY event_type)
+        |SELECT v.event_type, count(*) AS n,
+        |  round(any_value(b.lo), 4) AS p_lo, round(any_value(b.hi), 4) AS p_hi,
+        |  round(avg(CASE WHEN v.v IS NULL THEN NULL
+        |    ELSE least(greatest(v.v, b.lo), b.hi) END), 4) AS winsorized_mean,
+        |  round(avg(v.v), 4) AS raw_mean
+        |FROM v JOIN b USING (event_type)
+        |GROUP BY v.event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events").select(col("event_type"),
+        when(col("event_id") % 7 =!= 0, col("value")).as("v"))
+      Histogram.winsorizedStats(v, "event_type", "v", loP = 0.05, hiP = 0.95)
+        .orderBy("event_type")
     },
 
     Q("q107_train_val_test_split",

@@ -74,6 +74,38 @@ class HistogramSpec extends SparkSpec {
     assert(buckets.values.sum == df.filter(col("id") % 2 === 0).count())
   }
 
+  test("winsorizedStats clips to group percentiles; nulls stay null in both means") {
+    // group "a": 1..100 plus two nulls; group "b": constant 5s
+    val rows = (1 to 100).map(i => ("a", Option(i.toDouble))) ++
+      Seq(("a", Option.empty[Double]), ("a", Option.empty[Double])) ++
+      (1 to 10).map(_ => ("b", Option(5.0)))
+    val got = Histogram.winsorizedStats(rows.toDF("g", "v"), "g", "v",
+        loP = 0.05, hiP = 0.95)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nA, loA, hiA, wA, rawA) = got("a")
+    assert(nA == 102) // n counts ALL rows, null-valued included
+    // percentile over the 100 non-null values: rank (n-1)p interpolation
+    assert(loA == 5.95 && hiA == 95.05)
+    // winsorized mean over the 100 NON-NULL rows only — a null coerced to
+    // the low bound would drag this down and break the raw-mean symmetry
+    val want = (1 to 100).map(i => math.min(math.max(i.toDouble, 5.95), 95.05)).sum / 100
+    assert(math.abs(wA - math.rint(want * 1e4) / 1e4) < 1e-9)
+    assert(rawA == 50.5)
+    val (_, nB, _, _, wB, rawB) = got("b")
+    assert(nB == 10 && wB == 5.0 && rawB == 5.0)
+  }
+
+  test("winsorizedStats on an all-null group yields null stats, full n") {
+    val rows = Seq(("a", Option.empty[Double]), ("a", Option.empty[Double]))
+    val got = Histogram.winsorizedStats(rows.toDF("g", "v"), "g", "v")
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 2L)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+
   test("equiDepthApprox bucket ranges are ordered and cover the data") {
     val data = (1L to 2000L).map(i => (i, (i % 500).toDouble)).toDF("id", "v")
     val rows = Histogram.equiDepthApprox(data, "v", 8)
