@@ -23,12 +23,13 @@ object Curation {
     * terms cannot occur: every group token is by construction in the
     * corpus distribution.
     *
-    * Shape at scale: two hash aggregations over the token stream (per
-    * (group, token) and per token) joined on the token key, per-group
-    * totals via a window partitioned by group (never unpartitioned), and
-    * the corpus total — one scalar — collected to a literal. No
-    * broadcast of anything data-sized, no self-join ambiguity (the
-    * tiny/scalar sides are literals, the NOTES.md lesson).
+    * Shape at scale: ONE hash aggregation over the token stream (per
+    * (group, token)); corpus-wide token counts and per-group totals are
+    * windows over that already-reduced table (partitioned by token / by
+    * group — never unpartitioned), and the corpus total is a lazy 1-row
+    * broadcast (the bm25TopK consts shape) — the whole operator is a
+    * single lazy plan, no driver-side action, and an empty input yields
+    * an empty result instead of the NPE the eager scalar used to throw.
     */
   def tokenKlDivergence(
       df: DataFrame,
@@ -38,15 +39,14 @@ object Curation {
         explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .filter(length(col("tok")) >= 1)
     val gc = toks.groupBy("g", "tok").agg(count(lit(1)).as("k_g"))
-    val cc = toks.groupBy("tok").agg(count(lit(1)).as("k_c"))
-    val corpusN = cc.agg(sum("k_c")).head().getLong(0).toDouble
-    val wg = Window.partitionBy("g")
-    gc.join(cc, "tok")
-      .withColumn("n_g", sum("k_g").over(wg))
+    val total = gc.agg(sum("k_g").cast("double").as("__corpus_n"))
+    gc.withColumn("k_c", sum("k_g").over(Window.partitionBy("tok")))
+      .withColumn("n_g", sum("k_g").over(Window.partitionBy("g")))
+      .crossJoin(broadcast(total))
       .groupBy(col("g"), col("n_g"))
       .agg(round(sum(
         (col("k_g") / col("n_g")) *
-          log((col("k_g") / col("n_g")) / (col("k_c") / lit(corpusN)))), 6)
+          log((col("k_g") / col("n_g")) / (col("k_c") / col("__corpus_n")))), 6)
         .as("kl"))
       .select(col("g"), col("n_g").cast("long").as("n_tokens"), col("kl"))
   }

@@ -240,6 +240,33 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    Q("q112_token_kl_divergence",
+      // Per-language token-distribution drift: KL(P_lang || P_corpus) over
+      // whitespace tokens — the mixture-monitoring signal. The oracle
+      // mirrors the single (group, token) aggregation + window shape;
+      // integer counts divide in IEEE double on both engines.
+      """WITH toks AS (
+        |  SELECT lang AS g, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |gc AS (
+        |  SELECT g, tok, count(*) AS k_g FROM toks
+        |  WHERE length(tok) >= 1 GROUP BY g, tok),
+        |w AS (
+        |  SELECT g, k_g,
+        |    sum(k_g) OVER (PARTITION BY tok) AS k_c,
+        |    sum(k_g) OVER (PARTITION BY g) AS n_g,
+        |    sum(k_g) OVER () AS corpus_n
+        |  FROM gc)
+        |SELECT g AS lang, n_g::BIGINT AS n_tokens,
+        |  round(sum((k_g::DOUBLE / n_g::DOUBLE)
+        |    * ln((k_g::DOUBLE / n_g::DOUBLE) / (k_c::DOUBLE / corpus_n::DOUBLE))), 6)
+        |    AS kl
+        |FROM w GROUP BY g, n_g ORDER BY lang""".stripMargin) { (s, d) =>
+      Curation.tokenKlDivergence(t(s, d, "documents"), "lang", "text")
+        .withColumnRenamed("g", "lang")
+        .orderBy("lang")
+    },
+
     Q("q107_train_val_test_split",
       // deterministic 80/10/10 train/val/test split: membership is a pure
       // function of the row key (hash60 mod 10), so the split is

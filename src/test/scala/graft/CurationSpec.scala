@@ -110,6 +110,39 @@ class CurationSpec extends SparkSpec {
     assert(Curation.keepBps(1000, 4, 500) == (1000L * 10000) / (4 * 500))
   }
 
+  test("tokenKlDivergence matches a local computation and is lazy + empty-safe") {
+    val df = Seq(
+      ("a", "x x y"), ("a", "y z"),         // group a: x:2 y:2 z:1
+      ("b", "z z z x"))                     // group b: z:3 x:1
+      .toDF("grp", "body")
+    val got = Curation.tokenKlDivergence(df, "grp", "body")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // local ground truth
+    val ga = Map("x" -> 2L, "y" -> 2L, "z" -> 1L)
+    val gb = Map("z" -> 3L, "x" -> 1L)
+    val corpus = (ga.keySet ++ gb.keySet).map(t =>
+      t -> (ga.getOrElse(t, 0L) + gb.getOrElse(t, 0L))).toMap
+    val n = corpus.values.sum.toDouble
+    def kl(g: Map[String, Long]): Double = {
+      val ng = g.values.sum.toDouble
+      g.map { case (t, k) =>
+        (k / ng) * math.log((k / ng) / (corpus(t) / n))
+      }.sum
+    }
+    assert(got("a")._2 == 5L && got("b")._2 == 4L)
+    assert(math.abs(got("a")._3 - math.rint(kl(ga) * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(got("b")._3 - math.rint(kl(gb) * 1e6) / 1e6) < 1e-9)
+    // a single group diverges nowhere: KL == 0 exactly
+    val single = Curation.tokenKlDivergence(
+      Seq(("only", "p q r p")).toDF("grp", "body"), "grp", "body")
+      .as[(String, Long, Double)].collect()
+    assert(single.toSeq == Seq(("only", 4L, 0.0)))
+    // empty input: empty result (the eager scalar used to NPE here),
+    // and building the plan triggers no Spark job
+    val empty = Seq.empty[(String, String)].toDF("grp", "body")
+    assert(Curation.tokenKlDivergence(empty, "grp", "body").count() == 0)
+  }
+
   test("deterministicShuffle: a permutation, stable across runs and partitionings") {
     val df = (1L to 500L).toDF("id")
     val a = Curation.deterministicShuffle(df, "id")
