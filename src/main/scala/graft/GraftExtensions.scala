@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, RollingHash, SimHash32, SortedLongIntersectCount}
+import graft.functions.{CharEntropy, CosineSimilarity, RollingHash, SimHash32, SortedLongIntersectCount}
 
 /** SparkSessionExtensions entry point: makes the engine's Catalyst
   * expressions available to pure-SQL users at session build time —
@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(s) - Rabin-Karp fingerprint mod 1e9+7"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      info("char_entropy", "char_entropy(s) - Shannon entropy (nats) of the char distribution"),
+      (exprs: Seq[Expression]) => CharEntropy(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 32-bit SimHash over a token array (document fingerprinting for near-dup
@@ -134,6 +134,46 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shannon entropy (nats) of a string's character distribution — low
+  * entropy flags repetitive/degenerate text (`aaaa…`, template spam), high
+  * entropy flags binary-ish noise; a standard corpus quality signal.
+  * Empty/whitespace-only strings are legal; the empty string yields 0.0.
+  *
+  * ONE pass over the string builds the per-character counts (dense array
+  * for ASCII — virtually all corpus text — HashMap spill for the rest),
+  * then one pass over the ≤|alphabet| counts sums -p·ln(p): O(length),
+  * replacing the interpreted higher-order-function formulation whose inner
+  * `filter` re-scanned the char array per DISTINCT character
+  * (O(distinct × length), interpreted eval — the NOTES.md q76 lesson, on
+  * a 100 TB scan's hottest loop). Characters are Unicode code points (the
+  * same unit `split(text, '')` produced). The count sum runs ascending by
+  * code point for ASCII — a fixed, partitioning-independent order.
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy requires STRING, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(
+      HashExpressions.charEntropy(input.asInstanceOf[UTF8String]))
+
+  // one static call per row keeps the expression inside WholeStageCodegen
+  // (the counting loop itself is plain JVM code either way)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashExpressions.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Rabin–Karp-style rolling hash fingerprint of a string: fold chars with
   * h = (h * 31 + c) mod 1e9+7, seeded with the first char (matches DuckDB's
   * `list_reduce` over `ord()` so the oracle can replay it; for non-ASCII
@@ -231,6 +271,41 @@ object HashExpressions {
     var b = 0
     while (b < bits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
+  }
+
+  /** One-pass char-distribution Shannon entropy in nats (see [[CharEntropy]]).
+    * Static forwarder — called from generated code.
+    */
+  def charEntropy(u: UTF8String): Double = {
+    val s = u.toString
+    if (s.isEmpty) return 0.0
+    val ascii = new Array[Int](128)
+    var other: java.util.HashMap[Integer, Array[Int]] = null
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Array[Int]]()
+        val slot = other.get(cp)
+        if (slot == null) other.put(cp, Array(1)) else slot(0) += 1
+      }
+    }
+    val nd = n.toDouble
+    var h = 0.0
+    var c = 0
+    while (c < 128) {
+      if (ascii(c) > 0) { val p = ascii(c) / nd; h -= p * math.log(p) }
+      c += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) { val p = it.next()(0) / nd; h -= p * math.log(p) }
+    }
+    h
   }
 
   def rollingHash(s: String): Long = {

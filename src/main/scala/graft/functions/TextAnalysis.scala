@@ -60,25 +60,12 @@ object TextAnalysis {
   /** Per-row Shannon entropy (nats) of the character distribution — low
     * entropy flags repetitive/degenerate text (`aaaa…`, template spam),
     * high entropy flags binary-ish noise; a standard corpus quality
-    * signal.
-    *
-    * Computed entirely per row with array higher-order functions: no
-    * explode, no shuffle of a per-character stream — a 100 TB scan stays
-    * embarrassingly parallel. Cost is O(distinct · length) per row
-    * (the inner `filter` re-scans the array per distinct char); documents
-    * have small alphabets, so this beats shipping length(text) rows
-    * through a hash aggregate. The fold runs in array order, so the
-    * summation order is deterministic (q65's float-fold lesson).
+    * signal. Backed by the one-pass codegen [[CharEntropy]] expression
+    * (O(length) per row inside WholeStageCodegen — the interpreted HOF
+    * formulation this replaces re-scanned the char array per distinct
+    * char). Requires [[GraftFunctions.register]] on the session.
     */
-  def charEntropy(text: Column): Column = {
-    val arr = filter(split(text, ""), ch => length(ch) === 1)
-    val n = size(arr).cast("double")
-    val h = aggregate(array_distinct(arr), lit(0.0), (acc, ch) => {
-      val p = size(filter(arr, c => c === ch)).cast("double") / n
-      acc - p * log(p)
-    })
-    when(size(arr) > 0, h).otherwise(lit(0.0))
-  }
+  def charEntropy(text: Column): Column = GraftFunctions.charEntropy(text)
 
   /** BPE-ish subword token estimate: word-piece count from a regex split on
     * non-alphanumeric boundaries, bounded below by the standard

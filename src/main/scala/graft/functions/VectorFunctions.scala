@@ -201,6 +201,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
+      "char_entropy", exprs => CharEntropy(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
       "srp_bits", exprs => SrpBits(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "sorted_intersect_count",
@@ -211,6 +213,7 @@ object GraftFunctions {
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
   def rollingHash(text: Column): Column = call_function("rolling_hash", text)
+  def charEntropy(text: Column): Column = call_function("char_entropy", text)
   def srpBits(vec: Column, planes: Column): Column =
     call_function("srp_bits", vec, planes)
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.{GraftFunctions, TextAnalysis}
 import graft.operators.{BloomPrune, Curation, Dedup, Histogram, LangModel, Layout, PageRank, Ranking, SkewJoin}
 import Q.t
 
@@ -265,6 +266,29 @@ object PipelineQueries {
       Curation.tokenKlDivergence(t(s, d, "documents"), "lang", "text")
         .withColumnRenamed("g", "lang")
         .orderBy("lang")
+    },
+
+    Q("q113_char_entropy",
+      // Per-doc character-distribution Shannon entropy (nats) — the
+      // repetitive/degenerate-text quality signal. Spark side is the
+      // one-pass codegen char_entropy expression; the oracle rebuilds the
+      // distribution relationally (per-char unnest -> counts -> -Σ p·ln p).
+      """WITH ch AS (
+        |  SELECT doc_id, substring(text, i, 1) AS c
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |        FROM documents)),
+        |cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY doc_id, c),
+        |e AS (
+        |  SELECT doc_id, -sum((k / n) * ln(k / n)) AS h
+        |  FROM (SELECT doc_id, k, sum(k) OVER (PARTITION BY doc_id) AS n FROM cnt)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, round(coalesce(e.h, 0.0), 6) AS entropy
+        |FROM documents d LEFT JOIN e USING (doc_id) ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"))
+        .orderBy("doc_id")
     },
 
     Q("q107_train_val_test_split",

@@ -85,6 +85,46 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("char_entropy: known values, null, and non-ASCII spill path") {
+    val df = Seq(
+      Some("aaaa"),            // single symbol → 0
+      Some("ab"),              // uniform 2 → ln 2
+      Some("abcd"),            // uniform 4 → ln 4
+      Some("aab"),             // 2/3, 1/3
+      Some(""),                // empty → 0.0 by contract
+      Some("ééaa"),  // é spills past the ASCII fast path → ln 2
+      None)
+      .toDF("s")
+    val got = df.select(GraftFunctions.charEntropy(col("s")))
+      .as[Option[Double]].collect()
+    val h3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(got(0).get == 0.0)
+    assert(math.abs(got(1).get - math.log(2)) < 1e-15)
+    assert(math.abs(got(2).get - math.log(4)) < 1e-15)
+    assert(math.abs(got(3).get - h3) < 1e-15)
+    assert(got(4).get == 0.0)
+    assert(math.abs(got(5).get - math.log(2)) < 1e-15)
+    assert(got(6).isEmpty)
+  }
+
+  test("char_entropy: codegen and interpreted paths agree") {
+    val df = (0 until 40)
+      .map(i => ("xyzab".take(i % 5 + 1) * (i + 1)) + i.toString)
+      .toDF("s")
+    val expr = GraftFunctions.charEntropy(col("s"))
+    val viaCodegen = df.select(expr).as[Double].collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.select(expr).as[Double].collect()
+      assert(viaCodegen.toSeq == interpreted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("rolling_hash matches the scala reference implementation") {
     val texts = Seq("", "a", "abc", "the quick brown fox", "x" * 1000)
     val df = texts.zipWithIndex.map(_.swap).toDF("id", "t")
