@@ -211,6 +211,67 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q103: BM25 is hash aggregates + broadcasts — no corpus window, top-k cut") {
+    val p = plan("q103_bm25_topk")
+    assert(!p.contains("Window"),
+      s"corpus stats must come from aggregates, not a window over the corpus:\n$p")
+    assert(p.contains("partial_count"), s"tf/df must partial-aggregate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k cut must plan as top-k, not a full sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
+
+  test("q104: segment dedup picks winners via min-struct agg, never a window") {
+    val p = plan("q104_segment_dedup_keep_first")
+    // a row_number() window over the segment key would sort every
+    // duplicate — the min(struct) aggregate map-side-combines instead
+    assert(!p.contains("Window"), s"no window over duplicate segments:\n$p")
+    assert(p.contains("partial_min"),
+      s"winner selection must partial-aggregate:\n$p")
+  }
+
+  test("q105: bigram LM scoring is model-join only — no pairwise blowup") {
+    val p = plan("q105_bigram_lm_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"scoring must stay equi-joins on the vocab keys:\n$p")
+    assert(p.contains("partial_count"), s"model counts must partial-aggregate:\n$p")
+  }
+
+  test("q106: z-order values plan exactly one exchange — the output range sort") {
+    val p = plan("q106_zorder_values")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the interleave is pure per-row arithmetic — no hash shuffle:\n$p")
+    // TakeOrderedAndProject absorbs the LIMIT 50 without even a full
+    // range exchange; allow either that or a single range partitioning
+    val ranges = p.split("Exchange rangepartitioning").length - 1
+    assert(p.contains("TakeOrderedAndProject") || ranges == 1,
+      s"ordering must be one top-k or one range exchange:\n$p")
+  }
+
+  test("q108: near-dup removal is LSH joins + one anti join; clusters checkpointed") {
+    val p = plan("q108_neardup_removal")
+    assert(p.contains("LeftAnti"),
+      s"survivor filtering must be one anti hash join against the drop set:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pairwise scan anywhere in the pipeline:\n$p")
+  }
+
+  test("q109: pageRank returns a checkpoint-truncated plan") {
+    // each iteration self-references the previous ranks; without the
+    // localCheckpoint the lineage would accrete 5 rounds of join+agg
+    val df = SparkEntry.queries("q109_pagerank")(spark, sf)
+    val nNodes = df.queryExecution.optimizedPlan.collect { case n => n }.size
+    assert(nNodes < 10, s"expected a checkpoint-truncated plan, got $nNodes nodes")
+  }
+
+  test("q112: token KL windows partition by token/group — never unpartitioned") {
+    val p = plan("q112_token_kl_divergence")
+    assert(!p.contains("No Partition Defined"),
+      s"corpus total must be a broadcast scalar, not a global window:\n$p")
+    assert(p.contains("partial_count"),
+      s"token counts must partial-aggregate:\n$p")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
