@@ -61,6 +61,16 @@ object TxTable {
   /** Replay the log: latest checkpoint (full file listing) + the commits
     * after it. Version -1 = empty/uninitialized table.
     *
+    * Fast path: the `_last_checkpoint` hint (Delta's trick) names the
+    * anchor checkpoint, and commit versions are DENSE (each publisher
+    * links snapshot.version + 1), so the replay PROBES
+    * `<v>.commit` files sequentially from the anchor instead of listing
+    * the directory — O(CheckpointInterval) file opens regardless of table
+    * age, where a full `listFiles` walks every retained version (the
+    * listing itself becomes the bottleneck at thousands of versions, and
+    * object stores bill it per entry).
+    *
+    * Fallback path (no/stale hint, vacuumed anchor): full listing replay.
     * A concurrent [[vacuum]] can delete a subsumed commit/checkpoint
     * between our directory listing and the read of that file; the replay
     * then throws NoSuchFileException against the STALE listing, so the
@@ -73,10 +83,110 @@ object TxTable {
     var last: java.nio.file.NoSuchFileException = null
     var attempt = 0
     while (attempt < 5) {
-      try return replay(Option(logDir(tablePath).listFiles()).toSeq.flatten)
-      catch { case e: java.nio.file.NoSuchFileException => last = e; attempt += 1 }
+      try {
+        anchoredReplay(tablePath) match {
+          case Some((snap, _)) => return snap
+          case None =>
+            return replay(Option(logDir(tablePath).listFiles()).toSeq.flatten)
+        }
+      } catch { case e: java.nio.file.NoSuchFileException => last = e; attempt += 1 }
     }
     throw last
+  }
+
+  private def hintFile(tablePath: String) = new File(logDir(tablePath), "_last_checkpoint")
+
+  /** Atomically (re)write the `_last_checkpoint` hint. Losing a race just
+    * leaves a slightly older hint — the anchored replay still lands on a
+    * valid checkpoint and replays forward from there.
+    */
+  private def writeHint(tablePath: String, version: Long): Unit = {
+    val dir = logDir(tablePath)
+    val tmp = new File(dir, s".tmp-hint-${UUID.randomUUID()}")
+    Files.write(tmp.toPath, f"$version%d".getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp.toPath, hintFile(tablePath).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp.toPath, hintFile(tablePath).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp.toPath)
+  }
+
+  /** Checkpoint-anchored replay without a directory listing: hint →
+    * checkpoint → probe commits sequentially until the first missing
+    * version. Returns the snapshot plus every log file it opened
+    * (the O(CheckpointInterval) contract, asserted by the spec), or None
+    * when the fast path does not apply (no hint, or anchor vacuumed away).
+    *
+    * Safety against the one ordering hazard: [[vacuum]] refreshes the
+    * hint BEFORE deleting subsumed commits, so a probe that stopped in a
+    * vacuum-created gap can only have started from a hint that has since
+    * moved — re-reading the hint detects that and retries.
+    */
+  private[graft] def anchoredReplay(
+      tablePath: String, maxRetries: Int = 5): Option[(Snapshot, Seq[File])] = {
+    val hf = hintFile(tablePath)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      if (!hf.exists()) return None
+      val baseOpt =
+        try new String(Files.readAllBytes(hf.toPath), StandardCharsets.UTF_8)
+          .trim.toLongOption
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      baseOpt match {
+        case None => return None
+        case Some(base) =>
+          val dir = logDir(tablePath)
+          val ckpt = new File(dir, f"$base%020d.checkpoint")
+          if (!ckpt.exists()) return None // anchor gone: stale hint or corruption
+          try {
+            var files = Map.empty[String, String]
+            val read = Seq.newBuilder[File]
+            files = applyLogFile(ckpt, files)
+            read += ckpt
+            var v = base + 1
+            var probing = true
+            while (probing) {
+              val c = new File(dir, f"$v%020d.commit")
+              if (c.exists()) {
+                files = applyLogFile(c, files)
+                read += c
+                v += 1
+              } else probing = false
+            }
+            // hint moved while we probed ⇒ a vacuum may have carved a gap
+            // under us — retry from the fresh anchor
+            val nowHint =
+              try new String(Files.readAllBytes(hf.toPath), StandardCharsets.UTF_8)
+                .trim.toLongOption
+              catch { case _: java.nio.file.NoSuchFileException => None }
+            if (nowHint.contains(base))
+              return Some((Snapshot(v - 1,
+                files.groupBy(_._2).map { case (p, m) => p -> m.keys.toSeq.sorted }),
+                read.result()))
+            attempt += 1
+          } catch {
+            // probed file vacuumed between exists() and read: retry
+            case _: java.nio.file.NoSuchFileException => attempt += 1
+          }
+      }
+    }
+    None // persistent churn: let the caller fall back to the full listing
+  }
+
+  /** Fold one log file's add/remove lines into the active-file map. */
+  private def applyLogFile(
+      f: File, files0: Map[String, String]): Map[String, String] = {
+    var files = files0
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).foreach { line =>
+        line.split("\t") match {
+          case Array("add", part, path) => files += (path -> part)
+          case Array("remove", path)    => files -= path
+          case _                        => // header/op lines are informational
+        }
+      }
+    files
   }
 
   /** One replay pass over a fixed directory listing. Package-visible so
@@ -87,18 +197,9 @@ object TxTable {
     val ckpt = entries.flatMap(f => versionOf(f, ".checkpoint").map(_ -> f))
       .sortBy(_._1).lastOption
     var files = Map.empty[String, String] // relative path -> partition
-    def applyLines(f: File): Unit =
-      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-        .split("\n").filter(_.nonEmpty).foreach { line =>
-          line.split("\t") match {
-            case Array("add", part, path) => files += (path -> part)
-            case Array("remove", path)    => files -= path
-            case _                        => // header/op lines are informational
-          }
-        }
-    ckpt.foreach { case (_, f) => applyLines(f) }
+    ckpt.foreach { case (_, f) => files = applyLogFile(f, files) }
     val base = ckpt.map(_._1).getOrElse(-1L)
-    commits.filter(_._1 > base).foreach { case (_, f) => applyLines(f) }
+    commits.filter(_._1 > base).foreach { case (_, f) => files = applyLogFile(f, files) }
     Snapshot(commits.lastOption.map(_._1).getOrElse(base),
       files.groupBy(_._2).map { case (p, m) => p -> m.keys.toSeq.sorted })
   }
@@ -112,7 +213,7 @@ object TxTable {
     * them, which are always part of the replayed suffix). A name race on
     * the checkpoint file keeps one writer's listing — correct either way.
     */
-  private def maybeCheckpoint(tablePath: String, version: Long): Unit =
+  private[graft] def maybeCheckpoint(tablePath: String, version: Long): Unit =
     if (version > 0 && version % CheckpointInterval == 0) {
       val snap = snapshot(tablePath)
       val lines = snap.filesByPartition.toSeq.sortBy(_._1).flatMap {
@@ -124,6 +225,10 @@ object TxTable {
       try Files.createLink(Paths.get(dir.getPath, f"$version%020d.checkpoint"), tmp.toPath)
       catch { case _: FileAlreadyExistsException => () }
       finally Files.deleteIfExists(tmp.toPath)
+      // publish the anchor hint AFTER the checkpoint exists; a crash in
+      // between leaves a stale hint, which replays more commits but stays
+      // correct (and the next checkpoint or vacuum refreshes it)
+      writeHint(tablePath, version)
     }
 
   /** Read the current snapshot (optionally pruned to `partitions`) as a
@@ -142,8 +247,10 @@ object TxTable {
 
   /** Atomically publish commit `version`; throws
     * FileAlreadyExistsException when a concurrent writer won the race.
+    * Package-visible so the log-scaling spec can drive synthetic commit
+    * histories without a Spark job per version.
     */
-  private def publishCommit(tablePath: String, version: Long, lines: Seq[String]): Unit = {
+  private[graft] def publishCommit(tablePath: String, version: Long, lines: Seq[String]): Unit = {
     val dir = logDir(tablePath)
     dir.mkdirs()
     val tmp = new File(dir, s".tmp-${UUID.randomUUID()}")
@@ -253,6 +360,10 @@ object TxTable {
     val entries = Option(logDir(tablePath).listFiles()).toSeq.flatten
     val latestCkpt = entries.flatMap(f => versionOf(f, ".checkpoint")).sorted.lastOption
     val logGone = latestCkpt.toSeq.flatMap { base =>
+      // refresh the anchor hint BEFORE deleting subsumed commits: the
+      // anchored replay's stale-hint detection (re-read after probing)
+      // relies on the hint moving no later than the files it covers
+      writeHint(tablePath, base)
       entries
         .filter(f => versionOf(f, ".commit").exists(_ <= base) ||
           versionOf(f, ".checkpoint").exists(_ < base))

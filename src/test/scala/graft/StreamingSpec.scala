@@ -516,6 +516,38 @@ class StreamingSpec extends SparkSpec {
     assert(cur == Map("t0" -> 10.0, "t1" -> 7.0, "t2" -> 8.0))
   }
 
+  test("TxTable anchored replay opens O(interval) log files on a 123-commit history") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-txanchor") + "/tbl"
+    // synthetic commit history (no Spark job per version): commit v adds
+    // data/f<v> and removes data/f<v-1>, checkpointing every interval
+    val n = 123
+    (0 to n).foreach { v =>
+      val lines = Seq(s"add\tsrvA\tdata/f$v") ++
+        (if (v > 0) Seq(s"remove\tdata/f${v - 1}") else Nil)
+      TxTable.publishCommit(table, v, lines)
+      TxTable.maybeCheckpoint(table, v)
+    }
+    val (snap, read) = TxTable.anchoredReplay(table).get
+    assert(snap.version == n)
+    assert(snap.allFiles == Seq(s"data/f$n"))
+    // the log retains >100 files, but the anchored path opens only the
+    // anchor checkpoint (v120) + the commits after it (121..123)
+    val logDir = new java.io.File(table, "_log")
+    assert(Option(logDir.listFiles()).toSeq.flatten.size > 100)
+    assert(read.size <= TxTable.CheckpointInterval + 2,
+      s"anchored replay read ${read.size} files: ${read.map(_.getName)}")
+    assert(read.head.getName.endsWith(".checkpoint"))
+    // identical result to the full-listing replay
+    val full = TxTable.replay(Option(logDir.listFiles()).toSeq.flatten)
+    assert(full.version == snap.version &&
+      full.filesByPartition == snap.filesByPartition)
+    // no/stale hint degrades to the listing path, same answer
+    assert(new java.io.File(logDir, "_last_checkpoint").delete())
+    assert(TxTable.anchoredReplay(table).isEmpty)
+    assert(TxTable.snapshot(table).version == n)
+  }
+
   test("TxTable.mergeLatest drops null-partition rows instead of failing the batch") {
     import graft.streaming.TxTable
     val table = tmp("graft-txnull") + "/tbl"
