@@ -49,21 +49,50 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("q54 IVF top-k recall >= 0.5 against exact q40 on sf0.001") {
-    val exact = SparkEntry.queries("q40_ann_topk")(spark, sf)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = SparkEntry.queries("q54_ivf_topk")(spark, sf)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall")
+  /** IN-SPEC exact top-5 neighbors per q40/q42/q54 query (vec_id % 50 = 0)
+    * over the sf0.001 embeddings, computed locally in plain Scala — an
+    * oracle independent of the engine's own bruteForceTopK, so a bug in
+    * the exact path cannot silently re-baseline the recall pins below.
+    */
+  private lazy val exactTop5: Set[(Long, Long)] = {
+    val emb = Q.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    emb.filter(_._1 % 50 == 0).flatMap { case (qid, qv) =>
+      emb.filter(_._1 != qid).map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(n => (qid, n._1))
+    }.toSet
   }
 
-  test("q42 LSH top-k recall >= 0.5 against exact q40 on sf0.001") {
-    val exact = SparkEntry.queries("q40_ann_topk")(spark, sf)
+  private def neighborSet(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = SparkEntry.queries("q42_lsh_topk")(spark, sf)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall")
+
+  test("q40 brute-force top-k EQUALS the local exact answer on sf0.001") {
+    assert(neighborSet("q40_ann_topk") == exactTop5)
+  }
+
+  test("q54 IVF top-k recall is pinned against the in-spec exact answer") {
+    // fully deterministic pipeline (hash-sampled k-means, fixed data):
+    // recall@5 = 0.76 at the q54 settings (16 cells / 6 probes / 3 iters).
+    // A drop means the index or probe regressed; a rise means the setting
+    // changed — re-measure and re-pin either way.
+    val recall = (exactTop5 & neighborSet("q54_ivf_topk")).size.toDouble / exactTop5.size
+    assert(math.abs(recall - 0.76) < 1e-9, s"recall $recall, pinned 0.76")
+  }
+
+  test("q42 LSH top-k recall is pinned against the in-spec exact answer") {
+    // deterministic SRP planes: recall@5 = 0.68 at the q42 settings
+    // (4 planes x 8 tables) on the weakly-clustered synthetic embeddings
+    val recall = (exactTop5 & neighborSet("q42_lsh_topk")).size.toDouble / exactTop5.size
+    assert(math.abs(recall - 0.68) < 1e-9, s"recall $recall, pinned 0.68")
   }
 }
