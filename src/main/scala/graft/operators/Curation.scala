@@ -260,4 +260,83 @@ object Curation {
     Histogram.withGlobalRank(df,
       Seq(Dedup.hash60(concat(lit(salt), col(idCol).cast("string"))), col(idCol)),
       "shuffle_pos")
+
+  /** Cross-document duplicate SPAN detection (the diagnostic half of
+    * Lee et al. 2022's "Deduplicating Training Data Makes Language Models
+    * Better": find the exact `spanTokens`-token sequences that recur
+    * across ≥ `minDocs` distinct documents — boilerplate, licenses,
+    * templated text — before deciding what to cut). Sliding stride-1
+    * windows, unlike [[dedupSegmentsKeepFirst]]'s disjoint segments, so a
+    * duplicated passage is caught at ANY alignment.
+    *
+    * Returns (span_md5, n_docs, n_occurrences) ordered by
+    * (n_occurrences desc, n_docs desc, span_md5), `topK` rows. Spans are
+    * md5'd so the compared/shuffled rows stay 16 bytes wide regardless of
+    * span length (the q92/q104 narrow-row convention) — join back on the
+    * hash to recover text when needed.
+    *
+    * Plan shape: tokenize once, explode one int sequence per row (stride-1
+    * makes this |tokens| windows per doc — ~8× a q104 segment pass, still
+    * linear), slice/concat_ws/md5 all codegen'd, then ONE hash aggregate
+    * keyed on the 128-bit span hash with map-side combine. The HAVING on
+    * distinct docs uses count(distinct) inside the same aggregate — at
+    * 100 TB this is the standard two-phase distinct-agg expansion, still
+    * no window and no pairwise join.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int,
+      minDocs: Int = 2,
+      topK: Int = 100): DataFrame =
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= spanTokens)
+      .select(col(idCol),
+        explode(expr(s"sequence(1, size(__toks) - ${spanTokens - 1})")).as("__i"),
+        col("__toks"))
+      .select(col(idCol),
+        md5(concat_ws(" ", slice(col("__toks"), col("__i"), lit(spanTokens))))
+          .as("span_md5"))
+      .groupBy("span_md5")
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_occurrences").desc, col("n_docs").desc, col("span_md5"))
+      .limit(topK)
+
+  /** Deterministic weighted sample WITHOUT replacement, Efraimidis &
+    * Spirakis (2006) exponential-jump keys: each row gets
+    * key = ln(u) / w with u a pure-hash uniform in (0, 1), and the top-k
+    * rows by key are exactly a weighted sample without replacement — the
+    * quality-weighted corpus subselection step ("sample 10M docs
+    * proportional to quality score"), reproducible across runs, engines,
+    * and partitionings because u is a function of the row id, not an RNG.
+    *
+    * Plan shape: a scan-side projection (hash, one division, one ln — all
+    * codegen) followed by a global top-k, which Spark executes as
+    * per-partition TakeOrderedAndProject — no full sort, no shuffle of the
+    * input. Ranking uses the ROUNDED key (9 dp — ~10⁶ above libm 1-ulp
+    * noise at key magnitudes ≤ 50) with an id tiebreak, so the cut is
+    * engine-stable (the q70 lesson).
+    *
+    * Returns the `keyCol`/`weightCol` columns plus `es_key`, ordered by
+    * (es_key desc, keyCol), `k` rows. Rows with weight ≤ 0 or null are
+    * excluded (they carry no sampling mass).
+    */
+  def weightedSampleTopK(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    // u = (hash60 + 1) / (2^60 + 1) ∈ (0, 1): both bounds open, so ln(u)
+    // is finite and nonzero; the integer operands convert to double
+    // identically on every IEEE engine
+    val u = (Dedup.hash60(col(keyCol).cast("string")) + 1).cast("double") /
+      lit((1L << 60) + 1).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(keyCol), col(weightCol),
+        round(log(u) / col(weightCol).cast("double"), 9).as("es_key"))
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(k)
+  }
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-structure metrics over an edge DataFrame — the connectivity
+  * profiling pass a corpus pipeline runs over link graphs (page→page,
+  * doc→domain) before graph-based quality weighting; complements
+  * [[PageRank]] (centrality) and [[Dedup.dupClusters]] (components).
+  *
+  * No reference analog (the reference is a point-to-point ETL bridge,
+  * /root/reference/OPC2MongoDB/Program.cs has no graph surface) — this is
+  * SURVEY.md §2.11 "beyond the reference" scope.
+  *
+  * Plan shape (the 100 TB story): triangle counting uses degree-ordered
+  * edge orientation (Cohen's map-reduce triangle algorithm / the
+  * compact-forward ordering): every undirected edge is oriented from its
+  * (degree, id)-smaller endpoint to the larger, wedges are enumerated only
+  * between a node's OUT-neighbors, and a wedge closes iff its far pair is
+  * itself an edge. Orientation caps every out-degree at O(sqrt(m)), so the
+  * wedge join emits O(m^1.5) rows worst-case instead of the Σ deg² blowup
+  * a naive neighbor self-join takes on skewed degree distributions — a hub
+  * with a million neighbors enumerates no wedge at all unless the far
+  * endpoints out-rank it. Everything is equi-joins + hash aggregates; no
+  * windows, no driver-side state.
+  */
+object Graph {
+
+  /** Canonical undirected edge set: (a, b) with a < b, loops and nulls
+    * dropped, duplicates collapsed. One hash aggregate on the edge pair.
+    */
+  def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+
+  /** One-row global triangle census: node/edge/wedge/triangle counts plus
+    * transitivity (3·triangles / wedges — the global clustering
+    * coefficient). Exact, every count from equi-joins and aggregates.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = canonicalEdges(edges, srcCol, dstCol)
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+
+    // Orient each edge from its (deg, id)-smaller endpoint: the struct
+    // comparison gives the total order; ties in degree break by id, so the
+    // orientation is acyclic and every triangle has exactly one apex.
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("__db")), "b")
+      .select(
+        when(struct(col("__da"), col("a")) < struct(col("__db"), col("b")),
+          struct(col("a").as("s"), col("b").as("t")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("__o"))
+      .select(col("__o.s").as("s"), col("__o.t").as("t"))
+
+    // Wedges at each apex: unordered OUT-neighbor pairs (u < w by id), so
+    // each candidate triangle is generated exactly once, at its
+    // (deg, id)-minimal vertex. The closing edge (u, w) has u < w, i.e. it
+    // is already in canonical form — one semi-join closes the wedge.
+    val wedges = oriented.select(col("s"), col("t").as("u"))
+      .join(oriented.select(col("s"), col("t").as("w")), "s")
+      .filter(col("u") < col("w"))
+    val triangles = wedges
+      .join(und, col("u") === col("a") && col("w") === col("b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+
+    // Σ C(deg, 2) wedge total + node count in one aggregate; edge count in
+    // another; both 1-row sides of broadcast cross-joins (never data-sized).
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+    val edgeStats = und.agg(count(lit(1)).as("n_edges"))
+
+    degStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(triangles))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("transitivity"))
+  }
+}

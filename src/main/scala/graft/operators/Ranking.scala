@@ -81,6 +81,46 @@ object Ranking {
       .limit(topK)
   }
 
+  /** Inverted index over the corpus: one row per term with its document
+    * frequency and the head of its sorted posting list — the
+    * retrieval-side artifact BM25 (and any lexical search) is served
+    * from. Sub-`minDf` terms are dropped (hapax noise); posting lists are
+    * TRUNCATED to `postingsCap` entries, because a stopword's full
+    * posting list is the whole corpus — the skew hazard a production
+    * index tiers or elides. df stays exact even where postings truncate,
+    * so scoring (idf) is unaffected by the cap.
+    *
+    * Plan shape: distinct (term, doc) pairs (one hash aggregate), then
+    * one term-keyed aggregate building df + postings together. At 100 TB
+    * the un-truncated collect_list of a stopword would be the one
+    * unbounded per-key state here; production shape is a two-level
+    * aggregate (partial sorted runs, merge-take-cap) — at this scale the
+    * single collect + slice keeps the same output contract. Postings are
+    * emitted as a comma-joined sorted string (the cross-engine-comparable
+    * form; at scale the array column would be kept as-is). The
+    * transform() lambda is interpreted but runs once per TERM over a
+    * ≤postingsCap slice — post-aggregation, not on the corpus scan (the
+    * q76 lesson applies to per-row hot paths).
+    *
+    * Returns (term, df, postings), ordered by term.
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int,
+      postingsCap: Int): DataFrame =
+    docs
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(Dedup.tokens(col(textCol)))).as("term"))
+      .filter(length(col("term")) >= 1)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        expr(s"array_join(transform(slice(array_sort(collect_list(__id)), 1, " +
+          s"$postingsCap), x -> cast(x AS string)), ',')").as("postings"))
+      .filter(col("df") >= minDf)
+      .orderBy("term")
+
   /** The DuckDB-SQL twin of [[bm25TopK]] (same arithmetic, same fixed-order
     * summation) for oracle pairing.
     */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{BloomPrune, Curation, Dedup, Histogram, LangModel, Layout, PageRank, Ranking, SkewJoin}
+import graft.operators.{BloomPrune, Cooccur, Curation, Dedup, Graph, Histogram, LangModel, Layout, PageRank, Ranking, SkewJoin}
 import Q.t
 
 /** Round-4 widening: scale-infrastructure operators (bloom-pruned joins,
@@ -289,6 +289,118 @@ object PipelineQueries {
         .select(col("doc_id"),
           round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"))
         .orderBy("doc_id")
+    },
+
+    Q("q114_token_pmi",
+      // Top token pairs by document-level PMI (Church & Hanks collocation
+      // association) within a top-50-df vocabulary — the vocabulary cut is
+      // what bounds the per-doc pair fanout at C(50,2) regardless of
+      // corpus size. Ranking is over the ROUNDED pmi with a (w1,w2)
+      // tiebreak so the LIMIT cut is engine-stable.
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) >= 1),
+        |dfc AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+        |vocab AS (SELECT tok, df FROM dfc ORDER BY df DESC, tok LIMIT 50),
+        |vt AS (SELECT t.doc_id, t.tok, v.df FROM toks t JOIN vocab v USING (tok)),
+        |p AS (
+        |  SELECT a.tok AS w1, b.tok AS w2, a.df AS df1, b.df AS df2,
+        |    count(*) AS c12
+        |  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2, 3, 4),
+        |n AS (SELECT count(*)::DOUBLE AS nd FROM documents)
+        |SELECT w1, w2, c12,
+        |  round(ln((c12::DOUBLE * nd) / (df1::DOUBLE * df2::DOUBLE)), 6) AS pmi
+        |FROM p, n WHERE c12 >= 20
+        |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin) { (s, d) =>
+      Cooccur.tokenPmiTopK(t(s, d, "documents"), "doc_id", "text",
+        vocabSize = 50, minPairDocs = 20, topK = 100)
+    },
+
+    Q("q115_triangle_census",
+      // Global triangle census over the supplier↔part-bucket link graph
+      // (the q109 graph): nodes/edges/wedges/triangles + transitivity.
+      // The Spark side counts each triangle ONCE at its (deg,id)-minimal
+      // apex via degree-ordered orientation (wedge fanout O(m^1.5), no
+      // Σdeg² hub blowup); the oracle counts the same set with the naive
+      // a<b<c three-way self-join DuckDB can afford at this scale.
+      """WITH e AS (
+        |  SELECT DISTINCT least(l_suppkey, l_partkey % 100) AS a,
+        |                  greatest(l_suppkey, l_partkey % 100) AS b
+        |  FROM lineitem WHERE l_suppkey <> l_partkey % 100),
+        |deg AS (
+        |  SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |ds AS (SELECT count(*) AS n_nodes,
+        |         sum(d * (d - 1) // 2)::BIGINT AS n_wedges FROM deg),
+        |m AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  round(3.0 * n_triangles / n_wedges, 6) AS transitivity
+        |FROM ds, m, tri""".stripMargin) { (s, d) =>
+      Graph.triangleStats(
+        t(s, d, "lineitem")
+          .select(col("l_suppkey").as("src"), (col("l_partkey") % 100).as("dst")),
+        "src", "dst")
+    },
+
+    Q("q116_inverted_index",
+      // Inverted index (term -> exact df + sorted posting-list HEAD) over
+      // the corpus — the lexical-retrieval artifact. Postings truncate at
+      // 25 entries (a stopword's full list is the whole corpus — the skew
+      // hazard a production index tiers); df stays exact.
+      """WITH p AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) >= 1)
+        |SELECT tok AS term, count(*) AS df,
+        |  array_to_string(list_slice(list(doc_id::VARCHAR ORDER BY doc_id), 1, 25),
+        |    ',') AS postings
+        |FROM p GROUP BY tok HAVING count(*) >= 5
+        |ORDER BY term""".stripMargin) { (s, d) =>
+      Ranking.invertedIndex(t(s, d, "documents"), "doc_id", "text",
+        minDf = 5, postingsCap = 25)
+    },
+
+    Q("q117_duplicate_spans",
+      // Cross-doc duplicate 8-token SPAN detection (Lee et al. exact-
+      // substring dedup diagnostic): stride-1 sliding windows catch a
+      // duplicated passage at ANY alignment, where q104's disjoint
+      // segments only catch aligned copies. Spans are md5'd so compared
+      // rows stay 16 bytes (q92/q104 convention).
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, md5(array_to_string(toks[i : i + 7], ' ')) AS span_md5
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 7)) AS i
+        |        FROM w WHERE len(toks) >= 8))
+        |SELECT span_md5, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occurrences
+        |FROM s GROUP BY span_md5 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_occurrences DESC, n_docs DESC, span_md5 LIMIT 100""".stripMargin) { (s, d) =>
+      Curation.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        spanTokens = 8, minDocs = 2, topK = 100)
+    },
+
+    Q("q118_weighted_sample",
+      // Efraimidis-Spirakis weighted sample without replacement, k=50 by
+      // n_chars mass: key = ln(u)/w with u a pure hash-uniform of doc_id,
+      // so the sample is bit-reproducible across engines/runs/partitions.
+      // Ranked on the 9dp-ROUNDED key (q70 cut-stability lesson).
+      s"""SELECT doc_id, n_chars,
+         |  round(ln((${sqlHash60("doc_id::VARCHAR")} + 1)::DOUBLE
+         |      / 1152921504606846977::DOUBLE) / n_chars::DOUBLE, 9) AS es_key
+         |FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+         |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      Curation.weightedSampleTopK(t(s, d, "documents"), "doc_id", "n_chars", k = 50)
     },
 
     Q("q107_train_val_test_split",

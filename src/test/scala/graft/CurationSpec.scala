@@ -156,4 +156,64 @@ class CurationSpec extends SparkSpec {
       .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
     assert(c != a)
   }
+
+  test("duplicateSpans catches MISALIGNED shared passages; counts are exact") {
+    // docs 1 and 2 share "p q r" but at different token offsets (1 vs 2) —
+    // q104-style disjoint segments would never align them; doc 3 repeats
+    // the span twice internally but is a single doc (below minDocs=2 on
+    // its own, still adds occurrences to the shared span's count)
+    val docs = Seq(
+      (1L, "p q r tail1 tail2"),
+      (2L, "lead p q r tail3"),
+      (3L, "p q r p q r"),
+      (4L, "u v w x y")).toDF("doc_id", "text")
+    val got = Curation.duplicateSpans(docs, "doc_id", "text",
+        spanTokens = 3, minDocs = 2, topK = 10)
+      .as[(String, Long, Long)].collect()
+    val pqr = java.security.MessageDigest.getInstance("MD5")
+      .digest("p q r".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byMd5 = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byMd5.contains(pqr), "the shared 3-token span must be reported")
+    // docs 1, 2, 3 contain it; occurrences: 1 + 1 + 2 = 4
+    assert(byMd5(pqr) == ((3L, 4L)))
+    // every reported span really spans >= 2 docs
+    assert(got.forall(_._2 >= 2))
+    // doc-4 text shares nothing: its spans are absent
+    assert(!got.exists(_._2 > 4))
+  }
+
+  test("duplicateSpans: no span shorter than spanTokens; empty-input safe") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    // both docs are 2 tokens; spanTokens=3 -> no windows at all
+    assert(Curation.duplicateSpans(docs, "doc_id", "text", 3).count() == 0)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.duplicateSpans(empty, "doc_id", "text", 2).count() == 0)
+  }
+
+  test("weightedSampleTopK: deterministic ES keys, weight mass respected") {
+    val rows = (1L to 200L).map(i => (i, i % 5 match {
+      case 0 => null.asInstanceOf[java.lang.Long] // no mass: excluded
+      case 1 => Long.box(0L)                      // nonpositive: excluded
+      case _ => Long.box(i)
+    })).toDF("id", "w")
+    val got = Curation.weightedSampleTopK(rows, "id", "w", k = 20)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.size == 20)
+    assert(got.forall(_._2 > 0), "zero/null-weight rows must never be sampled")
+    // exact ES key replay: ln(u)/w with u=(hash60+1)/(2^60+1), rounded 9dp
+    val hashes = rows.filter("w IS NOT NULL AND w > 0")
+      .selectExpr("id", "conv(substring(md5(cast(id AS string)), 1, 15), 16, 10)")
+      .as[(Long, String)].collect().toMap
+    val expect = hashes.map { case (id, h) =>
+      val u = (h.toLong + 1).toDouble / ((1L << 60) + 1).toDouble
+      id -> BigDecimal(math.log(u) / id.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val topIds = expect.toSeq.sortBy { case (id, k) => (-k, id) }.take(20)
+    assert(got.map(r => r._1 -> r._3).toSeq == topIds.map { case (id, k) => id -> k })
+    // reproducible across partitionings (pure function of the key)
+    val again = Curation.weightedSampleTopK(rows.repartition(7), "id", "w", 20)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(edges: Seq[(java.lang.Long, java.lang.Long)]) =
+    Graph.triangleStats(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+
+  test("K4 plus a pendant: known census on a hand-checkable graph") {
+    // K4 on {1,2,3,4} (4 triangles, every wedge closed) + pendant 5-1.
+    // degs: 1->4, 2/3/4->3, 5->1; wedges = C(4,2)+3*C(3,2)+0 = 6+9 = 15.
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield
+      (Long.box(a), Long.box(b))
+    val (nodes, edges, wedges, tris, trans) = stats(k4 :+ ((Long.box(5L), Long.box(1L))))
+    assert((nodes, edges, wedges, tris) == ((5L, 7L, 15L, 4L)))
+    assert(trans == 0.8) // 3*4/15
+  }
+
+  test("canonicalization: duplicates, reversed edges, loops, nulls collapse") {
+    val messy = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 1L), (1L, 2L), // one undirected edge, three spellings
+      (2L, 3L), (3L, 1L),
+      (4L, 4L),                      // self loop: dropped
+      (null, 9L), (9L, null))        // null endpoints: dropped
+    val und = Graph.canonicalEdges(messy.toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect().toSet
+    assert(und == Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    val (nodes, edges, wedges, tris, trans) = stats(messy)
+    assert((nodes, edges, wedges, tris) == ((3L, 3L, 3L, 1L)))
+    assert(trans == 1.0)
+  }
+
+  test("triangle-free graphs count zero (bipartite ring)") {
+    // 6-cycle = bipartite: wedges exist, no triangle closes
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L))
+      .map { case (a, b) => (Long.box(a), Long.box(b)) }
+    val (_, _, wedges, tris, trans) = stats(ring)
+    assert(wedges == 6L && tris == 0L && trans == 0.0)
+  }
+
+  test("matches a brute-force count on a pseudo-random graph") {
+    // deterministic LCG edge set over 12 nodes — dense enough for many
+    // triangles, including degree ties (orientation tiebreak coverage)
+    var x = 7L
+    def next(): Long = { x = (x * 1103515245L + 12345L) % (1L << 31); x }
+    val raw = (1 to 60).map(_ => (next() % 12, next() % 12))
+    val und = raw.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val brute = (for {
+      (a, b) <- und; (c, d) <- und if c == b
+      if und.contains((math.min(a, d), math.max(a, d))) && a < b && b < d
+    } yield 1).size
+    val (_, edges, _, tris, _) =
+      stats(raw.map { case (a, b) => (Long.box(a), Long.box(b)) })
+    assert(edges == und.size.toLong)
+    assert(tris == brute.toLong, s"expected $brute triangles")
+  }
+}
