@@ -272,6 +272,44 @@ class PlanAuditSpec extends SparkSpec {
       s"token counts must partial-aggregate:\n$p")
   }
 
+  test("q114: PMI pairs join through the broadcast vocabulary; top-k cut") {
+    val p = plan("q114_token_pmi")
+    // the vocab cap (and the 1-row doc count) must broadcast — the token
+    // stream is the only big side anywhere in the plan
+    assert(p.contains("BroadcastHashJoin"), s"vocab filter must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must be the within-doc equi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the pmi cut must plan as top-k, not a full sort:\n$p")
+    assert(p.contains("partial_count"), s"df/pair counts must partial-aggregate:\n$p")
+  }
+
+  test("q115: triangle census is equi-joins + one semi join — no cross product") {
+    val p = plan("q115_triangle_census")
+    assert(p.contains("LeftSemi"),
+      s"wedge closure must be a semi join against the edge set:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the two 1-row stat sides may cross-join (as broadcasts):\n$p")
+    assert(p.contains("partial_count"), s"degree counts must partial-aggregate:\n$p")
+  }
+
+  test("q117: duplicate spans is one scan + one aggregate — no join, no window") {
+    val p = plan("q117_duplicate_spans")
+    val ops = """\(\d+\) (\w+)""".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(!ops.exists(_.contains("Join")), s"no join anywhere ($ops):\n$p")
+    assert(!p.contains("Window"), s"no window over the span stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the output cut must plan as top-k:\n$p")
+  }
+
+  test("q118: weighted sampling is scan + filter + top-k — no shuffle of the input") {
+    val p = plan("q118_weighted_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"ES keys are per-row arithmetic — nothing may hash-shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the k cut must plan as per-partition top-k:\n$p")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
