@@ -317,4 +317,38 @@ object HashExpressions {
       h
     }
   }
+
+  /** One-pass symmetric int8 quantization stats over a float vector (see
+    * [[Int8QuantStats]]): scale = 127/max|x|, checksum = Σ q_i with
+    * q_i = floor(x_i·scale + 0.5). floor(+0.5) — NOT Math.round-style
+    * half-up vs the oracle's round-half-away — is chosen because the same
+    * IEEE op sequence is expressible verbatim in DuckDB (`floor(x*s+0.5)`),
+    * so halves break identically on both engines. Returns null for empty,
+    * all-zero, or non-finite-max vectors (no sampling mass to scale).
+    * Static forwarder — called from generated code.
+    */
+  def int8QuantStats(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getFloat(i).toDouble)
+      // NaN fails every > compare, so it must be caught here, not on the
+      // final max; one non-finite element poisons the vector by contract
+      if (java.lang.Double.isNaN(a) || java.lang.Double.isInfinite(a)) return null
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    if (maxAbs == 0.0) return null
+    val scale = 127.0 / maxAbs
+    var checksum = 0L
+    i = 0
+    while (i < n) {
+      checksum += math.floor(arr.getFloat(i).toDouble * scale + 0.5).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, checksum))
+  }
 }

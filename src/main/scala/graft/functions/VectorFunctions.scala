@@ -2,12 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
 
 /** Cosine similarity over two `ARRAY<FLOAT>` embedding columns as a native
   * Catalyst expression with whole-stage codegen — the hot inner loop of
@@ -187,6 +187,61 @@ case class SrpBits(left: Expression, right: Expression)
 }
 
 /** Registration + Column-level entry points for the graft expressions. */
+/** Symmetric int8 quantization stats over an `ARRAY<FLOAT>` embedding as a
+  * native codegen expression: struct(scale, checksum) with
+  * scale = 127 / max|x_i| and checksum = Σ floor(x_i·scale + 0.5) — the
+  * compression pass (and its integrity check) a vector store runs before
+  * serving quantized embeddings. The checksum is an exact INTEGER sum, so
+  * it is order-independent and bit-comparable across engines — the property
+  * that makes the whole quantization oracle-checkable, unlike a float
+  * reconstruction error.
+  *
+  * Like [[CosineSimilarity]], this must stay inside WholeStageCodegen: at
+  * 100 TB the embedding column is the widest thing in the scan, and an
+  * interpreted `transform`/`aggregate` lambda pipeline allocates boxed
+  * arrays per row (the q76 lesson). One static call per row; null for
+  * null/empty/all-zero/non-finite vectors.
+  */
+case class Int8QuantStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"int8_quant requires ARRAY<FLOAT>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_quant"
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.int8QuantStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    val v = ctx.freshName("quant")
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        $rowCls ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          $rowCls $v =
+            graft.functions.HashExpressions.int8QuantStats(${childGen.value});
+          if ($v != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = $v;
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
 
   /** Idempotent; call once per session before using the helpers below. */
@@ -207,6 +262,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "int8_quant", exprs => Int8QuantStats(exprs.head), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
@@ -218,4 +275,5 @@ object GraftFunctions {
     call_function("srp_bits", vec, planes)
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+  def int8Quant(vec: Column): Column = call_function("int8_quant", vec)
 }

@@ -162,6 +162,49 @@ object TimeSeries {
     * filtered out up front to make that contract explicit rather than
     * position-dependent.
     */
+  /** Multi-resolution rollup in ONE shuffle: aggregate the stream to
+    * several `date_trunc` granularities at once via GROUPING SETS —
+    * ((key, minute), (key, hour), (key, day)) — instead of one
+    * scan+shuffle per resolution. Spark plans a single Expand (each input
+    * row replicated once per grouping set, tagged by grouping_id) feeding
+    * ONE partial-aggregated exchange; at 100 TB that is one pass over the
+    * fact table where the naive UNION-ALL-of-three-rollups reads and
+    * shuffles it three times. This is the downsample-tier build every
+    * telemetry store runs (the reference stores only last-value-per-tag;
+    * its Mongo history would need exactly this to serve dashboards).
+    *
+    * Returns (keyCol, resolution ∈ {"minute","hour","day"}, bucket, n,
+    * sum_value[2dp], min_value, max_value) — min/max are order-independent
+    * and exact; the sum gets the 2dp grid (q49 lesson).
+    */
+  def multiResolutionRollup(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String): DataFrame = {
+    val units = Seq("minute", "hour", "day")
+    // null timestamps bucket nowhere — and dropping them keeps the
+    // which-set-am-I discrimination below a pure isNotNull test
+    val bucketed = df.filter(col(tsCol).isNotNull)
+      .select(Seq(col(keyCol), col(valCol)) ++
+        units.map(u => date_trunc(u, col(tsCol)).as(s"__$u")): _*)
+    bucketed
+      .groupingSets(
+        units.map(u => Seq(col(keyCol), col(s"__$u"))),
+        col(keyCol) +: units.map(u => col(s"__$u")): _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(valCol), 2).as("sum_value"),
+        min(valCol).as("min_value"), max(valCol).as("max_value"))
+      // exactly one of the bucket columns is non-null per output row —
+      // its unit is the row's resolution
+      .select(col(keyCol),
+        when(col("__minute").isNotNull, "minute")
+          .when(col("__hour").isNotNull, "hour")
+          .otherwise("day").as("resolution"),
+        coalesce(units.map(u => col(s"__$u")): _*).as("bucket"),
+        col("n"), col("sum_value"), col("min_value"), col("max_value"))
+  }
+
   def ewma(
       df: DataFrame,
       keyCol: String,

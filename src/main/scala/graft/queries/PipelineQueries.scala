@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{BloomPrune, Cooccur, Curation, Dedup, Graph, Histogram, LangModel, Layout, PageRank, Ranking, SkewJoin}
+import graft.operators.{BloomPrune, Cooccur, Curation, Dedup, Graph, Histogram, LangModel, Layout, PageRank, Profiling, Ranking, SkewJoin, TimeSeries}
 import Q.t
 
 /** Round-4 widening: scale-infrastructure operators (bloom-pruned joins,
@@ -401,6 +401,73 @@ object PipelineQueries {
          |FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
          |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
       Curation.weightedSampleTopK(t(s, d, "documents"), "doc_id", "n_chars", k = 50)
+    },
+
+    Q("q119_multires_rollup",
+      // Multi-resolution telemetry rollup (minute/hour/day tiers) in ONE
+      // shuffle via GROUPING SETS: Spark plans a single Expand feeding one
+      // partial-aggregated exchange where the naive union reads+shuffles
+      // the fact table three times. The oracle IS the naive union — same
+      // rows, three scans DuckDB can afford here.
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE ts IS NOT NULL)
+        |SELECT event_type, 'minute' AS resolution,
+        |  date_trunc('minute', ts)::TIMESTAMP AS bucket, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM e GROUP BY event_type, date_trunc('minute', ts)
+        |UNION ALL
+        |SELECT event_type, 'hour', date_trunc('hour', ts)::TIMESTAMP, count(*),
+        |  round(sum(value), 2), min(value), max(value)
+        |FROM e GROUP BY event_type, date_trunc('hour', ts)
+        |UNION ALL
+        |SELECT event_type, 'day', date_trunc('day', ts)::TIMESTAMP, count(*),
+        |  round(sum(value), 2), min(value), max(value)
+        |FROM e GROUP BY event_type, date_trunc('day', ts)
+        |ORDER BY resolution, event_type, bucket""".stripMargin) { (s, d) =>
+      TimeSeries.multiResolutionRollup(t(s, d, "events"), "event_type", "ts", "value")
+        .orderBy("resolution", "event_type", "bucket")
+    },
+
+    Q("q120_key_skew_profile",
+      // Pre-flight shuffle-key diagnostics on lineitem.l_suppkey: the
+      // profile that decides between a plain join, q110's salting, or a
+      // broadcast. percentile_cont is the ANSI twin of Spark's exact
+      // interpolated percentile (q111 pairing).
+      """WITH fr AS (
+        |  SELECT coalesce(l_suppkey::VARCHAR, '<null>') AS k, count(*) AS f
+        |  FROM lineitem GROUP BY 1)
+        |SELECT sum(f)::BIGINT AS n_rows, count(*) AS n_keys,
+        |  max(f) AS max_freq,
+        |  (SELECT k FROM fr ORDER BY f DESC, k DESC LIMIT 1) AS max_key,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY f) AS p50_freq,
+        |  percentile_cont(0.99) WITHIN GROUP (ORDER BY f) AS p99_freq,
+        |  round(max(f) * count(*)::DOUBLE / sum(f), 4) AS skew
+        |FROM fr""".stripMargin) { (s, d) =>
+      Profiling.keySkewProfile(t(s, d, "lineitem"), "l_suppkey")
+    },
+
+    Q("q121_int8_quantize",
+      // Symmetric int8 embedding quantization (scale + integer checksum)
+      // as a one-pass codegen expression — the vector-store compression
+      // pass. floor(x*s + 0.5) on BOTH engines (not round(): DuckDB
+      // rounds halves away from zero, Java toward +inf — the only op
+      // whose halves break differently), and the checksum is an exact
+      // integer sum, so the compare is bit-strict, no tolerance.
+      """SELECT vec_id,
+        |  round(127.0 / nullif(list_max(list_transform(embedding,
+        |    x -> abs(x::DOUBLE))), 0.0), 6) AS scale,
+        |  list_sum(list_transform(embedding,
+        |    x -> floor(x::DOUBLE * (127.0 / nullif(list_max(list_transform(
+        |      embedding, y -> abs(y::DOUBLE))), 0.0)) + 0.5)))::BIGINT AS checksum
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), GraftFunctions.int8Quant(col("embedding")).as("__q"))
+        .select(col("vec_id"), round(col("__q.scale"), 6).as("scale"),
+          col("__q.checksum").as("checksum"))
+        .orderBy("vec_id")
     },
 
     Q("q107_train_val_test_split",

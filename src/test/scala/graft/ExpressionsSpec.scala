@@ -170,4 +170,46 @@ class ExpressionsSpec extends SparkSpec {
     // DuckDB: SELECT ('0x'||substr(md5('hello'),1,15))::BIGINT → 419982666956583591
     assert(HashExpressions.md5Prefix60(md, "hello") == 419982666956583591L)
   }
+
+  test("int8_quant: known values, half-breaking floors, degenerate inputs") {
+    val df = Seq(
+      (1L, Some(Array(1f, -2f, 4f))),    // scale 31.75; q = 32,-63,127 → 96
+      (2L, Some(Array(0.5f, -0.5f))),    // scale 254; q = 127,-127 → 0
+      (3L, Some(Array(2f))),             // scale 63.5; q = 127
+      (4L, Some(Array(0f, 0f))),         // all-zero: null by contract
+      (5L, Some(Array.empty[Float])),    // empty: null
+      (6L, None),                        // null input: null
+      (7L, Some(Array(Float.NaN, 1f)))) // non-finite max: null
+      .toDF("id", "v")
+    val got = df.select(col("id"),
+        GraftFunctions.int8Quant(col("v")).as("q"))
+      .selectExpr("id", "q.scale", "q.checksum")
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // id 1: floor(1*31.75+0.5)=32, floor(-63.5+0.5)=-63 (the half that
+    // breaks UP under floor(+0.5), where round-away would give -64),
+    // floor(127.5)=127
+    assert(got(1L) == ((Some(127.0 / 4.0), Some(32L - 63L + 127L))))
+    assert(got(2L) == ((Some(254.0), Some(0L))))
+    assert(got(3L) == ((Some(63.5), Some(127L))))
+    Seq(4L, 5L, 6L, 7L).foreach(id => assert(got(id) == ((None, None)), s"id $id"))
+  }
+
+  test("int8_quant: codegen and interpreted paths agree") {
+    val df = (0 until 50)
+      .map(i => (i.toLong, Array.tabulate(8)(j => ((i * 17 + j * 3) % 23 - 11) / 7f)))
+      .toDF("id", "v")
+    val expr = GraftFunctions.int8Quant(col("v"))
+    val viaCodegen = df.select(expr).collect().map(_.toString)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.select(expr).collect().map(_.toString)
+      assert(viaCodegen.toSeq == interpreted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }

@@ -239,11 +239,11 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q106: z-order values plan exactly one exchange — the output range sort") {
     val p = plan("q106_zorder_values")
-    assert(!p.contains("Exchange hashpartitioning"),
+    assert(!p.contains("Arguments: hashpartitioning"),
       s"the interleave is pure per-row arithmetic — no hash shuffle:\n$p")
     // TakeOrderedAndProject absorbs the LIMIT 50 without even a full
     // range exchange; allow either that or a single range partitioning
-    val ranges = p.split("Exchange rangepartitioning").length - 1
+    val ranges = p.split("Arguments: rangepartitioning").length - 1
     assert(p.contains("TakeOrderedAndProject") || ranges == 1,
       s"ordering must be one top-k or one range exchange:\n$p")
   }
@@ -304,10 +304,36 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q118: weighted sampling is scan + filter + top-k — no shuffle of the input") {
     val p = plan("q118_weighted_sample")
-    assert(!p.contains("Exchange hashpartitioning"),
+    assert(!p.contains("Arguments: hashpartitioning"),
       s"ES keys are per-row arithmetic — nothing may hash-shuffle:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"the k cut must plan as per-partition top-k:\n$p")
+  }
+
+  test("q119: three rollup tiers ride ONE Expand and one hash exchange") {
+    val p = plan("q119_multires_rollup")
+    assert(p.contains("Expand"), s"grouping sets must plan a single Expand:\n$p")
+    assert(p.split("Arguments: hashpartitioning").length - 1 == 1,
+      s"one shuffle for all three resolutions — the union-of-rollups shape " +
+        s"would show three:\n$p")
+    assert(p.contains("partial_count"), s"tiers must partial-aggregate:\n$p")
+  }
+
+  test("q120: the skew profile is two aggregates — input shuffles pre-combined counts") {
+    val p = plan("q120_key_skew_profile")
+    assert(p.contains("partial_count"),
+      s"per-key counts must map-side combine (that's what makes the " +
+        s"pre-flight check affordable):\n$p")
+    assert(!p.contains("Window"), s"no window over the input:\n$p")
+  }
+
+  test("q121: int8 quantization is a codegen projection — no lambda, no shuffle") {
+    val p = plan("q121_int8_quantize")
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"quantization is per-row — nothing may hash-shuffle:\n$p")
+    assert(p.contains("int8_quant"), s"the codegen expression must be in the plan:\n$p")
+    assert(!p.contains("transform("),
+      s"no interpreted HOF lambdas in the scan projection:\n$p")
   }
 
   test("q77: chunking is shuffle-free end to end") {
@@ -317,7 +343,7 @@ class PlanAuditSpec extends SparkSpec {
       case "" => p
       case pre => pre
     }
-    assert(!body.contains("Exchange hashpartitioning"),
+    assert(!body.contains("Arguments: hashpartitioning"),
       s"chunking itself must not shuffle:\n$p")
   }
 }

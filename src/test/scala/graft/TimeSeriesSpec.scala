@@ -133,4 +133,38 @@ class TimeSeriesSpec extends SparkSpec {
     // lookback 2: row 3+ never sees the 1000 spike
     assert(e.drop(2).forall(_ === 1.0))
   }
+
+  test("multiResolutionRollup: three tiers from one input, consistent totals") {
+    // key A: 3 events in 2 minutes of 1 hour; key B: 1 event next day
+    val df = Seq(
+      ("A", ts("2024-03-01 10:00:10"), 1.0),
+      ("A", ts("2024-03-01 10:00:50"), 2.0),
+      ("A", ts("2024-03-01 10:07:00"), 4.0),
+      ("B", ts("2024-03-02 23:59:59"), 8.0))
+      .toDF("k", "ts", "v")
+    val got = graft.operators.TimeSeries.multiResolutionRollup(df, "k", "ts", "v")
+      .as[(String, String, java.sql.Timestamp, Long, Double, Double, Double)]
+      .collect()
+    val byRes = got.groupBy(_._2)
+    // tier cardinalities: A has 2 minute buckets + B's 1; 1+1 hours; 1+1 days
+    assert(byRes("minute").length == 3 && byRes("hour").length == 2 &&
+      byRes("day").length == 2)
+    // every tier preserves total count and sum
+    byRes.values.foreach { rows =>
+      assert(rows.map(_._4).sum == 4L)
+      assert(rows.map(_._5).sum == 15.0)
+    }
+    // bucket alignment + aggregate values for A's first minute
+    val aMin = got.find(r => r._1 == "A" && r._2 == "minute" &&
+      r._3 == ts("2024-03-01 10:00:00")).get
+    assert((aMin._4, aMin._5, aMin._6, aMin._7) == ((2L, 3.0, 1.0, 2.0)))
+    val aDay = got.find(r => r._1 == "A" && r._2 == "day").get
+    assert((aDay._3, aDay._4, aDay._5) == ((ts("2024-03-01 00:00:00"), 3L, 7.0)))
+    // null timestamps are excluded, not misfiled into the day tier
+    val withNull = df.union(Seq(("A", null.asInstanceOf[java.sql.Timestamp], 99.0))
+      .toDF("k", "ts", "v"))
+    val n2 = graft.operators.TimeSeries.multiResolutionRollup(withNull, "k", "ts", "v")
+      .agg(sum("n")).as[Long].collect().head
+    assert(n2 == 12L) // 4 events x 3 tiers, the null row nowhere
+  }
 }
