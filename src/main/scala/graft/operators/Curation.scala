@@ -327,16 +327,51 @@ object Curation {
       df: DataFrame,
       keyCol: String,
       weightCol: String,
-      k: Int): DataFrame = {
-    // u = (hash60 + 1) / (2^60 + 1) ∈ (0, 1): both bounds open, so ln(u)
-    // is finite and nonzero; the integer operands convert to double
-    // identically on every IEEE engine
-    val u = (Dedup.hash60(col(keyCol).cast("string")) + 1).cast("double") /
-      lit((1L << 60) + 1).cast("double")
+      k: Int): DataFrame =
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .select(col(keyCol), col(weightCol),
-        round(log(u) / col(weightCol).cast("double"), 9).as("es_key"))
+      .select(col(keyCol), col(weightCol), esKey(keyCol, weightCol).as("es_key"))
       .orderBy(col("es_key").desc, col(keyCol))
       .limit(k)
+
+  /** The 9dp-rounded Efraimidis–Spirakis key ln(u)/w, with
+    * u = (hash60(key) + 1) / (2^60 + 1) ∈ (0, 1): both bounds open so
+    * ln(u) is finite and nonzero, and every integer operand converts to
+    * double identically on any IEEE engine.
+    */
+  private def esKey(keyCol: String, weightCol: String) = {
+    val u = (Dedup.hash60(col(keyCol).cast("string")) + 1).cast("double") /
+      lit((1L << 60) + 1).cast("double")
+    round(log(u) / col(weightCol).cast("double"), 9)
+  }
+
+  /** Stratified WEIGHTED sampling: an independent Efraimidis–Spirakis
+    * without-replacement sample of up to `k` rows per group — "per
+    * language, keep the k docs drawn by quality mass", the mixture-aware
+    * twin of [[quotaPerGroup]] (which samples uniformly). Same
+    * deterministic pure-hash keys as [[weightedSampleTopK]]; the per-group
+    * cut is a row_number window PARTITIONED by the group — bounded
+    * per-partition state, never a global sort (and unlike the global
+    * top-k, skew is capped: every group sorts only its own rows).
+    *
+    * Returns (groupCol, keyCol, weightCol, es_key) for the sampled rows.
+    * Rows with null group, null weight, or weight ≤ 0 carry no mass and
+    * are excluded.
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("es_key").desc, col(keyCol))
+    df.filter(col(groupCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(groupCol), col(keyCol), col(weightCol),
+        esKey(keyCol, weightCol).as("es_key"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{BloomPrune, Cooccur, Curation, Dedup, Graph, Histogram, LangModel, Layout, PageRank, Profiling, Ranking, SkewJoin, TimeSeries}
+import graft.operators.{BloomPrune, Cooccur, Curation, Dedup, Graph, Histogram, LangModel, Layout, PageRank, Profiling, Ranking, SkewJoin, Sketches, TimeSeries}
 import Q.t
 
 /** Round-4 widening: scale-infrastructure operators (bloom-pruned joins,
@@ -468,6 +468,40 @@ object PipelineQueries {
         .select(col("vec_id"), round(col("__q.scale"), 6).as("scale"),
           col("__q.checksum").as("checksum"))
         .orderBy("vec_id")
+    },
+
+    Q("q122_weighted_sample_per_group",
+      // Stratified WEIGHTED sampling: an independent Efraimidis-Spirakis
+      // draw of k=10 docs per language by n_chars mass — q118's global
+      // top-k becomes a per-group row_number over the same pure-hash keys
+      // (bounded per-partition state; group skew capped by the partition).
+      s"""WITH w AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    round(ln((${sqlHash60("doc_id::VARCHAR")} + 1)::DOUBLE
+         |        / 1152921504606846977::DOUBLE) / n_chars::DOUBLE, 9) AS es_key
+         |  FROM documents
+         |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+         |r AS (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn
+         |  FROM w)
+         |SELECT lang, doc_id, n_chars, es_key FROM r WHERE rn <= 10
+         |ORDER BY lang, es_key DESC, doc_id""".stripMargin) { (s, d) =>
+      Curation.weightedSamplePerGroup(t(s, d, "documents"),
+          "lang", "doc_id", "n_chars", k = 10)
+        .orderBy(col("lang"), col("es_key").desc, col("doc_id"))
+    },
+
+    Q.noOracle("q123_hll_sketch_rollup") { (s, d) =>
+      // Two-level mergeable-HLL rollup: per-(event_type, day) DataSketches
+      // HLL sketches of user_id merged per type — kilobyte register arrays
+      // shuffle upward instead of the raw value stream. No DuckDB oracle
+      // (sketch binaries aren't portable across HLL implementations); the
+      // exact_distinct column rides along so the row is self-auditing, and
+      // SketchesSpec pins the union-vs-whole identity + error envelope.
+      Sketches.hllRollup(t(s, d, "events"), "event_type",
+          date_trunc("day", col("ts")), "user_id")
+        .orderBy("event_type")
     },
 
     Q("q107_train_val_test_split",

@@ -216,4 +216,28 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(again == got)
   }
+
+  test("weightedSamplePerGroup: k per group, same keys as the global sample") {
+    val rows = (1L to 90L).map(i => (s"g${i % 3}", i, i + 10))
+      .toDF("grp", "id", "w")
+    val got = Curation.weightedSamplePerGroup(rows, "grp", "id", "w", k = 5)
+      .as[(String, Long, Long, Double)].collect()
+    val byGrp = got.groupBy(_._1)
+    assert(byGrp.keySet == Set("g0", "g1", "g2") &&
+      byGrp.values.forall(_.length == 5))
+    // the per-group winners are exactly the group-restricted global ES
+    // ranking — same hash keys, so cross-check against weightedSampleTopK
+    val g1Global = Curation.weightedSampleTopK(
+        rows.filter($"grp" === "g1").select("id", "w"), "id", "w", 5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._3)).toSeq
+    val g1Strat = got.filter(_._1 == "g1")
+      .sortBy(r => (-r._4, r._2)).map(r => (r._2, r._4)).toSeq
+    assert(g1Strat == g1Global)
+    // groups smaller than k keep everything with positive weight
+    val tiny = Seq(("a", 1L, 5L), ("a", 2L, 0L), ("b", 3L, 2L))
+      .toDF("grp", "id", "w")
+    val t = Curation.weightedSamplePerGroup(tiny, "grp", "id", "w", 5)
+      .as[(String, Long, Long, Double)].collect()
+    assert(t.map(r => (r._1, r._2)).toSet == Set(("a", 1L), ("b", 3L)))
+  }
 }

@@ -336,6 +336,21 @@ class PlanAuditSpec extends SparkSpec {
       s"no interpreted HOF lambdas in the scan projection:\n$p")
   }
 
+  test("q122: the per-group sample window partitions by group — never global") {
+    val p = plan("q122_weighted_sample_per_group")
+    assert(p.contains("Window"), s"expected the per-group row_number window:\n$p")
+    assert(!p.contains("No Partition Defined"),
+      s"the cut must be per-group, not a global sort:\n$p")
+  }
+
+  test("q123: sketches partial-aggregate; the raw value stream shuffles once") {
+    val p = plan("q123_hll_sketch_rollup")
+    assert(p.contains("partial_hll_sketch_agg"),
+      s"per-bucket sketches must build map-side:\n$p")
+    assert(p.contains("partial_hll_union_agg"),
+      s"the group merge must union sketch partials, not re-shuffle values:\n$p")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 groups x 40 buckets, values overlapping across buckets within a group
+  private def fixture = (1 to 2000).map { i =>
+    (s"g${i % 3}", i % 40, s"v${i % (100 + (i % 3) * 150)}")
+  }.toDF("g", "b", "v")
+
+  test("hllRollup: estimates land inside the HLL error envelope, exact rides along") {
+    val got = Sketches.hllRollup(fixture, "g", col("b"), "v")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 3)
+    got.values.foreach { case (g, nBuckets, approx, exact, relErr) =>
+      assert(nBuckets == 40L, s"$g buckets")
+      // lgK=12 standard error ~1.6%; 5% is a generous, stable envelope
+      assert(relErr <= 0.05, s"$g: approx $approx vs exact $exact")
+      assert(math.abs(approx - exact) <= math.ceil(exact * 0.05).toLong)
+    }
+    // exact side is the true distinct count of the fixture
+    val trueDistinct = fixture.filter($"g" === "g0").select("v").distinct().count()
+    assert(got("g0")._4 == trueDistinct)
+  }
+
+  test("hllRollup: merge topology moves estimates only inside the envelope") {
+    val merged = Sketches.hllRollup(fixture, "g", col("b"), "v")
+      .select("g", "approx_distinct").as[(String, Long)].collect().toMap
+    // DataSketches HLL estimates depend on the value set AND the merge
+    // topology (sparse→dense conversion points differ) — so neither
+    // re-bucketing nor re-partitioning is bit-stable, and BOTH must stay
+    // inside a tight envelope of each other (measured drift: ~±1 count)
+    val whole = Sketches.hllRollup(fixture, "g", lit(0), "v")
+      .select("g", "approx_distinct").as[(String, Long)].collect().toMap
+    val repart = Sketches.hllRollup(fixture.repartition(13), "g", col("b"), "v")
+      .select("g", "approx_distinct").as[(String, Long)].collect().toMap
+    Seq(whole, repart).foreach { other =>
+      merged.foreach { case (g, m) =>
+        assert(math.abs(m - other(g)).toDouble / other(g) <= 0.02,
+          s"$g: $m vs ${other(g)}")
+      }
+    }
+  }
+
+  test("hllRollup: null values carry no cardinality; empty input yields no rows") {
+    val withNulls = Seq(("g", 1, "a"), ("g", 1, null), ("g", 2, "a"), ("g", 2, null))
+      .toDF("g", "b", "v")
+    val row = Sketches.hllRollup(withNulls, "g", col("b"), "v")
+      .as[(String, Long, Long, Long, Double)].collect().head
+    assert((row._2, row._3, row._4) == ((2L, 1L, 1L)), "only 'a' is distinct")
+    val empty = Seq.empty[(String, Int, String)].toDF("g", "b", "v")
+    assert(Sketches.hllRollup(empty, "g", col("b"), "v").count() == 0)
+  }
+}
