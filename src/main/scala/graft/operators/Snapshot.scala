@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot diffing (CDC between two table versions) — the reconciliation
+  * pass run between pipeline runs: which rows appeared, disappeared, or
+  * changed since the last snapshot. Pairs with [[graft.streaming.TxTable]]
+  * versions (diff two reads) but is version-store agnostic.
+  *
+  * Plan shape: ONE full outer equi-join on the key, with each side's
+  * non-key payload pre-collapsed to a 128-bit content hash — so the
+  * shuffle carries (key, hash) pairs, never the wide rows, and the
+  * compare is a codegen'd hash equality. At 100 TB both sides shuffle
+  * once on the key (or co-locate for free if both snapshots are bucketed
+  * by it — [[Bucketing]]); there is no row-by-row driver loop and no
+  * window. Keys must be unique per snapshot (enforce upstream or the
+  * diff is per-(key, hash) multiset).
+  */
+object Snapshot {
+
+  /** Diff `newDf` against `oldDf` on `keyCol`: returns
+    * (keyCol, change_type ∈ {added, removed, changed}) — unchanged rows
+    * are dropped (at scale they are ~the whole table; emitting them would
+    * make the diff output the size of the input). `compareCols` defaults
+    * to every non-key column present in BOTH snapshots, so schema
+    * evolution on one side doesn't poison the hash.
+    */
+  def diff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCol: String,
+      compareCols: Seq[String] = Nil): DataFrame = {
+    val cols =
+      if (compareCols.nonEmpty) compareCols
+      else oldDf.columns.filter(c => c != keyCol && newDf.columns.contains(c)).toSeq
+    require(cols.nonEmpty, "no common non-key columns to compare")
+    // md5 over the concat-ws'd values: null and "" must not collide, so
+    // each value gets a one-char null marker prefix. The hash narrows the
+    // shuffle to 16 bytes per row regardless of row width.
+    def hashed(df: DataFrame, hc: String) = df.select(col(keyCol),
+      md5(concat_ws("", cols.map(c =>
+        concat(when(col(c).isNull, "0").otherwise("1"),
+          coalesce(col(c).cast("string"), lit("")))): _*)).as(hc))
+    hashed(oldDf, "__oh").join(hashed(newDf, "__nh"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed").as("change_type"))
+      .filter(col("change_type").isNotNull)
+  }
+}

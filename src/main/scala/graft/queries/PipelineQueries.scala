@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{BloomPrune, Cooccur, Curation, Dedup, Graph, Histogram, LangModel, Layout, PageRank, Profiling, Ranking, SkewJoin, Sketches, TimeSeries}
+import graft.operators.{BloomPrune, Cooccur, Curation, Dedup, Graph, Histogram, LangModel, Layout, PageRank, Profiling, RangeJoin, Ranking, SkewJoin, Sketches, Snapshot, TimeSeries}
 import Q.t
 
 /** Round-4 widening: scale-infrastructure operators (bloom-pruned joins,
@@ -502,6 +502,81 @@ object PipelineQueries {
       Sketches.hllRollup(t(s, d, "events"), "event_type",
           date_trunc("day", col("ts")), "user_id")
         .orderBy("event_type")
+    },
+
+    Q("q124_snapshot_diff",
+      // CDC diff between two snapshot versions (old: ~1/97 of orders not
+      // yet inserted; new: ~1/89 deleted, ~1/101 repriced): one full
+      // outer join on the key over 16-byte content hashes — the shuffle
+      // never carries the wide rows, unchanged rows are dropped. The
+      // oracle diffs the same two views by direct value comparison.
+      """WITH old AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 97 <> 0),
+        |new AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice + 1, 2)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 <> 0)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       WHEN o.o_totalprice <> n.o_totalprice
+        |         OR o.o_orderstatus <> n.o_orderstatus THEN 'changed' END
+        |  AS change_type
+        |FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        |WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |  OR o.o_totalprice <> n.o_totalprice
+        |  OR o.o_orderstatus <> n.o_orderstatus)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val oldSnap = base.filter(col("o_orderkey") % 97 =!= 0)
+      val newSnap = base.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 101 === 0, round(col("o_totalprice") + 1, 2))
+            .otherwise(col("o_totalprice")))
+      Snapshot.diff(oldSnap, newSnap, "o_orderkey",
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
+    Q("q125_scd2_point_in_time",
+      // SCD2 point-in-time join: each supplier carries 3 dim versions
+      // with [v*100, v*100+99] validity; facts join to the version whose
+      // window covers their event point — RangeJoin's bucketed-equi
+      // rewrite WITH the per-entity equi-key, so candidates are
+      // (supplier, bucket)-local, never a nested loop over versions.
+      """WITH dim AS (
+        |  SELECT s_suppkey, v AS version, v * 100 AS valid_from,
+        |    v * 100 + 99 AS valid_to, round(s_acctbal + v * 1000, 2) AS acct
+        |  FROM supplier, (SELECT unnest(generate_series(0, 2)) AS v)),
+        |f AS (
+        |  SELECT l_suppkey AS s_suppkey, l_orderkey % 300 AS pt, l_quantity
+        |  FROM lineitem)
+        |SELECT version, count(*) AS n_facts,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(acct) / 1000000, 4) AS acct_msum
+        |FROM f JOIN dim ON f.s_suppkey = dim.s_suppkey
+        |  AND f.pt >= dim.valid_from AND f.pt <= dim.valid_to
+        |GROUP BY version ORDER BY version""".stripMargin) { (s, d) =>
+      val dim = t(s, d, "supplier")
+        .select(col("s_suppkey"), explode(sequence(lit(0), lit(2))).as("version"),
+          col("s_acctbal"))
+        .select(col("s_suppkey"), col("version"),
+          (col("version") * 100).as("valid_from"),
+          (col("version") * 100 + 99).as("valid_to"),
+          round(col("s_acctbal") + col("version") * 1000, 2).as("acct"))
+      val facts = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"),
+          (col("l_orderkey") % 300).as("pt"), col("l_quantity"))
+      RangeJoin.pointInInterval(facts, dim, "pt", "valid_from", "valid_to",
+          bucketWidth = 100, extraKeys = Seq("s_suppkey"))
+        .groupBy("version")
+        .agg(count(lit(1)).as("n_facts"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("acct") / 1000000, 4).as("acct_msum"))
+        .orderBy("version")
     },
 
     Q("q107_train_val_test_split",

@@ -84,6 +84,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("rangeJoin extraKeys: intervals match only within their entity (SCD2 shape)") {
+    // two entities with the SAME validity windows but different payloads;
+    // a bucket-only join would cross-match them
+    val dim = Seq(("e1", 0L, 9L, "e1v0"), ("e1", 10L, 19L, "e1v1"),
+      ("e2", 0L, 9L, "e2v0"), ("e2", 10L, 19L, "e2v1"))
+      .toDF("ent", "start", "end", "ver")
+    val facts = Seq(("e1", 5L), ("e1", 15L), ("e2", 5L), ("e2", 19L))
+      .toDF("ent", "pt")
+    val got = RangeJoin.pointInInterval(facts, dim, "pt", "start", "end",
+        bucketWidth = 10, extraKeys = Seq("ent"))
+      .select("ent", "pt", "ver").as[(String, Long, String)].collect().toSet
+    assert(got == Set(("e1", 5L, "e1v0"), ("e1", 15L, "e1v1"),
+      ("e2", 5L, "e2v0"), ("e2", 19L, "e2v1")))
+  }
+
   test("latestPerKey plans partial (map-side) aggregation and no window") {
     val df = Seq(("a", 1L, "x")).toDF("k", "ord", "payload")
     val plan = LastValue.latestPerKey(df, Seq("k"), Seq("ord"))
