@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharEntropy, CosineSimilarity, RollingHash, SimHash32, SortedLongIntersectCount}
+import graft.functions.{CharEntropy, CosineSimilarity, Int8QuantStats, RollingHash, SimHash32, SortedLongIntersectCount}
 
 /** SparkSessionExtensions entry point: makes the engine's Catalyst
   * expressions available to pure-SQL users at session build time —
@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b) - common-element count of two sorted ARRAY<BIGINT>"),
       (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("int8_quant"),
+      info("int8_quant",
+        "int8_quant(v) - struct(scale, checksum) of symmetric int8 quantization of an ARRAY<FLOAT>"),
+      (exprs: Seq[Expression]) => Int8QuantStats(exprs.head)))
     // optimizer rule: banded rewrite of levenshtein threshold predicates
     ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRewrite)
   }

@@ -64,8 +64,14 @@ object TextAnalysis {
     * (O(length) per row inside WholeStageCodegen — the interpreted HOF
     * formulation this replaces re-scanned the char array per distinct
     * char). Requires [[GraftFunctions.register]] on the session.
+    *
+    * NULL text coalesces to 0.0 — the contract the pre-codegen
+    * formulation had and the q113 oracle encodes (a missing document
+    * scores like an empty one); the raw SQL function `char_entropy`
+    * stays null-propagating for SQL users who want the distinction.
     */
-  def charEntropy(text: Column): Column = GraftFunctions.charEntropy(text)
+  def charEntropy(text: Column): Column =
+    coalesce(GraftFunctions.charEntropy(text), lit(0.0))
 
   /** BPE-ish subword token estimate: word-piece count from a regex split on
     * non-alphanumeric boundaries, bounded below by the standard

@@ -78,6 +78,11 @@ object Graph {
 
     degStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(triangles))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("transitivity"))
+        // wedge-free graphs (e.g. a perfect matching) have an undefined
+        // clustering coefficient: explicit NULL, not a 0/0 whose
+        // NaN-vs-error behavior differs by engine and ANSI mode
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("transitivity"))
   }
 }

@@ -18,9 +18,10 @@ object Profiling {
     * Plan shape: one partial-aggregated count per key, then one aggregate
     * over the (small) frequency table — the profile never touches the
     * driver and costs one shuffle of pre-combined key counts, which is
-    * why it is cheap enough to run as a pre-flight check. `max_by` picks
-    * the heaviest key with a deterministic min-key tiebreak via the
-    * (freq, key)-struct max — stable across partitionings.
+    * why it is cheap enough to run as a pre-flight check. The heaviest
+    * key is picked by a (freq, key)-struct max — on frequency ties the
+    * LARGEST key string wins, a deterministic tiebreak that is stable
+    * across partitionings.
     *
     * Returns (n_rows, n_keys, max_freq, max_key, p50_freq, p99_freq,
     * skew[4dp]). Null keys count as a key (they all land in one task —

@@ -35,13 +35,16 @@ object Snapshot {
       if (compareCols.nonEmpty) compareCols
       else oldDf.columns.filter(c => c != keyCol && newDf.columns.contains(c)).toSeq
     require(cols.nonEmpty, "no common non-key columns to compare")
-    // md5 over the concat-ws'd values: null and "" must not collide, so
-    // each value gets a one-char null marker prefix. The hash narrows the
-    // shuffle to 16 bytes per row regardless of row width.
+    // Per-column md5 blocks, then one md5 over the fixed-width
+    // concatenation: every column contributes exactly 33 chars (null
+    // marker + 32-hex digest), so no value can shift bytes across a
+    // column boundary (a bare marker+value concat collides on e.g.
+    // ("a","b1c") vs ("a1b","c")) and null vs "" stay distinct. The
+    // outer hash still narrows the shuffle to 16 bytes per row.
     def hashed(df: DataFrame, hc: String) = df.select(col(keyCol),
       md5(concat_ws("", cols.map(c =>
         concat(when(col(c).isNull, "0").otherwise("1"),
-          coalesce(col(c).cast("string"), lit("")))): _*)).as(hc))
+          md5(coalesce(col(c).cast("string"), lit(""))))): _*)).as(hc))
     hashed(oldDf, "__oh").join(hashed(newDf, "__nh"), Seq(keyCol), "full_outer")
       .select(col(keyCol),
         when(col("__oh").isNull, "added")

@@ -341,7 +341,8 @@ object PipelineQueries {
         |         sum(d * (d - 1) // 2)::BIGINT AS n_wedges FROM deg),
         |m AS (SELECT count(*) AS n_edges FROM e)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-        |  round(3.0 * n_triangles / n_wedges, 6) AS transitivity
+        |  CASE WHEN n_wedges = 0 THEN NULL
+        |       ELSE round(3.0 * n_triangles / n_wedges, 6) END AS transitivity
         |FROM ds, m, tri""".stripMargin) { (s, d) =>
       Graph.triangleStats(
         t(s, d, "lineitem")
@@ -455,13 +456,17 @@ object PipelineQueries {
       // rounds halves away from zero, Java toward +inf — the only op
       // whose halves break differently), and the checksum is an exact
       // integer sum, so the compare is bit-strict, no tolerance.
-      """SELECT vec_id,
-        |  round(127.0 / nullif(list_max(list_transform(embedding,
-        |    x -> abs(x::DOUBLE))), 0.0), 6) AS scale,
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN len(list_filter(embedding,
+        |           x -> isnan(x::DOUBLE) OR isinf(x::DOUBLE))) > 0 THEN NULL
+        |      ELSE nullif(list_max(list_transform(embedding,
+        |             x -> abs(x::DOUBLE))), 0.0) END AS maxabs
+        |  FROM embeddings)
+        |SELECT vec_id, round(127.0 / maxabs, 6) AS scale,
         |  list_sum(list_transform(embedding,
-        |    x -> floor(x::DOUBLE * (127.0 / nullif(list_max(list_transform(
-        |      embedding, y -> abs(y::DOUBLE))), 0.0)) + 0.5)))::BIGINT AS checksum
-        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+        |    x -> floor(x::DOUBLE * (127.0 / maxabs) + 0.5)))::BIGINT AS checksum
+        |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
       GraftFunctions.register(s)
       t(s, d, "embeddings")
         .select(col("vec_id"), GraftFunctions.int8Quant(col("embedding")).as("__q"))

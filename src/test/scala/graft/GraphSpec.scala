@@ -41,6 +41,16 @@ class GraphSpec extends SparkSpec {
     assert(wedges == 6L && tris == 0L && trans == 0.0)
   }
 
+  test("wedge-free graph (perfect matching): transitivity is NULL, not 0/0") {
+    val matching = Seq((1L, 2L), (3L, 4L)).map { case (a, b) =>
+      (Long.box(a), Long.box(b)) }
+    val row = Graph.triangleStats(matching.toDF("s", "d"), "s", "d")
+      .collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((4L, 2L, 0L, 0L)))
+    assert(row.isNullAt(4), "transitivity must be NULL on zero wedges")
+  }
+
   test("matches a brute-force count on a pseudo-random graph") {
     // deterministic LCG edge set over 12 nodes — dense enough for many
     // triangles, including degree ties (orientation tiebreak coverage)

@@ -29,12 +29,18 @@ class SnapshotSpec extends SparkSpec {
     val newDf = Seq((1L, "")).toDF("k", "s")
     assert(Snapshot.diff(oldDf, newDf, "k")
       .as[(Long, String)].collect().toSeq == Seq((1L, "changed")))
-    // and boundary shifts between adjacent columns must not collide
-    // either: ("ab", "c") vs ("a", "bc") — the null-marker prefix breaks
-    // the concatenation ambiguity
+    // boundary shifts between adjacent columns must not collide either —
+    // per-column digests make every column a fixed-width block
     val o2 = Seq((1L, "ab", "c")).toDF("k", "x", "y")
     val n2 = Seq((1L, "a", "bc")).toDF("k", "x", "y")
     assert(Snapshot.diff(o2, n2, "k").count() == 1)
+    // the adversarial case for marker+value concatenation: values that
+    // CONTAIN the marker character realign across the boundary
+    // ("a","b1c" -> "1a"+"1b1c" == "1a1b"+"1c" <- "a1b","c")
+    val o3 = Seq((1L, "a", "b1c")).toDF("k", "x", "y")
+    val n3 = Seq((1L, "a1b", "c")).toDF("k", "x", "y")
+    assert(Snapshot.diff(o3, n3, "k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "changed")))
   }
 
   test("diff compares only columns common to both snapshots by default") {

@@ -62,4 +62,14 @@ class TextAnalysisSpec extends SparkSpec {
       "!!! ??? ### $$$ %%%").get.asInstanceOf[Double]
     assert(good > bad && good <= 1.0 && bad >= 0.0)
   }
+
+  test("charEntropy Column helper: NULL text scores 0.0 (q113 oracle contract)") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = Seq(Some("ab"), Some(""), None).toDF("t")
+      .select(TextAnalysis.charEntropy(col("t")).as("h"))
+      .as[Double].collect()
+    assert(math.abs(got(0) - math.log(2)) < 1e-15)
+    assert(got(1) == 0.0 && got(2) == 0.0,
+      "empty AND null text must both coalesce to entropy 0.0")
+  }
 }
