@@ -584,6 +584,46 @@ object PipelineQueries {
         .orderBy("version")
     },
 
+    Q("q126_cross_source_leakage",
+      // Train/test LEAKAGE accounting: how many near-duplicate pairs
+      // cross each (source, source) boundary — the metric that decides
+      // whether a split is contaminated before training. Reuses the q34
+      // MinHash-LSH pair pipeline (banded candidates, no all-pairs scan),
+      // then one broadcast-joinable label lookup per side and a count per
+      // unordered source pair.
+      s"""WITH ${ExtendedQueries.minhashCtes},
+         |p AS (
+         |  SELECT i.id1, i.id2 FROM inter i
+         |  JOIN sizes z1 ON z1.doc_id = i.id1
+         |  JOIN sizes z2 ON z2.doc_id = i.id2
+         |  WHERE i.i::DOUBLE / (z1.sz + z2.sz - i.i) >= 0.5),
+         |lab AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS src_a,
+         |  greatest(a.source, b.source) AS src_b,
+         |  count(*) AS n_pairs,
+         |  count(CASE WHEN a.source <> b.source THEN 1 END) > 0 AS crosses
+         |FROM p JOIN lab a ON a.doc_id = p.id1 JOIN lab b ON b.doc_id = p.id2
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5)
+        .select("id1", "id2")
+      // the PAIR stream (O(duplicates)) is the small side — broadcast it
+      // through two label-lookup passes; the per-doc label table streams
+      // (it is corpus-sized and must never be broadcast or re-shuffled)
+      val lab = docs.select(col("doc_id"), col("source"))
+      val withA = lab.select(col("doc_id").as("id1"), col("source").as("__sa"))
+        .join(broadcast(pairs), "id1")
+      val withB = lab.select(col("doc_id").as("id2"), col("source").as("__sb"))
+        .join(broadcast(withA), "id2")
+      withB
+        .groupBy(least(col("__sa"), col("__sb")).as("src_a"),
+          greatest(col("__sa"), col("__sb")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (count(when(col("__sa") =!= col("__sb"), 1)) > 0).as("crosses"))
+        .orderBy("src_a", "src_b")
+    },
+
     Q("q107_train_val_test_split",
       // deterministic 80/10/10 train/val/test split: membership is a pure
       // function of the row key (hash60 mod 10), so the split is

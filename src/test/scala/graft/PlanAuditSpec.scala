@@ -351,6 +351,15 @@ class PlanAuditSpec extends SparkSpec {
       s"the group merge must union sketch partials, not re-shuffle values:\n$p")
   }
 
+  test("q126: leakage matrix broadcasts the pair stream, streams the labels") {
+    val p = plan("q126_cross_source_leakage")
+    // the O(duplicates) pair table rides through both label lookups as a
+    // broadcast; the corpus-sized label side must never be broadcast
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"both label lookups must broadcast the small pair side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
