@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * scale it replaces the O(n^2) pairwise scan with an equi-shuffle.
   */
 case class SimHash32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -37,6 +37,13 @@ case class SimHash32(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(HashExpressions.simhash(input.asInstanceOf[ArrayData], 32))
+
+  // one static call per row keeps the signature stage inside
+  // WholeStageCodegen (this was a CodegenFallback, which splits the
+  // stage and routes every row through interpreted eval)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashExpressions.simhash($c, 32)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -54,7 +61,7 @@ case class SimHash32(child: Expression)
   * nBands = 4, maxHamming = 3)` keeps the exact-by-pigeonhole property.
   */
 case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -66,6 +73,10 @@ case class SimHash60(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(HashExpressions.simhash(input.asInstanceOf[ArrayData], 60))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashExpressions.simhash($c, 60)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -195,6 +195,25 @@ class ExpressionsSpec extends SparkSpec {
     Seq(4L, 5L, 6L, 7L).foreach(id => assert(got(id) == ((None, None)), s"id $id"))
   }
 
+  test("simhash32/60: codegen and interpreted paths agree") {
+    val df = (0 until 30)
+      .map(i => (0 to i % 7).map(j => s"tok${i * 7 + j}").toArray)
+      .toDF("toks")
+    val exprs = Seq(GraftFunctions.simhash32(col("toks")),
+      GraftFunctions.simhash60(col("toks")))
+    val viaCodegen = df.select(exprs: _*).collect().map(_.toString)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.select(exprs: _*).collect().map(_.toString)
+      assert(viaCodegen.toSeq == interpreted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("int8_quant: codegen and interpreted paths agree") {
     val df = (0 until 50)
       .map(i => (i.toLong, Array.tabulate(8)(j => ((i * 17 + j * 3) % 23 - 11) / 7f)))
