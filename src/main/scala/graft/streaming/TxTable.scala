@@ -231,12 +231,40 @@ object TxTable {
       writeHint(tablePath, version)
     }
 
-  /** Read the current snapshot (optionally pruned to `partitions`) as a
-    * DataFrame. Empty table → None (caller decides the schema).
+  /** Time travel: the table state as of commit `version`. Replays the
+    * latest retained checkpoint ≤ version plus the commits up to it —
+    * the same fold as [[snapshot]], restricted to the version prefix.
+    *
+    * Reconstructibility contract: versions are DENSE (every publisher
+    * links current + 1), so `version` is rebuildable iff it is ≤ HEAD
+    * and its log prefix hasn't been [[vacuum]]ed past — in both failure
+    * cases the replayed version ≠ the request and this throws rather
+    * than silently returning a nearby state (the Delta behavior).
+    * Data files of old versions survive until vacuum's retention
+    * window passes; time travel is only valid inside that window.
     */
-  def read(spark: SparkSession, tablePath: String,
-      partitions: Option[Seq[String]] = None): Option[DataFrame] = {
-    val snap = snapshot(tablePath)
+  def snapshotAt(tablePath: String, version: Long): Snapshot = {
+    require(version >= 0, s"version must be >= 0, got $version")
+    val entries = Option(logDir(tablePath).listFiles()).toSeq.flatten
+      .filter(f => versionOf(f, ".commit").orElse(versionOf(f, ".checkpoint"))
+        .exists(_ <= version))
+    val snap = replay(entries)
+    if (snap.version != version)
+      throw new IllegalArgumentException(
+        s"version $version is not reconstructible (head or retained history " +
+          s"is at ${snap.version}): beyond HEAD, or vacuumed past")
+    snap
+  }
+
+  /** [[read]] pinned to `version` (time travel). Compose with
+    * `Snapshot.diff` on two reads for a version-to-version CDC delta.
+    */
+  def readAt(spark: SparkSession, tablePath: String, version: Long,
+      partitions: Option[Seq[String]] = None): Option[DataFrame] =
+    readSnapshot(spark, tablePath, snapshotAt(tablePath, version), partitions)
+
+  private def readSnapshot(spark: SparkSession, tablePath: String,
+      snap: Snapshot, partitions: Option[Seq[String]]): Option[DataFrame] = {
     val selected = partitions match {
       case Some(ps) => ps.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
       case None     => snap.allFiles
@@ -244,6 +272,13 @@ object TxTable {
     if (selected.isEmpty) None
     else Some(spark.read.parquet(selected.map(p => s"$tablePath/$p"): _*))
   }
+
+  /** Read the current snapshot (optionally pruned to `partitions`) as a
+    * DataFrame. Empty table → None (caller decides the schema).
+    */
+  def read(spark: SparkSession, tablePath: String,
+      partitions: Option[Seq[String]] = None): Option[DataFrame] =
+    readSnapshot(spark, tablePath, snapshot(tablePath), partitions)
 
   /** Atomically publish commit `version`; throws
     * FileAlreadyExistsException when a concurrent writer won the race.

@@ -444,6 +444,62 @@ class StreamingSpec extends SparkSpec {
     assert(TxTable.read(spark, tmp("graft-txempty") + "/none").isEmpty)
   }
 
+  test("TxTable time travel: readAt rebuilds each version; diff composes as CDC") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-txtt") + "/tbl"
+    // v0: two tags; v1: t1 updated; v2: t3 added — record expected states
+    TxTable.mergeLatest(spark, txBatch(
+      ("srvA", "t1", "2024-06-01 10:00:00", 1.0),
+      ("srvA", "t2", "2024-06-01 10:00:00", 2.0)), table)
+    TxTable.mergeLatest(spark,
+      txBatch(("srvA", "t1", "2024-06-01 10:01:00", 5.0)), table)
+    TxTable.mergeLatest(spark,
+      txBatch(("srvA", "t3", "2024-06-01 10:02:00", 3.0)), table)
+    def at(v: Long): Map[String, Double] = TxTable.readAt(spark, table, v).get
+      .select("tag", "doubleValue").as[(String, Double)].collect().toMap
+    assert(at(0) == Map("t1" -> 1.0, "t2" -> 2.0))
+    assert(at(1) == Map("t1" -> 5.0, "t2" -> 2.0))
+    assert(at(2) == Map("t1" -> 5.0, "t2" -> 2.0, "t3" -> 3.0))
+    // head read and pinned head read agree
+    assert(at(2) == TxTable.read(spark, table).get
+      .select("tag", "doubleValue").as[(String, Double)].collect().toMap)
+    // version-to-version CDC via Snapshot.diff
+    val delta = graft.operators.Snapshot.diff(
+      TxTable.readAt(spark, table, 0).get.select("tag", "doubleValue"),
+      TxTable.readAt(spark, table, 2).get.select("tag", "doubleValue"),
+      "tag").as[(String, String)].collect().toMap
+    assert(delta == Map("t1" -> "changed", "t3" -> "added"))
+    // beyond HEAD: refuse, never return a nearby state
+    intercept[IllegalArgumentException](TxTable.snapshotAt(table, 99L))
+  }
+
+  test("TxTable time travel past checkpoints; vacuumed history refuses") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-txttc") + "/tbl"
+    // 25 synthetic commits cross two checkpoint boundaries (interval 10)
+    new java.io.File(table, "_log").mkdirs()
+    (0 to 24).foreach { v =>
+      TxTable.publishCommit(table, v.toLong,
+        Seq(s"add\tsrvA\tfile-$v.parquet") ++
+          (if (v > 0) Seq(s"remove\tfile-${v - 1}.parquet") else Nil))
+      TxTable.maybeCheckpoint(table, v.toLong)
+    }
+    // mid-history versions rebuild exactly one live file each
+    Seq(0L, 9L, 10L, 17L, 24L).foreach { v =>
+      val snap = TxTable.snapshotAt(table, v)
+      assert(snap.version == v && snap.allFiles == Seq(s"file-$v.parquet"), s"v$v")
+    }
+    // simulate vacuum of the pre-checkpoint prefix: versions before the
+    // first retained checkpoint become non-reconstructible and must THROW
+    (0 to 9).foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(table, "_log", f"$v%020d.commit"))
+    }
+    intercept[IllegalArgumentException](TxTable.snapshotAt(table, 5L))
+    // versions at/after the surviving checkpoint still rebuild
+    assert(TxTable.snapshotAt(table, 17L).allFiles == Seq("file-17.parquet"))
+  }
+
   test("TxTable.vacuum reclaims only unreferenced data dirs, honoring min age") {
     import graft.streaming.TxTable
     val table = tmp("graft-txvac") + "/tbl"
