@@ -233,6 +233,259 @@ object Multimodal {
     }(enc)
   }
 
+  // ===================== REAL PNG DECODE (pure JVM) =====================
+  // PNG is the first CODEC-class format on the real-decode path: unlike
+  // BMP's raw pixels, the payload is zlib-DEFLATE-compressed filtered
+  // scanlines — and the JDK ships the codec (java.util.zip.Inflater), so
+  // no external library is needed. The decoder does the full critical
+  // path: signature, big-endian chunk walk, IHDR validation, multi-IDAT
+  // concatenation, bounded inflate, and ALL FIVE scanline unfilters
+  // (None/Sub/Up/Average/Paeth). JPEG/MP4 (entropy-coded codecs with no
+  // JDK implementation) keep the stub shape above.
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private val PngSig: Array[Int] = Array(137, 80, 78, 71, 13, 10, 26, 10)
+
+  /** Parse an 8-bit RGB (color type 2, non-interlaced) PNG and compute
+    * the same pixel stats as [[decodeBmpStats]] ([[bmpStatsSchema]]):
+    * per-channel means + the position-sensitive `weighted_r` = Σ i·R(i)
+    * over i = y·width + x (PNG scanlines are top-down, so i is the
+    * storage order). Returns None for wrong signature/IHDR, interlaced
+    * or non-RGB8 images, oversized/truncated pixel data, or a corrupt
+    * DEFLATE stream. All bounds in Long; the Inflater is always `end()`d
+    * (native memory — a leak per corrupt blob would sink a 100 TB scan).
+    */
+  private[graft] def decodePngStats(id: Long, bytes: Array[Byte]): Option[Row] = {
+    if (bytes.length < 8 + 25) return None
+    var i = 0
+    while (i < 8) { if ((bytes(i) & 0xff) != PngSig(i)) return None; i += 1 }
+    // chunk walk: IHDR must be first; concatenate every IDAT payload
+    var pos = 8
+    var w = -1; var h = -1; var ihdrOk = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      if (pos.toLong + 8 > bytes.length) return None
+      val len = be32(bytes, pos)
+      if (len < 0 || pos.toLong + 12 + len > bytes.length) return None
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len != 13 || pos != 8) return None
+          w = be32(bytes, pos + 8); h = be32(bytes, pos + 12)
+          val bitDepth = bytes(pos + 16) & 0xff
+          val colorType = bytes(pos + 17) & 0xff
+          val compression = bytes(pos + 18) & 0xff
+          val filterMethod = bytes(pos + 19) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 ||
+            compression != 0 || filterMethod != 0 || interlace != 0) return None
+          // refuse images whose raw stream would not fit an int buffer
+          if (h.toLong * (1L + 3L * w) > Int.MaxValue - 8) return None
+          ihdrOk = true
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _      => // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    if (!ihdrOk || idat.size() == 0) return None
+    // bounded inflate to EXACTLY the expected raw size; anything else is
+    // corrupt (or hostile — a zip bomb stops at the buffer boundary)
+    val rowBytes = 1 + 3 * w
+    val expected = h * rowBytes
+    val raw = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(raw, got, expected - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got != expected) return None
+      // a valid stream must also END here (no trailing pixel data)
+      val probe = new Array[Byte](1)
+      if (!inf.finished() && inf.inflate(probe, 0, 1) != 0) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter in place, row by row (prior row is already reconstructed)
+    val bpp = 3
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * rowBytes) & 0xff
+      if (ft > 4) return None
+      val base = y * rowBytes + 1
+      val prior = (y - 1) * rowBytes + 1
+      var x = 0
+      while (x < 3 * w) {
+        val a = if (x >= bpp) raw(base + x - bpp) & 0xff else 0
+        val b = if (y > 0) raw(prior + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) raw(prior + x - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => raw(base + x) & 0xff
+          case 1 => ((raw(base + x) & 0xff) + a) & 0xff
+          case 2 => ((raw(base + x) & 0xff) + b) & 0xff
+          case 3 => ((raw(base + x) & 0xff) + (a + b) / 2) & 0xff
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            ((raw(base + x) & 0xff) + pred) & 0xff
+        }
+        raw(base + x) = recon.toByte
+        x += 1
+      }
+      y += 1
+    }
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
+    y = 0
+    while (y < h) {
+      val base = y * rowBytes + 1
+      var x = 0
+      while (x < w) {
+        val r = raw(base + 3 * x) & 0xff
+        val g = raw(base + 3 * x + 1) & 0xff
+        val b = raw(base + 3 * x + 2) & 0xff
+        sumR += r; sumG += g; sumB += b
+        wR += (y.toLong * w + x) * r
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Some(Row(id, w, h, n, sumR.toDouble / n, sumG.toDouble / n,
+      sumB.toDouble / n, wR))
+  }
+
+  /** Per-partition REAL PNG decode into [[bmpStatsSchema]] (same output
+    * contract as [[decodeBmpFeatures]] — the two formats are
+    * interchangeable downstream). Corrupt rows are dropped.
+    */
+  def decodePngFeatures(blobs: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(bmpStatsSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        scala.util.Try(
+          decodePngStats(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx))
+        ).toOption.flatten
+      }
+    }(enc)
+  }
+
+  /** Encode a REAL 8-bit RGB PNG with the same deterministic pixel
+    * formula as [[encodeSyntheticBmp]] (r = (3·id + 7·i) mod 256, … over
+    * top-down i = y·w + x) — so an oracle predicts the decoded stats from
+    * the formula, and a BMP of the same (id, w, h) decodes to the
+    * IDENTICAL stats row. Each scanline is filtered with type
+    * (id + y) mod 5, so every decode exercises all five unfilters; the
+    * stream is a single zlib Deflater pass, CRCs are real.
+    */
+  private[graft] def encodeSyntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val bpp = 3
+    val rowBytes = 1 + 3 * w
+    val raw = new Array[Byte](h * rowBytes)
+    // build the unfiltered image, then filter row by row
+    val img = Array.ofDim[Byte](h * 3 * w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y.toLong * w + x
+        img(y * 3 * w + 3 * x) = ((3 * id + 7 * i) % 256).toByte
+        img(y * 3 * w + 3 * x + 1) = ((2 * id + 5 * i) % 256).toByte
+        img(y * 3 * w + 3 * x + 2) = ((id + 3 * i) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    y = 0
+    while (y < h) {
+      val ft = ((id + y) % 5).toInt
+      raw(y * rowBytes) = ft.toByte
+      var x = 0
+      while (x < 3 * w) {
+        val cur = img(y * 3 * w + x) & 0xff
+        val a = if (x >= bpp) img(y * 3 * w + x - bpp) & 0xff else 0
+        val b = if (y > 0) img((y - 1) * 3 * w + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) img((y - 1) * 3 * w + x - bpp) & 0xff else 0
+        val filtered = ft match {
+          case 0 => cur
+          case 1 => (cur - a) & 0xff
+          case 2 => (cur - b) & 0xff
+          case 3 => (cur - (a + b) / 2) & 0xff
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (cur - pred) & 0xff
+        }
+        raw(y * rowBytes + 1 + x) = filtered.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    val compressed =
+      try {
+        deflater.setInput(raw); deflater.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+        out.toByteArray
+      } finally deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(out.write)
+    def chunk(typ: String, payload: Array[Byte]): Unit = {
+      def w32(v: Int): Unit = {
+        out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+      }
+      w32(payload.length)
+      val typed = typ.getBytes("US-ASCII") ++ payload
+      out.write(typed, 0, typed.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typed)
+      w32(crc.getValue.toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    def put32(o: Int, v: Int): Unit = {
+      ihdr(o) = ((v >>> 24) & 0xff).toByte; ihdr(o + 1) = ((v >>> 16) & 0xff).toByte
+      ihdr(o + 2) = ((v >>> 8) & 0xff).toByte; ihdr(o + 3) = (v & 0xff).toByte
+    }
+    put32(0, w); put32(4, h)
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type RGB
+    chunk("IHDR", ihdr)
+    chunk("IDAT", compressed)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic fixture PNG per id: width = 8 + id mod 11 and
+    * height = 8 + id mod 5 (different from the BMP dims so the two
+    * fixture families don't mask each other's bugs).
+    */
+  def syntheticPngs(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, encodeSyntheticPng(id, 8 + (id % 11).toInt, 8 + (id % 5).toInt))
+      }
+    }(enc)
+  }
+
   // ===================== REAL WAV DECODE (pure JVM) =====================
   // RIFF/WAVE PCM16 is the audio analog of the BMP path: chunked
   // little-endian container, no codec needed. Real header walk (tolerates

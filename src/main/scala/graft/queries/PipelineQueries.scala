@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{BloomPrune, Cooccur, Curation, Dedup, Graph, Histogram, LangModel, Layout, PageRank, Profiling, RangeJoin, Ranking, SkewJoin, Sketches, Snapshot, TimeSeries}
+import graft.operators.{BloomPrune, Cooccur, Curation, Dedup, Graph, Histogram, LangModel, Layout, Multimodal, PageRank, Profiling, RangeJoin, Ranking, SkewJoin, Sketches, Snapshot, TimeSeries}
 import Q.t
 
 /** Round-4 widening: scale-infrastructure operators (bloom-pruned joins,
@@ -622,6 +622,35 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_pairs"),
           (count(when(col("__sa") =!= col("__sb"), 1)) > 0).as("crosses"))
         .orderBy("src_a", "src_b")
+    },
+
+    Q("q127_png_decode",
+      // REAL codec-format decode, oracle-checked: per document the engine
+      // builds a genuine PNG (zlib-DEFLATEd scanlines, rotating filter
+      // types so all five unfilters run, real CRCs) and parses it back —
+      // chunk walk, bounded inflate, unfiltering. The oracle predicts the
+      // decoded stats from the pixel-generation formula alone, so ANY
+      // codec bug (inflate, filter reconstruction, channel order) breaks
+      // the hash. Same output contract as q44's BMP path.
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 11 AS w, 8 + doc_id % 5 AS h FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM dims)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  round(avg((3 * doc_id + 7 * i) % 256), 6) AS mean_r,
+        |  round(avg((2 * doc_id + 5 * i) % 256), 6) AS mean_g,
+        |  round(avg((doc_id + 3 * i) % 256), 6) AS mean_b,
+        |  CAST(sum(i * ((3 * doc_id + 7 * i) % 256)) AS BIGINT) AS weighted_r
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodePngFeatures(
+          Multimodal.syntheticPngs(t(s, d, "documents").select("doc_id"), s), s)
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("weighted_r"))
+        .orderBy("doc_id")
     },
 
     Q("q107_train_val_test_split",

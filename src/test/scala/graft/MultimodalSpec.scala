@@ -166,4 +166,37 @@ class MultimodalSpec extends SparkSpec {
     val fps = byId(3L).getSeq[Long](2)
     assert(fps(0) == fps(1))
   }
+
+  test("PNG: encode -> real decode round-trips; identical stats to the BMP path") {
+    // ids 0..9 make (id + y) % 5 hit every filter type on every image
+    // taller than 5 rows — any unfilter bug breaks the formula match
+    (0L to 9L).foreach { id =>
+      val w = 8 + (id % 11).toInt; val h = 8 + (id % 5).toInt
+      val png = Multimodal.decodePngStats(id, Multimodal.encodeSyntheticPng(id, w, h))
+      assert(png.isDefined, s"id $id must decode")
+      // the BMP encoder draws the SAME formula: stats rows must be equal
+      val bmp = Multimodal.decodeBmpStats(id, Multimodal.encodeSyntheticBmp(id, w, h))
+      assert(png == bmp, s"id $id: PNG and BMP decodes disagree")
+    }
+  }
+
+  test("PNG decoder rejects corrupt and unsupported input, never crashes") {
+    val good = Multimodal.encodeSyntheticPng(5L, 10, 9)
+    assert(Multimodal.decodePngStats(5L, good).isDefined)
+    // wrong signature
+    val badSig = good.clone(); badSig(0) = 'X'.toByte
+    assert(Multimodal.decodePngStats(5L, badSig).isEmpty)
+    // corrupt the DEFLATE stream (flip bytes inside IDAT payload)
+    val badIdat = good.clone()
+    (50 until 58).foreach(i => badIdat(i) = (badIdat(i) ^ 0x5a).toByte)
+    assert(Multimodal.decodePngStats(5L, badIdat).isEmpty)
+    // truncated file
+    assert(Multimodal.decodePngStats(5L, good.take(good.length / 2)).isEmpty)
+    // unsupported color type (grayscale) in an otherwise valid header
+    val gray = good.clone(); gray(8 + 4 + 4 + 9) = 0 // IHDR color-type byte
+    assert(Multimodal.decodePngStats(5L, gray).isEmpty)
+    // empty and garbage
+    assert(Multimodal.decodePngStats(5L, Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodePngStats(5L, Array.fill[Byte](200)(7)).isEmpty)
+  }
 }
