@@ -125,6 +125,99 @@ object TpchQueries {
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    },
+
+    Q("q128_tpch_q7",
+      // TPC-H Q7 (volume shipping): bilateral trade between two nations
+      // by ship year. The nation table joins TWICE (supplier side and
+      // customer side) — both broadcasts; the symmetric nation-pair
+      // disjunction runs after the joins, exactly as the spec writes it.
+      s"""SELECT supp_nation, cust_nation, l_year, $revenueSql AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    year(l_shipdate) AS l_year, l_extendedprice, l_discount
+         |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+         |    AND c_nationkey = n2.n_nationkey
+         |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("__nk1"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("__nk2"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("__nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("__nk2"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(revenue.as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    Q("q129_tpch_q8",
+      // TPC-H Q8 (national market share): NATION_5's share of ASIA-region
+      // STANDARD-part import volume by order year. The share is a ratio
+      // of two exact-decimal sums (one CASE-masked), divided once in
+      // double and 6dp-rounded — deterministic across engines where a
+      // float-summed numerator would wobble the quotient.
+      """SELECT o_year,
+        |  round(CAST(sum(CASE WHEN nation = 'NATION_5'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+        |    AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year, l_extendedprice, l_discount,
+        |    n2.n_name AS nation
+        |  FROM part, supplier, lineitem, orders, customer,
+        |    nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |    AND p_type = 'STANDARD')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val vol = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
+      val asiaNations = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("__cnk"))
+      val suppNation = t(s, d, "nation")
+        .select(col("n_nationkey").as("__snk"), col("n_name").as("nation"))
+      t(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount")
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "STANDARD")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("__cnk"))
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("__snk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("nation") === "NATION_5", vol)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(vol).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
     }
   )
 }

@@ -360,6 +360,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
   }
 
+  test("q128/q129: TPC-H Q7/Q8 broadcast every small dim; no cross product") {
+    Seq("q128_tpch_q7", "q129_tpch_q8").foreach { q =>
+      val p = plan(q)
+      assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+        s"$q: nation/supplier dims must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no cross product:\n$p")
+      assert(p.contains("partial_sum"), s"$q: revenue must partial-aggregate:\n$p")
+    }
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
