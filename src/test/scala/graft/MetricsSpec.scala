@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile surfaces scan, shuffle, and output metrics through AQE wrappers") {
+    val df = (1L to 10000L).map(i => (i % 50, i)).toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("s"))
+    val m = Metrics.profile(df)
+    // the aggregate shuffled: records written must be visible (AQE hides
+    // them behind QueryStageExec unless the walk unwraps it)
+    assert(m.getOrElse("shuffleRecordsWritten", 0L) > 0L,
+      s"shuffle metrics missing: $m")
+    assert(m.getOrElse("numOutputRows", 0L) >= 10000L,
+      s"row-flow total must include the scanned input: $m")
+  }
+
+  test("profile of a parquet scan reports file-level metrics") {
+    val m = Metrics.profile(
+      graft.queries.Q.t(spark, "/root/testdata/sf0.001", "region").select("r_name"))
+    assert(m.getOrElse("numFiles", 0L) >= 1L, s"expected numFiles: $m")
+    // row-FLOW total: every operator that passes the 5 regions counts
+    // them, so the total is a multiple of 5, never less than 5
+    val flow = m.getOrElse("numOutputRows", 0L)
+    assert(flow >= 5L && flow % 5 == 0, s"5 regions per operator: $m")
+  }
+
+  test("a narrow filter-only plan reports zero shuffle") {
+    val m = Metrics.profile(
+      (1L to 1000L).toDF("v").filter($"v" % 2 === 0))
+    assert(m.getOrElse("shuffleRecordsWritten", 0L) == 0L, s"no shuffle: $m")
+  }
+}
