@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{BloomPrune, Cooccur, Curation, Dedup, Graph, Histogram, LangModel, Layout, Multimodal, PageRank, Profiling, RangeJoin, Ranking, SkewJoin, Sketches, Snapshot, TimeSeries}
+import graft.operators.{BloomPrune, Cooccur, Curation, Dedup, Graph, Histogram, LangModel, Layout, Multimodal, PageRank, Profiling, Quality, RangeJoin, Ranking, SkewJoin, Sketches, Snapshot, TimeSeries}
 import Q.t
 
 /** Round-4 widening: scale-infrastructure operators (bloom-pruned joins,
@@ -651,6 +651,46 @@ object PipelineQueries {
           round(col("mean_b"), 6).as("mean_b"),
           col("weighted_r"))
         .orderBy("doc_id")
+    },
+
+    Q("q130_data_quality",
+      // Declarative DQ expectations (deequ-style) over orders+lineitem:
+      // the four scalar rules fold into ONE aggregation pass; uniqueness
+      // and referential integrity are the two irreducible extra shuffles.
+      // Two rules are deliberately strict enough to FAIL (price cap
+      // 400k < max 499k; status set missing 'P'), so the report carries
+      // real violation counts, not a wall of zeros.
+      """WITH r AS (
+        |  SELECT 'not_null(o_orderkey)' AS rule,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
+        |      AS n_violations
+        |  UNION ALL SELECT 'in_range(o_totalprice, 0.0, 400000.0)',
+        |    (SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL
+        |       AND (o_totalprice < 0 OR o_totalprice > 400000))
+        |  UNION ALL SELECT 'accepted_values(o_orderstatus)',
+        |    (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+        |       AND o_orderstatus NOT IN ('O', 'F'))
+        |  UNION ALL SELECT 'matches(o_orderpriority)',
+        |    (SELECT count(*) FROM orders WHERE o_orderpriority IS NOT NULL
+        |       AND NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+'))
+        |  UNION ALL SELECT 'unique(o_orderkey)',
+        |    (SELECT coalesce(sum(n - 1), 0)::BIGINT FROM (
+        |       SELECT count(*) AS n FROM orders
+        |       WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey))
+        |  UNION ALL SELECT 'ref_integrity(l_orderkey)',
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+        |SELECT rule, n_violations, n_violations = 0 AS pass FROM r
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      Quality.check(t(s, d, "orders"), Seq(
+          Quality.Rule.NotNull("o_orderkey"),
+          Quality.Rule.InRange("o_totalprice", 0.0, 400000.0),
+          Quality.Rule.AcceptedValues("o_orderstatus", Seq("O", "F")),
+          Quality.Rule.Matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+          Quality.Rule.Unique("o_orderkey")))
+        .unionAll(Quality.check(t(s, d, "lineitem"), Seq(
+          Quality.Rule.RefIntegrity("l_orderkey", t(s, d, "orders"), "o_orderkey"))))
+        .orderBy("rule")
     },
 
     Q("q107_train_val_test_split",
