@@ -4,6 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 /** Per-query physical-metrics profiling: execute a plan and roll its
@@ -30,7 +31,13 @@ object Metrics {
     * "numOutputRows" is a plan-wide row-flow total, not the result size.
     */
   def profile(df: DataFrame): Map[String, Long] = {
-    val qe = df.queryExecution
+    // a FRESH QueryExecution per call: SQLMetric accumulators are
+    // cumulative per plan instance, so executing the caller's own qe
+    // (which a prior count()/collect()/profile() may already have run)
+    // would report inflated totals. The trivial projection re-plans from
+    // the same logical plan with zeroed metrics and adds no operator with
+    // metrics of its own.
+    val qe = df.select(col("*")).queryExecution
     qe.toRdd.foreach(_ => ())
     val acc = mutable.Map.empty[String, Long].withDefaultValue(0L)
     val seen = mutable.Set.empty[Int]

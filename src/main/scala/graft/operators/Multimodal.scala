@@ -294,9 +294,14 @@ object Multimodal {
     }
     if (!ihdrOk || idat.size() == 0) return None
     // bounded inflate to EXACTLY the expected raw size; anything else is
-    // corrupt (or hostile — a zip bomb stops at the buffer boundary)
+    // corrupt (or hostile — a zip bomb stops at the buffer boundary).
+    // Allocation guard BEFORE the buffer: DEFLATE expands at most 1032×,
+    // so a tiny blob whose header claims huge dims must die here — the
+    // OOME from a ~2 GB allocation is fatal and would escape the
+    // corrupt-row Try in decodePngFeatures.
     val rowBytes = 1 + 3 * w
     val expected = h * rowBytes
+    if (expected.toLong > 1032L * idat.size() + 64) return None
     val raw = new Array[Byte](expected)
     val inf = new java.util.zip.Inflater()
     try {
@@ -304,7 +309,13 @@ object Multimodal {
       var got = 0
       while (got < expected && !inf.finished()) {
         val n = inf.inflate(raw, got, expected - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        if (n == 0) {
+          // truncated stream, preset-dictionary request (FDICT — PNG
+          // forbids it, and inflate() would otherwise stall forever
+          // reporting neither finished nor needsInput), or any other
+          // zero-progress state: corrupt by contract
+          return None
+        }
         got += n
       }
       if (got != expected) return None

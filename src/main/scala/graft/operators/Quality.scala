@@ -70,7 +70,9 @@ object Quality {
         when(col(c).isNotNull && !col(c).cast("string").isin(vs: _*), 1L)
           .otherwise(0L))
       case Matches(c, re) => Some(
-        when(col(c).isNotNull && !col(c).cast("string").rlike(s"^(?:$re)$$"), 1L)
+        // \A...\z, not ^...$: Java's $ matches before a trailing newline,
+        // which would silently pass "OK\n" against a full-string contract
+        when(col(c).isNotNull && !col(c).cast("string").rlike(s"\\A(?:$re)\\z"), 1L)
           .otherwise(0L))
       case _ => None
     }
@@ -86,9 +88,13 @@ object Quality {
             sum(m).as(s"v${i + 1}") }: _*)
         // unpivot the single row into (rule, n_violations) via a stack —
         // the row is 1×N, driver-free
+        // Spark string literals escape with BACKSLASH; SQL-style ''
+        // doubling parses as two adjacent literals that CONCATENATE,
+        // silently corrupting a rule name containing a quote
         val stackExpr = scalars.zipWithIndex
           .map { case ((r, _), i) =>
-            s"'${r.name.replace("'", "''")}', coalesce(v$i, 0L)" }
+            val esc = r.name.replace("\\", "\\\\").replace("'", "\\'")
+            s"'$esc', coalesce(v$i, 0L)" }
           .mkString(", ")
         Some(agg.selectExpr(
           s"stack(${scalars.size}, $stackExpr) AS (rule, n_violations)"))

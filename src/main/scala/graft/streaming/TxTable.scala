@@ -222,13 +222,23 @@ object TxTable {
       val dir = logDir(tablePath)
       val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
       Files.write(tmp.toPath, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      try Files.createLink(Paths.get(dir.getPath, f"$version%020d.checkpoint"), tmp.toPath)
+      // name the checkpoint by the version the listing ACTUALLY captured
+      // (snap.version), not the trigger version: under concurrent writers
+      // snapshot() may already include later commits, and a checkpoint
+      // file must be an EXACT state for time travel — snapshotAt(v) trusts
+      // `v.checkpoint` as state v with no commit suffix to correct it.
+      // Head reads were always safe either way (they replay every commit
+      // after the anchor); the exact name keeps version-pinned reads safe
+      // too, and the dense-probe fast path is indifferent to which
+      // version anchors it.
+      try Files.createLink(
+        Paths.get(dir.getPath, f"${snap.version}%020d.checkpoint"), tmp.toPath)
       catch { case _: FileAlreadyExistsException => () }
       finally Files.deleteIfExists(tmp.toPath)
       // publish the anchor hint AFTER the checkpoint exists; a crash in
       // between leaves a stale hint, which replays more commits but stays
       // correct (and the next checkpoint or vacuum refreshes it)
-      writeHint(tablePath, version)
+      writeHint(tablePath, snap.version)
     }
 
   /** Time travel: the table state as of commit `version`. Replays the
@@ -245,15 +255,25 @@ object TxTable {
     */
   def snapshotAt(tablePath: String, version: Long): Snapshot = {
     require(version >= 0, s"version must be >= 0, got $version")
-    val entries = Option(logDir(tablePath).listFiles()).toSeq.flatten
-      .filter(f => versionOf(f, ".commit").orElse(versionOf(f, ".checkpoint"))
-        .exists(_ <= version))
-    val snap = replay(entries)
-    if (snap.version != version)
-      throw new IllegalArgumentException(
-        s"version $version is not reconstructible (head or retained history " +
-          s"is at ${snap.version}): beyond HEAD, or vacuumed past")
-    snap
+    // same stale-listing race as snapshot(): a concurrent vacuum can
+    // delete a listed-but-subsumed log file before replay reads it — the
+    // fresh listing is always complete, so retry, bounded
+    var last: java.nio.file.NoSuchFileException = null
+    var attempt = 0
+    while (attempt < 5) {
+      try {
+        val entries = Option(logDir(tablePath).listFiles()).toSeq.flatten
+          .filter(f => versionOf(f, ".commit").orElse(versionOf(f, ".checkpoint"))
+            .exists(_ <= version))
+        val snap = replay(entries)
+        if (snap.version != version)
+          throw new IllegalArgumentException(
+            s"version $version is not reconstructible (head or retained history " +
+              s"is at ${snap.version}): beyond HEAD, or vacuumed past")
+        return snap
+      } catch { case e: java.nio.file.NoSuchFileException => last = e; attempt += 1 }
+    }
+    throw last
   }
 
   /** [[read]] pinned to `version` (time travel). Compose with

@@ -32,4 +32,17 @@ class MetricsSpec extends SparkSpec {
       (1L to 1000L).toDF("v").filter($"v" % 2 === 0))
     assert(m.getOrElse("shuffleRecordsWritten", 0L) == 0L, s"no shuffle: $m")
   }
+
+  test("repeated profiling (and prior actions) do not inflate the metrics") {
+    val df = (1L to 5000L).map(i => (i % 20, i)).toDF("k", "v")
+      .groupBy("k").agg(sum("v"))
+    df.count() // a prior action on the caller's Dataset must not leak in
+    val a = Metrics.profile(df)
+    val b = Metrics.profile(df)
+    // SQLMetric accumulators are cumulative per plan instance — a fresh
+    // QueryExecution per call keeps each report single-run exact
+    assert(a.getOrElse("shuffleRecordsWritten", -1L) ==
+      b.getOrElse("shuffleRecordsWritten", -2L), s"$a vs $b")
+    assert(a.getOrElse("numOutputRows", -1L) == b.getOrElse("numOutputRows", -2L))
+  }
 }

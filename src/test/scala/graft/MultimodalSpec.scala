@@ -198,5 +198,29 @@ class MultimodalSpec extends SparkSpec {
     // empty and garbage
     assert(Multimodal.decodePngStats(5L, Array.emptyByteArray).isEmpty)
     assert(Multimodal.decodePngStats(5L, Array.fill[Byte](200)(7)).isEmpty)
+    // FDICT bit set in the zlib header (PNG forbids preset dictionaries;
+    // chunk CRCs are unvalidated so one bit flip gets here): inflate()
+    // reports zero progress forever — must be None, never a hang
+    val fdict = good.clone()
+    val cmfAt = 8 + 25 + 8 // sig + IHDR chunk + IDAT len/type
+    val flgAt = cmfAt + 1
+    // set FDICT and RE-VALIDATE FCHECK so the header parses and inflate()
+    // genuinely stalls on needsDictionary (a broken FCHECK would take the
+    // easier DataFormatException path instead)
+    val cmf = fdict(cmfAt) & 0xff
+    var flg = ((fdict(flgAt) & 0xff) | 0x20) & 0xE0
+    flg |= (31 - (cmf * 256 + flg) % 31) % 31
+    fdict(flgAt) = flg.toByte
+    assert(Multimodal.decodePngStats(5L, fdict).isEmpty)
+    // hostile dims: a tiny blob claiming ~26000x26000 must be rejected by
+    // the DEFLATE-expansion bound BEFORE the ~2 GB buffer allocation
+    // (an OOME is fatal and escapes the corrupt-row Try)
+    val huge = good.clone()
+    def put32(o: Int, v: Int): Unit = {
+      huge(o) = ((v >>> 24) & 0xff).toByte; huge(o + 1) = ((v >>> 16) & 0xff).toByte
+      huge(o + 2) = ((v >>> 8) & 0xff).toByte; huge(o + 3) = (v & 0xff).toByte
+    }
+    put32(16, 26000); put32(20, 26000) // IHDR width/height
+    assert(Multimodal.decodePngStats(5L, huge).isEmpty)
   }
 }

@@ -54,6 +54,24 @@ class QualitySpec extends SparkSpec {
       scalarOnly.queryExecution.optimizedPlan)
   }
 
+  test("matches is FULL-string: a trailing newline is a violation") {
+    val d = Seq((1L, "A-1"), (2L, "A-1\n"), (3L, "xA-1")).toDF("id", "code")
+    val got = Quality.check(d, Seq(Matches("code", "[A-C]-[0-9]")))
+      .as[(String, Long, Boolean)].collect().head
+    // ^...$ anchors would pass the \n row (Java $ matches before a final
+    // line terminator); the full-string contract counts both bad rows
+    assert(got._2 == 2L, s"got $got")
+  }
+
+  test("rule names containing quotes survive the stack literal and keep order") {
+    val d = Seq((Some(1L), Some(2L))).toDF("it's", "b")
+    val got = Quality.check(d, Seq(NotNull("b"), NotNull("it's")))
+      .as[(String, Long, Boolean)].collect().toSeq
+    // '' doubling would concatenate adjacent literals, corrupt the name,
+    // and send the row to the ordering fall-through
+    assert(got == Seq(("not_null(b)", 0L, true), ("not_null(it's)", 0L, true)))
+  }
+
   test("empty input: zero violations everywhere (vacuous pass)") {
     val empty = Seq.empty[(Option[Long], Option[Double])].toDF("id", "price")
     val got = Quality.check(empty, Seq(NotNull("id"),

@@ -500,6 +500,27 @@ class StreamingSpec extends SparkSpec {
     assert(TxTable.snapshotAt(table, 17L).allFiles == Seq("file-17.parquet"))
   }
 
+  test("TxTable checkpoints are version-EXACT states (concurrent-writer over-capture)") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-txck") + "/tbl"
+    new java.io.File(table, "_log").mkdirs()
+    (0 to 11).foreach { v =>
+      TxTable.publishCommit(table, v.toLong,
+        Seq(s"add\tsrvA\tfile-$v.parquet") ++
+          (if (v > 0) Seq(s"remove\tfile-${v - 1}.parquet") else Nil))
+    }
+    // the interval trigger fires for version 10, but by now the log is at
+    // 11 (a concurrent writer won the race): the checkpoint must be NAMED
+    // by the state it captured (11), never by the trigger version — a
+    // '10.checkpoint' holding v11's files would make snapshotAt(10)
+    // silently return v11 rows labeled as version 10
+    TxTable.maybeCheckpoint(table, 10L)
+    assert(new java.io.File(table, "_log/" + "0" * 18 + "11.checkpoint").exists())
+    assert(!new java.io.File(table, "_log/" + "0" * 18 + "10.checkpoint").exists())
+    assert(TxTable.snapshotAt(table, 10L).allFiles == Seq("file-10.parquet"))
+    assert(TxTable.snapshotAt(table, 11L).allFiles == Seq("file-11.parquet"))
+  }
+
   test("TxTable.vacuum reclaims only unreferenced data dirs, honoring min age") {
     import graft.streaming.TxTable
     val table = tmp("graft-txvac") + "/tbl"
