@@ -129,9 +129,15 @@ object TpchQueries {
 
     Q("q128_tpch_q7",
       // TPC-H Q7 (volume shipping): bilateral trade between two nations
-      // by ship year. The nation table joins TWICE (supplier side and
-      // customer side) — both broadcasts; the symmetric nation-pair
-      // disjunction runs after the joins, exactly as the spec writes it.
+      // by ship year. Catalyst cannot derive per-side IN-filters from the
+      // two-attribute symmetric OR, so the nation-name filter is pushed
+      // into BOTH broadcast sides by hand (VERDICT r6 item 3): n1/n2 are
+      // pre-filtered to the two names, which shrinks the supplier
+      // broadcast ~12× and kills ~92% of lineitem rows at the first join,
+      // BEFORE the orders and customer shuffles. The symmetric
+      // disjunction remains as the residual filter (it only has to
+      // exclude the two same-nation combinations that survive the
+      // per-side filters).
       s"""SELECT supp_nation, cust_nation, l_year, $revenueSql AS revenue
          |FROM (
          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -144,22 +150,29 @@ object TpchQueries {
          |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
          |GROUP BY supp_nation, cust_nation, l_year
          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
-      val n1 = t(s, d, "nation")
+      val names = Seq("NATION_3", "NATION_7")
+      val n1 = t(s, d, "nation").filter(col("n_name").isin(names: _*))
         .select(col("n_nationkey").as("__nk1"), col("n_name").as("supp_nation"))
-      val n2 = t(s, d, "nation")
+      val n2 = t(s, d, "nation").filter(col("n_name").isin(names: _*))
         .select(col("n_nationkey").as("__nk2"), col("n_name").as("cust_nation"))
+      // supplier and customer each shrink to the two nations' fraction
+      // before touching the big tables; the filtered supplier side stays
+      // broadcast (it only got smaller than the unfiltered broadcast the
+      // spec's join order implies)
+      val supp = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(n1), col("s_nationkey") === col("__nk1"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(n2), col("c_nationkey") === col("__nk2"))
+        .select(col("c_custkey"), col("cust_nation"))
       t(s, d, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"),
           year(col("l_shipdate")).cast("long").as("l_year"),
           col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("__nk1"))
-        .join(broadcast(n2), col("c_nationkey") === col("__nk2"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
           (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
         .groupBy("supp_nation", "cust_nation", "l_year")

@@ -370,6 +370,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q128: nation-pair filter is pushed into both broadcast sides") {
+    val p = plan("q128_tpch_q7")
+    // the two-name IN filter must reach the nation scans (both sides), so
+    // the supplier/customer joins are already nation-filtered BEFORE the
+    // lineitem⋈orders and ⋈customer shuffles — Catalyst cannot derive
+    // this from the symmetric OR, it has to be in the declared plan
+    assert(p.contains("In(n_name"),
+      s"nation-name IN filter must be pushed to the nation scans:\n$p")
+    assert(p.split("In\\(n_name").length - 1 >= 2,
+      s"BOTH nation sides (supplier and customer) must be pre-filtered:\n$p")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
