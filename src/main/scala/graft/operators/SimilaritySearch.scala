@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions.cosineSim
@@ -16,9 +15,10 @@ import graft.functions.GraftFunctions.cosineSim
   * 100 TB posture:
   *   - `bruteForceTopK` broadcasts the (small) query set, so the corpus is
   *     scanned once with no shuffle of the corpus itself; per-query top-k
-  *     is a window over (query × corpus) — at cluster scale swap the final
-  *     window for per-partition top-k + merge (the REPOSE-style local
-  *     pruning of PAPERS.md) once k × |queries| outgrows one node.
+  *     is per-partition top-k + merge (the REPOSE-style local pruning of
+  *     PAPERS.md) via the [[graft.functions.TopKNeighbors]] typed
+  *     aggregate — the shuffle carries k candidates per (query,
+  *     partition), never the full score stream.
   *   - `nearDupPairsBlocked` never forms the n² cross product: candidates
   *     come from an equi-join on a blocking key (here a semantic label; in
   *     general any coarse quantization), then exact cosine verifies.
@@ -32,6 +32,14 @@ object SimilaritySearch {
   /** Exact top-k neighbors for each query row against the corpus.
     * Both inputs need (idCol, vecCol); query ids are excluded from their
     * own result. Output: (query_id, rank, neighbor_id, cosine).
+    *
+    * Per-partition top-k + merge, NOT a per-query window: the
+    * [[graft.functions.TopKNeighbors]] typed aggregate partial-aggregates
+    * map-side, so each scan partition emits ≤ k candidates per query and
+    * the exchange carries O(k × partitions × queries) rows — a window
+    * would move the full |corpus| × |queries| score stream and pin each
+    * query's stream in a single task. Tie order (cosine desc, id asc) is
+    * identical to the window formulation it replaces.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -44,12 +52,23 @@ object SimilaritySearch {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("__qvec"), col("__cvec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    rankTopK(scored, k)
+  }
+
+  /** (query_id, neighbor_id, cosine) → (query_id, rank, neighbor_id,
+    * cosine), top k per query by (cosine desc, neighbor_id asc) — the
+    * shared ranking tail of the exact, LSH and IVF paths. See
+    * [[graft.functions.TopKNeighbors]] for why this is an aggregate and
+    * not a window.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(graft.functions.TopKNeighbors(k))
+    scored.filter(col("cosine").isNotNull)
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("cosine")).as("__nbrs"))
+      .select(col("query_id"), posexplode(col("__nbrs")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.cosine").as("cosine"))
   }
 
   /** Near-duplicate pairs within blocking buckets: only rows sharing
@@ -269,15 +288,12 @@ object SimilaritySearch {
     // eager at call time — the price of static pruning.)
     val probedCells = q.select("__cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    assigned.filter(col("__cell").isInCollection(probedCells)).join(q, "__cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineSim(col("__qvec"), col("__cvec")).as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    rankTopK(
+      assigned.filter(col("__cell").isInCollection(probedCells)).join(q, "__cell")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineSim(col("__qvec"), col("__cvec")).as("cosine")),
+      k)
   }
 
   /** Persist an IVF index: centroids as one tiny parquet table, the
@@ -341,11 +357,6 @@ object SimilaritySearch {
           cosineSim(col("__qvec"), col("__cvec")).as("cosine"))
     }.reduce(_ unionByName _)
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    rankTopK(cand, k)
   }
 }

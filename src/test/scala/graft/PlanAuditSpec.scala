@@ -77,6 +77,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle to join:\n$p")
+    // top-k must be the partial-aggregating TopKNeighbors aggregate, not a
+    // per-query window: a window pins each query's full corpus score
+    // stream in ONE task and moves all of it through the exchange
+    assert(!p.contains("Window"), s"no single-partition-per-query window:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkneighbors"),
+      s"top-k must partial-aggregate map-side:\n$p")
   }
 
   test("q61: the scalar subquery is a one-row broadcast, not a per-row re-execution") {
