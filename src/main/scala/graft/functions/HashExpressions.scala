@@ -344,6 +344,10 @@ object HashExpressions {
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
+      // null element poisons the vector to null output (the documented
+      // contract, matching the DuckDB oracle) — without this check a null
+      // slot reads as 0.0f and yields silently-wrong stats
+      if (arr.isNullAt(i)) return null
       val a = math.abs(arr.getFloat(i).toDouble)
       // NaN fails every > compare, so it must be caught here, not on the
       // final max; one non-finite element poisons the vector by contract

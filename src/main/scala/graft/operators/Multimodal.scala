@@ -21,6 +21,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Pixel-count cap for the decode-stats paths: `weighted_r` = Σ i·R(i)
+    * is bounded by 255·n(n-1)/2, which exceeds Long.MaxValue once
+    * n > ~2.69e8 pixels. Any claimed geometry above this cap decodes to
+    * None (corrupt/hostile), never to silently-wrapped stats. 2.6e8 px
+    * ≈ a 16k×16k image ×100 — far beyond any real training-corpus blob.
+    */
+  private[graft] val MaxStatPixels = 260000000L
+
   /** Attach the payload as an opaque binary column: (idCol, blob). In a
     * real pipeline the blob comes off parquet/object storage as-is.
     */
@@ -129,6 +137,10 @@ object Multimodal {
     val topDown = hRaw < 0
     val h = if (hRaw == Int.MinValue) return None else math.abs(hRaw)
     if (w <= 0 || h == 0 || bpp != 24 || comp != 0) return None
+    // weighted_r = Σ i·R(i) maxes at 255·n(n-1)/2, which overflows Long
+    // past n ≈ 2.69e8 pixels — a hostile header above the cap must land
+    // in None, not in silently wrapped (wrong) stats
+    if (w.toLong * h > MaxStatPixels) return None
     // all bounds in Long: a hostile header (negative offset, w large
     // enough that 3*w overflows Int) must land in None, never in an
     // ArrayIndexOutOfBounds that fails the whole Spark task
@@ -285,6 +297,9 @@ object Multimodal {
             compression != 0 || filterMethod != 0 || interlace != 0) return None
           // refuse images whose raw stream would not fit an int buffer
           if (h.toLong * (1L + 3L * w) > Int.MaxValue - 8) return None
+          // and images whose Σ i·R weighted checksum could wrap Long
+          // (255·n(n-1)/2 overflows past n ≈ 2.69e8 pixels)
+          if (w.toLong * h > MaxStatPixels) return None
           ihdrOk = true
         case "IDAT" => idat.write(bytes, pos + 8, len)
         case "IEND" => sawEnd = true

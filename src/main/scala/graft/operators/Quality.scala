@@ -86,18 +86,19 @@ object Quality {
           sum(scalars.head._2).as("v0"),
           scalars.tail.zipWithIndex.map { case ((_, m), i) =>
             sum(m).as(s"v${i + 1}") }: _*)
-        // unpivot the single row into (rule, n_violations) via a stack —
-        // the row is 1×N, driver-free
-        // Spark string literals escape with BACKSLASH; SQL-style ''
-        // doubling parses as two adjacent literals that CONCATENATE,
-        // silently corrupting a rule name containing a quote
-        val stackExpr = scalars.zipWithIndex
-          .map { case ((r, _), i) =>
-            val esc = r.name.replace("\\", "\\\\").replace("'", "\\'")
-            s"'$esc', coalesce(v$i, 0L)" }
-          .mkString(", ")
-        Some(agg.selectExpr(
-          s"stack(${scalars.size}, $stackExpr) AS (rule, n_violations)"))
+        // unpivot the single row into (rule, n_violations) — the row is
+        // 1×N, driver-free. Rule names go through typed lit() columns,
+        // never through SQL-literal text: string escaping depends on
+        // session config (spark.sql.parser.escapedStringLiterals flips
+        // the backslash convention), so any embedded-literal build would
+        // corrupt or fail on a quote/backslash in a rule name under one
+        // of the two parser modes
+        val entries = scalars.zipWithIndex.map { case ((r, _), i) =>
+          struct(lit(r.name).as("rule"),
+            coalesce(col(s"v$i"), lit(0L)).as("n_violations"))
+        }
+        Some(agg.select(explode(array(entries: _*)).as("__kv"))
+          .select(col("__kv.rule"), col("__kv.n_violations")))
       }
 
     val others: Seq[DataFrame] = rules.collect {

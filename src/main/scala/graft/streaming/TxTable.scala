@@ -189,6 +189,20 @@ object TxTable {
     files
   }
 
+  /** The version a checkpoint file's payload header claims to capture,
+    * or None for a header-less file (written by a pre-header build, whose
+    * listing may be LATER than its filename under concurrent writers).
+    */
+  private def checkpointHeaderVersion(f: File): Option[Long] =
+    try new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.nextOption().flatMap { line =>
+        line.split("\t") match {
+          case Array("version", v) => v.toLongOption
+          case _                   => None
+        }
+      }
+    catch { case _: java.io.IOException => None }
+
   /** One replay pass over a fixed directory listing. Package-visible so
     * the race (listing goes stale mid-replay) is testable directly.
     */
@@ -216,9 +230,17 @@ object TxTable {
   private[graft] def maybeCheckpoint(tablePath: String, version: Long): Unit =
     if (version > 0 && version % CheckpointInterval == 0) {
       val snap = snapshot(tablePath)
-      val lines = snap.filesByPartition.toSeq.sortBy(_._1).flatMap {
-        case (part, paths) => paths.map(p => s"add\t$part\t$p")
-      }
+      // header records the captured version INSIDE the payload:
+      // snapshotAt only trusts a checkpoint as an exact state when the
+      // header matches the filename, so a file written by an older build
+      // (named by trigger version, possibly containing a later state)
+      // can never silently time-travel to the wrong state. applyLogFile
+      // ignores the header (unknown-line rule), so head reads are
+      // indifferent.
+      val lines = s"version\t${snap.version}" +:
+        snap.filesByPartition.toSeq.sortBy(_._1).flatMap {
+          case (part, paths) => paths.map(p => s"add\t$part\t$p")
+        }
       val dir = logDir(tablePath)
       val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
       Files.write(tmp.toPath, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -262,9 +284,34 @@ object TxTable {
     var attempt = 0
     while (attempt < 5) {
       try {
+        // time travel only trusts a checkpoint whose payload header
+        // matches its filename (an EXACT state). Header-less files from
+        // pre-header builds may contain a later state than their name and
+        // are excluded — their versions then rebuild from commits, or
+        // fail LOUDLY below if that prefix was vacuumed, never silently
+        // returning a later state.
         val entries = Option(logDir(tablePath).listFiles()).toSeq.flatten
-          .filter(f => versionOf(f, ".commit").orElse(versionOf(f, ".checkpoint"))
-            .exists(_ <= version))
+          .filter { f =>
+            versionOf(f, ".commit").exists(_ <= version) ||
+              versionOf(f, ".checkpoint").exists(v =>
+                v <= version && checkpointHeaderVersion(f).contains(v))
+          }
+        // the replayed prefix must be ANCHORED: either it starts at
+        // commit 0, or a trusted checkpoint covers everything before the
+        // first retained commit. Without this, excluding an unverified
+        // checkpoint whose earlier commits were vacuumed would silently
+        // rebuild from a suffix (wrong state), not fail.
+        val commitVs = entries.flatMap(f => versionOf(f, ".commit"))
+        val ckptBase = entries.flatMap(f => versionOf(f, ".checkpoint"))
+          .maxOption.getOrElse(-1L)
+        commitVs.minOption.foreach { first =>
+          if (first != 0L && first > ckptBase + 1)
+            throw new IllegalArgumentException(
+              s"version $version is not reconstructible: retained commits start " +
+                s"at $first with no verifiable checkpoint anchor (a pre-header-" +
+                "build checkpoint is not trusted for time travel — re-checkpoint " +
+                "or vacuum the table under the current build first)")
+        }
         val snap = replay(entries)
         if (snap.version != version)
           throw new IllegalArgumentException(

@@ -214,6 +214,21 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("int8_quant: a null element poisons the vector to null") {
+    // without the isNullAt guard a null slot reads as 0.0f and produces
+    // silently-wrong stats — the oracle (DuckDB) propagates NULL instead
+    val df = Seq(
+      (1L, Seq(Some(1f), None, Some(2f))),
+      (2L, Seq(Some(1f), Some(2f))))
+      .toDF("id", "v")
+    val got = df.select(col("id"), GraftFunctions.int8Quant(col("v")).as("q"))
+      .selectExpr("id", "q.scale", "q.checksum")
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((None, None)))
+    assert(got(2L) == ((Some(63.5), Some(64L + 127L))))
+  }
+
   test("int8_quant: codegen and interpreted paths agree") {
     val df = (0 until 50)
       .map(i => (i.toLong, Array.tabulate(8)(j => ((i * 17 + j * 3) % 23 - 11) / 7f)))

@@ -88,6 +88,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBmpStats(5L, compressed).isEmpty)
   }
 
+  test("dims above the weighted-checksum overflow cap decode to None") {
+    // 20000×20000 = 4e8 px > MaxStatPixels: Σ i·255 would wrap Long, so
+    // the claim must land in None (wrong-stats prevention), not in
+    // silently-wrapped weighted_r
+    val bmp = Multimodal.encodeSyntheticBmp(1L, 9, 8).clone()
+    def put32(o: Int, v: Int): Unit =
+      (0 until 4).foreach(k => bmp(o + k) = ((v >> (8 * k)) & 0xff).toByte)
+    put32(18, 20000); put32(22, 20000)
+    assert(Multimodal.decodeBmpStats(1L, bmp).isEmpty)
+    assert(20000L * 20000L > Multimodal.MaxStatPixels)
+    // and the cap itself is safe: 255·n(n-1)/2 at the cap fits a Long
+    val n = Multimodal.MaxStatPixels
+    assert(BigInt(255) * n * (n - 1) / 2 <= BigInt(Long.MaxValue))
+  }
+
   test("hostile headers land in None, never an out-of-bounds crash") {
     // BMP: negative pixel-data offset
     val bmp1 = Multimodal.encodeSyntheticBmp(1L, 9, 8)

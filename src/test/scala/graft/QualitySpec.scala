@@ -63,13 +63,16 @@ class QualitySpec extends SparkSpec {
     assert(got._2 == 2L, s"got $got")
   }
 
-  test("rule names containing quotes survive the stack literal and keep order") {
-    val d = Seq((Some(1L), Some(2L))).toDF("it's", "b")
-    val got = Quality.check(d, Seq(NotNull("b"), NotNull("it's")))
+  test("rule names containing quotes/backslashes survive the unpivot and keep order") {
+    // names flow through typed lit() columns, never SQL-literal text, so
+    // they are immune to the parser's escaping mode
+    // (spark.sql.parser.escapedStringLiterals flips the backslash
+    // convention between sessions — an embedded literal breaks in one)
+    val d = Seq((Some(1L), Some(2L), Some(3L))).toDF("it's", "b", "a\\b")
+    val got = Quality.check(d, Seq(NotNull("b"), NotNull("it's"), NotNull("a\\b")))
       .as[(String, Long, Boolean)].collect().toSeq
-    // '' doubling would concatenate adjacent literals, corrupt the name,
-    // and send the row to the ordering fall-through
-    assert(got == Seq(("not_null(b)", 0L, true), ("not_null(it's)", 0L, true)))
+    assert(got == Seq(("not_null(b)", 0L, true), ("not_null(it's)", 0L, true),
+      ("not_null(a\\b)", 0L, true)))
   }
 
   test("empty input: zero violations everywhere (vacuous pass)") {

@@ -500,6 +500,36 @@ class StreamingSpec extends SparkSpec {
     assert(TxTable.snapshotAt(table, 17L).allFiles == Seq("file-17.parquet"))
   }
 
+  test("TxTable time travel refuses header-less (pre-header-build) checkpoints") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-txlegacy") + "/tbl"
+    new java.io.File(table, "_log").mkdirs()
+    (0 to 12).foreach { v =>
+      TxTable.publishCommit(table, v.toLong,
+        Seq(s"add\tsrvA\tfile-$v.parquet") ++
+          (if (v > 0) Seq(s"remove\tfile-${v - 1}.parquet") else Nil))
+    }
+    // a pre-header-build checkpoint: NAMED 10 but holding state 12 (the
+    // old code named by trigger version under concurrent writers), and no
+    // version header to verify against
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "_log", "0" * 18 + "10.checkpoint"),
+      "add\tsrvA\tfile-12.parquet".getBytes("UTF-8"))
+    // while the commit prefix survives, time travel ignores the
+    // untrusted file and rebuilds correctly from commits alone
+    assert(TxTable.snapshotAt(table, 10L).allFiles == Seq("file-10.parquet"))
+    // once the prefix is vacuumed, the poisoned checkpoint must NOT be
+    // silently trusted — refuse loudly instead of returning state 12 as 10
+    (0 to 9).foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(table, "_log", f"$v%020d.commit"))
+    }
+    val e = intercept[IllegalArgumentException](TxTable.snapshotAt(table, 10L))
+    assert(e.getMessage.contains("no verifiable checkpoint anchor"))
+    // head reads stay correct either way (commits after the anchor fix it)
+    assert(TxTable.snapshot(table).version == 12L)
+  }
+
   test("TxTable checkpoints are version-EXACT states (concurrent-writer over-capture)") {
     import graft.streaming.TxTable
     val table = tmp("graft-txck") + "/tbl"
