@@ -231,6 +231,98 @@ object TpchQueries {
             .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
             sum(vol).cast("double"), 6).as("mkt_share"))
         .orderBy("o_year")
+    },
+
+    Q("q131_tpch_q18",
+      // TPC-H Q18 (large-volume customers): orders whose total quantity
+      // crosses a HAVING threshold, re-joined to their lines for the
+      // per-order report. The grouped subquery's survivors (~1-2% of
+      // orders) are BROADCAST into a semi-join against lineitem, so the
+      // big table is filtered before the orders/customer joins — the
+      // HAVING result is small by construction (that is the query's
+      // point), making the broadcast safe at any SF. l_quantity is
+      // integer-valued, so double sums are exact on both engines.
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |  o_totalprice, sum(l_quantity) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val big = t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("__qty"))
+        .filter(col("__qty") > 250)
+        .select(col("l_orderkey").as("__bigkey"))
+      t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+        .join(broadcast(big), col("l_orderkey") === col("__bigkey"), "left_semi")
+        .join(t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(sum("l_quantity").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    },
+
+    Q("q132_tpch_q21",
+      // TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+      // test schema: "late" is l_returnflag = 'R' (no commit/receipt
+      // dates here). The oracle keeps the spec's EXISTS / NOT EXISTS
+      // self-joins; the Spark plan collapses both correlated subqueries
+      // into per-order window aggregates over ONE lineitem scan —
+      //   EXISTS(other supplier on the order)      ⇔ #distinct suppliers > 1
+      //   NOT EXISTS(other supplier late)          ⇔ #distinct late suppliers = 1
+      // (the current row is late, so it IS the one) — one shuffle of
+      // lineitem by l_orderkey instead of three self-join scans, and the
+      // subsequent orders semi-join reuses that partitioning. Supplier
+      // and nation stay broadcast dims.
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT * FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT * FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey")
+      val supp = t(s, d, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+        .join(broadcast(t(s, d, "nation")
+          .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+          .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      val waiting = t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .withColumn("__nsupp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("__nlate", size(collect_set(
+          when(col("l_returnflag") === "R", col("l_suppkey"))).over(w)))
+        .filter(col("l_returnflag") === "R" &&
+          col("__nsupp") > 1 && col("__nlate") === 1)
+      waiting
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     }
   )
 }

@@ -388,6 +388,26 @@ class PlanAuditSpec extends SparkSpec {
       s"BOTH nation sides (supplier and customer) must be pre-filtered:\n$p")
   }
 
+  test("q131: HAVING survivors broadcast into a semi-join against lineitem") {
+    val p = plan("q131_tpch_q18")
+    // the grouped subquery's output is small by construction — it must
+    // semi-join lineitem as a broadcast, not shuffle the fact table
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"big-order set must broadcast-semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
+
+  test("q132: EXISTS/NOT EXISTS collapse to window aggregates over ONE lineitem scan") {
+    val p = plan("q132_tpch_q21")
+    // the spec's three correlated lineitem references must NOT become
+    // three scans — the per-order window computes both existence tests
+    // in one pass
+    val scans = p.split("lineitem\\.parquet").length - 1
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
