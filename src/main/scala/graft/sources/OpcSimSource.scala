@@ -28,10 +28,12 @@ import graft.model.{OpcEntry, OpcServer, Schemas}
   *   - each reading carries (sourceTimestamp, serverTimestamp, quality)
   *     and the declared type token, pre-normalization (FIXTURES.md A1).
   *
-  * The value fetch is a deterministic simulator
-  * ([[OpcSimSource.rawValue]]); a real OPC connector replaces exactly
-  * that function (plus connection lifecycle) — offsets, partition
-  * planning, and the row contract stay as-is.
+  * The client is pluggable behind the [[TagReader]] interface
+  * (connect/subscribe/read/close): the default provider is the
+  * deterministic [[SimTagReaderProvider]] simulator; a real OPC UA/DA
+  * client binds by implementing [[TagReaderProvider]] and naming the
+  * class in `.option("tagReader", "com.example.UaProvider")` — offsets,
+  * partition planning, and the row contract stay as-is.
   *
   * Offset model: the poll-cycle counter. Batch (a, b] replays cycles
   * a+1..b; `cyclesPerTrigger` advance per micro-batch up to `maxCycles`
@@ -95,6 +97,20 @@ object OpcSimSource {
     */
   final case class SessionAuth(certFile: Option[String], certPassword: Option[String])
 
+  /** Instantiate a [[TagReaderProvider]] by class name — used at query
+    * start for fail-fast validation and per-partition on executors.
+    */
+  def resolveProvider(className: String): TagReaderProvider =
+    try Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[TagReaderProvider]
+    catch {
+      case e: ClassCastException => throw new IllegalArgumentException(
+        s"tagReader '$className' does not implement TagReaderProvider", e)
+      case e: ReflectiveOperationException => throw new IllegalArgumentException(
+        s"tagReader '$className' cannot be instantiated (need a public " +
+          "no-arg constructor on the classpath)", e)
+    }
+
   def sessionAuth(server: OpcServer, options: CaseInsensitiveStringMap): SessionAuth = {
     def nonEmpty(s: String) = Option(s).map(_.trim).filter(_.nonEmpty)
     val file = nonEmpty(options.get("certFile")).orElse(nonEmpty(server.certificateFile))
@@ -140,6 +156,11 @@ private[sources] class OpcSimMicroBatchStream(options: CaseInsensitiveStringMap)
   // validated at stream construction = query start (fail-fast seam where a
   // real UA connector would open its certificate-authenticated session)
   private val auth: OpcSimSource.SessionAuth = OpcSimSource.sessionAuth(server, options)
+  // the client seam: provider class resolved AND instantiated here so a
+  // bad class name fails the query at START, not inside executor tasks
+  private val readerProviderClass: String =
+    Option(options.get("tagReader")).getOrElse(classOf[SimTagReaderProvider].getName)
+  OpcSimSource.resolveProvider(readerProviderClass)
   private val cyclesPerTrigger = options.getLong("cyclesPerTrigger", 1L)
   private val maxCycles = options.getLong("maxCycles", Long.MaxValue)
   private val baseEpochMs = options.getLong("baseEpochMs", 1704067200000L) // 2024-01-01
@@ -191,10 +212,12 @@ private[sources] class OpcSimMicroBatchStream(options: CaseInsensitiveStringMap)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val a = start.asInstanceOf[CycleOffset].n
     val b = end.asInstanceOf[CycleOffset].n
+    val session = TagSession(server.serverName, server.opcUrl, server.isUa,
+      server.readPeriodSec, baseEpochMs, auth.certFile, auth.certPassword)
     val indexed = server.entries.zipWithIndex
     val slices = indexed.grouped(math.max(1, (indexed.size + numPartitions - 1) / numPartitions))
     slices.map(s => OpcSimPartition(
-      server.serverName, server.readPeriodSec, baseEpochMs, a, b, s.toArray): InputPartition
+      session, readerProviderClass, a, b, s.toArray): InputPartition
     ).toArray
   }
 
@@ -203,15 +226,22 @@ private[sources] class OpcSimMicroBatchStream(options: CaseInsensitiveStringMap)
 }
 
 private[sources] case class OpcSimPartition(
-    serverName: String,
-    readPeriodSec: Int,
-    baseEpochMs: Long,
+    session: TagSession,
+    providerClass: String,
     startCycle: Long,     // exclusive
     endCycle: Long,       // inclusive
     tags: Array[(OpcEntry, Int)]) extends InputPartition
 
 private[sources] class OpcSimReader(p: OpcSimPartition)
     extends PartitionReader[InternalRow] {
+  // one client session per partition (the per-partition codec/connection
+  // shape): connect once, declare the monitored items once, poll per row
+  private val reader: TagReader = {
+    val r = OpcSimSource.resolveProvider(p.providerClass).open(p.session)
+    r.connect()
+    r.subscribe(p.tags.collect { case (e, _) if e.subscribe => e }.toSeq)
+    r
+  }
   // rows for cycles (start, end], every tag slice member per cycle
   private val it: Iterator[(Long, (OpcEntry, Int))] =
     (p.startCycle + 1 to p.endCycle).iterator.flatMap(c => p.tags.iterator.map(t => (c, t)))
@@ -225,17 +255,17 @@ private[sources] class OpcSimReader(p: OpcSimPartition)
 
   override def get(): InternalRow = {
     val (cycle, (entry, tagIdx)) = cur
-    val tsMicros = (p.baseEpochMs + cycle * p.readPeriodSec * 1000L) * 1000L
+    val r = reader.read(entry, tagIdx, cycle)
     InternalRow(
-      UTF8String.fromString(p.serverName),
+      UTF8String.fromString(p.session.serverName),
       UTF8String.fromString(entry.tag),
       UTF8String.fromString(entry.opcPath),
       UTF8String.fromString(entry.dataType),
-      UTF8String.fromString(OpcSimSource.rawValue(entry.dataType, tagIdx, cycle)),
-      tsMicros,            // sourceTimestamp (µs)
-      tsMicros + 1000L,    // serverTimestamp: +1ms transport skew
-      192)                 // Quality.Good
+      UTF8String.fromString(r.rawValue),
+      r.sourceTsMicros,
+      r.serverTsMicros,
+      r.quality)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = reader.close()
 }

@@ -4,8 +4,31 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.sources.OpcSimSource
+import graft.sources.{OpcSimSource, TagReader, TagReaderProvider, TagReading, TagSession}
 import graft.streaming.StreamingPipeline
+
+/** A drop-in [[TagReaderProvider]] proving the real-client seam: constant
+  * readings, bad quality, and lifecycle counters the spec asserts on.
+  * Top-level class: resolved by name via the `tagReader` option exactly as
+  * a real OPC UA client binding would be.
+  */
+class FixedTagReaderProvider extends TagReaderProvider {
+  override def open(session: TagSession): TagReader = new TagReader {
+    override def connect(): Unit = FixedTagReaderProvider.connects.incrementAndGet()
+    override def subscribe(entries: Seq[graft.model.OpcEntry]): Unit =
+      FixedTagReaderProvider.subscribed.addAndGet(entries.size)
+    override def read(entry: graft.model.OpcEntry, tagIdx: Int, cycle: Long): TagReading =
+      TagReading(s"fixed-${entry.tag}-$cycle", quality = 24,
+        sourceTsMicros = cycle * 1000000L, serverTsMicros = cycle * 1000000L + 500L)
+    override def close(): Unit = FixedTagReaderProvider.closes.incrementAndGet()
+  }
+}
+
+object FixedTagReaderProvider {
+  val connects = new java.util.concurrent.atomic.AtomicInteger(0)
+  val subscribed = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+}
 
 /** End-to-end slice of SURVEY.md §7: config text → custom DSv2 micro-batch
   * source (simulated OPC poll) → normalization → last-value current table.
@@ -87,6 +110,48 @@ class OpcSimSourceSpec extends SparkSpec {
       .select("sourceTimestamp").as[java.sql.Timestamp].collect()
       .map(_.getTime).sorted
     assert(tsSeq.zip(tsSeq.tail).forall { case (a, b) => b - a == 10000L })
+  }
+
+  test("tagReader option binds a custom client; lifecycle runs per partition") {
+    FixedTagReaderProvider.connects.set(0)
+    FixedTagReaderProvider.subscribed.set(0)
+    FixedTagReaderProvider.closes.set(0)
+    val stream = spark.readStream.format("opcsim")
+      .option("config", conf).option("server", "Server1")
+      .option("tagReader", classOf[FixedTagReaderProvider].getName)
+      .option("cyclesPerTrigger", 2).option("maxCycles", 2)
+      .option("numPartitions", 2)
+      .load()
+    val q = stream.writeStream
+      .format("memory").queryName("opcsim_fixed")
+      .option("checkpointLocation", Files.createTempDirectory("sim-ckpt-fx").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT tag, rawValue, quality FROM opcsim_fixed")
+      .as[(String, String, Int)].collect()
+    assert(rows.length == 8) // 2 cycles × 4 tags
+    assert(rows.forall(r => r._2.startsWith(s"fixed-${r._1}-") && r._3 == 24))
+    // 2 partitions (4 tags / 2): one connect + one close each; only the
+    // subscribe-flagged entry (Temp) was declared, on its own partition
+    assert(FixedTagReaderProvider.connects.get() == 2)
+    assert(FixedTagReaderProvider.closes.get() == 2)
+    assert(FixedTagReaderProvider.subscribed.get() == 1)
+  }
+
+  test("a bad tagReader class name fails the query at start") {
+    val ex = intercept[Exception] {
+      spark.readStream.format("opcsim")
+        .option("config", conf).option("server", "Server1")
+        .option("tagReader", "com.nosuch.Provider")
+        .option("maxCycles", 1).load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", Files.createTempDirectory("sim-ckpt-bad").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("cannot be instantiated")))
   }
 
   test("e2e: source → normalize → last-value current table") {
