@@ -6,8 +6,30 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.model.RawReading
-import graft.streaming.StreamingPipeline
+import graft.model.{OpcValue, RawReading}
+import graft.streaming.{KeyValueSink, KeyValueStoreProvider, KeyValueUpsertStore, StreamingPipeline}
+
+/** In-memory [[KeyValueStoreProvider]] test double: a static map standing
+  * in for the reference's Mongo collections (collection-per-server,
+  * tag-keyed replace upserts), with lifecycle/upsert counters.
+  */
+class InMemoryKvProvider extends KeyValueStoreProvider {
+  override def open(): KeyValueUpsertStore = new KeyValueUpsertStore {
+    override def connect(): Unit = { InMemoryKvProvider.connects.incrementAndGet(); () }
+    override def upsert(collection: String, key: String, doc: OpcValue): Unit = {
+      InMemoryKvProvider.store.put((collection, key), doc)
+      InMemoryKvProvider.upserts.incrementAndGet(); ()
+    }
+    override def close(): Unit = ()
+  }
+}
+
+object InMemoryKvProvider {
+  val store = new java.util.concurrent.ConcurrentHashMap[(String, String), OpcValue]()
+  val upserts = new java.util.concurrent.atomic.AtomicInteger(0)
+  val connects = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { store.clear(); upserts.set(0); connects.set(0) }
+}
 
 /** Streaming semantics (SURVEY.md §2.9): last-value-wins under out-of-order
   * arrival, stateful changelog, double-read dedup — driven by MemoryStream
@@ -47,6 +69,52 @@ class StreamingSpec extends SparkSpec {
     val cur = spark.read.parquet(table)
       .select("tag", "doubleValue").as[(String, Double)].collect().toMap
     assert(cur == Map("t1" -> 2.0, "t2" -> 8.0))
+  }
+
+  test("kvUpsertSink: per-batch reduced upserts; restart and full replay converge") {
+    val conf =
+      """mongodb://localhost:27017/graft
+        |opc.tcp://host1:4840, 10, Server1
+        |ns=1;s=P.Temp ,Double ,N ,Temp
+        |ns=1;s=P.Count,Int32  ,N ,Count
+        |""".stripMargin
+    def run(ckpt: String, max: Int): Unit = {
+      val stream = spark.readStream.format("opcsim")
+        .option("config", conf).option("server", "Server1")
+        .option("cyclesPerTrigger", 1).option("maxCycles", max)
+        .load()
+      val q = KeyValueSink.kvUpsertSink(
+        StreamingPipeline.normalizeStream(stream),
+        classOf[InMemoryKvProvider].getName, ckpt, Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    import graft.sources.OpcSimSource
+    InMemoryKvProvider.reset()
+    val ckpt = tmp("graft-kv-ckpt")
+    run(ckpt, 3)
+    // collection-per-server (reference Program.cs:1159), one doc per tag,
+    // holding the FINAL cycle's value
+    assert(InMemoryKvProvider.store.size() == 2)
+    assert(InMemoryKvProvider.store.get(("Server1", "Count")).doubleValue
+      == OpcSimSource.rawValue("Int32", 1, 3).toDouble)
+    // external write volume is per-batch REDUCED: 3 micro-batches × 2 tags,
+    // never per input row
+    assert(InMemoryKvProvider.upserts.get() == 6)
+    // restart resumes from the checkpoint: cycles 4..5 only
+    run(ckpt, 5)
+    assert(InMemoryKvProvider.upserts.get() == 10)
+    assert(InMemoryKvProvider.store.get(("Server1", "Count")).doubleValue
+      == OpcSimSource.rawValue("Int32", 1, 5).toDouble)
+    // at-least-once redelivery: a FULL replay from a fresh checkpoint
+    // re-upserts everything, and the replace contract converges the store
+    // to the identical state (the reference's ReplaceOneAsync idempotence)
+    val before = new java.util.HashMap(InMemoryKvProvider.store)
+    run(tmp("graft-kv-ckpt2"), 5)
+    assert(InMemoryKvProvider.store == before)
+    // a bad provider class fails at sink construction, not inside tasks
+    val e = intercept[IllegalArgumentException](
+      KeyValueSink.resolveProvider("com.nosuch.KvProvider"))
+    assert(e.getMessage.contains("cannot be instantiated"))
   }
 
   test("mergeLatest only rewrites partitions of servers present in the batch") {
