@@ -1,0 +1,584 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+
+/** REAL baseline JPEG codec (pure JVM, no codec libraries) — closes the
+  * last codec-class gap behind the multimodal decode surface: BMP, PNG,
+  * WAV and now JPEG decode for real, only MP4 keeps the documented stub
+  * shape. Everything here is from the public ITU T.81 spec (baseline
+  * sequential DCT, Huffman entropy coding, Annex K reference tables).
+  *
+  * Decoder scope (returns None outside it, like every other decoder in
+  * [[Multimodal]]): baseline SOF0, 8-bit precision, 1 component
+  * (grayscale) or 3 components (JFIF YCbCr) with NO chroma subsampling
+  * (all sampling factors 1×1), restart markers honored. Progressive
+  * (SOF2), arithmetic coding, 12-bit, and subsampled streams are
+  * rejected — the common training-corpus subset decodes, everything else
+  * fails loudly into the drop-corrupt-rows contract.
+  *
+  * 100 TB posture: identical to the other codecs — decode runs
+  * per-partition over BINARY columns ([[Multimodal.decodeJpegFeatures]]),
+  * state (Huffman tables, IDCT buffers) is per-blob, and every read is
+  * bounds-checked so a hostile blob lands in None, never in a task-killing
+  * exception or an unbounded allocation (dims are capped by
+  * [[Multimodal.MaxStatPixels]]).
+  */
+private[graft] object Jpeg {
+
+  // ---------------------------------------------------------------- bits
+
+  /** MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing.
+    * RST markers (FFD0-FFD7) are consumed and reset DC predictors via the
+    * caller; any other marker mid-stream ends decoding.
+    */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var hitMarker = false
+
+    /** Refill to at least n bits; false on end/marker. */
+    private def fill(n: Int): Boolean = {
+      while (nbits < n) {
+        if (pos >= bytes.length) return false
+        val b = bytes(pos) & 0xff
+        if (b == 0xff) {
+          if (pos + 1 >= bytes.length) return false
+          val b2 = bytes(pos + 1) & 0xff
+          if (b2 == 0x00) { pos += 2 }                     // stuffed FF
+          else { hitMarker = true; return false }          // real marker
+          acc = (acc << 8) | 0xff; nbits += 8
+        } else {
+          pos += 1
+          acc = (acc << 8) | b; nbits += 8
+        }
+      }
+      true
+    }
+
+    def readBit(): Int = {
+      if (!fill(1)) return -1
+      nbits -= 1
+      (acc >>> nbits) & 1
+    }
+
+    /** n-bit unsigned value, -1 on exhaustion (n ≤ 16). */
+    def readBits(n: Int): Int = {
+      if (n == 0) return 0
+      if (!fill(n)) return -1
+      nbits -= n
+      (acc >>> nbits) & ((1 << n) - 1)
+    }
+
+    /** Align to byte boundary and consume an expected RST marker; false if
+      * the next marker is not RSTn.
+      */
+    def consumeRst(): Boolean = {
+      nbits = 0; acc = 0; hitMarker = false
+      while (pos + 1 < bytes.length && (bytes(pos) & 0xff) != 0xff) pos += 1
+      if (pos + 1 >= bytes.length) return false
+      val m = bytes(pos + 1) & 0xff
+      if (m >= 0xd0 && m <= 0xd7) { pos += 2; true } else false
+    }
+  }
+
+  /** Canonical JPEG Huffman table: decode one symbol by walking code
+    * lengths 1..16 (T.81 F.2.2.3). Built from DHT's (bits, vals).
+    */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // mincode/maxcode/valptr per length (T.81 F-15)
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+
+    /** -1 on invalid/exhausted stream. */
+    def decode(br: BitReader): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        val b = br.readBit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        if (maxCode(l) >= 0 && code <= maxCode(l)) {
+          val idx = valPtr(l) + code - minCode(l)
+          if (idx < 0 || idx >= vals.length) return -1
+          return vals(idx)
+        }
+        l += 1
+      }
+      -1
+    }
+  }
+
+  /** EXTEND (T.81 F.2.2.1): map an s-bit magnitude to its signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Zigzag order: zigzag(k) = natural index of the k-th scanned coef. */
+  private[graft] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // ---------------------------------------------------------------- DCT
+
+  private val CosTable: Array[Double] = {
+    val t = new Array[Double](8 * 8) // t(u*8 + x) = cos((2x+1)uπ/16)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) { t(u * 8 + x) = math.cos((2 * x + 1) * u * math.Pi / 16.0); x += 1 }
+      u += 1
+    }
+    t
+  }
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  /** In-place 2D IDCT of one dequantized 8×8 block (naive separable —
+    * exactness over speed; the per-blob cost is dwarfed by Huffman I/O at
+    * test scale and the whole decode is per-partition parallel anyway).
+    */
+  private def idct(block: Array[Double]): Unit = {
+    val tmp = new Array[Double](64)
+    // rows: for each y, 1D IDCT over u
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) InvSqrt2 else 1.0
+          s += cu * block(y * 8 + u) * CosTable(u * 8 + x)
+          u += 1
+        }
+        tmp(y * 8 + x) = s / 2.0
+        x += 1
+      }
+      y += 1
+    }
+    // cols
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) InvSqrt2 else 1.0
+          s += cv * tmp(v * 8 + x) * CosTable(v * 8 + yy)
+          v += 1
+        }
+        block(yy * 8 + x) = s / 2.0
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Forward 2D DCT (encoder side), same normalization. */
+  private def fdct(block: Array[Double]): Unit = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) { // over rows of output (frequency u along x first)
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += block(v * 8 + x) * CosTable(u * 8 + x); x += 1 }
+        tmp(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    var u2 = 0
+    while (u2 < 8) {
+      var v2 = 0
+      while (v2 < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) { s += tmp(y * 8 + u2) * CosTable(v2 * 8 + y); y += 1 }
+        val cu = if (u2 == 0) InvSqrt2 else 1.0
+        val cv = if (v2 == 0) InvSqrt2 else 1.0
+        block(v2 * 8 + u2) = cu * cv * s / 4.0
+        v2 += 1
+      }
+      u2 += 1
+    }
+  }
+
+  // ------------------------------------------------------------- decode
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  private final case class Component(id: Int, qTable: Int, var dcTable: Int = 0,
+      var acTable: Int = 0)
+
+  /** Decode a baseline JPEG into (width, height, nComponents, pixel
+    * planes in component order, each w·h bytes as Int 0..255). None on
+    * anything outside the supported subset or any corruption.
+    */
+  private[graft] def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Array[Int]])] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    val qTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+
+    while (pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xd9) return None // EOI before SOS
+      val len = be16(bytes, pos + 2)
+      if (len < 2 || pos + 2 + len > bytes.length) return None
+      val seg = pos + 4
+      val segEnd = pos + 2 + len
+      marker match {
+        case 0xdb => // DQT: one or more tables
+          var p = seg
+          while (p < segEnd) {
+            val pq = (bytes(p) & 0xf0) >> 4
+            val tq = bytes(p) & 0x0f
+            if (pq != 0 || tq > 3 || p + 1 + 64 > segEnd) return None // 8-bit only
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) { t(Zigzag(k)) = bytes(p + 1 + k) & 0xff; k += 1 }
+            qTables(tq) = t
+            p += 65
+          }
+        case 0xc4 => // DHT
+          var p = seg
+          while (p < segEnd) {
+            val tc = (bytes(p) & 0xf0) >> 4
+            val th = bytes(p) & 0x0f
+            if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+            val bits = new Array[Int](16)
+            var n = 0
+            var k = 0
+            while (k < 16) { bits(k) = bytes(p + 1 + k) & 0xff; n += bits(k); k += 1 }
+            if (p + 17 + n > segEnd || n > 256) return None
+            val vals = new Array[Int](n)
+            k = 0
+            while (k < n) { vals(k) = bytes(p + 17 + k) & 0xff; k += 1 }
+            val tab = new HuffTable(bits, vals)
+            if (tc == 0) dcTables(th) = tab else acTables(th) = tab
+            p += 17 + n
+          }
+        case 0xc0 => // SOF0 baseline
+          if (bytes(seg) != 8) return None // precision
+          h = be16(bytes, seg + 1); w = be16(bytes, seg + 3)
+          val nc = bytes(seg + 5) & 0xff
+          if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+          if (w.toLong * h > Multimodal.MaxStatPixels) return None
+          if (seg + 6 + 3 * nc > segEnd) return None
+          comps = Array.tabulate(nc) { i =>
+            val cid = bytes(seg + 6 + 3 * i) & 0xff
+            val samp = bytes(seg + 7 + 3 * i) & 0xff
+            if (samp != 0x11) return None // no subsampling
+            Component(cid, bytes(seg + 8 + 3 * i) & 0xff)
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+            0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // extended/progressive/lossless/arithmetic
+        case 0xdd => // DRI
+          if (len != 4) return None
+          restartInterval = be16(bytes, seg)
+        case 0xda => // SOS — entropy data follows
+          if (comps == null) return None
+          val ns = bytes(seg) & 0xff
+          if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd) return None
+          var i = 0
+          while (i < ns) {
+            val cs = bytes(seg + 1 + 2 * i) & 0xff
+            val c = comps.find(_.id == cs).getOrElse(return None)
+            c.dcTable = (bytes(seg + 2 + 2 * i) & 0xf0) >> 4
+            c.acTable = bytes(seg + 2 + 2 * i) & 0x0f
+            i += 1
+          }
+          return decodeScan(bytes, segEnd, w, h, comps, qTables, dcTables,
+            acTables, restartInterval)
+        case _ => () // APPn / COM / others: skip
+      }
+      pos = segEnd
+    }
+    None
+  }
+
+  private def decodeScan(
+      bytes: Array[Byte], dataStart: Int, w: Int, h: Int,
+      comps: Array[Component], qTables: Array[Array[Int]],
+      dcTables: Array[HuffTable], acTables: Array[HuffTable],
+      restartInterval: Int): Option[(Int, Int, Int, Array[Array[Int]])] = {
+    val nc = comps.length
+    val mcuW = (w + 7) / 8
+    val mcuH = (h + 7) / 8
+    val planes = Array.fill(nc)(new Array[Int](w * h))
+    val pred = new Array[Int](nc)
+    val br = new BitReader(bytes, dataStart)
+    val coef = new Array[Double](64)
+    var mcu = 0
+    val nMcu = mcuW.toLong * mcuH
+    while (mcu < nMcu) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.consumeRst()) return None
+        java.util.Arrays.fill(pred, 0)
+      }
+      val bx = (mcu % mcuW).toInt
+      val by = (mcu / mcuW).toInt
+      var c = 0
+      while (c < nc) {
+        val comp = comps(c)
+        val q = qTables(comp.qTable)
+        val dcT = dcTables(comp.dcTable)
+        val acT = acTables(comp.acTable)
+        if (q == null || dcT == null || acT == null) return None
+        java.util.Arrays.fill(coef, 0.0)
+        // DC
+        val s = dcT.decode(br)
+        if (s < 0 || s > 11) return None
+        val diffBits = br.readBits(s)
+        if (diffBits < 0) return None
+        pred(c) += extend(diffBits, s)
+        coef(0) = pred(c).toDouble * q(0)
+        // AC
+        var k = 1
+        while (k < 64) {
+          val rs = acT.decode(br)
+          if (rs < 0) return None
+          val r = (rs >> 4) & 0xf
+          val sz = rs & 0xf
+          if (sz == 0) {
+            if (r == 15) k += 16           // ZRL
+            else k = 64                    // EOB
+          } else {
+            k += r
+            if (k > 63) return None
+            val vb = br.readBits(sz)
+            if (vb < 0) return None
+            coef(Zigzag(k)) = extend(vb, sz).toDouble * q(Zigzag(k))
+            k += 1
+          }
+        }
+        idct(coef)
+        // place block (clip to image bounds for edge MCUs)
+        var yy = 0
+        while (yy < 8) {
+          val py = by * 8 + yy
+          if (py < h) {
+            var xx = 0
+            while (xx < 8) {
+              val px = bx * 8 + xx
+              if (px < w) {
+                val v = math.round(coef(yy * 8 + xx) + 128.0).toInt
+                planes(c)(py * w + px) = if (v < 0) 0 else if (v > 255) 255 else v
+              }
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    Some((w, h, nc, planes))
+  }
+
+  /** Decode + per-channel stats in the [[Multimodal.bmpStatsSchema]]
+    * contract: grayscale maps to r=g=b; 3-component streams convert
+    * YCbCr→RGB with the JFIF formula. weighted_r = Σ i·R(i) over logical
+    * pixel index, same as the BMP/PNG paths.
+    */
+  private[graft] def decodeStats(id: Long, bytes: Array[Byte]): Option[Row] =
+    decode(bytes).map { case (w, h, nc, planes) =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
+      val n = w.toLong * h
+      var i = 0
+      val total = w * h
+      while (i < total) {
+        var r = 0; var g = 0; var b = 0
+        if (nc == 1) { r = planes(0)(i); g = r; b = r }
+        else {
+          val y = planes(0)(i).toDouble
+          val cb = planes(1)(i).toDouble - 128.0
+          val cr = planes(2)(i).toDouble - 128.0
+          r = clamp8(math.round(y + 1.402 * cr).toInt)
+          g = clamp8(math.round(y - 0.344136 * cb - 0.714136 * cr).toInt)
+          b = clamp8(math.round(y + 1.772 * cb).toInt)
+        }
+        sumR += r; sumG += g; sumB += b
+        wR += i.toLong * r
+        i += 1
+      }
+      Row(id, w, h, n, sumR.toDouble / n, sumG.toDouble / n, sumB.toDouble / n, wR)
+    }
+
+  private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ------------------------------------------------------------- encode
+
+  /** Annex K reference Huffman tables (ITU T.81, Tables K.3/K.5) —
+    * luminance DC and AC. The encoder declares them in DHT, so the
+    * decoder exercises its general table machinery, not a special case.
+    */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** (code, length) per symbol from canonical (bits, vals). */
+  private def buildCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+    var code = 0; var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) { m(vals(k)) = (code, l); code += 1; k += 1; i += 1 }
+      code <<= 1
+      l += 1
+    }
+    m.toMap
+  }
+  private lazy val DcCodes = buildCodes(DcBits, DcVals)
+  private lazy val AcCodes = buildCodes(AcBits, AcVals)
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def write(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1 << len) - 1))
+      n += len
+      while (n >= 8) {
+        val b = (acc >>> (n - 8)) & 0xff
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // byte stuffing
+        n -= 8
+      }
+    }
+    def flush(): Unit = if (n > 0) { write(0x7f, 8 - n) } // pad with 1s? no: pad bits are 1s per convention
+  }
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Encode one 8-bit grayscale image (dims need not be 8-multiples; edge
+    * MCUs replicate the last row/column, the standard approach) as a real
+    * baseline JPEG with all-ones quantization — numerically near-lossless,
+    * and EXACTLY lossless for blocks of constant value (DC-only, integer
+    * round-trip), which is what the oracle fixture uses.
+    */
+  private[graft] def encodeGray(pix: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    // DQT: table 0, all ones
+    marker(0xdb); u16(2 + 1 + 64); u8(0x00)
+    var i = 0
+    while (i < 64) { u8(1); i += 1 }
+    // SOF0: 8-bit, 1 component, 1x1 sampling, qtable 0
+    marker(0xc0); u16(8 + 3); u8(8); u16(h); u16(w); u8(1)
+    u8(1); u8(0x11); u8(0)
+    // DHT: DC table 0 + AC table 0 (Annex K luminance)
+    marker(0xc4); u16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length))
+    u8(0x00); DcBits.foreach(u8); DcVals.foreach(u8)
+    u8(0x10); AcBits.foreach(u8); AcVals.foreach(u8)
+    // SOS
+    marker(0xda); u16(6 + 2); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    // entropy-coded MCUs
+    val bw = new BitWriter(out)
+    val mcuW = (w + 7) / 8
+    val mcuH = (h + 7) / 8
+    val block = new Array[Double](64)
+    var pred = 0
+    var by = 0
+    while (by < mcuH) {
+      var bx = 0
+      while (bx < mcuW) {
+        var y = 0
+        while (y < 8) {
+          val py = math.min(h - 1, by * 8 + y)
+          var x = 0
+          while (x < 8) {
+            val px = math.min(w - 1, bx * 8 + x)
+            block(y * 8 + x) = pix(py * w + px).toDouble - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        fdct(block)
+        // quantize (q=1) to nearest int
+        val qc = new Array[Int](64)
+        var k = 0
+        while (k < 64) { qc(k) = math.round(block(k)).toInt; k += 1 }
+        // DC
+        val diff = qc(0) - pred
+        pred = qc(0)
+        val s = category(diff)
+        val (dcCode, dcLen) = DcCodes(s)
+        bw.write(dcCode, dcLen)
+        if (s > 0) {
+          val bitsVal = if (diff < 0) diff + (1 << s) - 1 else diff
+          bw.write(bitsVal, s)
+        }
+        // AC with run-lengths
+        var run = 0
+        k = 1
+        while (k < 64) {
+          val v = qc(Zigzag(k))
+          if (v == 0) run += 1
+          else {
+            while (run > 15) { val (c, l) = AcCodes(0xf0); bw.write(c, l); run -= 16 }
+            val sz = category(v)
+            val (c, l) = AcCodes((run << 4) | sz)
+            bw.write(c, l)
+            val bitsVal = if (v < 0) v + (1 << sz) - 1 else v
+            bw.write(bitsVal, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (c, l) = AcCodes(0x00); bw.write(c, l) } // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+}

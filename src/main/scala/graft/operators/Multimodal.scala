@@ -512,6 +512,67 @@ object Multimodal {
     }(enc)
   }
 
+  // ===================== REAL JPEG DECODE (pure JVM) ====================
+  // Baseline sequential DCT + Huffman, the full entropy-coded pipeline —
+  // see [[Jpeg]] for scope. Same output contract as the BMP/PNG paths.
+
+  /** Per-partition REAL baseline-JPEG decode into [[bmpStatsSchema]].
+    * Corrupt/unsupported rows are dropped (the drop-corrupt contract).
+    */
+  def decodeJpegFeatures(blobs: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(bmpStatsSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        scala.util.Try(
+          Jpeg.decodeStats(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx))
+        ).toOption.flatten
+      }
+    }(enc)
+  }
+
+  /** Encode a REAL baseline JPEG (grayscale, all-ones quantization,
+    * Annex K Huffman tables): 8×8-aligned dims, each 8×8 block a constant
+    * value v = (5·id + 11·b) mod 256 over row-major block index b.
+    * Constant blocks are DC-only and integer-exact through
+    * DCT→quant→Huffman→IDCT, so an oracle predicts the decoded stats from
+    * the block formula alone while the decoder still runs its FULL
+    * entropy/DCT machinery (and the spec separately round-trips
+    * non-constant images through the AC path within ±1).
+    */
+  private[graft] def encodeSyntheticJpeg(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "fixture dims are 8-aligned")
+    val pix = new Array[Int](w * h)
+    val blocksPerRow = w / 8
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = (y / 8) * blocksPerRow + (x / 8)
+        pix(y * w + x) = ((5 * id + 11 * b) % 256).toInt
+        x += 1
+      }
+      y += 1
+    }
+    Jpeg.encodeGray(pix, w, h)
+  }
+
+  /** (doc_id, blob) table of real baseline JPEGs, dims varying with id. */
+  def syntheticJpegs(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, encodeSyntheticJpeg(id, 8 * (1 + (id % 5).toInt), 8 * (1 + (id % 3).toInt)))
+      }
+    }(enc)
+  }
+
   // ===================== REAL WAV DECODE (pure JVM) =====================
   // RIFF/WAVE PCM16 is the audio analog of the BMP path: chunked
   // little-endian container, no codec needed. Real header walk (tolerates

@@ -653,6 +653,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    Q("q133_jpeg_decode",
+      // REAL baseline-JPEG decode (full Huffman + dequant + IDCT — see
+      // operators.Jpeg), oracle-checked like q127: the engine encodes a
+      // genuine JPEG per document (Annex K Huffman tables, all-ones
+      // quantization, constant 8×8 blocks = DC-only = integer-exact
+      // round-trip) and decodes it back through the general entropy/DCT
+      // machinery. The oracle predicts the decoded stats from the block
+      // formula alone; any Huffman/zigzag/IDCT/predictor bug breaks the
+      // hash. Non-constant blocks (the AC path) are spec-checked
+      // separately within ±1 (MultimodalSpec).
+      """WITH dims AS (
+        |  SELECT doc_id, 8 * (1 + doc_id % 5) AS w, 8 * (1 + doc_id % 3) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM dims),
+        |pv AS (
+        |  SELECT doc_id, w, h, i,
+        |    (5 * doc_id + 11 * (((i // w) // 8) * (w // 8) + (i % w) // 8)) % 256 AS v
+        |  FROM px)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  round(avg(v), 6) AS mean_r, round(avg(v), 6) AS mean_g,
+        |  round(avg(v), 6) AS mean_b,
+        |  CAST(sum(i * v) AS BIGINT) AS weighted_r
+        |FROM pv GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeJpegFeatures(
+          Multimodal.syntheticJpegs(t(s, d, "documents").select("doc_id"), s), s)
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("weighted_r"))
+        .orderBy("doc_id")
+    },
+
     Q("q130_data_quality",
       // Declarative DQ expectations (deequ-style) over orders+lineitem:
       // the four scalar rules fold into ONE aggregation pass; uniqueness

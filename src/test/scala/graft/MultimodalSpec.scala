@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal
+import graft.operators.{Jpeg, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -237,5 +237,78 @@ class MultimodalSpec extends SparkSpec {
     }
     put32(16, 26000); put32(20, 26000) // IHDR width/height
     assert(Multimodal.decodePngStats(5L, huge).isEmpty)
+  }
+
+  test("JPEG: constant-block fixture decodes to the exact formula stats") {
+    // constant 8×8 blocks are DC-only and integer-exact through the full
+    // DCT→quant→Huffman→IDCT pipeline (q133's oracle contract)
+    Seq((3L, 16, 16), (7L, 40, 24), (12L, 8, 8)).foreach { case (id, w, h) =>
+      val blob = Multimodal.encodeSyntheticJpeg(id, w, h)
+      val r = Jpeg.decodeStats(id, blob).get
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getLong(3) == w.toLong * h)
+      val bpr = w / 8
+      def v(i: Long): Long = {
+        val y = i / w; val x = i % w
+        (5 * id + 11 * ((y / 8) * bpr + x / 8)) % 256
+      }
+      val n = w.toLong * h
+      val exp = (0L until n).map(v)
+      assert(r.getDouble(4) == exp.sum.toDouble / n, s"mean id=$id")
+      assert(r.getDouble(5) == r.getDouble(4) && r.getDouble(6) == r.getDouble(4))
+      assert(r.getLong(7) == (0L until n).map(i => i * v(i)).sum, s"weighted id=$id")
+    }
+  }
+
+  test("JPEG: non-constant images round-trip through the AC path within ±1") {
+    // a gradient exercises AC coefficients, run-lengths, ZRL and multi-
+    // category Huffman codes; all-ones quantization bounds the error at
+    // the coefficient-rounding level (±1 per pixel after IDCT)
+    val w = 24; val h = 16
+    val pix = Array.tabulate(w * h) { i =>
+      val y = i / w; val x = i % w
+      (x * 7 + y * 11 + ((x * y) % 5) * 3) % 256
+    }
+    val blob = Jpeg.encodeGray(pix, w, h)
+    val (dw, dh, nc, planes) = Jpeg.decode(blob).get
+    assert(dw == w && dh == h && nc == 1)
+    val maxErr = (0 until w * h).map(i => math.abs(planes(0)(i) - pix(i))).max
+    assert(maxErr <= 1, s"max pixel error $maxErr")
+  }
+
+  test("JPEG: non-8-aligned dims decode with replicate-padded edge MCUs") {
+    val w = 13; val h = 9
+    val pix = Array.tabulate(w * h)(i => (i * 17) % 256)
+    val (dw, dh, _, planes) = Jpeg.decode(Jpeg.encodeGray(pix, w, h)).get
+    assert(dw == w && dh == h)
+    val maxErr = (0 until w * h).map(i => math.abs(planes(0)(i) - pix(i))).max
+    assert(maxErr <= 1, s"max pixel error $maxErr")
+  }
+
+  test("JPEG decoder rejects corrupt and unsupported input, never crashes") {
+    val good = Multimodal.encodeSyntheticJpeg(5L, 40, 24)
+    assert(Jpeg.decodeStats(5L, good).isDefined)
+    // truncations that remove real header or entropy data must fail (a
+    // cut that only drops the trailing EOI is legitimately decodable —
+    // all MCUs are present — so cuts are placed in headers and mid-scan)
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    Seq(1, 2, 10, 40, sosAt / 2, sosAt, sosAt + 16).foreach { cut =>
+      assert(Jpeg.decodeStats(5L, good.take(cut)).isEmpty, s"cut=$cut")
+    }
+    // not a JPEG at all
+    assert(Jpeg.decodeStats(5L, Array.emptyByteArray).isEmpty)
+    assert(Jpeg.decodeStats(5L, Array.fill[Byte](100)(3)).isEmpty)
+    // progressive (SOF2) must be rejected, not mis-decoded: flip SOF0→SOF2
+    val prog = good.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decodeStats(5L, prog).isEmpty)
+    // hostile dims: SOF claiming > MaxStatPixels rejected before any work
+    val huge = good.clone()
+    val sofSeg = sofAt + 4 // marker + len
+    huge(sofSeg + 1) = 0x7f; huge(sofSeg + 2) = 0xff.toByte // h = 32767
+    huge(sofSeg + 3) = 0x7f; huge(sofSeg + 4) = 0xff.toByte // w = 32767
+    assert(Jpeg.decodeStats(5L, huge).isEmpty)
   }
 }
