@@ -500,7 +500,35 @@ private[graft] object Jpeg {
     * and EXACTLY lossless for blocks of constant value (DC-only, integer
     * round-trip), which is what the oracle fixture uses.
     */
-  private[graft] def encodeGray(pix: Array[Int], w: Int, h: Int): Array[Byte] = {
+  private[graft] def encodeGray(pix: Array[Int], w: Int, h: Int): Array[Byte] =
+    encode(Array(pix), w, h)
+
+  /** Encode 8-bit RGB as a 3-component YCbCr 4:4:4 baseline JPEG (JFIF
+    * conversion, rounded to integer planes before the DCT) — exercises
+    * the decoder's interleaved-MCU + color-conversion path.
+    */
+  private[graft] def encodeRgb(
+      r: Array[Int], g: Array[Int], b: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val n = w * h
+    val yP = new Array[Int](n); val cbP = new Array[Int](n); val crP = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      yP(i) = clamp8(math.round(0.299 * r(i) + 0.587 * g(i) + 0.114 * b(i)).toInt)
+      cbP(i) = clamp8(math.round(-0.168736 * r(i) - 0.331264 * g(i) + 0.5 * b(i) + 128.0).toInt)
+      crP(i) = clamp8(math.round(0.5 * r(i) - 0.418688 * g(i) - 0.081312 * b(i) + 128.0).toInt)
+      i += 1
+    }
+    encode(Array(yP, cbP, crP), w, h)
+  }
+
+  /** Shared encoder: 1 plane = grayscale, 3 planes = YCbCr 4:4:4. All
+    * components use quant table 0 (all ones) and the Annex K luminance
+    * Huffman pair; MCUs interleave one block per component with
+    * independent DC predictors (T.81 interleaved-scan order).
+    */
+  private def encode(planes: Array[Array[Int]], w: Int, h: Int): Array[Byte] = {
+    val nc = planes.length
+    require(nc == 1 || nc == 3, "1 or 3 planes")
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -510,69 +538,78 @@ private[graft] object Jpeg {
     marker(0xdb); u16(2 + 1 + 64); u8(0x00)
     var i = 0
     while (i < 64) { u8(1); i += 1 }
-    // SOF0: 8-bit, 1 component, 1x1 sampling, qtable 0
-    marker(0xc0); u16(8 + 3); u8(8); u16(h); u16(w); u8(1)
-    u8(1); u8(0x11); u8(0)
+    // SOF0: 8-bit, nc components, 1x1 sampling, qtable 0
+    marker(0xc0); u16(8 + 3 * nc); u8(8); u16(h); u16(w); u8(nc)
+    var c = 0
+    while (c < nc) { u8(c + 1); u8(0x11); u8(0); c += 1 }
     // DHT: DC table 0 + AC table 0 (Annex K luminance)
     marker(0xc4); u16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length))
     u8(0x00); DcBits.foreach(u8); DcVals.foreach(u8)
     u8(0x10); AcBits.foreach(u8); AcVals.foreach(u8)
     // SOS
-    marker(0xda); u16(6 + 2); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
-    // entropy-coded MCUs
+    marker(0xda); u16(6 + 2 * nc); u8(nc)
+    c = 0
+    while (c < nc) { u8(c + 1); u8(0x00); c += 1 }
+    u8(0); u8(63); u8(0)
+    // entropy-coded MCUs (interleaved, per-component DC predictors)
     val bw = new BitWriter(out)
     val mcuW = (w + 7) / 8
     val mcuH = (h + 7) / 8
     val block = new Array[Double](64)
-    var pred = 0
+    val pred = new Array[Int](nc)
     var by = 0
     while (by < mcuH) {
       var bx = 0
       while (bx < mcuW) {
-        var y = 0
-        while (y < 8) {
-          val py = math.min(h - 1, by * 8 + y)
-          var x = 0
-          while (x < 8) {
-            val px = math.min(w - 1, bx * 8 + x)
-            block(y * 8 + x) = pix(py * w + px).toDouble - 128.0
-            x += 1
+        c = 0
+        while (c < nc) {
+          val pix = planes(c)
+          var y = 0
+          while (y < 8) {
+            val py = math.min(h - 1, by * 8 + y)
+            var x = 0
+            while (x < 8) {
+              val px = math.min(w - 1, bx * 8 + x)
+              block(y * 8 + x) = pix(py * w + px).toDouble - 128.0
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        fdct(block)
-        // quantize (q=1) to nearest int
-        val qc = new Array[Int](64)
-        var k = 0
-        while (k < 64) { qc(k) = math.round(block(k)).toInt; k += 1 }
-        // DC
-        val diff = qc(0) - pred
-        pred = qc(0)
-        val s = category(diff)
-        val (dcCode, dcLen) = DcCodes(s)
-        bw.write(dcCode, dcLen)
-        if (s > 0) {
-          val bitsVal = if (diff < 0) diff + (1 << s) - 1 else diff
-          bw.write(bitsVal, s)
-        }
-        // AC with run-lengths
-        var run = 0
-        k = 1
-        while (k < 64) {
-          val v = qc(Zigzag(k))
-          if (v == 0) run += 1
-          else {
-            while (run > 15) { val (c, l) = AcCodes(0xf0); bw.write(c, l); run -= 16 }
-            val sz = category(v)
-            val (c, l) = AcCodes((run << 4) | sz)
-            bw.write(c, l)
-            val bitsVal = if (v < 0) v + (1 << sz) - 1 else v
-            bw.write(bitsVal, sz)
-            run = 0
+          fdct(block)
+          // quantize (q=1) to nearest int
+          val qc = new Array[Int](64)
+          var k = 0
+          while (k < 64) { qc(k) = math.round(block(k)).toInt; k += 1 }
+          // DC
+          val diff = qc(0) - pred(c)
+          pred(c) = qc(0)
+          val s = category(diff)
+          val (dcCode, dcLen) = DcCodes(s)
+          bw.write(dcCode, dcLen)
+          if (s > 0) {
+            val bitsVal = if (diff < 0) diff + (1 << s) - 1 else diff
+            bw.write(bitsVal, s)
           }
-          k += 1
+          // AC with run-lengths
+          var run = 0
+          k = 1
+          while (k < 64) {
+            val v = qc(Zigzag(k))
+            if (v == 0) run += 1
+            else {
+              while (run > 15) { val (cd, l) = AcCodes(0xf0); bw.write(cd, l); run -= 16 }
+              val sz = category(v)
+              val (cd, l) = AcCodes((run << 4) | sz)
+              bw.write(cd, l)
+              val bitsVal = if (v < 0) v + (1 << sz) - 1 else v
+              bw.write(bitsVal, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (cd, l) = AcCodes(0x00); bw.write(cd, l) } // EOB
+          c += 1
         }
-        if (run > 0) { val (c, l) = AcCodes(0x00); bw.write(c, l) } // EOB
         bx += 1
       }
       by += 1

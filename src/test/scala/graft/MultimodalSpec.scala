@@ -275,6 +275,36 @@ class MultimodalSpec extends SparkSpec {
     assert(maxErr <= 1, s"max pixel error $maxErr")
   }
 
+  test("JPEG: color (YCbCr 4:4:4) decodes through the interleaved-MCU path") {
+    val w = 16; val h = 16
+    val r0 = Array.tabulate(w * h)(i => (i * 5) % 256)
+    val g0 = Array.tabulate(w * h)(i => (i * 3 + 50) % 256)
+    val b0 = Array.tabulate(w * h)(i => (250 - (i * 7) % 251))
+    val blob = Jpeg.encodeRgb(r0, g0, b0, w, h)
+    val (dw, dh, nc, planes) = Jpeg.decode(blob).get
+    assert(dw == w && dh == h && nc == 3)
+    // error budget: RGB→YCbCr rounding (±0.5/plane) + coefficient
+    // rounding (±1/plane), amplified ≤1.772× by the back-conversion,
+    // + final rounding — ≤ 5 per channel
+    var maxErr = 0
+    var i = 0
+    while (i < w * h) {
+      val y = planes(0)(i).toDouble
+      val cb = planes(1)(i).toDouble - 128.0
+      val cr = planes(2)(i).toDouble - 128.0
+      def c8(v: Int) = math.max(0, math.min(255, v))
+      val rr = c8(math.round(y + 1.402 * cr).toInt)
+      val gg = c8(math.round(y - 0.344136 * cb - 0.714136 * cr).toInt)
+      val bb = c8(math.round(y + 1.772 * cb).toInt)
+      maxErr = math.max(maxErr, math.max(math.abs(rr - r0(i)),
+        math.max(math.abs(gg - g0(i)), math.abs(bb - b0(i)))))
+      i += 1
+    }
+    assert(maxErr <= 5, s"max channel error $maxErr")
+    // stats path agrees with the plane decode (same conversion formula)
+    assert(Jpeg.decodeStats(1L, blob).isDefined)
+  }
+
   test("JPEG: non-8-aligned dims decode with replicate-padded edge MCUs") {
     val w = 13; val h = 9
     val pix = Array.tabulate(w * h)(i => (i * 17) % 256)
