@@ -573,6 +573,47 @@ object Multimodal {
     }(enc)
   }
 
+  // ===================== REAL MP4 CONTAINER PARSE =======================
+  // ISO BMFF box walk — see [[Mp4]]. Container metadata is real; FRAME
+  // decode of compressed video stays behind the codec stub by necessity.
+
+  /** Per-partition REAL MP4 container-metadata parse into
+    * [[Mp4.mp4MetaSchema]]. Corrupt/non-BMFF rows are dropped.
+    */
+  def decodeMp4Meta(blobs: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(Mp4.mp4MetaSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        scala.util.Try(
+          Mp4.parseMeta(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx))
+        ).toOption.flatten
+      }
+    }(enc)
+  }
+
+  /** (doc_id, blob) table of real minimal MP4 containers, metadata
+    * varying with id (duration, video dims, audio present on even ids).
+    */
+  def syntheticMp4s(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, Mp4.encodeSynthetic(
+          1000L + id % 9000L,
+          16 * (1 + (id % 20).toInt),
+          16 * (1 + (id % 12).toInt),
+          withAudio = id % 2 == 0))
+      }
+    }(enc)
+  }
+
   // ===================== REAL WAV DECODE (pure JVM) =====================
   // RIFF/WAVE PCM16 is the audio analog of the BMP path: chunked
   // little-endian container, no codec needed. Real header walk (tolerates

@@ -688,6 +688,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    Q("q134_mp4_metadata",
+      // REAL ISO BMFF container parse (operators.Mp4): the engine builds a
+      // genuine minimal MP4 per document (ftyp + moov/mvhd + video trak
+      // with tkhd 16.16 dims + hdlr, audio trak on even ids) and walks the
+      // box structure back. The oracle predicts every field from the
+      // generation formula — any box-sizing/offset/fixed-point bug breaks
+      // the hash. Frame decode of compressed video is the one surface that
+      // stays behind the documented codec stub.
+      """SELECT doc_id,
+        |  CAST(1000 + doc_id % 9000 AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+        |  CAST(16 * (1 + doc_id % 20) AS INT) AS width,
+        |  CAST(16 * (1 + doc_id % 12) AS INT) AS height,
+        |  TRUE AS has_video,
+        |  doc_id % 2 = 0 AS has_audio,
+        |  'isom' AS major_brand
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeMp4Meta(
+          Multimodal.syntheticMp4s(t(s, d, "documents").select("doc_id"), s), s)
+        .orderBy("doc_id")
+    },
+
     Q("q130_data_quality",
       // Declarative DQ expectations (deequ-style) over orders+lineitem:
       // the four scalar rules fold into ONE aggregation pass; uniqueness

@@ -314,6 +314,42 @@ class MultimodalSpec extends SparkSpec {
     assert(maxErr <= 1, s"max pixel error $maxErr")
   }
 
+  test("MP4: box walk parses brand, duration, tracks, 16.16 dims") {
+    import graft.operators.Mp4
+    val blob = Mp4.encodeSynthetic(4321L, 320, 240, withAudio = true)
+    val r = Mp4.parseMeta(9L, blob).get
+    assert(r.getLong(1) == 4321L)       // duration_ms (timescale 1000)
+    assert(r.getInt(2) == 2)            // video + audio tracks
+    assert(r.getInt(3) == 320 && r.getInt(4) == 240)
+    assert(r.getBoolean(5) && r.getBoolean(6))
+    assert(r.getString(7) == "isom")
+    // video-only
+    val vOnly = Mp4.parseMeta(1L, Mp4.encodeSynthetic(500L, 16, 16, withAudio = false)).get
+    assert(vOnly.getInt(2) == 1 && vOnly.getBoolean(5) && !vOnly.getBoolean(6))
+  }
+
+  test("MP4 parser rejects corrupt/hostile containers, never hangs") {
+    import graft.operators.Mp4
+    val good = Mp4.encodeSynthetic(1000L, 32, 32, withAudio = false)
+    assert(Mp4.parseMeta(1L, good).isDefined)
+    // truncations
+    Seq(1, 8, 20, good.length / 2).foreach { cut =>
+      assert(Mp4.parseMeta(1L, good.take(cut)).isEmpty, s"cut=$cut")
+    }
+    // garbage and empty
+    assert(Mp4.parseMeta(1L, Array.emptyByteArray).isEmpty)
+    assert(Mp4.parseMeta(1L, Array.fill[Byte](64)(9)).isEmpty)
+    // hostile box size: first box claims 2 GB — walk must stop cleanly
+    val huge = good.clone()
+    huge(0) = 0x7f; huge(1) = 0xff.toByte; huge(2) = 0xff.toByte; huge(3) = 0xff.toByte
+    assert(Mp4.parseMeta(1L, huge).isEmpty)
+    // size-0 ("to end") first box swallows everything incl. moov → no ftyp
+    // payload mismatch handled: just assert no crash
+    val zero = good.clone()
+    zero(0) = 0; zero(1) = 0; zero(2) = 0; zero(3) = 0
+    Mp4.parseMeta(1L, zero) // must return, Some or None, without throwing
+  }
+
   test("JPEG decoder rejects corrupt and unsupported input, never crashes") {
     val good = Multimodal.encodeSyntheticJpeg(5L, 40, 24)
     assert(Jpeg.decodeStats(5L, good).isDefined)
