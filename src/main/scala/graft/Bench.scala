@@ -16,24 +16,6 @@ object Bench {
     }.mkString("\n")
     val conf = s"opc.tcp://host1:4840, 10, Server1\n$tags\n"
     val rows = spark.sparkContext.longAccumulator("ingested")
-    // per-micro-batch latency (trigger→commit): the reference's freshness
-    // unit is one poll/upsert cycle (≈2.2/s implied, BASELINE.md); the
-    // percentile profile is what tells a user how stale the sink can get,
-    // throughput alone doesn't. durationMs("triggerExecution") covers the
-    // whole trigger: planning + source admission + sink commit.
-    val queryName = "graft_bench_ingest"
-    val latMs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
-        if (e.progress.name == queryName) {
-          val d = e.progress.durationMs.get("triggerExecution")
-          if (d != null) latMs.add(d)
-        }
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    }
-    spark.streams.addListener(listener)
     val t0 = System.nanoTime()
     val q = graft.streaming.StreamingPipeline.normalizeStream(
         spark.readStream.format("opcsim")
@@ -41,7 +23,6 @@ object Bench {
           .option("cyclesPerTrigger", 250).option("maxCycles", 1000)
           .option("numPartitions", 8).load())
       .writeStream
-      .queryName(queryName)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -52,11 +33,17 @@ object Bench {
       .start()
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
-    // listener events are delivered async on the listener bus — give the
-    // final progress event a moment to land before reading the buffer
-    Thread.sleep(1000)
-    spark.streams.removeListener(listener)
-    val lats = latMs.toArray(Array.empty[java.lang.Long]).map(_.longValue()).sorted
+    // per-micro-batch latency (trigger→commit): the reference's freshness
+    // unit is one poll/upsert cycle (≈2.2/s implied, BASELINE.md); the
+    // percentile profile is what tells a user how stale the sink can get,
+    // throughput alone doesn't. durationMs("triggerExecution") covers the
+    // whole trigger: planning + source admission + sink commit. Read
+    // synchronously off the query handle (recentProgress retains the last
+    // 100 triggers; this run has 4) — a StreamingQueryListener would race
+    // the async listener bus for the final trigger's event.
+    val lats = q.recentProgress.toIndexedSeq
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.longValue()))
+      .sorted
     def pct(p: Double): Double =
       if (lats.isEmpty) -1.0
       else lats(math.min(lats.length - 1, (p * lats.length).toInt)).toDouble

@@ -228,11 +228,53 @@ private[graft] object Jpeg {
       var acTable: Int = 0)
 
   /** Decode a baseline JPEG into (width, height, nComponents, pixel
-    * planes in component order, each w·h bytes as Int 0..255). None on
+    * planes in component order, each w·h samples as Int 0..255). None on
     * anything outside the supported subset or any corruption.
+    *
+    * MATERIALIZES the full image, so it carries a total-sample cap
+    * (w·h·nc ≤ 2^26 ≈ 268 MB of Int planes) on top of the streaming
+    * guards — [[decodeStats]] has no such cap because it accumulates
+    * per-MCU without ever holding the image.
     */
   private[graft] def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Array[Int]])] = {
-    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var planes: Array[Array[Int]] = null
+    var dims: (Int, Int, Int) = null
+    val ok = decodeStream(bytes) { (w, h, nc) =>
+      if (w.toLong * h * nc > (1L << 26)) false
+      else { planes = Array.fill(nc)(new Array[Int](w * h)); dims = (w, h, nc); true }
+    } { (bx, by, blocks) =>
+      val (w, h, nc) = dims
+      var c = 0
+      while (c < nc) {
+        val blk = blocks(c)
+        var yy = 0
+        while (yy < 8) {
+          val py = by * 8 + yy
+          if (py < h) {
+            var xx = 0
+            while (xx < 8) {
+              val px = bx * 8 + xx
+              if (px < w) planes(c)(py * w + px) = blk(yy * 8 + xx)
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+        c += 1
+      }
+    }
+    if (ok) Some((dims._1, dims._2, dims._3, planes)) else None
+  }
+
+  /** Streaming decode core: `init(w, h, nc)` runs once after SOF0 (veto
+    * by returning false); `visit(bx, by, blocks)` runs per MCU with one
+    * 64-sample block (0..255, level-shifted and clamped) per component —
+    * the buffers are REUSED across MCUs, consume synchronously. Returns
+    * true iff the full scan decoded.
+    */
+  private def decodeStream(bytes: Array[Byte])(init: (Int, Int, Int) => Boolean)(
+      visit: (Int, Int, Array[Array[Int]]) => Unit): Boolean = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return false
     var pos = 2
     val qTables = new Array[Array[Int]](4)
     val dcTables = new Array[HuffTable](4)
@@ -242,11 +284,11 @@ private[graft] object Jpeg {
     var restartInterval = 0
 
     while (pos + 4 <= bytes.length) {
-      if ((bytes(pos) & 0xff) != 0xff) return None
+      if ((bytes(pos) & 0xff) != 0xff) return false
       val marker = bytes(pos + 1) & 0xff
-      if (marker == 0xd9) return None // EOI before SOS
+      if (marker == 0xd9) return false // EOI before SOS
       val len = be16(bytes, pos + 2)
-      if (len < 2 || pos + 2 + len > bytes.length) return None
+      if (len < 2 || pos + 2 + len > bytes.length) return false
       val seg = pos + 4
       val segEnd = pos + 2 + len
       marker match {
@@ -255,7 +297,7 @@ private[graft] object Jpeg {
           while (p < segEnd) {
             val pq = (bytes(p) & 0xf0) >> 4
             val tq = bytes(p) & 0x0f
-            if (pq != 0 || tq > 3 || p + 1 + 64 > segEnd) return None // 8-bit only
+            if (pq != 0 || tq > 3 || p + 1 + 64 > segEnd) return false // 8-bit only
             val t = new Array[Int](64)
             var k = 0
             while (k < 64) { t(Zigzag(k)) = bytes(p + 1 + k) & 0xff; k += 1 }
@@ -267,12 +309,12 @@ private[graft] object Jpeg {
           while (p < segEnd) {
             val tc = (bytes(p) & 0xf0) >> 4
             val th = bytes(p) & 0x0f
-            if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+            if (tc > 1 || th > 3 || p + 17 > segEnd) return false
             val bits = new Array[Int](16)
             var n = 0
             var k = 0
             while (k < 16) { bits(k) = bytes(p + 1 + k) & 0xff; n += bits(k); k += 1 }
-            if (p + 17 + n > segEnd || n > 256) return None
+            if (p + 17 + n > segEnd || n > 256) return false
             val vals = new Array[Int](n)
             k = 0
             while (k < n) { vals(k) = bytes(p + 17 + k) & 0xff; k += 1 }
@@ -281,62 +323,74 @@ private[graft] object Jpeg {
             p += 17 + n
           }
         case 0xc0 => // SOF0 baseline
-          if (bytes(seg) != 8) return None // precision
+          // fixed header (precision + dims + nc) is 6 bytes — check the
+          // SEGMENT length before touching any of it (a truncated segment
+          // must land in false, never an out-of-bounds read)
+          if (seg + 6 > segEnd) return false
+          if (bytes(seg) != 8) return false // precision
           h = be16(bytes, seg + 1); w = be16(bytes, seg + 3)
           val nc = bytes(seg + 5) & 0xff
-          if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
-          if (w.toLong * h > Multimodal.MaxStatPixels) return None
-          if (seg + 6 + 3 * nc > segEnd) return None
+          if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return false
+          if (w.toLong * h > Multimodal.MaxStatPixels) return false
+          if (seg + 6 + 3 * nc > segEnd) return false
           comps = Array.tabulate(nc) { i =>
             val cid = bytes(seg + 6 + 3 * i) & 0xff
             val samp = bytes(seg + 7 + 3 * i) & 0xff
-            if (samp != 0x11) return None // no subsampling
+            if (samp != 0x11) return false // no subsampling
             Component(cid, bytes(seg + 8 + 3 * i) & 0xff)
           }
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // extended/progressive/lossless/arithmetic
+          return false // extended/progressive/lossless/arithmetic
         case 0xdd => // DRI
-          if (len != 4) return None
+          if (len != 4) return false
           restartInterval = be16(bytes, seg)
         case 0xda => // SOS — entropy data follows
-          if (comps == null) return None
+          if (comps == null) return false
+          if (seg >= segEnd) return false // ns byte must be inside the segment
           val ns = bytes(seg) & 0xff
-          if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd) return None
+          if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd) return false
           var i = 0
           while (i < ns) {
             val cs = bytes(seg + 1 + 2 * i) & 0xff
-            val c = comps.find(_.id == cs).getOrElse(return None)
+            val c = comps.find(_.id == cs).getOrElse(return false)
             c.dcTable = (bytes(seg + 2 + 2 * i) & 0xf0) >> 4
             c.acTable = bytes(seg + 2 + 2 * i) & 0x0f
             i += 1
           }
+          if (!init(w, h, comps.length)) return false
           return decodeScan(bytes, segEnd, w, h, comps, qTables, dcTables,
-            acTables, restartInterval)
+            acTables, restartInterval)(visit)
         case _ => () // APPn / COM / others: skip
       }
       pos = segEnd
     }
-    None
+    false
   }
 
   private def decodeScan(
       bytes: Array[Byte], dataStart: Int, w: Int, h: Int,
       comps: Array[Component], qTables: Array[Array[Int]],
       dcTables: Array[HuffTable], acTables: Array[HuffTable],
-      restartInterval: Int): Option[(Int, Int, Int, Array[Array[Int]])] = {
+      restartInterval: Int)(visit: (Int, Int, Array[Array[Int]]) => Unit): Boolean = {
     val nc = comps.length
     val mcuW = (w + 7) / 8
     val mcuH = (h + 7) / 8
-    val planes = Array.fill(nc)(new Array[Int](w * h))
+    val nMcu = mcuW.toLong * mcuH
+    // cheap plausibility bound BEFORE any per-MCU work: every block costs
+    // ≥ 2 entropy bits (1-bit DC symbol + 1-bit EOB is the floor any DHT
+    // can declare), so a tiny blob whose SOF claims millions of MCUs is
+    // rejected here — work and (in decode()) allocation stay proportional
+    // to the blob, never to hostile header claims
+    if (nMcu * nc * 2L > (bytes.length - dataStart).toLong * 8L + 64L) return false
     val pred = new Array[Int](nc)
     val br = new BitReader(bytes, dataStart)
     val coef = new Array[Double](64)
-    var mcu = 0
-    val nMcu = mcuW.toLong * mcuH
+    val blocks = Array.fill(nc)(new Array[Int](64))
+    var mcu = 0L
     while (mcu < nMcu) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        if (!br.consumeRst()) return None
+        if (!br.consumeRst()) return false
         java.util.Arrays.fill(pred, 0)
       }
       val bx = (mcu % mcuW).toInt
@@ -347,20 +401,20 @@ private[graft] object Jpeg {
         val q = qTables(comp.qTable)
         val dcT = dcTables(comp.dcTable)
         val acT = acTables(comp.acTable)
-        if (q == null || dcT == null || acT == null) return None
+        if (q == null || dcT == null || acT == null) return false
         java.util.Arrays.fill(coef, 0.0)
         // DC
         val s = dcT.decode(br)
-        if (s < 0 || s > 11) return None
+        if (s < 0 || s > 11) return false
         val diffBits = br.readBits(s)
-        if (diffBits < 0) return None
+        if (diffBits < 0) return false
         pred(c) += extend(diffBits, s)
         coef(0) = pred(c).toDouble * q(0)
         // AC
         var k = 1
         while (k < 64) {
           val rs = acT.decode(br)
-          if (rs < 0) return None
+          if (rs < 0) return false
           val r = (rs >> 4) & 0xf
           val sz = rs & 0xf
           if (sz == 0) {
@@ -368,66 +422,75 @@ private[graft] object Jpeg {
             else k = 64                    // EOB
           } else {
             k += r
-            if (k > 63) return None
+            if (k > 63) return false
             val vb = br.readBits(sz)
-            if (vb < 0) return None
+            if (vb < 0) return false
             coef(Zigzag(k)) = extend(vb, sz).toDouble * q(Zigzag(k))
             k += 1
           }
         }
         idct(coef)
-        // place block (clip to image bounds for edge MCUs)
-        var yy = 0
-        while (yy < 8) {
-          val py = by * 8 + yy
-          if (py < h) {
-            var xx = 0
-            while (xx < 8) {
-              val px = bx * 8 + xx
-              if (px < w) {
-                val v = math.round(coef(yy * 8 + xx) + 128.0).toInt
-                planes(c)(py * w + px) = if (v < 0) 0 else if (v > 255) 255 else v
-              }
-              xx += 1
-            }
-          }
-          yy += 1
+        var j = 0
+        while (j < 64) {
+          val v = math.round(coef(j) + 128.0).toInt
+          blocks(c)(j) = if (v < 0) 0 else if (v > 255) 255 else v
+          j += 1
         }
         c += 1
       }
+      visit(bx, by, blocks)
       mcu += 1
     }
-    Some((w, h, nc, planes))
+    true
   }
 
   /** Decode + per-channel stats in the [[Multimodal.bmpStatsSchema]]
     * contract: grayscale maps to r=g=b; 3-component streams convert
     * YCbCr→RGB with the JFIF formula. weighted_r = Σ i·R(i) over logical
-    * pixel index, same as the BMP/PNG paths.
+    * pixel index, same as the BMP/PNG paths. Streams per MCU — the image
+    * is never materialized, so memory is O(1) regardless of dims.
     */
-  private[graft] def decodeStats(id: Long, bytes: Array[Byte]): Option[Row] =
-    decode(bytes).map { case (w, h, nc, planes) =>
-      var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
-      val n = w.toLong * h
-      var i = 0
-      val total = w * h
-      while (i < total) {
-        var r = 0; var g = 0; var b = 0
-        if (nc == 1) { r = planes(0)(i); g = r; b = r }
-        else {
-          val y = planes(0)(i).toDouble
-          val cb = planes(1)(i).toDouble - 128.0
-          val cr = planes(2)(i).toDouble - 128.0
-          r = clamp8(math.round(y + 1.402 * cr).toInt)
-          g = clamp8(math.round(y - 0.344136 * cb - 0.714136 * cr).toInt)
-          b = clamp8(math.round(y + 1.772 * cb).toInt)
+  private[graft] def decodeStats(id: Long, bytes: Array[Byte]): Option[Row] = {
+    var w = 0; var h = 0; var nc = 0
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
+    val ok = decodeStream(bytes) { (iw, ih, inc) =>
+      w = iw; h = ih; nc = inc; true
+    } { (bx, by, blocks) =>
+      var yy = 0
+      while (yy < 8) {
+        val py = by * 8 + yy
+        if (py < h) {
+          var xx = 0
+          while (xx < 8) {
+            val px = bx * 8 + xx
+            if (px < w) {
+              val j = yy * 8 + xx
+              var r = 0; var g = 0; var b = 0
+              if (nc == 1) { r = blocks(0)(j); g = r; b = r }
+              else {
+                val y = blocks(0)(j).toDouble
+                val cb = blocks(1)(j).toDouble - 128.0
+                val cr = blocks(2)(j).toDouble - 128.0
+                r = clamp8(math.round(y + 1.402 * cr).toInt)
+                g = clamp8(math.round(y - 0.344136 * cb - 0.714136 * cr).toInt)
+                b = clamp8(math.round(y + 1.772 * cb).toInt)
+              }
+              sumR += r; sumG += g; sumB += b
+              wR += (py.toLong * w + px) * r
+            }
+            xx += 1
+          }
         }
-        sumR += r; sumG += g; sumB += b
-        wR += i.toLong * r
-        i += 1
+        yy += 1
       }
-      Row(id, w, h, n, sumR.toDouble / n, sumG.toDouble / n, sumB.toDouble / n, wR)
     }
+    if (!ok) None
+    else {
+      val n = w.toLong * h
+      Some(Row(id, w, h, n, sumR.toDouble / n, sumG.toDouble / n,
+        sumB.toDouble / n, wR))
+    }
+  }
 
   private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 

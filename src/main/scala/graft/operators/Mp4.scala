@@ -87,17 +87,21 @@ private[graft] object Mp4 {
     val moov = top.find(_.typ == "moov").getOrElse(return None)
     val mvhd = child(bytes, moov, "mvhd").getOrElse(return None)
     // mvhd: version(1) flags(3), then v0: ctime(4) mtime(4) timescale(4)
-    // duration(4); v1: ctime(8) mtime(8) timescale(4) duration(8)
+    // duration(4); v1: ctime(8) mtime(8) timescale(4) duration(8).
+    // Payload length is checked BEFORE the version byte: boxes() legally
+    // yields a payload-less box at buffer end
+    if (mvhd.end - mvhd.start < 20) return None
     val v = bytes(mvhd.start) & 0xff
     val (timescale, duration) =
-      if (v == 0) {
-        if (mvhd.end - mvhd.start < 20) return None
-        (be32(bytes, mvhd.start + 12), be32(bytes, mvhd.start + 16))
-      } else if (v == 1) {
+      if (v == 0) (be32(bytes, mvhd.start + 12), be32(bytes, mvhd.start + 16))
+      else if (v == 1) {
         if (mvhd.end - mvhd.start < 32) return None
         (be32(bytes, mvhd.start + 20), be64(bytes, mvhd.start + 24))
       } else return None
-    if (timescale <= 0) return None
+    // duration is validated, not trusted: a negative be64 (top bit set)
+    // or one whose ms conversion would overflow Long yields None, never
+    // a silently-wrapped garbage duration
+    if (timescale <= 0 || duration < 0 || duration > Long.MaxValue / 1000L) return None
     val durationMs = duration * 1000L / timescale
     var nTracks = 0
     var width = 0; var height = 0
@@ -115,11 +119,13 @@ private[graft] object Mp4 {
           // tkhd: version(1) flags(3) + v0: 76 bytes to width; v1: 88.
           // width/height are 16.16 fixed point at payload end.
           child(bytes, trak, "tkhd").foreach { tk =>
-            val tv = bytes(tk.start) & 0xff
-            val wOff = if (tv == 1) tk.start + 88 else tk.start + 76
-            if (wOff + 8 <= tk.end) {
-              width = (be32(bytes, wOff) >> 16).toInt
-              height = (be32(bytes, wOff + 4) >> 16).toInt
+            if (tk.end > tk.start) { // payload-less tkhd: no version byte
+              val tv = bytes(tk.start) & 0xff
+              val wOff = if (tv == 1) tk.start + 88 else tk.start + 76
+              if (wOff + 8 <= tk.end) {
+                width = (be32(bytes, wOff) >> 16).toInt
+                height = (be32(bytes, wOff + 4) >> 16).toInt
+              }
             }
           }
         case Some("soun") => hasAudio = true

@@ -60,10 +60,16 @@ object SimilaritySearch {
     * shared ranking tail of the exact, LSH and IVF paths. See
     * [[graft.functions.TopKNeighbors]] for why this is an aggregate and
     * not a window.
+    *
+    * Null and NaN similarities are EXCLUDED by policy (a NaN cosine means
+    * a degenerate/poisoned vector, which is never a meaningful neighbor).
+    * This is a deliberate deviation from a Spark `desc` window, whose
+    * NaN-greatest ordering would rank poisoned vectors ABOVE every real
+    * match; finite scores order identically in both formulations.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(graft.functions.TopKNeighbors(k))
-    scored.filter(col("cosine").isNotNull)
+    scored.filter(col("cosine").isNotNull && !isnan(col("cosine")))
       .groupBy("query_id")
       .agg(topk(col("neighbor_id"), col("cosine")).as("__nbrs"))
       .select(col("query_id"), posexplode(col("__nbrs")))

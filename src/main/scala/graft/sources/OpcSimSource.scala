@@ -101,15 +101,7 @@ object OpcSimSource {
     * start for fail-fast validation and per-partition on executors.
     */
   def resolveProvider(className: String): TagReaderProvider =
-    try Class.forName(className).getDeclaredConstructor()
-      .newInstance().asInstanceOf[TagReaderProvider]
-    catch {
-      case e: ClassCastException => throw new IllegalArgumentException(
-        s"tagReader '$className' does not implement TagReaderProvider", e)
-      case e: ReflectiveOperationException => throw new IllegalArgumentException(
-        s"tagReader '$className' cannot be instantiated (need a public " +
-          "no-arg constructor on the classpath)", e)
-    }
+    graft.Reflection.resolveInstance[TagReaderProvider]("tagReader", className)
 
   def sessionAuth(server: OpcServer, options: CaseInsensitiveStringMap): SessionAuth = {
     def nonEmpty(s: String) = Option(s).map(_.trim).filter(_.nonEmpty)

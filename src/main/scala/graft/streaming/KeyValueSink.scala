@@ -57,15 +57,7 @@ trait KeyValueStoreProvider extends Serializable {
 object KeyValueSink {
 
   def resolveProvider(className: String): KeyValueStoreProvider =
-    try Class.forName(className).getDeclaredConstructor()
-      .newInstance().asInstanceOf[KeyValueStoreProvider]
-    catch {
-      case e: ClassCastException => throw new IllegalArgumentException(
-        s"kvStore '$className' does not implement KeyValueStoreProvider", e)
-      case e: ReflectiveOperationException => throw new IllegalArgumentException(
-        s"kvStore '$className' cannot be instantiated (need a public " +
-          "no-arg constructor on the classpath)", e)
-    }
+    graft.Reflection.resolveInstance[KeyValueStoreProvider]("kvStore", className)
 
   /** Wire a normalized stream ([[StreamingPipeline.normalizeStream]]
     * output schema = [[OpcValue]]) into an external store named by

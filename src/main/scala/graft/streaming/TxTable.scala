@@ -193,15 +193,22 @@ object TxTable {
     * or None for a header-less file (written by a pre-header build, whose
     * listing may be LATER than its filename under concurrent writers).
     */
-  private def checkpointHeaderVersion(f: File): Option[Long] =
-    try new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .linesIterator.nextOption().flatMap { line =>
+  private def checkpointHeaderVersion(f: File): Option[Long] = {
+    // first line ONLY — a checkpoint payload is a full file listing
+    // (potentially MBs on a big table) and this runs per retained
+    // checkpoint per snapshotAt attempt; the header is ~20 bytes
+    var reader: java.io.BufferedReader = null
+    try {
+      reader = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
+      Option(reader.readLine()).flatMap { line =>
         line.split("\t") match {
           case Array("version", v) => v.toLongOption
           case _                   => None
         }
       }
-    catch { case _: java.io.IOException => None }
+    } catch { case _: java.io.IOException => None }
+    finally if (reader != null) reader.close()
+  }
 
   /** One replay pass over a fixed directory listing. Package-visible so
     * the race (listing goes stale mid-replay) is testable directly.

@@ -348,6 +348,25 @@ class MultimodalSpec extends SparkSpec {
     val zero = good.clone()
     zero(0) = 0; zero(1) = 0; zero(2) = 0; zero(3) = 0
     Mp4.parseMeta(1L, zero) // must return, Some or None, without throwing
+    // payload-less boxes at buffer end: version-byte reads must be
+    // guarded (ftyp + moov whose only child is an 8-byte mvhd)
+    def u32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val emptyMvhd = u32(16) ++ "ftyp".getBytes("US-ASCII") ++
+      "isomxxxx".getBytes("US-ASCII") ++
+      u32(16) ++ "moov".getBytes("US-ASCII") ++
+      u32(8) ++ "mvhd".getBytes("US-ASCII")
+    assert(Mp4.parseMeta(1L, emptyMvhd).isEmpty)
+    // v1 mvhd with a duration whose ms conversion would overflow Long:
+    // must be None, never a wrapped/negative duration
+    val v1 = good.clone()
+    val mvhdAt = v1.indices.sliding(4).find(i =>
+      new String(v1.slice(i.head, i.head + 4), "US-ASCII") == "mvhd").get.head
+    val payload = mvhdAt + 4
+    v1(payload) = 1              // version 1: timescale at +20, duration be64 at +24
+    v1(payload + 23) = 0x01      // timescale (low byte of +20..23) stays > 0
+    v1(payload + 24) = 0x7f      // duration ≈ 9.2e18 > Long.MaxValue/1000
+    assert(Mp4.parseMeta(1L, v1).isEmpty)
   }
 
   test("JPEG decoder rejects corrupt and unsupported input, never crashes") {
@@ -376,5 +395,19 @@ class MultimodalSpec extends SparkSpec {
     huge(sofSeg + 1) = 0x7f; huge(sofSeg + 2) = 0xff.toByte // h = 32767
     huge(sofSeg + 3) = 0x7f; huge(sofSeg + 4) = 0xff.toByte // w = 32767
     assert(Jpeg.decodeStats(5L, huge).isEmpty)
+    // dims UNDER the pixel cap but absurd for the blob size: the ≥2-bits-
+    // per-block entropy bound must reject before any allocation or MCU
+    // work (16128×16128 = 2.6e8 px ≈ 4M MCUs from a ~700-byte blob)
+    val plausible = good.clone()
+    plausible(sofSeg + 1) = 0x3f; plausible(sofSeg + 2) = 0x00 // h = 16128
+    plausible(sofSeg + 3) = 0x3f; plausible(sofSeg + 4) = 0x00 // w = 16128
+    assert(Jpeg.decodeStats(5L, plausible).isEmpty)
+    // truncated SEGMENTS (not just truncated blobs): an SOF0/SOS whose
+    // declared length is shorter than its fixed header must be None, not
+    // an out-of-bounds read
+    assert(Jpeg.decodeStats(5L,
+      Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x02).map(_.toByte)).isEmpty)
+    assert(Jpeg.decodeStats(5L,
+      Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)).isEmpty)
   }
 }
