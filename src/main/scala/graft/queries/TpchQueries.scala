@@ -323,6 +323,171 @@ object TpchQueries {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
+    },
+
+    Q("q135_tpch_q4",
+      // TPC-H Q4 (order-priority checking), "late" adapted to
+      // l_returnflag = 'R' as in q132: EXISTS over lineitem becomes a
+      // left-semi hash join; the date filter prunes orders at the scan.
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (
+        |    SELECT * FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderpriority")
+        .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    Q("q136_tpch_q12",
+      // TPC-H Q12 (shipping-mode priority pivot), l_linestatus standing in
+      // for the schema's missing l_shipmode: the classic dual
+      // CASE-mask aggregation — both counts in ONE pass over the join,
+      // no union of two filtered scans.
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey AND l_returnflag = 'A'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "A" &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus")
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(urgent, 1L).otherwise(0L)).cast("long").as("high_line_count"),
+          sum(when(!urgent, 1L).otherwise(0L)).cast("long").as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    Q("q137_tpch_q13",
+      // TPC-H Q13 (customer order-count distribution): LEFT join with the
+      // extra non-key predicate INSIDE the join condition (customers with
+      // only '5-LOW' orders must count 0, not disappear), then the
+      // count-of-counts histogram — two aggregations, the first keyed on
+      // the customer (map-side combinable), the second tiny.
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select("c_custkey")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+          .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    Q("q138_tpch_q14",
+      // TPC-H Q14 (promotion effect): a ratio of two CASE-masked
+      // exact-decimal sums over one month of lineitem ⋈ broadcast(part) —
+      // single row, single pass, no second scan for the denominator.
+      s"""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+         |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+         |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+         |  AS promo_revenue
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey
+         |  AND l_shipdate >= TIMESTAMP '1997-09-01'
+         |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin) { (s, d) =>
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val vol = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) *
+            sum(when(col("p_type") === "PROMO", vol)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(vol).cast("double"), 6).as("promo_revenue"))
+    },
+
+    Q("q139_tpch_q17",
+      // TPC-H Q17 (small-quantity-order revenue): the correlated
+      // per-part average subquery decorrelated by hand into ONE grouped
+      // aggregate over the SAME filtered join — the subset is computed
+      // once, aggregated per part, and joined back (broadcast: the part
+      // filter bounds it), instead of re-scanning lineitem per part.
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_type = 'ECONOMY'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, d) =>
+      val econParts = broadcast(
+        t(s, d, "part").filter(col("p_type") === "ECONOMY").select("p_partkey"))
+      val li = t(s, d, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(econParts, col("l_partkey") === col("p_partkey"))
+      val perPart = li.groupBy(col("l_partkey").as("__pk"))
+        .agg((avg("l_quantity") * 0.2).as("__cap"))
+      li.join(broadcast(perPart), col("l_partkey") === col("__pk"))
+        .filter(col("l_quantity") < col("__cap"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0, 2).as("avg_yearly"))
+    },
+
+    Q("q140_tpch_q22",
+      // TPC-H Q22 (global sales opportunity): above-average-balance
+      // customers with no urgent orders — a one-row scalar subquery
+      // (broadcast, evaluated once) + an anti hash join, then a per-
+      // segment rollup. 2dp rounding sits far above double summation
+      // noise at this magnitude.
+      """SELECT c_mktsegment,
+        |  count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT * FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val cust = t(s, d, "customer")
+      val thresh = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg("c_acctbal").as("__avg"))
+      cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .join(broadcast(thresh))
+        .filter(col("c_acctbal") > col("__avg"))
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("c_mktsegment")
     }
   )
 }

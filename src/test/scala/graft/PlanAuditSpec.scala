@@ -408,6 +408,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
   }
 
+  test("q135-q140: TPC-H Q4/Q12/Q13/Q14/Q17/Q22 shapes — no cross products, right join kinds") {
+    Seq("q135_tpch_q4", "q136_tpch_q12", "q137_tpch_q13",
+      "q138_tpch_q14", "q139_tpch_q17", "q140_tpch_q22").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q: no cross product")
+    }
+    // Q4's EXISTS must be a semi join, Q22's NOT EXISTS an anti join —
+    // never a count-and-filter or a nested loop
+    assert(plan("q135_tpch_q4").contains("LeftSemi"), "q135 semi join")
+    val p140 = plan("q140_tpch_q22")
+    assert(p140.contains("LeftAnti"), "q140 anti join")
+    // Q22's scalar average is a one-row broadcast evaluated once
+    assert(p140.contains("BroadcastNestedLoopJoin") || p140.contains("BroadcastHashJoin"),
+      "q140 one-row scalar broadcast")
+    // Q14's ratio is ONE pass: a single aggregate node pair, not two scans
+    val p138 = plan("q138_tpch_q14")
+    assert(p138.split("lineitem\\.parquet").length - 1 == 1, "q138 single lineitem scan")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
