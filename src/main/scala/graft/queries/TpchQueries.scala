@@ -435,10 +435,12 @@ object TpchQueries {
 
     Q("q139_tpch_q17",
       // TPC-H Q17 (small-quantity-order revenue): the correlated
-      // per-part average subquery decorrelated by hand into ONE grouped
-      // aggregate over the SAME filtered join — the subset is computed
-      // once, aggregated per part, and joined back (broadcast: the part
-      // filter bounds it), instead of re-scanning lineitem per part.
+      // per-part average subquery decorrelated into a per-part WINDOW
+      // aggregate over the same broadcast-filtered join — lineitem is
+      // scanned ONCE and shuffled once (by part key, high cardinality,
+      // small groups), instead of a second scan + aggregate + join-back.
+      // The subquery's correlation target (p_partkey) is exactly the
+      // window partition key, so semantics are identical.
       """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
         |    AS DOUBLE) / 7.0, 2) AS avg_yearly
         |FROM lineitem, part
@@ -446,14 +448,14 @@ object TpchQueries {
         |  AND l_quantity < (
         |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
         |    WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       val econParts = broadcast(
         t(s, d, "part").filter(col("p_type") === "ECONOMY").select("p_partkey"))
-      val li = t(s, d, "lineitem")
+      t(s, d, "lineitem")
         .select("l_partkey", "l_quantity", "l_extendedprice")
         .join(econParts, col("l_partkey") === col("p_partkey"))
-      val perPart = li.groupBy(col("l_partkey").as("__pk"))
-        .agg((avg("l_quantity") * 0.2).as("__cap"))
-      li.join(broadcast(perPart), col("l_partkey") === col("__pk"))
+        .withColumn("__cap",
+          avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2)
         .filter(col("l_quantity") < col("__cap"))
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
           .cast("double") / 7.0, 2).as("avg_yearly"))

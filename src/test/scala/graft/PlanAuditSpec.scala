@@ -424,6 +424,10 @@ class PlanAuditSpec extends SparkSpec {
     // Q14's ratio is ONE pass: a single aggregate node pair, not two scans
     val p138 = plan("q138_tpch_q14")
     assert(p138.split("lineitem\\.parquet").length - 1 == 1, "q138 single lineitem scan")
+    // Q17's correlated average decorrelates into a window over ONE scan,
+    // not a second scan + aggregate + join-back
+    val p139 = plan("q139_tpch_q17")
+    assert(p139.split("lineitem\\.parquet").length - 1 == 1, "q139 single lineitem scan")
   }
 
   test("q77: chunking is shuffle-free end to end") {
