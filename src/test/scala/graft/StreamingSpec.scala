@@ -418,6 +418,47 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("streaming near-dup filter: cross-batch SimHash state drops near and exact dups") {
+    import graft.streaming.StreamingDedup
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val ded = tmp("graft-dedup-ckpt")
+    def run(): Unit = {
+      val q = StreamingDedup.bandVerdicts(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          survivors.synchronized {
+            survivors ++= StreamingDedup.novelDocs(b)
+              .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+              .collect()
+          }
+          ()
+        }
+        .option("checkpointLocation", ded)
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: two distinct docs
+    mem.addData((1L, base), (2L, "completely different content about spark physical plans " * 6))
+    run()
+    assert(survivors.sorted == Seq(1L, 2L))
+    // batch 2 (separate trigger, state carried): an exact copy of 1, a
+    // near-copy of 1 (one word changed), and a novel doc
+    mem.addData(
+      (3L, base),
+      (4L, base.replaceFirst("lazy", "sleepy")),
+      (5L, "a third unrelated subject entirely, streaming watermarks " * 6))
+    run()
+    assert(survivors.sorted == Seq(1L, 2L, 5L),
+      s"exact (3) and near (4) duplicates must be dropped, got $survivors")
+  }
+
   // ======================= TxTable (ACID merge sink) =======================
 
   private def txBatch(rows: (String, String, String, Double)*) =
