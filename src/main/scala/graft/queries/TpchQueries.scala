@@ -490,6 +490,92 @@ object TpchQueries {
         .agg(count(lit(1)).as("numcust"),
           round(sum("c_acctbal"), 2).as("totacctbal"))
         .orderBy("c_mktsegment")
+    },
+
+    Q("q141_tpch_q6",
+      // TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+      // plan — every predicate reaches the parquet scan, aggregation is
+      // one exact-decimal sum with map-side partials. The simplest TPC-H
+      // query and the purest pushdown test.
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("double"), 2).as("revenue"))
+    },
+
+    Q("q142_tpch_q15",
+      // TPC-H Q15 (top supplier): the revenue "view" computed once, its
+      // max as a one-row broadcast scalar, equality over EXACT decimal
+      // sums (a float-summed revenue would make the max tie-break
+      // engine-dependent). Spark reuses the aggregated view for both the
+      // max and the final filter.
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  round(CAST(total AS DOUBLE), 2) AS total_revenue
+        |FROM supplier, rev
+        |WHERE s_suppkey = l_suppkey AND total = (SELECT max(total) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("total"))
+      val top = rev.agg(max("total").as("__max"))
+      rev.join(broadcast(top)).filter(col("total") === col("__max"))
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total").cast("double"), 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    Q("q143_tpch_q19",
+      // TPC-H Q19 (discounted revenue, adapted to the schema's columns:
+      // brand/size/quantity bands instead of container/shipmode): the
+      // classic OR-of-ANDs composite predicate. The part join stays a
+      // broadcast hash join on p_partkey with the disjunction as a
+      // residual — the OR must NOT degrade the join to a nested loop.
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND (
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 30
+        |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin) { (s, d) =>
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val bands =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#9" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20, 30))
+      t(s, d, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(bands)
+        .agg(round(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("double"), 2)
+          .as("revenue"))
     }
   )
 }

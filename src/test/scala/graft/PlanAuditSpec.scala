@@ -430,6 +430,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p139.split("lineitem\\.parquet").length - 1 == 1, "q139 single lineitem scan")
   }
 
+  test("q141/q143: Q6 pushes every filter to the scan; Q19's OR stays a hash join") {
+    val p141 = plan("q141_tpch_q6")
+    assert(p141.contains("PushedFilters") && p141.contains("GreaterThanOrEqual(l_shipdate") &&
+      p141.contains("LessThan(l_quantity"), s"q141 filters must reach the scan:\n$p141")
+    assert(p141.contains("partial_sum"), "q141 map-side combine")
+    val p143 = plan("q143_tpch_q19")
+    // the OR-of-ANDs must remain a residual over a broadcast HASH join on
+    // p_partkey, never degrade the join to a nested loop / cross product
+    assert(p143.contains("BroadcastHashJoin"), s"q143 hash join on partkey:\n$p143")
+    assert(!p143.contains("BroadcastNestedLoopJoin") && !p143.contains("CartesianProduct"),
+      s"q143 must not degrade to a nested loop:\n$p143")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
