@@ -493,11 +493,8 @@ object Dedup {
       sigBits: Int = 32): DataFrame = {
     require(maxHamming < nBands, "banding is only exact when maxHamming < nBands")
     require(sigBits % nBands == 0, s"nBands=$nBands must divide sigBits=$sigBits")
-    val bandBits = sigBits / nBands
-    val banded = sigs.select(col(idCol), col(sigCol),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .withColumn("bval",
-        expr(s"shiftright($sigCol, cast(band * $bandBits as int)) & ${(1L << bandBits) - 1}L"))
+    val banded = bandSignatures(sigs.select(col(idCol), col(sigCol)),
+      sigCol, nBands, sigBits)
     val a = banded.select(col(idCol).as("id1"), col(sigCol).as("sig1"), col("band"), col("bval"))
     val b = banded.select(col(idCol).as("id2"), col(sigCol).as("sig2"), col("band"), col("bval"))
     a.join(b, Seq("band", "bval"))
@@ -508,5 +505,20 @@ object Dedup {
       // near pairs, not every incidental band collision
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Band decomposition of a packed signature column: one output row per
+    * (input row, band) with `band` and the band's bit value `bval`. THE
+    * single home of the band layout (and thus the pigeonhole-exactness
+    * argument: two signatures within hamming ≤ nBands−1 agree on ≥ 1
+    * band) — shared by the batch pair join ([[simhashPairs]]) and the
+    * streaming filter ([[graft.streaming.StreamingDedup]]).
+    */
+  private[graft] def bandSignatures(
+      df: DataFrame, sigCol: String, nBands: Int, sigBits: Int): DataFrame = {
+    val bandBits = sigBits / nBands
+    df.select(col("*"), explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bval",
+        expr(s"shiftright($sigCol, cast(band * $bandBits as int)) & ${(1L << bandBits) - 1}L"))
   }
 }

@@ -551,17 +551,15 @@ object TpchQueries {
       // classic OR-of-ANDs composite predicate. The part join stays a
       // broadcast hash join on p_partkey with the disjunction as a
       // residual — the OR must NOT degrade the join to a nested loop.
-      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
-        |FROM lineitem, part
-        |WHERE p_partkey = l_partkey AND (
-        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
-        |    AND l_quantity BETWEEN 1 AND 11)
-        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
-        |    AND l_quantity BETWEEN 10 AND 20)
-        |  OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 30
-        |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin) { (s, d) =>
-      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      s"""SELECT round($revenueSql, 2) AS revenue
+         |FROM lineitem, part
+         |WHERE p_partkey = l_partkey AND (
+         |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 30
+         |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin) { (s, d) =>
       val bands =
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
           col("l_quantity").between(1, 11)) ||
@@ -573,9 +571,7 @@ object TpchQueries {
         .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand", "p_size")),
           col("l_partkey") === col("p_partkey"))
         .filter(bands)
-        .agg(round(sum(dec("l_extendedprice") *
-          (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("double"), 2)
-          .as("revenue"))
+        .agg(round(revenue, 2).as("revenue"))
     }
   )
 }

@@ -41,8 +41,11 @@ object StreamingDedup {
   /** One band occurrence of one incoming document. */
   final case class BandDoc(docId: Long, sig: Long, band: Int, bval: Long)
 
-  /** Per-band verdict: `dupOf` = an already-admitted doc whose signature
-    * is within the hamming bound, or None.
+  /** Per-band verdict: `dupOf` = some PREVIOUSLY SEEN doc whose signature
+    * is within the hamming bound, or None. The referenced doc is seen,
+    * not necessarily surviving (it may itself have been dropped as a
+    * dup) — dup_of is duplicate EVIDENCE; resolve chains downstream when
+    * a canonical representative pointer is needed.
     */
   final case class BandVerdict(docId: Long, sig: Long, band: Int, dupOf: Option[Long])
 
@@ -66,15 +69,11 @@ object StreamingDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark) // idempotent; simhash60 must resolve
-    val bandBits = 60 / nBands
-    val mask = (1L << bandBits) - 1
-    val banded = docs.select(
-        col(idCol).cast("long").as("docId"),
-        GraftFunctions.simhash60(TextAnalysis.tokens(col(textCol))).as("sig"))
-      .select(col("docId"), col("sig"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .withColumn("bval",
-        expr(s"shiftright(sig, cast(band * $bandBits as int)) & ${mask}L"))
+    val banded = graft.operators.Dedup.bandSignatures(
+        docs.select(
+          col(idCol).cast("long").as("docId"),
+          GraftFunctions.simhash60(TextAnalysis.tokens(col(textCol))).as("sig")),
+        "sig", nBands, sigBits = 60)
       .as[(Long, Long, Int, Long)]
       .map { case (id, sig, band, bval) => BandDoc(id, sig, band, bval) }
 
@@ -91,8 +90,16 @@ object StreamingDedup {
               case (_, s) => java.lang.Long.bitCount(s ^ d.sig) <= maxHamming
             }
             out += BandVerdict(d.docId, d.sig, d.band, hit.map(_._1))
-            if (hit.isEmpty) {
-              // admit into the bucket, FIFO-bounded
+            // EVERY seen signature is admitted into EVERY band bucket it
+            // lands in — including band-local duplicates. Admission must
+            // be global, not per-verdict: a doc flagged dup in band 0 but
+            // admitted nowhere else would leave bands 1..n-1 blind to its
+            // neighborhood, so a LATER doc within the hamming bound of it
+            // (but far from its canonical) would pass as novel — breaking
+            // the pigeonhole argument for the seen SET. The one skip that
+            // loses nothing: an exactly-equal signature (already present
+            // in all of its buckets by induction).
+            if (!st.sigs.contains(d.sig)) {
               val (ids, sigs) =
                 if (st.ids.length >= maxPerBucket)
                   (st.ids.tail :+ d.docId, st.sigs.tail :+ d.sig)
