@@ -614,6 +614,47 @@ object Multimodal {
     }(enc)
   }
 
+  // ====================== REAL GIF DECODE (pure JVM) ====================
+  // LZW-compressed palette indices — see [[Gif]]. Fourth codec class on
+  // the real-decode path; no library involved at all (the LZW dictionary
+  // machinery is this repo's own).
+
+  /** Per-partition REAL GIF decode into [[bmpStatsSchema]]. Corrupt,
+    * truncated, or LZW-malformed rows are dropped (the drop-corrupt
+    * contract shared with the BMP/PNG/JPEG paths).
+    */
+  def decodeGifFeatures(blobs: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(bmpStatsSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        scala.util.Try(
+          Gif.decodeStats(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx))
+        ).toOption.flatten
+      }
+    }(enc)
+  }
+
+  /** (doc_id, blob) table of real LZW-compressed GIF89a images:
+    * width = 8 + id mod 13, height = 8 + id mod 6, every third image
+    * interlaced so the 4-pass row mapping is load-bearing in the gate.
+    */
+  def syntheticGifs(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, Gif.encodeSynthetic(id, 8 + (id % 13).toInt, 8 + (id % 6).toInt,
+          interlaced = id % 3 == 0))
+      }
+    }(enc)
+  }
+
   // ===================== REAL WAV DECODE (pure JVM) =====================
   // RIFF/WAVE PCM16 is the audio analog of the BMP path: chunked
   // little-endian container, no codec needed. Real header walk (tolerates

@@ -710,6 +710,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    Q("q144_gif_decode",
+      // REAL GIF decode (full LZW dictionary machinery — see operators
+      // .Gif), oracle-checked like q127/q133: the engine LZW-compresses a
+      // genuine GIF89a per document (256-entry formula palette, every
+      // third image interlaced) and decodes it back — sub-block bitstream,
+      // variable code width, dictionary growth, 4-pass de-interlace. The
+      // oracle predicts the decoded stats from the pixel formula alone;
+      // any LZW/palette/interlace bug breaks the hash. Width-boundary and
+      // 4096-reset stress paths are spec-checked separately
+      // (MultimodalSpec).
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 6 AS h FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM dims),
+        |pv AS (SELECT doc_id, w, h, i, (5 * doc_id + 7 * i) % 256 AS v FROM px)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  round(avg(v), 6) AS mean_r,
+        |  round(avg((2 * v) % 256), 6) AS mean_g,
+        |  round(avg((3 * v) % 256), 6) AS mean_b,
+        |  CAST(sum(i * v) AS BIGINT) AS weighted_r
+        |FROM pv GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeGifFeatures(
+          Multimodal.syntheticGifs(t(s, d, "documents").select("doc_id"), s), s)
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("weighted_r"))
+        .orderBy("doc_id")
+    },
+
     Q("q130_data_quality",
       // Declarative DQ expectations (deequ-style) over orders+lineitem:
       // the four scalar rules fold into ONE aggregation pass; uniqueness

@@ -410,4 +410,86 @@ class MultimodalSpec extends SparkSpec {
     assert(Jpeg.decodeStats(5L,
       Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)).isEmpty)
   }
+
+  test("GIF: fixture decodes to the exact formula stats (incl. interlace)") {
+    import graft.operators.Gif
+    // ids cover padding-free and padded dims, interlaced (id%3==0) and
+    // sequential storage, and the 9→10-bit LZW width boundary (dims up to
+    // 20×13 = 260 px > 254 dictionary adds)
+    for (id <- Seq(0L, 1L, 2L, 5L, 9L, 12L, 39L, 77L, 111L)) {
+      val w = 8 + (id % 13).toInt; val h = 8 + (id % 6).toInt
+      val blob = Gif.encodeSynthetic(id, w, h, interlaced = id % 3 == 0)
+      val r = Gif.decodeStats(id, blob).get
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getLong(3) == w.toLong * h)
+      val n = w.toLong * h
+      def v(i: Long): Long = (5 * id + 7 * i) % 256
+      assert(r.getDouble(4) == (0L until n).map(v).sum.toDouble / n, s"mean_r id=$id")
+      assert(r.getDouble(5) == (0L until n).map(i => (2 * v(i)) % 256).sum.toDouble / n)
+      assert(r.getDouble(6) == (0L until n).map(i => (3 * v(i)) % 256).sum.toDouble / n)
+      assert(r.getLong(7) == (0L until n).map(i => i * v(i)).sum, s"weighted id=$id")
+    }
+    // interlaced and sequential encodings of the SAME image must agree —
+    // the de-interlace row mapping is load-bearing, not cosmetic
+    val a = Gif.decodeStats(4L, Gif.encodeSynthetic(4L, 17, 11, interlaced = false)).get
+    val b = Gif.decodeStats(4L, Gif.encodeSynthetic(4L, 17, 11, interlaced = true)).get
+    assert(a == b)
+  }
+
+  test("GIF: LZW survives width growth to 12 bits, 4096 reset, KwKwK runs") {
+    import graft.operators.Gif
+    // pseudo-random indices compress badly: the dictionary fills through
+    // 9/10/11/12-bit widths and hits the 4096 clear-and-reset path
+    val rnd = new java.util.Random(42)
+    val w = 300; val h = 200
+    val idx = Array.fill(w * h)(rnd.nextInt(256))
+    val r = Gif.decodeStats(99L, Gif.encodeIndexed(idx, w, h, interlaced = false)).get
+    assert(r.getDouble(4) == idx.map(_.toLong).sum.toDouble / (w * h))
+    assert(r.getLong(7) == idx.zipWithIndex.map { case (v, i) => i.toLong * v }.sum)
+    // an all-same run is a pure KwKwK chain (every code is the
+    // just-defined entry)
+    val same = Array.fill(400)(5)
+    val s = Gif.decodeStats(1L, Gif.encodeIndexed(same, 20, 20, interlaced = false)).get
+    assert(s.getDouble(4) == 5.0 && s.getDouble(5) == 10.0 && s.getDouble(6) == 15.0)
+    // long repeats exercise multi-byte dictionary entries and the
+    // budget-exact stop
+    val rep = Array.tabulate(5000)(i => (i / 37) % 3)
+    val t = Gif.decodeStats(7L, Gif.encodeIndexed(rep, 100, 50, interlaced = false)).get
+    assert(t.getLong(7) == rep.zipWithIndex.map { case (v, i) => i.toLong * v }.sum)
+  }
+
+  test("GIF decoder rejects corrupt and hostile input, never hangs") {
+    import graft.operators.Gif
+    val good = Gif.encodeSynthetic(5L, 18, 12, interlaced = false)
+    assert(Gif.decodeStats(5L, good).isDefined)
+    // truncations: header, palette, mid-LZW, lost terminator
+    Seq(1, 6, 12, 100, 700, good.length - 10).foreach { cut =>
+      assert(Gif.decodeStats(5L, good.take(cut)).isEmpty, s"cut=$cut")
+    }
+    assert(Gif.decodeStats(5L, Array.emptyByteArray).isEmpty)
+    assert(Gif.decodeStats(5L, Array.fill[Byte](64)(7)).isEmpty)
+    // hostile dims: header claims 65535×65535 (> MaxStatPixels) — must be
+    // rejected before any LZW work
+    val huge = good.clone()
+    huge(6) = 0xff.toByte; huge(7) = 0xff.toByte
+    huge(8) = 0xff.toByte; huge(9) = 0xff.toByte
+    // logical screen is metadata only; the IMAGE descriptor dims drive
+    // decode — patch those too (offset 13 + 768 palette + 5 into 0x2C)
+    val imgAt = 13 + 768
+    assert((good(imgAt) & 0xff) == 0x2c)
+    huge(imgAt + 5) = 0xff.toByte; huge(imgAt + 6) = 0xff.toByte
+    huge(imgAt + 7) = 0xff.toByte; huge(imgAt + 8) = 0xff.toByte
+    assert(Gif.decodeStats(5L, huge).isEmpty)
+    // out-of-range LZW code: first code references a not-yet-defined
+    // dictionary entry (300 > next=258) — None, not garbage pixels
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, imgAt + 10) // header + palette + descriptor
+    out.write(8)                   // min code size
+    out.write(2); out.write(0x2c); out.write(0x01) // 9-bit code 300
+    out.write(0)                   // sub-block terminator
+    out.write(0x3b)
+    assert(Gif.decodeStats(5L, out.toByteArray).isEmpty)
+    // trailer before any image data
+    val noImg = good.take(13 + 768) :+ 0x3b.toByte
+    assert(Gif.decodeStats(5L, noImg).isEmpty)
+  }
 }
