@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharEntropy, CosineSimilarity, Int8QuantStats, RollingHash, SimHash32, SortedLongIntersectCount}
+import graft.functions.{CharEntropy, CosineSimilarity, Int8QuantStats, RollingHash, SimHash32, SortedLongIntersectCount, UrlCanonicalize}
 
 /** SparkSessionExtensions entry point: makes the engine's Catalyst
   * expressions available to pure-SQL users at session build time —
@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("int8_quant",
         "int8_quant(v) - struct(scale, checksum) of symmetric int8 quantization of an ARRAY<FLOAT>"),
       (exprs: Seq[Expression]) => Int8QuantStats(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("url_canonicalize"),
+      info("url_canonicalize",
+        "url_canonicalize(s) - canonical form of an http(s) URL (NULL if unparseable)"),
+      (exprs: Seq[Expression]) => UrlCanonicalize(exprs.head)))
     // optimizer rule: banded rewrite of levenshtein threshold predicates
     ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRewrite)
   }

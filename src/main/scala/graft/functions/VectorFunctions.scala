@@ -264,6 +264,8 @@ object GraftFunctions {
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "int8_quant", exprs => Int8QuantStats(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "url_canonicalize", exprs => UrlCanonicalize(exprs.head), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
@@ -276,4 +278,5 @@ object GraftFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
   def int8Quant(vec: Column): Column = call_function("int8_quant", vec)
+  def urlCanonicalize(url: Column): Column = call_function("url_canonicalize", url)
 }

@@ -742,6 +742,46 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    Q("q145_url_canonical_dedup",
+      // Canonical-URL dedup — the cheap first pass of web-corpus curation
+      // that runs before any content hashing. Four messy spellings of each
+      // logical page (case-shifted host + www + default port + trailing
+      // slash; tracking params + fragment; index.html + unsorted params)
+      // collapse through the codegen'd url_canonicalize expression
+      // (functions/UrlFunctions — rule list in its Scaladoc). The oracle
+      // predicts the CANONICAL RESULT from the generation formula alone —
+      // it never re-implements the canonicalizer, so any rule bug breaks
+      // the hash. Narrow projection + one hash agg: scales.
+      """WITH c AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),
+        |k AS (SELECT doc_id,
+        |  'https://site' || (g % 10) || '.example.com/docs/' || g ||
+        |    CASE WHEN v = 3 THEN '?a=1&b=2' ELSE '' END AS canonical_url
+        |  FROM c)
+        |SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS keeper
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val c = t(s, d, "documents").select(col("doc_id"),
+        expr("doc_id div 4").as("g"), (col("doc_id") % 4).as("v"))
+      val base = concat(lit("site"), (col("g") % 10).cast("string"),
+        lit(".example.com"))
+      val messy = when(col("v") === 0,
+          concat(lit("https://"), base, lit("/docs/"), col("g").cast("string")))
+        .when(col("v") === 1,
+          concat(lit("HTTPS://WWW."), upper(base), lit(":443/docs/"),
+            col("g").cast("string"), lit("/")))
+        .when(col("v") === 2,
+          concat(lit("https://"), base, lit("/docs/"), col("g").cast("string"),
+            lit("?utm_source=feed&fbclid=abc#frag")))
+        .otherwise(
+          concat(lit("https://www."), base, lit("/docs/"), col("g").cast("string"),
+            lit("/index.html?b=2&a=1&utm_campaign=x")))
+      c.select(col("doc_id"), GraftFunctions.urlCanonicalize(messy).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
+        .orderBy("canonical_url")
+    },
+
     Q("q130_data_quality",
       // Declarative DQ expectations (deequ-style) over orders+lineitem:
       // the four scalar rules fold into ONE aggregation pass; uniqueness

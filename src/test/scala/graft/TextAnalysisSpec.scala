@@ -72,4 +72,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1) == 0.0 && got(2) == 0.0,
       "empty AND null text must both coalesce to entropy 0.0")
   }
+
+  test("urlCanonicalize applies every rule; scheme and path case preserved") {
+    graft.functions.GraftFunctions.register(spark)
+    def canon(u: String): Option[Any] =
+      one(graft.functions.GraftFunctions.urlCanonicalize(col("t")), u)
+    // host case + www + default port + trailing slash
+    assert(canon("HTTPS://WWW.Ex.COM:443/A/b/").contains("https://ex.com/A/b"))
+    // http default port is 80, not 443; scheme preserved
+    assert(canon("http://ex.com:80/x").contains("http://ex.com/x"))
+    assert(canon("http://ex.com:443/x").contains("http://ex.com:443/x"))
+    // fragment dropped, index.html dropped, params filtered + sorted
+    assert(canon("https://ex.com/docs/index.html?b=2&utm_source=f&a=1#top")
+      .contains("https://ex.com/docs?a=1&b=2"))
+    // bare host; root slash dropped
+    assert(canon("https://ex.com/").contains("https://ex.com"))
+    assert(canon("https://ex.com").contains("https://ex.com"))
+    // tracking-only query drops the '?' entirely
+    assert(canon("https://ex.com/p?gclid=1&fbclid=2&ref=x&mc_cid=9")
+      .contains("https://ex.com/p"))
+    // www alone is not strippable to an empty host
+    assert(canon("https://www./x").isEmpty)
+    // malformed → NULL: no scheme, non-http scheme, bad port, bad host
+    assert(canon("ex.com/path").isEmpty)
+    assert(canon("ftp://ex.com/x").isEmpty)
+    assert(canon("https://ex.com:9999999/x").isEmpty)
+    assert(canon("https://ex com/x").isEmpty)
+    assert(one(graft.functions.GraftFunctions.urlCanonicalize(col("t")),
+      null).isEmpty)
+    // SQL-registration path (the §2.10 contract)
+    val viaSql = spark.sql(
+      "SELECT url_canonicalize('HTTP://WWW.A.COM/z/') AS c").head.getString(0)
+    assert(viaSql == "http://a.com/z")
+  }
 }
