@@ -947,6 +947,86 @@ object AnalyticsQueries {
         .orderBy("label", "rank")
     },
 
+    Q("q146_label_confusion",
+      // Label-noise audit (silhouette-lite): per vector, cosine to its OWN
+      // label centroid vs the best OTHER centroid; a negative margin means
+      // the vector sits closer to a different class — the cheap screen
+      // that runs before any expensive relabeling. Scale shape: the
+      // centroid table collapses to ONE broadcast row (nLabels×dim — tiny
+      // by definition), per-vector work is a single projection over array
+      // HOFs (no explode, no per-vector shuffle), and only the per-label
+      // aggregate shuffles. Precision follows q99's bit-exact recipe:
+      // centroids rounded to 6dp before use, left folds seeded with the
+      // first element on both engines, cosines rounded before comparison.
+      """WITH px AS (
+        |  SELECT label, vec_id, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, i, round(avg(embedding[i]), 6) AS c
+        |  FROM px GROUP BY label, i),
+        |cv AS (SELECT label AS clabel, list(c ORDER BY i) AS cvec
+        |  FROM cent GROUP BY label),
+        |scored AS (
+        |  SELECT e.label, e.vec_id, cv.clabel,
+        |    round((SELECT list_reduce(l, (a, x) -> a + x) FROM (
+        |       SELECT list_transform(generate_series(1, len(e.embedding)),
+        |         k -> e.embedding[k] * cv.cvec[k]) AS l))
+        |      / sqrt((SELECT list_reduce(l, (a, x) -> a + x) FROM (
+        |       SELECT list_transform(generate_series(1, len(e.embedding)),
+        |         k -> e.embedding[k] * e.embedding[k]) AS l))
+        |      * (SELECT list_reduce(l, (a, x) -> a + x) FROM (
+        |       SELECT list_transform(generate_series(1, len(cv.cvec)),
+        |         k -> cv.cvec[k] * cv.cvec[k]) AS l))), 6) AS cos
+        |  FROM embeddings e CROSS JOIN cv),
+        |agg AS (
+        |  SELECT label, vec_id,
+        |    max(CASE WHEN clabel = label THEN cos END) AS own,
+        |    max(CASE WHEN clabel <> label THEN cos END) AS best_other
+        |  FROM scored GROUP BY label, vec_id)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(own - best_other), 6) AS mean_margin,
+        |  CAST(count(CASE WHEN own < best_other THEN 1 END) AS BIGINT)
+        |    AS n_confused
+        |FROM agg GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val cents = e
+        .select(col("label").as("clabel"),
+          posexplode(col("embedding")).as(Seq("__i", "__v")))
+        .groupBy("clabel", "__i")
+        .agg(round(avg(col("__v")), 6).as("__c"))
+        .groupBy("clabel")
+        .agg(expr("transform(array_sort(collect_list(struct(__i, __c))), x -> x.__c)")
+          .as("cvec"))
+        .agg(collect_list(struct(col("clabel"), col("cvec"))).as("cents"))
+      def fold(p: org.apache.spark.sql.Column) =
+        aggregate(slice(p, 2, 10000), element_at(p, 1), (a, x) => a + x)
+      val dv = transform(col("embedding"), x => x.cast("double"))
+      val n2v = fold(zip_with(dv, dv, (a, b) => a * b))
+      val cosArr = transform(col("cents"), c => struct(
+        c.getField("clabel").as("clabel"),
+        round(fold(zip_with(dv, c.getField("cvec"), (a, b) => a * b)) /
+          sqrt(n2v *
+            fold(zip_with(c.getField("cvec"), c.getField("cvec"), (a, b) => a * b))),
+          6).as("cos")))
+      val ownCos = element_at(transform(
+        filter(col("__cos"), x => x.getField("clabel") === col("label")),
+        x => x.getField("cos")), 1)
+      val bestOther = array_max(transform(
+        filter(col("__cos"), x => x.getField("clabel") =!= col("label")),
+        x => x.getField("cos")))
+      e.crossJoin(broadcast(cents))
+        .withColumn("__cos", cosArr)
+        .select(col("label"), col("vec_id"),
+          ownCos.as("own"), bestOther.as("best_other"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("own") - col("best_other")), 6).as("mean_margin"),
+          count(when(col("own") < col("best_other"), 1)).cast("long")
+            .as("n_confused"))
+        .orderBy("label")
+    },
+
     Q("q100_time_weighted_avg",
       // time-weighted average per user over irregular samples — the OPC-
       // historian statistic a plain avg() gets wrong when sampling density

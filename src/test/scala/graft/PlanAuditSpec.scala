@@ -443,6 +443,20 @@ class PlanAuditSpec extends SparkSpec {
       s"q143 must not degrade to a nested loop:\n$p143")
   }
 
+  test("q146: per-vector confusion scoring never shuffles the vector table") {
+    val p = plan("q146_label_confusion")
+    // centroids collapse to ONE broadcast row; the vector side joins it
+    // with a broadcast nested loop (single-row cross), scores in a plain
+    // projection, and the only exchanges carry per-label partials
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid row must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"vector table must never shuffle to join:\n$p")
+    assert(!p.contains("Window"), s"no window over the corpus:\n$p")
+    assert(p.contains("partial_count"),
+      s"final per-label agg must partial-aggregate map-side:\n$p")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
