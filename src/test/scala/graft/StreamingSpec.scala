@@ -459,6 +459,82 @@ class StreamingSpec extends SparkSpec {
       s"exact (3) and near (4) duplicates must be dropped, got $survivors")
   }
 
+  test("streaming heavy hitters: sketch carries across triggers and restarts") {
+    import graft.streaming.StreamingHeavyHitters
+    import StreamingHeavyHitters.ShardSummary
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val latest = scala.collection.mutable.Map[Int, ShardSummary]()
+    val ckpt = tmp("graft-hh-ckpt")
+    def run(): Unit = {
+      val q = StreamingHeavyHitters
+        .summaries(mem.toDF().toDF("item"), "item", nShards = 4, capacity = 64)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[ShardSummary], _: Long) =>
+          latest.synchronized { b.collect().foreach(s => latest(s.shard) = s) }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    // three triggers, each a fresh query over the same checkpoint (the
+    // restart-resume path, same harness as the dedup test)
+    mem.addData(Seq.fill(5)("a") ++ Seq.fill(3)("b") :+ "c": _*)
+    run()
+    mem.addData(Seq.fill(2)("a") ++ Seq.fill(4)("c") :+ "d": _*)
+    run()
+    mem.addData("b")
+    run()
+    // capacity ≫ distinct items → the sketch is exact: top-3 equals the
+    // true counts a=7, c=5, b=4 with zero overestimate
+    val top = StreamingHeavyHitters
+      .topKFromSummaries(latest.values.toSeq.toDS().toDF(), 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top == Seq(("a", 7L, 0L), ("c", 5L, 0L), ("b", 4L, 0L)), s"got $top")
+    // per-shard totals account for every occurrence exactly once
+    assert(latest.values.map(_.nSeen).sum == 17L)
+  }
+
+  test("streaming heavy hitters: capacity bounds state; heavy item survives eviction") {
+    import graft.streaming.StreamingHeavyHitters
+    import StreamingHeavyHitters.ShardSummary
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val latest = scala.collection.mutable.Map[Int, ShardSummary]()
+    val ckpt = tmp("graft-hh2-ckpt")
+    def run(): Unit = {
+      val q = StreamingHeavyHitters
+        .summaries(mem.toDF().toDF("item"), "item", nShards = 1, capacity = 2)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[ShardSummary], _: Long) =>
+          latest.synchronized { b.collect().foreach(s => latest(s.shard) = s) }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    mem.addData(Seq.fill(6)("x") ++ Seq("y", "z"): _*)
+    run()
+    mem.addData(Seq.fill(4)("x") ++ Seq("w"): _*)
+    run()
+    val s = latest(0)
+    // state never exceeds capacity no matter the distinct-item count
+    assert(s.items.length <= 2, s"state must stay bounded: ${s.items.toSeq}")
+    // SpaceSaving guarantee: x (true count 10 > nSeen/capacity) must be
+    // present, overestimated by at most its recorded err
+    val xi = s.items.indexOf("x")
+    assert(xi >= 0, s"heavy item evicted: ${s.items.toSeq}")
+    assert(s.counts(xi) >= 10L && s.counts(xi) - s.errs(xi) <= 10L,
+      s"estimate ${s.counts(xi)} err ${s.errs(xi)} vs true 10")
+    assert(s.nSeen == 13L)
+  }
+
   // ======================= TxTable (ACID merge sink) =======================
 
   private def txBatch(rows: (String, String, String, Double)*) =
