@@ -229,6 +229,37 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Codegen'd content-defined chunk boundaries — see
+  * [[HashExpressions.cdcBounds]]. Returns ARRAY<BIGINT> of 1-based chunk
+  * END positions (possibly empty; the caller appends the text end as the
+  * tail chunk). `window`/`modulus`/`minLen` are plan-time constants.
+  */
+case class CdcBounds(child: Expression, window: Int, modulus: Int, minLen: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if window > 0 && modulus > 0 && minLen >= 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"cdc_bounds requires window > 0, modulus > 0, minLen >= 0")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_bounds requires STRING, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_bounds"
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.cdcBounds(input.asInstanceOf[UTF8String], window, modulus, minLen)
+
+  // one static call per row keeps the rolling scan inside WholeStageCodegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashExpressions.cdcBounds($c, $window, $modulus, $minLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
 
   /** First 15 hex chars of md5(s) as a 60-bit non-negative long — the shared
@@ -327,6 +358,45 @@ object HashExpressions {
       while (i < s.length) { h = (h * 31L + s.charAt(i).toLong) % 1000000007L; i += 1 }
       h
     }
+  }
+
+  /** Content-defined chunk boundaries (Rabin-style): slide a `window`-char
+    * hash over the text in ONE pass (rolling update, not per-position
+    * rehash) and accept position i (1-based end) as a boundary when the
+    * window hash ≡ 0 mod `modulus` AND the chunk since the last accepted
+    * boundary is at least `minLen` chars. The window polynomial is the
+    * same 31-base/1e9+7 scheme as [[rollingHash]], so a brute-force
+    * engine (the DuckDB oracle) can recompute every window hash
+    * independently and replay the acceptance fold — any rolling-update
+    * bug (pop term, mod sign) diverges immediately. ASCII-exact vs
+    * DuckDB's `ord` (UTF-16 unit here vs codepoint there — the
+    * [[RollingHash]] caveat applies). Static forwarder — called from
+    * generated code.
+    */
+  def cdcBounds(s: UTF8String, window: Int, modulus: Int, minLen: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    if (n >= window && window > 0 && modulus > 0) {
+      val P = 1000000007L
+      var pow = 1L
+      var k = 1
+      while (k < window) { pow = pow * 31L % P; k += 1 }
+      var h = 0L
+      var prev = 0L
+      var i = 0
+      while (i < n) {
+        val c = str.charAt(i).toLong
+        if (i < window) h = if (i == 0) c % P else (h * 31L + c) % P
+        else h = (((h - str.charAt(i - window).toLong * pow % P + P) % P) * 31L + c) % P
+        if (i >= window - 1 && h % modulus == 0 && (i + 1).toLong - prev >= minLen) {
+          prev = (i + 1).toLong
+          out += prev
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
   }
 
   /** One-pass symmetric int8 quantization stats over a float vector (see

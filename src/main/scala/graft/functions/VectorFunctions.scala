@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
 
 /** Cosine similarity over two `ARRAY<FLOAT>` embedding columns as a native
@@ -266,6 +266,11 @@ object GraftFunctions {
       "int8_quant", exprs => Int8QuantStats(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "url_canonicalize", exprs => UrlCanonicalize(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "cdc_bounds", exprs => CdcBounds(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue,
+        exprs(3).eval().asInstanceOf[Number].intValue), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
@@ -279,4 +284,6 @@ object GraftFunctions {
     call_function("sorted_intersect_count", a, b)
   def int8Quant(vec: Column): Column = call_function("int8_quant", vec)
   def urlCanonicalize(url: Column): Column = call_function("url_canonicalize", url)
+  def cdcBounds(text: Column, window: Int, modulus: Int, minLen: Int): Column =
+    call_function("cdc_bounds", text, lit(window), lit(modulus), lit(minLen))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{BloomPrune, Cooccur, Curation, Dedup, Graph, Histogram, LangModel, Layout, Multimodal, PageRank, Profiling, Quality, RangeJoin, Ranking, SkewJoin, Sketches, Snapshot, TimeSeries}
+import graft.operators.{BloomPrune, Chunking, Cooccur, Curation, Dedup, Graph, Histogram, LangModel, Layout, Multimodal, PageRank, Profiling, Quality, RangeJoin, Ranking, SkewJoin, Sketches, Snapshot, TimeSeries}
 import Q.t
 
 /** Round-4 widening: scale-infrastructure operators (bloom-pruned joins,
@@ -780,6 +780,64 @@ object PipelineQueries {
         .groupBy("canonical_url")
         .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
         .orderBy("canonical_url")
+    },
+
+    Q("q147_cdc_chunk_dedup",
+      // Sub-document dedup over CONTENT-DEFINED chunks (Rabin-style): the
+      // primitive that finds repeated spans across EDITED copies, where
+      // fixed segmentation (q104) and stride windows (q117) lose
+      // alignment after one insertion. The engine computes boundaries
+      // with a one-pass rolling hash (codegen CdcBounds); the oracle
+      // recomputes every window hash independently by brute force and
+      // replays the min-length acceptance as a list fold — any rolling-
+      // update or acceptance bug diverges. Only (hash, len) pairs reach
+      // the exchange; text never shuffles.
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(16, len(text))) AS i
+        |  FROM documents WHERE len(text) >= 16),
+        |hb AS (
+        |  SELECT doc_id, i,
+        |    list_reduce(list_transform(generate_series(i - 15, i),
+        |      k -> ord(substr(text, k, 1))::BIGINT),
+        |      (x, y) -> (x * 31 + y) % 1000000007) AS h
+        |  FROM pos),
+        |cand AS (
+        |  SELECT doc_id, list(i ORDER BY i) AS cands
+        |  FROM hb WHERE h % 32 = 0 GROUP BY doc_id),
+        |acc AS (
+        |  SELECT doc_id,
+        |    list_reduce([[0]]::BIGINT[][] || list_transform(cands, c -> [c]),
+        |      (a, x) -> CASE WHEN x[1] - a[-1] >= 12
+        |        THEN list_append(a, x[1]) ELSE a END) AS accepted
+        |  FROM cand),
+        |ends AS (
+        |  SELECT doc_id, unnest(accepted[2:]) AS e FROM acc
+        |  UNION
+        |  SELECT doc_id, len(text) AS e FROM documents WHERE len(text) > 0),
+        |chunks AS (
+        |  SELECT doc_id, e,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
+        |  FROM ends),
+        |hashed AS (
+        |  SELECT c.doc_id, s, e - s + 1 AS len,
+        |    list_reduce(list_transform(generate_series(s, e),
+        |      k -> ord(substr(d.text, k, 1))::BIGINT),
+        |      (x, y) -> (x * 31 + y) % 1000000007) AS chunk_hash
+        |  FROM chunks c JOIN documents d USING (doc_id)
+        |  WHERE e >= s)
+        |SELECT chunk_hash, min(len) AS len, count(*) AS n_occ,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM hashed GROUP BY chunk_hash HAVING count(*) > 1
+        |ORDER BY n_occ DESC, chunk_hash LIMIT 20""".stripMargin) { (s, d) =>
+      Chunking.contentDefinedChunks(t(s, d, "documents"), "doc_id", "text",
+          window = 16, modulus = 32, minLen = 12)
+        .groupBy("chunk_hash")
+        .agg(min("len").as("len"), count(lit(1)).as("n_occ"),
+          countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_occ") > 1)
+        .orderBy(col("n_occ").desc, col("chunk_hash"))
+        .limit(20)
+        .select("chunk_hash", "len", "n_occ", "n_docs")
     },
 
     Q("q130_data_quality",

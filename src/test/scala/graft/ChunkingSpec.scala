@@ -52,4 +52,61 @@ class ChunkingSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("contentDefinedChunks: boundaries re-derive by brute force; chunks cover the text") {
+    val rnd = new scala.util.Random(7)
+    val text = (1 to 120).map(_ => "abcdefgh nopqrs tuv "(rnd.nextInt(20))).mkString
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Chunking.contentDefinedChunks(df, "doc_id", "text", 16, 8, 4)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start", "len", "chunk_hash")
+      .as[(Int, Long, Long, Long)].collect()
+    // exact cover, in order, no gaps
+    assert(got.head._2 == 1L)
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 == a._2 + a._3, s"gap between $a and $b")
+      case _ =>
+    }
+    assert(got.last._2 + got.last._3 - 1 == text.length.toLong)
+    // brute-force re-derivation: window hash % 8 == 0 with the min-len fold
+    def rh2(s: String): Long = {
+      var h = s.head.toLong
+      for (c <- s.tail) h = (h * 31 + c) % 1000000007L
+      h
+    }
+    val cands = (16 to text.length).filter(i => rh2(text.substring(i - 16, i)) % 8 == 0)
+    val accepted = cands.foldLeft(List(0L)) { (acc, i) =>
+      if (i - acc.head >= 4) i.toLong :: acc else acc
+    }.reverse.tail
+    val expEnds = if (accepted.lastOption.contains(text.length.toLong)) accepted
+      else accepted :+ text.length.toLong
+    assert(got.map(c => c._2 + c._3 - 1).toSeq == expEnds, "rolling vs brute-force bounds")
+    // every non-tail chunk respects the min length
+    got.dropRight(1).foreach(c => assert(c._3 >= 4L, s"chunk $c below minLen"))
+    // chunk hashes are the rolling hash of the chunk text
+    got.foreach { c =>
+      assert(c._4 == rh2(text.substring((c._2 - 1).toInt, (c._2 - 1 + c._3).toInt)))
+    }
+  }
+
+  test("contentDefinedChunks: a prefix insertion only disturbs the first chunk(s)") {
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 400).map(_ => "the quick brown fox ..,;x"(rnd.nextInt(25))).mkString
+    val df = Seq((1L, base), (2L, "INSERTED PREFIX " + base)).toDF("doc_id", "text")
+    val chunks = Chunking.contentDefinedChunks(df, "doc_id", "text", 16, 32, 12)
+      .select("doc_id", "chunk_hash").as[(Long, Long)].collect()
+    val a = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    // fixed-width chunking shares ZERO chunks after a 16-char shift; CDC
+    // re-aligns at the first boundary past the edit and shares the rest
+    val shared = (a intersect b).size
+    assert(shared >= a.size / 2,
+      s"CDC must re-align after an insertion: shared=$shared of ${a.size}")
+    // edge: empty and sub-window docs
+    val tiny = Chunking.contentDefinedChunks(
+      Seq((1L, ""), (2L, "short")).toDF("doc_id", "text"), "doc_id", "text", 16, 32, 12)
+      .select("doc_id", "start", "len").as[(Long, Long, Long)].collect()
+    assert(!tiny.exists(_._1 == 1L), "empty doc yields no chunks")
+    assert(tiny.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 5L)), "whole-doc chunk")
+  }
 }
