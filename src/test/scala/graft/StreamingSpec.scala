@@ -535,6 +535,62 @@ class StreamingSpec extends SparkSpec {
     assert(s.nSeen == 13L)
   }
 
+  test("streaming LOCF resampler: event-time ticks, idle timeouts, dead-tag cutoff") {
+    import graft.streaming.StreamingResample
+    import StreamingResample.Tick
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val ticks = scala.collection.mutable.ArrayBuffer[Tick]()
+    val ckpt = tmp("graft-locf-ckpt")
+    def run(): Unit = {
+      val q = StreamingResample.locfTicks(
+          mem.toDF().toDF("tag", "ts", "v"), "tag", "ts", "v",
+          tickMs = 10000L, watermarkDelay = "0 seconds", maxStale = 2)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Tick], _: Long) =>
+          ticks.synchronized { ticks ++= b.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    def at(s: Long) = new Timestamp(s * 1000)
+    // ticks fix only as the WATERMARK passes them (AvailableNow's trailing
+    // no-data batch advances it within a run — emission timing is an
+    // implementation detail; the per-key sequences below are the contract)
+    mem.addData(("A", at(5), 1.0), ("A", at(12), 2.0), ("A", at(31), 3.0))
+    run()
+    mem.addData(("A", at(45), 4.0))
+    run()
+    mem.addData(("A", at(70), 5.0))
+    run()
+    // A goes idle; B's traffic drives the watermark from here. A's
+    // event-time TIMEOUT emits its remaining ticks, then the stale
+    // cutoff (maxStale=2) drops the dead tag
+    mem.addData(("B", at(200), 9.0))
+    run()
+    mem.addData(("B", at(290), 9.5))
+    run()
+    val a = ticks.filter(_.key == "A").sortBy(_.tickMs)
+      .map(t => (t.tickMs / 1000, t.value, t.stale)).toSeq
+    assert(a == Seq(
+      (10L, 1.0, false), (20L, 2.0, false), (30L, 2.0, true),
+      (40L, 3.0, false), (50L, 4.0, false), (60L, 4.0, true),
+      (70L, 5.0, false), (80L, 5.0, true), (90L, 5.0, true)), s"A ticks: $a")
+    // B: tick 200 observed; 210/220 carried; the stale budget then spends
+    // out but B's 290s event is already admitted — the resampler must
+    // SUSPEND and resume at the event's boundary, never drop it
+    val b = ticks.filter(_.key == "B").sortBy(_.tickMs)
+      .map(t => (t.tickMs / 1000, t.value, t.stale)).toSeq
+    assert(b == Seq((200L, 9.0, false), (210L, 9.0, true), (220L, 9.0, true),
+      (290L, 9.5, false)), s"B ticks: $b")
+    // ordering invariant: ticks strictly increase per key, no duplicates
+    assert(a.map(_._1) == a.map(_._1).sorted && a.map(_._1).distinct == a.map(_._1))
+  }
+
   // ======================= TxTable (ACID merge sink) =======================
 
   private def txBatch(rows: (String, String, String, Double)*) =
