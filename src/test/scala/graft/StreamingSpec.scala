@@ -591,6 +591,54 @@ class StreamingSpec extends SparkSpec {
     assert(a.map(_._1) == a.map(_._1).sorted && a.map(_._1).distinct == a.map(_._1))
   }
 
+  test("streaming quantiles: exact under capacity, bounded and deterministic over it") {
+    import graft.streaming.StreamingQuantiles
+    import StreamingQuantiles.QuantileSnapshot
+    implicit val sc = spark.sqlContext
+    def runAll(capacity: Int, ckpt: String, batches: Seq[Seq[(String, Double)]],
+        sink: scala.collection.mutable.Map[String, QuantileSnapshot]): Unit = {
+      val mem = MemoryStream[(String, Double)]
+      batches.foreach { batch =>
+        mem.addData(batch: _*)
+        val q = StreamingQuantiles
+          .snapshots(mem.toDF().toDF("tag", "v"), "tag", "v", capacity)
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[QuantileSnapshot], _: Long) =>
+            sink.synchronized { b.collect().foreach(s => sink(s.key) = s) }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+      }
+    }
+    // capacity ≥ n: nearest-rank quantiles are exact (1..100 across two
+    // triggers + restarts)
+    val exact = scala.collection.mutable.Map[String, QuantileSnapshot]()
+    runAll(256, tmp("graft-q-ckpt"), Seq(
+      (1 to 60).map(i => ("A", i.toDouble)),
+      (61 to 100).map(i => ("A", i.toDouble))), exact)
+    val a = exact("A")
+    assert(a.n == 100L && a.min == 1.0 && a.max == 100.0)
+    assert((a.p50, a.p90, a.p99) == ((50.0, 90.0, 99.0)), s"got $a")
+    // capacity 8 under 1000 skew-shuffled values: exact extremes/count,
+    // sane bounded estimates — and bit-identical across two fresh runs
+    // (the deterministic-reservoir contract)
+    val rnd = new scala.util.Random(3)
+    val vals = rnd.shuffle((1 to 1000).toList).map(_.toDouble)
+    val batches = vals.grouped(400).map(g => g.map(("B", _))).toSeq
+    val s1 = scala.collection.mutable.Map[String, QuantileSnapshot]()
+    val s2 = scala.collection.mutable.Map[String, QuantileSnapshot]()
+    runAll(8, tmp("graft-q2-ckpt"), batches, s1)
+    runAll(8, tmp("graft-q3-ckpt"), batches, s2)
+    val b1 = s1("B")
+    assert(b1.n == 1000L && b1.min == 1.0 && b1.max == 1000.0)
+    assert(b1.p50 > 1.0 && b1.p99 <= 1000.0 && b1.p50 <= b1.p90 && b1.p90 <= b1.p99)
+    assert(b1 == s2("B"), s"reservoir must be deterministic: $b1 vs ${s2("B")}")
+  }
+
   // ======================= TxTable (ACID merge sink) =======================
 
   private def txBatch(rows: (String, String, String, Double)*) =
