@@ -58,6 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("url_canonicalize",
         "url_canonicalize(s) - canonical form of an http(s) URL (NULL if unparseable)"),
       (exprs: Seq[Expression]) => UrlCanonicalize(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_bounds"),
+      info("cdc_bounds",
+        "cdc_bounds(s, window, modulus, minLen) - content-defined chunk end positions (1-based)"),
+      (exprs: Seq[Expression]) => graft.functions.CdcBounds(exprs(0),
+        graft.functions.HashExpressions.litInt(exprs(1), "cdc_bounds", "window"),
+        graft.functions.HashExpressions.litInt(exprs(2), "cdc_bounds", "modulus"),
+        graft.functions.HashExpressions.litInt(exprs(3), "cdc_bounds", "minLen"))))
     // optimizer rule: banded rewrite of levenshtein threshold predicates
     ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRewrite)
   }

@@ -262,6 +262,18 @@ case class CdcBounds(child: Expression, window: Int, modulus: Int, minLen: Int)
 
 object HashExpressions {
 
+  /** Plan-time literal-int extraction for SQL registration of
+    * parameterized expressions: a clear analysis-time message instead of
+    * an opaque eval failure when a column lands in a constant slot.
+    */
+  def litInt(e: Expression, fn: String, arg: String): Int =
+    if (e.foldable) e.eval() match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    } else throw new IllegalArgumentException(
+      s"$fn: $arg must be a literal, got ${e.sql}")
+
   /** First 15 hex chars of md5(s) as a 60-bit non-negative long — the shared
     * hashing primitive of SimHash/MinHash, chosen because both Spark and
     * DuckDB expose md5-as-hex so oracles can reproduce it exactly.
@@ -368,14 +380,24 @@ object HashExpressions {
     * same 31-base/1e9+7 scheme as [[rollingHash]], so a brute-force
     * engine (the DuckDB oracle) can recompute every window hash
     * independently and replay the acceptance fold — any rolling-update
-    * bug (pop term, mod sign) diverges immediately. ASCII-exact vs
-    * DuckDB's `ord` (UTF-16 unit here vs codepoint there — the
-    * [[RollingHash]] caveat applies). Static forwarder — called from
-    * generated code.
+    * bug (pop term, mod sign) diverges immediately. Positions and hash
+    * inputs are CODE POINTS — the index space Spark's `length`/`substr`
+    * and DuckDB's `ord`/`substr` share; UTF-16 units would silently
+    * shift every boundary after the first astral character. Static
+    * forwarder — called from generated code.
     */
   def cdcBounds(s: UTF8String, window: Int, modulus: Int, minLen: Int): ArrayData = {
     val str = s.toString
-    val n = str.length
+    val n = str.codePointCount(0, str.length)
+    val cps = new Array[Int](n)
+    var ci = 0
+    var ck = 0
+    while (ci < str.length) {
+      val cp = str.codePointAt(ci)
+      cps(ck) = cp
+      ck += 1
+      ci += Character.charCount(cp)
+    }
     val out = scala.collection.mutable.ArrayBuilder.make[Long]
     if (n >= window && window > 0 && modulus > 0) {
       val P = 1000000007L
@@ -386,9 +408,9 @@ object HashExpressions {
       var prev = 0L
       var i = 0
       while (i < n) {
-        val c = str.charAt(i).toLong
+        val c = cps(i).toLong
         if (i < window) h = if (i == 0) c % P else (h * 31L + c) % P
-        else h = (((h - str.charAt(i - window).toLong * pow % P + P) % P) * 31L + c) % P
+        else h = (((h - cps(i - window).toLong * pow % P + P) % P) * 31L + c) % P
         if (i >= window - 1 && h % modulus == 0 && (i + 1).toLong - prev >= minLen) {
           prev = (i + 1).toLong
           out += prev

@@ -18,12 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * two genuinely different resources):
   *   1. scheme and host lowercased; path/query case PRESERVED
   *      (paths are case-sensitive per RFC 3986 §6.2.2.1)
-  *   2. leading `www.` stripped from the host
-  *   3. default port stripped (`:80` for http, `:443` for https)
+  *   2. leading `www.` stripped from the host (only when a dotted domain
+  *      remains — `www.com` stays intact)
+  *   3. default port stripped (`:80` for http, `:443` for https);
+  *      ports above 65535 are malformed → NULL
   *   4. fragment dropped (never sent to the server)
   *   5. trailing `/index.html` / `/index.htm` and trailing slashes dropped
-  *   6. tracking params dropped (`utm_*`, `gclid`, `fbclid`, `ref`,
-  *      `mc_cid`, `mc_eid`); survivors byte-sorted and rejoined
+  *   6. tracking params dropped (`utm_*`, `gclid`, `fbclid`, `mc_cid`,
+  *      `mc_eid`); survivors byte-sorted and rejoined
   *
   * Non-http(s) or unparseable input → NULL (the poisoning contract shared
   * with the other scalar functions; count nulls upstream if the malformed
@@ -33,7 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UrlFunctions {
 
-  private val TrackingParams = Set("gclid", "fbclid", "ref", "mc_cid", "mc_eid")
+  // deliberately excludes `ref` — on many sites it is a SEMANTIC,
+  // content-selecting parameter (a branch, a record id), and dropping it
+  // would merge genuinely different resources, violating the
+  // conservative-rules contract above
+  private val TrackingParams = Set("gclid", "fbclid", "mc_cid", "mc_eid")
 
   private def isTracking(param: String): Boolean = {
     val eq = param.indexOf('=')
@@ -66,13 +72,17 @@ object UrlFunctions {
       val p = hostPort.substring(ci + 1)
       if (p.isEmpty || p.length > 5 || !p.forall(c => c >= '0' && c <= '9')) return null
       port = p.toInt
+      if (port > 65535) return null
       host = hostPort.substring(0, ci)
     }
     if (host.isEmpty || host.startsWith(".") || host.endsWith(".") ||
         host.contains("..") ||
         !host.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
           c == '.' || c == '-')) return null
-    if (host.startsWith("www.") && host.length > 4) host = host.substring(4)
+    // strip `www.` only when what remains is itself a dotted domain —
+    // `www.com` is a registrable domain whose `com` must not collide
+    // with other hosts
+    if (host.startsWith("www.") && host.indexOf('.', 4) > 0) host = host.substring(4)
     val defPort = if (scheme == "http") 80 else 443
     val portPart = if (port < 0 || port == defPort) "" else ":" + port
     if (path.endsWith("/index.html")) path = path.substring(0, path.length - 10)

@@ -268,9 +268,9 @@ object GraftFunctions {
       "url_canonicalize", exprs => UrlCanonicalize(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "cdc_bounds", exprs => CdcBounds(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue,
-        exprs(3).eval().asInstanceOf[Number].intValue), "built-in")
+        HashExpressions.litInt(exprs(1), "cdc_bounds", "window"),
+        HashExpressions.litInt(exprs(2), "cdc_bounds", "modulus"),
+        HashExpressions.litInt(exprs(3), "cdc_bounds", "minLen")), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

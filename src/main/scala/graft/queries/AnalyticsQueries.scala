@@ -116,11 +116,9 @@ object AnalyticsQueries {
       t(s, d, "embeddings")
         .filter(col("vec_id") < 200)
         .select(col("vec_id"),
-          round(aggregate(slice(sq, 2, 10000), element_at(sq, 1), (acc, x) => acc + x), 4)
-            .as("l2sq"),
+          round(Q.seededFold(sq), 4).as("l2sq"),
           size(filter(dv, x => x > 0)).cast("long").as("n_pos"),
-          round(aggregate(slice(av, 2, 10000), element_at(av, 1), (acc, x) => greatest(acc, x)), 6)
-            .as("max_abs"))
+          round(Q.seededFold(av, (acc, x) => greatest(acc, x)), 6).as("max_abs"))
         .orderBy("vec_id")
     },
 
@@ -931,12 +929,10 @@ object AnalyticsQueries {
           .as("cvec"))
       // left fold seeded with the FIRST element (DuckDB list_reduce
       // semantics) — identical operand order on both sides
-      def fold(products: org.apache.spark.sql.Column) =
-        aggregate(slice(products, 2, 10000), element_at(products, 1), (a, x) => a + x)
       val dv = transform(col("embedding"), x => x.cast("double"))
-      val dot = fold(zip_with(dv, col("cvec"), (a, b) => a * b))
-      val n2v = fold(zip_with(dv, dv, (a, b) => a * b))
-      val n2c = fold(zip_with(col("cvec"), col("cvec"), (a, b) => a * b))
+      val dot = Q.seededFold(zip_with(dv, col("cvec"), (a, b) => a * b))
+      val n2v = Q.seededFold(zip_with(dv, dv, (a, b) => a * b))
+      val n2c = Q.seededFold(zip_with(col("cvec"), col("cvec"), (a, b) => a * b))
       val w = Window.partitionBy("label").orderBy(col("cos"), col("vec_id"))
       e.join(broadcast(cent), "label")
         .select(col("label"), col("vec_id"),
@@ -999,15 +995,13 @@ object AnalyticsQueries {
         .agg(expr("transform(array_sort(collect_list(struct(__i, __c))), x -> x.__c)")
           .as("cvec"))
         .agg(collect_list(struct(col("clabel"), col("cvec"))).as("cents"))
-      def fold(p: org.apache.spark.sql.Column) =
-        aggregate(slice(p, 2, 10000), element_at(p, 1), (a, x) => a + x)
       val dv = transform(col("embedding"), x => x.cast("double"))
-      val n2v = fold(zip_with(dv, dv, (a, b) => a * b))
+      val n2v = Q.seededFold(zip_with(dv, dv, (a, b) => a * b))
       val cosArr = transform(col("cents"), c => struct(
         c.getField("clabel").as("clabel"),
-        round(fold(zip_with(dv, c.getField("cvec"), (a, b) => a * b)) /
+        round(Q.seededFold(zip_with(dv, c.getField("cvec"), (a, b) => a * b)) /
           sqrt(n2v *
-            fold(zip_with(c.getField("cvec"), c.getField("cvec"), (a, b) => a * b))),
+            Q.seededFold(zip_with(c.getField("cvec"), c.getField("cvec"), (a, b) => a * b))),
           6).as("cos")))
       val ownCos = element_at(transform(
         filter(col("__cos"), x => x.getField("clabel") === col("label")),

@@ -17,6 +17,20 @@ object Q {
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
 
+  /** DuckDB `list_reduce` twin: left fold seeded with the FIRST element,
+    * so operand order is identical on both engines — the bit-exact
+    * cross-engine recipe used by the embedding queries (q73/q99/q146).
+    * The 10000-element slice cap bounds any plausible vector dim; it
+    * lives HERE so a future dim bump lands in one place.
+    */
+  def seededFold(
+      arr: org.apache.spark.sql.Column,
+      f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+        (a, x) => a + x): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{aggregate, element_at, slice}
+    aggregate(slice(arr, 2, 10000), element_at(arr, 1), f)
+  }
+
   /** Read one of the driver-generated test tables (TESTDATA.md).
     *
     * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark

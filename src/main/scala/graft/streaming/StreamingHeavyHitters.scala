@@ -99,7 +99,13 @@ object StreamingHeavyHitters {
             batchCounts.update(r.item, batchCounts.getOrElse(r.item, 0L) + 1L)
             n += 1L
           }
-          batchCounts.toSeq.sortBy(_._1).foreach { case (item, w) =>
+          // null items count under the null key like the batch twin (and
+          // SQL group-by); every ordering below must therefore be
+          // null-safe — Ordering.String NPEs on a null key
+          val itemOrd: Ordering[String] =
+            Ordering.comparatorToOrdering(
+              java.util.Comparator.nullsFirst(java.util.Comparator.naturalOrder[String]()))
+          batchCounts.toSeq.sortBy(_._1)(itemOrd).foreach { case (item, w) =>
             sketch.get(item) match {
               case Some((c, e)) => sketch(item) = (c + w, e)
               case None if sketch.size < capacity => sketch(item) = (w, 0L)
@@ -107,12 +113,15 @@ object StreamingHeavyHitters {
                 // evict the min-count candidate (item tiebreak — again
                 // deterministic); the newcomer inherits its count as the
                 // overestimate bound
-                val (mi, (mc, _)) = sketch.minBy { case (i, (c, _)) => (c, i) }
+                val (mi, (mc, _)) =
+                  sketch.minBy { case (i, (c, _)) => (c, i) }(
+                    Ordering.Tuple2(Ordering.Long, itemOrd))
                 sketch.remove(mi)
                 sketch(item) = (mc + w, mc)
             }
           }
-          val ordered = sketch.toSeq.sortBy { case (i, (c, _)) => (-c, i) }
+          val ordered = sketch.toSeq
+            .sortBy { case (i, (c, _)) => (-c, i) }(Ordering.Tuple2(Ordering.Long, itemOrd))
           val newState = ShardState(
             ordered.map(_._1).toList,
             ordered.map(_._2._1).toList,

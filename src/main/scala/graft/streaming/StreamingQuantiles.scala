@@ -40,7 +40,10 @@ object StreamingQuantiles {
     * across recoveries.
     */
   private[streaming] def mix(key: String, idx: Long): Long = {
-    var z = scala.util.hashing.MurmurHash3.stringHash(key).toLong * 0x9e3779b97f4a7c15L + idx
+    // null-keyed streams are legal (SQL group-by semantics) — hash the
+    // null key as 0 rather than NPE on the first replacement draw
+    val kh = if (key == null) 0 else scala.util.hashing.MurmurHash3.stringHash(key)
+    var z = kh.toLong * 0x9e3779b97f4a7c15L + idx
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
@@ -56,6 +59,9 @@ object StreamingQuantiles {
     import spark.implicits._
     df.select(col(keyCol).cast("string").as("key"),
         col(valueCol).cast("double").as("value"))
+      // null values are ignored like every SQL aggregate (a null would
+      // also fail deserialization into the primitive Double field)
+      .filter(col("value").isNotNull)
       .as[Sample]
       .groupByKey(_.key)
       .flatMapGroupsWithState[ReservoirState, QuantileSnapshot](

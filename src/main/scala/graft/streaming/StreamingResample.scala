@@ -104,10 +104,16 @@ object StreamingResample {
               } else if (run > maxStale) {
                 // stale budget spent but data IS in flight: suspend (emit
                 // nothing) and fast-forward to the boundary just below the
-                // next pending event — never drop admitted events
+                // next pending event — never drop admitted events. The
+                // jump is CAPPED at the watermark boundary: ticks beyond
+                // the watermark are not yet fixed, and a still-admissible
+                // event may land in them on a later trigger (skipping past
+                // the watermark would silently swallow it)
                 val next = st.pending.head._1
-                val resumeTick =
-                  math.max(tick, math.floorDiv(next + tickMs - 1, tickMs) * tickMs - tickMs)
+                val wmBoundary = math.floorDiv(wm, tickMs) * tickMs
+                val resumeTick = math.min(
+                  math.max(tick, math.floorDiv(next + tickMs - 1, tickMs) * tickMs - tickMs),
+                  wmBoundary)
                 st = st.copy(lastTick = resumeTick)
               } else {
                 out += Tick(key, tick, value, !observed)

@@ -109,4 +109,22 @@ class ChunkingSpec extends SparkSpec {
     assert(!tiny.exists(_._1 == 1L), "empty doc yields no chunks")
     assert(tiny.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 5L)), "whole-doc chunk")
   }
+
+  test("contentDefinedChunks: astral chars don't shift boundaries (code-point space)") {
+    // an emoji is 2 UTF-16 units but 1 code point; Spark's length/substr
+    // and the boundary hash must agree on ONE index space or every chunk
+    // after the first astral char extracts shifted text
+    val text = "x😀yz" * 30 // 120 code points, 150 UTF-16 units
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Chunking.contentDefinedChunks(df, "doc_id", "text", 8, 4, 2)
+      .orderBy("chunk_idx").select("start", "len").as[(Long, Long)].collect()
+    assert(got.head._1 == 1L)
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(b._1 == a._1 + a._2, s"gap between $a and $b")
+      case _ =>
+    }
+    val cpLen = text.codePointCount(0, text.length).toLong
+    assert(got.last._1 + got.last._2 - 1 == cpLen,
+      s"chunks must tile the code-point length $cpLen, got ${got.toSeq}")
+  }
 }

@@ -88,9 +88,18 @@ class TextAnalysisSpec extends SparkSpec {
     // bare host; root slash dropped
     assert(canon("https://ex.com/").contains("https://ex.com"))
     assert(canon("https://ex.com").contains("https://ex.com"))
-    // tracking-only query drops the '?' entirely
-    assert(canon("https://ex.com/p?gclid=1&fbclid=2&ref=x&mc_cid=9")
+    // tracking-only query drops the '?' entirely; `ref` is SEMANTIC
+    // (selects content on many sites) and must survive
+    assert(canon("https://ex.com/p?gclid=1&fbclid=2&mc_cid=9")
       .contains("https://ex.com/p"))
+    assert(canon("https://ex.com/p?ref=main&gclid=1")
+      .contains("https://ex.com/p?ref=main"))
+    // www strips only when a dotted domain remains: www.com is a
+    // registrable domain, not a www prefix on "com"
+    assert(canon("https://www.com/x").contains("https://www.com/x"))
+    // port range: 65535 valid, 65536 malformed
+    assert(canon("https://ex.com:65535/x").contains("https://ex.com:65535/x"))
+    assert(canon("https://ex.com:65536/x").isEmpty)
     // www alone is not strippable to an empty host
     assert(canon("https://www./x").isEmpty)
     // malformed → NULL: no scheme, non-http scheme, bad port, bad host
