@@ -85,9 +85,15 @@ object UrlFunctions {
     if (host.startsWith("www.") && host.indexOf('.', 4) > 0) host = host.substring(4)
     val defPort = if (scheme == "http") 80 else 443
     val portPart = if (port < 0 || port == defPort) "" else ":" + port
-    if (path.endsWith("/index.html")) path = path.substring(0, path.length - 10)
-    else if (path.endsWith("/index.htm")) path = path.substring(0, path.length - 9)
-    while (path.endsWith("/")) path = path.substring(0, path.length - 1)
+    // fixed point: stacked `/index.html/` layers must all strip, or
+    // canonicalize(canonicalize(u)) != canonicalize(u) (property-tested)
+    var shrinking = true
+    while (shrinking) {
+      shrinking = false
+      if (path.endsWith("/index.html")) { path = path.substring(0, path.length - 10); shrinking = true }
+      else if (path.endsWith("/index.htm")) { path = path.substring(0, path.length - 9); shrinking = true }
+      while (path.endsWith("/")) { path = path.substring(0, path.length - 1); shrinking = true }
+    }
     val keep = query.split('&').filter(p => p.nonEmpty && !isTracking(p)).sorted
     val qPart = if (keep.isEmpty) "" else "?" + keep.mkString("&")
     UTF8String.fromString(scheme + "://" + host + portPart + path + qPart)
