@@ -247,6 +247,58 @@ object Curation {
       .drop("__bps")
   }
 
+  /** Temperature-weighted mixture sampling (the multilingual training-mix
+    * standard): target share p_i ∝ n_i^α, α < 1 boosting low-resource
+    * groups; the realized total is the largest that needs NO upsampling
+    * (T = min_i n_i/p_i) and each group keeps a deterministic hash sample
+    * at basis-point rate floor(p_i·T/n_i·10⁴ + ½). α = 1 keeps everything
+    * (shares already proportional); α = 0 is [[mixtureResample]]'s
+    * uniform target.
+    *
+    * Cross-engine exactness (the q148 gate): at the default α = 0.5 the
+    * weight is `sqrt` — an IEEE-754 CORRECTLY-ROUNDED op, unlike `pow` —
+    * and every later step is elementary arithmetic evaluated in the same
+    * order on both engines (weights summed in group-key order via the
+    * seeded-fold recipe), so the basis points match bit-for-bit. Other α
+    * use `math.pow`, whose last-ulp platform variance makes the cutoffs
+    * approximate — fine for production, not for a hash-equality oracle.
+    *
+    * Plan shape: one counts aggregation (driver-side, group-cardinality
+    * bounded — the [[mixtureResample]] contract), rates broadcast back,
+    * pure filter; the input never shuffles.
+    */
+  def temperatureResample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val nonNull = df.filter(col(groupCol).isNotNull)
+    val counts = nonNull.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1)))
+      .sortBy(_._1.toString) // fold order must be DEFINED, not partition-luck
+    val w = counts.map { case (_, n) =>
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    }
+    val sumW = w.foldLeft(0.0)(_ + _) // == first-element-seeded left fold
+    val p = w.map(_ / sumW)
+    val tCap = counts.zip(p).map { case ((_, n), pi) => n.toDouble / pi }.min
+    val rateRows = counts.zip(p).map { case ((g, n), pi) =>
+      Row(g, math.min(10000L, math.floor(pi * tCap / n * 10000.0 + 0.5).toLong))
+    }
+    val spark = df.sparkSession
+    val rates = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rateRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(groupCol),
+        org.apache.spark.sql.types.StructField("__bps",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    nonNull.join(broadcast(rates), groupCol)
+      .filter(Dedup.hash60(col(idCol).cast("string")) % 10000 < col("__bps"))
+      .drop("__bps")
+  }
+
   /** Deterministic global shuffle: assign every row its position in the
     * hash order of `idCol` (salted) — the reproducible training-order
     * shuffle. Built on [[Histogram.withGlobalRank]], so the order is

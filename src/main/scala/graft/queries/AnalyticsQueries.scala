@@ -887,6 +887,37 @@ object AnalyticsQueries {
         .orderBy("lang")
     },
 
+    Q("q148_temperature_mixture",
+      // temperature-weighted mixture sampling (α = 0.5): target share
+      // p_i ∝ √n_i — the multilingual training-mix standard that boosts
+      // low-resource languages — realized as the largest no-upsampling
+      // total with deterministic hash keeps. Exact cross-engine: sqrt is
+      // IEEE-correctly-rounded (pow is not — that's why the gate pins
+      // α = 0.5), weights fold in group-key order via the seeded-fold
+      // recipe, and the keep boundary is integer basis points.
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n, sqrt(n::DOUBLE) AS w FROM c),
+         |s AS (SELECT list(w ORDER BY lang) AS ws FROM w),
+         |tot AS (SELECT list_reduce(ws, (a, x) -> a + x) AS sw FROM s),
+         |p AS (SELECT lang, n, w / tot.sw AS p FROM w, tot),
+         |tt AS (SELECT min(n / p) AS tcap FROM p),
+         |r AS (SELECT lang,
+         |  least(10000, CAST(floor(p * tt.tcap / n * 10000 + 0.5) AS BIGINT))
+         |    AS bps
+         |  FROM p, tt)
+         |SELECT d.lang, count(*) AS n_kept, min(d.doc_id) AS first_id,
+         |  CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${sqlHash60("d.doc_id::VARCHAR")} % 10000 < r.bps
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+      Curation.temperatureResample(t(s, d, "documents"), "lang", "doc_id",
+          alpha = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    },
+
     Q("q99_embedding_outliers",
       // per-label centroid + the 3 vectors farthest from their own
       // label's centroid — the "find broken embeddings" QA pass of a

@@ -86,6 +86,27 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
   }
 
+  test("temperatureResample boosts low-resource shares without upsampling") {
+    // 400 "en", 100 "de", 25 "fr": α=0.5 weights 20/10/5 → shares
+    // 4/7, 2/7, 1/7. T = min(n_i/p_i) = min(700, 350, 175) = 175 →
+    // rates: en 175·(4/7)/400 = 25%, de 175·(2/7)/100 = 50%, fr 100%
+    val df = ((1L to 400L).map(i => (i, "en")) ++
+      (401L to 500L).map(i => (i, "de")) ++
+      (501L to 525L).map(i => (i, "fr"))).toDF("id", "lang")
+    val kept = Curation.temperatureResample(df, "lang", "id", alpha = 0.5)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("fr") == 25, "the scarcest group is never thinned")
+    assert(byLang("en") > 60 && byLang("en") < 140, s"en ~25%: ${byLang("en")}")
+    assert(byLang("de") > 30 && byLang("de") < 70, s"de ~50%: ${byLang("de")}")
+    // α=1 reproduces the input mix: every rate is 1
+    assert(Curation.temperatureResample(df, "lang", "id", alpha = 1.0)
+      .count() == 525)
+    // deterministic across runs
+    val again = Curation.temperatureResample(df, "lang", "id", alpha = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
+  }
+
   test("mixtureResample excludes null groups from output AND rate denominators") {
     val df = ((1L to 100L).map(i => (i, Option("en"))) ++
       (101L to 200L).map(i => (i, Option.empty[String]))).toDF("id", "grp")
