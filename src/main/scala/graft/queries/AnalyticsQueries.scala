@@ -887,6 +887,44 @@ object AnalyticsQueries {
         .orderBy("lang")
     },
 
+    Q("q149_mad_outliers",
+      // Robust outlier screen: median/MAD with the 1.4826 consistency
+      // constant — the estimator a telemetry pipeline needs when the
+      // outliers themselves corrupt mean/σ (q74's z-score breaks down at
+      // >~10% contamination; the MAD breaks down at 50%). Cross-engine
+      // exact: Spark's `percentile` and DuckDB's `median` both sort and
+      // average the middle pair (no summation-order noise), every later
+      // step is identical elementary arithmetic, and the 3·1.4826·MAD
+      // cut compares bit-identical doubles. Two tiny aggregates
+      // broadcast back — the events table never shuffles.
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(d.value) AS n,
+        |  round(min(d.med), 6) AS med, round(min(mad.mad), 6) AS mad,
+        |  CAST(count(CASE WHEN d.ad > 3 * 1.4826 * mad.mad THEN 1 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events").select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(col("value")).as("n"),
+          round(min("med"), 6).as("med"), round(min("mad"), 6).as("mad"),
+          count(when(col("ad") > lit(3.0 * 1.4826) * col("mad"), 1)).cast("long")
+            .as("n_outliers"))
+        .orderBy("event_type")
+    },
+
     Q("q148_temperature_mixture",
       // temperature-weighted mixture sampling (α = 0.5): target share
       // p_i ∝ √n_i — the multilingual training-mix standard that boosts
