@@ -96,6 +96,68 @@ object Multimodal {
       col("feature"))
   }
 
+  /** REAL pixel resize (nearest-neighbor) of a 24-bit BMP, sampled
+    * STRAIGHT off the stored bytes — no source-image materialization:
+    * output pixel (ox, oy) reads source (ox·w/ow, oy·h/oh) with pure
+    * integer arithmetic, so an oracle can predict the resized stats
+    * exactly. Fit-inside-maxSide, aspect preserved, never upscaled —
+    * the same geometry contract as [[resizeMeta]], now with the pixels.
+    * Bilinear/Lanczos kernels belong to a codec library; nearest-neighbor
+    * is the honest pure-JVM kernel and exercises the full offset math
+    * (padding, orientation) the mean would hide via `weighted_r`.
+    */
+  private[graft] def resizeBmpStats(
+      id: Long, bytes: Array[Byte], maxSide: Int): Option[Row] = {
+    val (off, w, h, topDown, rowSize) = parseBmpHeader(bytes) match {
+      case Some(g) => g
+      case None => return None
+    }
+    val m = math.max(w, h)
+    val (ow, oh) =
+      if (m <= maxSide) (w, h)
+      else (math.max(1, (w * maxSide + m - 1) / m),
+        math.max(1, (h * maxSide + m - 1) / m))
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
+    var oy = 0
+    while (oy < oh) {
+      val sy = (oy.toLong * h / oh).toInt // logical (top-origin) source y
+      val sr = if (topDown) sy else h - 1 - sy
+      val base = off + sr * rowSize
+      var ox = 0
+      while (ox < ow) {
+        val sx = (ox.toLong * w / ow).toInt
+        val b = bytes(base + 3 * sx) & 0xff
+        val g = bytes(base + 3 * sx + 1) & 0xff
+        val r = bytes(base + 3 * sx + 2) & 0xff
+        sumB += b; sumG += g; sumR += r
+        wR += (oy.toLong * ow + ox) * r
+        ox += 1
+      }
+      oy += 1
+    }
+    val n = ow.toLong * oh
+    Some(Row(id, ow, oh, n, sumR.toDouble / n, sumG.toDouble / n,
+      sumB.toDouble / n, wR))
+  }
+
+  /** Per-partition REAL resize of (idCol, blob) BMP rows into
+    * [[bmpStatsSchema]] (dims/stats are of the RESIZED image). Corrupt
+    * rows drop.
+    */
+  def resizeBmpFeatures(
+      blobs: DataFrame, maxSide: Int, spark: SparkSession): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(bmpStatsSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        scala.util.Try(
+          resizeBmpStats(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx), maxSide)
+        ).toOption.flatten
+      }
+    }(enc)
+  }
+
   // ===================== REAL BMP DECODE (pure JVM) =====================
   // 24-bit uncompressed BMP is fully parseable with no codec libraries:
   // little-endian header fields, bottom-up padded pixel rows. This makes
@@ -127,7 +189,12 @@ object Multimodal {
     * anything that is not a valid 24-bit BMP (wrong magic, compressed,
     * truncated).
     */
-  private[graft] def decodeBmpStats(id: Long, bytes: Array[Byte]): Option[Row] = {
+  /** Validated 24-bit BMP geometry: (pixel offset, width, height,
+    * topDown, stored row stride). All the hostile-header bounds live
+    * here, shared by the stats and resize paths.
+    */
+  private[graft] def parseBmpHeader(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Boolean, Int)] = {
     if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
     val off = le32(bytes, 10)
     val w = le32(bytes, 18)
@@ -147,6 +214,15 @@ object Multimodal {
     if (off < 14 || off > bytes.length) return None
     val rowSize = ((3L * w + 3) / 4) * 4
     if (off.toLong + rowSize * h > bytes.length) return None
+    Some((off, w, h, topDown, rowSize.toInt))
+  }
+
+  private[graft] def decodeBmpStats(id: Long, bytes: Array[Byte]): Option[Row] = {
+    val (off, w, h, topDown, rowSizeInt) = parseBmpHeader(bytes) match {
+      case Some(g) => g
+      case None => return None
+    }
+    val rowSize = rowSizeInt.toLong
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
     var sr = 0
     while (sr < h) {

@@ -840,6 +840,52 @@ object PipelineQueries {
         .select("chunk_hash", "len", "n_occ", "n_docs")
     },
 
+    Q("q150_image_resize",
+      // REAL pixel resize (nearest-neighbor, fit-inside-8, never
+      // upscale) sampled straight off the BMP bytes — the decode →
+      // resize step of a multimodal ingest, with the resize GEOMETRY and
+      // SAMPLING both integer-exact so the oracle predicts the resized
+      // stats from the pixel formula alone: output (ox, oy) reads source
+      // index (oy·h/oh)·w + (ox·w/ow) in pure integer division. Any
+      // offset/padding/orientation/rounding bug breaks the hash.
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, w, h,
+        |    CASE WHEN greatest(w, h) <= 8 THEN w
+        |      ELSE greatest(1, (w * 8 + greatest(w, h) - 1) // greatest(w, h))
+        |    END AS ow,
+        |    CASE WHEN greatest(w, h) <= 8 THEN h
+        |      ELSE greatest(1, (h * 8 + greatest(w, h) - 1) // greatest(w, h))
+        |    END AS oh
+        |  FROM dims),
+        |px AS (
+        |  SELECT doc_id, w, h, ow, oh,
+        |    unnest(generate_series(0, ow * oh - 1)) AS i
+        |  FROM o),
+        |v AS (
+        |  SELECT doc_id, ow, oh, i,
+        |    ((i // ow) * h // oh) * w + ((i % ow) * w // ow) AS si
+        |  FROM px)
+        |SELECT doc_id, CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+        |  CAST(ow * oh AS BIGINT) AS n_pixels,
+        |  round(avg((3 * doc_id + 7 * si) % 256), 6) AS mean_r,
+        |  round(avg((2 * doc_id + 5 * si) % 256), 6) AS mean_g,
+        |  round(avg((doc_id + 3 * si) % 256), 6) AS mean_b,
+        |  CAST(sum(i * ((3 * doc_id + 7 * si) % 256)) AS BIGINT) AS weighted_r
+        |FROM v GROUP BY doc_id, ow, oh ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.resizeBmpFeatures(
+          Multimodal.syntheticBmps(t(s, d, "documents").select("doc_id"), s),
+          maxSide = 8, s)
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("weighted_r"))
+        .orderBy("doc_id")
+    },
+
     Q("q130_data_quality",
       // Declarative DQ expectations (deequ-style) over orders+lineitem:
       // the four scalar rules fold into ONE aggregation pass; uniqueness

@@ -411,6 +411,30 @@ class MultimodalSpec extends SparkSpec {
       Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)).isEmpty)
   }
 
+  test("BMP resize: identity under maxSide, exact NN sampling over it") {
+    // identity: a 8×7 image inside maxSide=8 must resize to itself —
+    // stats equal the plain decode's
+    val small = Multimodal.encodeSyntheticBmp(9L, 8, 7)
+    assert(Multimodal.resizeBmpStats(9L, small, 8) ==
+      Multimodal.decodeBmpStats(9L, small))
+    // downscale: 16×8 → 8×4; NN sample (ox,oy) reads source
+    // (ox·16/8, oy·8/4) = (2ox, 2oy) — re-derive the stats by formula
+    val id = 5L
+    val blob = Multimodal.encodeSyntheticBmp(id, 16, 8)
+    val r = Multimodal.resizeBmpStats(id, blob, 8).get
+    assert(r.getInt(1) == 8 && r.getInt(2) == 4 && r.getLong(3) == 32L)
+    def chan(m: Long, k: Long, si: Long) = (m * id + k * si) % 256
+    val sis = for (oy <- 0 until 4; ox <- 0 until 8)
+      yield (2L * oy) * 16 + 2L * ox
+    assert(r.getDouble(4) == sis.map(chan(3, 7, _)).sum.toDouble / 32)
+    assert(r.getDouble(6) == sis.map(chan(1, 3, _)).sum.toDouble / 32)
+    assert(r.getLong(7) ==
+      sis.zipWithIndex.map { case (si, i) => i.toLong * chan(3, 7, si) }.sum)
+    // corrupt input drops through the shared header validation
+    assert(Multimodal.resizeBmpStats(id, blob.take(20), 8).isEmpty)
+    assert(Multimodal.resizeBmpStats(id, Array.fill[Byte](64)(3), 8).isEmpty)
+  }
+
   test("GIF: fixture decodes to the exact formula stats (incl. interlace)") {
     import graft.operators.Gif
     // ids cover padding-free and padded dims, interlaced (id%3==0) and
