@@ -136,6 +136,134 @@ private[graft] object Mp4 {
     Some(Row(id, durationMs, nTracks, width, height, hasVideo, hasAudio, brand))
   }
 
+  // ------------------------------------------ frame sampling (sample tables)
+
+  val mp4FrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("pts_ms", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("byte_sum", LongType, nullable = false)))
+
+  private val MaxSamples = 1000000
+  private val MaxTableEntries = 100000
+
+  /** REAL frame sampling off the sample tables (`stbl`): stts gives each
+    * sample's decode time, stsz its size, stsc+stco its byte range in
+    * mdat — exactly what a demuxer hands a video decoder. Every `everyN`th
+    * frame's (pts, size, byte sum over its ACTUAL mdat range) is emitted;
+    * with this, frame LOCATION is fully real and only the compressed-
+    * pixel decode itself remains behind the codec stub. None for
+    * non-BMFF, missing/inconsistent tables, or ranges outside the blob.
+    */
+  private[graft] def sampleFrames(
+      id: Long, bytes: Array[Byte], everyN: Int): Option[Seq[Row]] = {
+    if (everyN <= 0 || bytes.length < 16) return None
+    val top = boxes(bytes, 0, bytes.length)
+    val moov = top.find(_.typ == "moov").getOrElse(return None)
+    // first VIDEO track's stbl (+ its mdhd timescale)
+    val video = boxes(bytes, moov.start, moov.end).filter(_.typ == "trak")
+      .flatMap { trak =>
+        for {
+          mdia <- child(bytes, trak, "mdia")
+          hdlr <- child(bytes, mdia, "hdlr")
+          if hdlr.end - hdlr.start >= 12 && fourcc(bytes, hdlr.start + 8) == "vide"
+          minf <- child(bytes, mdia, "minf")
+          stbl <- child(bytes, minf, "stbl")
+        } yield (mdia, stbl)
+      }.headOption.getOrElse(return None)
+    val (mdia, stbl) = video
+    val timescale = child(bytes, mdia, "mdhd") match {
+      case Some(m) if m.end - m.start >= 24 && (bytes(m.start) & 0xff) == 0 =>
+        be32(bytes, m.start + 12)
+      case _ => return None
+    }
+    if (timescale <= 0) return None
+    // ---- stsz: per-sample sizes
+    val stsz = child(bytes, stbl, "stsz").getOrElse(return None)
+    if (stsz.end - stsz.start < 12) return None
+    val fixedSize = be32(bytes, stsz.start + 4)
+    val nSamples = be32(bytes, stsz.start + 8)
+    if (nSamples <= 0 || nSamples > MaxSamples) return None
+    val n = nSamples.toInt
+    val sizes = new Array[Long](n)
+    if (fixedSize != 0) java.util.Arrays.fill(sizes, fixedSize)
+    else {
+      if (stsz.start + 12 + 4L * n > stsz.end) return None
+      var i = 0
+      while (i < n) { sizes(i) = be32(bytes, stsz.start + 12 + 4 * i); i += 1 }
+    }
+    // ---- stts: decode times (cumulative deltas)
+    val stts = child(bytes, stbl, "stts").getOrElse(return None)
+    if (stts.end - stts.start < 8) return None
+    val nStts = be32(bytes, stts.start + 4)
+    if (nStts < 0 || nStts > MaxTableEntries ||
+      stts.start + 8 + 8L * nStts > stts.end) return None
+    val pts = new Array[Long](n)
+    var si = 0
+    var t = 0L
+    var e = 0
+    while (e < nStts.toInt && si < n) {
+      val cnt = be32(bytes, stts.start + 8 + 8 * e)
+      val delta = be32(bytes, stts.start + 12 + 8 * e)
+      if (cnt < 0 || delta < 0) return None
+      var k = 0L
+      while (k < cnt && si < n) { pts(si) = t; t += delta; si += 1; k += 1 }
+      e += 1
+    }
+    if (si < n) return None // stts covers fewer samples than stsz claims
+    // ---- stsc + stco: chunk layout → absolute offsets
+    val stsc = child(bytes, stbl, "stsc").getOrElse(return None)
+    val stco = child(bytes, stbl, "stco").getOrElse(return None)
+    if (stsc.end - stsc.start < 8 || stco.end - stco.start < 8) return None
+    val nStsc = be32(bytes, stsc.start + 4)
+    val nStco = be32(bytes, stco.start + 4)
+    if (nStsc <= 0 || nStsc > MaxTableEntries || nStco <= 0 ||
+      nStco > MaxTableEntries ||
+      stsc.start + 8 + 12L * nStsc > stsc.end ||
+      stco.start + 8 + 4L * nStco > stco.end) return None
+    val offsets = new Array[Long](n)
+    var sample = 0
+    var c = 0
+    while (c < nStco.toInt && sample < n) {
+      // samples-per-chunk for chunk c+1: last stsc entry with
+      // first_chunk <= c+1
+      var spc = 0L
+      var j = 0
+      while (j < nStsc.toInt) {
+        val firstChunk = be32(bytes, stsc.start + 8 + 12 * j)
+        if (firstChunk <= c + 1) spc = be32(bytes, stsc.start + 12 + 12 * j)
+        j += 1
+      }
+      if (spc <= 0) return None
+      var off = be32(bytes, stco.start + 8 + 4 * c)
+      var k = 0L
+      while (k < spc && sample < n) {
+        offsets(sample) = off
+        off += sizes(sample)
+        sample += 1
+        k += 1
+      }
+      c += 1
+    }
+    if (sample < n) return None
+    // ---- emit every Nth frame with its REAL mdat byte sum
+    val out = Seq.newBuilder[Row]
+    var f = 0
+    while (f < n) {
+      val off = offsets(f)
+      val sz = sizes(f)
+      if (off < 0 || sz < 0 || off + sz > bytes.length) return None
+      var sum = 0L
+      var b = off.toInt
+      val endB = (off + sz).toInt
+      while (b < endB) { sum += (bytes(b) & 0xff); b += 1 }
+      out += Row(id, f, pts(f) * 1000L / timescale, sz, sum)
+      f += everyN
+    }
+    Some(out.result())
+  }
+
   // ------------------------------------------------------------- encode
 
   /** Build a minimal REAL ISO BMFF stream: ftyp + moov(mvhd + video trak
@@ -181,5 +309,64 @@ private[graft] object Mp4 {
       else Array.emptyByteArray
     val moov = box("moov", mvhd ++ videoTrak ++ audioTrak)
     ftyp ++ moov
+  }
+
+  /** Build a REAL framed ISO BMFF stream: ftyp + mdat (mdat FIRST, so
+    * chunk offsets are layout-independent of the moov size) + moov with
+    * full video sample tables (stsd/stts/stsc/stsz/stco). Frame i of
+    * nF = 5 + id mod 6: size 50 + (id + 17·i) mod 100 bytes, constant
+    * fill (id + 7·i) mod 256, decode delta 100 at timescale 1000 — every
+    * parsed field is formula-predictable while the parser works purely
+    * off the tables.
+    */
+  private[graft] def encodeSyntheticFrames(id: Long): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + payload.length)
+      val size = out.length
+      out(0) = ((size >> 24) & 0xff).toByte; out(1) = ((size >> 16) & 0xff).toByte
+      out(2) = ((size >> 8) & 0xff).toByte; out(3) = (size & 0xff).toByte
+      typ.getBytes("US-ASCII").copyToArray(out, 4)
+      payload.copyToArray(out, 8)
+      out
+    }
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val nF = (5 + id % 6).toInt
+    val sizes = Array.tabulate(nF)(i => 50 + ((id + 17L * i) % 100).toInt)
+    val frames = Array.tabulate(nF) { i =>
+      Array.fill[Byte](sizes(i))(((id + 7L * i) % 256).toByte)
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0x200) ++
+      "isomiso2".getBytes("US-ASCII"))
+    val mdat = box("mdat", frames.flatten)
+    val mdatPayloadStart = ftyp.length + 8
+    val durTicks = nF * 100L
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
+      u32(1000) ++ u32(durTicks) ++ u32(0x00010000) ++ new Array[Byte](100 - 24))
+    val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
+      u32(1000) ++ u32(durTicks) ++ u32(0x55c40000L)) // lang 'und' + pre
+    val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ u32(0) ++
+      "vide".getBytes("US-ASCII") ++ new Array[Byte](12) ++ Array[Byte](0))
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
+      box("mp4v", new Array[Byte](78)))
+    val stts = box("stts", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
+      u32(nF) ++ u32(100))
+    val stsc = box("stsc", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
+      u32(1) ++ u32(nF) ++ u32(1))
+    val stsz = box("stsz", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(nF) ++
+      sizes.flatMap(s => u32(s)))
+    val stco = box("stco", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
+      u32(mdatPayloadStart))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val tkhd = box("tkhd",
+      Array[Byte](0, 0, 0, 7) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++
+        u32(durTicks) ++ new Array[Byte](76 - 24) ++
+        u32(320L << 16) ++ u32(240L << 16))
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
   }
 }

@@ -731,6 +731,42 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-partition REAL frame sampling off MP4 sample tables into
+    * [[Mp4.mp4FrameSchema]] — every `everyN`th video frame's pts, size,
+    * and byte sum over its actual mdat range. Corrupt/table-less rows
+    * drop.
+    */
+  def sampleMp4Frames(
+      blobs: DataFrame, everyN: Int, spark: SparkSession): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(Mp4.mp4FrameSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        scala.util.Try(
+          Mp4.sampleFrames(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx), everyN)
+        ).toOption.flatten.toSeq.flatten
+      }
+    }(enc)
+  }
+
+  /** (doc_id, blob) table of real FRAMED MP4s (mdat + full sample
+    * tables), frame count/sizes/fills varying with id by formula.
+    */
+  def syntheticFramedMp4s(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, Mp4.encodeSyntheticFrames(id))
+      }
+    }(enc)
+  }
+
   // ===================== REAL WAV DECODE (pure JVM) =====================
   // RIFF/WAVE PCM16 is the audio analog of the BMP path: chunked
   // little-endian container, no codec needed. Real header walk (tolerates

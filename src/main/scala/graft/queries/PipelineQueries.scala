@@ -886,6 +886,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    Q("q151_mp4_frame_sample",
+      // REAL video frame sampling: the engine builds framed MP4s (mdat +
+      // full stsd/stts/stsc/stsz/stco sample tables) and extracts every
+      // 2nd frame's pts, size, and byte sum over its ACTUAL mdat range —
+      // purely off the tables, exactly what a demuxer hands a decoder.
+      // With this, frame LOCATION is real end to end; only compressed-
+      // pixel decode remains behind the documented codec stub. The
+      // oracle predicts every field from the generation formula.
+      """WITH f AS (SELECT doc_id, 5 + doc_id % 6 AS nf FROM documents),
+        |fr AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS i
+        |  FROM f)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(i * 100 AS BIGINT) AS pts_ms,
+        |  CAST(50 + (doc_id + 17 * i) % 100 AS BIGINT) AS size,
+        |  CAST((50 + (doc_id + 17 * i) % 100) * ((doc_id + 7 * i) % 256)
+        |    AS BIGINT) AS byte_sum
+        |FROM fr WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Multimodal.sampleMp4Frames(
+          Multimodal.syntheticFramedMp4s(t(s, d, "documents").select("doc_id"), s),
+          everyN = 2, s)
+        .orderBy("doc_id", "frame_idx")
+    },
+
     Q("q130_data_quality",
       // Declarative DQ expectations (deequ-style) over orders+lineitem:
       // the four scalar rules fold into ONE aggregation pass; uniqueness

@@ -369,6 +369,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Mp4.parseMeta(1L, v1).isEmpty)
   }
 
+  test("MP4 frame sampling reads real sample tables; rejects inconsistent ones") {
+    import graft.operators.Mp4
+    val id = 13L // nF = 5 + 13%6 = 6
+    val blob = Mp4.encodeSyntheticFrames(id)
+    // everyN=1: all frames, fields from the formula, byte sums over the
+    // ACTUAL mdat ranges
+    val all = Mp4.sampleFrames(id, blob, 1).get
+    assert(all.length == 6)
+    all.zipWithIndex.foreach { case (r, i) =>
+      val size = 50 + ((id + 17L * i) % 100)
+      assert(r.getInt(1) == i && r.getLong(2) == i * 100L)
+      assert(r.getLong(3) == size, s"size frame $i")
+      assert(r.getLong(4) == size * ((id + 7L * i) % 256), s"sum frame $i")
+    }
+    // everyN=2 halves the emission, keeping even indices
+    assert(Mp4.sampleFrames(id, blob, 2).get.map(_.getInt(1)) == Seq(0, 2, 4))
+    // metadata-only stream (no stbl): None, not a crash
+    assert(Mp4.sampleFrames(id,
+      Mp4.encodeSynthetic(1000L, 32, 32, withAudio = false), 1).isEmpty)
+    // truncation anywhere (header, tables, mdat) must be None
+    Seq(10, 40, blob.length / 2, blob.length - 4).foreach { cut =>
+      assert(Mp4.sampleFrames(id, blob.take(cut), 1).isEmpty, s"cut=$cut")
+    }
+    // stco pointing outside the blob: byte range check must reject
+    val bad = blob.clone()
+    val stcoAt = bad.indices.sliding(4).find(i =>
+      new String(bad.slice(i.head, i.head + 4), "US-ASCII") == "stco").get.head
+    // offset field = payload(ver/flags 4 + count 4) + 8 past the fourcc
+    val offAt = stcoAt + 4 + 8
+    bad(offAt) = 0x7f; bad(offAt + 1) = 0xff.toByte
+    assert(Mp4.sampleFrames(id, bad, 1).isEmpty)
+  }
+
   test("JPEG decoder rejects corrupt and unsupported input, never crashes") {
     val good = Multimodal.encodeSyntheticJpeg(5L, 40, 24)
     assert(Jpeg.decodeStats(5L, good).isDefined)
