@@ -786,7 +786,12 @@ object Multimodal {
     * parse); returns None for non-RIFF input, non-PCM16 encodings, or a
     * truncated data chunk.
     */
-  private[graft] def decodeWavStats(id: Long, bytes: Array[Byte]): Option[Row] = {
+  /** Validated PCM16 WAV geometry: (sampleRate, nChannels, dataOff,
+    * nSamples). The chunk walk and hostile-size bounds live here, shared
+    * by the stats and windowed-feature paths.
+    */
+  private[graft] def parseWavHeader(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (bytes.length < 44) return None
     if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
       bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
@@ -813,7 +818,14 @@ object Multimodal {
       pos += 8 + clen + (clen & 1) // chunks are word-aligned
     }
     if (!fmtOk || dataOff < 0 || dataLen % 2 != 0) return None
-    val n = dataLen / 2
+    Some((sampleRate, nChannels, dataOff, dataLen / 2))
+  }
+
+  private[graft] def decodeWavStats(id: Long, bytes: Array[Byte]): Option[Row] = {
+    val (sampleRate, nChannels, dataOff, n) = parseWavHeader(bytes) match {
+      case Some(g) => g
+      case None => return None
+    }
     var sum = 0L; var sumAbs = 0L
     var i = 0
     while (i < n) {
@@ -837,6 +849,72 @@ object Multimodal {
         scala.util.Try(
           decodeWavStats(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx))
         ).toOption.flatten
+      }
+    }(enc)
+  }
+
+  val wavFrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("zcr", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false)))
+
+  /** REAL windowed audio features over PCM16 — the feature-extract step
+    * of an audio ingest: per non-overlapping `windowSize`-sample frame,
+    * RMS energy, zero-crossing count, and peak amplitude. The partial
+    * tail frame is dropped (deterministic framing). Cross-engine exact:
+    * Σs² is exact integer (≤ 2³⁰ per term), /windowSize is a power-of-2
+    * division when windowSize is one, and sqrt is IEEE-correctly-rounded
+    * — so the 6dp-rounded RMS matches any engine computing the same
+    * formula. ZCR counts sign flips between CONSECUTIVE samples within
+    * the frame (zeros count as non-negative).
+    */
+  private[graft] def wavFrameStats(
+      id: Long, bytes: Array[Byte], windowSize: Int): Option[Seq[Row]] = {
+    if (windowSize <= 0) return None
+    val (_, _, dataOff, n) = parseWavHeader(bytes) match {
+      case Some(g) => g
+      case None => return None
+    }
+    val nFrames = n / windowSize
+    val out = Seq.newBuilder[Row]
+    var f = 0
+    while (f < nFrames) {
+      var sumSq = 0L; var zcr = 0L; var peak = 0L
+      var prevNeg = false
+      var k = 0
+      while (k < windowSize) {
+        val i = f * windowSize + k
+        val s = (le16(bytes, dataOff + 2 * i) << 16) >> 16
+        sumSq += s.toLong * s
+        val neg = s < 0
+        if (k > 0 && neg != prevNeg) zcr += 1
+        prevNeg = neg
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        k += 1
+      }
+      val rms = math.sqrt(sumSq.toDouble / windowSize)
+      out += Row(id, f, math.floor(rms * 1e6 + 0.5) / 1e6, zcr, peak)
+      f += 1
+    }
+    Some(out.result())
+  }
+
+  /** Per-partition REAL windowed audio feature extraction into
+    * [[wavFrameSchema]]; unparseable rows drop.
+    */
+  def wavFrameFeatures(
+      blobs: DataFrame, windowSize: Int, spark: SparkSession): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(wavFrameSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        scala.util.Try(
+          wavFrameStats(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx), windowSize)
+        ).toOption.flatten.toSeq.flatten
       }
     }(enc)
   }

@@ -909,6 +909,36 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    Q("q152_audio_frame_features",
+      // REAL windowed audio feature extraction — the feature step of an
+      // audio ingest over the PCM16 decode path: per 32-sample frame,
+      // RMS energy, zero-crossing count, peak amplitude (partial tail
+      // dropped). Exact cross-engine: Σs² is exact integer, /32 is a
+      // power-of-2 division, sqrt is IEEE-correctly-rounded, and both
+      // sides round via floor(x·1e6 + ½) — the Int8Quant recipe, immune
+      // to round() implementation differences.
+      """WITH dims AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+        |sm AS (
+        |  SELECT doc_id, n, i, ((13 * doc_id + 31 * i) % 65536) - 32768 AS s
+        |  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+        |        FROM dims)),
+        |w AS (
+        |  SELECT doc_id, i // 32 AS frame, i, s,
+        |    lag(s) OVER (PARTITION BY doc_id, i // 32 ORDER BY i) AS prev
+        |  FROM sm WHERE i < (n // 32) * 32)
+        |SELECT doc_id, CAST(frame AS INT) AS frame_idx,
+        |  floor(sqrt(sum(s * s) / 32.0) * 1000000 + 0.5) / 1000000 AS rms,
+        |  CAST(count(CASE WHEN (prev < 0) <> (s < 0) THEN 1 END) AS BIGINT)
+        |    AS zcr,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak
+        |FROM w GROUP BY doc_id, frame
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Multimodal.wavFrameFeatures(
+          Multimodal.syntheticWavs(t(s, d, "documents").select("doc_id"), s),
+          windowSize = 32, s)
+        .orderBy("doc_id", "frame_idx")
+    },
+
     Q("q130_data_quality",
       // Declarative DQ expectations (deequ-style) over orders+lineitem:
       // the four scalar rules fold into ONE aggregation pass; uniqueness

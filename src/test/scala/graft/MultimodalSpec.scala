@@ -369,6 +369,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Mp4.parseMeta(1L, v1).isEmpty)
   }
 
+  test("WAV windowed features: hand-derived RMS/ZCR/peak; tail dropped") {
+    val id = 3L
+    val blob = Multimodal.encodeSyntheticWav(id, 70) // windows of 32: 2 frames + tail 6
+    val frames = Multimodal.wavFrameStats(id, blob, 32).get
+    assert(frames.length == 2, "partial tail frame must drop")
+    def s(i: Int): Long = ((13 * id + 31L * i) % 65536) - 32768
+    frames.zipWithIndex.foreach { case (r, f) =>
+      val w = (0 until 32).map(k => s(f * 32 + k))
+      assert(r.getInt(1) == f)
+      val rms = math.sqrt(w.map(x => x * x).sum.toDouble / 32)
+      assert(r.getDouble(2) == math.floor(rms * 1e6 + 0.5) / 1e6, s"rms frame $f")
+      val zcr = w.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(r.getLong(3) == zcr, s"zcr frame $f")
+      assert(r.getLong(4) == w.map(math.abs).max, s"peak frame $f")
+    }
+    // corrupt input drops through the shared header walk
+    assert(Multimodal.wavFrameStats(id, blob.take(30), 32).isEmpty)
+    assert(Multimodal.wavFrameStats(id, Array.fill[Byte](64)(1), 32).isEmpty)
+  }
+
   test("MP4 frame sampling reads real sample tables; rejects inconsistent ones") {
     import graft.operators.Mp4
     val id = 13L // nF = 5 + 13%6 = 6
