@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
 
 /** REAL GIF (87a/89a) decode, pure JVM — the fourth codec-class format on
   * the real-decode path after PNG (zlib), JPEG (Huffman+DCT) and MP4
@@ -221,6 +222,133 @@ private[graft] object Gif {
       }
     }
     None
+  }
+
+  // ===================== ANIMATION METADATA =====================
+
+  val gifAnimSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_loops", LongType, nullable = false)))
+
+  /** Animated-GIF metadata: walk EVERY block (not just to the first
+    * image): frame count, total duration from the Graphic Control
+    * Extension delays (centiseconds → ms), loop count from the NETSCAPE
+    * 2.0 application extension (0 = forever, -1 = not animated/absent),
+    * logical screen dims. Returns None for non-GIF/truncated/imageless
+    * streams. Sub-block walking is bounds-checked — a hostile length
+    * byte terminates cleanly.
+    */
+  private[graft] def parseAnimMeta(id: Long, bytes: Array[Byte]): Option[Row] = {
+    if (bytes.length < 14) return None
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val w = le16(bytes, 6)
+    val h = le16(bytes, 8)
+    val packed = bytes(10) & 0xff
+    var pos = 13
+    if ((packed & 0x80) != 0) {
+      pos += 3 * (2 << (packed & 7))
+      if (pos > bytes.length) return None
+    }
+    var nFrames = 0
+    var totalCs = 0L
+    var loops = -1L
+    var done = false
+    while (!done && pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          if (pos + 2 >= bytes.length) return None
+          val label = bytes(pos + 1) & 0xff
+          var p = pos + 2
+          var first = true
+          var len = bytes(p) & 0xff
+          while (len != 0) {
+            if (label == 0xf9 && first && len >= 4 && p + 4 < bytes.length) {
+              totalCs += le16(bytes, p + 2) // GCE delay, centiseconds
+            }
+            if (label == 0xff && first && len == 11 &&
+              p + 11 < bytes.length &&
+              new String(bytes, p + 1, 11, "US-ASCII") == "NETSCAPE2.0") {
+              // the next sub-block carries [0x01, loops lo, loops hi]
+              val q = p + 12
+              if (q < bytes.length && (bytes(q) & 0xff) >= 3 &&
+                q + 3 < bytes.length && (bytes(q + 1) & 0xff) == 1) {
+                loops = le16(bytes, q + 2).toLong
+              }
+            }
+            first = false
+            p += 1 + len
+            if (p >= bytes.length) return None
+            len = bytes(p) & 0xff
+          }
+          pos = p + 1
+        case 0x2c =>
+          if (pos + 10 > bytes.length) return None
+          val ipacked = bytes(pos + 9) & 0xff
+          var p = pos + 10
+          if ((ipacked & 0x80) != 0) {
+            p += 3 * (2 << (ipacked & 7))
+            if (p > bytes.length) return None
+          }
+          if (p >= bytes.length) return None
+          p += 1 // LZW min code size
+          // skip the image's data sub-blocks without decoding
+          if (p >= bytes.length) return None
+          var len = bytes(p) & 0xff
+          while (len != 0) {
+            p += 1 + len
+            if (p >= bytes.length) return None
+            len = bytes(p) & 0xff
+          }
+          pos = p + 1
+          nFrames += 1
+        case _ => return None
+      }
+    }
+    if (nFrames == 0) return None
+    Some(Row(id, w, h, nFrames, totalCs * 10L, loops))
+  }
+
+  /** Encode a REAL animated GIF89a: `nFrames` 4×4 frames (pixel v =
+    * (3·id + 11·f + i) mod 256 for frame f), each preceded by a GCE with
+    * delay 5 + (id + f) mod 10 cs, NETSCAPE loop extension first. Every
+    * parsed field is formula-predictable.
+    */
+  private[graft] def encodeSyntheticAnim(id: Long, nFrames: Int, loops: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16(4); u16(4)
+    out.write(0x80 | 7); out.write(0); out.write(0)
+    var j = 0
+    while (j < 256) {
+      out.write(j); out.write((2 * j) % 256); out.write((3 * j) % 256)
+      j += 1
+    }
+    // NETSCAPE 2.0 loop extension
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); u16(loops); out.write(0)
+    var f = 0
+    while (f < nFrames) {
+      // GCE: delay in centiseconds
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); u16(5 + ((id + f) % 10).toInt); out.write(0); out.write(0)
+      out.write(0x2c)
+      u16(0); u16(0); u16(4); u16(4)
+      out.write(0)
+      val idx = Array.tabulate(16)(i => ((3 * id + 11L * f + i) % 256).toInt)
+      out.write(8)
+      out.write(lzwEncode(idx, 8))
+      f += 1
+    }
+    out.write(0x3b)
+    out.toByteArray
   }
 
   // ========================== LZW ENCODER ==========================

@@ -767,6 +767,40 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-partition animated-GIF metadata parse into [[Gif.gifAnimSchema]]
+    * (frame count, GCE-delay duration, NETSCAPE loop count). Corrupt rows
+    * drop.
+    */
+  def decodeGifAnimMeta(blobs: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(Gif.gifAnimSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        scala.util.Try(
+          Gif.parseAnimMeta(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx))
+        ).toOption.flatten
+      }
+    }(enc)
+  }
+
+  /** (doc_id, blob) table of real ANIMATED GIFs: 2 + id mod 4 frames,
+    * per-frame GCE delays, loop count id mod 3.
+    */
+  def syntheticAnimGifs(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, Gif.encodeSyntheticAnim(id, 2 + (id % 4).toInt, (id % 3).toInt))
+      }
+    }(enc)
+  }
+
   // ===================== REAL WAV DECODE (pure JVM) =====================
   // RIFF/WAVE PCM16 is the audio analog of the BMP path: chunked
   // little-endian container, no codec needed. Real header walk (tolerates

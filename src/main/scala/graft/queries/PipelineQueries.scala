@@ -939,6 +939,25 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    Q("q153_gif_animation_meta",
+      // Animated-GIF metadata over the full block walk (frames counted
+      // past the first image, GCE centisecond delays summed to ms,
+      // NETSCAPE 2.0 loop count) — the animation-handling pass a
+      // web-crawl corpus needs before any frame decode. Fixture GIFs are
+      // real multi-frame LZW streams; the oracle predicts every field
+      // from the generation formula.
+      """WITH f AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+        |d AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS fr
+        |  FROM f)
+        |SELECT doc_id, 4 AS width, 4 AS height, CAST(nf AS INT) AS n_frames,
+        |  CAST(sum(10 * (5 + (doc_id + fr) % 10)) AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 3 AS BIGINT) AS n_loops
+        |FROM d GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeGifAnimMeta(
+          Multimodal.syntheticAnimGifs(t(s, d, "documents").select("doc_id"), s), s)
+        .orderBy("doc_id")
+    },
+
     Q("q130_data_quality",
       // Declarative DQ expectations (deequ-style) over orders+lineitem:
       // the four scalar rules fold into ONE aggregation pass; uniqueness

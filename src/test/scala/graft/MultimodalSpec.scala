@@ -534,6 +534,29 @@ class MultimodalSpec extends SparkSpec {
     assert(t.getLong(7) == rep.zipWithIndex.map { case (v, i) => i.toLong * v }.sum)
   }
 
+  test("GIF animation metadata: frames, GCE delays, NETSCAPE loops") {
+    import graft.operators.Gif
+    val id = 7L // nFrames = 2 + 7%4 = 5, loops = 7%3 = 1
+    val blob = Gif.encodeSyntheticAnim(id, 5, 1)
+    val r = Gif.parseAnimMeta(id, blob).get
+    assert(r.getInt(1) == 4 && r.getInt(2) == 4)
+    assert(r.getInt(3) == 5)
+    val expMs = (0 until 5).map(f => 10L * (5 + (id + f) % 10)).sum
+    assert(r.getLong(4) == expMs, s"duration ${r.getLong(4)} vs $expMs")
+    assert(r.getLong(5) == 1L)
+    // a single-image, extension-less GIF: 1 frame, 0 duration, loops -1
+    val still = Gif.encodeSynthetic(3L, 10, 8)
+    val sr = Gif.parseAnimMeta(3L, still).get
+    assert(sr.getInt(3) == 1 && sr.getLong(4) == 0L && sr.getLong(5) == -1L)
+    // the FIRST frame still decodes through the stats path (animation
+    // parse and pixel decode agree on the container walk)
+    assert(Gif.decodeStats(id, blob).isDefined)
+    // truncations fail cleanly
+    Seq(4, 12, 800, blob.length - 3).foreach { cut =>
+      assert(Gif.parseAnimMeta(id, blob.take(cut)).isEmpty, s"cut=$cut")
+    }
+  }
+
   test("GIF decoder rejects corrupt and hostile input, never hangs") {
     import graft.operators.Gif
     val good = Gif.encodeSynthetic(5L, 18, 12, interlaced = false)
