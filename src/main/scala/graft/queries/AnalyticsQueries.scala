@@ -956,6 +956,70 @@ object AnalyticsQueries {
         .orderBy("lang")
     },
 
+    Q("q154_training_recipe",
+      // The END-TO-END curation recipe in one DataFrame chain — what a
+      // user of this engine actually runs before training: exact dedup
+      // (keep-min per content hash) → benchmark decontamination (drop
+      // training docs sharing any word-8-gram with the doc_id<100
+      // held-out slice) → temperature mixing (α=0.5 over lang, rates
+      // computed on the POST-FILTER corpus) → deterministic shuffle
+      // (salted-hash global order). Every stage is an already-proven
+      // operator (q33/q93/q148/q94); this gate proves they COMPOSE —
+      // per-lang doc counts, char totals, and min/max shuffle positions
+      // pin the surviving set AND the final order.
+      s"""WITH dd AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+         |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i : i+7], ' ') AS g
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+         |        FROM w WHERE len(t) >= 8)),
+         |bsh AS (SELECT DISTINCT g FROM sh WHERE doc_id < 100),
+         |bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bsh USING (g)
+         |  WHERE sh.doc_id >= 100),
+         |clean AS (
+         |  SELECT * FROM dd WHERE doc_id >= 100
+         |    AND doc_id NOT IN (SELECT doc_id FROM bad)),
+         |c AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
+         |wts AS (SELECT lang, n, sqrt(n::DOUBLE) AS w FROM c),
+         |sl AS (SELECT list(w ORDER BY lang) AS ws FROM wts),
+         |tot AS (SELECT list_reduce(ws, (a, x) -> a + x) AS sw FROM sl),
+         |p AS (SELECT lang, n, w / tot.sw AS p FROM wts, tot),
+         |tt AS (SELECT min(n / p) AS tcap FROM p),
+         |r AS (SELECT lang,
+         |  least(10000, CAST(floor(p * tt.tcap / n * 10000 + 0.5) AS BIGINT))
+         |    AS bps
+         |  FROM p, tt),
+         |mixed AS (
+         |  SELECT d.* FROM clean d JOIN r USING (lang)
+         |  WHERE ${sqlHash60("d.doc_id::VARCHAR")} % 10000 < r.bps),
+         |ranked AS (
+         |  SELECT lang, n_chars, row_number() OVER (
+         |    ORDER BY ${sqlHash60("'mix1' || doc_id::VARCHAR")}, doc_id) - 1
+         |    AS pos
+         |  FROM mixed)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(pos) AS min_pos, max(pos) AS max_pos
+         |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val dd = Dedup.exactDedup(docs, "doc_id", "text")
+      val train = dd.filter(col("doc_id") >= 100)
+      val bench = docs.filter(col("doc_id") < 100)
+      val bad = Curation.contaminatedDocs(train, bench, "doc_id", "text", 8)
+        .select("doc_id")
+      val clean = train.join(bad, Seq("doc_id"), "left_anti")
+      val mixed = Curation.temperatureResample(clean, "lang", "doc_id", 0.5)
+      Curation.deterministicShuffle(mixed, "doc_id", salt = "mix1")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          min("shuffle_pos").as("min_pos"), max("shuffle_pos").as("max_pos"))
+        .orderBy("lang")
+    },
+
     Q("q99_embedding_outliers",
       // per-label centroid + the 3 vectors farthest from their own
       // label's centroid — the "find broken embeddings" QA pass of a
