@@ -232,10 +232,24 @@ object Curation {
     val counts = nonNull.groupBy(col(groupCol)).agg(count(lit(1)).as("__n")).collect()
     val total = counts.map(_.getLong(1)).sum
     val nGroups = counts.length.toLong
-    val spark = df.sparkSession
     val rateRows = counts.map { r =>
       Row(r.get(0), keepBps(total, nGroups, r.getLong(1)))
     }
+    applyKeepRates(df, nonNull, groupCol, idCol, rateRows)
+  }
+
+  /** Shared tail of the mixture operators: basis-point rates back as a
+    * literal broadcast table, deterministic hash keep filter. ONE copy —
+    * the keep boundary must never diverge between operators.
+    */
+  private def applyKeepRates(
+      df: DataFrame,
+      nonNull: DataFrame,
+      groupCol: String,
+      idCol: String,
+      rateRows: Array[Row]): DataFrame = {
+    if (rateRows.isEmpty) return nonNull // empty or all-null input: empty out
+    val spark = df.sparkSession
     val rates = spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rateRows: _*)),
       org.apache.spark.sql.types.StructType(Seq(
@@ -274,10 +288,16 @@ object Curation {
       alpha: Double = 0.5): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
     val nonNull = df.filter(col(groupCol).isNotNull)
+    // fold order must be DEFINED, not partition-luck. The bit-exactness
+    // contract additionally requires the oracle's ORDER BY to agree with
+    // this ordering — true for the ASCII string keys the gates use;
+    // numeric or non-ASCII keys sort differently across engines (UTF-16
+    // units here vs UTF-8 bytes there) and need a caller-matched order.
     val counts = nonNull.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
       .collect()
       .map(r => (r.get(0), r.getLong(1)))
-      .sortBy(_._1.toString) // fold order must be DEFINED, not partition-luck
+      .sortBy(_._1.toString)
+    if (counts.isEmpty) return nonNull // empty/all-null input: empty output
     val w = counts.map { case (_, n) =>
       if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
     }
@@ -287,16 +307,7 @@ object Curation {
     val rateRows = counts.zip(p).map { case ((g, n), pi) =>
       Row(g, math.min(10000L, math.floor(pi * tCap / n * 10000.0 + 0.5).toLong))
     }
-    val spark = df.sparkSession
-    val rates = spark.createDataFrame(
-      new java.util.ArrayList[Row](java.util.Arrays.asList(rateRows: _*)),
-      org.apache.spark.sql.types.StructType(Seq(
-        df.schema(groupCol),
-        org.apache.spark.sql.types.StructField("__bps",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-    nonNull.join(broadcast(rates), groupCol)
-      .filter(Dedup.hash60(col(idCol).cast("string")) % 10000 < col("__bps"))
-      .drop("__bps")
+    applyKeepRates(df, nonNull, groupCol, idCol, rateRows)
   }
 
   /** Deterministic global shuffle: assign every row its position in the

@@ -256,6 +256,7 @@ private[graft] object Gif {
     }
     var nFrames = 0
     var totalCs = 0L
+    var pendingCs = 0L // a GCE governs only the NEXT image descriptor
     var loops = -1L
     var done = false
     while (!done && pos < bytes.length) {
@@ -269,7 +270,10 @@ private[graft] object Gif {
           var len = bytes(p) & 0xff
           while (len != 0) {
             if (label == 0xf9 && first && len >= 4 && p + 4 < bytes.length) {
-              totalCs += le16(bytes, p + 2) // GCE delay, centiseconds
+              // latest-wins, charged only when a frame follows: stray or
+              // doubled GCEs (common in crawled GIFs) must not inflate
+              // the duration
+              pendingCs = le16(bytes, p + 2)
             }
             if (label == 0xff && first && len == 11 &&
               p + 11 < bytes.length &&
@@ -307,10 +311,15 @@ private[graft] object Gif {
           }
           pos = p + 1
           nFrames += 1
+          totalCs += pendingCs
+          pendingCs = 0L
         case _ => return None
       }
     }
-    if (nFrames == 0) return None
+    // the trailer is required: a stream that just stops after the last
+    // block is truncated by contract (None), even if the blocks so far
+    // parsed — matching the decodeStats/Mp4 strictness
+    if (!done || nFrames == 0) return None
     Some(Row(id, w, h, nFrames, totalCs * 10L, loops))
   }
 

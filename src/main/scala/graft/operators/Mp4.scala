@@ -225,14 +225,15 @@ private[graft] object Mp4 {
     val offsets = new Array[Long](n)
     var sample = 0
     var c = 0
+    // stsc first_chunk is non-decreasing per spec: a forward pointer
+    // makes the chunk walk O(nStco + nStsc); rescanning the table per
+    // chunk would hand a crafted blob an O(nStco × nStsc) CPU pin
+    var spc = 0L
+    var j = 0
     while (c < nStco.toInt && sample < n) {
-      // samples-per-chunk for chunk c+1: last stsc entry with
-      // first_chunk <= c+1
-      var spc = 0L
-      var j = 0
-      while (j < nStsc.toInt) {
-        val firstChunk = be32(bytes, stsc.start + 8 + 12 * j)
-        if (firstChunk <= c + 1) spc = be32(bytes, stsc.start + 12 + 12 * j)
+      while (j < nStsc.toInt &&
+        be32(bytes, stsc.start + 8 + 12 * j) <= c + 1) {
+        spc = be32(bytes, stsc.start + 12 + 12 * j)
         j += 1
       }
       if (spc <= 0) return None

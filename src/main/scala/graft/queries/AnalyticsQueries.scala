@@ -933,7 +933,8 @@ object AnalyticsQueries {
       // IEEE-correctly-rounded (pow is not — that's why the gate pins
       // α = 0.5), weights fold in group-key order via the seeded-fold
       // recipe, and the keep boundary is integer basis points.
-      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents
+         |  WHERE lang IS NOT NULL GROUP BY lang),
          |w AS (SELECT lang, n, sqrt(n::DOUBLE) AS w FROM c),
          |s AS (SELECT list(w ORDER BY lang) AS ws FROM w),
          |tot AS (SELECT list_reduce(ws, (a, x) -> a + x) AS sw FROM s),
@@ -982,7 +983,8 @@ object AnalyticsQueries {
          |clean AS (
          |  SELECT * FROM dd WHERE doc_id >= 100
          |    AND doc_id NOT IN (SELECT doc_id FROM bad)),
-         |c AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
+         |c AS (SELECT lang, count(*) AS n FROM clean
+         |  WHERE lang IS NOT NULL GROUP BY lang),
          |wts AS (SELECT lang, n, sqrt(n::DOUBLE) AS w FROM c),
          |sl AS (SELECT list(w ORDER BY lang) AS ws FROM wts),
          |tot AS (SELECT list_reduce(ws, (a, x) -> a + x) AS sw FROM sl),

@@ -105,6 +105,12 @@ class CurationSpec extends SparkSpec {
     val again = Curation.temperatureResample(df, "lang", "id", alpha = 0.5)
       .select("id").as[Long].collect().sorted.toSeq
     assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
+    // empty and all-null-group inputs return empty, never throw (the
+    // q154 composition can legitimately drain the corpus)
+    val empty = Seq.empty[(Long, String)].toDF("id", "lang")
+    assert(Curation.temperatureResample(empty, "lang", "id").count() == 0)
+    val nulls = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "lang")
+    assert(Curation.temperatureResample(nulls, "lang", "id").count() == 0)
   }
 
   test("mixtureResample excludes null groups from output AND rate denominators") {

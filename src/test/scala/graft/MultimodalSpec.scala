@@ -551,10 +551,17 @@ class MultimodalSpec extends SparkSpec {
     // the FIRST frame still decodes through the stats path (animation
     // parse and pixel decode agree on the container walk)
     assert(Gif.decodeStats(id, blob).isDefined)
-    // truncations fail cleanly
-    Seq(4, 12, 800, blob.length - 3).foreach { cut =>
+    // truncations fail cleanly — including dropping ONLY the trailer
+    Seq(4, 12, 800, blob.length - 3, blob.length - 1).foreach { cut =>
       assert(Gif.parseAnimMeta(id, blob.take(cut)).isEmpty, s"cut=$cut")
     }
+    // a stray trailing GCE (no image follows) must not inflate duration:
+    // splice one in before the trailer
+    val stray = blob.dropRight(1) ++
+      Array[Byte](0x21.toByte, 0xf9.toByte, 4, 0, 99, 0, 0, 0, 0x3b.toByte)
+    val sr2 = Gif.parseAnimMeta(id, stray).get
+    assert(sr2.getLong(4) == expMs && sr2.getInt(3) == 5,
+      "stray GCE must not add duration or frames")
   }
 
   test("GIF decoder rejects corrupt and hostile input, never hangs") {
