@@ -353,6 +353,7 @@ object Multimodal {
     // chunk walk: IHDR must be first; concatenate every IDAT payload
     var pos = 8
     var w = -1; var h = -1; var ihdrOk = false
+    var ctype = -1
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (!sawEnd) {
@@ -369,10 +370,16 @@ object Multimodal {
           val compression = bytes(pos + 18) & 0xff
           val filterMethod = bytes(pos + 19) & 0xff
           val interlace = bytes(pos + 20) & 0xff
-          if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 ||
+          // the three 8-bit whole-byte layouts a crawl actually carries:
+          // 0 = grayscale, 2 = RGB, 6 = RGBA (alpha decoded, excluded
+          // from the channel stats). Palette (3) and 16-bit stay out.
+          if (w <= 0 || h <= 0 || bitDepth != 8 ||
+            (colorType != 0 && colorType != 2 && colorType != 6) ||
             compression != 0 || filterMethod != 0 || interlace != 0) return None
+          ctype = colorType
+          val cbpp = if (ctype == 0) 1L else if (ctype == 2) 3L else 4L
           // refuse images whose raw stream would not fit an int buffer
-          if (h.toLong * (1L + 3L * w) > Int.MaxValue - 8) return None
+          if (h.toLong * (1L + cbpp * w) > Int.MaxValue - 8) return None
           // and images whose Σ i·R weighted checksum could wrap Long
           // (255·n(n-1)/2 overflows past n ≈ 2.69e8 pixels)
           if (w.toLong * h > MaxStatPixels) return None
@@ -390,7 +397,8 @@ object Multimodal {
     // so a tiny blob whose header claims huge dims must die here — the
     // OOME from a ~2 GB allocation is fatal and would escape the
     // corrupt-row Try in decodePngFeatures.
-    val rowBytes = 1 + 3 * w
+    val bpp = if (ctype == 0) 1 else if (ctype == 2) 3 else 4
+    val rowBytes = 1 + bpp * w
     val expected = h * rowBytes
     if (expected.toLong > 1032L * idat.size() + 64) return None
     val raw = new Array[Byte](expected)
@@ -417,7 +425,6 @@ object Multimodal {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
     // unfilter in place, row by row (prior row is already reconstructed)
-    val bpp = 3
     var y = 0
     while (y < h) {
       val ft = raw(y * rowBytes) & 0xff
@@ -425,7 +432,7 @@ object Multimodal {
       val base = y * rowBytes + 1
       val prior = (y - 1) * rowBytes + 1
       var x = 0
-      while (x < 3 * w) {
+      while (x < bpp * w) {
         val a = if (x >= bpp) raw(base + x - bpp) & 0xff else 0
         val b = if (y > 0) raw(prior + x) & 0xff else 0
         val c = if (y > 0 && x >= bpp) raw(prior + x - bpp) & 0xff else 0
@@ -451,9 +458,11 @@ object Multimodal {
       val base = y * rowBytes + 1
       var x = 0
       while (x < w) {
-        val r = raw(base + 3 * x) & 0xff
-        val g = raw(base + 3 * x + 1) & 0xff
-        val b = raw(base + 3 * x + 2) & 0xff
+        val r = raw(base + bpp * x) & 0xff
+        // grayscale replicates the single sample; RGBA's alpha byte is
+        // decoded (it rides through the unfilter) but not a channel stat
+        val g = if (ctype == 0) r else raw(base + bpp * x + 1) & 0xff
+        val b = if (ctype == 0) r else raw(base + bpp * x + 2) & 0xff
         sumR += r; sumG += g; sumB += b
         wR += (y.toLong * w + x) * r
         x += 1
@@ -490,20 +499,28 @@ object Multimodal {
     * (id + y) mod 5, so every decode exercises all five unfilters; the
     * stream is a single zlib Deflater pass, CRCs are real.
     */
-  private[graft] def encodeSyntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
-    val bpp = 3
-    val rowBytes = 1 + 3 * w
+  private[graft] def encodeSyntheticPng(
+      id: Long, w: Int, h: Int, colorType: Int = 2): Array[Byte] = {
+    require(colorType == 0 || colorType == 2 || colorType == 6, "gray/RGB/RGBA")
+    val bpp = if (colorType == 0) 1 else if (colorType == 2) 3 else 4
+    val rowBytes = 1 + bpp * w
     val raw = new Array[Byte](h * rowBytes)
-    // build the unfiltered image, then filter row by row
-    val img = Array.ofDim[Byte](h * 3 * w)
+    // build the unfiltered image, then filter row by row. Gray carries
+    // the R formula as its single sample; RGBA adds alpha (id + 11i)
+    // mod 256 — decoded but excluded from channel stats by contract
+    val img = Array.ofDim[Byte](h * bpp * w)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val i = y.toLong * w + x
-        img(y * 3 * w + 3 * x) = ((3 * id + 7 * i) % 256).toByte
-        img(y * 3 * w + 3 * x + 1) = ((2 * id + 5 * i) % 256).toByte
-        img(y * 3 * w + 3 * x + 2) = ((id + 3 * i) % 256).toByte
+        img(y * bpp * w + bpp * x) = ((3 * id + 7 * i) % 256).toByte
+        if (colorType != 0) {
+          img(y * bpp * w + bpp * x + 1) = ((2 * id + 5 * i) % 256).toByte
+          img(y * bpp * w + bpp * x + 2) = ((id + 3 * i) % 256).toByte
+        }
+        if (colorType == 6)
+          img(y * bpp * w + bpp * x + 3) = ((id + 11 * i) % 256).toByte
         x += 1
       }
       y += 1
@@ -513,11 +530,11 @@ object Multimodal {
       val ft = ((id + y) % 5).toInt
       raw(y * rowBytes) = ft.toByte
       var x = 0
-      while (x < 3 * w) {
-        val cur = img(y * 3 * w + x) & 0xff
-        val a = if (x >= bpp) img(y * 3 * w + x - bpp) & 0xff else 0
-        val b = if (y > 0) img((y - 1) * 3 * w + x) & 0xff else 0
-        val c = if (y > 0 && x >= bpp) img((y - 1) * 3 * w + x - bpp) & 0xff else 0
+      while (x < bpp * w) {
+        val cur = img(y * bpp * w + x) & 0xff
+        val a = if (x >= bpp) img(y * bpp * w + x - bpp) & 0xff else 0
+        val b = if (y > 0) img((y - 1) * bpp * w + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) img((y - 1) * bpp * w + x - bpp) & 0xff else 0
         val filtered = ft match {
           case 0 => cur
           case 1 => (cur - a) & 0xff
@@ -563,11 +580,31 @@ object Multimodal {
       ihdr(o + 2) = ((v >>> 8) & 0xff).toByte; ihdr(o + 3) = (v & 0xff).toByte
     }
     put32(0, w); put32(4, h)
-    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type RGB
+    ihdr(8) = 8; ihdr(9) = colorType.toByte // bit depth 8
     chunk("IHDR", ihdr)
     chunk("IDAT", compressed)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Fixture PNGs cycling COLOR TYPE with id (gray / RGB / RGBA) — the
+    * gate for the whole-byte layouts a crawl actually carries; the RGBA
+    * third exercises the 4-byte unfilter stride and the alpha-excluded
+    * stats contract.
+    */
+  def syntheticPngsTyped(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val ct = (id % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+        Row(id, encodeSyntheticPng(id, 8 + (id % 11).toInt, 8 + (id % 5).toInt, ct))
+      }
+    }(enc)
   }
 
   /** Deterministic fixture PNG per id: width = 8 + id mod 11 and

@@ -958,6 +958,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    Q("q155_png_color_types",
+      // PNG decode across the whole-byte color layouts a crawl actually
+      // carries: grayscale (1-byte stride), RGB (3), RGBA (4 — alpha
+      // rides through the unfilter but is excluded from channel stats).
+      // One fixture family cycles the type with doc_id; the oracle
+      // predicts stats per type from the pixel formula, so any stride or
+      // channel-order bug in ANY layout breaks the hash.
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 11 AS w, 8 + doc_id % 5 AS h,
+        |    CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS ct
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, ct, unnest(generate_series(0, w * h - 1)) AS i
+        |  FROM dims)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  round(avg((3 * doc_id + 7 * i) % 256), 6) AS mean_r,
+        |  round(avg(CASE WHEN ct = 0 THEN (3 * doc_id + 7 * i) % 256
+        |    ELSE (2 * doc_id + 5 * i) % 256 END), 6) AS mean_g,
+        |  round(avg(CASE WHEN ct = 0 THEN (3 * doc_id + 7 * i) % 256
+        |    ELSE (doc_id + 3 * i) % 256 END), 6) AS mean_b,
+        |  CAST(sum(i * ((3 * doc_id + 7 * i) % 256)) AS BIGINT) AS weighted_r
+        |FROM px GROUP BY doc_id, w, h, ct ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodePngFeatures(
+          Multimodal.syntheticPngsTyped(t(s, d, "documents").select("doc_id"), s), s)
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("weighted_r"))
+        .orderBy("doc_id")
+    },
+
     Q("q130_data_quality",
       // Declarative DQ expectations (deequ-style) over orders+lineitem:
       // the four scalar rules fold into ONE aggregation pass; uniqueness
