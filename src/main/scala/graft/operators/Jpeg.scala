@@ -225,7 +225,7 @@ private[graft] object Jpeg {
     ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
 
   private final case class Component(id: Int, qTable: Int, var dcTable: Int = 0,
-      var acTable: Int = 0)
+      var acTable: Int = 0, h: Int = 1, v: Int = 1)
 
   /** Decode a baseline JPEG into (width, height, nComponents, pixel
     * planes in component order, each w·h samples as Int 0..255). None on
@@ -242,25 +242,32 @@ private[graft] object Jpeg {
     val ok = decodeStream(bytes) { (w, h, nc) =>
       if (w.toLong * h * nc > (1L << 26)) false
       else { planes = Array.fill(nc)(new Array[Int](w * h)); dims = (w, h, nc); true }
-    } { (bx, by, blocks) =>
+    } { (mx, my, samp, blocks) =>
       val (w, h, nc) = dims
+      var hMax = 1; var vMax = 1
       var c = 0
       while (c < nc) {
-        val blk = blocks(c)
-        var yy = 0
-        while (yy < 8) {
-          val py = by * 8 + yy
-          if (py < h) {
-            var xx = 0
-            while (xx < 8) {
-              val px = bx * 8 + xx
-              if (px < w) planes(c)(py * w + px) = blk(yy * 8 + xx)
-              xx += 1
-            }
-          }
-          yy += 1
-        }
+        val sh = (samp(c) >> 4) & 0xf; val sv = samp(c) & 0xf
+        if (sh > hMax) hMax = sh
+        if (sv > vMax) vMax = sv
         c += 1
+      }
+      val x0 = mx * 8 * hMax; val y0 = my * 8 * vMax
+      val yEnd = math.min(h, y0 + 8 * vMax)
+      val xEnd = math.min(w, x0 + 8 * hMax)
+      var py = y0
+      while (py < yEnd) {
+        var px = x0
+        while (px < xEnd) {
+          c = 0
+          while (c < nc) {
+            planes(c)(py * w + px) =
+              sampleMcu(blocks, samp, c, mx, my, hMax, vMax, px, py)
+            c += 1
+          }
+          px += 1
+        }
+        py += 1
       }
     }
     if (ok) Some((dims._1, dims._2, dims._3, planes)) else None
@@ -273,7 +280,7 @@ private[graft] object Jpeg {
     * true iff the full scan decoded.
     */
   private def decodeStream(bytes: Array[Byte])(init: (Int, Int, Int) => Boolean)(
-      visit: (Int, Int, Array[Array[Int]]) => Unit): Boolean = {
+      visit: (Int, Int, Array[Int], Array[Array[Array[Int]]]) => Unit): Boolean = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return false
     var pos = 2
     val qTables = new Array[Array[Int]](4)
@@ -336,9 +343,14 @@ private[graft] object Jpeg {
           comps = Array.tabulate(nc) { i =>
             val cid = bytes(seg + 6 + 3 * i) & 0xff
             val samp = bytes(seg + 7 + 3 * i) & 0xff
-            if (samp != 0x11) return false // no subsampling
-            Component(cid, bytes(seg + 8 + 3 * i) & 0xff)
+            val sh = (samp >> 4) & 0xf
+            val sv = samp & 0xf
+            // factors 1 and 2 cover the layouts that exist in practice:
+            // 4:4:4 (all 1×1), 4:2:0 (luma 2×2), 4:2:2 (luma 2×1)
+            if (sh < 1 || sh > 2 || sv < 1 || sv > 2) return false
+            Component(cid, bytes(seg + 8 + 3 * i) & 0xff, h = sh, v = sv)
           }
+          if (nc == 1 && (comps(0).h != 1 || comps(0).v != 1)) return false
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
           return false // extended/progressive/lossless/arithmetic
@@ -372,21 +384,32 @@ private[graft] object Jpeg {
       bytes: Array[Byte], dataStart: Int, w: Int, h: Int,
       comps: Array[Component], qTables: Array[Array[Int]],
       dcTables: Array[HuffTable], acTables: Array[HuffTable],
-      restartInterval: Int)(visit: (Int, Int, Array[Array[Int]]) => Unit): Boolean = {
+      restartInterval: Int)(
+      visit: (Int, Int, Array[Int], Array[Array[Array[Int]]]) => Unit): Boolean = {
     val nc = comps.length
-    val mcuW = (w + 7) / 8
-    val mcuH = (h + 7) / 8
+    var hMax = 1; var vMax = 1
+    comps.foreach { c =>
+      if (c.h > hMax) hMax = c.h
+      if (c.v > vMax) vMax = c.v
+    }
+    val mcuW = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuH = (h + 8 * vMax - 1) / (8 * vMax)
     val nMcu = mcuW.toLong * mcuH
+    var blocksPerMcu = 0
+    comps.foreach(c => blocksPerMcu += c.h * c.v)
     // cheap plausibility bound BEFORE any per-MCU work: every block costs
     // ≥ 2 entropy bits (1-bit DC symbol + 1-bit EOB is the floor any DHT
     // can declare), so a tiny blob whose SOF claims millions of MCUs is
     // rejected here — work and (in decode()) allocation stay proportional
     // to the blob, never to hostile header claims
-    if (nMcu * nc * 2L > (bytes.length - dataStart).toLong * 8L + 64L) return false
+    if (nMcu * blocksPerMcu * 2L > (bytes.length - dataStart).toLong * 8L + 64L)
+      return false
     val pred = new Array[Int](nc)
     val br = new BitReader(bytes, dataStart)
     val coef = new Array[Double](64)
-    val blocks = Array.fill(nc)(new Array[Int](64))
+    // blocks(c)(v2·h + h2): each component's MCU blocks in raster order
+    val blocks = comps.map(c => Array.fill(c.h * c.v)(new Array[Int](64)))
+    val samp = comps.map(c => (c.h << 4) | c.v)
     var mcu = 0L
     while (mcu < nMcu) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
@@ -402,46 +425,67 @@ private[graft] object Jpeg {
         val dcT = dcTables(comp.dcTable)
         val acT = acTables(comp.acTable)
         if (q == null || dcT == null || acT == null) return false
-        java.util.Arrays.fill(coef, 0.0)
-        // DC
-        val s = dcT.decode(br)
-        if (s < 0 || s > 11) return false
-        val diffBits = br.readBits(s)
-        if (diffBits < 0) return false
-        pred(c) += extend(diffBits, s)
-        coef(0) = pred(c).toDouble * q(0)
-        // AC
-        var k = 1
-        while (k < 64) {
-          val rs = acT.decode(br)
-          if (rs < 0) return false
-          val r = (rs >> 4) & 0xf
-          val sz = rs & 0xf
-          if (sz == 0) {
-            if (r == 15) k += 16           // ZRL
-            else k = 64                    // EOB
-          } else {
-            k += r
-            if (k > 63) return false
-            val vb = br.readBits(sz)
-            if (vb < 0) return false
-            coef(Zigzag(k)) = extend(vb, sz).toDouble * q(Zigzag(k))
-            k += 1
+        var blk = 0
+        while (blk < comp.h * comp.v) {
+          java.util.Arrays.fill(coef, 0.0)
+          // DC
+          val s = dcT.decode(br)
+          if (s < 0 || s > 11) return false
+          val diffBits = br.readBits(s)
+          if (diffBits < 0) return false
+          pred(c) += extend(diffBits, s)
+          coef(0) = pred(c).toDouble * q(0)
+          // AC
+          var k = 1
+          while (k < 64) {
+            val rs = acT.decode(br)
+            if (rs < 0) return false
+            val r = (rs >> 4) & 0xf
+            val sz = rs & 0xf
+            if (sz == 0) {
+              if (r == 15) k += 16           // ZRL
+              else k = 64                    // EOB
+            } else {
+              k += r
+              if (k > 63) return false
+              val vb = br.readBits(sz)
+              if (vb < 0) return false
+              coef(Zigzag(k)) = extend(vb, sz).toDouble * q(Zigzag(k))
+              k += 1
+            }
           }
-        }
-        idct(coef)
-        var j = 0
-        while (j < 64) {
-          val v = math.round(coef(j) + 128.0).toInt
-          blocks(c)(j) = if (v < 0) 0 else if (v > 255) 255 else v
-          j += 1
+          idct(coef)
+          var j = 0
+          while (j < 64) {
+            val v = math.round(coef(j) + 128.0).toInt
+            blocks(c)(blk)(j) = if (v < 0) 0 else if (v > 255) 255 else v
+            j += 1
+          }
+          blk += 1
         }
         c += 1
       }
-      visit(bx, by, blocks)
+      visit(bx, by, samp, blocks)
       mcu += 1
     }
     true
+  }
+
+  /** Sample component `c`'s value at image pixel (px, py) from an MCU's
+    * decoded blocks: nearest-neighbor chroma upsampling (the box inverse
+    * of the encoder's 2×2 average). (mx, my) is the MCU index, `samp`
+    * the (h<<4|v) factors, hMax/vMax the frame maxima.
+    */
+  private def sampleMcu(
+      blocks: Array[Array[Array[Int]]], samp: Array[Int], c: Int,
+      mx: Int, my: Int, hMax: Int, vMax: Int, px: Int, py: Int): Int = {
+    val sh = (samp(c) >> 4) & 0xf
+    val sv = samp(c) & 0xf
+    val lx = px - mx * 8 * hMax
+    val ly = py - my * 8 * vMax
+    val csx = lx * sh / hMax
+    val csy = ly * sv / vMax
+    blocks(c)((csy >> 3) * sh + (csx >> 3))((csy & 7) * 8 + (csx & 7))
   }
 
   /** Decode + per-channel stats in the [[Multimodal.bmpStatsSchema]]
@@ -455,33 +499,39 @@ private[graft] object Jpeg {
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
     val ok = decodeStream(bytes) { (iw, ih, inc) =>
       w = iw; h = ih; nc = inc; true
-    } { (bx, by, blocks) =>
-      var yy = 0
-      while (yy < 8) {
-        val py = by * 8 + yy
-        if (py < h) {
-          var xx = 0
-          while (xx < 8) {
-            val px = bx * 8 + xx
-            if (px < w) {
-              val j = yy * 8 + xx
-              var r = 0; var g = 0; var b = 0
-              if (nc == 1) { r = blocks(0)(j); g = r; b = r }
-              else {
-                val y = blocks(0)(j).toDouble
-                val cb = blocks(1)(j).toDouble - 128.0
-                val cr = blocks(2)(j).toDouble - 128.0
-                r = clamp8(math.round(y + 1.402 * cr).toInt)
-                g = clamp8(math.round(y - 0.344136 * cb - 0.714136 * cr).toInt)
-                b = clamp8(math.round(y + 1.772 * cb).toInt)
-              }
-              sumR += r; sumG += g; sumB += b
-              wR += (py.toLong * w + px) * r
-            }
-            xx += 1
+    } { (mx, my, samp, blocks) =>
+      var hMax = 1; var vMax = 1
+      var c = 0
+      while (c < nc) {
+        val sh = (samp(c) >> 4) & 0xf; val sv = samp(c) & 0xf
+        if (sh > hMax) hMax = sh
+        if (sv > vMax) vMax = sv
+        c += 1
+      }
+      val x0 = mx * 8 * hMax; val y0 = my * 8 * vMax
+      val yEnd = math.min(h, y0 + 8 * vMax)
+      val xEnd = math.min(w, x0 + 8 * hMax)
+      var py = y0
+      while (py < yEnd) {
+        var px = x0
+        while (px < xEnd) {
+          var r = 0; var g = 0; var b = 0
+          if (nc == 1) {
+            r = sampleMcu(blocks, samp, 0, mx, my, hMax, vMax, px, py)
+            g = r; b = r
+          } else {
+            val y = sampleMcu(blocks, samp, 0, mx, my, hMax, vMax, px, py).toDouble
+            val cb = sampleMcu(blocks, samp, 1, mx, my, hMax, vMax, px, py).toDouble - 128.0
+            val cr = sampleMcu(blocks, samp, 2, mx, my, hMax, vMax, px, py).toDouble - 128.0
+            r = clamp8(math.round(y + 1.402 * cr).toInt)
+            g = clamp8(math.round(y - 0.344136 * cb - 0.714136 * cr).toInt)
+            b = clamp8(math.round(y + 1.772 * cb).toInt)
           }
+          sumR += r; sumG += g; sumB += b
+          wR += (py.toLong * w + px) * r
+          px += 1
         }
-        yy += 1
+        py += 1
       }
     }
     if (!ok) None
@@ -638,39 +688,7 @@ private[graft] object Jpeg {
             }
             y += 1
           }
-          fdct(block)
-          // quantize (q=1) to nearest int
-          val qc = new Array[Int](64)
-          var k = 0
-          while (k < 64) { qc(k) = math.round(block(k)).toInt; k += 1 }
-          // DC
-          val diff = qc(0) - pred(c)
-          pred(c) = qc(0)
-          val s = category(diff)
-          val (dcCode, dcLen) = DcCodes(s)
-          bw.write(dcCode, dcLen)
-          if (s > 0) {
-            val bitsVal = if (diff < 0) diff + (1 << s) - 1 else diff
-            bw.write(bitsVal, s)
-          }
-          // AC with run-lengths
-          var run = 0
-          k = 1
-          while (k < 64) {
-            val v = qc(Zigzag(k))
-            if (v == 0) run += 1
-            else {
-              while (run > 15) { val (cd, l) = AcCodes(0xf0); bw.write(cd, l); run -= 16 }
-              val sz = category(v)
-              val (cd, l) = AcCodes((run << 4) | sz)
-              bw.write(cd, l)
-              val bitsVal = if (v < 0) v + (1 << sz) - 1 else v
-              bw.write(bitsVal, sz)
-              run = 0
-            }
-            k += 1
-          }
-          if (run > 0) { val (cd, l) = AcCodes(0x00); bw.write(cd, l) } // EOB
+          writeBlock(bw, block, pred, c)
           c += 1
         }
         bx += 1
@@ -679,6 +697,172 @@ private[graft] object Jpeg {
     }
     bw.flush()
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** fdct → quantize (q=1) → DC diff + AC run-length Huffman write of
+    * one 8×8 block. Shared by the 4:4:4 and 4:2:0 encoders.
+    */
+  private def writeBlock(
+      bw: BitWriter, block: Array[Double], pred: Array[Int], c: Int): Unit = {
+    fdct(block)
+    val qc = new Array[Int](64)
+    var k = 0
+    while (k < 64) { qc(k) = math.round(block(k)).toInt; k += 1 }
+    val diff = qc(0) - pred(c)
+    pred(c) = qc(0)
+    val s = category(diff)
+    val (dcCode, dcLen) = DcCodes(s)
+    bw.write(dcCode, dcLen)
+    if (s > 0) {
+      val bitsVal = if (diff < 0) diff + (1 << s) - 1 else diff
+      bw.write(bitsVal, s)
+    }
+    var run = 0
+    k = 1
+    while (k < 64) {
+      val v = qc(Zigzag(k))
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { val (cd, l) = AcCodes(0xf0); bw.write(cd, l); run -= 16 }
+        val sz = category(v)
+        val (cd, l) = AcCodes((run << 4) | sz)
+        bw.write(cd, l)
+        val bitsVal = if (v < 0) v + (1 << sz) - 1 else v
+        bw.write(bitsVal, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (cd, l) = AcCodes(0x00); bw.write(cd, l) } // EOB
+  }
+
+  /** Encode REAL 4:2:0 YCbCr: luma 2×2, chroma 1×1 with 2×2 box
+    * subsampling — the layout nearly every camera/web JPEG uses. Each
+    * MCU carries 4 Y blocks (raster order) + Cb + Cr, per-component DC
+    * predictors, replicate-padded edges.
+    */
+  private[graft] def encodeRgb420(
+      r: Array[Int], g: Array[Int], b: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(r.length == w * h && g.length == w * h && b.length == w * h)
+    val yP = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      yP(i) = clamp8(math.round(
+        0.299 * r(i) + 0.587 * g(i) + 0.114 * b(i)).toInt)
+      i += 1
+    }
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    val cbP = new Array[Int](cw * ch)
+    val crP = new Array[Int](cw * ch)
+    var cy = 0
+    while (cy < ch) {
+      var cx = 0
+      while (cx < cw) {
+        // 2×2 box average over full-res chroma (edge-clamped)
+        var sumCb = 0.0; var sumCr = 0.0
+        var k = 0
+        while (k < 4) {
+          val px = math.min(w - 1, 2 * cx + (k & 1))
+          val py = math.min(h - 1, 2 * cy + (k >> 1))
+          val j = py * w + px
+          sumCb += -0.168736 * r(j) - 0.331264 * g(j) + 0.5 * b(j) + 128.0
+          sumCr += 0.5 * r(j) - 0.418688 * g(j) - 0.081312 * b(j) + 128.0
+          k += 1
+        }
+        cbP(cy * cw + cx) = clamp8(math.round(sumCb / 4).toInt)
+        crP(cy * cw + cx) = clamp8(math.round(sumCr / 4).toInt)
+        cx += 1
+      }
+      cy += 1
+    }
+    encodeYcc420(yP, cbP, crP, w, h)
+  }
+
+  /** 4:2:0 bitstream from ALREADY-SUBSAMPLED planes (luma w×h, chroma
+    * ⌈w/2⌉×⌈h/2⌉) — the fixture entry that keeps DC-only exactness
+    * available (no RGB→YCbCr rounding in the way).
+    */
+  private[graft] def encodeYcc420(
+      yP: Array[Int], cbP: Array[Int], crP: Array[Int],
+      w: Int, h: Int): Array[Byte] = {
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    require(yP.length == w * h && cbP.length == cw * ch && crP.length == cw * ch)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    marker(0xdb); u16(2 + 1 + 64); u8(0x00)
+    var i = 0
+    while (i < 64) { u8(1); i += 1 }
+    // SOF0: luma 2×2, chroma 1×1
+    marker(0xc0); u16(8 + 9); u8(8); u16(h); u16(w); u8(3)
+    u8(1); u8(0x22); u8(0)
+    u8(2); u8(0x11); u8(0)
+    u8(3); u8(0x11); u8(0)
+    marker(0xc4); u16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length))
+    u8(0x00); DcBits.foreach(u8); DcVals.foreach(u8)
+    u8(0x10); AcBits.foreach(u8); AcVals.foreach(u8)
+    marker(0xda); u16(6 + 6); u8(3)
+    u8(1); u8(0x00); u8(2); u8(0x00); u8(3); u8(0x00)
+    u8(0); u8(63); u8(0)
+    val bw = new BitWriter(out)
+    val mcuW = (w + 15) / 16
+    val mcuH = (h + 15) / 16
+    val block = new Array[Double](64)
+    val pred = new Array[Int](3)
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        // 4 luma blocks in raster order
+        var v2 = 0
+        while (v2 < 2) {
+          var h2 = 0
+          while (h2 < 2) {
+            var y = 0
+            while (y < 8) {
+              val py = math.min(h - 1, my * 16 + v2 * 8 + y)
+              var x = 0
+              while (x < 8) {
+                val px = math.min(w - 1, mx * 16 + h2 * 8 + x)
+                block(y * 8 + x) = yP(py * w + px).toDouble - 128.0
+                x += 1
+              }
+              y += 1
+            }
+            writeBlock(bw, block, pred, 0)
+            h2 += 1
+          }
+          v2 += 1
+        }
+        // one Cb + one Cr block at half resolution
+        var cc = 0
+        while (cc < 2) {
+          val plane = if (cc == 0) cbP else crP
+          var y = 0
+          while (y < 8) {
+            val py = math.min(ch - 1, my * 8 + y)
+            var x = 0
+            while (x < 8) {
+              val px = math.min(cw - 1, mx * 8 + x)
+              block(y * 8 + x) = plane(py * cw + px).toDouble - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          writeBlock(bw, block, pred, cc + 1)
+          cc += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9)
     out.toByteArray
   }
 }

@@ -671,6 +671,35 @@ object Multimodal {
     Jpeg.encodeGray(pix, w, h)
   }
 
+  /** Encode a REAL 4:2:0 JPEG with DC-only exactness: 16-aligned dims,
+    * luma constant per 8×8 block (yv = (5·id + 11·b) mod 256 over the
+    * raster luma-block index), chroma constant per image
+    * (cb = 128 + id mod 21 − 10, cr = 128 + id mod 17 − 8) — so the
+    * box-subsampled chroma is lossless, every block is DC-only, and the
+    * whole YCbCr reconstruction is integer-exact through the multi-block
+    * MCU machinery. An oracle replays the JFIF float conversion on the
+    * exact integers.
+    */
+  private[graft] def encodeSyntheticJpeg420(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0, "fixture dims are 16-aligned")
+    val yP = new Array[Int](w * h)
+    val blocksPerRow = w / 8
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = (y / 8) * blocksPerRow + (x / 8)
+        yP(y * w + x) = ((5 * id + 11 * b) % 256).toInt
+        x += 1
+      }
+      y += 1
+    }
+    val cw = w / 2; val ch = h / 2
+    val cb = (128 + (id % 21) - 10).toInt
+    val cr = (128 + (id % 17) - 8).toInt
+    Jpeg.encodeYcc420(yP, Array.fill(cw * ch)(cb), Array.fill(cw * ch)(cr), w, h)
+  }
+
   /** (doc_id, blob) table of real baseline JPEGs, dims varying with id. */
   def syntheticJpegs(ids: DataFrame, spark: SparkSession): DataFrame = {
     val idIdx = 0
@@ -682,6 +711,22 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(idIdx)
         Row(id, encodeSyntheticJpeg(id, 8 * (1 + (id % 5).toInt), 8 * (1 + (id % 3).toInt)))
+      }
+    }(enc)
+  }
+
+  /** (doc_id, blob) table of real 4:2:0 JPEGs, dims varying with id. */
+  def syntheticJpegs420(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, encodeSyntheticJpeg420(id,
+          16 * (1 + (id % 4).toInt), 16 * (1 + (id % 3).toInt)))
       }
     }(enc)
   }

@@ -991,6 +991,51 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    Q("q156_jpeg420_decode",
+      // REAL 4:2:0 JPEG decode — the chroma-subsampled layout nearly
+      // every camera/web JPEG uses: 4 luma blocks + Cb + Cr per MCU,
+      // per-component predictors, NN chroma upsampling. The fixture is
+      // DC-only (block-constant luma, image-constant chroma → the box
+      // subsample is lossless), so YCbCr reconstruction is integer-exact
+      // and the oracle replays the JFIF float conversion on the exact
+      // integers; any MCU-interleave/upsample/predictor bug breaks the
+      // hash. Lossy general content is spec-checked within a budget
+      // (MultimodalSpec).
+      """WITH dims AS (
+        |  SELECT doc_id, 16 * (1 + doc_id % 4) AS w, 16 * (1 + doc_id % 3) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i
+        |  FROM dims),
+        |v AS (
+        |  SELECT doc_id, w, h, i,
+        |    (5 * doc_id + 11 * (((i // w) // 8) * (w // 8) + (i % w) // 8)) % 256
+        |      AS yv,
+        |    (doc_id % 21) - 10 AS cbd, (doc_id % 17) - 8 AS crd
+        |  FROM px),
+        |rgb AS (
+        |  SELECT doc_id, w, h, i,
+        |    least(255, greatest(0, CAST(round(yv + 1.402 * crd) AS INT))) AS r,
+        |    least(255, greatest(0,
+        |      CAST(round(yv - 0.344136 * cbd - 0.714136 * crd) AS INT))) AS g,
+        |    least(255, greatest(0, CAST(round(yv + 1.772 * cbd) AS INT))) AS b
+        |  FROM v)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  round(avg(r), 6) AS mean_r, round(avg(g), 6) AS mean_g,
+        |  round(avg(b), 6) AS mean_b,
+        |  CAST(sum(i * r) AS BIGINT) AS weighted_r
+        |FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeJpegFeatures(
+          Multimodal.syntheticJpegs420(t(s, d, "documents").select("doc_id"), s), s)
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("weighted_r"))
+        .orderBy("doc_id")
+    },
+
     Q("q130_data_quality",
       // Declarative DQ expectations (deequ-style) over orders+lineitem:
       // the four scalar rules fold into ONE aggregation pass; uniqueness

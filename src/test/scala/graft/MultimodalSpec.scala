@@ -305,6 +305,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Jpeg.decodeStats(1L, blob).isDefined)
   }
 
+  test("JPEG 4:2:0: subsampled streams decode through the multi-block MCU path") {
+    def roundTrip(r0: Array[Int], g0: Array[Int], b0: Array[Int],
+        w: Int, h: Int, budget: Int): Unit = {
+      val blob = Jpeg.encodeRgb420(r0, g0, b0, w, h)
+      val (dw, dh, nc, planes) = Jpeg.decode(blob).get
+      assert(dw == w && dh == h && nc == 3)
+      var maxErr = 0
+      var i = 0
+      while (i < w * h) {
+        val y = planes(0)(i).toDouble
+        val cb = planes(1)(i).toDouble - 128.0
+        val cr = planes(2)(i).toDouble - 128.0
+        def c8(v: Int) = math.max(0, math.min(255, v))
+        val rr = c8(math.round(y + 1.402 * cr).toInt)
+        val gg = c8(math.round(y - 0.344136 * cb - 0.714136 * cr).toInt)
+        val bb = c8(math.round(y + 1.772 * cb).toInt)
+        maxErr = math.max(maxErr, math.max(math.abs(rr - r0(i)),
+          math.max(math.abs(gg - g0(i)), math.abs(bb - b0(i)))))
+        i += 1
+      }
+      assert(maxErr <= budget, s"max channel error $maxErr > $budget ($w x $h)")
+    }
+    // constant chroma (fixed r-g / b-g): the 2×2 box average is lossless,
+    // so the budget matches the 4:4:4 color test
+    val w = 32; val h = 24
+    val g0 = Array.tabulate(w * h)(i => 40 + (i * 3) % 176)
+    roundTrip(g0.map(_ + 30), g0, g0.map(_ - 30), w, h, budget = 5)
+    // non-16-aligned dims: replicate-padded edge MCUs must reconstruct
+    val w2 = 13; val h2 = 9
+    val g2 = Array.tabulate(w2 * h2)(i => 50 + (i * 5) % 150)
+    roundTrip(g2.map(_ + 20), g2, g2.map(_ - 20), w2, h2, budget = 5)
+    // gently varying chroma: budget covers box-downsample + NN-upsample
+    val w3 = 48; val h3 = 32
+    val g3 = Array.tabulate(w3 * h3)(i => 60 + (i % w3) * 2 % 140)
+    val r3 = Array.tabulate(w3 * h3)(i => math.min(255, g3(i) + 10 + (i / w3) / 4))
+    val b3 = Array.tabulate(w3 * h3)(i => math.max(0, g3(i) - 10 - (i % w3) / 8))
+    roundTrip(r3, g3, b3, w3, h3, budget = 12)
+    // the streaming stats path handles the same stream
+    assert(Jpeg.decodeStats(9L,
+      Jpeg.encodeRgb420(g0.map(_ + 30), g0, g0.map(_ - 30), w, h)).isDefined)
+  }
+
   test("JPEG: non-8-aligned dims decode with replicate-padded edge MCUs") {
     val w = 13; val h = 9
     val pix = Array.tabulate(w * h)(i => (i * 17) % 256)
