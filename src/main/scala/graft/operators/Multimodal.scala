@@ -9,13 +9,19 @@ import org.apache.spark.sql.types._
   * treat image/audio/video payloads as opaque `BINARY` columns with typed
   * metadata, and run decode / feature-extraction per partition.
   *
-  * The decode step is a clearly-marked STUB — this container ships no
-  * image/audio codecs — producing deterministic fake features from the raw
-  * bytes. Everything around it is the real at-scale shape:
+  * The decode surface is REAL, pure-JVM, end to end: BMP (incl. NN pixel
+  * resize), PNG (gray/RGB/RGBA, zlib inflate, all five unfilters), GIF
+  * (full LZW, interlace, animation metadata), baseline JPEG (Huffman +
+  * IDCT, 4:4:4 and 4:2:0 — see [[Jpeg]]), WAV PCM16 (incl. windowed
+  * RMS/ZCR/peak features), MP4 (container metadata + frame location off
+  * the sample tables — see [[Mp4]]). The ONLY remaining stub is
+  * compressed-video PIXEL decode ([[decodeFeaturesStub]] below), which
+  * genuinely needs external codecs. The at-scale shape throughout:
   *   - payloads stay in a `BINARY` column (columnar parquet, never
   *     stringified),
   *   - extraction runs via `mapPartitions` (one decoder init per
   *     partition, not per row — the pattern a JNI codec needs),
+  *   - corrupt rows DROP (Try-wrapped) — one bad blob never fails a job,
   *   - output is a fixed `StructType` so downstream relational/vector
   *     operators compose (e.g. the features feed SimilaritySearch).
   */
