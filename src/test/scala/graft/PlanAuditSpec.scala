@@ -457,6 +457,27 @@ class PlanAuditSpec extends SparkSpec {
       s"final per-label agg must partial-aggregate map-side:\n$p")
   }
 
+  test("q154: the recipe's pre-rank chain stays key-joined with broadcast rates") {
+    // the deterministic-shuffle rank materializes (zipWithIndex), cutting
+    // the visible lineage — audit the composed chain up to that point,
+    // where every join in the recipe actually lives
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Curation, Dedup}
+    val docs = graft.queries.Q.t(spark, sf, "documents")
+    val dd = Dedup.exactDedup(docs, "doc_id", "text")
+    val train = dd.filter(col("doc_id") >= 100)
+    val bench = docs.filter(col("doc_id") < 100)
+    val bad = Curation.contaminatedDocs(train, bench, "doc_id", "text", 8)
+      .select("doc_id")
+    val mixed = Curation.temperatureResample(
+      train.join(bad, Seq("doc_id"), "left_anti"), "lang", "doc_id", 0.5)
+    val p = mixed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every recipe stage joins on keys:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"mixture rates must broadcast:\n$p")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
