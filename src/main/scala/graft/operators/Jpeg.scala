@@ -2,17 +2,17 @@ package graft.operators
 
 import org.apache.spark.sql.Row
 
-/** REAL baseline JPEG codec (pure JVM, no codec libraries) — closes the
-  * last codec-class gap behind the multimodal decode surface: BMP, PNG,
-  * WAV and now JPEG decode for real, only MP4 keeps the documented stub
-  * shape. Everything here is from the public ITU T.81 spec (baseline
-  * sequential DCT, Huffman entropy coding, Annex K reference tables).
+/** REAL baseline JPEG codec (pure JVM, no codec libraries). Everything
+  * here is from the public ITU T.81 spec (baseline sequential DCT,
+  * Huffman entropy coding, Annex K reference tables).
   *
   * Decoder scope (returns None outside it, like every other decoder in
   * [[Multimodal]]): baseline SOF0, 8-bit precision, 1 component
-  * (grayscale) or 3 components (JFIF YCbCr) with NO chroma subsampling
-  * (all sampling factors 1×1), restart markers honored. Progressive
-  * (SOF2), arithmetic coding, 12-bit, and subsampled streams are
+  * (grayscale) or 3 components (JFIF YCbCr) with sampling factors 1–2 —
+  * covering 4:4:4, 4:2:2 and 4:2:0, the layouts that exist in practice;
+  * chroma is upsampled nearest-neighbor. MCU components follow the
+  * SCAN-header order (which may differ from SOF order). Restart markers
+  * honored. Progressive (SOF2), arithmetic coding and 12-bit streams are
   * rejected — the common training-corpus subset decodes, everything else
   * fails loudly into the drop-corrupt-rows contract.
   *
@@ -242,16 +242,8 @@ private[graft] object Jpeg {
     val ok = decodeStream(bytes) { (w, h, nc) =>
       if (w.toLong * h * nc > (1L << 26)) false
       else { planes = Array.fill(nc)(new Array[Int](w * h)); dims = (w, h, nc); true }
-    } { (mx, my, samp, blocks) =>
+    } { (mx, my, hMax, vMax, samp, blocks) =>
       val (w, h, nc) = dims
-      var hMax = 1; var vMax = 1
-      var c = 0
-      while (c < nc) {
-        val sh = (samp(c) >> 4) & 0xf; val sv = samp(c) & 0xf
-        if (sh > hMax) hMax = sh
-        if (sv > vMax) vMax = sv
-        c += 1
-      }
       val x0 = mx * 8 * hMax; val y0 = my * 8 * vMax
       val yEnd = math.min(h, y0 + 8 * vMax)
       val xEnd = math.min(w, x0 + 8 * hMax)
@@ -259,7 +251,7 @@ private[graft] object Jpeg {
       while (py < yEnd) {
         var px = x0
         while (px < xEnd) {
-          c = 0
+          var c = 0
           while (c < nc) {
             planes(c)(py * w + px) =
               sampleMcu(blocks, samp, c, mx, my, hMax, vMax, px, py)
@@ -274,13 +266,16 @@ private[graft] object Jpeg {
   }
 
   /** Streaming decode core: `init(w, h, nc)` runs once after SOF0 (veto
-    * by returning false); `visit(bx, by, blocks)` runs per MCU with one
-    * 64-sample block (0..255, level-shifted and clamped) per component —
-    * the buffers are REUSED across MCUs, consume synchronously. Returns
+    * by returning false); `visit(mx, my, hMax, vMax, samp, blocks)` runs per MCU —
+    * (mx, my) is the MCU index (an MCU spans 8·hMax × 8·vMax pixels),
+    * `samp(c)` packs component c's factors as (h<<4 | v), and
+    * `blocks(c)(v2·h + h2)` is one 64-sample block (0..255,
+    * level-shifted and clamped). Sample through [[sampleMcu]]. The
+    * buffers are REUSED across MCUs, consume synchronously. Returns
     * true iff the full scan decoded.
     */
   private def decodeStream(bytes: Array[Byte])(init: (Int, Int, Int) => Boolean)(
-      visit: (Int, Int, Array[Int], Array[Array[Array[Int]]]) => Unit): Boolean = {
+      visit: (Int, Int, Int, Int, Array[Int], Array[Array[Array[Int]]]) => Unit): Boolean = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return false
     var pos = 2
     val qTables = new Array[Array[Int]](4)
@@ -362,17 +357,23 @@ private[graft] object Jpeg {
           if (seg >= segEnd) return false // ns byte must be inside the segment
           val ns = bytes(seg) & 0xff
           if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd) return false
+          // the entropy stream interleaves components in SCAN-header
+          // order (T.81 B.2.3), which may differ from SOF order — record
+          // it so the MCU loop reads blocks where the stream put them
+          val scanOrder = new Array[Int](ns)
           var i = 0
           while (i < ns) {
             val cs = bytes(seg + 1 + 2 * i) & 0xff
-            val c = comps.find(_.id == cs).getOrElse(return false)
-            c.dcTable = (bytes(seg + 2 + 2 * i) & 0xf0) >> 4
-            c.acTable = bytes(seg + 2 + 2 * i) & 0x0f
+            val ci = comps.indexWhere(_.id == cs)
+            if (ci < 0 || scanOrder.take(i).contains(ci)) return false
+            scanOrder(i) = ci
+            comps(ci).dcTable = (bytes(seg + 2 + 2 * i) & 0xf0) >> 4
+            comps(ci).acTable = bytes(seg + 2 + 2 * i) & 0x0f
             i += 1
           }
           if (!init(w, h, comps.length)) return false
-          return decodeScan(bytes, segEnd, w, h, comps, qTables, dcTables,
-            acTables, restartInterval)(visit)
+          return decodeScan(bytes, segEnd, w, h, comps, scanOrder, qTables,
+            dcTables, acTables, restartInterval)(visit)
         case _ => () // APPn / COM / others: skip
       }
       pos = segEnd
@@ -382,10 +383,11 @@ private[graft] object Jpeg {
 
   private def decodeScan(
       bytes: Array[Byte], dataStart: Int, w: Int, h: Int,
-      comps: Array[Component], qTables: Array[Array[Int]],
+      comps: Array[Component], scanOrder: Array[Int],
+      qTables: Array[Array[Int]],
       dcTables: Array[HuffTable], acTables: Array[HuffTable],
       restartInterval: Int)(
-      visit: (Int, Int, Array[Int], Array[Array[Array[Int]]]) => Unit): Boolean = {
+      visit: (Int, Int, Int, Int, Array[Int], Array[Array[Array[Int]]]) => Unit): Boolean = {
     val nc = comps.length
     var hMax = 1; var vMax = 1
     comps.foreach { c =>
@@ -418,8 +420,9 @@ private[graft] object Jpeg {
       }
       val bx = (mcu % mcuW).toInt
       val by = (mcu / mcuW).toInt
-      var c = 0
-      while (c < nc) {
+      var sc = 0
+      while (sc < nc) {
+        val c = scanOrder(sc) // stream order, not SOF order
         val comp = comps(c)
         val q = qTables(comp.qTable)
         val dcT = dcTables(comp.dcTable)
@@ -463,9 +466,9 @@ private[graft] object Jpeg {
           }
           blk += 1
         }
-        c += 1
+        sc += 1
       }
-      visit(bx, by, samp, blocks)
+      visit(bx, by, hMax, vMax, samp, blocks)
       mcu += 1
     }
     true
@@ -499,15 +502,7 @@ private[graft] object Jpeg {
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
     val ok = decodeStream(bytes) { (iw, ih, inc) =>
       w = iw; h = ih; nc = inc; true
-    } { (mx, my, samp, blocks) =>
-      var hMax = 1; var vMax = 1
-      var c = 0
-      while (c < nc) {
-        val sh = (samp(c) >> 4) & 0xf; val sv = samp(c) & 0xf
-        if (sh > hMax) hMax = sh
-        if (sv > vMax) vMax = sv
-        c += 1
-      }
+    } { (mx, my, hMax, vMax, samp, blocks) =>
       val x0 = mx * 8 * hMax; val y0 = my * 8 * vMax
       val yEnd = math.min(h, y0 + 8 * vMax)
       val xEnd = math.min(w, x0 + 8 * hMax)
@@ -634,6 +629,33 @@ private[graft] object Jpeg {
     encode(Array(yP, cbP, crP), w, h)
   }
 
+  /** SOI + DQT (all-ones, table 0) + SOF0 + DHT (Annex K pair) + SOS for
+    * components 1..n with the given (h<<4 | v) sampling bytes. ONE copy —
+    * the fixture encoders must never drift apart in header layout.
+    */
+  private def writeJpegHeaders(
+      out: java.io.ByteArrayOutputStream, w: Int, h: Int,
+      sampling: Array[Int]): Unit = {
+    val nc = sampling.length
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64); u8(0x00)
+    var i = 0
+    while (i < 64) { u8(1); i += 1 }
+    marker(0xc0); u16(8 + 3 * nc); u8(8); u16(h); u16(w); u8(nc)
+    var c = 0
+    while (c < nc) { u8(c + 1); u8(sampling(c)); u8(0); c += 1 }
+    marker(0xc4); u16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length))
+    u8(0x00); DcBits.foreach(u8); DcVals.foreach(u8)
+    u8(0x10); AcBits.foreach(u8); AcVals.foreach(u8)
+    marker(0xda); u16(6 + 2 * nc); u8(nc)
+    c = 0
+    while (c < nc) { u8(c + 1); u8(0x00); c += 1 }
+    u8(0); u8(63); u8(0)
+  }
+
   /** Shared encoder: 1 plane = grayscale, 3 planes = YCbCr 4:4:4. All
     * components use quant table 0 (all ones) and the Annex K luminance
     * Huffman pair; MCUs interleave one block per component with
@@ -643,27 +665,8 @@ private[graft] object Jpeg {
     val nc = planes.length
     require(nc == 1 || nc == 3, "1 or 3 planes")
     val out = new java.io.ByteArrayOutputStream()
-    def u8(v: Int): Unit = out.write(v & 0xff)
-    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
-    def marker(m: Int): Unit = { u8(0xff); u8(m) }
-    marker(0xd8) // SOI
-    // DQT: table 0, all ones
-    marker(0xdb); u16(2 + 1 + 64); u8(0x00)
-    var i = 0
-    while (i < 64) { u8(1); i += 1 }
-    // SOF0: 8-bit, nc components, 1x1 sampling, qtable 0
-    marker(0xc0); u16(8 + 3 * nc); u8(8); u16(h); u16(w); u8(nc)
+    writeJpegHeaders(out, w, h, Array.fill(nc)(0x11))
     var c = 0
-    while (c < nc) { u8(c + 1); u8(0x11); u8(0); c += 1 }
-    // DHT: DC table 0 + AC table 0 (Annex K luminance)
-    marker(0xc4); u16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length))
-    u8(0x00); DcBits.foreach(u8); DcVals.foreach(u8)
-    u8(0x10); AcBits.foreach(u8); AcVals.foreach(u8)
-    // SOS
-    marker(0xda); u16(6 + 2 * nc); u8(nc)
-    c = 0
-    while (c < nc) { u8(c + 1); u8(0x00); c += 1 }
-    u8(0); u8(63); u8(0)
     // entropy-coded MCUs (interleaved, per-component DC predictors)
     val bw = new BitWriter(out)
     val mcuW = (w + 7) / 8
@@ -696,7 +699,7 @@ private[graft] object Jpeg {
       by += 1
     }
     bw.flush()
-    marker(0xd9) // EOI
+    out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
 
@@ -791,24 +794,7 @@ private[graft] object Jpeg {
     val ch = (h + 1) / 2
     require(yP.length == w * h && cbP.length == cw * ch && crP.length == cw * ch)
     val out = new java.io.ByteArrayOutputStream()
-    def u8(v: Int): Unit = out.write(v & 0xff)
-    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
-    def marker(m: Int): Unit = { u8(0xff); u8(m) }
-    marker(0xd8)
-    marker(0xdb); u16(2 + 1 + 64); u8(0x00)
-    var i = 0
-    while (i < 64) { u8(1); i += 1 }
-    // SOF0: luma 2×2, chroma 1×1
-    marker(0xc0); u16(8 + 9); u8(8); u16(h); u16(w); u8(3)
-    u8(1); u8(0x22); u8(0)
-    u8(2); u8(0x11); u8(0)
-    u8(3); u8(0x11); u8(0)
-    marker(0xc4); u16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length))
-    u8(0x00); DcBits.foreach(u8); DcVals.foreach(u8)
-    u8(0x10); AcBits.foreach(u8); AcVals.foreach(u8)
-    marker(0xda); u16(6 + 6); u8(3)
-    u8(1); u8(0x00); u8(2); u8(0x00); u8(3); u8(0x00)
-    u8(0); u8(63); u8(0)
+    writeJpegHeaders(out, w, h, Array(0x22, 0x11, 0x11))
     val bw = new BitWriter(out)
     val mcuW = (w + 15) / 16
     val mcuH = (h + 15) / 16
@@ -862,7 +848,7 @@ private[graft] object Jpeg {
       my += 1
     }
     bw.flush()
-    marker(0xd9)
+    out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
 }

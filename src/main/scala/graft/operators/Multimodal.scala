@@ -343,13 +343,14 @@ object Multimodal {
 
   private val PngSig: Array[Int] = Array(137, 80, 78, 71, 13, 10, 26, 10)
 
-  /** Parse an 8-bit RGB (color type 2, non-interlaced) PNG and compute
+  /** Parse an 8-bit non-interlaced PNG (color types 0 grayscale, 2 RGB,
+    * 6 RGBA — alpha decoded, excluded from channel stats) and compute
     * the same pixel stats as [[decodeBmpStats]] ([[bmpStatsSchema]]):
     * per-channel means + the position-sensitive `weighted_r` = Σ i·R(i)
     * over i = y·width + x (PNG scanlines are top-down, so i is the
-    * storage order). Returns None for wrong signature/IHDR, interlaced
-    * or non-RGB8 images, oversized/truncated pixel data, or a corrupt
-    * DEFLATE stream. All bounds in Long; the Inflater is always `end()`d
+    * storage order). Returns None for wrong signature/IHDR, interlaced,
+    * palette or 16-bit images, oversized/truncated pixel data, or a
+    * corrupt DEFLATE stream. All bounds in Long; the Inflater is always `end()`d
     * (native memory — a leak per corrupt blob would sink a 100 TB scan).
     */
   private[graft] def decodePngStats(id: Long, bytes: Array[Byte]): Option[Row] = {

@@ -347,6 +347,32 @@ class MultimodalSpec extends SparkSpec {
       Jpeg.encodeRgb420(g0.map(_ + 30), g0, g0.map(_ - 30), w, h)).isDefined)
   }
 
+  test("JPEG: MCU components follow SCAN-header order, not SOF order") {
+    // spec-legal streams may list SOS components in any order (T.81
+    // B.2.3); the entropy data follows THAT order. Re-labeling the SOS
+    // entries of a normally-encoded stream must therefore swap the
+    // decoded chroma planes — proof the decoder reads the scan header
+    // rather than assuming SOF order
+    val w = 16; val h = 16
+    val r0 = Array.tabulate(w * h)(i => (i * 5) % 256)
+    val g0 = Array.tabulate(w * h)(i => (i * 3 + 50) % 256)
+    val b0 = Array.tabulate(w * h)(i => (250 - (i * 7) % 251))
+    val blob = Jpeg.encodeRgb(r0, g0, b0, w, h)
+    val (_, _, _, orig) = Jpeg.decode(blob).get
+    // find SOS and swap the component ids of entries 2 and 3
+    val sosAt = blob.indices.find(i =>
+      (blob(i) & 0xff) == 0xff && (blob(i + 1) & 0xff) == 0xda).get
+    val seg = sosAt + 4 // marker + length
+    assert((blob(seg) & 0xff) == 3)
+    val swapped = blob.clone()
+    assert((swapped(seg + 3) & 0xff) == 2 && (swapped(seg + 5) & 0xff) == 3)
+    swapped(seg + 3) = 3; swapped(seg + 5) = 2
+    val (_, _, _, planes) = Jpeg.decode(swapped).get
+    assert(planes(0).toSeq == orig(0).toSeq, "luma unaffected")
+    assert(planes(1).toSeq == orig(2).toSeq && planes(2).toSeq == orig(1).toSeq,
+      "chroma planes must swap with the scan order")
+  }
+
   test("JPEG: non-8-aligned dims decode with replicate-padded edge MCUs") {
     val w = 13; val h = 9
     val pix = Array.tabulate(w * h)(i => (i * 17) % 256)
