@@ -80,7 +80,24 @@ object Bench {
             -1.0
         }
       }
-      val (a, b) = (once(), once())
+      // repeat-median (VERDICT r7 item 4): ±20-30% run-to-run drift burned
+      // three rounds of cross-round comparisons, so report the MEDIAN of 3
+      // runs per query — capped at 2 runs once a query exceeds 3 s (the
+      // expensive tail would otherwise double total bench wall-clock for
+      // queries whose signal is already above the noise floor). With 2
+      // runs the "median" is their min: robust to a one-off load spike,
+      // and exactly what the old 2-run bench reported, so the series stays
+      // comparable.
+      val r1 = once()
+      val r2 = if (r1 < 0) -1.0 else once()
+      val r3 =
+        if (r1 < 0 || r2 < 0 || math.max(r1, r2) > 3.0) -1.0
+        else once()
+      val runs = Seq(r1, r2, r3).filter(_ >= 0)
+      val value =
+        if (r1 < 0 || r2 < 0) -1.0
+        else if (runs.size >= 3) runs.sorted.apply(runs.size / 2)
+        else runs.min
       // inter-query isolation (VERDICT r6 item 2): a single-JVM 130-query
       // suite otherwise accumulates cached relations, lingering
       // localCheckpoint blocks (q58/q108/q109 return checkpointed tables
@@ -91,12 +108,19 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      name -> (value, runs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => k }
-    val total = results.values.filter(_ >= 0).sum
+    // full per-query evidence: median (the headline), min, and the raw
+    // runs — lets a verdict separate signal from load noise per query
+    val detail = results.map { case (k, (v, runs)) =>
+      s"\"" + k + "\":{\"median\":" + v + ",\"min\":" +
+        (if (runs.isEmpty) -1.0 else runs.min) + ",\"runs\":" +
+        runs.mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, (v, _)) if v < 0 => k }
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // streaming ingest throughput (rows/s through source→normalize→sink);
     // -1 on failure, never a crash of the whole bench
@@ -108,7 +132,7 @@ object Bench {
       catch { case t: Throwable =>
         System.err.println(s"bench: streamIngest FAILED: ${t.getMessage}"); (-1.0, -1.0, -1.0) }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"stream_rows_per_sec":$streamRps,"stream_p50_ms":$streamP50,"stream_p99_ms":$streamP99,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$streamRps,"stream_p50_ms":$streamP50,"stream_p99_ms":$streamP99,"sf":"$sfDir"}"""
     println(json)
     // also persist to a file: round 2's driver capture truncated the
     // stdout tail mid-JSON and lost 18 queries' timings — the file is the

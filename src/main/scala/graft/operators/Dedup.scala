@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication — exact and near-duplicate — over a corpus table
@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   * `('0x' || substr(md5(x), 1, N))::BIGINT`.
   */
 object Dedup {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** 60-bit md5-prefix hash of a string column (oracle-reproducible). */
   def hash60(c: Column): Column =
@@ -282,8 +284,9 @@ object Dedup {
     * resolves in ~10 rounds — the same round structure as the
     * large-star/small-star MapReduce connected-components decomposition.
     * Labels decrease monotonically; the loop stops when a round changes
-    * nothing (checked via the strictly-decreasing label sum, one scalar
-    * per round on the driver).
+    * nothing, detected via the strictly-decreasing label sum OBSERVED
+    * (Dataset.observe) during each round's checkpoint materialization —
+    * the convergence check costs zero extra Spark actions.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val c1 = pairs.columns(0); val c2 = pairs.columns(1)
@@ -307,14 +310,24 @@ object Dedup {
     //
     // Init fuses round 1: against identity labels the neighborhood min is
     // just min(self, neighbors) — one aggregation over edges, no join.
-    var labels = edges.groupBy("src")
-      .agg(least(col("src"), min(col("dst"))).as("cluster"))
-      .withColumnRenamed("src", "id")
-      .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum("cluster")).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
-    var prevSum = -1L
-    var curSum = labelSum(labels)
+    // convergence signature (labels decrease monotonically, so the label
+    // sum strictly decreases until the fixed point) is OBSERVED during
+    // the eager localCheckpoint materialization via Dataset.observe — one
+    // Spark action per round total, not two (r7's separate `labelSum`
+    // aggregation was a second full action per round and the prime
+    // suspect in the q58 bench anomaly).
+    def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+      val obs = Observation()
+      val ck = df.observe(obs, sum(col("cluster")).as("labelSum")).localCheckpoint()
+      val s = obs.get.get("labelSum").flatMap(Option(_))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      (ck, s)
+    }
+    var (labels, curSum) = checkpointWithSum(
+      edges.groupBy("src")
+        .agg(least(col("src"), min(col("dst"))).as("cluster"))
+        .withColumnRenamed("src", "id"))
+    var prevSum = Long.MinValue
     var it = 0
     // one jump step: compose the mapping with itself (cluster :=
     // cluster(cluster)); cluster values are node ids, so they resolve
@@ -325,6 +338,7 @@ object Dedup {
       .select(col("a.id").as("id"),
         least(col("a.cluster"), coalesce(col("cc"), col("a.cluster"))).as("cluster"))
     while (curSum != prevSum && it < maxIters) {
+      val roundStart = System.nanoTime()
       prevSum = curSum
       // self-loops make this min(self, neighbors) in one aggregation.
       // Checkpointed BEFORE jumping: a jump self-joins its input, so an
@@ -344,8 +358,8 @@ object Dedup {
       // composition doubles the lazy plan over the materialized hook
       // table, and past f⁴ the extra join evaluations cost more than
       // the rounds they save.
-      val jumped = jump(jump(hooked)).localCheckpoint()
-      curSum = labelSum(jumped)
+      val (jumped, jumpedSum) = checkpointWithSum(jump(jump(hooked)))
+      curSum = jumpedSum
       // jumped is materialized (localCheckpoint is eager), so the round's
       // hook table and the superseded previous labels can be freed — the
       // PageRank lesson: without this, each round's checkpoint RDD stays
@@ -355,6 +369,11 @@ object Dedup {
       Checkpoints.free(labels)
       labels = jumped
       it += 1
+      // per-round wall time at INFO: the r7 driver bench showed a 2.5×
+      // q58 swing between identical-code runs — this line makes any
+      // future swing attributable to a specific round (data) vs uniform
+      // inflation (machine load)
+      log.info(f"dupClusters round $it%d: labelSum=$curSum%d wall=${(System.nanoTime() - roundStart) / 1e9}%.2fs")
     }
     edges.unpersist(blocking = false)
     labels

@@ -287,6 +287,11 @@ private[graft] object Jpeg {
 
     while (pos + 4 <= bytes.length) {
       if ((bytes(pos) & 0xff) != 0xff) return false
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+      // marker — skip them so padded-but-valid files aren't read as a
+      // garbage segment length under marker 0xFF
+      while (pos + 4 <= bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 4 > bytes.length) return false
       val marker = bytes(pos + 1) & 0xff
       if (marker == 0xd9) return false // EOI before SOS
       val len = be16(bytes, pos + 2)
@@ -712,6 +717,16 @@ private[graft] object Jpeg {
     val qc = new Array[Int](64)
     var k = 0
     while (k < 64) { qc(k) = math.round(block(k)).toInt; k += 1 }
+    // clamp AC to the Annex K table domain (magnitude category ≤ 10,
+    // |v| ≤ 1023): with q=1 a basis-aligned ±128 checkerboard can reach
+    // |1024| = category 11, which the AC code table does not cover. DC
+    // needs no clamp — DC ∈ [-1024, 1016] so |diff| ≤ 2040 stays inside
+    // the DC table's category-11 ceiling.
+    k = 1
+    while (k < 64) {
+      if (qc(k) > 1023) qc(k) = 1023 else if (qc(k) < -1023) qc(k) = -1023
+      k += 1
+    }
     val diff = qc(0) - pred(c)
     pred(c) = qc(0)
     val s = category(diff)

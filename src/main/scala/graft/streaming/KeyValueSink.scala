@@ -84,9 +84,13 @@ object KeyValueSink {
           .foreachPartition { (it: Iterator[OpcValue]) =>
             if (it.hasNext) {
               val store = resolveProvider(providerClass).open()
-              store.connect()
-              try it.foreach(v => store.upsert(v.serverName, v.tag, v))
-              finally store.close()
+              // connect() inside the try: if it throws after open()
+              // allocated resources, close() (documented idempotent)
+              // still runs and the store is not leaked
+              try {
+                store.connect()
+                it.foreach(v => store.upsert(v.serverName, v.tag, v))
+              } finally store.close()
             }
           }
         ()
