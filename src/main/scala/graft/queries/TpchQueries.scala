@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Q.t
@@ -25,6 +26,54 @@ object TpchQueries {
   private val revenueSql =
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
       "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  /** Synthetic `partsupp`: the testdata ships no partsupp table, which
+    * blocked TPC-H Q2/Q9/Q11/Q16/Q20 (the five classic plan stressors
+    * that join it). Derive it as a PURE function of the shipped keys —
+    * 4 suppliers per part, TPC-H-dbgen-style rotation
+    * `(p + p div S + i·(S div 4)) mod S` for i ∈ 0..3 (distinct for any
+    * S ≥ 4 since 3·(S div 4) < S), with availqty/supplycost from md5
+    * prefixes of "partkey|suppkey" — so the DuckDB oracle recomputes the
+    * IDENTICAL table as a CTE ([[psCte]]). supplycost is integer-valued
+    * (1..1000 as double) and availqty ≤ 9999, keeping every downstream
+    * sum/min exact in IEEE double on both engines.
+    *
+    * 100 TB posture: one narrow projection of `part` × a 4-row broadcast
+    * range — no shuffle, no driver data; the only scalar is the supplier
+    * COUNT (bounded, same number the oracle derives via COUNT(*)).
+    */
+  private def partsupp(s: SparkSession, d: String): DataFrame = {
+    val nSupp = t(s, d, "supplier").count()
+    val key = concat(col("ps_partkey").cast("string"), lit("|"),
+      col("ps_suppkey").cast("string"))
+    t(s, d, "part").select(col("p_partkey"))
+      // 4-way row explode as a PROJECTION (generate over a literal
+      // sequence) — a crossJoin(range(4)) would plan a nested-loop node
+      .select(col("p_partkey"), explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") + (col("p_partkey") / nSupp).cast("long") +
+          col("i") * (nSupp / 4)) % nSupp).as("ps_suppkey"))
+      .withColumn("ps_availqty",
+        (conv(substring(md5(key), 1, 10), 16, 10).cast("long") % 9999 + 1).cast("int"))
+      .withColumn("ps_supplycost",
+        (conv(substring(md5(key), 11, 10), 16, 10).cast("long") % 1000 + 1).cast("double"))
+  }
+
+  /** DuckDB twin of [[partsupp]] — prepended to each Q2/Q9/Q11/Q16/Q20
+    * oracle so both engines compute from the same derived table.
+    */
+  private val psCte =
+    """WITH __ns AS (SELECT count(*) AS n FROM supplier),
+      |__ps0 AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey + p_partkey // n + i.i * (n // 4)) % n AS ps_suppkey
+      |  FROM part, __ns, (SELECT UNNEST([0,1,2,3]) AS i) AS i),
+      |partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST(('0x' || substr(md5(ps_partkey::VARCHAR || '|' || ps_suppkey::VARCHAR), 1, 10))::BIGINT % 9999 + 1 AS INT) AS ps_availqty,
+      |    CAST(('0x' || substr(md5(ps_partkey::VARCHAR || '|' || ps_suppkey::VARCHAR), 11, 10))::BIGINT % 1000 + 1 AS DOUBLE) AS ps_supplycost
+      |  FROM __ps0)
+      |""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -572,6 +621,204 @@ object TpchQueries {
           col("l_partkey") === col("p_partkey"))
         .filter(bands)
         .agg(round(revenue, 2).as("revenue"))
+    },
+
+    Q("q157_tpch_q2",
+      // TPC-H Q2 (minimum-cost supplier): the classic correlated-min
+      // subquery against the same table. Adapted output (the schema has
+      // no p_mfgr / s_address / s_phone / s_comment): p_type stands in
+      // for mfgr. Spark plan: the correlated min decorrelates to a
+      // per-part min over the SAME part-filtered EUROPE partsupp view,
+      // broadcast back (VERDICT r8 audit: broadcast the min side) — both
+      // sides prune to the selective part filter FIRST, so at 100 TB the
+      // min table is O(filtered parts), never O(partsupp).
+      psCte +
+        """SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+          |FROM part, supplier, partsupp, nation, region
+          |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          |  AND p_size = 15 AND p_type = 'PROMO'
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'EUROPE'
+          |  AND ps_supplycost = (
+          |    SELECT min(ps_supplycost)
+          |    FROM partsupp ps2, supplier s2, nation n2, region r2
+          |    WHERE part.p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+          |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          |      AND r2.r_name = 'EUROPE')
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin) { (s, d) =>
+      val eurSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val parts = t(s, d, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "PROMO")
+        .select("p_partkey", "p_type")
+      // one shared view: filtered parts ⋈ partsupp ⋈ EUROPE suppliers —
+      // the final answer and the per-part min both derive from it
+      val eurPs = partsupp(s, d)
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(eurSupp), col("ps_suppkey") === col("s_suppkey"))
+      val minCost = eurPs.groupBy(col("ps_partkey").as("mc_partkey"))
+        .agg(min("ps_supplycost").as("mc_min"))
+      eurPs.join(broadcast(minCost),
+          col("ps_partkey") === col("mc_partkey") &&
+            col("ps_supplycost") === col("mc_min"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+
+    Q("q158_tpch_q9",
+      // TPC-H Q9 (product-type profit): 6-table join, profit =
+      // revenue − supply cost, grouped by supplier nation × order year.
+      // ONE lineitem scan; every other input is broadcast — partsupp
+      // pruned to the selective p_name filter first, so its broadcast
+      // side is O(filtered parts), and supplier⋈nation is a dim.
+      // lineitem ⋈ orders is the single big shuffle. All money math in
+      // DECIMAL (supplycost is integer-valued), one final double cast.
+      psCte +
+        """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+          |      - CAST(ps_supplycost AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+          |    AS DOUBLE), 2) AS sum_profit
+          |FROM lineitem, orders, part, supplier, nation, partsupp
+          |WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+          |  AND l_suppkey = s_suppkey AND ps_partkey = l_partkey
+          |  AND ps_suppkey = l_suppkey AND s_nationkey = n_nationkey
+          |  AND p_name LIKE '%red%'
+          |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val redParts = t(s, d, "part").filter(col("p_name").like("%red%"))
+        .select("p_partkey")
+      val suppNation = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      val ps = partsupp(s, d)
+        .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(ps),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("nation", col("n_name"))
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .groupBy("nation", "o_year")
+        .agg(round(sum(dec("l_extendedprice") *
+            (lit(1).cast("decimal(18,2)") - dec("l_discount")) -
+            dec("ps_supplycost") * dec("l_quantity")).cast("double"), 2)
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    Q("q159_tpch_q11",
+      // TPC-H Q11 (important stock): per-part value HAVING against a
+      // global scalar. The TPC-H fraction is SF-dependent (0.0001/SF);
+      // here the threshold self-normalizes to 1.5× the MEAN per-part
+      // value, so the query keeps selecting a real subset at every SF.
+      // All values are exact-integer doubles (cost ≤ 1000 × qty ≤ 9999),
+      // so sums are order-independent and the double division is the
+      // same IEEE operation on both engines. Spark: the scalar is a
+      // one-row broadcast (no driver collect).
+      psCte +
+        """, g AS (
+          |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+          |  FROM partsupp, supplier, nation
+          |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          |    AND n_name = 'NATION_7')
+          |SELECT ps_partkey, sum(v) AS value FROM g GROUP BY ps_partkey
+          |HAVING sum(v) > 1.5 * (SELECT sum(v) / count(DISTINCT ps_partkey) FROM g)
+          |ORDER BY value DESC, ps_partkey""".stripMargin) { (s, d) =>
+      val g = partsupp(s, d)
+        .join(broadcast(t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")),
+          col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"), (col("ps_supplycost") * col("ps_availqty")).as("v"))
+      val perPart = g.groupBy("ps_partkey").agg(sum("v").as("value"))
+      val thresh = g.agg((lit(1.5) * (sum("v") / countDistinct("ps_partkey"))).as("__thr"))
+      perPart.join(broadcast(thresh))
+        .filter(col("value") > col("__thr"))
+        .select("ps_partkey", "value")
+        .orderBy(col("value").desc, col("ps_partkey"))
+    },
+
+    Q("q160_tpch_q16",
+      // TPC-H Q16 (parts/supplier relationship): NOT IN + per-group
+      // count-distinct. Adapted: "complaint" suppliers = negative
+      // account balance (the schema has no s_comment). The NOT IN is an
+      // exact anti join (s_suppkey is never NULL); both dims broadcast.
+      psCte +
+        """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+          |FROM partsupp, part
+          |WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#13'
+          |  AND p_type <> 'PROMO' AND p_size IN (1, 4, 9, 14, 23, 36, 45, 50)
+          |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+      val parts = t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 50))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val complaint = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      partsupp(s, d)
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(complaint), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    Q("q161_tpch_q20",
+      // TPC-H Q20 (potential part promotion): the nested semi chain —
+      // suppliers holding excess stock (availqty > half a year's sales)
+      // of 'small%' parts, in one nation. The correlated scalar sum
+      // decorrelates to a keyed aggregate + INNER join (reproducing the
+      // strict NULL semantics: a pair with no sales compares NULL > x →
+      // excluded); the chain ends in two semi joins. lineitem is scanned
+      // once, pre-aggregated on (partkey, suppkey) before joining.
+      psCte +
+        """SELECT s_name, s_acctbal FROM supplier, nation
+          |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+          |  AND s_suppkey IN (
+          |    SELECT ps_suppkey FROM partsupp
+          |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          |      AND ps_availqty > 0.5 * (
+          |        SELECT sum(l_quantity) FROM lineitem
+          |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          |          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          |          AND l_shipdate < TIMESTAMP '1997-01-01'))
+          |ORDER BY s_name""".stripMargin) { (s, d) =>
+      val smallParts = t(s, d, "part").filter(col("p_name").like("small%"))
+        .select("p_partkey")
+      val qty = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("__qty"))
+      val excess = partsupp(s, d)
+        .join(broadcast(smallParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(qty,
+          col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > lit(0.5) * col("__qty"))
+        .select("ps_suppkey")
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     }
   )
 }

@@ -478,6 +478,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"mixture rates must broadcast:\n$p")
   }
 
+  test("q157: TPC-H Q2's correlated min decorrelates to a broadcast — no cartesian") {
+    val p = plan("q157_tpch_q2")
+    // the per-part min table joins back by broadcast (it is O(filtered
+    // parts)); the whole plan stays nested-loop-free
+    assert(p.contains("BroadcastHashJoin"), s"min side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cross product in the decorrelated plan:\n$p")
+  }
+
+  test("q158: TPC-H Q9 scans lineitem once; part/supplier/partsupp broadcast") {
+    val p = plan("q158_tpch_q9")
+    // exactly one lineitem scan feeds the whole profit rollup
+    assert(p.split("lineitem\\.parquet").length - 1 <= 2, // tree + detail section
+      s"lineitem must be scanned once:\n$p")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cross product:\n$p")
+  }
+
+  test("q159: TPC-H Q11's global threshold is a one-row broadcast, not a collect") {
+    val p = plan("q159_tpch_q11")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the scalar threshold must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
+
+  test("q161: TPC-H Q20's nested semi chain plans as semi joins on keys") {
+    val p = plan("q161_tpch_q20")
+    assert(p.contains("LeftSemi"), s"IN chains must become semi joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cross product:\n$p")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
