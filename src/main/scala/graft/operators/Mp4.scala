@@ -5,10 +5,12 @@ import org.apache.spark.sql.types._
 
 /** REAL ISO BMFF (MP4) box-structure parser — the container level of the
   * last multimodal format, from the public ISO/IEC 14496-12 spec. With
-  * this, every format behind the multimodal surface has a real parser
-  * (BMP, PNG, WAV, JPEG pixels/samples; MP4 container metadata); only
-  * FRAME decode of compressed video (H.264 et al.) remains behind the
-  * documented codec stub — that genuinely needs external codecs.
+  * this, every format behind the multimodal surface decodes for real
+  * (BMP, PNG, WAV, JPEG pixels/samples; MP4 container metadata, frame
+  * sampling, AND compressed-video pixel decode via [[mjpegFrames]] —
+  * MJPEG frames are complete baseline JPEGs, decoded by the repo's own
+  * pipeline). Only INTER-frame codecs (H.264 et al.) stay behind the
+  * external-codec seam.
   *
   * Parsed: box walk (32-bit and 64-bit largesize forms), `ftyp` major
   * brand, `moov/mvhd` timescale+duration (versions 0 and 1),
@@ -148,17 +150,14 @@ private[graft] object Mp4 {
   private val MaxSamples = 1000000
   private val MaxTableEntries = 100000
 
-  /** REAL frame sampling off the sample tables (`stbl`): stts gives each
-    * sample's decode time, stsz its size, stsc+stco its byte range in
-    * mdat — exactly what a demuxer hands a video decoder. Every `everyN`th
-    * frame's (pts, size, byte sum over its ACTUAL mdat range) is emitted;
-    * with this, frame LOCATION is fully real and only the compressed-
-    * pixel decode itself remains behind the codec stub. None for
-    * non-BMFF, missing/inconsistent tables, or ranges outside the blob.
+  /** The demuxer core shared by [[sampleFrames]] and [[mjpegFrames]]:
+    * walk the first video track's sample tables (stts/stsz/stsc/stco)
+    * into (timescale, per-sample sizes, decode times, absolute mdat
+    * offsets). None for non-BMFF, missing/inconsistent tables.
     */
-  private[graft] def sampleFrames(
-      id: Long, bytes: Array[Byte], everyN: Int): Option[Seq[Row]] = {
-    if (everyN <= 0 || bytes.length < 16) return None
+  private def videoSampleTable(
+      bytes: Array[Byte]): Option[(Long, Array[Long], Array[Long], Array[Long])] = {
+    if (bytes.length < 16) return None
     val top = boxes(bytes, 0, bytes.length)
     val moov = top.find(_.typ == "moov").getOrElse(return None)
     // first VIDEO track's stbl (+ its mdhd timescale)
@@ -248,7 +247,21 @@ private[graft] object Mp4 {
       c += 1
     }
     if (sample < n) return None
-    // ---- emit every Nth frame with its REAL mdat byte sum
+    Some((timescale, sizes, pts, offsets))
+  }
+
+  /** REAL frame sampling off the sample tables (`stbl`): stts gives each
+    * sample's decode time, stsz its size, stsc+stco its byte range in
+    * mdat — exactly what a demuxer hands a video decoder. Every `everyN`th
+    * frame's (pts, size, byte sum over its ACTUAL mdat range) is emitted.
+    * None for non-BMFF, missing/inconsistent tables, or ranges outside
+    * the blob.
+    */
+  private[graft] def sampleFrames(
+      id: Long, bytes: Array[Byte], everyN: Int): Option[Seq[Row]] = {
+    if (everyN <= 0) return None
+    val (timescale, sizes, pts, offsets) = videoSampleTable(bytes).getOrElse(return None)
+    val n = sizes.length
     val out = Seq.newBuilder[Row]
     var f = 0
     while (f < n) {
@@ -260,6 +273,50 @@ private[graft] object Mp4 {
       val endB = (off + sz).toInt
       while (b < endB) { sum += (bytes(b) & 0xff); b += 1 }
       out += Row(id, f, pts(f) * 1000L / timescale, sz, sum)
+      f += everyN
+    }
+    Some(out.result())
+  }
+
+  val mjpegFrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("pts_ms", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false),
+    StructField("weighted_r", LongType, nullable = false)))
+
+  /** REAL compressed-video PIXEL decode — MJPEG: each sampled frame's
+    * mdat byte range (located by the same demuxed tables as
+    * [[sampleFrames]]) is a complete baseline JPEG, decoded through the
+    * repo's own entropy/IDCT pipeline ([[Jpeg.decodeStats]]) with ZERO
+    * external codecs. This closes the last multimodal stub: the
+    * remaining [[Multimodal.decodeFeaturesStub]] is only the seam for
+    * inter-frame codecs (H.264-class) that genuinely need external
+    * libraries. A frame that is not a decodable JPEG DROPS (corrupt
+    * frame ≠ corrupt document); a document without video tables is None.
+    */
+  private[graft] def mjpegFrames(
+      id: Long, bytes: Array[Byte], everyN: Int): Option[Seq[Row]] = {
+    if (everyN <= 0) return None
+    val (timescale, sizes, pts, offsets) = videoSampleTable(bytes).getOrElse(return None)
+    val n = sizes.length
+    val out = Seq.newBuilder[Row]
+    var f = 0
+    while (f < n) {
+      val off = offsets(f)
+      val sz = sizes(f)
+      if (off < 0 || sz < 0 || off + sz > bytes.length) return None
+      val frame = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+      Jpeg.decodeStats(id, frame).foreach { st =>
+        out += Row(id, f, pts(f) * 1000L / timescale, st.getInt(1), st.getInt(2),
+          st.getLong(3), st.getDouble(4), st.getDouble(5), st.getDouble(6),
+          st.getLong(7))
+      }
       f += everyN
     }
     Some(out.result())
@@ -365,6 +422,68 @@ private[graft] object Mp4 {
       Array[Byte](0, 0, 0, 7) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++
         u32(durTicks) ++ new Array[Byte](76 - 24) ++
         u32(320L << 16) ++ u32(240L << 16))
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Build a REAL MJPEG-in-MP4 stream: every mdat frame is a complete
+    * baseline JPEG from the repo's own encoder (the q133 DC-only-exact
+    * family: constant 8×8 blocks v = (5·seed + 11·b) mod 256 with
+    * seed = id + 13·frame, dims 8·(1 + id mod 5) × 8·(1 + id mod 3)),
+    * stsd sample entry 'jpeg', full stts/stsc/stsz/stco tables, mdat
+    * first so chunk offsets are moov-size-independent. nF = 3 + id mod 4
+    * frames at 100 ms cadence — every decoded pixel stat is
+    * formula-predictable by a DuckDB oracle while the decode path runs
+    * the FULL demux + entropy + IDCT machinery.
+    */
+  private[graft] def encodeSyntheticMjpeg(id: Long): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + payload.length)
+      val size = out.length
+      out(0) = ((size >> 24) & 0xff).toByte; out(1) = ((size >> 16) & 0xff).toByte
+      out(2) = ((size >> 8) & 0xff).toByte; out(3) = (size & 0xff).toByte
+      typ.getBytes("US-ASCII").copyToArray(out, 4)
+      payload.copyToArray(out, 8)
+      out
+    }
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val nF = (3 + id % 4).toInt
+    val w = 8 * (1 + (id % 5).toInt)
+    val h = 8 * (1 + (id % 3).toInt)
+    val frames = Array.tabulate(nF)(i =>
+      Multimodal.encodeSyntheticJpeg(id + 13L * i, w, h))
+    val sizes = frames.map(_.length)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0x200) ++
+      "isomiso2".getBytes("US-ASCII"))
+    val mdat = box("mdat", frames.flatten)
+    val mdatPayloadStart = ftyp.length + 8
+    val durTicks = nF * 100L
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
+      u32(1000) ++ u32(durTicks) ++ u32(0x00010000) ++ new Array[Byte](100 - 24))
+    val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
+      u32(1000) ++ u32(durTicks) ++ u32(0x55c40000L))
+    val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ u32(0) ++
+      "vide".getBytes("US-ASCII") ++ new Array[Byte](12) ++ Array[Byte](0))
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
+      box("jpeg", new Array[Byte](78)))
+    val stts = box("stts", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
+      u32(nF) ++ u32(100))
+    val stsc = box("stsc", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
+      u32(1) ++ u32(nF) ++ u32(1))
+    val stsz = box("stsz", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(nF) ++
+      sizes.flatMap(s => u32(s)))
+    val stco = box("stco", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
+      u32(mdatPayloadStart))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val tkhd = box("tkhd",
+      Array[Byte](0, 0, 0, 7) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++
+        u32(durTicks) ++ new Array[Byte](76 - 24) ++
+        u32(w.toLong << 16) ++ u32(h.toLong << 16))
     val mdia = box("mdia", mdhd ++ hdlr ++ minf)
     val trak = box("trak", tkhd ++ mdia)
     val moov = box("moov", mvhd ++ trak)

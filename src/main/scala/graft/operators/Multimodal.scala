@@ -14,9 +14,12 @@ import org.apache.spark.sql.types._
   * (full LZW, interlace, animation metadata), baseline JPEG (Huffman +
   * IDCT, 4:4:4 and 4:2:0 — see [[Jpeg]]), WAV PCM16 (incl. windowed
   * RMS/ZCR/peak features), MP4 (container metadata + frame location off
-  * the sample tables — see [[Mp4]]). The ONLY remaining stub is
-  * compressed-video PIXEL decode ([[decodeFeaturesStub]] below), which
-  * genuinely needs external codecs. The at-scale shape throughout:
+  * the sample tables — see [[Mp4]]) — including compressed-video PIXEL
+  * decode for MJPEG ([[decodeMjpegFrames]]: demuxed frame ranges fed to
+  * the in-repo JPEG pipeline, zero external codecs). The one remaining
+  * seam is INTER-frame codecs (H.264-class), which genuinely need
+  * external libraries — [[decodeFeaturesStub]] keeps that call shape.
+  * The at-scale shape throughout:
   *   - payloads stay in a `BINARY` column (columnar parquet, never
   *     stringified),
   *   - extraction runs via `mapPartitions` (one decoder init per
@@ -49,11 +52,15 @@ object Multimodal {
     StructField("n_channels", IntegerType, nullable = false),
     StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** ======================= DECODE STUB =======================
-    * Deterministic fake "decode": pseudo-dimensions and an 8-dim feature
-    * derived from byte statistics. A real deployment replaces ONLY the body
-    * of `decodeOne` with a codec call (e.g. libjpeg/ffmpeg via JNI); the
-    * partition iteration, schema, and batching shape stay as-is.
+  /** =============== EXTERNAL-CODEC SEAM (inter-frame video) ===============
+    * Every intra-coded format decodes for real in this repo (BMP, PNG,
+    * GIF, JPEG, WAV, MJPEG-in-MP4). INTER-frame codecs (H.264/H.265/VP9)
+    * genuinely need external libraries; this seam keeps their call shape:
+    * deterministic fake "decode" (pseudo-dimensions + an 8-dim feature
+    * from byte statistics). A real deployment replaces ONLY the body of
+    * `decodeOne` with the codec call (e.g. ffmpeg via JNI); the partition
+    * iteration, schema, and batching shape stay as-is — and the REAL
+    * MJPEG path ([[decodeMjpegFrames]]) proves the shape end to end.
     */
   private[graft] def decodeOne(id: Long, bytes: Array[Byte]): Row = {
     val n = bytes.length
@@ -816,6 +823,43 @@ object Multimodal {
         val id = r.getLong(idIdx)
         Row(id, Gif.encodeSynthetic(id, 8 + (id % 13).toInt, 8 + (id % 6).toInt,
           interlaced = id % 3 == 0))
+      }
+    }(enc)
+  }
+
+  /** Per-partition REAL compressed-video PIXEL decode (MJPEG): the MP4
+    * sample tables locate each `everyN`th frame's byte range, and the
+    * repo's baseline-JPEG pipeline decodes its pixels — per-frame stats
+    * into [[Mp4.mjpegFrameSchema]], zero external codecs. Corrupt
+    * documents drop; an undecodable individual frame drops alone.
+    */
+  def decodeMjpegFrames(
+      blobs: DataFrame, everyN: Int, spark: SparkSession): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(Mp4.mjpegFrameSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        scala.util.Try(
+          Mp4.mjpegFrames(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx), everyN)
+        ).toOption.flatten.toSeq.flatten
+      }
+    }(enc)
+  }
+
+  /** (doc_id, blob) table of real MJPEG-in-MP4 streams — every frame a
+    * complete baseline JPEG of the q133 DC-only-exact family.
+    */
+  def syntheticMjpegs(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, Mp4.encodeSyntheticMjpeg(id))
       }
     }(enc)
   }

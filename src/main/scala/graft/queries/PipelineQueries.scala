@@ -891,9 +891,8 @@ object PipelineQueries {
       // full stsd/stts/stsc/stsz/stco sample tables) and extracts every
       // 2nd frame's pts, size, and byte sum over its ACTUAL mdat range —
       // purely off the tables, exactly what a demuxer hands a decoder.
-      // With this, frame LOCATION is real end to end; only compressed-
-      // pixel decode remains behind the documented codec stub. The
-      // oracle predicts every field from the generation formula.
+      // (q162 then feeds the same demuxed ranges to a REAL pixel decode.)
+      // The oracle predicts every field from the generation formula.
       """WITH f AS (SELECT doc_id, 5 + doc_id % 6 AS nf FROM documents),
         |fr AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS i
         |  FROM f)
@@ -906,6 +905,52 @@ object PipelineQueries {
       Multimodal.sampleMp4Frames(
           Multimodal.syntheticFramedMp4s(t(s, d, "documents").select("doc_id"), s),
           everyN = 2, s)
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    Q("q162_mjpeg_decode",
+      // REAL compressed-video PIXEL decode (MJPEG): the engine builds
+      // MJPEG-in-MP4 streams whose mdat frames are complete baseline
+      // JPEGs (the q133 DC-only-exact family, per-frame seed
+      // id + 13·frame), demuxes every 2nd frame's byte range off the
+      // sample tables, and decodes its pixels through the repo's own
+      // Huffman+IDCT pipeline — zero external codecs; this closes the
+      // last multimodal stub. The oracle predicts every decoded pixel
+      // stat from the block formula alone: v = (5·id + 65·fi + 11·blk)
+      // mod 256 over constant 8×8 blocks.
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(3 + doc_id % 4 AS BIGINT) - 1, 2)) AS fi
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, fi, 8 * (1 + doc_id % 5) AS w, 8 * (1 + doc_id % 3) AS h
+        |  FROM f),
+        |px AS (
+        |  SELECT doc_id, fi, w, h, unnest(generate_series(0, w * h - 1)) AS i
+        |  FROM dims),
+        |pv AS (
+        |  SELECT doc_id, fi, w, h, i,
+        |    (5 * doc_id + 65 * fi
+        |      + 11 * (((i // w) // 8) * (w // 8) + (i % w) // 8)) % 256 AS v
+        |  FROM px)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(fi * 100 AS BIGINT) AS pts_ms,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  round(avg(v), 6) AS mean_r, round(avg(v), 6) AS mean_g,
+        |  round(avg(v), 6) AS mean_b,
+        |  CAST(sum(i * v) AS BIGINT) AS weighted_r
+        |FROM pv GROUP BY doc_id, fi, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Multimodal.decodeMjpegFrames(
+          Multimodal.syntheticMjpegs(t(s, d, "documents").select("doc_id"), s),
+          everyN = 2, s)
+        .select(col("doc_id"), col("frame_idx"), col("pts_ms"),
+          col("width"), col("height"), col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("weighted_r"))
         .orderBy("doc_id", "frame_idx")
     },
 

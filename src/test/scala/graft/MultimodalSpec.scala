@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Jpeg, Multimodal}
+import graft.operators.{Jpeg, Mp4, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -666,5 +666,51 @@ class MultimodalSpec extends SparkSpec {
     // trailer before any image data
     val noImg = good.take(13 + 768) :+ 0x3b.toByte
     assert(Gif.decodeStats(5L, noImg).isEmpty)
+  }
+
+  test("MJPEG: a demuxed frame decodes identically to the same JPEG as a still") {
+    for (id <- Seq(0L, 3L, 7L, 11L, 22L)) {
+      val blob = Mp4.encodeSyntheticMjpeg(id)
+      val nF = (3 + id % 4).toInt
+      val w = 8 * (1 + (id % 5).toInt)
+      val h = 8 * (1 + (id % 3).toInt)
+      // everyN = 1: every frame decodes
+      val frames = Mp4.mjpegFrames(id, blob, 1).get
+      assert(frames.size == nF, s"id=$id expected $nF frames, got ${frames.size}")
+      frames.zipWithIndex.foreach { case (fr, i) =>
+        // the same JPEG bytes decoded as a standalone still
+        val still = Jpeg.decodeStats(id,
+          Multimodal.encodeSyntheticJpeg(id + 13L * i, w, h)).get
+        assert(fr.getInt(1) == i && fr.getLong(2) == i * 100L)
+        assert(fr.getInt(3) == still.getInt(1) && fr.getInt(4) == still.getInt(2))
+        assert(fr.getLong(5) == still.getLong(3))
+        assert(fr.getDouble(6) == still.getDouble(4) &&
+          fr.getDouble(7) == still.getDouble(5) &&
+          fr.getDouble(8) == still.getDouble(6))
+        assert(fr.getLong(9) == still.getLong(7))
+      }
+    }
+    // a corrupted individual frame drops alone; the rest still decode
+    val id = 7L
+    val blob = Mp4.encodeSyntheticMjpeg(id)
+    val all = Mp4.mjpegFrames(id, blob, 1).get
+    assert(all.size >= 2)
+    // find the mdat payload (frame 0 starts right after 'mdat' header)
+    val mdatAt = {
+      var p = -1
+      var i = 0
+      while (p < 0 && i + 8 <= blob.length) {
+        if (blob(i + 4) == 'm' && blob(i + 5) == 'd' && blob(i + 6) == 'a' &&
+          blob(i + 7) == 't') p = i + 8
+        i += 1
+      }
+      p
+    }
+    assert(mdatAt > 0)
+    val bad = blob.clone()
+    bad(mdatAt) = 0x00 // destroy frame 0's SOI marker
+    val rest = Mp4.mjpegFrames(id, bad, 1).get
+    assert(rest.size == all.size - 1, "only the corrupted frame drops")
+    assert(rest.map(_.getInt(1)) == all.tail.map(_.getInt(1)))
   }
 }
