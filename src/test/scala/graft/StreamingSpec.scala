@@ -591,6 +591,72 @@ class StreamingSpec extends SparkSpec {
     assert(a.map(_._1) == a.map(_._1).sorted && a.map(_._1).distinct == a.map(_._1))
   }
 
+  test("streaming as-of enrichment: latest reading <= probe ts across runs and restarts") {
+    import graft.streaming.StreamingAsOf
+    implicit val sc = spark.sqlContext
+    val probes = MemoryStream[(String, Timestamp)]
+    val readings = MemoryStream[(String, Timestamp, Double)]
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long, Option[Long], Option[Double])]()
+    val ckpt = tmp("graft-asof-ckpt")
+    def run(): Unit = {
+      val q = StreamingAsOf.enrich(
+          probes.toDF().toDF("key", "ts"),
+          readings.toDF().toDF("key", "ts", "value"),
+          lookback = "60 seconds", watermarkDelay = "10 seconds")
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map { r =>
+            (r.getString(0), r.getTimestamp(1).getTime / 1000,
+              Option(r.getTimestamp(2)).map(_.getTime / 1000),
+              if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+          }
+          out.synchronized { out ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    def at(s: Long) = new Timestamp(s * 1000)
+    // run 1: A has two candidates ≤ probe(100) — the LATER one (ts 90)
+    // must win; the ts-50 reading is in range but older. B's only
+    // reading is AFTER its probe → NULL enrichment (left semantics).
+    // C's reading is in range of nothing (no probe).
+    probes.addData(("A", at(100)), ("B", at(100)))
+    readings.addData(
+      ("A", at(50), 1.0), ("A", at(90), 2.0),
+      ("B", at(120), 7.0), ("C", at(80), 9.9))
+    run()
+    // run 2 (restart from checkpoint): a probe BEFORE the lookback edge —
+    // reading at 90 is 110s before probe(200) > 60s lookback → NULL; a
+    // fresh reading at 170 is in range and wins over nothing else.
+    probes.addData(("A", at(200)))
+    readings.addData(("A", at(170), 3.0))
+    run()
+    // run 3: same-ts tie — two readings at ts 250: the larger value is
+    // the documented deterministic tie-break; watermark-advancing
+    // sentinels on BOTH streams (min-policy) fix every earlier probe.
+    probes.addData(("A", at(260)), ("A", at(1000)))
+    readings.addData(("A", at(250), 5.0), ("A", at(250), 4.0), ("A", at(1000), 0.0))
+    probes.addData(("Z", at(2000)))
+    readings.addData(("Z", at(2000), 0.0))
+    run()
+    val got = out.sortBy(r => (r._1, r._2)).toList
+    val want = List(
+      ("A", 100L, Some(90L), Some(2.0)),
+      ("A", 200L, Some(170L), Some(3.0)),
+      ("A", 260L, Some(250L), Some(5.0)),
+      ("A", 1000L, Some(1000L), Some(0.0)),
+      ("B", 100L, None, None))
+    // the final sentinel probes (Z/2000, A/1000 may lag the last
+    // watermark) — assert the pinned prefix exactly, tolerate only
+    // sentinel rows beyond it
+    val core = got.filter(r => r._2 <= 1000L)
+    assert(core == want, s"as-of sequence:\n got=$core\n want=$want")
+  }
+
   test("streaming quantiles: exact under capacity, bounded and deterministic over it") {
     import graft.streaming.StreamingQuantiles
     import StreamingQuantiles.QuantileSnapshot
