@@ -120,4 +120,96 @@ class RoundTripPropertySpec extends SparkSpec {
       assert(got == exp, s"w=$w d=$d m=$m len=$len seed=$seed: $got vs $exp")
     }
   }
+
+  test("property: JPEG 4:2:0 decode matches an independent scalar DCT reference within ±1") {
+    import graft.operators.Jpeg
+    // Independent reference: the T.81 A.3.3 DCT-II / inverse as DIRECT
+    // O(64²) cosine sums — no shared code with the codec's fdct/idct —
+    // replaying the pipeline semantics: level-shift, forward, q=1
+    // round-quantize (with the encoder's Annex-K AC clamp), inverse,
+    // +128, clamp. Entropy coding is exactness-preserving, so any
+    // decoded pixel farther than ±1 from this reference means a real
+    // zigzag/Huffman/predictor/MCU-layout/IDCT bug.
+    def refRoundTrip(plane: Array[Int], w: Int, h: Int): Array[Int] = {
+      val out = new Array[Int](w * h)
+      val pi = math.Pi
+      val f = Array.ofDim[Double](8, 8)
+      val q = Array.ofDim[Int](8, 8)
+      var by = 0
+      while (by < h) {
+        var bx = 0
+        while (bx < w) {
+          for (y <- 0 until 8; x <- 0 until 8)
+            f(y)(x) = plane((by + y) * w + (bx + x)).toDouble - 128.0
+          for (v <- 0 until 8; u <- 0 until 8) {
+            var s = 0.0
+            for (y <- 0 until 8; x <- 0 until 8)
+              s += f(y)(x) * math.cos((2 * x + 1) * u * pi / 16) *
+                math.cos((2 * y + 1) * v * pi / 16)
+            val cu = if (u == 0) 1 / math.sqrt(2.0) else 1.0
+            val cv = if (v == 0) 1 / math.sqrt(2.0) else 1.0
+            val c = math.round(cu * cv * s / 4.0).toInt
+            q(v)(u) =
+              if (u == 0 && v == 0) c
+              else math.max(-1023, math.min(1023, c))
+          }
+          for (y <- 0 until 8; x <- 0 until 8) {
+            var s = 0.0
+            for (v <- 0 until 8; u <- 0 until 8) {
+              val cu = if (u == 0) 1 / math.sqrt(2.0) else 1.0
+              val cv = if (v == 0) 1 / math.sqrt(2.0) else 1.0
+              s += cu * cv * q(v)(u) * math.cos((2 * x + 1) * u * pi / 16) *
+                math.cos((2 * y + 1) * v * pi / 16)
+            }
+            val px = math.round(s / 4.0 + 128.0).toInt
+            out((by + y) * w + (bx + x)) = math.max(0, math.min(255, px))
+          }
+          bx += 8
+        }
+        by += 8
+      }
+      out
+    }
+    val cfg = Gen.zip(Gen.chooseNum(1, 3), Gen.chooseNum(1, 2),
+      Gen.chooseNum(0L, Long.MaxValue))
+    sample(cfg, 10, seedBase = 420L).foreach { case (wb, hb, seed) =>
+      val w = 16 * wb; val h = 16 * hb
+      val cw = w / 2; val ch = h / 2
+      val rnd = new java.util.Random(seed)
+      // gradients + noise + flat runs: DC-dominant regions AND busy AC
+      def genPlane(n: Int, pw: Int): Array[Int] = Array.tabulate(n) { i =>
+        rnd.nextInt(3) match {
+          case 0 => (i % pw) * 255 / math.max(1, pw - 1)
+          case 1 => rnd.nextInt(256)
+          case _ => 128
+        }
+      }
+      val yP = genPlane(w * h, w)
+      val cbP = genPlane(cw * ch, cw)
+      val crP = genPlane(cw * ch, cw)
+      val blob = Jpeg.encodeYcc420(yP, cbP, crP, w, h)
+      val (dw, dh, nc, planes) = Jpeg.decode(blob)
+        .getOrElse(fail(s"decode failed: w=$w h=$h seed=$seed"))
+      assert(dw == w && dh == h && nc == 3)
+      val refY = refRoundTrip(yP, w, h)
+      val refCb = refRoundTrip(cbP, cw, ch)
+      val refCr = refRoundTrip(crP, cw, ch)
+      var py = 0
+      while (py < h) {
+        var px = 0
+        while (px < w) {
+          val i = py * w + px
+          val ci = (py / 2) * cw + (px / 2) // decoder NN chroma upsampling
+          assert(math.abs(planes(0)(i) - refY(i)) <= 1,
+            s"Y($px,$py) ${planes(0)(i)} vs ${refY(i)} w=$w h=$h seed=$seed")
+          assert(math.abs(planes(1)(i) - refCb(ci)) <= 1,
+            s"Cb($px,$py) ${planes(1)(i)} vs ${refCb(ci)} w=$w h=$h seed=$seed")
+          assert(math.abs(planes(2)(i) - refCr(ci)) <= 1,
+            s"Cr($px,$py) ${planes(2)(i)} vs ${refCr(ci)} w=$w h=$h seed=$seed")
+          px += 1
+        }
+        py += 1
+      }
+    }
+  }
 }
