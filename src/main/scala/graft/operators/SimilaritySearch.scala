@@ -334,6 +334,250 @@ object SimilaritySearch {
     (cents, lists)
   }
 
+  // --------------------------------------------- IVF-PQ (product quantization)
+
+  /** Train per-subvector product-quantization codebooks: `m` subvectors ×
+    * `ksub` L2 centroids each, Lloyd's iterations DRIVER-side over a
+    * deterministic bounded sample (smallest-md5(id) rows — the same
+    * seeding recipe as [[trainCentroids]], so results are stable across
+    * runs and partitionings). The collect moves ≤ `sampleCap` vectors —
+    * O(sampleCap × dim) bytes, corpus-size-INDEPENDENT: PQ codebooks
+    * always train on samples (they only need the marginal subvector
+    * distribution); encoding of the full corpus stays a distributed
+    * projection ([[pqEncode]]).
+    */
+  def trainPqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      sampleCap: Int = 2048,
+      iters: Int = 10): Seq[Seq[Seq[Float]]] = {
+    require(m > 0 && ksub > 1 && ksub <= 256, "1 ≤ codes ≤ 256 (tinyint)")
+    val rows = corpus.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
+      .orderBy(md5(col("__id")), col("__id")).limit(sampleCap)
+      .select("__v").collect().map(_.getSeq[Float](0).toArray)
+    require(rows.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = rows(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+    val dsub = dim / m
+    (0 until m).map { mi =>
+      val subs = rows.map(v => java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
+      // init: first ksub DISTINCT subvectors in sample order; if the
+      // sample has fewer distinct values, wrap (duplicate centroids are
+      // harmless — argmin picks the first)
+      val init = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      val seen = scala.collection.mutable.HashSet[Seq[Float]]()
+      var i = 0
+      while (init.size < ksub && i < subs.length) {
+        if (seen.add(subs(i).toIndexedSeq)) init += subs(i).map(_.toDouble)
+        i += 1
+      }
+      val distinctCount = math.max(1, init.size)
+      while (init.size < ksub) init += init(init.size % distinctCount).clone()
+      var cents = init.toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val cnt = new Array[Int](ksub)
+        subs.foreach { s =>
+          var best = 0; var bd = Double.MaxValue
+          var j = 0
+          while (j < ksub) {
+            var d2 = 0.0; var t = 0
+            while (t < dsub) { val d = s(t) - cents(j)(t); d2 += d * d; t += 1 }
+            if (d2 < bd) { bd = d2; best = j }
+            j += 1
+          }
+          var t = 0
+          while (t < dsub) { sums(best)(t) += s(t); t += 1 }
+          cnt(best) += 1
+        }
+        cents = Array.tabulate(ksub)(j =>
+          if (cnt(j) == 0) cents(j) else sums(j).map(_ / cnt(j)))
+        it += 1
+      }
+      cents.map(c => c.map(_.toFloat).toIndexedSeq).toIndexedSeq
+    }
+  }
+
+  /** PQ codes (ARRAY<TINYINT>, length m) for a vector column: per
+    * subvector the argmin-L2 codebook entry — a pure projection over
+    * constant codebook literals (no UDF, no shuffle); ties take the
+    * lowest code (first `array_position` hit), deterministic. m bytes
+    * per vector replace 4·dim — the 100 TB ANN memory story.
+    */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column = {
+    val m = codebooks.size
+    val ksub = codebooks.head.size
+    val dsub = codebooks.head.head.size
+    val flat = typedLit(codebooks.flatten.flatten.map(_.toDouble))
+    transform(sequence(lit(0), lit(m - 1)), mi => {
+      val dists = transform(sequence(lit(0), lit(ksub - 1)), j =>
+        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0d), (a, t) => {
+          val x = element_at(vec, (mi * dsub + t + 1).cast("int")).cast("double")
+          val c = element_at(flat, ((mi * ksub + j) * dsub + t + 1).cast("int"))
+          a + (x - c) * (x - c)
+        }))
+      (array_position(dists, array_min(dists)) - 1).cast("tinyint")
+    })
+  }
+
+  /** Per-query asymmetric-distance lookup table:
+    * lut[mi·ksub + j] = ⟨q_sub(mi), codebook(mi)(j)⟩. Computed ONCE per
+    * query row (O(ksub · dim)); every candidate then scores in O(m) by
+    * code indexing — the ADC shape that makes PQ cheaper than exact dot
+    * products over the probed lists.
+    */
+  private def pqLut(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column = {
+    val m = codebooks.size
+    val ksub = codebooks.head.size
+    val dsub = codebooks.head.head.size
+    val flat = typedLit(codebooks.flatten.flatten.map(_.toDouble))
+    transform(sequence(lit(0), lit(m * ksub - 1)), i => {
+      val mi = (i / ksub).cast("int")
+      aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0d), (a, t) => {
+        val x = element_at(vec, (mi * dsub + t + 1).cast("int")).cast("double")
+        val c = element_at(flat, (i * dsub + t + 1).cast("int"))
+        a + x * c
+      })
+    })
+  }
+
+  /** Build an IVF-PQ index: the [[ivfBuildIndex]] coarse quantizer plus
+    * PQ codebooks, and the corpus encoded as (neighbor_id, __cell,
+    * __codes ARRAY<TINYINT>) — NO vectors in the lists: at 100 TB the
+    * coded lists are ~m bytes/vector (int8 codes), small enough to keep
+    * hot, while full vectors stay in the corpus table and are fetched
+    * only for the final shortlist re-rank.
+    */
+  def ivfPqBuildIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 3,
+      trainOneIn: Int = 1): (Seq[Seq[Float]], Seq[Seq[Seq[Float]]], DataFrame) = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters, trainOneIn)
+    val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub)
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      assignCell(col(vecCol), cents).as("__cell"),
+      pqEncode(col(vecCol), books).as("__codes"))
+    (cents, books, coded)
+  }
+
+  /** Query an IVF-PQ index: probe the nProbe nearest cells, score every
+    * coded candidate by ADC (approximate inner product, O(m) per
+    * candidate), keep a per-query shortlist of k·refine, then exact-
+    * cosine re-rank the shortlist against the TRUE vectors. The corpus
+    * join touches only shortlist ids (broadcast), so full vectors move
+    * for O(queries · k · refine) rows, never per candidate. Output
+    * schema matches [[bruteForceTopK]].
+    */
+  def ivfPqQueryIndex(
+      centroids: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      coded: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      refine: Int = 4): DataFrame = {
+    val m = codebooks.size
+    val ksub = codebooks.head.size
+    val q = queries.select(col(idCol).as("query_id"),
+      pqLut(col(vecCol), codebooks).as("__lut"),
+      explode(probeCells(col(vecCol), centroids, nProbe)).as("__cell"))
+    // bounded O(nCells) collect — same static-pruning rationale as
+    // [[ivfQueryIndex]]
+    val probedCells = q.select("__cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val approx = coded.filter(col("__cell").isInCollection(probedCells))
+      .join(q, "__cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (a, mi) =>
+          a + element_at(col("__lut"),
+            (mi * ksub + element_at(col("__codes"), mi + 1).cast("int") + 1).cast("int")))
+          .as("cosine"))
+    val shortlist = rankTopK(approx, k * refine).select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+    rankTopK(
+      cv.join(broadcast(shortlist), "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosineSim(col("__qvec"), col("__cvec")).as("cosine")),
+      k)
+  }
+
+  /** IVF-PQ top-k end to end: build + query. Approximate (recall < 1);
+    * the recall floor vs [[bruteForceTopK]] is asserted in
+    * SimilaritySearchSpec.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      nProbe: Int = 4,
+      refine: Int = 4,
+      iters: Int = 3,
+      trainOneIn: Int = 1): DataFrame = {
+    val (cents, books, coded) =
+      ivfPqBuildIndex(corpus, idCol, vecCol, nCells, m, ksub, iters, trainOneIn)
+    ivfPqQueryIndex(cents, books, coded, corpus, queries, idCol, vecCol, k, nProbe, refine)
+  }
+
+  /** Persist an IVF-PQ index in the [[ivfSaveIndex]] layout: centroids +
+    * flattened codebooks as tiny parquet tables, the coded lists
+    * PARTITIONED BY cell — probes read exactly the probed directories.
+    */
+  def ivfPqSaveIndex(
+      path: String,
+      centroids: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      coded: DataFrame): Unit = {
+    val spark = coded.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    codebooks.zipWithIndex.flatMap { case (book, mi) =>
+      book.zipWithIndex.map { case (c, j) => (mi, j, c) }
+    }.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    coded.write.mode("overwrite").partitionBy("__cell").parquet(s"$path/codes")
+  }
+
+  /** Load a saved IVF-PQ index; the codes table keeps its cell
+    * partitioning for probe pruning.
+    */
+  def ivfPqLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Seq[Seq[Float]], Seq[Seq[Seq[Float]]], DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq
+    val bookRows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("sub", "code").collect()
+    val books = bookRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+      case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toIndexedSeq).toIndexedSeq
+    }
+    val coded = spark.read.parquet(s"$path/codes")
+      .withColumn("__cell", col("__cell").cast("int"))
+    (cents, books, coded)
+  }
+
   /** LSH-accelerated top-k: bucket corpus and queries with `nTables`
     * independent SRP tables, candidate = same (table, bucket), exact cosine
     * re-rank, per-query top-k. Output schema matches [[bruteForceTopK]];

@@ -345,6 +345,22 @@ object ExtendedQueries {
         .orderBy("query_id", "rank")
     },
 
+    Q.noOracle("q163_ivfpq_topk") { (s, d) =>
+      // IVF-PQ: int8 product-quantization codes over the inverted lists
+      // (m bytes/vector instead of 4·dim — the 100 TB ANN memory story),
+      // ADC shortlist, exact re-rank of shortlist ids only. Approximate,
+      // so no SQL oracle; recall floor vs exact q40 asserted in
+      // SimilaritySearchSpec and QueriesSpec.
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.ivfPqTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, nCells = 16, m = 8, ksub = 16, nProbe = 6, refine = 8, iters = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     // ------------------------------------------------- multimodal
     Q("q43_blob_metadata",
       // documents.text re-interpreted as an opaque BLOB column: byte

@@ -95,4 +95,13 @@ class QueriesSpec extends SparkSpec {
     val recall = (exactTop5 & neighborSet("q42_lsh_topk")).size.toDouble / exactTop5.size
     assert(math.abs(recall - 0.68) < 1e-9, s"recall $recall, pinned 0.68")
   }
+
+  test("q163 IVF-PQ top-k recall holds a floor against the in-spec exact answer") {
+    // deterministic (hash-sampled k-means + driver Lloyd's + first-hit
+    // argmin): the int8-coded ADC shortlist + exact re-rank must keep
+    // recall@5 ≥ 0.6 at the q163 settings — the price of m=8 byte codes
+    // over full 64-float vectors, bounded and asserted
+    val recall = (exactTop5 & neighborSet("q163_ivfpq_topk")).size.toDouble / exactTop5.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall below floor 0.6")
+  }
 }

@@ -167,4 +167,69 @@ class SimilaritySearchSpec extends SparkSpec {
     val pf = """PartitionFilters: \[[^\]]*__cell[^\]]*\]""".r.findFirstIn(probePlan)
     assert(pf.isDefined, s"probe must prune list partitions statically:\n$probePlan")
   }
+
+  test("pqEncode matches a driver-side argmin; codes are m tinyints") {
+    val books = SimilaritySearch.trainPqCodebooks(
+      corpus, "vec_id", "embedding", m = 4, ksub = 8)
+    assert(books.size == 4 && books.forall(_.size == 8) &&
+      books.forall(_.forall(_.size == 4)))
+    val coded = corpus.select(col("vec_id"),
+      SimilaritySearch.pqEncode(col("embedding"), books).as("codes"))
+    // schema IS the memory story: 4 tinyint codes replace 16 floats
+    assert(coded.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      coded.schema("codes").dataType.simpleString == "array<tinyint>")
+    val got = coded.as[(Long, Seq[Byte])].collect().toMap
+    // independent argmin on the driver over the same codebooks
+    (0 until 200 by 17).foreach { i =>
+      val v = vec(i)
+      val exp = (0 until 4).map { mi =>
+        val sub = v.slice(mi * 4, mi * 4 + 4)
+        books(mi).zipWithIndex.map { case (c, j) =>
+          (sub.zip(c).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum, j)
+        }.minBy(d => (d._1, d._2))._2.toByte
+      }
+      assert(got(i.toLong).toSeq == exp, s"codes for vec $i")
+    }
+  }
+
+  test("ivfPqTopK: ADC shortlist + exact re-rank achieves the recall floor") {
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilaritySearch.ivfPqTopK(corpus, queries, "vec_id", "embedding", 5,
+        nCells = 6, m = 4, ksub = 16, nProbe = 4, refine = 4, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall too low")
+    // determinism: seeded sampling + deterministic Lloyd's + first-hit
+    // argmin ties — two runs must agree exactly
+    val again = SimilaritySearch.ivfPqTopK(corpus, queries, "vec_id", "embedding", 5,
+        nCells = 6, m = 4, ksub = 16, nProbe = 4, refine = 4, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again == approx, "IVF-PQ must be deterministic across runs")
+  }
+
+  test("saved+loaded IVF-PQ index answers identically; codes partition-pruned") {
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val (cents, books, coded) = SimilaritySearch.ivfPqBuildIndex(
+      corpus, "vec_id", "embedding", nCells = 6, m = 4, ksub = 16, iters = 2)
+    val inline = SimilaritySearch.ivfPqQueryIndex(cents, books, coded, corpus,
+        queries, "vec_id", "embedding", 5, nProbe = 4, refine = 4)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/idx"
+    SimilaritySearch.ivfPqSaveIndex(path, cents, books, coded)
+    val (lc, lb, lcoded) = SimilaritySearch.ivfPqLoadIndex(spark, path)
+    assert(lc == cents && lb == books, "centroids+codebooks round-trip exactly")
+    val fromDisk = SimilaritySearch.ivfPqQueryIndex(lc, lb, lcoded, corpus,
+        queries, "vec_id", "embedding", 5, nProbe = 4, refine = 4)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(fromDisk == inline, "IVF-PQ index round-trip must not change results")
+    val probePlan = SimilaritySearch.ivfPqQueryIndex(lc, lb, lcoded, corpus,
+        queries, "vec_id", "embedding", 5, nProbe = 4, refine = 4)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pf = """PartitionFilters: \[[^\]]*__cell[^\]]*\]""".r.findFirstIn(probePlan)
+    assert(pf.isDefined, s"coded lists must prune to probed cells:\n$probePlan")
+  }
 }
