@@ -866,4 +866,272 @@ private[graft] object Jpeg {
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
+
+  // -------------------------------------------- progressive (SOF2) DC scan
+
+  /** Progressive (SOF2) JPEG: parse the headers and decode the FIRST
+    * scan — the spectral-selection DC scan (Ss = Se = 0, Ah = 0, any
+    * successive-approximation Al ≤ 13) — into the DC-only preview image
+    * every progressive decoder shows first: each 8×8 block constant at
+    * round(((dc ≪ Al) · q₀₀) / 8) + 128. Supported subset: 1- or
+    * 3-component with ALL sampling factors 1 (4:4:4); subsampled
+    * progressive chroma is rejected (None), as is any non-DC first scan.
+    * Restart intervals honored. Output row matches
+    * [[Multimodal.bmpStatsSchema]]: per-image channel means + weighted_r
+    * over the preview pixels — the real "progressive preview" decode, so
+    * a training pipeline can stat the large share of real-world JPEGs
+    * that baseline-only decoders drop.
+    */
+  private[graft] def decodeProgressiveDcStats(id: Long, bytes: Array[Byte]): Option[Row] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    var pos = 2
+    val qTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    while (pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      while (pos + 4 <= bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 4 > bytes.length) return None
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xd9) return None // EOI before SOS
+      val len = be16(bytes, pos + 2)
+      if (len < 2 || pos + 2 + len > bytes.length) return None
+      val seg = pos + 4
+      val segEnd = pos + 2 + len
+      marker match {
+        case 0xdb =>
+          var p = seg
+          while (p < segEnd) {
+            val pq = (bytes(p) & 0xf0) >> 4
+            val tq = bytes(p) & 0x0f
+            if (pq != 0 || tq > 3 || p + 1 + 64 > segEnd) return None
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) { t(Zigzag(k)) = bytes(p + 1 + k) & 0xff; k += 1 }
+            qTables(tq) = t
+            p += 65
+          }
+        case 0xc4 =>
+          var p = seg
+          while (p < segEnd) {
+            val tc = (bytes(p) & 0xf0) >> 4
+            val th = bytes(p) & 0x0f
+            if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+            val bits = new Array[Int](16)
+            var n = 0
+            var k = 0
+            while (k < 16) { bits(k) = bytes(p + 1 + k) & 0xff; n += bits(k); k += 1 }
+            if (p + 17 + n > segEnd || n > 256) return None
+            val vals = new Array[Int](n)
+            k = 0
+            while (k < n) { vals(k) = bytes(p + 17 + k) & 0xff; k += 1 }
+            if (tc == 0) dcTables(th) = new HuffTable(bits, vals)
+            // AC tables belong to later scans; parse-skip them
+            p += 17 + n
+          }
+        case 0xc2 => // SOF2 progressive (same payload layout as SOF0)
+          if (seg + 6 > segEnd) return None
+          if (bytes(seg) != 8) return None
+          h = be16(bytes, seg + 1); w = be16(bytes, seg + 3)
+          val nc = bytes(seg + 5) & 0xff
+          if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+          if (w.toLong * h > Multimodal.MaxStatPixels) return None
+          if (seg + 6 + 3 * nc > segEnd) return None
+          comps = Array.tabulate(nc) { i =>
+            val cid = bytes(seg + 6 + 3 * i) & 0xff
+            val samp = bytes(seg + 7 + 3 * i) & 0xff
+            // 4:4:4-only subset for the progressive path
+            if (samp != 0x11) return None
+            Component(cid, bytes(seg + 8 + 3 * i) & 0xff)
+          }
+        case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+            0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // baseline et al. belong to decodeStream
+        case 0xdd =>
+          if (len != 4) return None
+          restartInterval = be16(bytes, seg)
+        case 0xda =>
+          if (comps == null) return None
+          if (seg >= segEnd) return None
+          val ns = bytes(seg) & 0xff
+          // the DC first scan is interleaved over ALL components
+          if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd) return None
+          val scanOrder = new Array[Int](ns)
+          var i = 0
+          while (i < ns) {
+            val cs = bytes(seg + 1 + 2 * i) & 0xff
+            val ci = comps.indexWhere(_.id == cs)
+            if (ci < 0 || scanOrder.take(i).contains(ci)) return None
+            scanOrder(i) = ci
+            comps(ci).dcTable = (bytes(seg + 2 + 2 * i) & 0xf0) >> 4
+            i += 1
+          }
+          val ss = bytes(seg + 1 + 2 * ns) & 0xff
+          val se = bytes(seg + 2 + 2 * ns) & 0xff
+          val ahal = bytes(seg + 3 + 2 * ns) & 0xff
+          val ah = (ahal & 0xf0) >> 4
+          val al = ahal & 0x0f
+          // first scan only: spectral selection DC, no refinement
+          if (ss != 0 || se != 0 || ah != 0 || al > 13) return None
+          return decodeDcScan(id, bytes, segEnd, w, h, comps, scanOrder,
+            qTables, dcTables, restartInterval, al)
+        case _ => () // APPn / COM
+      }
+      pos = segEnd
+    }
+    None
+  }
+
+  /** The DC-scan MCU walk: with 4:4:4 sampling an MCU is one block per
+    * component; blocks are raster-ordered. DC predictors live in the
+    * point-transformed (≫ Al) domain per T.81 G.1.2.1; dequantization
+    * and the ≪ Al happen at reconstruction.
+    */
+  private def decodeDcScan(
+      id: Long, bytes: Array[Byte], dataStart: Int, w: Int, h: Int,
+      comps: Array[Component], scanOrder: Array[Int],
+      qTables: Array[Array[Int]], dcTables: Array[HuffTable],
+      restartInterval: Int, al: Int): Option[Row] = {
+    val nc = comps.length
+    var c = 0
+    while (c < nc) {
+      if (qTables(comps(c).qTable) == null) return None
+      if (dcTables(comps(c).dcTable) == null) return None
+      c += 1
+    }
+    val mcuW = (w + 7) / 8
+    val mcuH = (h + 7) / 8
+    val nMcu = mcuW.toLong * mcuH
+    // every MCU costs ≥ nc entropy bits (1-bit DC symbols) — reject
+    // hostile header claims before any per-MCU work
+    if (nMcu * nc > (bytes.length - dataStart).toLong * 8L + 64L) return None
+    val pred = new Array[Int](nc)
+    val dcVal = new Array[Int](nc)
+    val br = new BitReader(bytes, dataStart)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
+    var mcu = 0L
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!br.consumeRst()) return None
+          java.util.Arrays.fill(pred, 0)
+        }
+        var s = 0
+        while (s < nc) {
+          val ci = scanOrder(s)
+          val t = dcTables(comps(ci).dcTable).decode(br)
+          if (t < 0 || t > 15) return None
+          val bits = br.readBits(t)
+          if (bits < 0) return None
+          pred(ci) += extend(bits, t)
+          dcVal(ci) = (pred(ci) << al) * qTables(comps(ci).qTable)(0)
+          s += 1
+        }
+        // block-constant preview pixels over the REAL image area
+        val x0 = mx * 8; val y0 = my * 8
+        val xEnd = math.min(w, x0 + 8); val yEnd = math.min(h, y0 + 8)
+        var r = 0; var g = 0; var b = 0
+        if (nc == 1) {
+          r = clamp8(math.round(dcVal(0) / 8.0).toInt + 128)
+          g = r; b = r
+        } else {
+          val y = math.round(dcVal(0) / 8.0).toDouble + 128.0
+          val cb = math.round(dcVal(1) / 8.0).toDouble
+          val cr = math.round(dcVal(2) / 8.0).toDouble
+          r = clamp8(math.round(y + 1.402 * cr).toInt)
+          g = clamp8(math.round(y - 0.344136 * cb - 0.714136 * cr).toInt)
+          b = clamp8(math.round(y + 1.772 * cb).toInt)
+        }
+        val rows = yEnd - y0
+        val cols = xEnd - x0
+        val px = rows.toLong * cols
+        sumR += r * px; sumG += g * px; sumB += b * px
+        // Σ i·r over the block's pixels: r · Σ (py·w + pxx)
+        var py = y0
+        while (py < yEnd) {
+          // Σ over one row: py·w·cols + Σ x0..xEnd-1
+          wR += r.toLong * (py.toLong * w * cols +
+            (x0 + xEnd - 1).toLong * cols / 2)
+          py += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    val n = w.toLong * h
+    Some(Row(id, w, h, n, sumR.toDouble / n, sumG.toDouble / n,
+      sumB.toDouble / n, wR))
+  }
+
+  /** Encode a REAL progressive (SOF2) grayscale JPEG carrying its first
+    * scan only — the spectral-selection DC scan with successive-
+    * approximation Al (the truncated-progressive "preview" framing): SOI,
+    * all-ones DQT, SOF2, the Annex K DC table, SOS(Ss=0, Se=0, Ah=0,
+    * Al=al), diff-coded point-transformed DC per raster block, EOI. The
+    * block DC is Σ(x−128)/8 rounded — for constant blocks that is
+    * 8·(v−128), even, so any Al ≤ 3 round-trips v exactly and an oracle
+    * predicts the preview stats by formula.
+    */
+  private[graft] def encodeGrayProgressiveDc(
+      pix: Array[Int], w: Int, h: Int, al: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && pix.length == w * h && al >= 0 && al <= 13)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    marker(0xdb); u16(2 + 1 + 64); u8(0x00)
+    var i = 0
+    while (i < 64) { u8(1); i += 1 }
+    marker(0xc2); u16(8 + 3); u8(8); u16(h); u16(w); u8(1)
+    u8(1); u8(0x11); u8(0)
+    marker(0xc4); u16(2 + 1 + 16 + DcVals.length)
+    u8(0x00); DcBits.foreach(u8); DcVals.foreach(u8)
+    marker(0xda); u16(6 + 2); u8(1); u8(1); u8(0x00)
+    u8(0); u8(0); u8(al) // Ss=0 Se=0 Ah=0 Al
+    val bw = new BitWriter(out)
+    val mcuW = (w + 7) / 8
+    val mcuH = (h + 7) / 8
+    var pred = 0
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        // true DCT DC = Σ(x−128)/8 over the block (edges replicate)
+        var sum = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val py = math.min(h - 1, my * 8 + y)
+            val px = math.min(w - 1, mx * 8 + x)
+            sum += pix(py * w + px) - 128
+            x += 1
+          }
+          y += 1
+        }
+        val dc = math.round(sum / 8.0).toInt >> al // point transform
+        val diff = dc - pred
+        pred = dc
+        val s = category(diff)
+        val (code, clen) = DcCodes(s)
+        bw.write(code, clen)
+        if (s > 0) {
+          val bitsVal = if (diff < 0) diff + (1 << s) - 1 else diff
+          bw.write(bitsVal, s)
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
 }

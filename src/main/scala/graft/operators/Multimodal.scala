@@ -714,6 +714,62 @@ object Multimodal {
     Jpeg.encodeYcc420(yP, Array.fill(cw * ch)(cb), Array.fill(cw * ch)(cr), w, h)
   }
 
+  /** Per-partition REAL progressive-JPEG first-scan decode: SOF2 parse +
+    * the spectral-selection DC scan into preview-image stats
+    * ([[bmpStatsSchema]]) — the large share of real-world JPEGs that
+    * baseline-only decoders drop. Corrupt/unsupported rows drop.
+    */
+  def decodeProgressiveJpegFeatures(blobs: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(bmpStatsSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        scala.util.Try(
+          Jpeg.decodeProgressiveDcStats(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx))
+        ).toOption.flatten
+      }
+    }(enc)
+  }
+
+  /** Encode a REAL progressive (SOF2) grayscale JPEG of the q133
+    * DC-only-exact block-formula family, first scan only, with
+    * successive-approximation Al = id mod 2 — 8·(v−128) is even, so both
+    * Al values reconstruct v exactly and the oracle is the q133 formula.
+    */
+  private[graft] def encodeSyntheticProgressiveJpeg(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "fixture dims are 8-aligned")
+    val pix = new Array[Int](w * h)
+    val blocksPerRow = w / 8
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = (y / 8) * blocksPerRow + (x / 8)
+        pix(y * w + x) = ((5 * id + 11 * b) % 256).toInt
+        x += 1
+      }
+      y += 1
+    }
+    Jpeg.encodeGrayProgressiveDc(pix, w, h, al = (id % 2).toInt)
+  }
+
+  /** (doc_id, blob) table of real progressive JPEGs (first-scan DC). */
+  def syntheticProgressiveJpegs(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, encodeSyntheticProgressiveJpeg(id,
+          8 * (1 + (id % 5).toInt), 8 * (1 + (id % 3).toInt)))
+      }
+    }(enc)
+  }
+
   /** (doc_id, blob) table of real baseline JPEGs, dims varying with id. */
   def syntheticJpegs(ids: DataFrame, spark: SparkSession): DataFrame = {
     val idIdx = 0

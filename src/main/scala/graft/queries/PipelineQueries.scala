@@ -908,6 +908,39 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    Q("q164_progressive_jpeg_dc",
+      // REAL progressive-JPEG (SOF2) support: the engine encodes genuine
+      // first-scan-only progressive files (spectral-selection DC scan,
+      // successive-approximation Al = id mod 2) and decodes them through
+      // the SOF2 parse + DC-scan entropy walk into the preview image.
+      // Block-constant luma makes the preview EXACT (8·(v−128) is even,
+      // so the Al point transform loses nothing) — the oracle predicts
+      // every stat from the q133 block formula.
+      """WITH dims AS (
+        |  SELECT doc_id, 8 * (1 + doc_id % 5) AS w, 8 * (1 + doc_id % 3) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM dims),
+        |pv AS (
+        |  SELECT doc_id, w, h, i,
+        |    (5 * doc_id + 11 * (((i // w) // 8) * (w // 8) + (i % w) // 8)) % 256 AS v
+        |  FROM px)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  round(avg(v), 6) AS mean_r, round(avg(v), 6) AS mean_g,
+        |  round(avg(v), 6) AS mean_b,
+        |  CAST(sum(i * v) AS BIGINT) AS weighted_r
+        |FROM pv GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeProgressiveJpegFeatures(
+          Multimodal.syntheticProgressiveJpegs(t(s, d, "documents").select("doc_id"), s), s)
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("weighted_r"))
+        .orderBy("doc_id")
+    },
+
     Q("q162_mjpeg_decode",
       // REAL compressed-video PIXEL decode (MJPEG): the engine builds
       // MJPEG-in-MP4 streams whose mdat frames are complete baseline

@@ -668,6 +668,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Gif.decodeStats(5L, noImg).isEmpty)
   }
 
+  test("progressive JPEG DC scan: preview matches a local reference; hostile input rejected") {
+    // general (non-constant) content, both Al values, non-8-aligned dims:
+    // the decoded preview must equal a local recomputation of
+    // round((round(Σ(x−128)/8) >> al << al) / 8) + 128 per block
+    for ((w, h, al, seed) <- Seq((13, 9, 0, 1L), (24, 16, 1, 2L), (8, 8, 3, 3L))) {
+      val rnd = new java.util.Random(seed)
+      val pix = Array.fill(w * h)(rnd.nextInt(256))
+      val blob = Jpeg.encodeGrayProgressiveDc(pix, w, h, al)
+      val st = Jpeg.decodeProgressiveDcStats(7L, blob)
+        .getOrElse(fail(s"decode failed w=$w h=$h al=$al"))
+      assert(st.getInt(1) == w && st.getInt(2) == h)
+      var sum = 0L; var wr = 0L
+      val mcuW = (w + 7) / 8; val mcuH = (h + 7) / 8
+      for (my <- 0 until mcuH; mx <- 0 until mcuW) {
+        var s = 0L
+        for (y <- 0 until 8; x <- 0 until 8)
+          s += pix(math.min(h - 1, my * 8 + y) * w + math.min(w - 1, mx * 8 + x)) - 128
+        val dc = (math.round(s / 8.0).toInt >> al) << al
+        val v = math.max(0, math.min(255, math.round(dc / 8.0).toInt + 128))
+        for (y <- my * 8 until math.min(h, my * 8 + 8);
+             x <- mx * 8 until math.min(w, mx * 8 + 8)) {
+          sum += v; wr += (y.toLong * w + x) * v
+        }
+      }
+      val n = (w * h).toLong
+      assert(st.getDouble(4) == sum.toDouble / n, s"mean w=$w h=$h al=$al")
+      assert(st.getLong(7) == wr, s"weighted w=$w h=$h al=$al")
+    }
+    // a BASELINE file is not progressive — rejected, and vice versa the
+    // baseline decoder already rejects SOF2 (hostile-input tests above)
+    val base = Multimodal.encodeSyntheticJpeg(4L, 16, 8)
+    assert(Jpeg.decodeProgressiveDcStats(4L, base).isEmpty)
+    val prog = Multimodal.encodeSyntheticProgressiveJpeg(4L, 16, 8)
+    assert(Jpeg.decodeStats(4L, prog).isEmpty, "baseline path must reject SOF2")
+    // truncated mid-scan entropy data → None, never garbage stats
+    val cut = prog.take(prog.length - 6).toArray
+    assert(Jpeg.decodeProgressiveDcStats(4L, cut).isEmpty)
+  }
+
   test("MJPEG: a demuxed frame decodes identically to the same JPEG as a still") {
     for (id <- Seq(0L, 3L, 7L, 11L, 22L)) {
       val blob = Mp4.encodeSyntheticMjpeg(id)
