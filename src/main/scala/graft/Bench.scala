@@ -90,12 +90,16 @@ object Bench {
       // comparable.
       val r1 = once()
       val r2 = if (r1 < 0) -1.0 else once()
-      val r3 =
-        if (r1 < 0 || r2 < 0 || math.max(r1, r2) > 3.0) -1.0
-        else once()
-      val runs = Seq(r1, r2, r3).filter(_ >= 0)
+      // None = skipped (query already >3 s), Some(-1) = third run CRASHED
+      // — a flaky query must surface as failed, not masquerade as a
+      // clean 2-run result
+      val r3: Option[Double] =
+        if (r1 < 0 || r2 < 0 || math.max(r1, r2) > 3.0) None
+        else Some(once())
+      val anyFailed = r1 < 0 || r2 < 0 || r3.exists(_ < 0)
+      val runs = (Seq(r1, r2) ++ r3.toSeq).filter(_ >= 0)
       val value =
-        if (r1 < 0 || r2 < 0) -1.0
+        if (anyFailed) -1.0
         else if (runs.size >= 3) runs.sorted.apply(runs.size / 2)
         else runs.min
       // inter-query isolation (VERDICT r6 item 2): a single-JVM 130-query

@@ -348,7 +348,9 @@ private[graft] object Jpeg {
             // factors 1 and 2 cover the layouts that exist in practice:
             // 4:4:4 (all 1×1), 4:2:0 (luma 2×2), 4:2:2 (luma 2×1)
             if (sh < 1 || sh > 2 || sv < 1 || sv > 2) return false
-            Component(cid, bytes(seg + 8 + 3 * i) & 0xff, h = sh, v = sv)
+            val tq = bytes(seg + 8 + 3 * i) & 0xff
+            if (tq > 3) return false // table ids index 4-slot arrays
+            Component(cid, tq, h = sh, v = sv)
           }
           if (nc == 1 && (comps(0).h != 1 || comps(0).v != 1)) return false
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
@@ -374,6 +376,9 @@ private[graft] object Jpeg {
             scanOrder(i) = ci
             comps(ci).dcTable = (bytes(seg + 2 + 2 * i) & 0xf0) >> 4
             comps(ci).acTable = bytes(seg + 2 + 2 * i) & 0x0f
+            // nibbles reach 15 but the table arrays have 4 slots — a
+            // hostile Td/Ta must be None, not AIOOBE
+            if (comps(ci).dcTable > 3 || comps(ci).acTable > 3) return false
             i += 1
           }
           if (!init(w, h, comps.length)) return false
@@ -945,7 +950,9 @@ private[graft] object Jpeg {
             val samp = bytes(seg + 7 + 3 * i) & 0xff
             // 4:4:4-only subset for the progressive path
             if (samp != 0x11) return None
-            Component(cid, bytes(seg + 8 + 3 * i) & 0xff)
+            val tq = bytes(seg + 8 + 3 * i) & 0xff
+            if (tq > 3) return None // table ids index 4-slot arrays
+            Component(cid, tq)
           }
         case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
@@ -967,6 +974,7 @@ private[graft] object Jpeg {
             if (ci < 0 || scanOrder.take(i).contains(ci)) return None
             scanOrder(i) = ci
             comps(ci).dcTable = (bytes(seg + 2 + 2 * i) & 0xf0) >> 4
+            if (comps(ci).dcTable > 3) return None // 4-slot table array
             i += 1
           }
           val ss = bytes(seg + 1 + 2 * ns) & 0xff

@@ -312,7 +312,11 @@ private[graft] object Mp4 {
       val sz = sizes(f)
       if (off < 0 || sz < 0 || off + sz > bytes.length) return None
       val frame = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
-      Jpeg.decodeStats(id, frame).foreach { st =>
+      // per-FRAME guard: the documented contract is "corrupt frame ≠
+      // corrupt document" — a decoder exception on one hostile frame
+      // must not drop the document's other frames (the wrapper's Try is
+      // per document)
+      scala.util.Try(Jpeg.decodeStats(id, frame)).toOption.flatten.foreach { st =>
         out += Row(id, f, pts(f) * 1000L / timescale, st.getInt(1), st.getInt(2),
           st.getLong(3), st.getDouble(4), st.getDouble(5), st.getDouble(6),
           st.getLong(7))
@@ -324,6 +328,70 @@ private[graft] object Mp4 {
 
   // ------------------------------------------------------------- encode
 
+  // ONE copy of the fixture byte builders (the r7 advisory: fixture
+  // encoders must not grow into a parallel library — a table-layout fix
+  // must land in exactly one place)
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + payload.length)
+    val size = out.length
+    out(0) = ((size >> 24) & 0xff).toByte; out(1) = ((size >> 16) & 0xff).toByte
+    out(2) = ((size >> 8) & 0xff).toByte; out(3) = (size & 0xff).toByte
+    typ.getBytes("US-ASCII").copyToArray(out, 4)
+    payload.copyToArray(out, 8)
+    out
+  }
+
+  private def u32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def ftypBox: Array[Byte] = box("ftyp",
+    "isom".getBytes("US-ASCII") ++ u32(0x200) ++ "isomiso2".getBytes("US-ASCII"))
+
+  /** The shared framed-stream assembly: ftyp + mdat (FIRST, so chunk
+    * offsets are layout-independent of the moov size) + moov with full
+    * video sample tables (stsd `sampleEntry`, stts 100-tick deltas at
+    * timescale 1000, one chunk, per-frame stsz, stco at the mdat
+    * payload). Both framed fixtures ([[encodeSyntheticFrames]],
+    * [[encodeSyntheticMjpeg]]) differ ONLY in their frame payloads,
+    * sample-entry fourcc, and tkhd dims.
+    */
+  private def buildFramedMp4(
+      frames: Array[Array[Byte]], sampleEntry: String, w: Int, h: Int): Array[Byte] = {
+    val nF = frames.length
+    val sizes = frames.map(_.length)
+    val ftyp = ftypBox
+    val mdat = box("mdat", frames.flatten)
+    val mdatPayloadStart = ftyp.length + 8
+    val durTicks = nF * 100L
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
+      u32(1000) ++ u32(durTicks) ++ u32(0x00010000) ++ new Array[Byte](100 - 24))
+    val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
+      u32(1000) ++ u32(durTicks) ++ u32(0x55c40000L)) // lang 'und' + pre
+    val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ u32(0) ++
+      "vide".getBytes("US-ASCII") ++ new Array[Byte](12) ++ Array[Byte](0))
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
+      box(sampleEntry, new Array[Byte](78)))
+    val stts = box("stts", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
+      u32(nF) ++ u32(100))
+    val stsc = box("stsc", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
+      u32(1) ++ u32(nF) ++ u32(1))
+    val stsz = box("stsz", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(nF) ++
+      sizes.flatMap(s => u32(s)))
+    val stco = box("stco", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
+      u32(mdatPayloadStart))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val tkhd = box("tkhd",
+      Array[Byte](0, 0, 0, 7) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++
+        u32(durTicks) ++ new Array[Byte](76 - 24) ++
+        u32(w.toLong << 16) ++ u32(h.toLong << 16))
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
   /** Build a minimal REAL ISO BMFF stream: ftyp + moov(mvhd + video trak
     * (tkhd + mdia/hdlr) [+ audio trak]). No mdat — metadata-only, which
     * is exactly the surface the parser owns. Deterministic from the
@@ -331,20 +399,7 @@ private[graft] object Mp4 {
     */
   private[graft] def encodeSynthetic(
       durationMs: Long, w: Int, h: Int, withAudio: Boolean): Array[Byte] = {
-    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
-      val out = new Array[Byte](8 + payload.length)
-      val size = out.length
-      out(0) = ((size >> 24) & 0xff).toByte; out(1) = ((size >> 16) & 0xff).toByte
-      out(2) = ((size >> 8) & 0xff).toByte; out(3) = (size & 0xff).toByte
-      typ.getBytes("US-ASCII").copyToArray(out, 4)
-      payload.copyToArray(out, 8)
-      out
-    }
-    def u32(v: Long): Array[Byte] = Array(
-      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0x200) ++
-      "isomiso2".getBytes("US-ASCII"))
+    val ftyp = ftypBox
     // mvhd v0: timescale 1000 → duration ticks = durationMs
     // mvhd v0 is 100 payload bytes: ver/flags 4, ctime 4, mtime 4,
     // timescale 4, duration 4, rate 4, then volume/reserved/matrix/
@@ -378,54 +433,12 @@ private[graft] object Mp4 {
     * off the tables.
     */
   private[graft] def encodeSyntheticFrames(id: Long): Array[Byte] = {
-    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
-      val out = new Array[Byte](8 + payload.length)
-      val size = out.length
-      out(0) = ((size >> 24) & 0xff).toByte; out(1) = ((size >> 16) & 0xff).toByte
-      out(2) = ((size >> 8) & 0xff).toByte; out(3) = (size & 0xff).toByte
-      typ.getBytes("US-ASCII").copyToArray(out, 4)
-      payload.copyToArray(out, 8)
-      out
-    }
-    def u32(v: Long): Array[Byte] = Array(
-      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     val nF = (5 + id % 6).toInt
     val sizes = Array.tabulate(nF)(i => 50 + ((id + 17L * i) % 100).toInt)
     val frames = Array.tabulate(nF) { i =>
       Array.fill[Byte](sizes(i))(((id + 7L * i) % 256).toByte)
     }
-    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0x200) ++
-      "isomiso2".getBytes("US-ASCII"))
-    val mdat = box("mdat", frames.flatten)
-    val mdatPayloadStart = ftyp.length + 8
-    val durTicks = nF * 100L
-    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
-      u32(1000) ++ u32(durTicks) ++ u32(0x00010000) ++ new Array[Byte](100 - 24))
-    val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
-      u32(1000) ++ u32(durTicks) ++ u32(0x55c40000L)) // lang 'und' + pre
-    val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ u32(0) ++
-      "vide".getBytes("US-ASCII") ++ new Array[Byte](12) ++ Array[Byte](0))
-    val stsd = box("stsd", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
-      box("mp4v", new Array[Byte](78)))
-    val stts = box("stts", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
-      u32(nF) ++ u32(100))
-    val stsc = box("stsc", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
-      u32(1) ++ u32(nF) ++ u32(1))
-    val stsz = box("stsz", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(nF) ++
-      sizes.flatMap(s => u32(s)))
-    val stco = box("stco", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
-      u32(mdatPayloadStart))
-    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
-    val minf = box("minf", stbl)
-    val tkhd = box("tkhd",
-      Array[Byte](0, 0, 0, 7) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++
-        u32(durTicks) ++ new Array[Byte](76 - 24) ++
-        u32(320L << 16) ++ u32(240L << 16))
-    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
-    val trak = box("trak", tkhd ++ mdia)
-    val moov = box("moov", mvhd ++ trak)
-    ftyp ++ mdat ++ moov
+    buildFramedMp4(frames, "mp4v", 320, 240)
   }
 
   /** Build a REAL MJPEG-in-MP4 stream: every mdat frame is a complete
@@ -439,54 +452,11 @@ private[graft] object Mp4 {
     * the FULL demux + entropy + IDCT machinery.
     */
   private[graft] def encodeSyntheticMjpeg(id: Long): Array[Byte] = {
-    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
-      val out = new Array[Byte](8 + payload.length)
-      val size = out.length
-      out(0) = ((size >> 24) & 0xff).toByte; out(1) = ((size >> 16) & 0xff).toByte
-      out(2) = ((size >> 8) & 0xff).toByte; out(3) = (size & 0xff).toByte
-      typ.getBytes("US-ASCII").copyToArray(out, 4)
-      payload.copyToArray(out, 8)
-      out
-    }
-    def u32(v: Long): Array[Byte] = Array(
-      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     val nF = (3 + id % 4).toInt
     val w = 8 * (1 + (id % 5).toInt)
     val h = 8 * (1 + (id % 3).toInt)
     val frames = Array.tabulate(nF)(i =>
       Multimodal.encodeSyntheticJpeg(id + 13L * i, w, h))
-    val sizes = frames.map(_.length)
-    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0x200) ++
-      "isomiso2".getBytes("US-ASCII"))
-    val mdat = box("mdat", frames.flatten)
-    val mdatPayloadStart = ftyp.length + 8
-    val durTicks = nF * 100L
-    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
-      u32(1000) ++ u32(durTicks) ++ u32(0x00010000) ++ new Array[Byte](100 - 24))
-    val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
-      u32(1000) ++ u32(durTicks) ++ u32(0x55c40000L))
-    val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ u32(0) ++
-      "vide".getBytes("US-ASCII") ++ new Array[Byte](12) ++ Array[Byte](0))
-    val stsd = box("stsd", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
-      box("jpeg", new Array[Byte](78)))
-    val stts = box("stts", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
-      u32(nF) ++ u32(100))
-    val stsc = box("stsc", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
-      u32(1) ++ u32(nF) ++ u32(1))
-    val stsz = box("stsz", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(nF) ++
-      sizes.flatMap(s => u32(s)))
-    val stco = box("stco", Array[Byte](0, 0, 0, 0) ++ u32(1) ++
-      u32(mdatPayloadStart))
-    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
-    val minf = box("minf", stbl)
-    val tkhd = box("tkhd",
-      Array[Byte](0, 0, 0, 7) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++
-        u32(durTicks) ++ new Array[Byte](76 - 24) ++
-        u32(w.toLong << 16) ++ u32(h.toLong << 16))
-    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
-    val trak = box("trak", tkhd ++ mdia)
-    val moov = box("moov", mvhd ++ trak)
-    ftyp ++ mdat ++ moov
+    buildFramedMp4(frames, "jpeg", w, h)
   }
 }

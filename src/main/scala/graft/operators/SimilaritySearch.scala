@@ -354,7 +354,10 @@ object SimilaritySearch {
       ksub: Int,
       sampleCap: Int = 2048,
       iters: Int = 10): Seq[Seq[Seq[Float]]] = {
-    require(m > 0 && ksub > 1 && ksub <= 256, "1 ≤ codes ≤ 256 (tinyint)")
+    // 128, not 256: codes are stored as SIGNED tinyint ([[pqEncode]]),
+    // so code values must stay in 0..127 — ksub 129..256 would overflow
+    // (ANSI cast error, or a silently negative ADC lookup index)
+    require(m > 0 && ksub > 1 && ksub <= 128, "2 ≤ ksub ≤ 128 (signed tinyint codes)")
     val rows = corpus.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
       .orderBy(md5(col("__id")), col("__id")).limit(sampleCap)
       .select("__v").collect().map(_.getSeq[Float](0).toArray)

@@ -705,6 +705,22 @@ class MultimodalSpec extends SparkSpec {
     // truncated mid-scan entropy data → None, never garbage stats
     val cut = prog.take(prog.length - 6).toArray
     assert(Jpeg.decodeProgressiveDcStats(4L, cut).isEmpty)
+    // hostile table ids index 4-slot arrays: SOF2 Tq=7 and SOS Td=7 must
+    // be None, never ArrayIndexOutOfBounds
+    val tqBad = prog.clone()
+    assert((tqBad(83) & 0xff) <= 3, "fixture layout: Tq byte moved")
+    tqBad(83) = 7
+    assert(Jpeg.decodeProgressiveDcStats(4L, tqBad).isEmpty)
+    def sosAt(b: Array[Byte]): Int =
+      (0 until b.length - 1).find(i =>
+        (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda).get
+    // SOS layout: FF DA | len(2) | ns | comp id | tables byte
+    val tdBad = prog.clone()
+    tdBad(sosAt(tdBad) + 6) = 0x70 // comp 1's Td nibble → 7
+    assert(Jpeg.decodeProgressiveDcStats(4L, tdBad).isEmpty)
+    val baseBad = base.clone()
+    baseBad(sosAt(baseBad) + 6) = 0x77 // baseline Td=7/Ta=7
+    assert(Jpeg.decodeStats(4L, baseBad).isEmpty)
   }
 
   test("MJPEG: a demuxed frame decodes identically to the same JPEG as a still") {
