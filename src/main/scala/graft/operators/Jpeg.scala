@@ -1087,8 +1087,26 @@ private[graft] object Jpeg {
     * predicts the preview stats by formula.
     */
   private[graft] def encodeGrayProgressiveDc(
-      pix: Array[Int], w: Int, h: Int, al: Int): Array[Byte] = {
-    require(w > 0 && h > 0 && pix.length == w * h && al >= 0 && al <= 13)
+      pix: Array[Int], w: Int, h: Int, al: Int): Array[Byte] =
+    encodeProgressiveDc(Array(pix), w, h, al)
+
+  /** 3-component 4:4:4 variant: YCbCr planes, interleaved DC first scan
+    * with per-component predictors — exercises the progressive decoder's
+    * color path.
+    */
+  private[graft] def encodeYcc444ProgressiveDc(
+      yP: Array[Int], cbP: Array[Int], crP: Array[Int],
+      w: Int, h: Int, al: Int): Array[Byte] =
+    encodeProgressiveDc(Array(yP, cbP, crP), w, h, al)
+
+  /** Shared first-scan-only progressive writer (1 or 3 components, all
+    * sampling 1×1, one shared all-ones DQT + Annex K DC table).
+    */
+  private def encodeProgressiveDc(
+      planes: Array[Array[Int]], w: Int, h: Int, al: Int): Array[Byte] = {
+    val nc = planes.length
+    require(w > 0 && h > 0 && planes.forall(_.length == w * h) &&
+      al >= 0 && al <= 13 && (nc == 1 || nc == 3))
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -1097,42 +1115,49 @@ private[graft] object Jpeg {
     marker(0xdb); u16(2 + 1 + 64); u8(0x00)
     var i = 0
     while (i < 64) { u8(1); i += 1 }
-    marker(0xc2); u16(8 + 3); u8(8); u16(h); u16(w); u8(1)
-    u8(1); u8(0x11); u8(0)
+    marker(0xc2); u16(8 + 3 * nc); u8(8); u16(h); u16(w); u8(nc)
+    var c = 0
+    while (c < nc) { u8(c + 1); u8(0x11); u8(0); c += 1 }
     marker(0xc4); u16(2 + 1 + 16 + DcVals.length)
     u8(0x00); DcBits.foreach(u8); DcVals.foreach(u8)
-    marker(0xda); u16(6 + 2); u8(1); u8(1); u8(0x00)
+    marker(0xda); u16(6 + 2 * nc); u8(nc)
+    c = 0
+    while (c < nc) { u8(c + 1); u8(0x00); c += 1 }
     u8(0); u8(0); u8(al) // Ss=0 Se=0 Ah=0 Al
     val bw = new BitWriter(out)
     val mcuW = (w + 7) / 8
     val mcuH = (h + 7) / 8
-    var pred = 0
+    val pred = new Array[Int](nc)
     var my = 0
     while (my < mcuH) {
       var mx = 0
       while (mx < mcuW) {
-        // true DCT DC = Σ(x−128)/8 over the block (edges replicate)
-        var sum = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            val py = math.min(h - 1, my * 8 + y)
-            val px = math.min(w - 1, mx * 8 + x)
-            sum += pix(py * w + px) - 128
-            x += 1
+        c = 0
+        while (c < nc) {
+          // true DCT DC = Σ(x−128)/8 over the block (edges replicate)
+          var sum = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val py = math.min(h - 1, my * 8 + y)
+              val px = math.min(w - 1, mx * 8 + x)
+              sum += planes(c)(py * w + px) - 128
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        val dc = math.round(sum / 8.0).toInt >> al // point transform
-        val diff = dc - pred
-        pred = dc
-        val s = category(diff)
-        val (code, clen) = DcCodes(s)
-        bw.write(code, clen)
-        if (s > 0) {
-          val bitsVal = if (diff < 0) diff + (1 << s) - 1 else diff
-          bw.write(bitsVal, s)
+          val dc = math.round(sum / 8.0).toInt >> al // point transform
+          val diff = dc - pred(c)
+          pred(c) = dc
+          val s = category(diff)
+          val (code, clen) = DcCodes(s)
+          bw.write(code, clen)
+          if (s > 0) {
+            val bitsVal = if (diff < 0) diff + (1 << s) - 1 else diff
+            bw.write(bitsVal, s)
+          }
+          c += 1
         }
         mx += 1
       }

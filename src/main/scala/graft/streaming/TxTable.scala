@@ -440,6 +440,129 @@ object TxTable {
     } finally batchLatest.unpersist(blocking = false)
   }
 
+  /** LSM-style DELTA upsert — merge-on-READ: commit ONLY the batch's
+    * latest rows as new data directories, touching nothing that exists.
+    * [[mergeLatest]] rewrites every touched partition per micro-batch —
+    * O(partition) write amplification that a 100 TB table with hot
+    * servers cannot afford; this path is O(batch) per commit (the
+    * Delta/Hudi/Paimon merge-on-read trade). The cost moves to readers:
+    * a partition's directories hold OVERLAPPING keys, so the last-value
+    * view is [[readMerged]] (latestPerKey over the union — raw [[read]]
+    * returns the delta rows as-written), and [[compact]] periodically
+    * folds a partition's deltas back into one collapsed directory.
+    * [[mergeLatest]] stays correct on a delta table (it latestPerKey's
+    * everything it reads), so the two write modes compose freely.
+    *
+    * Concurrency: pure append — a lost publish race re-versions the SAME
+    * already-written directories against the new snapshot (no content
+    * rebase is needed because nothing is removed; no update can be lost).
+    */
+  def upsertDelta(
+      spark: SparkSession,
+      batch: DataFrame,
+      tablePath: String,
+      partitionCol: String = "serverName",
+      keys: Seq[String] = Seq("serverName", "tag"),
+      order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp"),
+      maxRetries: Int = 50): Long = {
+    val batchLatest = LastValue.latestPerKey(
+      batch.filter(col(partitionCol).isNotNull), keys, order).persist()
+    try {
+      val affected = batchLatest.select(partitionCol).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) return snapshot(tablePath).version
+      val adds = affected.flatMap { p =>
+        val rel = s"data/${UUID.randomUUID()}"
+        val part = batchLatest.filter(col(partitionCol) === p)
+        if (part.isEmpty) None
+        else {
+          part.write.mode("overwrite").parquet(s"$tablePath/$rel")
+          Some((p, rel))
+        }
+      }
+      var attempt = 0
+      while (attempt <= maxRetries) {
+        val snap = snapshot(tablePath)
+        val lines = Seq(s"op\tupsertDelta\tattempt\t$attempt") ++
+          adds.map { case (p, rel) => s"add\t$p\t$rel" }
+        try {
+          publishCommit(tablePath, snap.version + 1, lines)
+          maybeCheckpoint(tablePath, snap.version + 1)
+          return snap.version + 1
+        } catch {
+          case _: FileAlreadyExistsException => attempt += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"upsertDelta lost $maxRetries consecutive commit races on $tablePath")
+    } finally batchLatest.unpersist(blocking = false)
+  }
+
+  /** The last-value VIEW of a table regardless of write mode: latestPerKey
+    * over the (possibly delta-overlapping) snapshot files. On a
+    * [[mergeLatest]]-only table this equals [[read]]; on a
+    * [[upsertDelta]] table it is the only correct read.
+    */
+  def readMerged(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String] = Seq("serverName", "tag"),
+      order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp"),
+      partitions: Option[Seq[String]] = None): Option[DataFrame] =
+    read(spark, tablePath, partitions)
+      .map(df => LastValue.latestPerKey(df, keys, order))
+
+  /** Compact (the OPTIMIZE analog for [[upsertDelta]] tables): fold every
+    * partition spread over `minFiles`-or-more delta directories into ONE
+    * collapsed directory holding only the latest row per key. The
+    * last-value view ([[readMerged]]) is IDENTICAL before and after; raw
+    * superseded delta rows are dropped (that is the point — read cost
+    * returns to O(live keys)). A normal commit: time travel to
+    * pre-compaction versions still replays (until vacuum), and a lost
+    * publish race recomputes from the fresh snapshot — the winner may
+    * have added new deltas to a victim partition, which a stale remove
+    * set would orphan.
+    *
+    * Returns the committed version, or -1 when no partition needed work.
+    */
+  def compact(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String] = Seq("serverName", "tag"),
+      order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp"),
+      minFiles: Int = 2,
+      maxRetries: Int = 50): Long = {
+    require(minFiles >= 2, "compacting below 2 directories is a no-op")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val snap = snapshot(tablePath)
+      val victims = snap.filesByPartition.filter(_._2.size >= minFiles)
+      if (victims.isEmpty) return -1L
+      // rewrites land BEFORE the commit references them (invisible until
+      // the publish wins); orphans of a lost race are vacuum fodder
+      val adds = victims.toSeq.sortBy(_._1).map { case (p, files) =>
+        val rel = s"data/${UUID.randomUUID()}"
+        LastValue.latestPerKey(
+            spark.read.parquet(files.map(f => s"$tablePath/$f"): _*), keys, order)
+          .coalesce(1) // one server's live keys: bounded by tag cardinality
+          .write.mode("overwrite").parquet(s"$tablePath/$rel")
+        (p, rel, files)
+      }
+      val lines = Seq(s"op\tcompact\tattempt\t$attempt") ++
+        adds.map { case (p, rel, _) => s"add\t$p\t$rel" } ++
+        adds.flatMap(_._3).map(f => s"remove\t$f")
+      try {
+        publishCommit(tablePath, snap.version + 1, lines)
+        maybeCheckpoint(tablePath, snap.version + 1)
+        return snap.version + 1
+      } catch {
+        case _: FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"compact lost $maxRetries consecutive commit races on $tablePath")
+  }
+
   /** Delete data directories no longer referenced by the current snapshot
     * and older than `minAgeMs` (the age guard keeps in-flight writers'
     * not-yet-committed files safe — same contract as Delta's VACUUM

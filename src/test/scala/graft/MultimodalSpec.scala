@@ -714,6 +714,32 @@ class MultimodalSpec extends SparkSpec {
     def sosAt(b: Array[Byte]): Int =
       (0 until b.length - 1).find(i =>
         (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda).get
+    // COLOR (3-component 4:4:4) progressive: interleaved DC scan with
+    // per-component predictors, YCbCr preview → RGB — reference-checked
+    locally {
+      val (w, h, al) = (24, 16, 1)
+      val rnd = new java.util.Random(9L)
+      val yP = Array.fill(w * h)(rnd.nextInt(256))
+      val cbP = Array.fill(w * h)(rnd.nextInt(256))
+      val crP = Array.fill(w * h)(rnd.nextInt(256))
+      val blob = Jpeg.encodeYcc444ProgressiveDc(yP, cbP, crP, w, h, al)
+      val st = Jpeg.decodeProgressiveDcStats(3L, blob).getOrElse(fail("color decode"))
+      var sumR = 0L
+      def blockMean(p: Array[Int], my: Int, mx: Int): Int = {
+        var s = 0L
+        for (y <- 0 until 8; x <- 0 until 8)
+          s += p(math.min(h - 1, my * 8 + y) * w + math.min(w - 1, mx * 8 + x)) - 128
+        (math.round(s / 8.0).toInt >> al) << al
+      }
+      for (my <- 0 until h / 8; mx <- 0 until w / 8) {
+        val yv = math.round(blockMean(yP, my, mx) / 8.0).toDouble + 128.0
+        val cb = math.round(blockMean(cbP, my, mx) / 8.0).toDouble
+        val cr = math.round(blockMean(crP, my, mx) / 8.0).toDouble
+        val r = math.max(0, math.min(255, math.round(yv + 1.402 * cr).toInt))
+        sumR += r.toLong * 64
+      }
+      assert(st.getDouble(4) == sumR.toDouble / (w * h), "color mean_r")
+    }
     // SOS layout: FF DA | len(2) | ns | comp id | tables byte
     val tdBad = prog.clone()
     tdBad(sosAt(tdBad) + 6) = 0x70 // comp 1's Td nibble → 7

@@ -737,6 +737,58 @@ class StreamingSpec extends SparkSpec {
     assert(v3 > v1 && cur() == before)
   }
 
+  test("TxTable delta upserts: O(batch) commits, merge-on-read, compaction folds") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-tx-delta") + "/tbl"
+    def latest(): Map[(String, String), Double] =
+      TxTable.readMerged(spark, table).get
+        .select("serverName", "tag", "doubleValue")
+        .as[(String, String, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    // three delta commits to srvA: directories ACCUMULATE (nothing is
+    // rewritten — the O(batch) commit) and keys overlap across them
+    TxTable.upsertDelta(spark, txBatch(
+      ("srvA", "t1", "2024-06-01 10:00:00", 1.0),
+      ("srvB", "t1", "2024-06-01 10:00:00", 5.0)), table)
+    TxTable.upsertDelta(spark, txBatch(
+      ("srvA", "t1", "2024-06-01 10:00:05", 2.0),
+      ("srvA", "t2", "2024-06-01 10:00:01", 7.0)), table)
+    TxTable.upsertDelta(spark, txBatch(
+      ("srvA", "t1", "2024-06-01 10:00:02", 9.9)), table) // late: must lose
+    val preSnap = TxTable.snapshot(table)
+    assert(preSnap.filesByPartition("srvA").size == 3,
+      s"delta dirs must accumulate: ${preSnap.filesByPartition}")
+    assert(latest() == Map(("srvA", "t1") -> 2.0, ("srvA", "t2") -> 7.0,
+      ("srvB", "t1") -> 5.0))
+    // raw read still exposes the deltas as written (time-travel shape):
+    // 2 + 2 + 1 rows across the three commits
+    assert(TxTable.read(spark, table).get.count() == 5)
+    // mergeLatest COMPOSES with delta history (it latestPerKey's its reads)
+    TxTable.mergeLatest(spark, txBatch(
+      ("srvB", "t2", "2024-06-01 10:00:09", 6.0)), table)
+    assert(latest() == Map(("srvA", "t1") -> 2.0, ("srvA", "t2") -> 7.0,
+      ("srvB", "t1") -> 5.0, ("srvB", "t2") -> 6.0))
+    // compaction folds srvA's three deltas to ONE collapsed dir; the
+    // last-value view is unchanged; superseded rows are gone from raw
+    val before = latest()
+    val v = TxTable.compact(spark, table)
+    assert(v == TxTable.snapshot(table).version)
+    val snap = TxTable.snapshot(table)
+    assert(snap.filesByPartition.values.forall(_.size == 1),
+      s"one dir per partition after compact: ${snap.filesByPartition}")
+    assert(latest() == before)
+    assert(TxTable.read(spark, table).get.count() == 4, "superseded delta rows dropped")
+    // pre-compaction version still replays until vacuumed (raw deltas)
+    assert(TxTable.readAt(spark, table, preSnap.version).get.count() == 5)
+    // idempotent when nothing is over threshold
+    assert(TxTable.compact(spark, table) == -1L)
+    // vacuum reclaims the folded deltas; live view intact; writes continue
+    assert(TxTable.vacuum(table, minAgeMs = 0L).nonEmpty)
+    TxTable.upsertDelta(spark, txBatch(
+      ("srvA", "t1", "2024-06-01 10:00:30", 3.0)), table)
+    assert(latest() == before + (("srvA", "t1") -> 3.0))
+  }
+
   test("TxTable.mergeLatest rewrites only the partitions present in the batch") {
     import graft.streaming.TxTable
     val table = tmp("graft-txpart") + "/tbl"
