@@ -621,4 +621,36 @@ object TxTable {
         mergeLatest(batch.sparkSession, batch, tablePath)
         ()
       }
+
+  /** The LSM sink: each micro-batch lands as an O(batch) [[upsertDelta]]
+    * commit, and every `compactEvery`th batch folds the accumulated
+    * deltas ([[compact]]) — write amplification moves off the hot path
+    * onto a periodic maintenance commit, the shape a high-rate 100 TB
+    * ingest needs (the merge-on-write sink re-reads and rewrites every
+    * touched partition per trigger). Readers use [[readMerged]].
+    * Batch-id-keyed cadence keeps the compaction schedule deterministic
+    * under restart replay; re-delivered batches stay content-idempotent
+    * (same rows re-appended then folded away by the next compaction —
+    * the VIEW is unchanged either way).
+    */
+  def currentValueSinkTxDelta(
+      normalized: DataFrame,
+      tablePath: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      compactEvery: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    normalized.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertDelta(batch.sparkSession, batch, tablePath)
+        if ((batchId + 1) % compactEvery == 0) {
+          compact(batch.sparkSession, tablePath)
+          ()
+        }
+        ()
+      }
+  }
 }

@@ -1101,4 +1101,41 @@ class StreamingSpec extends SparkSpec {
       .select("tag", "doubleValue").as[(String, Double)].collect().toMap
     assert(cur == Map("t1" -> 2.0, "t2" -> 8.0))
   }
+
+  test("TxTable LSM streaming sink: delta commits per batch, periodic fold, restart-safe") {
+    import graft.streaming.TxTable
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[RawReading]
+    val table = tmp("graft-txdelta") + "/tbl"
+    val ckpt = tmp("graft-txdelta-ckpt")
+    def run(): Unit = {
+      val q = TxTable.currentValueSinkTxDelta(
+        StreamingPipeline.normalizeStream(mem.toDF()),
+        table, ckpt, Trigger.AvailableNow(), compactEvery = 3).start()
+      q.awaitTermination()
+    }
+    def latest(): Map[String, Double] = TxTable.readMerged(spark, table).get
+      .select("tag", "doubleValue").as[(String, Double)].collect().toMap
+    // batches 0 and 1: two delta commits, no fold yet — dirs accumulate
+    mem.addData(
+      raw("t1", "1.0", "2024-06-01 10:00:00"),
+      raw("t2", "7.5", "2024-06-01 10:00:01"))
+    run()
+    mem.addData(raw("t1", "2.0", "2024-06-01 10:00:05"))
+    run()
+    assert(TxTable.snapshot(table).filesByPartition("srv1").size == 2,
+      "deltas must accumulate between folds")
+    assert(latest() == Map("t1" -> 2.0, "t2" -> 7.5))
+    // batch 2 triggers the fold (batchId+1 % 3 == 0): one dir, view intact
+    mem.addData(raw("t2", "8.0", "2024-06-01 10:00:30"))
+    run()
+    assert(TxTable.snapshot(table).filesByPartition("srv1").size == 1,
+      "compaction must fold on the cadence batch")
+    assert(latest() == Map("t1" -> 2.0, "t2" -> 8.0))
+    // restart from the same checkpoint continues the delta sequence; a
+    // late value must lose through the merged view
+    mem.addData(raw("t1", "9.9", "2024-06-01 09:59:00"))
+    run()
+    assert(latest() == Map("t1" -> 2.0, "t2" -> 8.0))
+  }
 }
