@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "url_canonicalize(s) - canonical form of an http(s) URL (NULL if unparseable)"),
       (exprs: Seq[Expression]) => UrlCanonicalize(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("text_canonicalize"),
+      info("text_canonicalize",
+        "text_canonicalize(s) - whitespace-collapsed, NFC-normalized, lowercased form"),
+      (exprs: Seq[Expression]) => graft.functions.TextCanonicalize(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("cdc_bounds"),
       info("cdc_bounds",
         "cdc_bounds(s, window, modulus, minLen) - content-defined chunk end positions (1-based)"),

@@ -267,6 +267,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "url_canonicalize", exprs => UrlCanonicalize(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
+      "text_canonicalize", exprs => TextCanonicalize(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
       "cdc_bounds", exprs => CdcBounds(exprs(0),
         HashExpressions.litInt(exprs(1), "cdc_bounds", "window"),
         HashExpressions.litInt(exprs(2), "cdc_bounds", "modulus"),
@@ -284,6 +286,7 @@ object GraftFunctions {
     call_function("sorted_intersect_count", a, b)
   def int8Quant(vec: Column): Column = call_function("int8_quant", vec)
   def urlCanonicalize(url: Column): Column = call_function("url_canonicalize", url)
+  def textCanonicalize(text: Column): Column = call_function("text_canonicalize", text)
   def cdcBounds(text: Column, window: Int, modulus: Int, minLen: Int): Column =
     call_function("cdc_bounds", text, lit(window), lit(modulus), lit(minLen))
 }

@@ -782,6 +782,43 @@ object PipelineQueries {
         .orderBy("canonical_url")
     },
 
+    Q("q165_text_canonical_dedup",
+      // Content canonicalization — the normalization pass before exact
+      // content hashing: three messy spellings of each document (raw;
+      // upper-cased with doubled spaces and added \t/\n framing; a
+      // DECOMPOSED-Unicode suffix "cafe" + COMBINING ACUTE) must land on
+      // the same canonical key through the codegen'd text_canonicalize
+      // (whitespace collapse → NFC → lowercase). The oracle applies
+      // DuckDB's OWN independent primitives (regexp_replace / trim /
+      // nfc_normalize / lower) in the same rule order — any divergence
+      // in the engine's canonicalizer breaks the hash.
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN text
+        |      WHEN 1 THEN chr(9) || replace(upper(text), ' ', '  ') || chr(10)
+        |      ELSE text || '  cafe' || chr(769) END AS messy
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(nfc_normalize(trim(regexp_replace(messy, '[ \t\n\r\f\x0B]+', ' ', 'g')))) AS canon
+        |  FROM m)
+        |SELECT doc_id, canon, length(canon) AS canon_len FROM c
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val messy = when(col("doc_id") % 3 === 0, col("text"))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("\t"), regexp_replace(upper(col("text")), " ", "  "), lit("\n")))
+        // DECOMPOSED form (e + U+0301): the engine's NFC must compose it
+        // to match the oracle's nfc_normalize - feeding the composed form
+        // would leave the NFC step untested
+        .otherwise(concat(col("text"), lit("  cafe\u0301")))
+      t(s, d, "documents").select(col("doc_id"),
+          GraftFunctions.textCanonicalize(messy).as("canon"))
+        .withColumn("canon_len", length(col("canon")).cast("long"))
+        .orderBy("doc_id")
+    },
+
     Q("q147_cdc_chunk_dedup",
       // Sub-document dedup over CONTENT-DEFINED chunks (Rabin-style): the
       // primitive that finds repeated spans across EDITED copies, where

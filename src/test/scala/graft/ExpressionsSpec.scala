@@ -125,6 +125,25 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("text_canonicalize: collapse, NFC composition, case, idempotence, nulls") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.unsafe.types.UTF8String
+    def c(s: String): String =
+      Option(TextFunctions.canonicalize(UTF8String.fromString(s))).map(_.toString).orNull
+    assert(c("  Hello\t\tWorld \n") == "hello world")
+    assert(c("") == "" && c(" \t\n ") == "")
+    // NFC: decomposed e + COMBINING ACUTE composes to é
+    assert(c("café") == "café")
+    // idempotent: canonicalize(canonicalize(x)) == canonicalize(x)
+    for (s <- Seq("A  bc", "x\r\ny", "café  CAFÉ"))
+      assert(c(c(s)) == c(s), s"not idempotent on ${s}")
+    assert(TextFunctions.canonicalize(null) == null)
+    // SQL registration + codegen path
+    val out = spark.sql("SELECT text_canonicalize('  A\tB  ') AS t")
+      .collect().head.getString(0)
+    assert(out == "a b")
+  }
+
   test("rolling_hash matches the scala reference implementation") {
     val texts = Seq("", "a", "abc", "the quick brown fox", "x" * 1000)
     val df = texts.zipWithIndex.map(_.swap).toDF("id", "t")
