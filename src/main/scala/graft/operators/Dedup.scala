@@ -204,19 +204,83 @@ object Dedup {
     * band key. Returns distinct (id1, id2) with id1 < id2. The self-join is
     * an equi-join on (band, bkey) — shuffle-partitionable, no cross product.
     */
-  def lshCandidates(sig: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
-    val banded = sig
+  /** Per-document band keys (idCol, band, bkey) — the LSH bucketing unit
+    * shared by the self-join pair path and the incremental probe path.
+    */
+  def bandKeys(sig: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
+    sig
       .withColumn("band", floor(col("seed") / rowsPerBand))
       .groupBy(col(idCol), col("band"))
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> cast(x.mh as string)), ',')"
       ).as("bkey"))
+
+  def lshCandidates(sig: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
+    val banded = bandKeys(sig, idCol, rowsPerBand)
     val a = banded.select(col(idCol).as("id1"), col("band"), col("bkey"))
     val b = banded.select(col(idCol).as("id2"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
       .distinct()
+  }
+
+  /** LSH index for INCREMENTAL dedup: the existing corpus's band keys and
+    * shingle sets, built ONCE ([[buildLshIndex]]) and at scale persisted
+    * (parquet, bucketed by a hash of bkey so probe joins co-locate) —
+    * each incoming batch then probes it by band-key equi-join instead of
+    * re-pairing the whole corpus. The production ingest shape: per-batch
+    * cost is O(batch × corpus-collision rate), never O(corpus²) or even
+    * O(corpus) re-banding.
+    */
+  final case class LshIndex(bands: DataFrame, shingles: DataFrame)
+
+  def buildLshIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 4): LshIndex = {
+    val sh = shingles(df, idCol, textCol, shingleK)
+    LshIndex(bandKeys(minhashSignatures(sh, idCol, numHashes), idCol, rowsPerBand), sh)
+  }
+
+  /** Incremental near-duplicate detection of `incoming` against an
+    * existing corpus's [[LshIndex]] (ids must be disjoint from the
+    * corpus): returns (new_id, matched_id, jaccard ≥ threshold) where
+    * matched_id is a corpus document OR an earlier (smaller-id) document
+    * of the same batch — so a batch containing its own duplicates
+    * self-deduplicates in the same pass. The corpus side is only ever
+    * PROBED (band-key equi-join); it never self-joins, and its shingles
+    * are touched only for the candidates' exact-Jaccard verify.
+    */
+  def incrementalNearDups(
+      index: LshIndex,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val shNew = shingles(incoming, idCol, textCol, shingleK)
+    val bNew = bandKeys(minhashSignatures(shNew, idCol, numHashes), idCol, rowsPerBand)
+    val cross = bNew.select(col(idCol).as("new_id"), col("band"), col("bkey"))
+      .join(index.bands.select(col(idCol).as("matched_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select("new_id", "matched_id")
+    val within = bNew.select(col(idCol).as("id1"), col("band"), col("bkey"))
+      .join(bNew.select(col(idCol).as("id2"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id2").as("new_id"), col("id1").as("matched_id"))
+    val cand = cross.unionByName(within).distinct()
+    jaccardVerify(
+        cand.select(col("new_id").as("id1"), col("matched_id").as("id2")),
+        index.shingles.unionByName(shNew), idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1").as("new_id"), col("id2").as("matched_id"), col("jaccard"))
   }
 
   /** Exact shingle-set Jaccard for the given candidate pairs:

@@ -40,7 +40,10 @@ object ExtendedQueries {
     * counts. Shared by q34's pair oracle and q108's end-to-end dedup
     * oracle.
     */
-  private[queries] val minhashCtes: String =
+  /** shingles + signatures + band keys — shared by the all-pairs oracle
+    * ([[minhashCtes]]) and q166's incremental-probe oracle.
+    */
+  private[queries] val sigBandsCtes: String =
     s"""$shinglesCte,
        |sig AS (
        |  SELECT doc_id, seed,
@@ -52,7 +55,10 @@ object ExtendedQueries {
        |bands AS (
        |  SELECT doc_id, seed // 4 AS band,
        |    string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bkey
-       |  FROM sig GROUP BY doc_id, band),
+       |  FROM sig GROUP BY doc_id, band)""".stripMargin
+
+  private[queries] val minhashCtes: String =
+    s"""$sigBandsCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b
@@ -109,6 +115,47 @@ object ExtendedQueries {
           shingleK = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2")
+    },
+
+    Q("q166_incremental_neardup",
+      // INCREMENTAL near-dup — the production ingest shape: documents
+      // with doc_id % 5 = 0 arrive as a new batch and probe the LSH
+      // index of the other 80% by band-key equi-join; the corpus never
+      // self-joins and is never re-banded. matched_id is a corpus doc or
+      // an EARLIER same-batch doc (the batch self-dedups in the same
+      // pass). The oracle recomputes bands for everything and keeps
+      // exactly the pairs whose candidate involves a new doc, oriented
+      // (new, matched).
+      s"""WITH $sigBandsCtes,
+         |cand AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN b.doc_id % 5 = 0 THEN b.doc_id ELSE a.doc_id END AS new_id,
+         |    CASE WHEN b.doc_id % 5 = 0 THEN a.doc_id ELSE b.doc_id END AS matched_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.new_id, c.matched_id, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.new_id
+         |  JOIN sh s2 ON s2.doc_id = c.matched_id AND s2.shingle = s1.shingle
+         |  GROUP BY c.new_id, c.matched_id)
+         |SELECT i.new_id, i.matched_id,
+         |  round(i.i::DOUBLE / (z1.sz + z2.sz - i.i), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes z1 ON z1.doc_id = i.new_id
+         |JOIN sizes z2 ON z2.doc_id = i.matched_id
+         |WHERE i.i::DOUBLE / (z1.sz + z2.sz - i.i) >= 0.5
+         |ORDER BY new_id, matched_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val index = Dedup.buildLshIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      Dedup.incrementalNearDups(index,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .select(col("new_id"), col("matched_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("new_id", "matched_id")
     },
 
     Q("q58_dup_clusters",
