@@ -266,4 +266,34 @@ class DedupSpec extends SparkSpec {
       assert(sig(seed) == want, s"seed $seed")
     }
   }
+
+  test("incrementalNearDups equals the full pair set restricted to new-involving pairs") {
+    // duplicates planted across the corpus/batch boundary AND within the
+    // batch; the incremental probe must find exactly what a full re-pair
+    // would, reoriented (new, matched)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "entirely different content with no overlap whatsoever here"),
+      (3L, "another unrelated document about spark execution engines"),
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (11L, "spark structured streaming with watermarks and state stores"),
+      (12L, "spark structured streaming with watermarks and state stores"), // dup of 11
+      (13L, "the quick brown fox jumps over the lazy dog today")    // near-dup of 1/10
+    ).toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 10)
+    val batch = docs.filter(col("doc_id") >= 10)
+    val inc = Dedup.incrementalNearDups(
+        Dedup.buildLshIndex(corpus, "doc_id", "text"), batch, "doc_id", "text")
+      .select("new_id", "matched_id").as[(Long, Long)].collect().toSet
+    // reference: full all-pairs run, keep pairs with a batch member,
+    // oriented (batch-or-later id, matched)
+    val full = Dedup.nearDupPairsMinHash(docs, "doc_id", "text")
+      .select("id1", "id2").as[(Long, Long)].collect()
+      .filter { case (a, b) => a >= 10 || b >= 10 }
+      .map { case (a, b) => if (b >= 10) (b, a) else (a, b) }
+      .toSet
+    assert(inc == full, s"incremental=$inc full=$full")
+    assert(inc.contains((10L, 1L)) && inc.contains((12L, 11L)),
+      "must find cross-boundary and within-batch duplicates")
+  }
 }
