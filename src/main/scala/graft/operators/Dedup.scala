@@ -465,6 +465,33 @@ object Dedup {
     df.join(dropped, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** SOFT dedup — "keep each copy with probability 1/n", the curation
+    * rule for corpora where hard removal ([[keepRepresentatives]]) would
+    * bias against popular content: every duplicate cluster retains ONE
+    * copy in expectation, but which members survive is decided per
+    * member, deterministically — hash60(id) mod 10⁴ < 10⁴ div n (integer
+    * basis points on the md5-prefix hash, the cross-engine-exact cutoff
+    * recipe; singletons always survive). Output: the surviving rows plus
+    * their `cluster_size`, which doubles as a training weight column for
+    * pipelines that re-weight instead of drop.
+    *
+    * Scale shape: cluster sizes come from the pair graph alone
+    * ([[dupClusters]] + one count per cluster — both ≪ corpus); the
+    * corpus itself is touched by ONE left join on the id key and a
+    * codegen'd hash filter.
+    */
+  def softDedup(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = dupClusters(pairs)
+    val sized = clusters.join(
+        clusters.groupBy("cluster").agg(count(lit(1)).as("__n")), "cluster")
+      .select(col("id").as("__sd_id"), col("__n"))
+    df.join(sized, col(idCol) === col("__sd_id"), "left")
+      .withColumn("cluster_size", coalesce(col("__n"), lit(1L)))
+      .drop("__sd_id", "__n")
+      .filter(hash60(col(idCol).cast("string")) % 10000 <
+        expr("10000 div cluster_size"))
+  }
+
   /** All deletion variants of `strCol` with up to `maxDist` characters
     * removed (including the unmodified string), as 64-bit hashes:
     * (blockCols..., idCol, __vh), deduplicated per row. The SymSpell /

@@ -182,6 +182,44 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    Q("q167_soft_dedup",
+      // SOFT dedup ("keep each copy with probability 1/n" — the
+      // frequency-equalizing alternative to hard removal): cluster sizes
+      // from the LSH pair graph's connected components, survival by
+      // deterministic integer basis points hash60(id) % 10^4 <
+      // 10^4 div n. The oracle closes the same pair graph with a
+      // recursive CTE, counts each component, and replays the identical
+      // cutoff — any drift in clustering OR the sampling recipe breaks
+      // the hash.
+      s"""WITH RECURSIVE ${ExtendedQueries.minhashCtes},
+         |p AS (
+         |  SELECT i.id1, i.id2 FROM inter i
+         |  JOIN sizes z1 ON z1.doc_id = i.id1
+         |  JOIN sizes z2 ON z2.doc_id = i.id2
+         |  WHERE i.i::DOUBLE / (z1.sz + z2.sz - i.i) >= 0.5),
+         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e AS e2 ON r.b = e2.a),
+         |comp AS (
+         |  SELECT a AS doc_id,
+         |    count(DISTINCT b) FILTER (WHERE b <> a) + 1 AS n
+         |  FROM reach GROUP BY a)
+         |SELECT d.doc_id, CAST(coalesce(c.n, 1) AS BIGINT) AS cluster_size
+         |FROM documents d LEFT JOIN comp c USING (doc_id)
+         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+         |  < 10000 // coalesce(c.n, 1)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5)
+        .select("id1", "id2")
+      Dedup.softDedup(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    },
+
     Q("q109_pagerank",
       // 5-iteration PageRank over the supplier -> part-bucket link graph
       // (suppkey and partkey%100 share the 0..99 id space, so the graph is
