@@ -199,13 +199,10 @@ object Dedup {
       .groupBy(col(idCol), col("seed"))
       .agg(min((col("__b1") + col("seed") * col("__b2")) % lit(1L << 40)).as("mh"))
 
-  /** LSH banding: group seeds into bands of `rowsPerBand`, key each band by
-    * the ordered minhash values; candidate pairs are documents sharing any
-    * band key. Returns distinct (id1, id2) with id1 < id2. The self-join is
-    * an equi-join on (band, bkey) — shuffle-partitionable, no cross product.
-    */
-  /** Per-document band keys (idCol, band, bkey) — the LSH bucketing unit
-    * shared by the self-join pair path and the incremental probe path.
+  /** Per-document band keys (idCol, band, bkey): group seeds into bands
+    * of `rowsPerBand`, key each band by the ordered minhash values — the
+    * LSH bucketing unit shared by the self-join pair path and the
+    * incremental probe path.
     */
   def bandKeys(sig: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
     sig
@@ -215,6 +212,10 @@ object Dedup {
         "array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> cast(x.mh as string)), ',')"
       ).as("bkey"))
 
+  /** Candidate pairs = documents sharing any band key. Returns distinct
+    * (id1, id2) with id1 < id2. The self-join is an equi-join on
+    * (band, bkey) — shuffle-partitionable, no cross product.
+    */
   def lshCandidates(sig: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
     val banded = bandKeys(sig, idCol, rowsPerBand)
     val a = banded.select(col(idCol).as("id1"), col("band"), col("bkey"))
@@ -233,7 +234,16 @@ object Dedup {
     * cost is O(batch × corpus-collision rate), never O(corpus²) or even
     * O(corpus) re-banding.
     */
-  final case class LshIndex(bands: DataFrame, shingles: DataFrame)
+  final case class LshIndex(
+      bands: DataFrame,
+      shingles: DataFrame,
+      // the signature-family parameters are part of the index IDENTITY:
+      // a probe built with different values would band-key-miss silently
+      // and verify against mixed-k shingle sets, so the probe reads them
+      // from here instead of taking its own copies
+      shingleK: Int,
+      numHashes: Int,
+      rowsPerBand: Int)
 
   def buildLshIndex(
       df: DataFrame,
@@ -243,7 +253,8 @@ object Dedup {
       numHashes: Int = 12,
       rowsPerBand: Int = 4): LshIndex = {
     val sh = shingles(df, idCol, textCol, shingleK)
-    LshIndex(bandKeys(minhashSignatures(sh, idCol, numHashes), idCol, rowsPerBand), sh)
+    LshIndex(bandKeys(minhashSignatures(sh, idCol, numHashes), idCol, rowsPerBand),
+      sh, shingleK, numHashes, rowsPerBand)
   }
 
   /** Incremental near-duplicate detection of `incoming` against an
@@ -260,12 +271,10 @@ object Dedup {
       incoming: DataFrame,
       idCol: String,
       textCol: String,
-      shingleK: Int = 3,
-      numHashes: Int = 12,
-      rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val shNew = shingles(incoming, idCol, textCol, shingleK)
-    val bNew = bandKeys(minhashSignatures(shNew, idCol, numHashes), idCol, rowsPerBand)
+    val shNew = shingles(incoming, idCol, textCol, index.shingleK)
+    val bNew = bandKeys(minhashSignatures(shNew, idCol, index.numHashes),
+      idCol, index.rowsPerBand)
     val cross = bNew.select(col(idCol).as("new_id"), col("band"), col("bkey"))
       .join(index.bands.select(col(idCol).as("matched_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
@@ -469,11 +478,14 @@ object Dedup {
     * rule for corpora where hard removal ([[keepRepresentatives]]) would
     * bias against popular content: every duplicate cluster retains ONE
     * copy in expectation, but which members survive is decided per
-    * member, deterministically — hash60(id) mod 10⁴ < 10⁴ div n (integer
-    * basis points on the md5-prefix hash, the cross-engine-exact cutoff
-    * recipe; singletons always survive). Output: the surviving rows plus
-    * their `cluster_size`, which doubles as a training weight column for
-    * pipelines that re-weight instead of drop.
+    * member, deterministically — the cluster-min representative always
+    * survives (so no cluster ever keeps fewer copies than hard dedup,
+    * including n > 10⁴ where the rate floors to zero), and every other
+    * member survives iff hash60(id) mod 10⁴ < 10⁴ div n (integer basis
+    * points on the md5-prefix hash, the cross-engine-exact cutoff
+    * recipe). Output: the surviving rows plus their `cluster_size`,
+    * which doubles as a training weight column for pipelines that
+    * re-weight instead of drop.
     *
     * Scale shape: cluster sizes come from the pair graph alone
     * ([[dupClusters]] + one count per cluster — both ≪ corpus); the
@@ -484,12 +496,18 @@ object Dedup {
     val clusters = dupClusters(pairs)
     val sized = clusters.join(
         clusters.groupBy("cluster").agg(count(lit(1)).as("__n")), "cluster")
-      .select(col("id").as("__sd_id"), col("__n"))
+      .select(col("id").as("__sd_id"), col("cluster").as("__sd_min"), col("__n"))
     df.join(sized, col(idCol) === col("__sd_id"), "left")
       .withColumn("cluster_size", coalesce(col("__n"), lit(1L)))
-      .drop("__sd_id", "__n")
-      .filter(hash60(col(idCol).cast("string")) % 10000 <
-        expr("10000 div cluster_size"))
+      // the cluster-min representative survives UNCONDITIONALLY: for
+      // n > 10⁴ the basis-point cutoff floors to 0 and would otherwise
+      // drop the content entirely — soft dedup must never keep FEWER
+      // copies than hard dedup. Singletons are their own min (the
+      // coalesce), so they always survive through the same arm.
+      .filter(col(idCol) === coalesce(col("__sd_min"), col(idCol)) ||
+        hash60(col(idCol).cast("string")) % 10000 <
+          expr("10000 div cluster_size"))
+      .drop("__sd_id", "__sd_min", "__n")
   }
 
   /** All deletion variants of `strCol` with up to `maxDist` characters

@@ -204,12 +204,14 @@ object PipelineQueries {
          |  SELECT r.a, e2.b FROM reach r JOIN e AS e2 ON r.b = e2.a),
          |comp AS (
          |  SELECT a AS doc_id,
-         |    count(DISTINCT b) FILTER (WHERE b <> a) + 1 AS n
+         |    count(DISTINCT b) FILTER (WHERE b <> a) + 1 AS n,
+         |    least(a, min(b)) AS cmin
          |  FROM reach GROUP BY a)
          |SELECT d.doc_id, CAST(coalesce(c.n, 1) AS BIGINT) AS cluster_size
          |FROM documents d LEFT JOIN comp c USING (doc_id)
-         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
-         |  < 10000 // coalesce(c.n, 1)
+         |WHERE d.doc_id = coalesce(c.cmin, d.doc_id)
+         |  OR ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+         |    < 10000 // coalesce(c.n, 1)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",

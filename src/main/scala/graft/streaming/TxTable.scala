@@ -471,14 +471,15 @@ object TxTable {
       val affected = batchLatest.select(partitionCol).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
       if (affected.isEmpty) return snapshot(tablePath).version
-      val adds = affected.flatMap { p =>
+      // no isEmpty guard (unlike mergeLatest): `affected` IS the distinct
+      // partition set of batchLatest, so every filtered slice is
+      // non-empty by construction — the check would cost one extra Spark
+      // job per partition on the hot O(batch) commit path
+      val adds = affected.map { p =>
         val rel = s"data/${UUID.randomUUID()}"
-        val part = batchLatest.filter(col(partitionCol) === p)
-        if (part.isEmpty) None
-        else {
-          part.write.mode("overwrite").parquet(s"$tablePath/$rel")
-          Some((p, rel))
-        }
+        batchLatest.filter(col(partitionCol) === p)
+          .write.mode("overwrite").parquet(s"$tablePath/$rel")
+        (p, rel)
       }
       var attempt = 0
       while (attempt <= maxRetries) {
