@@ -512,6 +512,19 @@ class PlanAuditSpec extends SparkSpec {
       s"no cross product:\n$p")
   }
 
+  test("q166: incremental probe is band-key equi-joins — no corpus self-join blowup") {
+    val p = plan("q166_incremental_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe and verify must stay on equi-keys:\n$p")
+  }
+
+  test("q167: soft dedup touches the corpus with key joins + a hash filter only") {
+    val p = plan("q167_soft_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cross product anywhere in the chain:\n$p")
+    assert(!p.contains("Window"), s"no corpus-wide window:\n$p")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
