@@ -257,6 +257,56 @@ object Dedup {
       sh, shingleK, numHashes, rowsPerBand)
   }
 
+  /** Per-ROW word-shingle array (distinct k-grams as strings) — the
+    * stateless projection twin of [[shingles]] for STREAMING inputs,
+    * where the batch path's explode+groupBy would become a stateful
+    * streaming aggregation. Same shingle strings as the batch path.
+    */
+  def rowShingles(text: Column, k: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - (k - 1), lit(0))),
+      i => array_join(slice(words, i, lit(k)), " ")))
+  }
+
+  /** Per-ROW sorted distinct 40-bit shingle-hash set — pairs with
+    * [[rowShingles]] for stateless Jaccard verification via the codegen
+    * sorted-intersect expression (hash-level Jaccard: identical to
+    * string-level except under 40-bit collisions, negligible and
+    * documented).
+    */
+  def rowShingleHashSet(text: Column, k: Int): Column =
+    array_sort(array_distinct(transform(rowShingles(text, k), s => hash40(s))))
+
+  /** Per-ROW MinHash band keys as ARRAY<STRUCT<band INT, bkey STRING>> —
+    * the stateless reformulation of shingles→[[minhashSignatures]]→
+    * [[bandKeys]], producing byte-identical band-key strings, so a
+    * STREAMING batch can probe a batch-built [[LshIndex]] with a plain
+    * stream-static equi-join (no watermark, no state). Documents shorter
+    * than k words yield an empty array (they never pair — the batch
+    * semantics).
+    */
+  def rowBandKeys(
+      text: Column, shingleK: Int, numHashes: Int, rowsPerBand: Int): Column = {
+    val sh = rowShingles(text, shingleK)
+    val b1 = transform(sh, s => hash40(s))
+    val b2 = transform(sh, s => hash40(concat(lit("~"), s)))
+    val mhs = (0 until numHashes).map { seed =>
+      array_min(zip_with(b1, b2, (x, y) => (x + lit(seed.toLong) * y) % lit(1L << 40)))
+    }
+    val nBands = numHashes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",",
+          mhs.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+            .map(_.cast("string")): _*).as("bkey"))
+    }
+    // empty-shingle docs get an empty band array OF THE RIGHT TYPE (a
+    // when/otherwise(array()) would be array<null>); their mh values are
+    // nulls and must never form joinable band keys
+    slice(array(bands: _*), lit(1), when(size(sh) > 0, lit(nBands)).otherwise(lit(0)))
+  }
+
   /** Incremental near-duplicate detection of `incoming` against an
     * existing corpus's [[LshIndex]] (ids must be disjoint from the
     * corpus): returns (new_id, matched_id, jaccard ≥ threshold) where

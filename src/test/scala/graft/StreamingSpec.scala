@@ -1102,6 +1102,60 @@ class StreamingSpec extends SparkSpec {
     assert(cur == Map("t1" -> 2.0, "t2" -> 8.0))
   }
 
+  test("streaming index probe: stateless band probe against the corpus index") {
+    import graft.streaming.StreamingIndexProbe
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content with no overlap whatsoever here"),
+      (3L, "spark structured streaming with watermarks and state stores")
+    ).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.buildLshIndex(corpus, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val ckpt = tmp("graft-probe-ckpt")
+    def run(): Unit = {
+      val q = StreamingIndexProbe.nearDupAgainstIndex(
+          mem.toDF().toDF("doc_id", "text"), index, "doc_id", "text")
+        .writeStream.outputMode("append").trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            b.collect().foreach(r =>
+              got += ((r.getLong(0), r.getLong(1),
+                math.rint(r.getDouble(2) * 1000) / 1000)))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    mem.addData(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // = doc 1
+      (11L, "totally unrelated text about databases and storage engines"))
+    run()
+    // second trigger (and restart): stateless — corpus matches keep working
+    mem.addData(
+      (12L, "spark structured streaming with watermarks and state machines"))
+    run()
+    assert(got.exists { case (n, m, j) => n == 10 && m == 1 && j == 1.0 },
+      s"exact corpus dup must surface: $got")
+    assert(!got.exists(_._1 == 11L), s"unrelated doc must not match: $got")
+    assert(got.exists { case (n, m, j) => n == 12 && m == 3 && j >= 0.5 },
+      s"near-dup must surface across triggers: $got")
+    // parity with the BATCH incremental probe (cross arm) on the same docs
+    val batchPairs = graft.operators.Dedup.incrementalNearDups(
+        index,
+        Seq((10L, "the quick brown fox jumps over the lazy dog tonight"),
+          (11L, "totally unrelated text about databases and storage engines"),
+          (12L, "spark structured streaming with watermarks and state machines"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("matched_id") <= 3) // cross arm only
+      .select("new_id", "matched_id").as[(Long, Long)].collect().toSet
+    assert(got.map(g => (g._1, g._2)) == batchPairs,
+      s"stream pairs ${got.map(g => (g._1, g._2))} != batch $batchPairs")
+  }
+
   test("TxTable LSM streaming sink: delta commits per batch, periodic fold, restart-safe") {
     import graft.streaming.TxTable
     implicit val sc = spark.sqlContext
