@@ -264,9 +264,12 @@ object Dedup {
     */
   def rowShingles(text: Column, k: Int): Column = {
     val words = split(trim(text), "\\s+")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(words) - (k - 1), lit(0))),
-      i => array_join(slice(words, i, lit(k)), " ")))
+    // sub-k docs need an EMPTY index sequence; sequence(1, 0) would
+    // DESCEND ([1, 0]) and feed slice an illegal start — build ≥ [1]
+    // then cut to the true count (0 cuts to empty, correctly typed)
+    val count = greatest(size(words) - (k - 1), lit(0))
+    val idx = slice(sequence(lit(1), greatest(count, lit(1))), lit(1), count)
+    array_distinct(transform(idx, i => array_join(slice(words, i, lit(k)), " ")))
   }
 
   /** Per-ROW sorted distinct 40-bit shingle-hash set — pairs with

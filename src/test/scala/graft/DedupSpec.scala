@@ -267,6 +267,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("rowBandKeys produces byte-identical band keys to the batch pipeline") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "spark structured streaming with watermarks and state stores"),
+      (3L, "short doc"), // < 3 words → no shingles → no bands
+      (4L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val batch = Dedup.bandKeys(
+        Dedup.minhashSignatures(
+          Dedup.shingles(docs, "doc_id", "text", 3), "doc_id", 12), "doc_id", 4)
+      .select(col("doc_id"), col("band").cast("int"), col("bkey"))
+      .as[(Long, Int, String)].collect().toSet
+    val perRow = docs.select(col("doc_id"),
+        explode(Dedup.rowBandKeys(col("text"), 3, 12, 4)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bkey"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(perRow == batch, s"perRow=$perRow\nbatch=$batch")
+    assert(!perRow.exists(_._1 == 3L), "sub-k docs must yield no bands")
+  }
+
   test("incrementalNearDups equals the full pair set restricted to new-involving pairs") {
     // duplicates planted across the corpus/batch boundary AND within the
     // batch; the incremental probe must find exactly what a full re-pair
