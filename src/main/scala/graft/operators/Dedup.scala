@@ -283,25 +283,39 @@ object Dedup {
 
   /** Per-ROW MinHash band keys as ARRAY<STRUCT<band INT, bkey STRING>> —
     * the stateless reformulation of shingles→[[minhashSignatures]]→
-    * [[bandKeys]], producing byte-identical band-key strings, so a
-    * STREAMING batch can probe a batch-built [[LshIndex]] with a plain
-    * stream-static equi-join (no watermark, no state). Documents shorter
-    * than k words yield an empty array (they never pair — the batch
-    * semantics).
+    * [[bandKeys]], producing byte-identical band-key strings (including
+    * the TRAILING PARTIAL band when rowsPerBand does not divide
+    * numHashes — the batch path's floor(seed/r) grouping emits it, so
+    * dropping it here would silently lose the shortest, most collision-
+    * prone band), so a STREAMING batch can probe a batch-built
+    * [[LshIndex]] with a plain stream-static equi-join (no watermark,
+    * no state). Documents shorter than k words yield an empty array
+    * (they never pair — the batch semantics).
     */
   def rowBandKeys(
       text: Column, shingleK: Int, numHashes: Int, rowsPerBand: Int): Column = {
     val sh = rowShingles(text, shingleK)
-    val b1 = transform(sh, s => hash40(s))
+    rowBandKeysFromArrays(sh, transform(sh, s => hash40(s)),
+      numHashes, rowsPerBand)
+  }
+
+  /** [[rowBandKeys]] from PRECOMPUTED shingle + base-hash arrays — hot
+    * paths (the streaming probe) materialize `sh`/`b1` once per row in a
+    * prior projection and share them between the band build and the
+    * verify-set build (interpreted higher-order functions get no
+    * codegen subexpression elimination, so sharing must be structural).
+    */
+  def rowBandKeysFromArrays(
+      sh: Column, b1: Column, numHashes: Int, rowsPerBand: Int): Column = {
     val b2 = transform(sh, s => hash40(concat(lit("~"), s)))
     val mhs = (0 until numHashes).map { seed =>
       array_min(zip_with(b1, b2, (x, y) => (x + lit(seed.toLong) * y) % lit(1L << 40)))
     }
-    val nBands = numHashes / rowsPerBand
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
     val bands = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",",
-          mhs.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+          mhs.slice(b * rowsPerBand, math.min((b + 1) * rowsPerBand, numHashes))
             .map(_.cast("string")): _*).as("bkey"))
     }
     // empty-shingle docs get an empty band array OF THE RIGHT TYPE (a

@@ -28,10 +28,17 @@ import graft.operators.Dedup
   */
 object StreamingIndexProbe {
 
-  /** Probe `docs` (streaming: idCol, textCol) against `index`. The index
-    * side is prepared ONCE (per-doc sorted shingle-hash sets from the
-    * index's shingle table — a static aggregation) and reused every
-    * trigger.
+  /** Probe `docs` (streaming: idCol, textCol) against `index`. The two
+    * static tables (band keys; per-doc sorted shingle-hash sets) are
+    * PERSISTED here: a stream-static join re-evaluates the static
+    * subplan every micro-batch, so without the cache each trigger would
+    * re-shuffle the whole corpus. Their storage lives as long as the
+    * streaming query — unpersist by stopping the query and dropping the
+    * returned plan (or `spark.catalog.clearCache()`), the same lifetime
+    * any static-enrichment cache has. The shingle sets join the
+    * CANDIDATES (after the band match), not the band table — corpus
+    * shingle arrays move only for actual collisions, O(candidates), not
+    * O(corpus × bands) per trigger.
     */
   def nearDupAgainstIndex(
       docs: DataFrame,
@@ -42,22 +49,30 @@ object StreamingIndexProbe {
     // the codegen sorted-intersect function rides the session registry —
     // registration is idempotent, so self-register rather than demand it
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // static side: (matched_id, band, bkey, sorted hash set, set size)
-    val idxSets = index.shingles
-      .groupBy(col(index.shingles.columns.head).as("matched_id"))
-      .agg(sort_array(collect_set(Dedup.hash40(col("shingle")))).as("__mset"))
     val idxBands = index.bands
       .select(col(index.bands.columns.head).as("matched_id"),
         col("band"), col("bkey"))
-      .join(idxSets, "matched_id")
-    val probes = docs.select(
-        col(idCol).as("new_id"),
-        Dedup.rowShingleHashSet(col(textCol), index.shingleK).as("__nset"),
-        explode(Dedup.rowBandKeys(col(textCol), index.shingleK,
+      .persist()
+    val idxSets = index.shingles
+      .groupBy(col(index.shingles.columns.head).as("matched_id"))
+      .agg(sort_array(collect_set(Dedup.hash40(col("shingle")))).as("__mset"))
+      .persist()
+    // shingle array + base hashes materialize ONCE per row (separate
+    // projections — interpreted HOFs get no codegen subexpression
+    // elimination, so the sharing must be structural) and feed both the
+    // verify set and the band build
+    val withArrays = docs.select(col(idCol).as("new_id"),
+        Dedup.rowShingles(col(textCol), index.shingleK).as("__sh"))
+      .select(col("new_id"), col("__sh"),
+        transform(col("__sh"), s => Dedup.hash40(s)).as("__b1"))
+    val probes = withArrays.select(col("new_id"),
+        array_sort(array_distinct(col("__b1"))).as("__nset"),
+        explode(Dedup.rowBandKeysFromArrays(col("__sh"), col("__b1"),
           index.numHashes, index.rowsPerBand)).as("__b"))
       .select(col("new_id"), col("__nset"),
         col("__b.band").as("band"), col("__b.bkey").as("bkey"))
     probes.join(idxBands, Seq("band", "bkey"))
+      .join(idxSets, "matched_id") // arrays attach to candidates only
       .withColumn("__i",
         graft.functions.GraftFunctions.sortedIntersectCount(
           col("__nset"), col("__mset")))

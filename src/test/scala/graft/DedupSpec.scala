@@ -285,6 +285,20 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Int, String)].collect().toSet
     assert(perRow == batch, s"perRow=$perRow\nbatch=$batch")
     assert(!perRow.exists(_._1 == 3L), "sub-k docs must yield no bands")
+    // NON-divisible family (10 hashes / 4 per band): the batch path's
+    // floor(seed/r) emits a trailing PARTIAL band (band 2, 2 values) —
+    // the per-row path must emit it too or silently lose recall
+    val batch104 = Dedup.bandKeys(
+        Dedup.minhashSignatures(
+          Dedup.shingles(docs, "doc_id", "text", 3), "doc_id", 10), "doc_id", 4)
+      .select(col("doc_id"), col("band").cast("int"), col("bkey"))
+      .as[(Long, Int, String)].collect().toSet
+    val perRow104 = docs.select(col("doc_id"),
+        explode(Dedup.rowBandKeys(col("text"), 3, 10, 4)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bkey"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(perRow104 == batch104, s"perRow=$perRow104\nbatch=$batch104")
+    assert(perRow104.exists(_._2 == 2), "the partial band must exist")
   }
 
   test("incrementalNearDups equals the full pair set restricted to new-involving pairs") {
