@@ -196,6 +196,40 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Bloom-prefiltered decontamination — EXACTLY the
+    * [[contaminatedDocs]] result (the Bloom admits only false
+    * POSITIVES, which the exact shingle equi-join then rejects), but
+    * the train-side shingle stream is cut by a broadcast Bloom filter of
+    * the benchmark's n-grams BEFORE the exchange. At 100 TB the train
+    * shingle stream is the dominant shuffle of the exact path; held-out
+    * benchmarks are small by definition (~1e6–1e7 n-grams → a few MB of
+    * Bloom bits at 1% fpp), so virtually every clean shingle dies in the
+    * scan stage and the join moves only suspects. The membership test
+    * is a broadcast-closure UDF — the one place a UDF is the right
+    * trade: Spark's sketch lives driver-side and a literal-encoded
+    * native expression would inline megabytes into generated code.
+    */
+  def contaminatedDocsBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    val benchSh = Dedup.shingles(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    // expected-item count for sizing: bounded by the small benchmark side
+    val nGrams = math.max(1L, benchSh.count())
+    val bloom = benchSh.stat.bloomFilter("shingle", nGrams, fpp)
+    val bloomBc = benchSh.sparkSession.sparkContext.broadcast(bloom)
+    val mightMatch = udf((s: String) => s != null && bloomBc.value.mightContain(s))
+    Dedup.shingles(train, idCol, textCol, n)
+      .filter(mightMatch(col("shingle")))
+      .join(benchSh, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Keep rate in basis points: min(10000, (N*10000) DIV (nGroups*n_g)).
     * Integer end to end, through BigInt — `total * 10000L` overflows Long
     * once total exceeds ~9.2e14 rows (a 100 TB table of narrow rows gets

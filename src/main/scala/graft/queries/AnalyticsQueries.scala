@@ -846,6 +846,38 @@ object AnalyticsQueries {
         .orderBy("source")
     },
 
+    Q("q168_bloom_decontamination",
+      // the 100 TB decontamination plan: identical SEMANTICS to q93 (the
+      // oracle is the same exact-overlap SQL) but the train shingle
+      // stream dies against a broadcast Bloom of benchmark n-grams
+      // BEFORE the exchange — only suspects reach the exact verify join.
+      // Bloom false positives are rejected by that join, so the result
+      // hash-matches the exact path bit for bit.
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source, array_to_string(t[i : i+7], ' ') AS g
+        |  FROM (SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM w WHERE len(t) >= 8)),
+        |bsh AS (SELECT DISTINCT g FROM sh WHERE doc_id < 100),
+        |flag AS (
+        |  SELECT sh.doc_id, sh.source, count(*) AS n_hits
+        |  FROM sh JOIN bsh USING (g) WHERE sh.doc_id >= 100
+        |  GROUP BY sh.doc_id, sh.source)
+        |SELECT source, count(*) AS n_contaminated,
+        |  CAST(sum(n_hits) AS BIGINT) AS total_hits, min(doc_id) AS first_doc
+        |FROM flag GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") < 100)
+      val train = docs.filter(col("doc_id") >= 100)
+      Curation.contaminatedDocsBloom(train, bench, "doc_id", "text", n = 8)
+        .join(train.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_contaminated"), sum("n_hits").as("total_hits"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source")
+    },
+
     Q("q94_deterministic_shuffle",
       // reproducible training-order shuffle: every row's position in the
       // salted-hash order, realized by the two-phase distributed ranking

@@ -56,6 +56,25 @@ class CurationSpec extends SparkSpec {
     assert(flagged == Map(10L -> 1L))
   }
 
+  test("contaminatedDocsBloom equals the exact path (false positives rejected)") {
+    // a larger fixture so the Bloom actually cuts: 30 clean train docs,
+    // 2 contaminated (one sharing with each bench doc)
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val train = ((0 until 30).map(i =>
+        (100L + i, s"clean$i filler$i words$i more$i stuff$i pad$i")) ++ Seq(
+        (200L, "xx alpha beta gamma delta yy"),
+        (201L, "zz one two three four qq")))
+      .toDF("doc_id", "text")
+    val exact = Curation.contaminatedDocs(train, bench, "doc_id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Curation.contaminatedDocsBloom(train, bench, "doc_id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    assert(exact.keySet == Set(200L, 201L))
+  }
+
   test("curation operators are empty-input safe") {
     val empty = Seq.empty[(Long, String)].toDF("id", "grp")
     assert(Curation.quotaPerGroup(empty, "grp", "id", 5).count() == 0)
