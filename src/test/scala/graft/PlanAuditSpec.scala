@@ -525,6 +525,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no corpus-wide window:\n$p")
   }
 
+  test("q165: text canonicalization is a pure projection before the output sort") {
+    val p = plan("q165_text_canonical_dedup")
+    // one scan → project (the codegen expression) → range sort for the
+    // ORDER BY; no hash exchange, no join, no window
+    assert(!p.contains("Arguments: hashpartitioning") && !p.contains("Window") &&
+      !p.contains("Join"), s"canonicalization must not shuffle or join:\n$p")
+  }
+
+  test("q168: the Bloom membership filter exists scan-side; no cross product") {
+    val p = plan("q168_bloom_decontamination")
+    // the broadcast-closure UDF filter must be present (it is the whole
+    // point of the plan — clean shingles die before the verify join)
+    assert(p.contains("UDF"), s"Bloom membership filter missing from plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cross product:\n$p")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
