@@ -121,6 +121,62 @@ class RoundTripPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: text_canonicalize is idempotent and collapse-invariant on generated text") {
+    import graft.functions.TextFunctions
+    def c(s: String): String =
+      TextFunctions.canonicalize(UTF8String.fromString(s)).toString
+    val gen = for {
+      n <- Gen.chooseNum(0, 60)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B'),
+        1 -> Gen.oneOf('é', 'e', '\u0301', 'ß', 'Ω', 'İ'),
+        1 -> Gen.oneOf('.', ',', '!', '-')))
+    } yield cs.mkString
+    sample(gen, 300, seedBase = 777L).foreach { s =>
+      val once = c(s)
+      assert(c(once) == once, s"not idempotent: ${s.getBytes("UTF-8").toSeq}")
+      // collapse invariant: no doubled spaces, no framing whitespace, no
+      // collapsible chars survive
+      assert(!once.contains("  ") && once == once.trim,
+        s"residual whitespace in ${once.getBytes("UTF-8").toSeq}")
+      assert(!once.exists(ch => "\t\n\r\f".contains(ch)))
+      // whitespace-run equivalence: any run maps like a single space
+      assert(c(s.replace("\t", " \n ")) == once,
+        s"collapse not run-invariant on ${s.getBytes("UTF-8").toSeq}")
+    }
+  }
+
+  test("property: per-row band keys equal the batch pipeline on random corpora") {
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.operators.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    val cfg = Gen.zip(Gen.chooseNum(4, 16), Gen.oneOf(3, 4, 5),
+      Gen.chooseNum(0L, Long.MaxValue))
+    // numHashes/rowsPerBand combos INCLUDING non-divisible (partial band)
+    sample(cfg, 6, seedBase = 4242L).foreach { case (numHashes, rpb, seed) =>
+      val rnd = new java.util.Random(seed)
+      val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      val docs = (0 until 12).map { i =>
+        val n = rnd.nextInt(9) // 0..8 words — includes sub-k docs
+        (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val batch = Dedup.bandKeys(
+          Dedup.minhashSignatures(
+            Dedup.shingles(docs, "doc_id", "text", 3), "doc_id", numHashes),
+          "doc_id", rpb)
+        .select(col("doc_id"), col("band").cast("int"), col("bkey"))
+        .as[(Long, Int, String)].collect().toSet
+      val perRow = docs.select(col("doc_id"),
+          explode(Dedup.rowBandKeys(col("text"), 3, numHashes, rpb)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.bkey"))
+        .as[(Long, Int, String)].collect().toSet
+      assert(perRow == batch,
+        s"numHashes=$numHashes rpb=$rpb seed=$seed:\nperRow=$perRow\nbatch=$batch")
+    }
+  }
+
   test("property: JPEG 4:2:0 decode matches an independent scalar DCT reference within ±1") {
     import graft.operators.Jpeg
     // Independent reference: the T.81 A.3.3 DCT-II / inverse as DIRECT
