@@ -846,6 +846,38 @@ object AnalyticsQueries {
         .orderBy("source")
     },
 
+    Q("q169_corpus_card",
+      // the corpus DATASHEET — the first question asked of a new corpus:
+      // per source, volume, exact-duplicate pressure (copies beyond the
+      // first per distinct text, via a content-key-partitioned count —
+      // a KEYED shuffle, never a global window), length profile, and
+      // language spread. One scan + one content-key exchange + one
+      // per-source aggregation; every number integer- or avg-exact.
+      """WITH c AS (
+        |  SELECT d.source, d.lang, d.n_chars,
+        |    count(*) OVER (PARTITION BY md5(d.text)) AS copies,
+        |    row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rk
+        |  FROM documents d)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_copies,
+        |  round(avg(n_chars), 4) AS mean_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(md5(col("text")))
+      val c = t(s, d, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          row_number().over(w.orderBy(col("doc_id"))).as("rk"))
+      c.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dup_copies"),
+          round(avg(col("n_chars")), 4).as("mean_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"))
+        .orderBy("source")
+    },
+
     Q("q168_bloom_decontamination",
       // the 100 TB decontamination plan: identical SEMANTICS to q93 (the
       // oracle is the same exact-overlap SQL) but the train shingle
