@@ -55,6 +55,31 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: per query, the
+    * neighbors ranked (kSkip, kSkip + kTake] by cosine — similar enough
+    * to be informative negatives, far enough to (probably) not be
+    * positives; the top-kSkip band is excluded as likely true matches.
+    * Exactly [[bruteForceTopK]]'s scan shape (broadcast queries, one
+    * unshuffled corpus pass, per-partition top-(kSkip+kTake) partials),
+    * with the rank band cut after the merge — the shuffle still carries
+    * only kSkip+kTake candidates per (query, partition).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kSkip: Int,
+      kTake: Int): DataFrame = {
+    require(kSkip >= 0 && kTake > 0, "kSkip >= 0, kTake > 0")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("__qvec"), col("__cvec")).as("cosine"))
+    rankTopK(scored, kSkip + kTake).filter(col("rank") > kSkip)
+  }
+
   /** (query_id, neighbor_id, cosine) → (query_id, rank, neighbor_id,
     * cosine), top k per query by (cosine desc, neighbor_id asc) — the
     * shared ranking tail of the exact, LSH and IVF paths. See

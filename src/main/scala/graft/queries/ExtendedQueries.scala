@@ -392,6 +392,32 @@ object ExtendedQueries {
         .orderBy("query_id", "rank")
     },
 
+    Q("q170_hard_negatives",
+      // hard-negative mining for contrastive training: per query the
+      // rank-(6..15] cosine band — informative negatives below the
+      // likely-positive top-5. Same scan shape as exact top-k (broadcast
+      // queries, one corpus pass, bounded per-partition partials); the
+      // oracle is the windowed rank band.
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+        |  neighbor_id, round(cosine, 6) AS cosine
+        |FROM scored QUALIFY rank > 5 AND rank <= 15
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.hardNegatives(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          kSkip = 5, kTake = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     Q.noOracle("q163_ivfpq_topk") { (s, d) =>
       // IVF-PQ: int8 product-quantization codes over the inverted lists
       // (m bytes/vector instead of 4·dim — the 100 TB ANN memory story),
