@@ -196,6 +196,49 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Token-BUDGET corpus selection ("the best B tokens") WITHOUT a
+    * global sort: a corpus-wide quality-ordered cumsum would serialize
+    * one window over everything, so selection works at BUCKET
+    * granularity — documents carry an integer quality score, one tiny
+    * aggregation yields per-score token totals (O(#scores), collected
+    * driver-side, bounded by the score domain), the driver walks scores
+    * best-first to find the full-keep set and the threshold score, and
+    * the threshold bucket fills its remainder at a deterministic
+    * integer-basis-point hash rate (the cross-engine-exact cutoff
+    * recipe) — kept tokens ≈ remainder with sampling variance, which is
+    * what budget fills accept in exchange for never sorting the corpus.
+    * Plan: two aggregations + one broadcast filter; the corpus is never
+    * shuffled.
+    */
+  def budgetSelect(
+      df: DataFrame,
+      scoreCol: String,
+      tokensCol: String,
+      idCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val totals = df.groupBy(col(scoreCol).cast("long").as("__score"))
+      .agg(sum(col(tokensCol)).cast("long").as("__btok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1) // best score first
+    var before = 0L
+    val rates = totals.map { case (score, btok) =>
+      val bp =
+        if (before >= budget) 0L
+        else if (before + btok <= budget) 10000L
+        else (BigInt(budget - before) * 10000 / BigInt(btok)).toLong
+      before += btok
+      (score, bp)
+    }.toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = broadcast(rates.toSeq.toDF("__score", "__bp"))
+    df.join(ratesDf, col(scoreCol) === col("__score"))
+      .filter(Dedup.hash60(col(idCol).cast("string")) % 10000 < col("__bp"))
+      .drop("__score", "__bp")
+  }
+
   /** Bloom-prefiltered decontamination — EXACTLY the
     * [[contaminatedDocs]] result (the Bloom admits only false
     * POSITIVES, which the exact shingle equi-join then rejects), but

@@ -846,6 +846,39 @@ object AnalyticsQueries {
         .orderBy("source")
     },
 
+    Q("q171_budget_select",
+      // token-budget fill ("the best 40% of corpus chars"): bucket-level
+      // best-first cumulative (per-score totals only — the corpus is
+      // never globally sorted), whole better buckets kept, the threshold
+      // bucket hash-sampled at an integer-basis-point remainder rate.
+      // All integer arithmetic — the oracle replays it exactly.
+      """WITH s AS (
+        |  SELECT doc_id, n_chars, least(9, n_chars // 100) AS score FROM documents),
+        |tot AS (SELECT sum(n_chars) * 2 // 5 AS budget FROM s),
+        |b AS (SELECT score, sum(n_chars) AS btok FROM s GROUP BY score),
+        |c AS (SELECT score, btok,
+        |    coalesce(sum(btok) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM b),
+        |r AS (SELECT score,
+        |    CASE WHEN bef >= budget THEN 0
+        |         WHEN bef + btok <= budget THEN 10000
+        |         ELSE (budget - bef) * 10000 // btok END AS bp
+        |  FROM c, tot)
+        |SELECT s.doc_id, CAST(s.score AS BIGINT) AS score, s.n_chars
+        |FROM s JOIN r USING (score)
+        |WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < r.bp
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .withColumn("score", least(lit(9L), expr("n_chars div 100")))
+      // two bounded scalars: total chars and the 40% budget — the same
+      // numbers the oracle derives in SQL
+      val total = docs.agg(sum("n_chars").cast("long")).head().getLong(0)
+      Curation.budgetSelect(docs, "score", "n_chars", "doc_id", total * 2 / 5)
+        .select(col("doc_id"), col("score").cast("long").as("score"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     Q("q169_corpus_card",
       // the corpus DATASHEET — the first question asked of a new corpus:
       // per source, volume, exact-duplicate pressure (copies beyond the
