@@ -80,6 +80,41 @@ object SimilaritySearch {
     rankTopK(scored, kSkip + kTake).filter(col("rank") > kSkip)
   }
 
+  /** CONTRASTIVE TRIPLETS (anchor, positive, negative): per anchor, the
+    * most-similar SAME-label neighbor (the positive) and the
+    * most-similar DIFFERENT-label neighbor (the hardest negative) — the
+    * unit a contrastive/embedding trainer consumes. Two label-filtered
+    * passes of the [[bruteForceTopK]] scan shape (broadcast anchors,
+    * bounded per-partition top-1 partials), joined on the anchor id;
+    * anchors missing either side drop (inner — a triplet needs both).
+    */
+  def contrastiveTriplets(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+      col(labelCol).as("__qlab"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"),
+      col(labelCol).as("__clab"))
+    def top1(sameLabel: Boolean): DataFrame = {
+      val cond =
+        if (sameLabel) col("__qlab") === col("__clab") else col("__qlab") =!= col("__clab")
+      rankTopK(
+        c.join(broadcast(q), col("query_id") =!= col("neighbor_id") && cond)
+          .select(col("query_id"), col("neighbor_id"),
+            cosineSim(col("__qvec"), col("__cvec")).as("cosine")),
+        1)
+    }
+    top1(sameLabel = true)
+      .select(col("query_id"), col("neighbor_id").as("positive_id"),
+        col("cosine").as("pos_cos"))
+      .join(top1(sameLabel = false)
+        .select(col("query_id"), col("neighbor_id").as("negative_id"),
+          col("cosine").as("neg_cos")), "query_id")
+  }
+
   /** (query_id, neighbor_id, cosine) → (query_id, rank, neighbor_id,
     * cosine), top k per query by (cosine desc, neighbor_id asc) — the
     * shared ranking tail of the exact, LSH and IVF paths. See

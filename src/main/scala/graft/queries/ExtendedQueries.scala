@@ -418,6 +418,45 @@ object ExtendedQueries {
         .orderBy("query_id", "rank")
     },
 
+    Q("q172_contrastive_triplets",
+      // contrastive (anchor, positive, negative) construction: per
+      // anchor the most-similar SAME-label vector and the hardest
+      // DIFFERENT-label vector — two label-filtered bounded-partial
+      // scans, no corpus window. Tie order (cosine desc, id asc) matches
+      // the oracle's ranking exactly.
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding, label FROM embeddings
+        |  WHERE vec_id % 50 = 0),
+        |sp AS (
+        |  SELECT q.query_id, e.vec_id AS positive_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS pos_cos,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+        |      e.vec_id) AS rk
+        |  FROM q JOIN embeddings e
+        |    ON e.vec_id <> q.query_id AND e.label = q.label),
+        |sn AS (
+        |  SELECT q.query_id, e.vec_id AS negative_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS neg_cos,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+        |      e.vec_id) AS rk
+        |  FROM q JOIN embeddings e
+        |    ON e.vec_id <> q.query_id AND e.label <> q.label)
+        |SELECT sp.query_id, sp.positive_id, round(sp.pos_cos, 6) AS pos_cos,
+        |  sn.negative_id, round(sn.neg_cos, 6) AS neg_cos
+        |FROM sp JOIN sn USING (query_id)
+        |WHERE sp.rk = 1 AND sn.rk = 1 ORDER BY query_id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.contrastiveTriplets(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", "label")
+        .select(col("query_id"), col("positive_id"),
+          round(col("pos_cos"), 6).as("pos_cos"),
+          col("negative_id"), round(col("neg_cos"), 6).as("neg_cos"))
+        .orderBy("query_id")
+    },
+
     Q.noOracle("q163_ivfpq_topk") { (s, d) =>
       // IVF-PQ: int8 product-quantization codes over the inverted lists
       // (m bytes/vector instead of 4·dim — the 100 TB ANN memory story),
