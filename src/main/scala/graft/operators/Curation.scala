@@ -215,13 +215,47 @@ object Curation {
       scoreCol: String,
       tokensCol: String,
       idCol: String,
-      budget: Long): DataFrame = {
-    require(budget >= 0, "budget must be non-negative")
-    val totals = df.groupBy(col(scoreCol).cast("long").as("__score"))
+      budget: Long): DataFrame =
+    budgetSelectWith(df, scoreCol, tokensCol, idCol, _ => budget)
+
+  /** [[budgetSelect]] with the budget as a FRACTION (num/den) of the
+    * corpus's total tokens — derived from the per-score totals the
+    * selection already aggregates, so the corpus is scanned once for
+    * bucketing and once for the filter, never a third time for the
+    * total.
+    */
+  def budgetSelectFraction(
+      df: DataFrame,
+      scoreCol: String,
+      tokensCol: String,
+      idCol: String,
+      num: Long,
+      den: Long): DataFrame = {
+    require(num >= 0 && den > 0, "fraction must be non-negative with positive denominator")
+    budgetSelectWith(df, scoreCol, tokensCol, idCol,
+      total => (BigInt(total) * num / den).toLong)
+  }
+
+  private def budgetSelectWith(
+      df: DataFrame,
+      scoreCol: String,
+      tokensCol: String,
+      idCol: String,
+      budgetOf: Long => Long): DataFrame = {
+    // null scores are unrankable — like mixtureResample's null groups
+    // they are EXCLUDED here explicitly rather than NPE-ing the driver
+    // walk (and their tokens must not inflate any bucket's total)
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val totals = scored
+      // the long cast is the BUCKETING rule; the rates join below must
+      // apply the identical cast or fractional scores silently drop
+      .groupBy(col(scoreCol).cast("long").as("__score"))
       .agg(sum(col(tokensCol)).cast("long").as("__btok"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(-_._1) // best score first
+    val budget = budgetOf(totals.map(_._2).sum)
+    require(budget >= 0, "budget must be non-negative")
     var before = 0L
     val rates = totals.map { case (score, btok) =>
       val bp =
@@ -234,7 +268,7 @@ object Curation {
     val spark = df.sparkSession
     import spark.implicits._
     val ratesDf = broadcast(rates.toSeq.toDF("__score", "__bp"))
-    df.join(ratesDf, col(scoreCol) === col("__score"))
+    scored.join(ratesDf, col(scoreCol).cast("long") === col("__score"))
       .filter(Dedup.hash60(col(idCol).cast("string")) % 10000 < col("__bp"))
       .drop("__score", "__bp")
   }

@@ -72,12 +72,9 @@ object SimilaritySearch {
       kSkip: Int,
       kTake: Int): DataFrame = {
     require(kSkip >= 0 && kTake > 0, "kSkip >= 0, kTake > 0")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineSim(col("__qvec"), col("__cvec")).as("cosine"))
-    rankTopK(scored, kSkip + kTake).filter(col("rank") > kSkip)
+    // ONE copy of the scan shape: any fix to the exact path applies here
+    bruteForceTopK(corpus, queries, idCol, vecCol, kSkip + kTake)
+      .filter(col("rank") > kSkip)
   }
 
   /** CONTRASTIVE TRIPLETS (anchor, positive, negative): per anchor, the

@@ -852,7 +852,7 @@ object AnalyticsQueries {
       // never globally sorted), whole better buckets kept, the threshold
       // bucket hash-sampled at an integer-basis-point remainder rate.
       // All integer arithmetic — the oracle replays it exactly.
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id, n_chars, least(9, n_chars // 100) AS score FROM documents),
         |tot AS (SELECT sum(n_chars) * 2 // 5 AS budget FROM s),
         |b AS (SELECT score, sum(n_chars) AS btok FROM s GROUP BY score),
@@ -867,14 +867,13 @@ object AnalyticsQueries {
         |  FROM c, tot)
         |SELECT s.doc_id, CAST(s.score AS BIGINT) AS score, s.n_chars
         |FROM s JOIN r USING (score)
-        |WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < r.bp
+        |WHERE ${sqlHash60("s.doc_id::VARCHAR")} % 10000 < r.bp
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
         .withColumn("score", least(lit(9L), expr("n_chars div 100")))
-      // two bounded scalars: total chars and the 40% budget — the same
-      // numbers the oracle derives in SQL
-      val total = docs.agg(sum("n_chars").cast("long")).head().getLong(0)
-      Curation.budgetSelect(docs, "score", "n_chars", "doc_id", total * 2 / 5)
+      // the 40% budget derives from the per-score totals the selection
+      // already aggregates — no separate total-scan pass
+      Curation.budgetSelectFraction(docs, "score", "n_chars", "doc_id", 2L, 5L)
         .select(col("doc_id"), col("score").cast("long").as("score"), col("n_chars"))
         .orderBy("doc_id")
     },
@@ -888,7 +887,6 @@ object AnalyticsQueries {
       // per-source aggregation; every number integer- or avg-exact.
       """WITH c AS (
         |  SELECT d.source, d.lang, d.n_chars,
-        |    count(*) OVER (PARTITION BY md5(d.text)) AS copies,
         |    row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rk
         |  FROM documents d)
         |SELECT source,

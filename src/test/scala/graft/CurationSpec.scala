@@ -75,6 +75,31 @@ class CurationSpec extends SparkSpec {
     assert(exact.keySet == Set(200L, 201L))
   }
 
+  test("budgetSelect: bucket fill, fractional scores bucket down, null scores excluded") {
+    val docs = Seq(
+      (1L, 9.5, 100L), (2L, 9.1, 100L),  // bucket 9 (fractional scores)
+      (3L, 5.0, 100L), (4L, 5.0, 100L),  // bucket 5
+      (5L, 1.0, 100L)                    // bucket 1
+    ).toDF("doc_id", "score", "toks")
+    // budget covers bucket 9 fully; bucket 5 at half rate; bucket 1 none
+    val kept = Curation.budgetSelect(docs, "score", "toks", "doc_id", 300L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(1L, 2L).subsetOf(kept), s"best bucket must keep fully: $kept")
+    assert(!kept.contains(5L), s"worst bucket past budget must drop: $kept")
+    // a null score neither crashes nor consumes budget
+    val withNull = Seq(
+      (1L, java.lang.Double.valueOf(9.0), 100L),
+      (2L, null.asInstanceOf[java.lang.Double], 100L))
+      .toDF("doc_id", "score", "toks")
+    val keptN = Curation.budgetSelect(withNull, "score", "toks", "doc_id", 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptN == Set(1L), s"null-score rows must be excluded: $keptN")
+    // degenerate budgets
+    assert(Curation.budgetSelect(docs, "score", "toks", "doc_id", 0L).count() == 0)
+    assert(Curation.budgetSelectFraction(docs, "score", "toks", "doc_id", 1L, 1L)
+      .count() == 5, "full fraction keeps everything")
+  }
+
   test("curation operators are empty-input safe") {
     val empty = Seq.empty[(Long, String)].toDF("id", "grp")
     assert(Curation.quotaPerGroup(empty, "grp", "id", 5).count() == 0)

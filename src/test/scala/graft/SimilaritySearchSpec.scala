@@ -168,6 +168,45 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(pf.isDefined, s"probe must prune list partitions statically:\n$probePlan")
   }
 
+  test("hardNegatives: the rank band below kSkip; kSkip=0 equals exact top-k") {
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val exact = SimilaritySearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", 15)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toMap
+    val band = SimilaritySearch.hardNegatives(corpus, queries, "vec_id", "embedding",
+        kSkip = 5, kTake = 10)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(band.keySet == (6L to 15L).toSet, s"band ranks: ${band.keySet}")
+    band.foreach { case (r, id) => assert(exact(r) == id, s"rank $r diverges") }
+    val zeroSkip = SimilaritySearch.hardNegatives(corpus, queries, "vec_id", "embedding",
+        kSkip = 0, kTake = 15)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(zeroSkip == exact, "kSkip=0 must equal the exact top-k")
+  }
+
+  test("contrastiveTriplets: best same-label positive, best cross-label negative") {
+    val labeled = Seq(
+      (0L, Array(1f, 0f, 0f), "A"),
+      (1L, Array(0.9f, 0.1f, 0f), "A"),   // best same-label for 0
+      (2L, Array(0.5f, 0.5f, 0f), "A"),
+      (3L, Array(0.95f, 0f, 0.05f), "B"), // hardest cross-label for 0
+      (4L, Array(0f, 1f, 0f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val t = SimilaritySearch.contrastiveTriplets(
+        labeled, labeled.filter(col("vec_id") === 0L), "vec_id", "embedding", "label")
+      .select("query_id", "positive_id", "negative_id")
+      .as[(Long, Long, Long)].collect()
+    assert(t.toSeq == Seq((0L, 1L, 3L)), s"triplet: ${t.toSeq}")
+    // an anchor whose label is unique has no positive → no triplet row
+    val lonely = SimilaritySearch.contrastiveTriplets(
+        labeled.withColumn("label",
+          org.apache.spark.sql.functions.when(col("vec_id") === 0L, "Z")
+            .otherwise(col("label"))),
+        labeled.filter(col("vec_id") === 0L).withColumn("label",
+          org.apache.spark.sql.functions.lit("Z")),
+        "vec_id", "embedding", "label")
+    assert(lonely.count() == 0, "single-label anchors form no triplet")
+  }
+
   test("pqEncode matches a driver-side argmin; codes are m tinyints") {
     val books = SimilaritySearch.trainPqCodebooks(
       corpus, "vec_id", "embedding", m = 4, ksub = 8)
