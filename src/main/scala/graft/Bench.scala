@@ -116,10 +116,15 @@ object Bench {
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // full per-query evidence: median (the headline), min, and the raw
-    // runs — lets a verdict separate signal from load noise per query
+    // full per-query evidence: the headline value, its estimator (a
+    // 2-run "median" IS the min — slow queries skip the third run, so
+    // the label must say so; VERDICT r9 wrong #6), n_runs, min, and the
+    // raw runs — lets a verdict separate signal from load noise per query
     val detail = results.map { case (k, (v, runs)) =>
-      s"\"" + k + "\":{\"median\":" + v + ",\"min\":" +
+      val estimator =
+        if (v < 0) "failed" else if (runs.size >= 3) "median" else "min_of_2"
+      s"\"" + k + "\":{\"value\":" + v + ",\"estimator\":\"" + estimator +
+        "\",\"n_runs\":" + runs.size + ",\"median\":" + v + ",\"min\":" +
         (if (runs.isEmpty) -1.0 else runs.min) + ",\"runs\":" +
         runs.mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")

@@ -1,22 +1,92 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, sum}
 
-/** Storage hygiene for iterative operators that truncate lineage with
-  * `localCheckpoint()` each round (PageRank, dupClusters).
+/** Lineage truncation + storage hygiene for iterative operators
+  * (PageRank, dupClusters): each round's result must be materialized and
+  * its plan cut, or the self-referential logical plan doubles per round
+  * (analyzer OOM long before any data moves).
   *
-  * `Dataset.unpersist` only clears cache-manager entries; the RDD a
-  * checkpoint pinned sits inside the plan's `LogicalRDD` leaf and stays
-  * in executor storage for the life of the session unless freed
-  * explicitly. Iterative operators MUST free each superseded round's
-  * blocks or executor storage grows linearly with iterations — and in a
-  * long-lived session (a 130-query bench, a streaming job) the pinned
-  * blocks tax every later query.
+  * TWO MODES (VERDICT r9 weak #2):
+  *
+  *   - default: `localCheckpoint()` — executor-memory-resident, zero
+  *     setup, the right call for local[32] and short interactive jobs.
+  *     NOT fault-tolerant: the truncated lineage cannot be recomputed, so
+  *     losing one executor mid-iteration kills the job.
+  *   - reliable: set the session conf `graft.checkpoint.dir` to a
+  *     cluster-visible path (HDFS/S3/NFS) and every iterative operator
+  *     switches to `Dataset.checkpoint()` — rounds persist to storage
+  *     that survives executor loss, the contract a week-long 100 TB job
+  *     needs. Costs one write+read of each round's (small) state table
+  *     per round. Checkpoint files under the dir are owned by the
+  *     CALLER: delete the dir when the job's results are consumed
+  *     (Spark only self-cleans with
+  *     `spark.cleaner.referenceTracking.cleanCheckpoints=true`).
+  *
+  * The round structure of the operators is identical in both modes —
+  * the spec pins label-for-label equality.
   */
 private[graft] object Checkpoints {
 
-  /** Drop the storage blocks behind a `localCheckpoint()`ed DataFrame.
-    * Safe on non-checkpointed plans (no-op). Non-blocking.
+  /** The session conf key naming the reliable checkpoint directory. */
+  val DirKey = "graft.checkpoint.dir"
+
+  private def reliableDir(df: DataFrame): Option[String] =
+    df.sparkSession.conf.getOption(DirKey).filter(_.nonEmpty)
+
+  /** Materialize `df` and truncate its lineage — localCheckpoint by
+    * default, reliable `checkpoint()` when [[DirKey]] is set (the
+    * SparkContext checkpoint dir is aligned lazily so callers never
+    * manage it separately).
+    */
+  def truncate(df: DataFrame): DataFrame = reliableDir(df) match {
+    case Some(dir) =>
+      val sc = df.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      df.checkpoint()
+    case None => df.localCheckpoint()
+  }
+
+  /** [[truncate]] plus the Long sum of `sumCol` over the materialized
+    * table — the convergence signature iterative loops compare between
+    * rounds. Local mode rides `Dataset.observe` on the checkpoint's own
+    * materialization action (zero extra Spark jobs); reliable mode runs
+    * one explicit aggregation over the ALREADY-materialized table
+    * instead — `checkpoint()` executes the plan twice internally (once
+    * for the action, once writing partition files), which would make
+    * observed accumulator totals double-count, so the observe trick is
+    * local-only by design. Null/empty sums collapse to 0.
+    */
+  def truncateWithSum(df: DataFrame, sumCol: String): (DataFrame, Long) =
+    reliableDir(df) match {
+      case Some(_) =>
+        val ck = truncate(df)
+        val s = ck.agg(sum(col(sumCol))).head.apply(0) match {
+          case null => 0L
+          case v: Long => v
+          case v: Number => v.longValue()
+        }
+        (ck, s)
+      case None =>
+        val obs = org.apache.spark.sql.Observation()
+        val ck = df.observe(obs, sum(col(sumCol)).as("__ckSum")).localCheckpoint()
+        val s = obs.get.get("__ckSum").flatMap(Option(_))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        (ck, s)
+    }
+
+  /** Drop the storage blocks behind a checkpointed DataFrame (either
+    * mode). `Dataset.unpersist` only clears cache-manager entries; the
+    * RDD a checkpoint pinned sits inside the plan's `LogicalRDD` leaf and
+    * stays in executor storage for the life of the session unless freed
+    * explicitly. Iterative operators MUST free each superseded round's
+    * blocks or executor storage grows linearly with iterations — and in
+    * a long-lived session (a 130-query bench, a streaming job) the
+    * pinned blocks tax every later query. Reliable-mode checkpoint FILES
+    * are not deleted here (they are the fault-tolerance substrate while
+    * later rounds still reference derived state); the directory is
+    * caller-owned. Safe on non-checkpointed plans (no-op). Non-blocking.
     */
   def free(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {

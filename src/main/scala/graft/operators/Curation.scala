@@ -248,9 +248,11 @@ object Curation {
     val scored = df.filter(col(scoreCol).isNotNull)
     val totals = scored
       // the long cast is the BUCKETING rule; the rates join below must
-      // apply the identical cast or fractional scores silently drop
+      // apply the identical cast or fractional scores silently drop.
+      // coalesce: a bucket whose every token count is NULL sums to NULL —
+      // it carries zero token mass (and must not NPE the getLong below)
       .groupBy(col(scoreCol).cast("long").as("__score"))
-      .agg(sum(col(tokensCol)).cast("long").as("__btok"))
+      .agg(coalesce(sum(col(tokensCol)), lit(0L)).cast("long").as("__btok"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(-_._1) // best score first

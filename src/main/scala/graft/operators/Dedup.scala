@@ -441,28 +441,25 @@ object Dedup {
     val edges = sym
       .unionByName(sym.select(col("src"), col("src").as("dst")).distinct())
       .distinct().persist()
-    // each round's label table is localCheckpoint'ed: the jump step
-    // self-joins the round's result, so without lineage truncation the
-    // logical plan DOUBLES per round (exponential plan, OOM in the
-    // analyzer long before any data moves). On a cluster with a
-    // checkpoint dir, `checkpoint()` replaces this for fault tolerance —
-    // the round structure is unchanged.
+    // each round's label table is checkpointed via [[Checkpoints]]: the
+    // jump step self-joins the round's result, so without lineage
+    // truncation the logical plan DOUBLES per round (exponential plan,
+    // OOM in the analyzer long before any data moves). Default mode is
+    // localCheckpoint (local[32]); setting the `graft.checkpoint.dir`
+    // session conf switches every round to RELIABLE `checkpoint()` —
+    // executor loss mid-iteration then recovers from storage instead of
+    // killing the job (the contract a week-long 100 TB run needs).
     //
     // Init fuses round 1: against identity labels the neighborhood min is
     // just min(self, neighbors) — one aggregation over edges, no join.
     // convergence signature (labels decrease monotonically, so the label
     // sum strictly decreases until the fixed point) is OBSERVED during
-    // the eager localCheckpoint materialization via Dataset.observe — one
-    // Spark action per round total, not two (r7's separate `labelSum`
-    // aggregation was a second full action per round and the prime
-    // suspect in the q58 bench anomaly).
-    def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
-      val obs = Observation()
-      val ck = df.observe(obs, sum(col("cluster")).as("labelSum")).localCheckpoint()
-      val s = obs.get.get("labelSum").flatMap(Option(_))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      (ck, s)
-    }
+    // the eager checkpoint materialization (local mode: Dataset.observe,
+    // one Spark action per round total, not two — r7's separate
+    // `labelSum` aggregation was a second full action per round and the
+    // prime suspect in the q58 bench anomaly).
+    def checkpointWithSum(df: DataFrame): (DataFrame, Long) =
+      Checkpoints.truncateWithSum(df, "cluster")
     var (labels, curSum) = checkpointWithSum(
       edges.groupBy("src")
         .agg(least(col("src"), min(col("dst"))).as("cluster"))
@@ -486,10 +483,10 @@ object Dedup {
       // round-2 "double jump was slower" measurement hit exactly that);
       // over a materialized table the composed jumps are joins of tiny
       // checkpointed RDDs.
-      val hooked = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy("src").agg(min("cluster").as("cluster"))
-        .withColumnRenamed("src", "id")
-        .localCheckpoint()
+      val hooked = Checkpoints.truncate(
+        edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy("src").agg(min("cluster").as("cluster"))
+          .withColumnRenamed("src", "id"))
       // two composed jumps: f → f² → f⁴: pointers skip 4× per round
       // instead of 2×, so rounds ≈ log4(diameter) — fewer round-latency-
       // bound materializations, which is what dominates wall-clock
@@ -541,40 +538,52 @@ object Dedup {
     df.join(dropped, col(idCol) === col("__drop_id"), "left_anti")
   }
 
-  /** SOFT dedup — "keep each copy with probability 1/n", the curation
+  /** SOFT dedup — "keep each copy with probability ~1/n", the curation
     * rule for corpora where hard removal ([[keepRepresentatives]]) would
-    * bias against popular content: every duplicate cluster retains ONE
-    * copy in expectation, but which members survive is decided per
-    * member, deterministically — the cluster-min representative always
-    * survives (so no cluster ever keeps fewer copies than hard dedup,
-    * including n > 10⁴ where the rate floors to zero), and every other
-    * member survives iff hash60(id) mod 10⁴ < 10⁴ div n (integer basis
-    * points on the md5-prefix hash, the cross-engine-exact cutoff
-    * recipe). Output: the surviving rows plus their `cluster_size`,
-    * which doubles as a training weight column for pipelines that
-    * re-weight instead of drop.
+    * bias against popular content. Per cluster of n near-duplicates:
+    * every NON-min member survives iff hash60(id) mod 10⁴ < 10⁴ div n
+    * (integer basis points on the md5-prefix hash, the cross-engine-exact
+    * cutoff recipe); the cluster-min representative survives ONLY when no
+    * other member drew survival — the fallback that guarantees at least
+    * one copy of the content always remains (including n > 10⁴, where the
+    * rate floors to zero). Expected survivors per cluster:
+    * (n−1)·⌊10⁴/n⌋/10⁴ + Π(others fail) — exactly 1 for n = 2, rising to
+    * ≈ 1 + 1/e ≈ 1.37 as n → ∞. (An earlier draft kept the min
+    * UNCONDITIONALLY, which over-kept ≈ 2−1/n copies — duplicated content
+    * stayed ~2× over-represented vs the frequency-equalizing goal.)
+    * Output: the surviving rows plus their `cluster_size`, which doubles
+    * as a training weight column for pipelines that re-weight instead of
+    * drop.
     *
-    * Scale shape: cluster sizes come from the pair graph alone
-    * ([[dupClusters]] + one count per cluster — both ≪ corpus); the
-    * corpus itself is touched by ONE left join on the id key and a
-    * codegen'd hash filter.
+    * Scale shape: cluster sizes AND the per-cluster any-other-survivor
+    * flag come from the pair graph alone ([[dupClusters]] + two keyed
+    * aggregations per cluster — all ≪ corpus); the corpus itself is
+    * touched by ONE left join on the id key and a codegen'd hash filter.
     */
   def softDedup(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val clusters = dupClusters(pairs)
     val sized = clusters.join(
         clusters.groupBy("cluster").agg(count(lit(1)).as("__n")), "cluster")
-      .select(col("id").as("__sd_id"), col("cluster").as("__sd_min"), col("__n"))
-    df.join(sized, col(idCol) === col("__sd_id"), "left")
+      .withColumn("__pass",
+        hash60(col("id").cast("string")) % 10000 < expr("10000 div __n"))
+    // does ANY non-min member survive its draw? decided on the (small)
+    // cluster table, never on the corpus
+    val anyOther = sized.groupBy("cluster").agg(
+      max(when(col("id") =!= col("cluster") && col("__pass"), 1).otherwise(0))
+        .as("__other"))
+    val full = sized.join(anyOther, "cluster")
+      .select(col("id").as("__sd_id"), col("cluster").as("__sd_min"),
+        col("__n"), col("__pass"), col("__other"))
+    df.join(full, col(idCol) === col("__sd_id"), "left")
       .withColumn("cluster_size", coalesce(col("__n"), lit(1L)))
-      // the cluster-min representative survives UNCONDITIONALLY: for
-      // n > 10⁴ the basis-point cutoff floors to 0 and would otherwise
-      // drop the content entirely — soft dedup must never keep FEWER
-      // copies than hard dedup. Singletons are their own min (the
-      // coalesce), so they always survive through the same arm.
-      .filter(col(idCol) === coalesce(col("__sd_min"), col(idCol)) ||
-        hash60(col(idCol).cast("string")) % 10000 <
-          expr("10000 div cluster_size"))
-      .drop("__sd_id", "__sd_min", "__n")
+      // paired rows: non-min survives by its own draw; the min survives
+      // only as the fallback (no other member survived). Singletons never
+      // pair (left-join null) and always survive — the coalesce arm.
+      .filter(coalesce(
+        when(col(idCol) === col("__sd_min"), col("__other") === 0)
+          .otherwise(col("__pass")),
+        lit(true)))
+      .drop("__sd_id", "__sd_min", "__n", "__pass", "__other")
   }
 
   /** All deletion variants of `strCol` with up to `maxDist` characters

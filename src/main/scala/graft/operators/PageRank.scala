@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * Shape at scale: per iteration, one equi-join of edges against the
   * current ranks (both hash-partitioned on the node key — a co-partitioned
   * shuffle pair that AQE keeps local after the first materialization) and
-  * one hash aggregation on the destination. Rank tables are
-  * `localCheckpoint`ed per round, the [[Dedup.dupClusters]] lesson: an
-  * iterated self-referential plan otherwise doubles per round. On a real
-  * cluster swap for `checkpoint()` to add fault tolerance.
+  * one hash aggregation on the destination. Rank tables are checkpointed
+  * per round via [[Checkpoints]], the [[Dedup.dupClusters]] lesson: an
+  * iterated self-referential plan otherwise doubles per round. Default is
+  * `localCheckpoint` (local mode, not fault-tolerant); set the
+  * `graft.checkpoint.dir` session conf to switch every round to RELIABLE
+  * `checkpoint()` so executor loss recovers from storage.
   *
   * Dangling nodes (out-degree 0) contribute no mass and receive the base
   * (1-d) only — callers wanting the strongly-ergodic variant symmetrize
@@ -47,15 +49,14 @@ object PageRank {
     // the full node set against the aggregated in-mass
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist()
-    var ranks = nodes.withColumn("pr", lit(1.0)).localCheckpoint()
+    var ranks = Checkpoints.truncate(nodes.withColumn("pr", lit(1.0)))
     for (it <- 1 to iters) {
       val inMass = contrib.join(ranks, col("src") === col("id"))
         .groupBy("dst").agg(sum(col("w") * col("pr")).as("m"))
-      val next = nodes
+      val next = Checkpoints.truncate(nodes // eager: materialized before the parent is freed
         .join(inMass, col("id") === col("dst"), "left")
         .select(col("id"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
-        .localCheckpoint() // eager: materialized before the parent is freed
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0))).as("pr")))
       // free the previous round's checkpoint blocks — without this,
       // executor storage grows linearly with iters (each round's rank
       // table stays pinned). The final round's table stays persisted: it

@@ -183,14 +183,17 @@ object PipelineQueries {
     },
 
     Q("q167_soft_dedup",
-      // SOFT dedup ("keep each copy with probability 1/n" — the
+      // SOFT dedup ("keep each copy with probability ~1/n" — the
       // frequency-equalizing alternative to hard removal): cluster sizes
-      // from the LSH pair graph's connected components, survival by
-      // deterministic integer basis points hash60(id) % 10^4 <
-      // 10^4 div n. The oracle closes the same pair graph with a
-      // recursive CTE, counts each component, and replays the identical
-      // cutoff — any drift in clustering OR the sampling recipe breaks
-      // the hash.
+      // from the LSH pair graph's connected components; every NON-min
+      // member survives its own deterministic integer-basis-point draw
+      // hash60(id) % 10^4 < 10^4 div n, and the cluster-min survives only
+      // as the fallback when no other member drew survival (at least one
+      // copy always remains; expected survivors 1 → 1+1/e, never ~2 as
+      // the earlier unconditional-min rule kept). The oracle closes the
+      // same pair graph with a recursive CTE, counts each component, and
+      // replays the identical draw + fallback — any drift in clustering
+      // OR the sampling recipe breaks the hash.
       s"""WITH RECURSIVE ${ExtendedQueries.minhashCtes},
          |p AS (
          |  SELECT i.id1, i.id2 FROM inter i
@@ -206,12 +209,23 @@ object PipelineQueries {
          |  SELECT a AS doc_id,
          |    count(DISTINCT b) FILTER (WHERE b <> a) + 1 AS n,
          |    least(a, min(b)) AS cmin
-         |  FROM reach GROUP BY a)
+         |  FROM reach GROUP BY a),
+         |draw AS (
+         |  SELECT doc_id, n, cmin,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+         |      < 10000 // n AS pass
+         |  FROM comp),
+         |oth AS (
+         |  SELECT cmin, max(CASE WHEN doc_id <> cmin AND pass THEN 1 ELSE 0 END)
+         |    AS any_other
+         |  FROM draw GROUP BY cmin)
          |SELECT d.doc_id, CAST(coalesce(c.n, 1) AS BIGINT) AS cluster_size
-         |FROM documents d LEFT JOIN comp c USING (doc_id)
-         |WHERE d.doc_id = coalesce(c.cmin, d.doc_id)
-         |  OR ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
-         |    < 10000 // coalesce(c.n, 1)
+         |FROM documents d
+         |LEFT JOIN draw c USING (doc_id)
+         |LEFT JOIN oth o ON c.cmin = o.cmin
+         |WHERE CASE WHEN c.doc_id IS NULL THEN true
+         |           WHEN d.doc_id = c.cmin THEN o.any_other = 0
+         |           ELSE c.pass END
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",

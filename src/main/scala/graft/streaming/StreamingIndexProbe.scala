@@ -28,14 +28,28 @@ import graft.operators.Dedup
   */
 object StreamingIndexProbe {
 
+  /** The probe's output stream plus the lifecycle of the two static
+    * relations it caches. The cache must live as long as the streaming
+    * query (a stream-static join re-evaluates the static subplan every
+    * micro-batch); when the query stops — or the index is rebuilt and a
+    * new probe replaces this one — `close()` releases the storage.
+    * Without the handle, repeated index rebuilds accumulated cached
+    * relations with only `spark.catalog.clearCache()` as remedy
+    * (ADVICE r8 #4).
+    */
+  final class Probe private[streaming] (
+      val output: DataFrame,
+      cached: Seq[DataFrame]) extends AutoCloseable {
+    override def close(): Unit = cached.foreach(_.unpersist(blocking = false))
+  }
+
   /** Probe `docs` (streaming: idCol, textCol) against `index`. The two
     * static tables (band keys; per-doc sorted shingle-hash sets) are
     * PERSISTED here: a stream-static join re-evaluates the static
     * subplan every micro-batch, so without the cache each trigger would
-    * re-shuffle the whole corpus. Their storage lives as long as the
-    * streaming query — unpersist by stopping the query and dropping the
-    * returned plan (or `spark.catalog.clearCache()`), the same lifetime
-    * any static-enrichment cache has. The shingle sets join the
+    * re-shuffle the whole corpus. The returned [[Probe]] owns that
+    * storage — stop the query, then `close()` it (rebuilding the index
+    * means a new probe; close the old one). The shingle sets join the
     * CANDIDATES (after the band match), not the band table — corpus
     * shingle arrays move only for actual collisions, O(candidates), not
     * O(corpus × bands) per trigger.
@@ -45,7 +59,7 @@ object StreamingIndexProbe {
       index: Dedup.LshIndex,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): Probe = {
     // the codegen sorted-intersect function rides the session registry —
     // registration is idempotent, so self-register rather than demand it
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -71,7 +85,7 @@ object StreamingIndexProbe {
           index.numHashes, index.rowsPerBand)).as("__b"))
       .select(col("new_id"), col("__nset"),
         col("__b.band").as("band"), col("__b.bkey").as("bkey"))
-    probes.join(idxBands, Seq("band", "bkey"))
+    val out = probes.join(idxBands, Seq("band", "bkey"))
       .join(idxSets, "matched_id") // arrays attach to candidates only
       .withColumn("__i",
         graft.functions.GraftFunctions.sortedIntersectCount(
@@ -81,5 +95,6 @@ object StreamingIndexProbe {
           (size(col("__nset")) + size(col("__mset")) - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("matched_id"), col("jaccard"))
+    new Probe(out, Seq(idxBands, idxSets))
   }
 }

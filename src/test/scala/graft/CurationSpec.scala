@@ -98,6 +98,19 @@ class CurationSpec extends SparkSpec {
     assert(Curation.budgetSelect(docs, "score", "toks", "doc_id", 0L).count() == 0)
     assert(Curation.budgetSelectFraction(docs, "score", "toks", "doc_id", 1L, 1L)
       .count() == 5, "full fraction keeps everything")
+    // a bucket whose EVERY token count is null sums to NULL — it must
+    // carry zero token mass, not NPE the driver walk (ADVICE r8 #2)
+    val nullToks = Seq(
+      (1L, 9.0, java.lang.Long.valueOf(100L)),
+      (2L, 5.0, null.asInstanceOf[java.lang.Long]),
+      (3L, 5.0, null.asInstanceOf[java.lang.Long]),
+      (4L, 1.0, java.lang.Long.valueOf(100L)))
+      .toDF("doc_id", "score", "toks")
+    val keptT = Curation.budgetSelect(nullToks, "score", "toks", "doc_id", 101L)
+      .select("doc_id").as[Long].collect().toSet
+    // bucket 9 (100 toks) fits; bucket 5 carries zero mass and is kept
+    // free; bucket 1 gets bp = 100 and hash60("4") % 10⁴ = 9729 ≥ 100
+    assert(keptT == Set(1L, 2L, 3L), s"null-token bucket is free to keep: $keptT")
   }
 
   test("curation operators are empty-input safe") {

@@ -57,6 +57,22 @@ class PageRankSpec extends SparkSpec {
     assert(got(3L) > got(1L) && got(1L) > got(2L))
   }
 
+  test("reliable-checkpoint mode yields identical ranks") {
+    // the graft.checkpoint.dir conf switches every round to reliable
+    // Dataset.checkpoint() (fault-tolerant); the round structure is
+    // unchanged, so ranks must match the local-mode run exactly
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val local = PageRank.pageRank(edges.toDF("s", "d"), iters = 5)
+      .as[(Long, Double)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ck").toString
+    spark.conf.set(graft.operators.Checkpoints.DirKey, dir)
+    try {
+      val reliable = PageRank.pageRank(edges.toDF("s", "d"), iters = 5)
+        .as[(Long, Double)].collect().toMap
+      assert(reliable == local, s"reliable=$reliable local=$local")
+    } finally spark.conf.unset(graft.operators.Checkpoints.DirKey)
+  }
+
   test("per-iteration checkpoint blocks are freed (no storage growth)") {
     val edges = (0L until 50L).map(i => (i, (i * 7 + 1) % 50)).toDF("s", "d")
     val before = spark.sparkContext.getPersistentRDDs.keySet

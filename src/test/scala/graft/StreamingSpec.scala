@@ -1114,9 +1114,12 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val got = scala.collection.mutable.Set[(Long, Long, Double)]()
     val ckpt = tmp("graft-probe-ckpt")
+    // the probe handle owns the two cached static relations (ADVICE r8
+    // #4) — closed after the final run below
+    val probe = StreamingIndexProbe.nearDupAgainstIndex(
+      mem.toDF().toDF("doc_id", "text"), index, "doc_id", "text")
     def run(): Unit = {
-      val q = StreamingIndexProbe.nearDupAgainstIndex(
-          mem.toDF().toDF("doc_id", "text"), index, "doc_id", "text")
+      val q = probe.output
         .writeStream.outputMode("append").trigger(Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           got.synchronized {
@@ -1154,6 +1157,8 @@ class StreamingSpec extends SparkSpec {
       .select("new_id", "matched_id").as[(Long, Long)].collect().toSet
     assert(got.map(g => (g._1, g._2)) == batchPairs,
       s"stream pairs ${got.map(g => (g._1, g._2))} != batch $batchPairs")
+    // release the probe's cached static relations — the handle owns them
+    probe.close()
   }
 
   test("TxTable LSM streaming sink: delta commits per batch, periodic fold, restart-safe") {
