@@ -42,9 +42,169 @@ import graft.operators.LastValue
   */
 object TxTable {
 
-  final case class Snapshot(version: Long, filesByPartition: Map[String, Seq[String]]) {
-    def allFiles: Seq[String] = filesByPartition.values.flatten.toSeq
+  /** Per-file min/max of one column, kept in the commit log so reads can
+    * skip files whose range cannot match a predicate (the Delta/Iceberg
+    * data-skipping idea). `typ` picks the comparison domain: 'L'
+    * (integral), 'D' (floating/decimal — compared as BigDecimal), 'S'
+    * (string, which also covers date/timestamp cast to ISO text — ISO
+    * sorts lexicographically). min/max are the CAST-TO-STRING aggregate
+    * values; all-null columns record no stats (not prunable).
+    */
+  final case class ColStats(typ: Char, min: String, max: String)
+
+  /** An inclusive-bounds pruning predicate on one column: keep a file
+    * unless its stats PROVE `[lower, upper]` disjoint from the file's
+    * [min, max]. `None` = unbounded on that side; a column without
+    * recorded stats is never pruned; a value that does not parse in the
+    * stats' domain keeps the file (conservative). Point lookups are
+    * `ColRange(c, Some(v), Some(v))`.
+    */
+  final case class ColRange(
+      column: String,
+      lower: Option[Any] = None,
+      upper: Option[Any] = None)
+
+  /** TSV-safe codec for a file's column stats: `name:T:min:max` joined by
+    * ';', with '%', ':', ';', tab and newline percent-escaped. Stays one
+    * log-line FIELD — older log readers that split on tab simply carry it
+    * opaquely, and [[applyLogFile]]'s unknown-shape rule keeps old logs
+    * (3-field adds) readable forever.
+    */
+  private[streaming] object StatsCodec {
+    private def esc(s: String): String =
+      s.flatMap {
+        case '%' => "%25"
+        case ':' => "%3a"
+        case ';' => "%3b"
+        case '\t' => "%09"
+        case '\n' => "%0a"
+        case c => c.toString
+      }
+    private def unesc(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+          sb += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+          i += 3
+        } else { sb += s(i); i += 1 }
+      }
+      sb.toString
+    }
+    def encode(m: Map[String, ColStats]): String =
+      m.toSeq.sortBy(_._1).map { case (c, s) =>
+        s"${esc(c)}:${s.typ}:${esc(s.min)}:${esc(s.max)}"
+      }.mkString(";")
+    def decode(s: String): Map[String, ColStats] =
+      if (s.isEmpty) Map.empty
+      else s.split(";", -1).iterator.flatMap { part =>
+        part.split(":", -1) match {
+          case Array(c, t, mn, mx) if t.length == 1 =>
+            Some(unesc(c) -> ColStats(t.head, unesc(mn), unesc(mx)))
+          case _ => None // malformed entry: carry no stats, never fail a read
+        }
+      }.toMap
   }
+
+  final case class Snapshot(
+      version: Long,
+      filesByPartition: Map[String, Seq[String]],
+      statsByFile: Map[String, String] = Map.empty) {
+    def allFiles: Seq[String] = filesByPartition.values.flatten.toSeq
+    /** Decoded column stats of one file (empty when none recorded). */
+    def statsOf(path: String): Map[String, ColStats] =
+      StatsCodec.decode(statsByFile.getOrElse(path, ""))
+  }
+
+  /** Should a file with `stats` survive `pruneBy`? Conservative in every
+    * uncertain direction: no stats / no parse / unknown column → keep.
+    */
+  private[streaming] def keepByStats(
+      stats: Map[String, ColStats], pruneBy: Seq[ColRange]): Boolean =
+    pruneBy.forall { r =>
+      stats.get(r.column).forall { cs =>
+        def cmp(a: String, b: String): Option[Int] = cs.typ match {
+          case 'S' => Some(a.compareTo(b))
+          case _ =>
+            try Some(BigDecimal(a).compare(BigDecimal(b)))
+            catch { case _: NumberFormatException => None }
+        }
+        val aboveLower = r.lower.forall(lo =>
+          cmp(cs.max, lo.toString).forall(_ >= 0))
+        val belowUpper = r.upper.forall(up =>
+          cmp(cs.min, up.toString).forall(_ <= 0))
+        aboveLower && belowUpper
+      }
+    }
+
+  /** Sentinel for "record stats for every eligible top-level column" —
+    * the default on every write path, the Delta stance: stats are cheap
+    * (they ride the write action's own execution via `Dataset.observe`,
+    * zero extra Spark jobs) and the read-side skipping they enable is the
+    * difference between opening 3 files and 30,000 at 100 TB. Pass `Nil`
+    * to suppress, or an explicit column list to restrict.
+    */
+  val AutoStats: Seq[String] = Seq("*")
+
+  /** Eligible stats columns of `df` + their comparison domain. Nested /
+    * array / map / binary columns carry no stats (no total order worth
+    * recording); timestamps ride the 'S' domain because Spark's
+    * cast-to-string is zero-padded ISO, which sorts lexicographically —
+    * `ColRange` bounds for them are strings in that same format.
+    */
+  private def eligibleStats(
+      df: DataFrame, statsCols: Seq[String]): Seq[(String, Char)] = {
+    import org.apache.spark.sql.types._
+    def typOf(dt: DataType): Option[Char] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some('L')
+      case FloatType | DoubleType | _: DecimalType       => Some('D')
+      case StringType | BooleanType | DateType | TimestampType |
+           TimestampNTZType => Some('S')
+      case _ => None
+    }
+    val names =
+      if (statsCols == AutoStats) df.schema.fields.toSeq.map(_.name)
+      else statsCols
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    names.flatMap(c => types.get(c).flatMap(typOf).map(c -> _))
+  }
+
+  /** Write one data directory and return its encoded column stats. The
+    * min/max aggregates ride the write's own action through
+    * `Dataset.observe` — accumulator-merged task-side partials, ZERO
+    * extra Spark jobs, the reason stats-on-write can default on. Min/max
+    * are computed in the column's NATIVE ordering and only the RESULT is
+    * cast to string (a string-side min would be lexicographic and wrong
+    * for numerics). All-null columns observe null and record no entry.
+    */
+  private def writeWithStats(
+      df: DataFrame, absPath: String, cols: Seq[(String, Char)]): String =
+    if (cols.isEmpty) {
+      df.write.mode("overwrite").parquet(absPath)
+      ""
+    } else {
+      val obs = org.apache.spark.sql.Observation()
+      val aggs = cols.flatMap { case (c, _) =>
+        Seq(min(col(c)).cast("string").as(s"__mn_$c"),
+          max(col(c)).cast("string").as(s"__mx_$c"))
+      }
+      df.observe(obs, aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(absPath)
+      val row = obs.get
+      StatsCodec.encode(cols.flatMap { case (c, t) =>
+        (Option(row(s"__mn_$c")), Option(row(s"__mx_$c"))) match {
+          case (Some(mn), Some(mx)) =>
+            Some(c -> ColStats(t, mn.toString, mx.toString))
+          case _ => None
+        }
+      }.toMap)
+    }
+
+  /** One `add` log line; stats ride as an optional 4th field so a
+    * stats-less writer (or an old log) stays a 3-field line forever.
+    */
+  private def addLine(part: String, rel: String, stats: String): String =
+    if (stats.isEmpty) s"add\t$part\t$rel" else s"add\t$part\t$rel\t$stats"
 
   private def logDir(tablePath: String) = new File(tablePath, "_log")
 
@@ -140,7 +300,7 @@ object TxTable {
           val ckpt = new File(dir, f"$base%020d.checkpoint")
           if (!ckpt.exists()) return None // anchor gone: stale hint or corruption
           try {
-            var files = Map.empty[String, String]
+            var files = Map.empty[String, (String, String)]
             val read = Seq.newBuilder[File]
             files = applyLogFile(ckpt, files)
             read += ckpt
@@ -161,9 +321,7 @@ object TxTable {
                 .trim.toLongOption
               catch { case _: java.nio.file.NoSuchFileException => None }
             if (nowHint.contains(base))
-              return Some((Snapshot(v - 1,
-                files.groupBy(_._2).map { case (p, m) => p -> m.keys.toSeq.sorted }),
-                read.result()))
+              return Some((toSnapshot(v - 1, files), read.result()))
             attempt += 1
           } catch {
             // probed file vacuumed between exists() and read: retry
@@ -174,20 +332,31 @@ object TxTable {
     None // persistent churn: let the caller fall back to the full listing
   }
 
-  /** Fold one log file's add/remove lines into the active-file map. */
+  /** Fold one log file's add/remove lines into the active-file map
+    * (path -> (partition, encoded stats)). 3-field adds (stats-less
+    * writers, pre-stats logs) carry empty stats — readable forever.
+    */
   private def applyLogFile(
-      f: File, files0: Map[String, String]): Map[String, String] = {
+      f: File, files0: Map[String, (String, String)]): Map[String, (String, String)] = {
     var files = files0
     new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).foreach { line =>
         line.split("\t") match {
-          case Array("add", part, path) => files += (path -> part)
-          case Array("remove", path)    => files -= path
-          case _                        => // header/op lines are informational
+          case Array("add", part, path)        => files += (path -> (part, ""))
+          case Array("add", part, path, stats) => files += (path -> (part, stats))
+          case Array("remove", path)           => files -= path
+          case _                               => // header/op lines are informational
         }
       }
     files
   }
+
+  /** Snapshot from a fully-folded active-file map. */
+  private def toSnapshot(
+      version: Long, files: Map[String, (String, String)]): Snapshot =
+    Snapshot(version,
+      files.groupBy(_._2._1).map { case (p, m) => p -> m.keys.toSeq.sorted },
+      files.collect { case (path, (_, st)) if st.nonEmpty => path -> st })
 
   /** The version a checkpoint file's payload header claims to capture,
     * or None for a header-less file (written by a pre-header build, whose
@@ -217,12 +386,11 @@ object TxTable {
     val commits = entries.flatMap(f => versionOf(f, ".commit").map(_ -> f)).sortBy(_._1)
     val ckpt = entries.flatMap(f => versionOf(f, ".checkpoint").map(_ -> f))
       .sortBy(_._1).lastOption
-    var files = Map.empty[String, String] // relative path -> partition
+    var files = Map.empty[String, (String, String)] // rel path -> (partition, stats)
     ckpt.foreach { case (_, f) => files = applyLogFile(f, files) }
     val base = ckpt.map(_._1).getOrElse(-1L)
     commits.filter(_._1 > base).foreach { case (_, f) => files = applyLogFile(f, files) }
-    Snapshot(commits.lastOption.map(_._1).getOrElse(base),
-      files.groupBy(_._2).map { case (p, m) => p -> m.keys.toSeq.sorted })
+    toSnapshot(commits.lastOption.map(_._1).getOrElse(base), files)
   }
 
   /** Write `_log/<version>.checkpoint` — a full active-file listing — so
@@ -244,9 +412,13 @@ object TxTable {
       // can never silently time-travel to the wrong state. applyLogFile
       // ignores the header (unknown-line rule), so head reads are
       // indifferent.
+      // stats ride along: a checkpoint is a full re-statement of the
+      // active files and MUST re-state their stats too, or the first
+      // post-checkpoint snapshot would silently lose all skipping
       val lines = s"version\t${snap.version}" +:
         snap.filesByPartition.toSeq.sortBy(_._1).flatMap {
-          case (part, paths) => paths.map(p => s"add\t$part\t$p")
+          case (part, paths) => paths.map(p =>
+            addLine(part, p, snap.statsByFile.getOrElse(p, "")))
         }
       val dir = logDir(tablePath)
       val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
@@ -334,25 +506,50 @@ object TxTable {
     * `Snapshot.diff` on two reads for a version-to-version CDC delta.
     */
   def readAt(spark: SparkSession, tablePath: String, version: Long,
-      partitions: Option[Seq[String]] = None): Option[DataFrame] =
-    readSnapshot(spark, tablePath, snapshotAt(tablePath, version), partitions)
+      partitions: Option[Seq[String]] = None,
+      pruneBy: Seq[ColRange] = Nil): Option[DataFrame] =
+    readSnapshot(spark, tablePath, snapshotAt(tablePath, version), partitions, pruneBy)
 
-  private def readSnapshot(spark: SparkSession, tablePath: String,
-      snap: Snapshot, partitions: Option[Seq[String]]): Option[DataFrame] = {
-    val selected = partitions match {
+  /** The files a read with these prune predicates opens — partition
+    * selection then stats-based skipping, both metadata-only (no
+    * listing, no Spark job). Package-visible so specs can assert
+    * files-read ≪ total without counting scan tasks.
+    */
+  private[graft] def selectFiles(snap: Snapshot,
+      partitions: Option[Seq[String]], pruneBy: Seq[ColRange]): Seq[String] = {
+    val byPart = partitions match {
       case Some(ps) => ps.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
       case None     => snap.allFiles
     }
+    if (pruneBy.isEmpty) byPart
+    else byPart.filter(p => keepByStats(snap.statsOf(p), pruneBy))
+  }
+
+  private def readSnapshot(spark: SparkSession, tablePath: String,
+      snap: Snapshot, partitions: Option[Seq[String]],
+      pruneBy: Seq[ColRange] = Nil): Option[DataFrame] = {
+    val selected = selectFiles(snap, partitions, pruneBy)
     if (selected.isEmpty) None
     else Some(spark.read.parquet(selected.map(p => s"$tablePath/$p"): _*))
   }
 
-  /** Read the current snapshot (optionally pruned to `partitions`) as a
-    * DataFrame. Empty table → None (caller decides the schema).
+  /** Read the current snapshot (optionally pruned to `partitions`, and —
+    * data skipping — to the files whose recorded column stats can
+    * possibly satisfy `pruneBy`) as a DataFrame. Empty table → None
+    * (caller decides the schema).
+    *
+    * `pruneBy` is FILE-granular and conservative: it only skips files
+    * whose [min, max] provably misses the range, so the result is a
+    * SUPERSET of the matching rows — apply the real row filter on the
+    * returned DataFrame as usual (same contract as parquet row-group
+    * skipping). On a [[ingestZOrdered]] table a point/range predicate on
+    * either z-key dimension opens O(matching buckets) files, not the
+    * table.
     */
   def read(spark: SparkSession, tablePath: String,
-      partitions: Option[Seq[String]] = None): Option[DataFrame] =
-    readSnapshot(spark, tablePath, snapshot(tablePath), partitions)
+      partitions: Option[Seq[String]] = None,
+      pruneBy: Seq[ColRange] = Nil): Option[DataFrame] =
+    readSnapshot(spark, tablePath, snapshot(tablePath), partitions, pruneBy)
 
   /** Atomically publish commit `version`; throws
     * FileAlreadyExistsException when a concurrent writer won the race.
@@ -384,7 +581,8 @@ object TxTable {
       partitionCol: String = "serverName",
       keys: Seq[String] = Seq("serverName", "tag"),
       order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp"),
-      maxRetries: Int = 50): Long = {
+      maxRetries: Int = 50,
+      statsCols: Seq[String] = AutoStats): Long = {
     // null partition keys are unrepresentable under partition pruning
     // (an equi-join/filter on the partition value never matches null) and
     // the canonical schema declares serverName non-null — drop them here
@@ -408,18 +606,16 @@ object TxTable {
         // one data directory per affected partition, written before the
         // commit references it; unique names make them invisible until
         // (and unless) the commit lands
+        val statCols = eligibleStats(merged, statsCols)
         val adds = affected.flatMap { p =>
           val rel = s"data/${UUID.randomUUID()}"
           val part = merged.filter(col(partitionCol) === p)
           if (part.isEmpty) None
-          else {
-            part.write.mode("overwrite").parquet(s"$tablePath/$rel")
-            Some((p, rel))
-          }
+          else Some((p, rel, writeWithStats(part, s"$tablePath/$rel", statCols)))
         }
         merged.unpersist(blocking = false)
         val lines = Seq(s"op\tmergeLatest\tattempt\t$attempt") ++
-          adds.map { case (p, rel) => s"add\t$p\t$rel" } ++
+          adds.map { case (p, rel, st) => addLine(p, rel, st) } ++
           removedFiles.map(f => s"remove\t$f")
         try {
           publishCommit(tablePath, snap.version + 1, lines)
@@ -464,7 +660,8 @@ object TxTable {
       partitionCol: String = "serverName",
       keys: Seq[String] = Seq("serverName", "tag"),
       order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp"),
-      maxRetries: Int = 50): Long = {
+      maxRetries: Int = 50,
+      statsCols: Seq[String] = AutoStats): Long = {
     val batchLatest = LastValue.latestPerKey(
       batch.filter(col(partitionCol).isNotNull), keys, order).persist()
     try {
@@ -475,17 +672,17 @@ object TxTable {
       // partition set of batchLatest, so every filtered slice is
       // non-empty by construction — the check would cost one extra Spark
       // job per partition on the hot O(batch) commit path
+      val statCols = eligibleStats(batchLatest, statsCols)
       val adds = affected.map { p =>
         val rel = s"data/${UUID.randomUUID()}"
-        batchLatest.filter(col(partitionCol) === p)
-          .write.mode("overwrite").parquet(s"$tablePath/$rel")
-        (p, rel)
+        (p, rel, writeWithStats(batchLatest.filter(col(partitionCol) === p),
+          s"$tablePath/$rel", statCols))
       }
       var attempt = 0
       while (attempt <= maxRetries) {
         val snap = snapshot(tablePath)
         val lines = Seq(s"op\tupsertDelta\tattempt\t$attempt") ++
-          adds.map { case (p, rel) => s"add\t$p\t$rel" }
+          adds.map { case (p, rel, st) => addLine(p, rel, st) }
         try {
           publishCommit(tablePath, snap.version + 1, lines)
           maybeCheckpoint(tablePath, snap.version + 1)
@@ -509,8 +706,15 @@ object TxTable {
       tablePath: String,
       keys: Seq[String] = Seq("serverName", "tag"),
       order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp"),
-      partitions: Option[Seq[String]] = None): Option[DataFrame] =
-    read(spark, tablePath, partitions)
+      partitions: Option[Seq[String]] = None,
+      pruneBy: Seq[ColRange] = Nil): Option[DataFrame] =
+    // stats pruning under merge-on-read is only sound for predicates on
+    // the MERGE KEYS (a delta dir outside the range cannot supersede a
+    // key inside it — key columns bound both sides of the supersession);
+    // a value-column range could skip the delta holding a key's LATEST
+    // row and resurrect a stale one. Callers prune by key/partition
+    // dimensions, which is what skipping is for.
+    read(spark, tablePath, partitions, pruneBy)
       .map(df => LastValue.latestPerKey(df, keys, order))
 
   /** Compact (the OPTIMIZE analog for [[upsertDelta]] tables): fold every
@@ -532,7 +736,8 @@ object TxTable {
       keys: Seq[String] = Seq("serverName", "tag"),
       order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp"),
       minFiles: Int = 2,
-      maxRetries: Int = 50): Long = {
+      maxRetries: Int = 50,
+      statsCols: Seq[String] = AutoStats): Long = {
     require(minFiles >= 2, "compacting below 2 directories is a no-op")
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -540,17 +745,20 @@ object TxTable {
       val victims = snap.filesByPartition.filter(_._2.size >= minFiles)
       if (victims.isEmpty) return -1L
       // rewrites land BEFORE the commit references them (invisible until
-      // the publish wins); orphans of a lost race are vacuum fodder
+      // the publish wins); orphans of a lost race are vacuum fodder.
+      // Stats are RECOMPUTED on the collapsed data (not merged from the
+      // victims' entries): superseded rows drop out, so recomputed
+      // ranges are tighter — merging would only widen them.
       val adds = victims.toSeq.sortBy(_._1).map { case (p, files) =>
         val rel = s"data/${UUID.randomUUID()}"
-        LastValue.latestPerKey(
+        val folded = LastValue.latestPerKey(
             spark.read.parquet(files.map(f => s"$tablePath/$f"): _*), keys, order)
           .coalesce(1) // one server's live keys: bounded by tag cardinality
-          .write.mode("overwrite").parquet(s"$tablePath/$rel")
-        (p, rel, files)
+        (p, rel, files,
+          writeWithStats(folded, s"$tablePath/$rel", eligibleStats(folded, statsCols)))
       }
       val lines = Seq(s"op\tcompact\tattempt\t$attempt") ++
-        adds.map { case (p, rel, _) => s"add\t$p\t$rel" } ++
+        adds.map { case (p, rel, _, st) => addLine(p, rel, st) } ++
         adds.flatMap(_._3).map(f => s"remove\t$f")
       try {
         publishCommit(tablePath, snap.version + 1, lines)
@@ -562,6 +770,91 @@ object TxTable {
     }
     throw new IllegalStateException(
       s"compact lost $maxRetries consecutive commit races on $tablePath")
+  }
+
+  /** Z-order bulk ingest — the write side of multi-dimension data
+    * skipping ([[graft.operators.Layout]] + per-file stats, the Delta
+    * `OPTIMIZE ZORDER BY` composition). One commit, `buckets` data
+    * directories, each covering a contiguous Morton-code range of
+    * (xCol, yCol) so point/range predicates on EITHER dimension
+    * concentrate in few files, which the recorded min/max stats then let
+    * [[read]] skip.
+    *
+    * Scale shape (one pass over the batch, no global sort):
+    * `repartitionByRange` on the z-value (sampled bounds), sort within
+    * partitions, and ONE fanned `partitionBy` write — each task writes
+    * exactly its own bucket directory. Stats are computed by one
+    * column-pruned aggregation over the freshly-written files (the
+    * fan-out write's per-task observe streams would interleave buckets,
+    * so read-back is the correct per-bucket aggregation; it scans only
+    * the stats columns). Publication is a normal optimistic commit —
+    * z-ordered ingests compose with deltas, compaction, vacuum and time
+    * travel like any other writer.
+    */
+  def ingestZOrdered(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      xCol: String,
+      yCol: String,
+      buckets: Int,
+      partition: String = "default",
+      statsCols: Seq[String] = AutoStats,
+      maxRetries: Int = 50): Long = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val staged = s"data/${UUID.randomUUID()}"
+    val abs = s"$tablePath/$staged"
+    df.withColumn("__z", graft.operators.Layout.zorder16(col(xCol), col(yCol)))
+      .repartitionByRange(buckets, col("__z"))
+      .sortWithinPartitions("__z")
+      .withColumn("__b", spark_partition_id())
+      .drop("__z")
+      .write.partitionBy("__b").mode("overwrite").parquet(abs)
+    // bucket dirs actually written (range partitions can be empty when
+    // distinct z-values < buckets)
+    val bucketDirs = Option(new File(abs).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("__b="))
+      .map(f => f.getName.stripPrefix("__b=").toInt -> s"$staged/${f.getName}")
+      .sortBy(_._1)
+    val back = spark.read.parquet(abs)
+    val cols = eligibleStats(back.drop("__b"), statsCols)
+    val statsByBucket: Map[Int, String] =
+      if (cols.isEmpty) Map.empty
+      else {
+        val aggs = cols.flatMap { case (c, _) =>
+          Seq(min(col(c)).cast("string").as(s"__mn_$c"),
+            max(col(c)).cast("string").as(s"__mx_$c"))
+        }
+        back.groupBy(col("__b")).agg(aggs.head, aggs.tail: _*)
+          .collect() // one row per bucket — bounded by `buckets`
+          .map { r =>
+            val m = cols.flatMap { case (c, t) =>
+              (Option(r.getAs[String](s"__mn_$c")),
+                Option(r.getAs[String](s"__mx_$c"))) match {
+                case (Some(mn), Some(mx)) => Some(c -> ColStats(t, mn, mx))
+                case _ => None
+              }
+            }.toMap
+            r.getAs[Number]("__b").intValue() -> StatsCodec.encode(m)
+          }.toMap
+      }
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val snap = snapshot(tablePath)
+      val lines = Seq(s"op\tingestZOrdered\tattempt\t$attempt") ++
+        bucketDirs.map { case (b, rel) =>
+          addLine(partition, rel, statsByBucket.getOrElse(b, ""))
+        }
+      try {
+        publishCommit(tablePath, snap.version + 1, lines)
+        maybeCheckpoint(tablePath, snap.version + 1)
+        return snap.version + 1
+      } catch {
+        case _: FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"ingestZOrdered lost $maxRetries consecutive commit races on $tablePath")
   }
 
   /** Delete data directories no longer referenced by the current snapshot
