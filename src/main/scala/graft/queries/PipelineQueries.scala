@@ -150,6 +150,31 @@ object PipelineQueries {
         .limit(50)
     },
 
+    Q("q173_txtable_pruned_read",
+      // data skipping END TO END: orders is z-order-ingested into a
+      // TxTable (16 Morton buckets over (o_custkey, o_orderkey), per-file
+      // min/max stats in the commit log), then read back with a
+      // stats-prune on o_custkey — the read opens only the files whose
+      // recorded range can match (TxTableStatsSpec pins files-opened ≪
+      // total). Pruning is a conservative SUPERSET pre-filter, so after
+      // the exact row filter the answer must hash-match DuckDB's plain
+      // full scan of the source parquet — which is exactly this oracle.
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 313 AND 421
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import graft.streaming.TxTable
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-q173").toString + "/orders_z"
+      TxTable.ingestZOrdered(s, t(s, d, "orders"), table,
+        "o_custkey", "o_orderkey", buckets = 16)
+      TxTable.read(s, table,
+          pruneBy = Seq(TxTable.ColRange("o_custkey", Some(313L), Some(421L)))).get
+        .filter(col("o_custkey").between(313L, 421L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
     Q("q108_neardup_removal",
       // End-to-end near-duplicate REMOVAL: MinHash-LSH pairs (the q34
       // pipeline) → connected components (log-round pointer jumping) →

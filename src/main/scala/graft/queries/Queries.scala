@@ -33,16 +33,39 @@ object Q {
 
   /** Read one of the driver-generated test tables (TESTDATA.md).
     *
-    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * refuses to map to its µs TimestampType. All test values are µs-aligned
-    * (verified across SFs), so we read nanos as long and convert losslessly.
+    * The `events.ts` physical encoding has varied across testdata
+    * generations — parquet TIMESTAMP(NANOS) (which Spark can only read as
+    * a long, via `nanosAsLong`) and plain TIMESTAMP(µs) (which Spark reads
+    * as TimestampNTZ when `isAdjustedToUTC=false`). Hard-coding either
+    * encoding breaks every events query the day the data is regenerated,
+    * so the reader branches on the type that actually comes back; see
+    * [[normalizeEventsTs]].
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // integer division: the ns epoch exceeds 2^53, double math would round
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      normalizeEventsTs(s.read.parquet(s"$dir/$name.parquet"))
     } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize whatever physical encoding `events.ts` arrived in to the
+    * session-timezone `TimestampType` every downstream query expects.
+    * All sessions here pin `spark.sql.session.timeZone=UTC`, so the
+    * NTZ→TZ cast is wall-clock- and instant-preserving and DuckDB (which
+    * reads the same parquet as a naive timestamp) stays in exact parity.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) read under nanosAsLong: integer division — the ns
+      // epoch exceeds 2^53, double math would round
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other; expected LongType (nanos), " +
+            "TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+  }
 }

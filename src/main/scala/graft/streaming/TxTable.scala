@@ -70,7 +70,7 @@ object TxTable {
     * opaquely, and [[applyLogFile]]'s unknown-shape rule keeps old logs
     * (3-field adds) readable forever.
     */
-  private[streaming] object StatsCodec {
+  private[graft] object StatsCodec {
     private def esc(s: String): String =
       s.flatMap {
         case '%' => "%25"
@@ -119,7 +119,7 @@ object TxTable {
   /** Should a file with `stats` survive `pruneBy`? Conservative in every
     * uncertain direction: no stats / no parse / unknown column → keep.
     */
-  private[streaming] def keepByStats(
+  private[graft] def keepByStats(
       stats: Map[String, ColStats], pruneBy: Seq[ColRange]): Boolean =
     pruneBy.forall { r =>
       stats.get(r.column).forall { cs =>
@@ -707,15 +707,23 @@ object TxTable {
       keys: Seq[String] = Seq("serverName", "tag"),
       order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp"),
       partitions: Option[Seq[String]] = None,
-      pruneBy: Seq[ColRange] = Nil): Option[DataFrame] =
+      pruneBy: Seq[ColRange] = Nil): Option[DataFrame] = {
     // stats pruning under merge-on-read is only sound for predicates on
     // the MERGE KEYS (a delta dir outside the range cannot supersede a
     // key inside it — key columns bound both sides of the supersession);
     // a value-column range could skip the delta holding a key's LATEST
-    // row and resurrect a stale one. Callers prune by key/partition
-    // dimensions, which is what skipping is for.
+    // row and resurrect a stale one — a SILENT wrong answer, so it is
+    // rejected here rather than documented away. Prune value columns on
+    // the returned (already-merged) DataFrame instead, or use raw [[read]]
+    // when delta-granular rows are actually wanted.
+    val offKey = pruneBy.map(_.column).filterNot(keys.contains)
+    require(offKey.isEmpty,
+      s"readMerged pruneBy on non-key column(s) ${offKey.mkString(", ")}: " +
+        "under merge-on-read a value-column range can skip the delta holding " +
+        s"a key's latest row and resurrect a stale one; merge keys are ${keys.mkString(", ")}")
     read(spark, tablePath, partitions, pruneBy)
       .map(df => LastValue.latestPerKey(df, keys, order))
+  }
 
   /** Compact (the OPTIMIZE analog for [[upsertDelta]] tables): fold every
     * partition spread over `minFiles`-or-more delta directories into ONE

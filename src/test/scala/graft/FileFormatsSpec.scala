@@ -42,6 +42,40 @@ class FileFormatsSpec extends SparkSpec {
       s"filter must reach the orc scan:\n$plan")
   }
 
+  test("events reader adapts to every ts encoding the driver has shipped") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // 1) whatever encoding the CURRENT testdata uses must come back as a
+    //    plain session-tz timestamp with live values
+    val live = Q.t(spark, "/root/testdata/sf0.001", "events")
+    assert(live.schema("ts").dataType === TimestampType)
+    assert(live.filter(col("ts").isNotNull).limit(1).count() === 1)
+
+    // 2) encoding parity: the same instants routed through each historical
+    //    physical encoding normalize to identical timestamps
+    val microsSinceEpoch = Seq(1700000000000000L, 1700000123456789L, 0L)
+    val asNanosLong = microsSinceEpoch.map(_ * 1000L).toDF("ts") // TIMESTAMP(NANOS) read under nanosAsLong
+    val asNtz = microsSinceEpoch.toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")) // TIMESTAMP(µs), isAdjustedToUTC=false
+    val asTz = microsSinceEpoch.toDF("us")
+      .select(timestamp_micros(col("us")).as("ts")) // already session-tz
+
+    val results = Seq(asNanosLong, asNtz, asTz).map(Q.normalizeEventsTs)
+    results.foreach(df => assert(df.schema("ts").dataType === TimestampType))
+    val expected = microsSinceEpoch.map { us =>
+      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }.toSet
+    results.foreach { df =>
+      assert(df.collect().map(_.getTimestamp(0)).toSet === expected)
+    }
+
+    // 3) an unsupported encoding fails loudly, not with a mid-query
+    //    AnalysisException seventeen operators deep
+    val bad = Seq("x").toDF("ts")
+    assertThrows[IllegalStateException](Q.normalizeEventsTs(bad))
+  }
+
   test("csv scan pushes projection (ReadSchema pruned)") {
     val base = Files.createTempDirectory("graft-fmt2").toString
     Q.t(spark, "/root/testdata/sf0.001", "customer")

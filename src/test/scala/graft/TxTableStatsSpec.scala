@@ -1,0 +1,202 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.TxTable
+import graft.streaming.TxTable.{ColRange, ColStats}
+
+/** Per-file column stats + read-side data skipping (SURVEY §2 S6 sink,
+  * the Delta/Iceberg idea): stats are written into the commit log by
+  * every write path and let [[TxTable.read]] open O(matching files)
+  * instead of the table. These specs pin the codec, the conservative
+  * keep/skip decision procedure, the files-actually-selected count on a
+  * z-ordered table, pruned-read == full-scan row equivalence, stats
+  * survival across compact/time-travel/vacuum, and the [[TxTable
+  * .readMerged]] key-columns-only pruning contract.
+  */
+class TxTableStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def txBatch(rows: (String, String, String, Double)*) =
+    rows.map { case (srv, tag, t, v) => (srv, tag, v, ts(t), ts(t)) }
+      .toDF("serverName", "tag", "doubleValue", "serverTimestamp", "sourceTimestamp")
+
+  // ======================= StatsCodec =======================
+
+  test("StatsCodec round-trips hostile names and values (%, :, ;, tab, newline)") {
+    val hostile = Map(
+      "plain" -> ColStats('L', "1", "42"),
+      "has:colon" -> ColStats('S', "a:b", "c:d"),
+      "has;semi" -> ColStats('S', "x;y", "z;w"),
+      "has%pct" -> ColStats('S', "100%", "200%"),
+      "has\ttab" -> ColStats('S', "a\tb", "c\td"),
+      "has\nnl" -> ColStats('S', "l1\nl2", "l3\nl4"),
+      "all%3a:of%3b;them\t\n" -> ColStats('D', "%25;:\t", "\n%%%"))
+    val enc = TxTable.StatsCodec.encode(hostile)
+    // the encoded form must stay one tab-free, newline-free log FIELD
+    assert(!enc.contains('\t') && !enc.contains('\n'), s"unescaped control char in: $enc")
+    assert(TxTable.StatsCodec.decode(enc) === hostile)
+    // empty map round-trips through the empty string
+    assert(TxTable.StatsCodec.encode(Map.empty) === "")
+    assert(TxTable.StatsCodec.decode("") === Map.empty)
+    // malformed entries carry no stats rather than failing the read
+    assert(TxTable.StatsCodec.decode("not-a-stat") === Map.empty)
+    assert(TxTable.StatsCodec.decode("a:TOOLONG:1:2") === Map.empty)
+  }
+
+  // ======================= keepByStats =======================
+
+  test("keepByStats: inclusive bounds, conservative on no-stats/no-parse") {
+    val stats = Map("k" -> ColStats('L', "10", "20"), "s" -> ColStats('S', "b", "d"))
+    def keep(rs: ColRange*) = TxTable.keepByStats(stats, rs)
+
+    // overlapping and touching ranges keep the file (inclusive bounds)
+    assert(keep(ColRange("k", Some(15), Some(15))))
+    assert(keep(ColRange("k", Some(20), None)), "lower == file max keeps")
+    assert(keep(ColRange("k", None, Some(10))), "upper == file min keeps")
+    assert(keep(ColRange("k", Some(5), Some(30))), "superset range keeps")
+    // provably-disjoint ranges prune
+    assert(!keep(ColRange("k", Some(21), None)), "lower above max prunes")
+    assert(!keep(ColRange("k", None, Some(9))), "upper below min prunes")
+    assert(!keep(ColRange("k", Some(1), Some(9))))
+    // numeric domain compares numerically, not lexicographically:
+    // "9" > "10" as strings but 9 < 10 numerically → prune is correct
+    assert(!keep(ColRange("k", None, Some(9))), "numeric, not lexicographic")
+    // string domain compares lexicographically
+    assert(keep(ColRange("s", Some("a"), Some("b"))))
+    assert(!keep(ColRange("s", Some("e"), None)))
+    // a column with no recorded stats never prunes
+    assert(keep(ColRange("nostats", Some(999), Some(999))))
+    // a bound that does not parse in the stats domain keeps the file
+    assert(keep(ColRange("k", Some("not-a-number"), None)))
+    // multiple ranges AND together: any provably-disjoint one prunes
+    assert(!keep(ColRange("s", Some("a"), None), ColRange("k", Some(99), None)))
+    // all-null column recorded no entry == no stats == keep (same branch
+    // as `nostats`, asserted for the documented contract)
+    assert(TxTable.keepByStats(Map.empty, Seq(ColRange("k", Some(1), Some(2)))))
+  }
+
+  // ======================= z-ordered skipping =======================
+
+  test("ingestZOrdered + pruneBy: few files opened, pruned read == full scan") {
+    val table = tmp("graft-txstats") + "/ztbl"
+    // 16 buckets over a 64x64 key grid: a point/range predicate on either
+    // dimension must concentrate in a small file subset
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).cast("long").as("x"),
+      (col("id") / 64).cast("long").as("y"),
+      (col("id") * 3 % 997).cast("long").as("v"))
+    TxTable.ingestZOrdered(spark, df, table, "x", "y", buckets = 16)
+
+    val snap = TxTable.snapshot(table)
+    val total = snap.allFiles.size
+    assert(total >= 8, s"expected a multi-file table, got $total")
+    // every bucket carries stats for every eligible column
+    snap.allFiles.foreach { f =>
+      val st = snap.statsOf(f)
+      assert(Set("x", "y", "v").subsetOf(st.keySet), s"missing stats on $f: $st")
+    }
+
+    // point-ish range on x
+    val prune = Seq(ColRange("x", Some(3), Some(4)))
+    val selected = TxTable.selectFiles(snap, None, prune)
+    assert(selected.nonEmpty && selected.size * 2 <= total,
+      s"data skipping must open ≪ total files: ${selected.size} of $total")
+
+    // pruned read is a SUPERSET pre-filter; after the row filter it must
+    // equal the full-scan answer exactly
+    val rowFilter = col("x").between(3, 4)
+    val pruned = TxTable.read(spark, table, pruneBy = prune).get.filter(rowFilter)
+    val full = TxTable.read(spark, table).get.filter(rowFilter)
+    assert(pruned.count() === full.count())
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+
+    // range on y (the OTHER z dimension) also skips
+    val pruneY = TxTable.selectFiles(snap, None, Seq(ColRange("y", Some(0), Some(3))))
+    assert(pruneY.size * 2 <= total, s"y-dim skipping: ${pruneY.size} of $total")
+  }
+
+  // ======================= stats survival =======================
+
+  test("stats survive compact, vacuum, and time travel") {
+    val table = tmp("graft-txstats") + "/dtbl"
+    TxTable.upsertDelta(spark, txBatch(
+      ("srvA", "t1", "2024-06-01 10:00:00", 1.0),
+      ("srvA", "t2", "2024-06-01 10:00:01", 5.0)), table)
+    val vPre = TxTable.upsertDelta(spark, txBatch(
+      ("srvA", "t1", "2024-06-01 10:00:10", 2.0),
+      ("srvA", "t3", "2024-06-01 10:00:11", 9.0)), table)
+
+    // every delta dir carries stats on eligible columns
+    val preSnap = TxTable.snapshot(table)
+    preSnap.allFiles.foreach { f =>
+      val st = preSnap.statsOf(f)
+      assert(st.contains("tag") && st.contains("doubleValue"), s"$f missing stats: $st")
+    }
+
+    // compact folds deltas; the collapsed dir must carry RECOMPUTED stats
+    assert(TxTable.compact(spark, table) > 0)
+    val postSnap = TxTable.snapshot(table)
+    assert(postSnap.filesByPartition("srvA").size === 1)
+    val folded = postSnap.statsOf(postSnap.filesByPartition("srvA").head)
+    assert(folded("tag") === ColStats('S', "t1", "t3"))
+    // superseded doubleValue 1.0 dropped out: min is the LIVE minimum
+    assert(BigDecimal(folded("doubleValue").min) === BigDecimal(2.0))
+
+    // time travel to the pre-compaction version still sees per-delta stats
+    val travelSnap = TxTable.snapshotAt(table, vPre)
+    assert(travelSnap.allFiles.size === preSnap.allFiles.size)
+    travelSnap.allFiles.foreach(f => assert(travelSnap.statsOf(f).contains("tag")))
+    // and pruning works against the historical snapshot
+    assert(TxTable.readAt(spark, table, vPre,
+      pruneBy = Seq(ColRange("tag", Some("t3"), Some("t3")))).get
+      .filter(col("tag") === "t3").count() === 1)
+
+    // vacuum removes orphaned data but must not disturb live stats
+    TxTable.vacuum(table, minAgeMs = 0L)
+    val postVac = TxTable.snapshot(table)
+    assert(postVac.statsOf(postVac.filesByPartition("srvA").head)("tag") ===
+      ColStats('S', "t1", "t3"))
+  }
+
+  // ======================= readMerged contract =======================
+
+  test("readMerged: key-column pruning equals unpruned view; value-column pruning rejected") {
+    val table = tmp("graft-txstats") + "/mtbl"
+    // two deltas where t1's LATEST value (2.0) lives in a file whose
+    // doubleValue range excludes its stale value (7.0) — the resurrection
+    // scenario the contract exists to prevent
+    TxTable.upsertDelta(spark, txBatch(
+      ("srvA", "t1", "2024-06-01 10:00:00", 7.0),
+      ("srvA", "t2", "2024-06-01 10:00:00", 8.0)), table)
+    TxTable.upsertDelta(spark, txBatch(
+      ("srvA", "t1", "2024-06-01 10:00:10", 2.0)), table)
+
+    // key-column pruning: same rows as the unpruned merged view restricted
+    // to that key
+    val unpruned = TxTable.readMerged(spark, table).get
+      .filter(col("tag") === "t1")
+    val pruned = TxTable.readMerged(spark, table,
+      pruneBy = Seq(ColRange("tag", Some("t1"), Some("t1")))).get
+      .filter(col("tag") === "t1")
+    assert(pruned.exceptAll(unpruned).isEmpty && unpruned.exceptAll(pruned).isEmpty)
+    assert(pruned.select("doubleValue").as[Double].collect().toSeq === Seq(2.0))
+
+    // value-column pruning throws — a silent stale-row resurrection is not
+    // an acceptable failure mode
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.readMerged(spark, table,
+        pruneBy = Seq(ColRange("doubleValue", Some(6.0), Some(9.0))))
+    }
+    assert(ex.getMessage.contains("doubleValue"))
+    // ...and the raw delta-granular read still accepts it (documented escape
+    // hatch: no merge semantics to violate)
+    assert(TxTable.read(spark, table,
+      pruneBy = Seq(ColRange("doubleValue", Some(6.0), Some(9.0)))).get.count() === 2)
+  }
+}
