@@ -275,6 +275,109 @@ object Curation {
       .drop("__score", "__bp")
   }
 
+  /** [[budgetSelect]] for CONTINUOUS (or unbounded-domain) scores. The
+    * exact path's driver walk is O(#distinct long-cast scores) — fine for
+    * a bounded quality rubric, unbounded for a real-valued model score.
+    * This variant buckets the corpus into `buckets` equi-depth RANK
+    * buckets over (score DESC, id) via [[Histogram.ntileExact]] (exact
+    * ntile semantics, two-phase distributed ranking, no unpartitioned
+    * window), then walks the per-bucket token totals best-first exactly
+    * like the exact path walks scores: whole better buckets are kept,
+    * the threshold bucket hash-fills its remainder at an integer
+    * basis-point rate, worse buckets drop. The driver collect is
+    * [[bucketTokenTotals]] — provably O(buckets) rows whatever the score
+    * cardinality. Granularity coarsens from score-groups to rank-buckets
+    * (within the threshold bucket survival is hash-uniform, not
+    * best-score-first); with B buckets the kept set deviates from the
+    * exact answer by at most one bucket's token mass ≈ total/B.
+    *
+    * Because the ranking only uses the ORDER of scores, any monotone
+    * transform of the score column yields the identical selection — and
+    * cross-engine float noise in the score VALUES cannot move a row
+    * across buckets unless it reorders rows, which last-bit noise on a
+    * monotone score never does.
+    */
+  def budgetSelectBucketed(
+      df: DataFrame,
+      scoreCol: String,
+      tokensCol: String,
+      idCol: String,
+      budget: Long,
+      buckets: Int = 256): DataFrame =
+    budgetSelectBucketedWith(df, scoreCol, tokensCol, idCol, buckets, _ => budget)
+
+  /** [[budgetSelectBucketed]] with the budget as a FRACTION (num/den) of
+    * total tokens, derived from the bucket totals already collected.
+    */
+  def budgetSelectBucketedFraction(
+      df: DataFrame,
+      scoreCol: String,
+      tokensCol: String,
+      idCol: String,
+      num: Long,
+      den: Long,
+      buckets: Int = 256): DataFrame = {
+    require(num >= 0 && den > 0, "fraction must be non-negative with positive denominator")
+    budgetSelectBucketedWith(df, scoreCol, tokensCol, idCol, buckets,
+      total => (BigInt(total) * num / den).toLong)
+  }
+
+  /** The ONE driver-side collect of the bucketed path: per-bucket token
+    * totals, ≤ `buckets` rows by ntile's construction (spec-asserted on
+    * a high-cardinality continuous score). Sorted best-bucket (1) first.
+    */
+  private[graft] def bucketTokenTotals(
+      bucketed: DataFrame, tokensCol: String): Seq[(Long, Long)] =
+    bucketed
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col(tokensCol)), lit(0L)).cast("long").as("__btok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+
+  /** Best-first budget walk over bucket totals (same arithmetic as the
+    * exact path's score walk): full-keep 10000 bp while the budget holds,
+    * integer-basis-point remainder rate in the threshold bucket, 0 after.
+    * Pure and driver-side; package-visible so the spec can pin the walk
+    * against the exact path's rates directly.
+    */
+  private[graft] def fillRates(
+      totalsBestFirst: Seq[(Long, Long)], budget: Long): Seq[(Long, Long)] = {
+    require(budget >= 0, "budget must be non-negative")
+    var before = 0L
+    totalsBestFirst.map { case (bucket, btok) =>
+      val bp =
+        if (before >= budget) 0L
+        else if (before + btok <= budget) 10000L
+        else (BigInt(budget - before) * 10000 / BigInt(btok)).toLong
+      before += btok
+      (bucket, bp)
+    }
+  }
+
+  private def budgetSelectBucketedWith(
+      df: DataFrame,
+      scoreCol: String,
+      tokensCol: String,
+      idCol: String,
+      buckets: Int,
+      budgetOf: Long => Long): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val scored = df.filter(col(scoreCol).isNotNull)
+    // bucket 1 = best scores; id tiebreak makes the rank (hence the
+    // bucketization) total and deterministic
+    val bucketed = Histogram.ntileExact(
+      scored, Seq(col(scoreCol).desc, col(idCol)), buckets)
+    val totals = bucketTokenTotals(bucketed, tokensCol)
+    val rates = fillRates(totals, budgetOf(totals.map(_._2).sum))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = broadcast(rates.toDF("__bucket", "__bp"))
+    bucketed.join(ratesDf, col("bucket") === col("__bucket"))
+      .filter(Dedup.hash60(col(idCol).cast("string")) % 10000 < col("__bp"))
+      .drop("bucket", "__bucket", "__bp")
+  }
+
   /** Bloom-prefiltered decontamination — EXACTLY the
     * [[contaminatedDocs]] result (the Bloom admits only false
     * POSITIVES, which the exact shingle equi-join then rejects), but

@@ -124,7 +124,7 @@ object SimilaritySearch {
     * NaN-greatest ordering would rank poisoned vectors ABOVE every real
     * match; finite scores order identically in both formulations.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(graft.functions.TopKNeighbors(k))
     scored.filter(col("cosine").isNotNull && !isnan(col("cosine")))
       .groupBy("query_id")
@@ -490,7 +490,7 @@ object SimilaritySearch {
     * code indexing — the ADC shape that makes PQ cheaper than exact dot
     * products over the probed lists.
     */
-  private def pqLut(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column = {
+  private[graft] def pqLut(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column = {
     val m = codebooks.size
     val ksub = codebooks.head.size
     val dsub = codebooks.head.head.size
@@ -653,6 +653,112 @@ object SimilaritySearch {
     val coded = spark.read.parquet(s"$path/codes")
       .withColumn("__cell", col("__cell").cast("int"))
     (cents, books, coded)
+  }
+
+  // --------------------------------------- incremental index maintenance
+
+  private def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Seq[Float]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq
+
+  /** Append a batch to a SAVED IVF index without retraining — the
+    * [[graft.streaming.TxTable.upsertDelta]] LSM stance applied to ANN:
+    * index build (k-means) is the expensive offline phase, so new
+    * vectors are assigned against the EXISTING quantizer and appended as
+    * new files inside their cell directories. O(batch) work per append,
+    * the saved quantizer untouched; probes see appended vectors
+    * immediately (the lists read globs every file of each probed cell
+    * directory). Because cells derive only from the saved centroids, a
+    * probe after N appends returns byte-identical results to a single
+    * bulk assignment of the same corpus against the same centroids
+    * (SimilaritySearchSpec pins this). The cost of never retraining is
+    * drift: appended data from a shifted distribution piles into few
+    * cells — watch [[cellImbalance]] and retrain when it trips.
+    */
+  def ivfAppendIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val cents = loadCentroids(spark, path)
+    batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"),
+        assignCell(col(vecCol), cents).as("__cell"))
+      .write.mode("append").partitionBy("__cell").parquet(s"$path/lists")
+  }
+
+  /** [[ivfAppendIndex]] for a saved IVF-PQ index: encode the batch with
+    * the SAVED codebooks (PQ codebooks model the marginal subvector
+    * distribution — they transfer to new data from the same process) and
+    * append into the cell-partitioned codes table.
+    */
+  def ivfPqAppendIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val (cents, books, _) = ivfPqLoadIndex(spark, path)
+    batch.select(col(idCol).as("neighbor_id"),
+        assignCell(col(vecCol), cents).as("__cell"),
+        pqEncode(col(vecCol), books).as("__codes"))
+      .write.mode("append").partitionBy("__cell").parquet(s"$path/codes")
+  }
+
+  /** The re-train signal for an append-maintained index: max/mean rows
+    * over NON-EMPTY cells. 1.0 = perfectly balanced; a drifted append
+    * stream piles into few cells and pushes this up, which degrades the
+    * probe (nProbe cells now hold a skewed share of the corpus — recall
+    * drops for queries outside the pile, probe cost explodes inside it).
+    * One tiny aggregation (O(cells) rows), cheap enough to check on
+    * every maintenance tick. Empty table → 1.0.
+    */
+  def cellImbalance(lists: DataFrame): Double = {
+    val r = lists.groupBy(col("__cell")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).cast("double"), avg(col("__n")))
+      .head()
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Should an append-maintained index be rebuilt? True once
+    * [[cellImbalance]] exceeds `factor` (default 4: the hottest cell
+    * holds 4× its fair share). The caller rebuilds with
+    * [[ivfBuildIndex]]/[[ivfPqBuildIndex]] and saves over the old path.
+    */
+  def needsRetrain(lists: DataFrame, factor: Double = 4.0): Boolean =
+    cellImbalance(lists) > factor
+
+  /** OPTIMIZE for an append-maintained index: fold each cell directory's
+    * accumulated small append files into one file per cell (content
+    * identical, file count collapsed — probe read cost returns to
+    * O(probed cells), not O(appends)). Offline maintenance: the swap is
+    * two directory renames, not atomic against concurrent probes —
+    * run it like any parquet compaction, between query waves.
+    * `sub` = "lists" (IVF) or "codes" (IVF-PQ).
+    */
+  def compactIndexLists(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      sub: String = "lists"): Unit = {
+    import java.nio.file.{Files, Paths}
+    val src = s"$path/$sub"
+    val tag = java.util.UUID.randomUUID().toString
+    val staged = s"$path/.$sub-compact-$tag"
+    // hash-repartition on the cell: every cell's rows land in exactly one
+    // task, so the partitionBy write emits exactly one file per cell
+    spark.read.parquet(src)
+      .repartition(col("__cell"))
+      .write.mode("overwrite").partitionBy("__cell").parquet(staged)
+    val old = Paths.get(s"$path/.$sub-old-$tag")
+    Files.move(Paths.get(src), old)
+    Files.move(Paths.get(staged), Paths.get(src))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    rm(old.toFile)
   }
 
   /** LSH-accelerated top-k: bucket corpus and queries with `nTables`

@@ -878,6 +878,45 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    Q("q174_budget_select_bucketed",
+      // q171's budget fill for CONTINUOUS scores (ln(1+n_chars): real-
+      // valued, unbounded domain — the exact path's per-score walk would
+      // be O(#distinct values)): equi-depth RANK buckets via exact ntile
+      // over (score DESC, doc_id), whole better buckets kept, the
+      // threshold bucket hash-filled at an integer-basis-point rate. The
+      // driver collect is the 32 bucket totals, O(B) whatever the score
+      // cardinality. The oracle replays ntile + walk + gate verbatim;
+      // ranking by a MONOTONE score is order-identical across engines
+      // even when the float values differ in the last bit.
+      s"""WITH s AS (
+        |  SELECT doc_id, n_chars, ln(1 + n_chars) AS score FROM documents),
+        |tot AS (SELECT sum(n_chars) * 2 // 5 AS budget FROM s),
+        |r AS (
+        |  SELECT doc_id, n_chars, score,
+        |    CAST(ntile(32) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bucket
+        |  FROM s),
+        |b AS (SELECT bucket, sum(n_chars) AS btok FROM r GROUP BY bucket),
+        |c AS (SELECT bucket, btok,
+        |    coalesce(sum(btok) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM b),
+        |rt AS (SELECT bucket,
+        |    CASE WHEN bef >= budget THEN 0
+        |         WHEN bef + btok <= budget THEN 10000
+        |         ELSE (budget - bef) * 10000 // btok END AS bp
+        |  FROM c, tot)
+        |SELECT r.doc_id, r.n_chars, round(r.score, 6) AS score
+        |FROM r JOIN rt USING (bucket)
+        |WHERE ${sqlHash60("r.doc_id::VARCHAR")} % 10000 < rt.bp
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .withColumn("score", log(lit(1) + col("n_chars")))
+      Curation.budgetSelectBucketedFraction(
+          docs, "score", "n_chars", "doc_id", 2L, 5L, buckets = 32)
+        .select(col("doc_id"), col("n_chars"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    },
+
     Q("q169_corpus_card",
       // the corpus DATASHEET — the first question asked of a new corpus:
       // per source, volume, exact-duplicate pressure (copies beyond the

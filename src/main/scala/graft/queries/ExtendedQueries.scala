@@ -392,6 +392,36 @@ object ExtendedQueries {
         .orderBy("query_id", "rank")
     },
 
+    Q.noOracle("q175_ivf_incremental") { (s, d) =>
+      // INCREMENTAL index maintenance end to end: build IVF on 60% of the
+      // embeddings, save, append the remaining 40% in two batches against
+      // the saved quantizer (the TxTable.upsertDelta LSM stance — O(batch)
+      // appends, no retrain), OPTIMIZE folds each cell's append files,
+      // then probe. Approximate (no SQL oracle); SimilaritySearchSpec
+      // pins append==bulk-assignment equality and the recall floor, and
+      // cellImbalance is the documented re-train signal.
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-q175").toString + "/idx"
+      val seed = emb.filter(col("vec_id") % 5 < 3)
+      val (cents, assigned) = SimilaritySearch.ivfBuildIndex(
+        seed, "vec_id", "embedding", nCells = 16, iters = 3)
+      SimilaritySearch.ivfSaveIndex(path, cents, assigned)
+      SimilaritySearch.ivfAppendIndex(
+        s, path, emb.filter(col("vec_id") % 5 === 3), "vec_id", "embedding")
+      SimilaritySearch.ivfAppendIndex(
+        s, path, emb.filter(col("vec_id") % 5 === 4), "vec_id", "embedding")
+      SimilaritySearch.compactIndexLists(s, path, "lists")
+      val (lc, lists) = SimilaritySearch.ivfLoadIndex(s, path)
+      SimilaritySearch.ivfQueryIndex(
+          lc, lists, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, nProbe = 6)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     Q("q170_hard_negatives",
       // hard-negative mining for contrastive training: per query the
       // rank-(6..15] cosine band — informative negatives below the

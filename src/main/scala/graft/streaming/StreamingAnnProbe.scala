@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.cosineSim
+import graft.operators.SimilaritySearch
+
+/** STREAMING ANN probe against a batch-built IVF / IVF-PQ index — the
+  * vector twin of [[StreamingIndexProbe]]: every micro-batch query vector
+  * is expanded to its `nProbe` nearest cells (a narrow per-row projection
+  * against the centroid literals, no state) and probes the static
+  * inverted lists by a plain stream-static equi-join on `__cell`;
+  * candidates score by exact cosine (IVF) or ADC lookup (IVF-PQ). No
+  * watermark, no state — append mode at any rate, identical replay on
+  * restart.
+  *
+  * Semantics: emits SCORED CANDIDATES (query_id, neighbor_id, cosine) —
+  * not a ranked top-k. Finalizing "the k best per query" is an
+  * aggregation append-mode streams cannot close without state; but a
+  * query row's candidates all materialize inside its OWN micro-batch
+  * (the cell explode and the static join are stateless), so the exact
+  * per-query top-k is one [[SimilaritySearch.rankTopK]] over each batch
+  * in a `foreachBatch` sink — StreamingSpec pins that composition equal
+  * to the batch [[SimilaritySearch.ivfQueryIndex]] on the same index.
+  * This mirrors the per-band at-least-once stance of
+  * [[StreamingIndexProbe]]: the stream's job is candidate generation;
+  * ranking/merging belongs to the (idempotent) sink.
+  *
+  * The static lists are PERSISTED here (a stream-static join re-evaluates
+  * the static subplan every trigger); the returned [[StreamingIndexProbe
+  * .Probe]]-style handle owns that storage — stop the query, `close()`
+  * the probe. An index refreshed by [[SimilaritySearch.ivfAppendIndex]]
+  * needs a NEW probe over a fresh read to see the appended files (the
+  * cached relation pins the file listing of its load time — same contract
+  * as any cached static table under a streaming join).
+  */
+object StreamingAnnProbe {
+
+  /** Output stream + owned cached relations; `close()` after the query
+    * stops (same lifecycle contract as [[StreamingIndexProbe.Probe]]).
+    */
+  final class Probe private[streaming] (
+      val output: DataFrame,
+      cached: Seq[DataFrame]) extends AutoCloseable {
+    override def close(): Unit = cached.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Probe a static IVF index (`centroids` + `lists` from
+    * [[SimilaritySearch.ivfBuildIndex]]/`ivfLoadIndex`) with a STREAM of
+    * query vectors. Exact cosine per candidate; self-excluding.
+    */
+  def ivfProbe(
+      queries: DataFrame,
+      centroids: Seq[Seq[Float]],
+      lists: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int = 4): Probe = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val idx = lists.persist()
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+      explode(SimilaritySearch.probeCells(col(vecCol), centroids, nProbe)).as("__cell"))
+    val out = q.join(idx, "__cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("__qvec"), col("__cvec")).as("cosine"))
+    new Probe(out, Seq(idx))
+  }
+
+  /** Probe a static IVF-PQ index (`centroids` + `codebooks` + `coded`
+    * from [[SimilaritySearch.ivfPqBuildIndex]]/`ivfPqLoadIndex`) with a
+    * stream of query vectors. Scores are ADC approximations (the same
+    * O(m)-per-candidate LUT aggregation as the batch path's approx
+    * stage); the exact re-rank of a k·refine shortlist — a second
+    * aggregation — again composes in `foreachBatch`, where the batch is
+    * a plain DataFrame that can join the true vectors.
+    */
+  def ivfPqProbe(
+      queries: DataFrame,
+      centroids: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      coded: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int = 4): Probe = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val m = codebooks.size
+    val ksub = codebooks.head.size
+    val idx = coded.persist()
+    val q = queries.select(col(idCol).as("query_id"),
+      SimilaritySearch.pqLut(col(vecCol), codebooks).as("__lut"),
+      explode(SimilaritySearch.probeCells(col(vecCol), centroids, nProbe)).as("__cell"))
+    val adc: Column = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (a, mi) =>
+      a + element_at(col("__lut"),
+        (mi * ksub + element_at(col("__codes"), mi + 1).cast("int") + 1).cast("int")))
+    val out = q.join(idx, "__cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("cosine"))
+    new Probe(out, Seq(idx))
+  }
+}

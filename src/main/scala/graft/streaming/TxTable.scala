@@ -907,8 +907,21 @@ object TxTable {
     dataGone ++ logGone
   }
 
+  /** Stats columns a STREAMING sink records per commit: the merge keys
+    * (and partition column) only. Full AutoStats on the hot per-trigger
+    * path costs ~1.3× per commit (measured: the `Dataset.observe` min/max
+    * aggregation rides every micro-batch write), and on a merge-on-read
+    * table value-column stats are UNPRUNABLE by construction —
+    * [[readMerged]] rejects non-key `pruneBy`. Key stats keep partition/
+    * key skipping; [[compact]] (off the hot path) recomputes FULL stats
+    * on each folded directory, so the steady-state table regains
+    * value-column skipping for raw [[read]]s at zero per-trigger cost.
+    */
+  val StreamingSinkStats: Seq[String] = Seq("serverName", "tag")
+
   /** Streaming sink over the transactional merge — the multi-writer-safe
-    * twin of [[StreamingPipeline.currentValueSink]].
+    * twin of [[StreamingPipeline.currentValueSink]]. Per-trigger stats
+    * are key-only ([[StreamingSinkStats]]).
     */
   def currentValueSinkTx(
       normalized: DataFrame,
@@ -920,7 +933,8 @@ object TxTable {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeLatest(batch.sparkSession, batch, tablePath)
+        mergeLatest(batch.sparkSession, batch, tablePath,
+          statsCols = StreamingSinkStats)
         ()
       }
 
@@ -947,7 +961,11 @@ object TxTable {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        upsertDelta(batch.sparkSession, batch, tablePath)
+        // hot path: key-only stats (value-column stats are unprunable
+        // under merge-on-read); the periodic compact below recomputes
+        // FULL stats on the folded directories
+        upsertDelta(batch.sparkSession, batch, tablePath,
+          statsCols = StreamingSinkStats)
         if ((batchId + 1) % compactEvery == 0) {
           compact(batch.sparkSession, tablePath)
           ()

@@ -113,6 +113,62 @@ class CurationSpec extends SparkSpec {
     assert(keptT == Set(1L, 2L, 3L), s"null-token bucket is free to keep: $keptT")
   }
 
+  test("budgetSelectBucketed: equals exact path on bucket-aligned scores; O(B) collect") {
+    // 100 rows, 10 integer scores x 10 rows each, uniform tokens: with
+    // buckets == #score-groups the ntile(score DESC, id) bucketization
+    // coincides with score groups, so the bucketed walk + threshold hash
+    // gate must reproduce the exact path's kept set row for row
+    val docs = (1L to 100L).map(i => (i, ((i - 1) / 10).toDouble, 10L))
+      .toDF("doc_id", "score", "toks")
+    for (budget <- Seq(0L, 250L, 305L, 1000L)) {
+      val exact = Curation.budgetSelect(docs, "score", "toks", "doc_id", budget)
+        .select("doc_id").as[Long].collect().toSet
+      val bucketed = Curation.budgetSelectBucketed(
+          docs, "score", "toks", "doc_id", budget, buckets = 10)
+        .select("doc_id").as[Long].collect().toSet
+      assert(bucketed === exact, s"budget=$budget")
+    }
+    // fraction variant parity with the budget variant
+    val viaFraction = Curation.budgetSelectBucketedFraction(
+        docs, "score", "toks", "doc_id", 1L, 4L, buckets = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val viaBudget = Curation.budgetSelectBucketed(
+        docs, "score", "toks", "doc_id", 250L, buckets = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaFraction === viaBudget)
+
+    // CONTINUOUS scores: 5000 distinct real values, B=16 — the driver
+    // collect is the bucket-totals aggregation and must stay O(B), which
+    // is the whole point of this variant (the exact path would walk 5000)
+    val continuous = (1L to 5000L)
+      .map(i => (i, math.log1p(i.toDouble) * 0.7071, 3L))
+      .toDF("doc_id", "score", "toks")
+    val bucketedDf = graft.operators.Histogram.ntileExact(
+      continuous, Seq(col("score").desc, col("doc_id")), 16)
+    val totals = Curation.bucketTokenTotals(bucketedDf, "toks")
+    assert(totals.size <= 16, s"collect must be O(buckets): ${totals.size}")
+    assert(totals.map(_._2).sum === 15000L)
+    // selection behaves: keeps ~budget tokens, preferring high buckets
+    val kept = Curation.budgetSelectBucketed(
+      continuous, "score", "toks", "doc_id", 6000L, buckets = 16)
+    val keptTok = kept.agg(sum("toks")).as[Long].head()
+    assert(keptTok >= 4500L && keptTok <= 7500L,
+      s"kept tokens should approximate the budget: $keptTok")
+    // best-bucket rows (highest scores = highest ids here) survive fully:
+    // 6000/15000 budget => the top ~1875 ranks are whole-kept
+    assert(kept.filter($"doc_id" > 4000L).count() === 1000L,
+      "whole better buckets must be kept, not sampled")
+
+    // fillRates walk arithmetic pinned directly (pure function)
+    assert(Curation.fillRates(Seq((1L, 100L), (2L, 100L), (3L, 100L)), 150L)
+      === Seq((1L, 10000L), (2L, 5000L), (3L, 0L)))
+    assert(Curation.fillRates(Seq((1L, 100L)), 0L) === Seq((1L, 0L)))
+    assert(Curation.fillRates(Nil, 10L) === Nil)
+    // zero-mass bucket while budget remains: free to keep (bp 10000)
+    assert(Curation.fillRates(Seq((1L, 100L), (2L, 0L), (3L, 50L)), 120L)
+      === Seq((1L, 10000L), (2L, 10000L), (3L, 4000L)))
+  }
+
   test("curation operators are empty-input safe") {
     val empty = Seq.empty[(Long, String)].toDF("id", "grp")
     assert(Curation.quotaPerGroup(empty, "grp", "id", 5).count() == 0)

@@ -168,6 +168,107 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(pf.isDefined, s"probe must prune list partitions statically:\n$probePlan")
   }
 
+  test("incremental IVF appends: probe equals bulk assignment; imbalance signals; compact folds") {
+    // initial build on the first 120 vectors, then two appended batches
+    val seed = corpus.filter(col("vec_id") < 120)
+    val b1 = corpus.filter(col("vec_id") >= 120 && col("vec_id") < 160)
+    val b2 = corpus.filter(col("vec_id") >= 160)
+    val (cents, assigned) = SimilaritySearch.ivfBuildIndex(
+      seed, "vec_id", "embedding", nCells = 6, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString + "/idx"
+    SimilaritySearch.ivfSaveIndex(path, cents, assigned)
+    SimilaritySearch.ivfAppendIndex(spark, path, b1, "vec_id", "embedding")
+    SimilaritySearch.ivfAppendIndex(spark, path, b2, "vec_id", "embedding")
+
+    val (loadedCents, lists) = SimilaritySearch.ivfLoadIndex(spark, path)
+    assert(loadedCents == cents)
+    assert(lists.count() === 200L, "appends must be visible to the lists read")
+
+    // probe-after-appends == one bulk assignment of the full corpus
+    // against the SAME saved quantizer (cells derive only from centroids,
+    // so the candidate sets — hence the ranked answers — are identical)
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val viaAppends = SimilaritySearch.ivfQueryIndex(
+        loadedCents, lists, queries, "vec_id", "embedding", 5, nProbe = 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val bulkAssigned = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("__cvec"),
+      SimilaritySearch.assignCell(col("embedding"), cents).as("__cell"))
+    val viaBulk = SimilaritySearch.ivfQueryIndex(
+        cents, bulkAssigned, queries, "vec_id", "embedding", 5, nProbe = 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaAppends === viaBulk,
+      "append-maintained index must answer exactly like bulk assignment")
+
+    // ...and the appended index still meets the recall floor vs brute force
+    val exact = SimilaritySearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = viaAppends.map(r => (r._1, r._3))
+    val recall = got.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"recall after appends: $recall")
+
+    // imbalance: near-balanced now; piling a skewed batch into one
+    // direction trips the re-train signal
+    val balanced = SimilaritySearch.cellImbalance(lists)
+    val skewBatch = (1000 until 1600).map(i => (i.toLong, vec(3)))
+      .toDF("vec_id", "embedding") // 600 copies of one direction
+    SimilaritySearch.ivfAppendIndex(spark, path, skewBatch, "vec_id", "embedding")
+    val (_, lists2) = SimilaritySearch.ivfLoadIndex(spark, path)
+    val skewed = SimilaritySearch.cellImbalance(lists2)
+    assert(skewed > balanced, s"imbalance must grow under drift: $balanced -> $skewed")
+    assert(SimilaritySearch.needsRetrain(lists2, factor = math.max(2.0, balanced * 1.5)),
+      s"signal must trip after the pile-up (imbalance $skewed)")
+
+    // OPTIMIZE: file count per cell collapses to 1; content identical
+    def dataFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+    }
+    val before = dataFiles(s"$path/lists").size
+    val contentBefore = spark.read.parquet(s"$path/lists")
+      .select(col("neighbor_id"), col("__cell").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    SimilaritySearch.compactIndexLists(spark, path, "lists")
+    val after = dataFiles(s"$path/lists").size
+    assert(after < before, s"compaction must fold files: $before -> $after")
+    val contentAfter = spark.read.parquet(s"$path/lists")
+      .select(col("neighbor_id"), col("__cell").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(contentAfter === contentBefore, "compaction must not change content")
+  }
+
+  test("incremental IVF-PQ appends: probe equals bulk encode against saved codebooks") {
+    val seed = corpus.filter(col("vec_id") < 150)
+    val rest = corpus.filter(col("vec_id") >= 150)
+    val (cents, books, coded) = SimilaritySearch.ivfPqBuildIndex(
+      seed, "vec_id", "embedding", nCells = 6, m = 4, ksub = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-inc").toString + "/idx"
+    SimilaritySearch.ivfPqSaveIndex(path, cents, books, coded)
+    SimilaritySearch.ivfPqAppendIndex(spark, path, rest, "vec_id", "embedding")
+
+    val (lc, lb, lcoded) = SimilaritySearch.ivfPqLoadIndex(spark, path)
+    assert(lc == cents && lb == books)
+    assert(lcoded.count() === 200L)
+
+    val queries = corpus.filter(col("vec_id") % 25 === 0)
+    val viaAppend = SimilaritySearch.ivfPqQueryIndex(
+        lc, lb, lcoded, corpus, queries, "vec_id", "embedding", 5, nProbe = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val bulkCoded = corpus.select(col("vec_id").as("neighbor_id"),
+      SimilaritySearch.assignCell(col("embedding"), cents).as("__cell"),
+      SimilaritySearch.pqEncode(col("embedding"), books).as("__codes"))
+    val viaBulk = SimilaritySearch.ivfPqQueryIndex(
+        cents, books, bulkCoded, corpus, queries, "vec_id", "embedding", 5, nProbe = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaAppend === viaBulk)
+  }
+
   test("hardNegatives: the rank band below kSkip; kSkip=0 equals exact top-k") {
     val queries = corpus.filter(col("vec_id") === 0L)
     val exact = SimilaritySearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", 15)

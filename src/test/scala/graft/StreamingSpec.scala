@@ -1161,6 +1161,97 @@ class StreamingSpec extends SparkSpec {
     probe.close()
   }
 
+  test("streaming ANN probe: per-batch ranked IVF results equal the batch probe; PQ twin") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SimilaritySearch
+    import graft.streaming.StreamingAnnProbe
+    implicit val sc = spark.sqlContext
+    def vec(i: Int): Array[Float] = {
+      val base = Array.tabulate(16)(j => math.sin(i % 10 + j * 0.7).toFloat)
+      val noise = Array.tabulate(16)(j => (((i * 31 + j * 13) % 7) - 3) * 0.02f)
+      base.zip(noise).map { case (a, b) => a + b }
+    }
+    val corpus = (0 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val (cents, assigned) = SimilaritySearch.ivfBuildIndex(
+      corpus, "vec_id", "embedding", nCells = 6, iters = 2)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val probe = StreamingAnnProbe.ivfProbe(
+      mem.toDF().toDF("vec_id", "embedding"), cents, assigned,
+      "vec_id", "embedding", nProbe = 3)
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val ckpt = tmp("graft-annprobe-ckpt")
+    def run(): Unit = {
+      // a query's candidates are complete within its micro-batch, so
+      // per-batch rankTopK IS the exact per-query top-k
+      val q = probe.output.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            SimilaritySearch.rankTopK(b, 5).collect().foreach(r =>
+              got += ((r.getLong(0), r.getLong(1), r.getLong(2))))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    val queryIds = Seq(0L, 40L, 80L)
+    mem.addData(queryIds.take(2).map(i => (i, vec(i.toInt))))
+    run()
+    mem.addData(queryIds.drop(2).map(i => (i, vec(i.toInt)))) // across triggers
+    run()
+
+    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
+    val batch = SimilaritySearch.ivfQueryIndex(
+        cents, assigned, queries, "vec_id", "embedding", 5, nProbe = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.toSet == batch, s"stream ${got.toSet} != batch $batch")
+    probe.close()
+
+    // IVF-PQ twin: streamed ADC candidates + the batch path's shortlist/
+    // re-rank fold reproduce ivfPqQueryIndex exactly on the same index
+    val (pc, pb, coded) = SimilaritySearch.ivfPqBuildIndex(
+      corpus, "vec_id", "embedding", nCells = 6, m = 4, ksub = 8, iters = 2)
+    val memPq = MemoryStream[(Long, Array[Float])]
+    val pqProbe = StreamingAnnProbe.ivfPqProbe(
+      memPq.toDF().toDF("vec_id", "embedding"), pc, pb, coded,
+      "vec_id", "embedding", nProbe = 3)
+    val cand = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q2 = pqProbe.output.writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        cand.synchronized {
+          b.collect().foreach(r =>
+            cand += ((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        }
+        ()
+      }
+      .option("checkpointLocation", tmp("graft-annpq-ckpt")).start()
+    memPq.addData(queryIds.map(i => (i, vec(i.toInt))))
+    q2.awaitTermination()
+    val candDf = cand.toSeq.toDF("query_id", "neighbor_id", "cosine")
+    val shortlist = SimilaritySearch.rankTopK(candDf, 5 * 4)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cvec"))
+    val qv = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qvec"))
+    val streamRanked = SimilaritySearch.rankTopK(
+        cv.join(shortlist, "neighbor_id").join(qv, "query_id")
+          .select(col("query_id"), col("neighbor_id"),
+            graft.functions.GraftFunctions.cosineSim(col("__qvec"), col("__cvec"))
+              .as("cosine")),
+        5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val pqBatch = SimilaritySearch.ivfPqQueryIndex(
+        pc, pb, coded, corpus, qv.select(col("query_id").as("vec_id"),
+          col("__qvec").as("embedding")), "vec_id", "embedding", 5, nProbe = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(streamRanked == pqBatch, s"PQ stream $streamRanked != batch $pqBatch")
+    pqProbe.close()
+  }
+
   test("TxTable LSM streaming sink: delta commits per batch, periodic fold, restart-safe") {
     import graft.streaming.TxTable
     implicit val sc = spark.sqlContext

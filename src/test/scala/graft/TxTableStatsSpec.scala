@@ -164,6 +164,29 @@ class TxTableStatsSpec extends SparkSpec {
       ColStats('S', "t1", "t3"))
   }
 
+  test("streaming-sink stats policy: key-only on the hot path, full after compact") {
+    val table = tmp("graft-txstats") + "/stbl"
+    // the sink's parameterization: per-trigger deltas carry key stats only
+    TxTable.upsertDelta(spark, txBatch(
+      ("srvA", "t1", "2024-06-01 10:00:00", 1.0)), table,
+      statsCols = TxTable.StreamingSinkStats)
+    TxTable.upsertDelta(spark, txBatch(
+      ("srvA", "t2", "2024-06-01 10:00:01", 5.0)), table,
+      statsCols = TxTable.StreamingSinkStats)
+    val hot = TxTable.snapshot(table)
+    hot.allFiles.foreach { f =>
+      val st = hot.statsOf(f)
+      assert(st.keySet === Set("serverName", "tag"),
+        s"hot-path deltas must carry key stats only: $st")
+    }
+    // the periodic fold (AutoStats default) restores full-column stats
+    assert(TxTable.compact(spark, table) > 0)
+    val folded = TxTable.snapshot(table)
+    val st = folded.statsOf(folded.filesByPartition("srvA").head)
+    assert(st.contains("doubleValue") && st.contains("serverTimestamp"),
+      s"compaction must recompute full stats: $st")
+  }
+
   // ======================= readMerged contract =======================
 
   test("readMerged: key-column pruning equals unpruned view; value-column pruning rejected") {
