@@ -161,7 +161,7 @@ object PipelineQueries {
       // full scan of the source parquet — which is exactly this oracle.
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
-        |WHERE o_custkey BETWEEN 313 AND 421
+        |WHERE o_custkey BETWEEN 31 AND 142
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       import graft.streaming.TxTable
       val table = java.nio.file.Files
@@ -169,8 +169,8 @@ object PipelineQueries {
       TxTable.ingestZOrdered(s, t(s, d, "orders"), table,
         "o_custkey", "o_orderkey", buckets = 16)
       TxTable.read(s, table,
-          pruneBy = Seq(TxTable.ColRange("o_custkey", Some(313L), Some(421L)))).get
-        .filter(col("o_custkey").between(313L, 421L))
+          pruneBy = Seq(TxTable.ColRange("o_custkey", Some(31L), Some(142L)))).get
+        .filter(col("o_custkey").between(31L, 142L))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy("o_orderkey")
     },

@@ -236,6 +236,29 @@ class PlanAuditSpec extends SparkSpec {
       s"winner selection must partial-aggregate:\n$p")
   }
 
+  test("q173: the TxTable pruned read pushes the row filter to the pruned scan") {
+    // file-level skipping is metadata-side (TxTableStatsSpec pins
+    // files-opened << total); here: the residual ROW filter must still
+    // reach the parquet scan of the surviving files — pruning is a
+    // superset pre-filter, not a substitute for pushdown
+    val p = plan("q173_txtable_pruned_read")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(o_custkey,31)"),
+      s"row filter must reach the pruned scan:\n$p")
+    assert(p.contains("LessThanOrEqual(o_custkey,142)"),
+      s"both bounds must push:\n$p")
+  }
+
+  test("q174: bucketed budget select plans no window anywhere") {
+    // the entire point of ntileExact: ntile(B) OVER (ORDER BY ...) would
+    // serialize the corpus through one unpartitioned window task; the
+    // two-phase ranking keeps every stage parallel, and the rate gate is
+    // a broadcast join of the <=B bucket rates
+    val p = plan("q174_budget_select_bucketed")
+    assert(!p.contains("Window"), s"no unpartitioned window in the rank path:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-rate gate must broadcast:\n$p")
+  }
+
   test("q105: bigram LM scoring is model-join only — no pairwise blowup") {
     val p = plan("q105_bigram_lm_score")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
