@@ -382,9 +382,7 @@ object SimilaritySearch {
     */
   def ivfLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : (Seq[Seq[Float]], DataFrame) = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq
+    val cents = loadCentroids(spark, path)
     val lists = spark.read.parquet(s"$path/lists")
       // partition-col inference reads __cell back as int — keep it int
       .withColumn("__cell", col("__cell").cast("int"))
@@ -641,9 +639,7 @@ object SimilaritySearch {
     */
   def ivfPqLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : (Seq[Seq[Float]], Seq[Seq[Seq[Float]]], DataFrame) = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq
+    val cents = loadCentroids(spark, path)
     val bookRows = spark.read.parquet(s"$path/codebooks")
       .orderBy("sub", "code").collect()
     val books = bookRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
@@ -743,20 +739,33 @@ object SimilaritySearch {
       path: String,
       sub: String = "lists"): Unit = {
     import java.nio.file.{Files, Paths}
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
     val src = s"$path/$sub"
     val tag = java.util.UUID.randomUUID().toString
     val staged = s"$path/.$sub-compact-$tag"
     // hash-repartition on the cell: every cell's rows land in exactly one
     // task, so the partitionBy write emits exactly one file per cell
-    spark.read.parquet(src)
-      .repartition(col("__cell"))
-      .write.mode("overwrite").partitionBy("__cell").parquet(staged)
+    try {
+      spark.read.parquet(src)
+        .repartition(col("__cell"))
+        .write.mode("overwrite").partitionBy("__cell").parquet(staged)
+    } catch {
+      case t: Throwable =>
+        rm(new java.io.File(staged)) // a failed stage must not litter the index
+        throw t
+    }
     val old = Paths.get(s"$path/.$sub-old-$tag")
     Files.move(Paths.get(src), old)
-    Files.move(Paths.get(staged), Paths.get(src))
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(); ()
+    try Files.move(Paths.get(staged), Paths.get(src))
+    catch {
+      case t: Throwable =>
+        // roll the live directory back so probes keep working; the staged
+        // dir is left for inspection (it is the only copy of the rewrite)
+        Files.move(old, Paths.get(src))
+        throw t
     }
     rm(old.toFile)
   }

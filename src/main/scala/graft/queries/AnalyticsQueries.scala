@@ -887,7 +887,10 @@ object AnalyticsQueries {
       // driver collect is the 32 bucket totals, O(B) whatever the score
       // cardinality. The oracle replays ntile + walk + gate verbatim;
       // ranking by a MONOTONE score is order-identical across engines
-      // even when the float values differ in the last bit.
+      // even when the float values differ in the last bit. The raw ln
+      // value itself is NOT output: a 1-ulp libm difference landing on a
+      // rounding boundary would hash-mismatch — the selection (which the
+      // monotonicity argument covers) is the thing under test.
       s"""WITH s AS (
         |  SELECT doc_id, n_chars, ln(1 + n_chars) AS score FROM documents),
         |tot AS (SELECT sum(n_chars) * 2 // 5 AS budget FROM s),
@@ -905,7 +908,7 @@ object AnalyticsQueries {
         |         WHEN bef + btok <= budget THEN 10000
         |         ELSE (budget - bef) * 10000 // btok END AS bp
         |  FROM c, tot)
-        |SELECT r.doc_id, r.n_chars, round(r.score, 6) AS score
+        |SELECT r.doc_id, r.n_chars
         |FROM r JOIN rt USING (bucket)
         |WHERE ${sqlHash60("r.doc_id::VARCHAR")} % 10000 < rt.bp
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -913,7 +916,7 @@ object AnalyticsQueries {
         .withColumn("score", log(lit(1) + col("n_chars")))
       Curation.budgetSelectBucketedFraction(
           docs, "score", "n_chars", "doc_id", 2L, 5L, buckets = 32)
-        .select(col("doc_id"), col("n_chars"), round(col("score"), 6).as("score"))
+        .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     },
 

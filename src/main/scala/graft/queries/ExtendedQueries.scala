@@ -402,8 +402,7 @@ object ExtendedQueries {
       // cellImbalance is the documented re-train signal.
       GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-q175").toString + "/idx"
+      val path = Q.scratchDir("graft-q175") + "/idx"
       val seed = emb.filter(col("vec_id") % 5 < 3)
       val (cents, assigned) = SimilaritySearch.ivfBuildIndex(
         seed, "vec_id", "embedding", nCells = 16, iters = 3)

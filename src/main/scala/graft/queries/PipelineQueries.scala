@@ -164,8 +164,7 @@ object PipelineQueries {
         |WHERE o_custkey BETWEEN 31 AND 142
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       import graft.streaming.TxTable
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-q173").toString + "/orders_z"
+      val table = Q.scratchDir("graft-q173") + "/orders_z"
       TxTable.ingestZOrdered(s, t(s, d, "orders"), table,
         "o_custkey", "o_orderkey", buckets = 16)
       TxTable.read(s, table,

@@ -31,6 +31,24 @@ object Q {
     aggregate(slice(arr, 2, 10000), element_at(arr, 1), f)
   }
 
+  /** A temp directory registered for recursive deletion at JVM exit — for
+    * queries that materialize a scratch table/index per execution (q173,
+    * q175). Bench's min-of-N loop re-runs such queries many times per
+    * JVM; without the hook each run would strand a full table copy in
+    * /tmp for the life of the machine, not the process.
+    */
+  def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** Read one of the driver-generated test tables (TESTDATA.md).
     *
     * The `events.ts` physical encoding has varied across testdata

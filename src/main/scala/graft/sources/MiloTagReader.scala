@@ -55,7 +55,10 @@ private[sources] final class MiloReflectionSession extends UaSession {
 
   override def connect(
       url: String, certFile: Option[String], certPassword: Option[String]): Unit = {
-    require(certFile.forall(_.isEmpty),
+    // ANY conveyed cert intent — a path OR a password — refuses the
+    // insecure connect (checking only the path would let
+    // (certFile = Some(""), certPassword = Some("pw")) silently downgrade)
+    require(certFile.forall(_.isEmpty) && certPassword.forall(_.isEmpty),
       "certificate-authenticated UA sessions need the Milo security configurator " +
         "wired (SecurityPolicy + keystore) — refusing to connect insecurely " +
         "against a cert-configured server")

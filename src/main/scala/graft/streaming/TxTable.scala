@@ -907,21 +907,28 @@ object TxTable {
     dataGone ++ logGone
   }
 
-  /** Stats columns a STREAMING sink records per commit: the merge keys
-    * (and partition column) only. Full AutoStats on the hot per-trigger
-    * path costs ~1.3× per commit (measured: the `Dataset.observe` min/max
-    * aggregation rides every micro-batch write), and on a merge-on-read
-    * table value-column stats are UNPRUNABLE by construction —
-    * [[readMerged]] rejects non-key `pruneBy`. Key stats keep partition/
-    * key skipping; [[compact]] (off the hot path) recomputes FULL stats
-    * on each folded directory, so the steady-state table regains
+  /** Stats columns the DELTA streaming sink records per commit: the merge
+    * keys (and partition column) only. Full AutoStats on the hot
+    * per-trigger path costs ~1.3× per commit (measured: the
+    * `Dataset.observe` min/max aggregation rides every micro-batch
+    * write), and on a merge-on-read DELTA table value-column stats are
+    * UNPRUNABLE by construction — [[readMerged]] rejects non-key
+    * `pruneBy`. Key stats keep partition/key skipping; [[compact]] (off
+    * the hot path, scheduled by the delta sink itself) recomputes FULL
+    * stats on each folded directory, so the steady-state table regains
     * value-column skipping for raw [[read]]s at zero per-trigger cost.
+    *
+    * [[currentValueSinkTx]] (merge-on-WRITE) deliberately keeps
+    * AutoStats instead: its tables hold one collapsed dir per partition
+    * — [[compact]] never applies, so key-only stats there would
+    * permanently forfeit value/timestamp skipping on raw reads, and the
+    * observe overhead is marginal next to the per-trigger partition
+    * rewrite that sink already pays.
     */
   val StreamingSinkStats: Seq[String] = Seq("serverName", "tag")
 
   /** Streaming sink over the transactional merge — the multi-writer-safe
-    * twin of [[StreamingPipeline.currentValueSink]]. Per-trigger stats
-    * are key-only ([[StreamingSinkStats]]).
+    * twin of [[StreamingPipeline.currentValueSink]].
     */
   def currentValueSinkTx(
       normalized: DataFrame,
@@ -933,8 +940,7 @@ object TxTable {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeLatest(batch.sparkSession, batch, tablePath,
-          statsCols = StreamingSinkStats)
+        mergeLatest(batch.sparkSession, batch, tablePath)
         ()
       }
 
