@@ -56,16 +56,21 @@ object StreamingAnnProbe {
       lists: DataFrame,
       idCol: String,
       vecCol: String,
-      nProbe: Int = 4): Probe = {
+      nProbe: Int = 4,
+      cacheIndex: Boolean = true): Probe = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val idx = lists.persist()
+    // cacheIndex = false: a 100 TB index cannot live in executor storage
+    // — pass the ivfLoadIndex lists (cell-partitioned parquet) uncached
+    // and each trigger re-reads only what the join needs from disk; the
+    // cached mode stays the low-latency default for memory-sized indexes
+    val idx = if (cacheIndex) lists.persist() else lists
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
       explode(SimilaritySearch.probeCells(col(vecCol), centroids, nProbe)).as("__cell"))
     val out = q.join(idx, "__cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("__qvec"), col("__cvec")).as("cosine"))
-    new Probe(out, Seq(idx))
+    new Probe(out, if (cacheIndex) Seq(idx) else Nil)
   }
 
   /** Probe a static IVF-PQ index (`centroids` + `codebooks` + `coded`
@@ -83,11 +88,12 @@ object StreamingAnnProbe {
       coded: DataFrame,
       idCol: String,
       vecCol: String,
-      nProbe: Int = 4): Probe = {
+      nProbe: Int = 4,
+      cacheIndex: Boolean = true): Probe = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val m = codebooks.size
     val ksub = codebooks.head.size
-    val idx = coded.persist()
+    val idx = if (cacheIndex) coded.persist() else coded
     val q = queries.select(col(idCol).as("query_id"),
       SimilaritySearch.pqLut(col(vecCol), codebooks).as("__lut"),
       explode(SimilaritySearch.probeCells(col(vecCol), centroids, nProbe)).as("__cell"))
@@ -97,6 +103,6 @@ object StreamingAnnProbe {
     val out = q.join(idx, "__cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("cosine"))
-    new Probe(out, Seq(idx))
+    new Probe(out, if (cacheIndex) Seq(idx) else Nil)
   }
 }

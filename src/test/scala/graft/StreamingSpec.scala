@@ -1166,6 +1166,9 @@ class StreamingSpec extends SparkSpec {
     import graft.operators.SimilaritySearch
     import graft.streaming.StreamingAnnProbe
     implicit val sc = spark.sqlContext
+    // cosine_sim rides the session registry; register explicitly so the
+    // test passes in isolation, not just after a suite that registered
+    graft.functions.GraftFunctions.register(spark)
     def vec(i: Int): Array[Float] = {
       val base = Array.tabulate(16)(j => math.sin(i % 10 + j * 0.7).toFloat)
       val noise = Array.tabulate(16)(j => (((i * 31 + j * 13) % 7) - 3) * 0.02f)
@@ -1209,6 +1212,31 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got.toSet == batch, s"stream ${got.toSet} != batch $batch")
     probe.close()
+
+    // cacheIndex = false (the too-big-to-cache 100 TB posture): a probe
+    // over the UNCACHED saved-index read answers identically
+    val idxPath = tmp("graft-annprobe-idx") + "/idx"
+    SimilaritySearch.ivfSaveIndex(idxPath, cents, assigned)
+    val (diskCents, diskLists) = SimilaritySearch.ivfLoadIndex(spark, idxPath)
+    val memU = MemoryStream[(Long, Array[Float])]
+    val uncached = StreamingAnnProbe.ivfProbe(
+      memU.toDF().toDF("vec_id", "embedding"), diskCents, diskLists,
+      "vec_id", "embedding", nProbe = 3, cacheIndex = false)
+    val gotU = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val qU = uncached.output.writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        gotU.synchronized {
+          SimilaritySearch.rankTopK(b, 5).collect().foreach(r =>
+            gotU += ((r.getLong(0), r.getLong(1), r.getLong(2))))
+        }
+        ()
+      }
+      .option("checkpointLocation", tmp("graft-annprobe-u-ckpt")).start()
+    memU.addData(queryIds.map(i => (i, vec(i.toInt))))
+    qU.awaitTermination()
+    assert(gotU.toSet == batch, s"uncached stream ${gotU.toSet} != batch $batch")
+    uncached.close() // no-op storage-wise: nothing was cached
 
     // IVF-PQ twin: streamed ADC candidates + the batch path's shortlist/
     // re-rank fold reproduce ivfPqQueryIndex exactly on the same index
