@@ -359,6 +359,66 @@ object ExtendedQueries {
         .orderBy("id1", "id2")
     },
 
+    Q("q176_retrieval_eval",
+      // retrieval-quality gate: recall@5 / MRR / nDCG@5 of the exact
+      // top-5 run (q40's scoring chain) against same-label relevance —
+      // the eval step an embedding pipeline promotes or rejects models
+      // on. nDCG discounts by 1/ln(rank+1): the ln-vs-log2 base change
+      // cancels in the dcg/idcg ratio, and ln of small integers agrees
+      // across engines where log2 implementations may differ in the
+      // last bit. recall and mrr are exact rationals.
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding, label FROM embeddings
+        |  WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        |run AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored QUALIFY rank <= 5),
+        |gold AS (
+        |  SELECT q.query_id, e.vec_id AS item
+        |  FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.query_id),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM gold GROUP BY query_id),
+        |rel AS (
+        |  SELECT r.query_id, r.rank FROM run r
+        |  JOIN gold g ON g.query_id = r.query_id AND g.item = r.neighbor_id),
+        |agg AS (
+        |  SELECT query_id, count(*) AS hits, sum(1.0 / ln(rank + 1)) AS dcg,
+        |    min(rank) AS firstrel
+        |  FROM rel GROUP BY query_id),
+        |ideal AS (
+        |  SELECT query_id, sum(1.0 / ln(x + 1)) AS idcg
+        |  FROM (SELECT query_id, unnest(generate_series(1, least(n_rel, 5))) AS x
+        |        FROM nrel)
+        |  GROUP BY query_id)
+        |SELECT n.query_id, n.n_rel, coalesce(a.hits, 0) AS hits,
+        |  round(coalesce(a.hits, 0) / n.n_rel, 6) AS recall,
+        |  round(coalesce(1.0 / a.firstrel, 0), 6) AS mrr,
+        |  round(coalesce(a.dcg / i.idcg, 0), 6) AS ndcg
+        |FROM nrel n LEFT JOIN agg a USING (query_id)
+        |JOIN ideal i USING (query_id)
+        |ORDER BY query_id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val run = SimilaritySearch.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", k = 5)
+      val gold = queries.select(col("vec_id").as("query_id"), col("label"))
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), "label")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id")
+      graft.operators.RetrievalEval.binaryMetrics(
+          run, gold, "query_id", "neighbor_id", "rank", k = 5)
+        .select(col("query_id"), col("n_rel"), col("hits"),
+          round(col("recall"), 6).as("recall"), round(col("mrr"), 6).as("mrr"),
+          round(col("ndcg"), 6).as("ndcg"))
+        .orderBy("query_id")
+    },
+
     Q.noOracle("q42_lsh_topk") { (s, d) =>
       // SRP-LSH is approximate (recall < 1): no SQL oracle; recall vs the
       // exact q40 result is asserted in SimilaritySearchSpec.
