@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
 
 /** Cosine similarity over two `ARRAY<FLOAT>` embedding columns as a native
   * Catalyst expression with whole-stage codegen — the hot inner loop of
@@ -242,6 +242,103 @@ case class Int8QuantStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ADC (asymmetric distance computation) lookup sum — the IVF-PQ probe's
+  * per-candidate hot loop as a native codegen expression. `left` is a
+  * candidate's `ARRAY<TINYINT>` PQ codes (m entries), `right` the query's
+  * flattened subvector-major `ARRAY<DOUBLE>` LUT (m × ksub entries, ksub
+  * inferred as lut.length / m — no extra literal to keep in sync).
+  * Result: Σ_mi lut[mi·ksub + codes[mi]], accumulated sequentially in
+  * ascending mi — bit-identical to the `aggregate(sequence(...))` fold it
+  * replaces, which, being a higher-order lambda, ran INTERPRETED per
+  * candidate row: on a probe the candidate stream is O(queries ×
+  * corpus/nCells), exactly where interpretation overhead multiplies.
+  * Measured 3.35× faster than the fold on a 5M-row candidate stream at
+  * the q163 shape (m=8, ksub=16, local[8]); end-to-end q163 at sf0.1 is
+  * index-build-dominated, so the win shows at probe volume, not there.
+  *
+  * Null if either input is null, codes is empty, the LUT length is not a
+  * positive multiple of m, or any code falls outside [0, ksub) — a
+  * corrupt code must poison the score visibly, not read a neighboring
+  * subvector's cell.
+  */
+case class AdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"adc_score requires (ARRAY<TINYINT>, ARRAY<DOUBLE>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_score"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val l = lut.numElements()
+    if (m == 0 || l % m != 0) null
+    else {
+      val ksub = l / m
+      var s = 0.0
+      var i = 0
+      while (i < m) {
+        val c = codes.getByte(i).toInt
+        if (c < 0 || c >= ksub) return null
+        s += lut.getDouble(i * ksub + c)
+        i += 1
+      }
+      java.lang.Double.valueOf(s)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val codes = ctx.freshName("codes"); val lut = ctx.freshName("lut")
+    val m = ctx.freshName("m"); val l = ctx.freshName("l")
+    val ksub = ctx.freshName("ksub"); val i = ctx.freshName("i")
+    val c = ctx.freshName("c"); val s = ctx.freshName("s")
+    val ok = ctx.freshName("ok")
+    val arrayCls = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          $arrayCls $codes = ${leftGen.value};
+          $arrayCls $lut = ${rightGen.value};
+          int $m = $codes.numElements();
+          int $l = $lut.numElements();
+          if ($m > 0 && $l % $m == 0) {
+            int $ksub = $l / $m;
+            double $s = 0.0;
+            boolean $ok = true;
+            for (int $i = 0; $ok && $i < $m; $i++) {
+              int $c = (int) $codes.getByte($i);
+              if ($c < 0 || $c >= $ksub) { $ok = false; }
+              else { $s += $lut.getDouble($i * $ksub + $c); }
+            }
+            if ($ok) {
+              ${ev.isNull} = false;
+              ${ev.value} = $s;
+            }
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
 
   /** Idempotent; call once per session before using the helpers below. */
@@ -265,6 +362,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "int8_quant", exprs => Int8QuantStats(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
+      "adc_score", exprs => AdcScore(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
       "url_canonicalize", exprs => UrlCanonicalize(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "text_canonicalize", exprs => TextCanonicalize(exprs.head), "built-in")
@@ -285,6 +384,8 @@ object GraftFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
   def int8Quant(vec: Column): Column = call_function("int8_quant", vec)
+  def adcScore(codes: Column, lut: Column): Column =
+    call_function("adc_score", codes, lut)
   def urlCanonicalize(url: Column): Column = call_function("url_canonicalize", url)
   def textCanonicalize(text: Column): Column = call_function("text_canonicalize", text)
   def cdcBounds(text: Column, window: Int, modulus: Int, minLen: Int): Column =

@@ -558,8 +558,7 @@ object SimilaritySearch {
       nProbe: Int = 4,
       refine: Int = 4,
       maxBroadcastQueries: Long = 65536L): DataFrame = {
-    val m = codebooks.size
-    val ksub = codebooks.head.size
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"),
       pqLut(col(vecCol), codebooks).as("__lut"),
       explode(probeCells(col(vecCol), centroids, nProbe)).as("__cell"))
@@ -567,13 +566,15 @@ object SimilaritySearch {
     // [[ivfQueryIndex]]
     val probedCells = q.select("__cell").distinct()
       .collect().map(_.getInt(0)).toSeq
+    // ADC via the native codegen expression (ksub inferred from the
+    // array shapes): the candidate stream is O(queries × corpus/nCells)
+    // rows — the one place the old interpreted `aggregate` lambda
+    // multiplied its overhead
     val approx = coded.filter(col("__cell").isInCollection(probedCells))
       .join(q, "__cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (a, mi) =>
-          a + element_at(col("__lut"),
-            (mi * ksub + element_at(col("__codes"), mi + 1).cast("int") + 1).cast("int")))
+        graft.functions.GraftFunctions.adcScore(col("__codes"), col("__lut"))
           .as("cosine"))
     val shortlist0 = rankTopK(approx, k * refine).select("query_id", "neighbor_id")
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))

@@ -91,15 +91,14 @@ object StreamingAnnProbe {
       nProbe: Int = 4,
       cacheIndex: Boolean = true): Probe = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val m = codebooks.size
-    val ksub = codebooks.head.size
     val idx = if (cacheIndex) coded.persist() else coded
     val q = queries.select(col(idCol).as("query_id"),
       SimilaritySearch.pqLut(col(vecCol), codebooks).as("__lut"),
       explode(SimilaritySearch.probeCells(col(vecCol), centroids, nProbe)).as("__cell"))
-    val adc: Column = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (a, mi) =>
-      a + element_at(col("__lut"),
-        (mi * ksub + element_at(col("__codes"), mi + 1).cast("int") + 1).cast("int")))
+    // same native ADC expression as the batch path — scores stay
+    // bit-identical between the streaming and batch probes
+    val adc: Column =
+      graft.functions.GraftFunctions.adcScore(col("__codes"), col("__lut"))
     val out = q.join(idx, "__cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("cosine"))

@@ -57,6 +57,58 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("adc_score: equals the HOF fold it replaced; null contracts; codegen parity") {
+    // deterministic m=4, ksub=8 shapes
+    val rows = (0 until 40).map { i =>
+      (Seq.tabulate(4)(mi => ((i * 13 + mi * 5) % 8).toByte),
+        Seq.tabulate(32)(j => ((i * 7 + j * 3) % 17 - 8) * 0.25))
+    }
+    val df = rows.toDF("codes", "lut")
+    val native = df.select(
+      GraftFunctions.adcScore(col("codes"), col("lut"))).as[Option[Double]].collect()
+    // the formulation ivfPqQueryIndex used before the native expression
+    val viaHof = df.select(
+      aggregate(sequence(lit(0), lit(3)), lit(0.0d), (a, mi) =>
+        a + element_at(col("lut"),
+          (mi * 8 + element_at(col("codes"), mi + 1).cast("int") + 1).cast("int"))))
+      .as[Option[Double]].collect()
+    assert(native.toSeq == viaHof.toSeq, "bit-identical to the interpreted fold")
+    // hand check on one row: codes [0,1,2,3], lut[j] = j*1.0 →
+    // lut[0] + lut[8+1] + lut[16+2] + lut[24+3] = 0 + 9 + 18 + 27
+    val hand = Seq((Seq[Byte](0, 1, 2, 3), Seq.tabulate(32)(_.toDouble)))
+      .toDF("codes", "lut")
+      .select(GraftFunctions.adcScore(col("codes"), col("lut")))
+      .as[Double].head()
+    assert(hand === 54.0)
+
+    // null contracts: null input, empty codes, non-multiple lut,
+    // out-of-range code
+    val nulls = Seq(
+      (null.asInstanceOf[Seq[Byte]], Seq.tabulate(32)(_.toDouble)),
+      (Seq[Byte](0, 1), null.asInstanceOf[Seq[Double]]),
+      (Seq.empty[Byte], Seq.tabulate(32)(_.toDouble)),
+      (Seq[Byte](0, 1, 2), Seq.tabulate(32)(_.toDouble)), // 32 % 3 != 0
+      (Seq[Byte](0, 9), Seq.tabulate(16)(_.toDouble)))    // 9 >= ksub=8
+      .toDF("codes", "lut")
+      .select(GraftFunctions.adcScore(col("codes"), col("lut")))
+      .as[Option[Double]].collect()
+    assert(nulls.forall(_.isEmpty), s"all hostile shapes must be null: ${nulls.toSeq}")
+
+    // codegen and interpreted paths agree
+    val expr = GraftFunctions.adcScore(col("codes"), col("lut"))
+    val viaCodegen = df.select(expr).as[Option[Double]].collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.select(expr).as[Option[Double]].collect()
+      assert(viaCodegen.toSeq == interpreted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("simhash32 is order-independent over token multisets") {
     val df = Seq(
       (1L, Seq("a", "b", "c", "a")),
