@@ -454,6 +454,38 @@ object RelationalQueries {
         .orderBy("user_id", "click_id")
     },
 
+    Q("q177_asof_forward_tolerance",
+      // FORWARD as-of with a gap bound: each click attaches the EARLIEST
+      // purchase at-or-after it, but only within 2 hours — the
+      // attribution-window join (pandas merge_asof direction='forward',
+      // tolerance=...). Same one-shuffle union+window shape as q27's
+      // backward as-of; the descending carry pass adds a sort, never a
+      // shuffle. Oracle: DuckDB ASOF accepts the <= inequality directly
+      // (earliest right with l.ts <= r.ts); the tolerance is applied to
+      // the matched row's own ts, exactly the engine's gap rule.
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS p_id,
+        |  arg_max(value, event_id) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.user_id AS user_id, c.click_id, c.click_ts,
+        |  CASE WHEN p.ts <= c.click_ts + INTERVAL 2 HOUR THEN p.p_id END AS matched_p_id,
+        |  CASE WHEN p.ts <= c.click_ts + INTERVAL 2 HOUR THEN p.p_value END AS matched_p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.click_ts <= p.ts
+        |ORDER BY c.user_id, c.click_id""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("p_id"), max_by(col("value"), col("event_id")).as("p_value"))
+      AsOfJoin.leftAsOf(clicks, purchases, "user_id", "ts", Seq("p_id", "p_value"),
+          direction = "forward", toleranceMicros = Some(2L * 3600 * 1000000))
+        .select(col("user_id"), col("click_id"), col("ts").as("click_ts"),
+          col("p_id").as("matched_p_id"), col("p_value").as("matched_p_value"))
+        .orderBy("user_id", "click_id")
+    },
+
     Q("q29_last_per_key",
       """SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1

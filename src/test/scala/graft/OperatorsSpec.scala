@@ -27,6 +27,60 @@ class OperatorsSpec extends SparkSpec {
     assert(got("L4").isEmpty)        // key with no right rows
   }
 
+  test("leftAsOf directions and tolerance: forward, nearest, tie-backward, gap bound") {
+    val left = Seq(
+      ("k1", 10L, "L1"),  // right at 10 (back, gap 0) and 20 (fwd, gap 10)
+      ("k1", 16L, "L2"),  // back 10 (gap 6), fwd 20 (gap 4) → nearest = fwd
+      ("k1", 15L, "L3"),  // back 10 (gap 5), fwd 20 (gap 5) → tie → backward
+      ("k1", 40L, "L4"),  // only back 20 (gap 20)
+      ("k2", 50L, "L5"))  // only fwd 60 (gap 10)
+      .toDF("key", "t", "lbl")
+      .select(col("key"), timestamp_seconds(col("t")).as("ts"), col("lbl"))
+    val right = Seq(
+      ("k1", 10L, 1.0), ("k1", 20L, 2.0), ("k2", 60L, 3.0))
+      .toDF("key", "t", "v")
+      .select(col("key"), timestamp_seconds(col("t")).as("ts"), col("v"))
+
+    def run(dir: String, tol: Option[Long] = None): Map[String, Option[Double]] =
+      AsOfJoin.leftAsOf(left, right, "key", "ts", Seq("v"), dir, tol)
+        .select("lbl", "v").as[(String, Option[Double])].collect().toMap
+
+    val fwd = run("forward")
+    assert(fwd("L1").contains(1.0), "equal ts inclusive forward")
+    assert(fwd("L2").contains(2.0) && fwd("L3").contains(2.0))
+    assert(fwd("L4").isEmpty, "nothing after 40 for k1")
+    assert(fwd("L5").contains(3.0))
+
+    val near = run("nearest")
+    assert(near("L1").contains(1.0)) // gap 0 backward
+    assert(near("L2").contains(2.0)) // fwd gap 4 < back gap 6
+    assert(near("L3").contains(1.0)) // exact tie resolves backward
+    assert(near("L4").contains(2.0)) // only backward exists
+    assert(near("L5").contains(3.0)) // only forward exists
+
+    // tolerance (seconds → micros): backward within 6s drops L4 (gap 20)
+    val backTol = run("backward", Some(6L * 1000000))
+    assert(backTol("L2").contains(1.0) && backTol("L4").isEmpty)
+    // nearest with 4s tolerance: L3's both gaps are 5 → no match; L2
+    // keeps the forward match (gap 4) even though backward (gap 6) is
+    // out of range — per-direction tolerance before choosing
+    val nearTol = run("nearest", Some(4L * 1000000))
+    assert(nearTol("L2").contains(2.0))
+    assert(nearTol("L3").isEmpty)
+    assert(nearTol("L1").contains(1.0), "gap-0 backward survives any tolerance")
+
+    // numeric (non-timestamp) ts axis works with plain-unit tolerance
+    val leftN = Seq(("k1", 16L, "N1")).toDF("key", "ts", "lbl")
+    val rightN = Seq(("k1", 10L, 1.0), ("k1", 20L, 2.0)).toDF("key", "ts", "v")
+    val gotN = AsOfJoin.leftAsOf(leftN, rightN, "key", "ts", Seq("v"), "nearest", Some(4L))
+      .select("lbl", "v").as[(String, Option[Double])].collect().toMap
+    assert(gotN("N1").contains(2.0))
+
+    // default direction unchanged: backward == the original contract
+    assert(run("backward") === Map("L1" -> Some(1.0), "L2" -> Some(1.0),
+      "L3" -> Some(1.0), "L4" -> Some(2.0), "L5" -> None))
+  }
+
   test("latestPerKey keeps exactly the max-order row per key") {
     val df = Seq(
       ("a", 1L, "x1"), ("a", 3L, "x3"), ("a", 2L, "x2"),
