@@ -486,6 +486,40 @@ object RelationalQueries {
         .orderBy("user_id", "click_id")
     },
 
+    Q("q178_asof_nearest",
+      // NEAREST as-of: each click attaches whichever purchase is closer
+      // in time (before or after), exact ties resolving backward — the
+      // third merge_asof direction. The oracle reconstructs the same
+      // choice rule from DuckDB's two directional ASOF joins: backward
+      // wins iff it exists and its gap is <= the forward gap (interval
+      // comparison), else forward if it exists.
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS p_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT c.user_id, c.click_id, c.click_ts, p.ts AS bts, p.p_id AS b_id
+        |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.click_ts >= p.ts),
+        |f AS (SELECT c.user_id, c.click_id, p.ts AS fts, p.p_id AS f_id
+        |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.click_ts <= p.ts)
+        |SELECT b.user_id AS user_id, b.click_id, b.click_ts,
+        |  CASE WHEN b.bts IS NOT NULL
+        |         AND (f.fts IS NULL OR (b.click_ts - b.bts) <= (f.fts - b.click_ts))
+        |       THEN b.b_id ELSE f.f_id END AS matched_p_id
+        |FROM b JOIN f ON b.user_id = f.user_id AND b.click_id = f.click_id
+        |ORDER BY b.user_id, b.click_id""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("p_id"))
+      AsOfJoin.leftAsOf(clicks, purchases, "user_id", "ts", Seq("p_id"),
+          direction = "nearest")
+        .select(col("user_id"), col("click_id"), col("ts").as("click_ts"),
+          col("p_id").as("matched_p_id"))
+        .orderBy("user_id", "click_id")
+    },
+
     Q("q29_last_per_key",
       """SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1

@@ -236,6 +236,20 @@ class PlanAuditSpec extends SparkSpec {
       s"winner selection must partial-aggregate:\n$p")
   }
 
+  test("q177: forward as-of with tolerance plans one key exchange, no nested loop") {
+    val p = plan("q177_asof_forward_tolerance")
+    // the naive formulation (non-equi theta join on ts <= ts + tol) would
+    // plan a BroadcastNestedLoopJoin — the union+window shape must not
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must not plan a nested loop:\n$p")
+    // exactly one hash exchange on the join key feeds the window carry
+    // (the output ORDER BY range-partitions; aggregation of the purchase
+    // side adds its own keyed exchange)
+    val winExchanges = """hashpartitioning\(user_id""".r.findAllIn(p).size
+    assert(winExchanges >= 1 && p.contains("Window"),
+      s"expected the keyed window carry:\n$p")
+  }
+
   test("q173: the TxTable pruned read pushes the row filter to the pruned scan") {
     // file-level skipping is metadata-side (TxTableStatsSpec pins
     // files-opened << total); here: the residual ROW filter must still
