@@ -71,4 +71,45 @@ object StreamingAsOf {
         col("__asof.rts").as("asof_ts"),
         col("__asof.rvalue").as("asof_value"))
   }
+
+  /** FORWARD streaming as-of — the streaming twin of the batch
+    * `AsOfJoin.leftAsOf(direction = "forward", tolerance)` (q177's
+    * attribution-window join): enrich each probe with the EARLIEST
+    * reading at or after its ts, at most `lookahead` later. The exact
+    * mirror of [[enrich]]: the event-time range flips to
+    * `probe.ts ≤ reading.ts ≤ probe.ts + lookahead` (both states stay
+    * watermark-bounded) and the collapse flips to `min` over
+    * (rts, rvalue). A probe emits once the combined watermark passes
+    * `pts + lookahead` — i.e. once no admissible future reading can
+    * still arrive; probes whose window closes empty emit NULLs.
+    */
+  def enrichForward(
+      probes: DataFrame,
+      readings: DataFrame,
+      keyCol: String = "key",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      lookahead: String = "10 minutes",
+      watermarkDelay: String = "1 minute"): DataFrame = {
+    val p = probes.select(
+        col(keyCol).cast("string").as("pkey"),
+        col(tsCol).cast("timestamp").as("pts"))
+      .withWatermark("pts", watermarkDelay)
+    val r = readings.select(
+        col(keyCol).cast("string").as("rkey"),
+        col(tsCol).cast("timestamp").as("rts"),
+        col(valueCol).cast("double").as("rvalue"))
+      .withWatermark("rts", watermarkDelay)
+    p.join(r,
+        col("pkey") === col("rkey") &&
+          col("rts") >= col("pts") &&
+          col("rts") <= col("pts") + expr(s"interval $lookahead"),
+        "leftOuter")
+      .groupBy(col("pkey").as("key"), col("pts"))
+      .agg(min(when(col("rts").isNotNull,
+        struct(col("rts"), col("rvalue")))).as("__asof"))
+      .select(col("key"), col("pts").as("ts"),
+        col("__asof.rts").as("asof_ts"),
+        col("__asof.rvalue").as("asof_value"))
+  }
 }

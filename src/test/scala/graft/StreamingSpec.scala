@@ -657,6 +657,66 @@ class StreamingSpec extends SparkSpec {
     assert(core == want, s"as-of sequence:\n got=$core\n want=$want")
   }
 
+  test("streaming FORWARD as-of: earliest reading >= probe ts within lookahead") {
+    import graft.streaming.StreamingAsOf
+    implicit val sc = spark.sqlContext
+    val probes = MemoryStream[(String, Timestamp)]
+    val readings = MemoryStream[(String, Timestamp, Double)]
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long, Option[Long], Option[Double])]()
+    val ckpt = tmp("graft-asoffwd-ckpt")
+    def run(): Unit = {
+      val q = StreamingAsOf.enrichForward(
+          probes.toDF().toDF("key", "ts"),
+          readings.toDF().toDF("key", "ts", "value"),
+          lookahead = "60 seconds", watermarkDelay = "10 seconds")
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map { r =>
+            (r.getString(0), r.getTimestamp(1).getTime / 1000,
+              Option(r.getTimestamp(2)).map(_.getTime / 1000),
+              if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+          }
+          out.synchronized { out ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    def at(s: Long) = new Timestamp(s * 1000)
+    // run 1: A@100 has candidates at 110 and 130 — the EARLIER one wins
+    // (forward = first at-or-after); B@100's only reading is BEFORE the
+    // probe → NULL once its window closes.
+    probes.addData(("A", at(100)), ("B", at(100)))
+    readings.addData(
+      ("A", at(110), 1.0), ("A", at(130), 2.0), ("B", at(90), 7.0))
+    run()
+    // run 2 (restart): A@200's nearest future reading (290) is beyond
+    // the 60 s lookahead → NULL; C@300 matches its 320 reading.
+    probes.addData(("A", at(200)), ("C", at(300)))
+    readings.addData(("A", at(290), 3.0), ("C", at(320), 4.0))
+    run()
+    // run 3: same-ts tie at the probe's own instant (gap 0, inclusive):
+    // min-struct tie-break picks the SMALLER value; sentinels advance
+    // both watermarks past every open window.
+    probes.addData(("A", at(400)), ("A", at(2000)))
+    readings.addData(("A", at(400), 5.0), ("A", at(400), 4.0), ("A", at(2000), 0.0))
+    probes.addData(("Z", at(4000)))
+    readings.addData(("Z", at(4000), 0.0))
+    run()
+    val got = out.sortBy(r => (r._1, r._2)).toList
+    val want = List(
+      ("A", 100L, Some(110L), Some(1.0)),
+      ("A", 200L, None, None),
+      ("A", 400L, Some(400L), Some(4.0)),
+      ("B", 100L, None, None),
+      ("C", 300L, Some(320L), Some(4.0)))
+    val core = got.filter(r => r._2 <= 400L)
+    assert(core == want, s"forward as-of sequence:\n got=$core\n want=$want")
+  }
+
   test("streaming quantiles: exact under capacity, bounded and deterministic over it") {
     import graft.streaming.StreamingQuantiles
     import StreamingQuantiles.QuantileSnapshot
