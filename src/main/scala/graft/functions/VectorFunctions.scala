@@ -287,9 +287,15 @@ case class AdcScore(left: Expression, right: Expression)
       var s = 0.0
       var i = 0
       while (i < m) {
+        // a null code or LUT cell poisons the score to null (the fold
+        // this replaced propagated element nulls the same way; reading
+        // the zeroed slot would fabricate a plausible wrong score)
+        if (codes.isNullAt(i)) return null
         val c = codes.getByte(i).toInt
         if (c < 0 || c >= ksub) return null
-        s += lut.getDouble(i * ksub + c)
+        val idx = i * ksub + c
+        if (lut.isNullAt(idx)) return null
+        s += lut.getDouble(idx)
         i += 1
       }
       java.lang.Double.valueOf(s)
@@ -303,7 +309,7 @@ case class AdcScore(left: Expression, right: Expression)
     val m = ctx.freshName("m"); val l = ctx.freshName("l")
     val ksub = ctx.freshName("ksub"); val i = ctx.freshName("i")
     val c = ctx.freshName("c"); val s = ctx.freshName("s")
-    val ok = ctx.freshName("ok")
+    val ok = ctx.freshName("ok"); val idx = ctx.freshName("idx")
     val arrayCls = classOf[ArrayData].getName
     ev.copy(code =
       code"""
@@ -321,9 +327,16 @@ case class AdcScore(left: Expression, right: Expression)
             double $s = 0.0;
             boolean $ok = true;
             for (int $i = 0; $ok && $i < $m; $i++) {
-              int $c = (int) $codes.getByte($i);
-              if ($c < 0 || $c >= $ksub) { $ok = false; }
-              else { $s += $lut.getDouble($i * $ksub + $c); }
+              if ($codes.isNullAt($i)) { $ok = false; }
+              else {
+                int $c = (int) $codes.getByte($i);
+                if ($c < 0 || $c >= $ksub) { $ok = false; }
+                else {
+                  int $idx = $i * $ksub + $c;
+                  if ($lut.isNullAt($idx)) { $ok = false; }
+                  else { $s += $lut.getDouble($idx); }
+                }
+              }
             }
             if ($ok) {
               ${ev.isNull} = false;

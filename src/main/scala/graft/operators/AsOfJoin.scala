@@ -91,30 +91,52 @@ object AsOfJoin {
       .orderBy(col(tsCol).desc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    def asMicros(c: Column): Column = left.schema(tsCol).dataType match {
-      case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
-      case _ => c.cast("long")
+    // gap math is only needed for a tolerance or for nearest's choice;
+    // it restricts the ts axis to types with a numeric distance, so the
+    // plain backward/forward carries skip it entirely — any ORDERABLE ts
+    // axis (strings, dates, ...) keeps working there, exactly like the
+    // original backward-only implementation
+    val needsGap = toleranceMicros.isDefined || direction == "nearest"
+    def asGapUnits(c: Column): Column = left.schema(tsCol).dataType match {
+      case TimestampType | TimestampNTZType | org.apache.spark.sql.types.DateType =>
+        // exact up to 2^53 µs ≈ 285 years of gap — far past any tolerance
+        unix_micros(c.cast(TimestampType)).cast("double")
+      case _: org.apache.spark.sql.types.NumericType =>
+        c.cast("double") // fractional axes keep fractional gaps
+      case other =>
+        throw new IllegalArgumentException(
+          s"direction=nearest / tolerance need a timestamp, date, or numeric " +
+            s"ts axis to measure gaps; got $other for $tsCol")
     }
+    if (needsGap) asGapUnits(col(tsCol)) // validate the axis at plan time
     // gap is null when the carry found nothing — every comparison below
     // treats null as "no candidate"
     def withinTol(gap: Column): Column = toleranceMicros
-      .map(t => gap <= lit(t)).getOrElse(gap.isNotNull)
+      .map(t => gap <= lit(t.toDouble)).getOrElse(gap.isNotNull)
 
     val carried = direction match {
+      case "backward" if !needsGap =>
+        unioned.withColumn("__payload",
+          last(col("__payload"), ignoreNulls = true).over(wBack))
+      case "forward" if !needsGap =>
+        unioned.withColumn("__payload",
+          last(col("__payload"), ignoreNulls = true).over(wFwd))
       case "backward" =>
         unioned.withColumn("__p", last(col("__payload"), ignoreNulls = true).over(wBack))
-          .withColumn("__gap", asMicros(col(tsCol)) - asMicros(col("__p").getField("__rts")))
+          .withColumn("__gap",
+            asGapUnits(col(tsCol)) - asGapUnits(col("__p").getField("__rts")))
           .withColumn("__payload", when(withinTol(col("__gap")), col("__p")))
       case "forward" =>
         unioned.withColumn("__p", last(col("__payload"), ignoreNulls = true).over(wFwd))
-          .withColumn("__gap", asMicros(col("__p").getField("__rts")) - asMicros(col(tsCol)))
+          .withColumn("__gap",
+            asGapUnits(col("__p").getField("__rts")) - asGapUnits(col(tsCol)))
           .withColumn("__payload", when(withinTol(col("__gap")), col("__p")))
       case "nearest" =>
         unioned
           .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(wBack))
           .withColumn("__f", last(col("__payload"), ignoreNulls = true).over(wFwd))
-          .withColumn("__bg", asMicros(col(tsCol)) - asMicros(col("__b").getField("__rts")))
-          .withColumn("__fg", asMicros(col("__f").getField("__rts")) - asMicros(col(tsCol)))
+          .withColumn("__bg", asGapUnits(col(tsCol)) - asGapUnits(col("__b").getField("__rts")))
+          .withColumn("__fg", asGapUnits(col("__f").getField("__rts")) - asGapUnits(col(tsCol)))
           // tolerance per direction FIRST, then nearest-wins, ties
           // backward. coalesce: a missing candidate makes withinTol NULL
           // under a tolerance (null gap <= t), and three-valued logic

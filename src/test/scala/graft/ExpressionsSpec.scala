@@ -94,6 +94,19 @@ class ExpressionsSpec extends SparkSpec {
       .as[Option[Double]].collect()
     assert(nulls.forall(_.isEmpty), s"all hostile shapes must be null: ${nulls.toSeq}")
 
+    // ELEMENT-level nulls poison the score (parity with the fold, which
+    // propagated a null element to a NULL total — reading the zeroed
+    // slot would fabricate lut[0]+... as a plausible wrong score)
+    val elemNulls = spark.sql(
+      """SELECT
+        |  adc_score(array(cast(0 AS tinyint), cast(NULL AS tinyint)),
+        |            array_repeat(1.5d, 16)) AS null_code,
+        |  adc_score(array(cast(0 AS tinyint), cast(1 AS tinyint)),
+        |            array_insert(array_repeat(1.5d, 15), 1, cast(NULL AS double))) AS null_cell
+        |""".stripMargin).collect().head
+    assert(elemNulls.isNullAt(0), "null code element must null the score")
+    assert(elemNulls.isNullAt(1), "null LUT cell must null the score")
+
     // codegen and interpreted paths agree
     val expr = GraftFunctions.adcScore(col("codes"), col("lut"))
     val viaCodegen = df.select(expr).as[Option[Double]].collect()

@@ -79,6 +79,28 @@ class OperatorsSpec extends SparkSpec {
     // default direction unchanged: backward == the original contract
     assert(run("backward") === Map("L1" -> Some(1.0), "L2" -> Some(1.0),
       "L3" -> Some(1.0), "L4" -> Some(2.0), "L5" -> None))
+
+    // an ORDERABLE-but-not-numeric ts axis (ISO strings sort
+    // chronologically) still works for the plain carries — the gap
+    // machinery must not run when nothing needs a gap
+    val leftS = Seq(("k1", "2024-01-15", "S1")).toDF("key", "ts", "lbl")
+    val rightS = Seq(("k1", "2024-01-10", 1.0), ("k1", "2024-01-20", 2.0))
+      .toDF("key", "ts", "v")
+    assert(AsOfJoin.leftAsOf(leftS, rightS, "key", "ts", Seq("v"))
+      .select("v").as[Option[Double]].head().contains(1.0))
+    assert(AsOfJoin.leftAsOf(leftS, rightS, "key", "ts", Seq("v"), "forward")
+      .select("v").as[Option[Double]].head().contains(2.0))
+    // ...and gap-needing modes reject it loudly instead of mis-casting
+    assertThrows[IllegalArgumentException](
+      AsOfJoin.leftAsOf(leftS, rightS, "key", "ts", Seq("v"), "nearest"))
+
+    // fractional numeric axis: gaps stay fractional — left 10.9 with
+    // rights at 10.0 (gap 0.9) and 11.05 (gap 0.15) must pick FORWARD
+    // (integer truncation would score them 0 vs 1 and pick backward)
+    val leftD = Seq(("k1", 10.9, "D1")).toDF("key", "ts", "lbl")
+    val rightD = Seq(("k1", 10.0, 1.0), ("k1", 11.05, 2.0)).toDF("key", "ts", "v")
+    assert(AsOfJoin.leftAsOf(leftD, rightD, "key", "ts", Seq("v"), "nearest")
+      .select("v").as[Option[Double]].head().contains(2.0))
   }
 
   test("latestPerKey keeps exactly the max-order row per key") {
