@@ -286,6 +286,74 @@ object Multimodal {
     * alone — any parser disagreement (offset, padding, orientation,
     * channel order) breaks the match.
     */
+  /** Perceptual difference-hash (dHash, 64 bits) of a 24-bit BMP — the
+    * image-dedup signature: decode, sample a 9×8 nearest-neighbor luma
+    * grid (same rounding as [[resizeBmpStats]]), set bit y·8+x iff
+    * luma(x,y) < luma(x+1,y). Robust to uniform rescaling and small
+    * edits; Hamming distance between hashes measures visual similarity,
+    * so near-dup IMAGE pairs come from the same pigeonhole-banded
+    * machinery as text SimHash ([[Dedup.simhashPairs]] with
+    * sigBits = 64). Luma is the integer BT.601 weighting
+    * 299·R + 587·G + 114·B (×1000 — comparisons don't need the divide).
+    * None on corrupt/undecodable input.
+    */
+  private[graft] def bmpDHash(bytes: Array[Byte]): Option[Long] = {
+    val (off, w, h, topDown, rowSize) = parseBmpHeader(bytes) match {
+      case Some(g) => g
+      case None => return None
+    }
+    val gw = 9; val gh = 8
+    val luma = new Array[Int](gh * gw)
+    var gy = 0
+    while (gy < gh) {
+      val sy = (gy.toLong * h / gh).toInt
+      val sr = if (topDown) sy else h - 1 - sy
+      val base = off + sr * rowSize
+      var gx = 0
+      while (gx < gw) {
+        val sx = (gx.toLong * w / gw).toInt
+        val b = bytes(base + 3 * sx) & 0xff
+        val g = bytes(base + 3 * sx + 1) & 0xff
+        val r = bytes(base + 3 * sx + 2) & 0xff
+        luma(gy * gw + gx) = 299 * r + 587 * g + 114 * b
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(y * gw + x) < luma(y * gw + x + 1)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    Some(bits)
+  }
+
+  val dHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** Per-partition dHash of (idCol, blob) BMP rows → (doc_id, dhash).
+    * Corrupt rows drop (same contract as the decode paths). Compose with
+    * [[Dedup.simhashPairs]](…, sigBits = 64) for banded image near-dup
+    * pairs — no new join machinery, the pigeonhole argument carries over.
+    */
+  def imageDHashes(blobs: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(dHashSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        scala.util.Try(bmpDHash(r.getAs[Array[Byte]](blobIdx)))
+          .toOption.flatten.map(hs => Row(r.getLong(idIdx), hs))
+      }
+    }(enc)
+  }
+
   private[graft] def encodeSyntheticBmp(id: Long, w: Int, h: Int): Array[Byte] = {
     val rowSize = ((3 * w + 3) / 4) * 4
     val size = 54 + rowSize * h

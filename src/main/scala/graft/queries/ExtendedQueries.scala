@@ -606,6 +606,45 @@ object ExtendedQueries {
         .orderBy("doc_id")
     },
 
+    Q("q179_image_dhash",
+      // perceptual image fingerprints over the REAL BMP decode path:
+      // dHash = 9×8 nearest-neighbor luma grid, bit y·8+x iff
+      // luma(x) < luma(x+1) — the image-dedup signature that feeds the
+      // same pigeonhole-banded pairing as text SimHash
+      // (MultimodalSpec pins perturbation locality + banded pairing).
+      // The oracle replays the synthetic fixture's pixel FORMULA, the
+      // grid sampling arithmetic, and the bit packing in SQL — bit 63
+      // rides an explicit min-long literal (a 1<<63 shift overflows
+      // DuckDB's checked BIGINT) OR-folded with the rest.
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        |cells AS (
+        |  SELECT d.doc_id, gx.gx, gy.gy,
+        |    ((gy.gy * d.h) // 8) * d.w + ((gx.gx * d.w) // 9) AS i
+        |  FROM dims d,
+        |    (SELECT unnest(generate_series(0, 8)) AS gx) gx,
+        |    (SELECT unnest(generate_series(0, 7)) AS gy) gy),
+        |lum AS (
+        |  SELECT doc_id, gx, gy,
+        |    299 * ((3 * doc_id + 7 * i) % 256)
+        |  + 587 * ((2 * doc_id + 5 * i) % 256)
+        |  + 114 * ((doc_id + 3 * i) % 256) AS luma
+        |  FROM cells),
+        |bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+        |  FROM lum a JOIN lum b
+        |    ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.luma < b.luma)
+        |SELECT d.doc_id,
+        |  coalesce(bit_or(CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |                       ELSE (1::BIGINT << bit::INT) END), 0) AS dhash
+        |FROM dims d LEFT JOIN bits USING (doc_id)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Multimodal.imageDHashes(
+          Multimodal.syntheticBmps(t(s, d, "documents").select("doc_id"), s), s)
+        .orderBy("doc_id")
+    },
+
     // ------------------------------------ additional relational cover
     Q("q45_percentiles",
       """SELECT l_returnflag,

@@ -77,6 +77,62 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(7) == 74L)
   }
 
+  test("bmpDHash: gradient extremes, perturbation locality, banded image pairing") {
+    // in-spec 24bpp bottom-up builder driven by a per-pixel (r,g,b) fn
+    def bmp(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val b = new Array[Byte](54 + rowSize * h)
+      b(0) = 'B'; b(1) = 'M'
+      def put32(o: Int, v: Int): Unit =
+        (0 until 4).foreach(k => b(o + k) = ((v >> (8 * k)) & 0xff).toByte)
+      put32(10, 54); put32(14, 40); put32(18, w); put32(22, h)
+      b(26) = 1; b(28) = 24
+      for (sr <- 0 until h; x <- 0 until w) {
+        val y = h - 1 - sr
+        val (r, g, bl) = px(x, y)
+        val base = 54 + sr * rowSize + 3 * x
+        b(base) = bl.toByte; b(base + 1) = g.toByte; b(base + 2) = r.toByte
+      }
+      b
+    }
+    // strictly increasing left-to-right luma → all 64 comparison bits set;
+    // strictly decreasing → none
+    val inc = bmp(9, 8)((x, _) => (x * 20, x * 20, x * 20))
+    assert(Multimodal.bmpDHash(inc).contains(-1L))
+    val dec = bmp(9, 8)((x, _) => (200 - x * 20, 200 - x * 20, 200 - x * 20))
+    assert(Multimodal.bmpDHash(dec).contains(0L))
+
+    // perturbation locality: zeroing ONE sampled pixel of an 18x16 image
+    // flips only the <=2 comparisons that touch its grid cell, while a
+    // structurally different image lands far away in Hamming space
+    def lum(v: Int) = (v, v, v)
+    def p1(x: Int, y: Int) = lum((x * 37 + y * 61) % 200)
+    val base = bmp(18, 16)(p1 _)
+    val perturbed = bmp(18, 16)((x, y) => if (x == 2 && y == 2) lum(0) else p1(x, y))
+    val other = bmp(18, 16)((x, y) => lum((x * 53 + y * 17 + 91) % 200))
+    val (hb, hp, ho) = (Multimodal.bmpDHash(base).get,
+      Multimodal.bmpDHash(perturbed).get, Multimodal.bmpDHash(other).get)
+    val near = java.lang.Long.bitCount(hb ^ hp)
+    val far = java.lang.Long.bitCount(hb ^ ho)
+    assert(near >= 1 && near <= 2, s"one sampled pixel flips <=2 bits, got $near")
+    assert(far > 4, s"unrelated image must be far in Hamming space, got $far")
+
+    // end-to-end: imageDHashes + the text-SimHash banding machinery pair
+    // the near-duplicate images and nothing else (sigBits = 64)
+    import spark.implicits._
+    val blobs = Seq((1L, base), (2L, perturbed), (3L, other)).toDF("doc_id", "blob")
+    val sigs = Multimodal.imageDHashes(blobs, spark)
+    assert(sigs.count() === 3)
+    val pairs = graft.operators.Dedup.simhashPairs(
+        sigs, "doc_id", "dhash", nBands = 8, maxHamming = 4, sigBits = 64)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), s"only the perturbed pair is near: $pairs")
+
+    // corrupt rows drop, not crash
+    val withBad = blobs.unionByName(Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "blob"))
+    assert(Multimodal.imageDHashes(withBad, spark).count() === 3)
+  }
+
   test("decodeBmpStats rejects non-BMP, compressed, and truncated input") {
     assert(Multimodal.decodeBmpStats(1L, Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.decodeBmpStats(1L, "not a bitmap at all, just text!!!!!!!!!!!!!!!!!!!!!!!!!"
