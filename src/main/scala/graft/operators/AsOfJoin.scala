@@ -98,7 +98,14 @@ object AsOfJoin {
     // original backward-only implementation
     val needsGap = toleranceMicros.isDefined || direction == "nearest"
     def asGapUnits(c: Column): Column = left.schema(tsCol).dataType match {
-      case TimestampType | TimestampNTZType | org.apache.spark.sql.types.DateType =>
+      case org.apache.spark.sql.types.DateType =>
+        // calendar-day semantics: a day gap is exactly 86 400 s of µs
+        // regardless of the session time zone. Casting date→timestamp
+        // instead would route through the session zone, where DST
+        // transitions make some days 23 h/25 h and shift tolerance
+        // comparisons by an hour under non-UTC zones.
+        (unix_date(c).cast("long") * lit(86400000000L)).cast("double")
+      case TimestampType | TimestampNTZType =>
         // exact up to 2^53 µs ≈ 285 years of gap — far past any tolerance
         unix_micros(c.cast(TimestampType)).cast("double")
       case _: org.apache.spark.sql.types.NumericType =>

@@ -27,7 +27,11 @@ object RetrievalEval {
     *
     * @param run  ranked results: (queryCol, rankCol, itemCol); ranks
     *             1-based within each query (rows with rank > k are
-    *             ignored, so passing a deeper run is fine)
+    *             ignored, so passing a deeper run is fine). Duplicate
+    *             (query, item) rows inside the top-k are collapsed to
+    *             their best (minimum) rank — a malformed run that lists
+    *             an item twice cannot inflate hits/dcg past recall = 1
+    *             or ndcg = 1
     * @param gold relevant items: (queryCol, itemCol); duplicates are
     *             collapsed
     * @return one row per query WITH relevant items: (queryCol, n_rel,
@@ -53,6 +57,10 @@ object RetrievalEval {
     val runK = run.select(col(queryCol).as("__q"), col(itemCol).as("__item"),
         col(rankCol).cast("long").as("__r"))
       .filter(col("__r") <= k)
+      // collapse duplicate (query, item) rows to the best rank: each
+      // relevant item contributes at most one hit / one dcg term
+      .groupBy(col("__q"), col("__item"))
+      .agg(min(col("__r")).as("__r"))
     // relevant hits with their ranks: one equi-join on (query, item)
     val hits = runK.join(g, Seq("__q", "__item"))
       .groupBy(col("__q"))

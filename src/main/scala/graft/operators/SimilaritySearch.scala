@@ -734,6 +734,17 @@ object SimilaritySearch {
     * two directory renames, not atomic against concurrent probes —
     * run it like any parquet compaction, between query waves.
     * `sub` = "lists" (IVF) or "codes" (IVF-PQ).
+    *
+    * Crash recovery: the swap renames `{sub}` → `.{sub}-old-<tag>` and
+    * then `.{sub}-compact-<tag>` → `{sub}`. A process crash BETWEEN the
+    * two renames leaves the index with no `{sub}` directory but BOTH
+    * hidden copies intact — restore by renaming `.{sub}-compact-<tag>`
+    * back to `{sub}` (preferred: it is the compacted rewrite), or
+    * `.{sub}-old-<tag>` for the byte-identical pre-compaction state.
+    * A failure of the second rename (not a crash) rolls `{sub}` back
+    * automatically and leaves `.{sub}-compact-<tag>` for inspection.
+    * On success the `-old` copy is deleted; at most one tag's hidden
+    * directories ever exist per completed/failed run.
     */
   def compactIndexLists(
       spark: org.apache.spark.sql.SparkSession,

@@ -31,21 +31,33 @@ object Q {
     aggregate(slice(arr, 2, 10000), element_at(arr, 1), f)
   }
 
-  /** A temp directory registered for recursive deletion at JVM exit — for
-    * queries that materialize a scratch table/index per execution (q173,
-    * q175). Bench's min-of-N loop re-runs such queries many times per
-    * JVM; without the hook each run would strand a full table copy in
-    * /tmp for the life of the machine, not the process.
+  /** An empty scratch directory for queries that materialize a table or
+    * index per execution (q173, q175). One SINGLETON directory per
+    * prefix, cleared (not re-created) on every call: bench's min-of-N
+    * loop re-runs such queries many times per JVM, and a fresh temp dir
+    * per call would accumulate N full table/index copies on disk and N
+    * shutdown-hook threads for the life of the process — steady-state
+    * disk stays at one copy per query this way. The single hook per
+    * prefix removes the directory at JVM exit. Not safe for concurrent
+    * calls with the same prefix (queries run sequentially in
+    * bench/verify).
     */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+    f.delete(); ()
+  }
+
   def scratchDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete(); ()
-      }
-      rm(dir.toFile)
-    }))
+    val dir = scratchDirs.computeIfAbsent(prefix, p => {
+      val d = java.nio.file.Files.createTempDirectory(p)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(d.toFile)))
+      d
+    })
+    // clear the previous run's contents; keep the directory itself
+    Option(dir.toFile.listFiles()).toSeq.flatten.foreach(rmTree)
     dir.toString
   }
 

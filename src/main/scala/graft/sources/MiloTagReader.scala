@@ -79,6 +79,11 @@ private[sources] final class MiloReflectionSession extends UaSession {
         f.get().asInstanceOf[AnyRef]
       case c => c
     }
+    // a Milo version whose connect() returns void would reflect to null
+    // here and only surface later as a misleading "readValue before
+    // connect()" — fail at the version mismatch instead
+    require(client != null,
+      s"unexpected connect() return shape for $clientCls — unsupported Milo version?")
   }
 
   override def subscribe(nodeIds: Seq[String], samplingMs: Double): Unit = {

@@ -103,6 +103,29 @@ class OperatorsSpec extends SparkSpec {
       .select("v").as[Option[Double]].head().contains(2.0))
   }
 
+  test("leftAsOf date-axis gaps use calendar days, immune to session-TZ DST") {
+    // US fall-back 2024-11-03: the local day is 25 h in America/New_York.
+    // A date→timestamp cast through that session zone would measure
+    // 2024-11-02 → 2024-11-05 as 3 days + 1 h and DROP a match at an
+    // exactly-3-day tolerance; calendar-day gap math keeps it.
+    val d = java.sql.Date.valueOf(_: String)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val left = Seq(("k1", d("2024-11-05"), "L1")).toDF("key", "ts", "lbl")
+      val right = Seq(("k1", d("2024-11-02"), 1.0)).toDF("key", "ts", "v")
+      val got = AsOfJoin.leftAsOf(left, right, "key", "ts", Seq("v"),
+          "backward", Some(3L * 86400000000L))
+        .select("v").as[Option[Double]].head()
+      assert(got.contains(1.0), "3 calendar days must satisfy a 3-day tolerance")
+      // and a genuinely-out-of-range match still drops (boundary is real)
+      val gotOut = AsOfJoin.leftAsOf(left, right, "key", "ts", Seq("v"),
+          "backward", Some(3L * 86400000000L - 1))
+        .select("v").as[Option[Double]].head()
+      assert(gotOut.isEmpty)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("latestPerKey keeps exactly the max-order row per key") {
     val df = Seq(
       ("a", 1L, "x1"), ("a", 3L, "x3"), ("a", 2L, "x2"),

@@ -14,6 +14,18 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("scratchDir: per-prefix singleton, cleared on reuse") {
+    val a = Q.scratchDir("graft-spec-scratch")
+    val f = new java.io.File(a, "sub/marker.txt")
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, "x".getBytes)
+    val b = Q.scratchDir("graft-spec-scratch")
+    assert(a === b, "same prefix must reuse ONE directory (bench loops N times)")
+    assert(!f.exists(), "reuse must clear the previous run's contents")
+    assert(new java.io.File(b).isDirectory)
+    assert(Q.scratchDir("graft-spec-scratch2") !== a, "prefixes stay isolated")
+  }
+
   test("every query has a unique name; oracle keys are a subset") {
     val names = SparkEntry.inventory.map(_.name)
     assert(names.distinct.size == names.size)

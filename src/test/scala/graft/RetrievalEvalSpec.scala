@@ -71,4 +71,19 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(r.getLong(1) === 2L, "duplicate gold rows must collapse")
     assert(r.getDouble(3) === 1.0 && r.getDouble(4) === 1.0 && r.getDouble(5) === 1.0)
   }
+
+  test("binaryMetrics: duplicate run rows collapse to best rank — no recall/ndcg > 1") {
+    // malformed run lists A at ranks 1 AND 3 within k; without the
+    // collapse it would count 2 hits for 1 relevant item (recall 2.0)
+    // and double-charge dcg
+    val run = Seq((1L, 1L, "A"), (1L, 3L, "A"), (1L, 2L, "B"))
+      .toDF("query_id", "rank", "item")
+    val gold = Seq((1L, "A")).toDF("query_id", "item")
+    val r = RetrievalEval.binaryMetrics(run, gold, "query_id", "item", "rank", k = 3)
+      .collect().head
+    assert(r.getLong(2) === 1L, "A counts once")
+    assert(r.getDouble(3) === 1.0, "recall capped at 1")
+    assert(r.getDouble(4) === 1.0, "mrr from the BEST duplicate rank")
+    assert(r.getDouble(5) === 1.0, "ndcg uses rank 1, not rank 3, and caps at 1")
+  }
 }
