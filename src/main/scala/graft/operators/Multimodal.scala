@@ -418,6 +418,72 @@ object Multimodal {
 
   private val PngSig: Array[Int] = Array(137, 80, 78, 71, 13, 10, 26, 10)
 
+  /** Bounded zlib inflate of a PNG/APNG pixel stream to EXACTLY
+    * h·(1 + bpp·w) bytes, then in-place reconstruction of all five
+    * scanline filters (None/Sub/Up/Average/Paeth). Returns the raw
+    * buffer in scanline layout (each row = 1 filter byte + bpp·w
+    * samples, filter bytes left in place); None on any corruption:
+    * truncated or over-long DEFLATE, zero-progress inflate (FDICT —
+    * forbidden in PNG, and inflate() would otherwise stall forever),
+    * unknown filter type, or a claimed size past the 1032× DEFLATE
+    * expansion bound (a zip bomb / hostile header dies BEFORE the
+    * allocation — an OOME would escape the caller's corrupt-row Try).
+    * Shared by the still-PNG stats path and the APNG per-frame decode
+    * ([[Apng]]) — one proven reconstruction path for both.
+    */
+  private[graft] def inflateUnfilter(
+      idat: Array[Byte], w: Int, h: Int, bpp: Int): Option[Array[Byte]] = {
+    val rowBytes = 1 + bpp * w
+    if (h.toLong * rowBytes > Int.MaxValue - 8) return None
+    val expected = h * rowBytes
+    if (expected.toLong > 1032L * idat.length + 64) return None
+    val raw = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat)
+      var got = 0
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(raw, got, expected - got)
+        if (n == 0) return None
+        got += n
+      }
+      if (got != expected) return None
+      // a valid stream must also END here (no trailing pixel data)
+      val probe = new Array[Byte](1)
+      if (!inf.finished() && inf.inflate(probe, 0, 1) != 0) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * rowBytes) & 0xff
+      if (ft > 4) return None
+      val base = y * rowBytes + 1
+      val prior = (y - 1) * rowBytes + 1
+      var x = 0
+      while (x < bpp * w) {
+        val a = if (x >= bpp) raw(base + x - bpp) & 0xff else 0
+        val b = if (y > 0) raw(prior + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) raw(prior + x - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => raw(base + x) & 0xff
+          case 1 => ((raw(base + x) & 0xff) + a) & 0xff
+          case 2 => ((raw(base + x) & 0xff) + b) & 0xff
+          case 3 => ((raw(base + x) & 0xff) + (a + b) / 2) & 0xff
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            ((raw(base + x) & 0xff) + pred) & 0xff
+        }
+        raw(base + x) = recon.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(raw)
+  }
+
   /** Parse an 8-bit non-interlaced PNG (color types 0 grayscale, 2 RGB,
     * 6 RGBA — alpha decoded, excluded from channel stats) and compute
     * the same pixel stats as [[decodeBmpStats]] ([[bmpStatsSchema]]):
@@ -473,69 +539,14 @@ object Multimodal {
       pos += 12 + len
     }
     if (!ihdrOk || idat.size() == 0) return None
-    // bounded inflate to EXACTLY the expected raw size; anything else is
-    // corrupt (or hostile — a zip bomb stops at the buffer boundary).
-    // Allocation guard BEFORE the buffer: DEFLATE expands at most 1032×,
-    // so a tiny blob whose header claims huge dims must die here — the
-    // OOME from a ~2 GB allocation is fatal and would escape the
-    // corrupt-row Try in decodePngFeatures.
     val bpp = if (ctype == 0) 1 else if (ctype == 2) 3 else 4
     val rowBytes = 1 + bpp * w
-    val expected = h * rowBytes
-    if (expected.toLong > 1032L * idat.size() + 64) return None
-    val raw = new Array[Byte](expected)
-    val inf = new java.util.zip.Inflater()
-    try {
-      inf.setInput(idat.toByteArray)
-      var got = 0
-      while (got < expected && !inf.finished()) {
-        val n = inf.inflate(raw, got, expected - got)
-        if (n == 0) {
-          // truncated stream, preset-dictionary request (FDICT — PNG
-          // forbids it, and inflate() would otherwise stall forever
-          // reporting neither finished nor needsInput), or any other
-          // zero-progress state: corrupt by contract
-          return None
-        }
-        got += n
-      }
-      if (got != expected) return None
-      // a valid stream must also END here (no trailing pixel data)
-      val probe = new Array[Byte](1)
-      if (!inf.finished() && inf.inflate(probe, 0, 1) != 0) return None
-    } catch {
-      case _: java.util.zip.DataFormatException => return None
-    } finally inf.end()
-    // unfilter in place, row by row (prior row is already reconstructed)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * rowBytes) & 0xff
-      if (ft > 4) return None
-      val base = y * rowBytes + 1
-      val prior = (y - 1) * rowBytes + 1
-      var x = 0
-      while (x < bpp * w) {
-        val a = if (x >= bpp) raw(base + x - bpp) & 0xff else 0
-        val b = if (y > 0) raw(prior + x) & 0xff else 0
-        val c = if (y > 0 && x >= bpp) raw(prior + x - bpp) & 0xff else 0
-        val recon = ft match {
-          case 0 => raw(base + x) & 0xff
-          case 1 => ((raw(base + x) & 0xff) + a) & 0xff
-          case 2 => ((raw(base + x) & 0xff) + b) & 0xff
-          case 3 => ((raw(base + x) & 0xff) + (a + b) / 2) & 0xff
-          case 4 =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-            ((raw(base + x) & 0xff) + pred) & 0xff
-        }
-        raw(base + x) = recon.toByte
-        x += 1
-      }
-      y += 1
+    val raw = inflateUnfilter(idat.toByteArray, w, h, bpp) match {
+      case Some(r) => r
+      case None => return None
     }
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
-    y = 0
+    var y = 0
     while (y < h) {
       val base = y * rowBytes + 1
       var x = 0
