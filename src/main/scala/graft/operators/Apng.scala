@@ -532,6 +532,28 @@ object Apng {
     encodeApng(id, w, h, frames)
   }
 
+  /** Fixture APNGs built from a SEED column instead of the row id:
+    * input (id, seed) rows; output (doc_id, blob) where the blob is the
+    * deterministic video of the SEED (dims, frame count and pixel
+    * formulas all keyed on seed). Rows sharing a seed carry
+    * byte-identical videos under distinct ids — the controlled-duplicate
+    * fixture for near-dup pair queries, same trick as text dedup's
+    * mod-class fixtures.
+    */
+  def syntheticApngsSeeded(idsWithSeed: DataFrame, spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    idsWithSeed.mapPartitions { it =>
+      it.map { r =>
+        val seed = r.getLong(1)
+        Row(r.getLong(0), encodeSyntheticApng(seed,
+          9 + (seed % 8).toInt, 8 + (seed % 7).toInt, 2 + (seed % 3).toInt))
+      }
+    }(enc)
+  }
+
   /** Fixture APNGs: canvas 9 + id mod 8 × 8 + id mod 7 (distinct from
     * the BMP/PNG families so bugs don't mask), 2 + id mod 3 frames.
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{Dedup, Multimodal, RangeJoin, SimilaritySearch}
+import graft.operators.{Apng, Dedup, Multimodal, RangeJoin, SimilaritySearch}
 import Q.t
 
 /** The LLM-data-pipeline query inventory over `documents`/`embeddings`
@@ -89,6 +89,20 @@ object ExtendedQueries {
        |  FROM votes GROUP BY doc_id)""".stripMargin
 
   private val simhashCte = simhashCteBits(32)
+
+  /** DuckDB CTEs shared by the APNG video oracles (q180–q182): the
+    * synthetic fixture's canvas dims / frame count / patch dims per
+    * document, and the per-frame fanout. Mirrors
+    * [[graft.operators.Apng.syntheticApngs]].
+    */
+  private val apngCtes: String =
+    """dims AS (
+      |  SELECT doc_id, 9 + doc_id % 8 AS w, 8 + doc_id % 7 AS h,
+      |    2 + doc_id % 3 AS f,
+      |    (9 + doc_id % 8 + 1) // 2 AS fw, (8 + doc_id % 7 + 1) // 2 AS fh
+      |  FROM documents),
+      |frames AS (
+      |  SELECT d.*, unnest(generate_series(0, f - 1)) AS k FROM dims d)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -643,6 +657,261 @@ object ExtendedQueries {
       Multimodal.imageDHashes(
           Multimodal.syntheticBmps(t(s, d, "documents").select("doc_id"), s), s)
         .orderBy("doc_id")
+    },
+
+    Q("q180_apng_frames",
+      // INTER-FRAME video decode, oracle-checked end to end: the engine
+      // builds a real APNG per document (frame 0 full-canvas via IDAT,
+      // frames k >= 1 as fdAT PATCH rectangles) and composites through
+      // the fcTL dispose/blend rules. The oracle replays the closed form
+      // of the composite — per pixel, the NEWEST covering patch m <= k
+      // wins (arg_max over the covering set), else the frame-0 formula —
+      // so any bug in fdAT parsing, sequence numbers, patch offsets, or
+      // compositing shifts a mean or the position-sensitive weighted_r.
+      s"""WITH $apngCtes,
+        |px AS (
+        |  SELECT doc_id, w, h, fw, fh, k,
+        |    unnest(generate_series(0, w * h - 1)) AS i
+        |  FROM frames),
+        |cov AS (
+        |  SELECT p.doc_id, p.k, p.i, p.fw, m.m,
+        |    (p.i % p.w) - ((p.doc_id + 3 * m.m) % (p.w - p.fw + 1)) AS dx,
+        |    (p.i // p.w) - ((p.doc_id + 5 * m.m) % (p.h - p.fh + 1)) AS dy
+        |  FROM px p JOIN (SELECT unnest(generate_series(1, 3)) AS m) m ON m.m <= p.k
+        |  WHERE dx >= 0 AND dx < p.fw AND dy >= 0 AND dy < p.fh),
+        |sel AS (
+        |  SELECT doc_id, k, i, max(m) AS m, arg_max(dy * fw + dx, m) AS j
+        |  FROM cov GROUP BY doc_id, k, i),
+        |val AS (
+        |  SELECT p.doc_id, p.k, p.w, p.h, p.i,
+        |    CASE WHEN s.m IS NULL THEN (3 * p.doc_id + 7 * p.i) % 256
+        |         ELSE (3 * p.doc_id + 7 * s.j + 13 * s.m) % 256 END AS r,
+        |    CASE WHEN s.m IS NULL THEN (2 * p.doc_id + 5 * p.i) % 256
+        |         ELSE (2 * p.doc_id + 5 * s.j + 13 * s.m) % 256 END AS g,
+        |    CASE WHEN s.m IS NULL THEN (p.doc_id + 3 * p.i) % 256
+        |         ELSE (p.doc_id + 3 * s.j + 13 * s.m) % 256 END AS b
+        |  FROM px p LEFT JOIN sel s
+        |    ON s.doc_id = p.doc_id AND s.k = p.k AND s.i = p.i)
+        |SELECT doc_id, CAST(k AS INT) AS frame_idx, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, CAST(w * h AS BIGINT) AS n_pixels,
+        |  round(avg(r), 6) AS mean_r, round(avg(g), 6) AS mean_g,
+        |  round(avg(b), 6) AS mean_b,
+        |  CAST(sum(i * r) AS BIGINT) AS weighted_r
+        |FROM val GROUP BY doc_id, k, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Apng.decodeApngFrameFeatures(
+          Apng.syntheticApngs(t(s, d, "documents").select("doc_id"), s), s)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("weighted_r"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    Q("q181_video_frame_dhash",
+      // per-frame perceptual fingerprints over COMPOSITED video frames:
+      // q179's dHash grid arithmetic replayed on top of q180's
+      // newest-covering-patch closed form — only the 9×8 grid sample
+      // points are materialized, not every pixel
+      s"""WITH $apngCtes,
+        |cells AS (
+        |  SELECT f.doc_id, f.w, f.h, f.fw, f.fh, f.k, gx.gx, gy.gy,
+        |    ((gy.gy * f.h) // 8) * f.w + ((gx.gx * f.w) // 9) AS i
+        |  FROM frames f,
+        |    (SELECT unnest(generate_series(0, 8)) AS gx) gx,
+        |    (SELECT unnest(generate_series(0, 7)) AS gy) gy),
+        |cov AS (
+        |  SELECT c.doc_id, c.k, c.gx, c.gy, c.fw, m.m,
+        |    (c.i % c.w) - ((c.doc_id + 3 * m.m) % (c.w - c.fw + 1)) AS dx,
+        |    (c.i // c.w) - ((c.doc_id + 5 * m.m) % (c.h - c.fh + 1)) AS dy
+        |  FROM cells c JOIN (SELECT unnest(generate_series(1, 3)) AS m) m ON m.m <= c.k
+        |  WHERE dx >= 0 AND dx < c.fw AND dy >= 0 AND dy < c.fh),
+        |sel AS (
+        |  SELECT doc_id, k, gx, gy, max(m) AS m, arg_max(dy * fw + dx, m) AS j
+        |  FROM cov GROUP BY doc_id, k, gx, gy),
+        |lum AS (
+        |  SELECT c.doc_id, c.k, c.gx, c.gy,
+        |    299 * (CASE WHEN s.m IS NULL THEN (3 * c.doc_id + 7 * c.i) % 256
+        |                ELSE (3 * c.doc_id + 7 * s.j + 13 * s.m) % 256 END)
+        |  + 587 * (CASE WHEN s.m IS NULL THEN (2 * c.doc_id + 5 * c.i) % 256
+        |                ELSE (2 * c.doc_id + 5 * s.j + 13 * s.m) % 256 END)
+        |  + 114 * (CASE WHEN s.m IS NULL THEN (c.doc_id + 3 * c.i) % 256
+        |                ELSE (c.doc_id + 3 * s.j + 13 * s.m) % 256 END) AS luma
+        |  FROM cells c LEFT JOIN sel s
+        |    ON s.doc_id = c.doc_id AND s.k = c.k AND s.gx = c.gx AND s.gy = c.gy),
+        |bits AS (
+        |  SELECT a.doc_id, a.k, a.gy * 8 + a.gx AS bit
+        |  FROM lum a JOIN lum b
+        |    ON b.doc_id = a.doc_id AND b.k = a.k AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.luma < b.luma)
+        |SELECT f.doc_id, CAST(f.k AS INT) AS frame_idx,
+        |  coalesce(bit_or(CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |                       ELSE (1::BIGINT << bit::INT) END), 0) AS dhash
+        |FROM frames f LEFT JOIN bits ON bits.doc_id = f.doc_id AND bits.k = f.k
+        |GROUP BY f.doc_id, f.k ORDER BY f.doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Apng.apngFrameDHashes(
+          Apng.syntheticApngs(t(s, d, "documents").select("doc_id"), s), s)
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    Q("q182_video_signatures",
+      // temporal video fingerprint: scene cuts (consecutive-frame dHash
+      // hamming > 16) + the 64-bit majority-vote fold — the oracle
+      // builds per-frame dhashes exactly as q181, then replays the lag
+      // comparison and the strict-majority bit vote
+      s"""WITH $apngCtes,
+        |cells AS (
+        |  SELECT f.doc_id, f.w, f.h, f.fw, f.fh, f.k, gx.gx, gy.gy,
+        |    ((gy.gy * f.h) // 8) * f.w + ((gx.gx * f.w) // 9) AS i
+        |  FROM frames f,
+        |    (SELECT unnest(generate_series(0, 8)) AS gx) gx,
+        |    (SELECT unnest(generate_series(0, 7)) AS gy) gy),
+        |cov AS (
+        |  SELECT c.doc_id, c.k, c.gx, c.gy, c.fw, m.m,
+        |    (c.i % c.w) - ((c.doc_id + 3 * m.m) % (c.w - c.fw + 1)) AS dx,
+        |    (c.i // c.w) - ((c.doc_id + 5 * m.m) % (c.h - c.fh + 1)) AS dy
+        |  FROM cells c JOIN (SELECT unnest(generate_series(1, 3)) AS m) m ON m.m <= c.k
+        |  WHERE dx >= 0 AND dx < c.fw AND dy >= 0 AND dy < c.fh),
+        |sel AS (
+        |  SELECT doc_id, k, gx, gy, max(m) AS m, arg_max(dy * fw + dx, m) AS j
+        |  FROM cov GROUP BY doc_id, k, gx, gy),
+        |lum AS (
+        |  SELECT c.doc_id, c.k, c.gx, c.gy,
+        |    299 * (CASE WHEN s.m IS NULL THEN (3 * c.doc_id + 7 * c.i) % 256
+        |                ELSE (3 * c.doc_id + 7 * s.j + 13 * s.m) % 256 END)
+        |  + 587 * (CASE WHEN s.m IS NULL THEN (2 * c.doc_id + 5 * c.i) % 256
+        |                ELSE (2 * c.doc_id + 5 * s.j + 13 * s.m) % 256 END)
+        |  + 114 * (CASE WHEN s.m IS NULL THEN (c.doc_id + 3 * c.i) % 256
+        |                ELSE (c.doc_id + 3 * s.j + 13 * s.m) % 256 END) AS luma
+        |  FROM cells c LEFT JOIN sel s
+        |    ON s.doc_id = c.doc_id AND s.k = c.k AND s.gx = c.gx AND s.gy = c.gy),
+        |bits AS (
+        |  SELECT a.doc_id, a.k, a.gy * 8 + a.gx AS bit
+        |  FROM lum a JOIN lum b
+        |    ON b.doc_id = a.doc_id AND b.k = a.k AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.luma < b.luma),
+        |fh AS (
+        |  SELECT f.doc_id, f.k,
+        |    coalesce(bit_or(CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |                         ELSE (1::BIGINT << bit::INT) END), 0) AS dhash
+        |  FROM frames f LEFT JOIN bits ON bits.doc_id = f.doc_id AND bits.k = f.k
+        |  GROUP BY f.doc_id, f.k),
+        |prevs AS (
+        |  SELECT doc_id, dhash,
+        |    lag(dhash) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |  FROM fh),
+        |cuts AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+        |    CAST(count(*) FILTER (WHERE prev IS NOT NULL
+        |      AND bit_count(xor(dhash, prev)) > 16) AS INT) AS n_cuts
+        |  FROM prevs GROUP BY doc_id),
+        |vote AS (
+        |  SELECT fh.doc_id, b.b,
+        |    sum(CASE WHEN ((dhash >> b.b) & 1) = 1 THEN 1 ELSE 0 END) AS nset,
+        |    count(*) AS nf
+        |  FROM fh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+        |  GROUP BY fh.doc_id, b.b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    coalesce(bit_or(CASE WHEN 2 * nset > nf THEN
+        |      CASE WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |           ELSE (1::BIGINT << b::INT) END END), 0) AS signature
+        |  FROM vote GROUP BY doc_id)
+        |SELECT c.doc_id, c.n_frames, c.n_cuts, s.signature
+        |FROM cuts c JOIN sig s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Apng.videoSignatures(
+          Apng.syntheticApngs(t(s, d, "documents").select("doc_id"), s), s,
+          cutBits = 16)
+        .orderBy("doc_id")
+    },
+
+    Q("q183_video_neardup_pairs",
+      // video near-dup end to end: a 1-in-17 deterministic document
+      // sample carries videos built from seed = doc_id % 23 (rows
+      // sharing a seed are byte-identical videos — the controlled-dup
+      // fixture), temporal signatures pair through the SAME
+      // pigeonhole-banded machinery as text SimHash / image dHash
+      // (4 bands over 64 bits is exact for hamming <= 3), and the
+      // oracle verifies with an all-pairs filter over the sample —
+      // banding-vs-exact equality IS the correctness claim. The oracle
+      // computes signatures once per distinct SEED (23 rows), not per
+      // document, then fans out through the doc->seed map.
+      s"""WITH docs AS (
+        |  SELECT doc_id, doc_id % 23 AS seed FROM documents WHERE doc_id % 17 = 0),
+        |dims AS (
+        |  SELECT DISTINCT seed, 9 + seed % 8 AS w, 8 + seed % 7 AS h,
+        |    2 + seed % 3 AS f,
+        |    (9 + seed % 8 + 1) // 2 AS fw, (8 + seed % 7 + 1) // 2 AS fh
+        |  FROM docs),
+        |frames AS (
+        |  SELECT d.*, unnest(generate_series(0, f - 1)) AS k FROM dims d),
+        |cells AS (
+        |  SELECT f.seed, f.w, f.h, f.fw, f.fh, f.k, gx.gx, gy.gy,
+        |    ((gy.gy * f.h) // 8) * f.w + ((gx.gx * f.w) // 9) AS i
+        |  FROM frames f,
+        |    (SELECT unnest(generate_series(0, 8)) AS gx) gx,
+        |    (SELECT unnest(generate_series(0, 7)) AS gy) gy),
+        |cov AS (
+        |  SELECT c.seed, c.k, c.gx, c.gy, c.fw, m.m,
+        |    (c.i % c.w) - ((c.seed + 3 * m.m) % (c.w - c.fw + 1)) AS dx,
+        |    (c.i // c.w) - ((c.seed + 5 * m.m) % (c.h - c.fh + 1)) AS dy
+        |  FROM cells c JOIN (SELECT unnest(generate_series(1, 3)) AS m) m ON m.m <= c.k
+        |  WHERE dx >= 0 AND dx < c.fw AND dy >= 0 AND dy < c.fh),
+        |sel AS (
+        |  SELECT seed, k, gx, gy, max(m) AS m, arg_max(dy * fw + dx, m) AS j
+        |  FROM cov GROUP BY seed, k, gx, gy),
+        |lum AS (
+        |  SELECT c.seed, c.k, c.gx, c.gy,
+        |    299 * (CASE WHEN s.m IS NULL THEN (3 * c.seed + 7 * c.i) % 256
+        |                ELSE (3 * c.seed + 7 * s.j + 13 * s.m) % 256 END)
+        |  + 587 * (CASE WHEN s.m IS NULL THEN (2 * c.seed + 5 * c.i) % 256
+        |                ELSE (2 * c.seed + 5 * s.j + 13 * s.m) % 256 END)
+        |  + 114 * (CASE WHEN s.m IS NULL THEN (c.seed + 3 * c.i) % 256
+        |                ELSE (c.seed + 3 * s.j + 13 * s.m) % 256 END) AS luma
+        |  FROM cells c LEFT JOIN sel s
+        |    ON s.seed = c.seed AND s.k = c.k AND s.gx = c.gx AND s.gy = c.gy),
+        |bits AS (
+        |  SELECT a.seed, a.k, a.gy * 8 + a.gx AS bit
+        |  FROM lum a JOIN lum b
+        |    ON b.seed = a.seed AND b.k = a.k AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.luma < b.luma),
+        |fh AS (
+        |  SELECT f.seed, f.k,
+        |    coalesce(bit_or(CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |                         ELSE (1::BIGINT << bit::INT) END), 0) AS dhash
+        |  FROM frames f LEFT JOIN bits ON bits.seed = f.seed AND bits.k = f.k
+        |  GROUP BY f.seed, f.k),
+        |vote AS (
+        |  SELECT fh.seed, b.b,
+        |    sum(CASE WHEN ((dhash >> b.b) & 1) = 1 THEN 1 ELSE 0 END) AS nset,
+        |    count(*) AS nf
+        |  FROM fh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+        |  GROUP BY fh.seed, b.b),
+        |sig AS (
+        |  SELECT seed,
+        |    coalesce(bit_or(CASE WHEN 2 * nset > nf THEN
+        |      CASE WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |           ELSE (1::BIGINT << b::INT) END END), 0) AS signature
+        |  FROM vote GROUP BY seed),
+        |docsig AS (
+        |  SELECT d.doc_id, s.signature FROM docs d JOIN sig s USING (seed))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  bit_count(xor(a.signature, b.signature))::BIGINT AS hamming
+        |FROM docsig a JOIN docsig b
+        |  ON a.doc_id < b.doc_id
+        | AND bit_count(xor(a.signature, b.signature)) <= 3
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val sample = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 17 === 0)
+        .withColumn("seed", col("doc_id") % 23)
+      val sigs = Apng.videoSignatures(Apng.syntheticApngsSeeded(sample, s), s)
+        .select(col("doc_id"), col("signature"))
+      Dedup.simhashPairs(sigs, "doc_id", "signature",
+          nBands = 4, maxHamming = 3, sigBits = 64)
+        .orderBy("id1", "id2")
     },
 
     // ------------------------------------ additional relational cover

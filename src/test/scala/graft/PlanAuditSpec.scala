@@ -562,6 +562,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no corpus-wide window:\n$p")
   }
 
+  test("q180/q181: APNG decode stays a narrow per-partition map — no shuffle before the sort") {
+    val p = plan("q180_apng_frames")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"decode is per-row; nothing to join or window:\n$p")
+    val p1 = plan("q181_video_frame_dhash")
+    assert(!p1.contains("Join") && !p1.contains("Arguments: hashpartitioning"),
+      s"frame fingerprints are per-row compute:\n$p1")
+  }
+
+  test("q183: video near-dup pairs via banded equi-join — never all-pairs") {
+    val p = plan("q183_video_neardup_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pairing must be the banded equi-join, not a cross product:\n$p")
+  }
+
   test("q165: text canonicalization is a pure projection before the output sort") {
     val p = plan("q165_text_canonical_dedup")
     // one scan → project (the codegen expression) → range sort for the
