@@ -1221,6 +1221,91 @@ object Multimodal {
     }(enc)
   }
 
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false)))
+
+  /** Perceptual AUDIO fingerprint over PCM16 — the Haitsma–Kalker
+    * fingerprint structure (the published Philips audio-fingerprinting
+    * scheme) with time-domain sub-band energies standing in for the
+    * spectral bands: each `windowSize`-sample frame splits into `nBands`
+    * consecutive sub-bands, E[f][b] = Σ|s| over the sub-band (exact
+    * integer), and bit b of frame f is the sign of the TIME-FREQUENCY
+    * DELTA (E[f][b] − E[f][b+1]) − (E[f−1][b] − E[f−1][b+1]) > 0 —
+    * the double difference that makes the scheme robust to global gain
+    * and slow drift. Frames are emitted from f = 1 (the first frame has
+    * no predecessor), nBands−1 bits per frame, little-endian bit b at
+    * position b. Everything is integer arithmetic end to end, so a SQL
+    * oracle replays it exactly. The partial tail frame drops, matching
+    * [[wavFrameStats]] framing.
+    */
+  private[graft] def audioFingerprint(
+      id: Long, bytes: Array[Byte], windowSize: Int, nBands: Int): Option[Seq[Row]] = {
+    if (windowSize <= 0 || nBands < 2 || windowSize % nBands != 0) return None
+    val (_, _, dataOff, n) = parseWavHeader(bytes) match {
+      case Some(g) => g
+      case None => return None
+    }
+    val sub = windowSize / nBands
+    val nFrames = n / windowSize
+    if (nFrames < 2) return Some(Seq.empty)
+    // band energies per frame
+    val e = Array.ofDim[Long](nFrames, nBands)
+    var f = 0
+    while (f < nFrames) {
+      var b = 0
+      while (b < nBands) {
+        var acc = 0L
+        var k = 0
+        while (k < sub) {
+          val i = f * windowSize + b * sub + k
+          val s = (le16(bytes, dataOff + 2 * i) << 16) >> 16
+          acc += math.abs(s.toLong)
+          k += 1
+        }
+        e(f)(b) = acc
+        b += 1
+      }
+      f += 1
+    }
+    val out = Seq.newBuilder[Row]
+    f = 1
+    while (f < nFrames) {
+      var fp = 0L
+      var b = 0
+      while (b < nBands - 1) {
+        val d = (e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1))
+        if (d > 0) fp |= 1L << b
+        b += 1
+      }
+      out += Row(id, f, fp)
+      f += 1
+    }
+    Some(out.result())
+  }
+
+  /** Per-partition audio fingerprinting into [[audioFpSchema]]:
+    * (doc_id, frame_idx, fp) from frame 1 on; unparseable rows drop.
+    * Narrow per-row work, no shuffle — at 100 TB the fingerprints (a
+    * few bytes per frame) are what shuffles downstream, never samples.
+    */
+  def audioFingerprints(
+      blobs: DataFrame, spark: SparkSession,
+      windowSize: Int = 45, nBands: Int = 9): DataFrame = {
+    val idIdx = blobs.schema.fieldIndex(blobs.columns.head)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val enc = RowEncoder.encoderFor(audioFpSchema)
+    blobs.mapPartitions { it =>
+      it.flatMap { r =>
+        scala.util.Try(
+          audioFingerprint(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx),
+            windowSize, nBands)
+        ).toOption.flatten.toSeq.flatten
+      }
+    }(enc)
+  }
+
   /** Encode a mono PCM16 WAV with the deterministic sample formula
     * s(i) = ((13·id + 31·i) mod 65536) − 32768 — the audio fixture for the
     * decode gate, predictable by an oracle from the formula alone.

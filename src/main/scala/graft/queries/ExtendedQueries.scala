@@ -914,6 +914,46 @@ object ExtendedQueries {
         .orderBy("id1", "id2")
     },
 
+    Q("q184_audio_fingerprint",
+      // perceptual AUDIO fingerprints over the REAL PCM16 decode path:
+      // Haitsma–Kalker structure (sub-band energies, sign of the
+      // time×band double difference) in exact integer arithmetic —
+      // window 45 samples, 9 sub-bands of 5, 8 bits per frame from
+      // frame 1. The oracle replays samples from the fixture formula,
+      // the |s| energy sums, both difference layers, and the bit
+      // packing; docs under 2 frames (n < 90) emit nothing by contract.
+      """WITH dims AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+        |frames AS (
+        |  SELECT doc_id, unnest(generate_series(0, n // 45 - 1)) AS f
+        |  FROM dims WHERE n // 45 >= 2),
+        |be AS (
+        |  SELECT doc_id, f, b.b,
+        |    sum(abs(((13 * doc_id + 31 * (f * 45 + b.b * 5 + k.k)) % 65536) - 32768)) AS e
+        |  FROM frames
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS b) b
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k) k
+        |  GROUP BY doc_id, f, b.b),
+        |diffs AS (
+        |  SELECT a.doc_id, a.f, a.b, a.e - bb.e AS d
+        |  FROM be a JOIN be bb
+        |    ON bb.doc_id = a.doc_id AND bb.f = a.f AND bb.b = a.b + 1
+        |  WHERE a.b < 8),
+        |bits AS (
+        |  SELECT c.doc_id, c.f, c.b
+        |  FROM diffs c JOIN diffs p
+        |    ON p.doc_id = c.doc_id AND p.f = c.f - 1 AND p.b = c.b
+        |  WHERE c.f >= 1 AND c.d - p.d > 0)
+        |SELECT f2.doc_id, CAST(f2.f AS INT) AS frame_idx,
+        |  CAST(coalesce(sum(1::BIGINT << bits.b::INT), 0) AS BIGINT) AS fp
+        |FROM (SELECT doc_id, f FROM frames WHERE f >= 1) f2
+        |LEFT JOIN bits ON bits.doc_id = f2.doc_id AND bits.f = f2.f
+        |GROUP BY f2.doc_id, f2.f
+        |ORDER BY f2.doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Multimodal.audioFingerprints(
+          Multimodal.syntheticWavs(t(s, d, "documents").select("doc_id"), s), s)
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // ------------------------------------ additional relational cover
     Q("q45_percentiles",
       """SELECT l_returnflag,

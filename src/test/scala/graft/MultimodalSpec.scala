@@ -513,6 +513,55 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavFrameStats(id, Array.fill[Byte](64)(1), 32).isEmpty)
   }
 
+  test("audio fingerprint: hand-derived bits, gain invariance, perturbation locality") {
+    // local WAV builder over arbitrary samples (the library fixture is
+    // formula-pinned)
+    def wavOf(samples: Array[Int]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = new Array[Byte](44 + dataLen)
+      def putStr(o: Int, s: String): Unit =
+        s.zipWithIndex.foreach { case (c, i) => b(o + i) = c.toByte }
+      def put32(o: Int, v: Int): Unit =
+        (0 until 4).foreach(k => b(o + k) = ((v >> (8 * k)) & 0xff).toByte)
+      def put16(o: Int, v: Int): Unit = {
+        b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      putStr(0, "RIFF"); put32(4, 36 + dataLen); putStr(8, "WAVE")
+      putStr(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+      put32(24, 8000); put32(28, 16000); put16(32, 2); put16(34, 16)
+      putStr(36, "data"); put32(40, dataLen)
+      samples.zipWithIndex.foreach { case (s, i) => put16(44 + 2 * i, s & 0xffff) }
+      b
+    }
+    def fps(samples: Array[Int]): Seq[Long] =
+      Multimodal.audioFingerprint(1L, wavOf(samples), 45, 9).get.map(_.getLong(2))
+
+    // hand-derived: 2 frames of 45; frame 0 all zeros, frame 1 has
+    // energy 10·5=50 in band 0 only → d(f=1): band0−band1 = +50, others
+    // 0; d(f=0) all 0 → double diff > 0 only at bit 0 → fp = 1
+    val base = new Array[Int](90)
+    (45 until 50).foreach(i => base(i) = 10)
+    assert(fps(base) === Seq(1L))
+
+    // gain invariance: scaling every sample by 3 scales all energies by
+    // 3 — every double-difference keeps its sign, fingerprint identical
+    val formula = (0 until 135).map(i => ((7 * i * i + 3 * i) % 2000) - 1000).toArray
+    assert(fps(formula) === fps(formula.map(_ * 3)))
+
+    // perturbation locality: one sample touches ONE (frame, band) energy
+    // → at most bands b−1,b of frames f and f+1 flip → hamming ≤ 4
+    val pert = formula.clone(); pert(50) += 40
+    val h = fps(formula).zip(fps(pert))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(h <= 4, s"one-sample perturbation flipped $h bits")
+
+    // contract: window not divisible by bands → None; < 2 frames → empty
+    assert(Multimodal.audioFingerprint(1L, wavOf(base), 40, 9).isEmpty)
+    assert(Multimodal.audioFingerprint(1L, wavOf(base.take(80)), 45, 9).get.isEmpty)
+    // corrupt input drops through the shared header walk
+    assert(Multimodal.audioFingerprint(1L, wavOf(base).take(30), 45, 9).isEmpty)
+  }
+
   test("MP4 frame sampling reads real sample tables; rejects inconsistent ones") {
     import graft.operators.Mp4
     val id = 13L // nF = 5 + 13%6 = 6
