@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 
 /** Snapshot diffing (CDC between two table versions) — the reconciliation
   * pass run between pipeline runs: which rows appeared, disappeared, or
@@ -51,5 +52,54 @@ object Snapshot {
           .when(col("__nh").isNull, "removed")
           .when(col("__oh") =!= col("__nh"), "changed").as("change_type"))
       .filter(col("change_type").isNotNull)
+  }
+
+  /** Change data feed between two snapshots — [[diff]] with payloads, in
+    * the standard CDF row shape (the format Delta Lake's change feed
+    * popularized): one row per change carrying the affected values,
+    * `change_type` ∈ {insert, delete, update_preimage, update_postimage}
+    * (an updated key emits BOTH rows: the pre-image with old values and
+    * the post-image with new). Unchanged keys emit nothing — at scale
+    * they are ~the whole table.
+    *
+    * This is the feed incremental consumers need ([[IncrementalAgg]]):
+    * the pre/post pair is exactly a −old/+new contribution, so signed
+    * aggregation over the feed maintains downstream state without
+    * rescanning either snapshot. Change detection reuses [[diff]]'s
+    * column-block hash (null-safe, boundary-collision-proof); the
+    * payload rides the same single full-outer key join, projected to
+    * `keyCol` + `compareCols` only — never the full row width.
+    * Keys must be unique per snapshot, as in [[diff]].
+    */
+  def changeDataFeed(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCol: String,
+      compareCols: Seq[String] = Nil): DataFrame = {
+    val cols =
+      if (compareCols.nonEmpty) compareCols
+      else oldDf.columns.filter(c => c != keyCol && newDf.columns.contains(c)).toSeq
+    require(cols.nonEmpty, "no common non-key columns to compare")
+    def side(df: DataFrame, payload: String, hc: String) = df.select(col(keyCol),
+      struct(cols.map(col): _*).as(payload),
+      md5(concat_ws("", cols.map(c =>
+        concat(when(col(c).isNull, "0").otherwise("1"),
+          md5(coalesce(col(c).cast("string"), lit(""))))): _*)).as(hc))
+    val joined = side(oldDf, "__old", "__oh")
+      .join(side(newDf, "__new", "__nh"), Seq(keyCol), "full_outer")
+    val emptyPair = array().cast(ArrayType(StructType(Seq(
+      StructField("p", joined.schema("__old").dataType),
+      StructField("t", StringType)))))
+    joined.select(col(keyCol), explode(
+        when(col("__oh").isNull,
+          array(struct(col("__new").as("p"), lit("insert").as("t"))))
+        .when(col("__nh").isNull,
+          array(struct(col("__old").as("p"), lit("delete").as("t"))))
+        .when(col("__oh") =!= col("__nh"),
+          array(struct(col("__old").as("p"), lit("update_preimage").as("t")),
+            struct(col("__new").as("p"), lit("update_postimage").as("t"))))
+        .otherwise(emptyPair)).as("__c"))
+      .select(col(keyCol) +: cols.map(c => col(s"__c.p.$c")) :+
+        col("__c.t").as("change_type"): _*)
   }
 }

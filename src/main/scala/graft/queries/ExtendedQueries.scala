@@ -954,6 +954,45 @@ object ExtendedQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    Q("q185_incremental_agg",
+      // incremental aggregate maintenance: the Spark side NEVER
+      // aggregates the new snapshot — it refreshes the old snapshot's
+      // per-customer (count, decimal sum) state from the change data
+      // feed alone (signed deltas: insert/post +, delete/pre −), while
+      // the oracle recomputes the aggregate over the new snapshot from
+      // scratch. Equality of a maintained state with a full recompute
+      // IS the correctness claim (exact because DECIMAL sums are
+      // order-insensitive — the reason the operator mandates decimals).
+      // Changes mirror q124: inserts (keys % 97 = 0 were missing from
+      // old), deletes (% 89 = 0), reprices (% 101 = 0).
+      """WITH newsnap AS (
+        |  SELECT o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice + 1, 2)
+        |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 89 <> 0)
+        |SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |  CAST(sum(p) AS DECIMAL(18,2)) AS total
+        |FROM newsnap GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      import graft.operators.{IncrementalAgg, Snapshot}
+      val orders = t(s, d, "orders")
+      val oldSnap = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val newSnap = orders.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 101 === 0, round(col("o_totalprice") + 1, 2))
+            .otherwise(col("o_totalprice")).cast("decimal(18,2)").as("p"))
+      val prevAgg = oldSnap.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("p"))
+      val cdf = Snapshot.changeDataFeed(oldSnap, newSnap, "o_orderkey",
+        Seq("o_custkey", "p"))
+      IncrementalAgg.refreshSumCount(prevAgg, cdf,
+          Seq("o_custkey"), "n_orders", Seq("p"))
+        .select(col("o_custkey"), col("n_orders"),
+          col("p").cast("decimal(18,2)").as("total"))
+        .orderBy("o_custkey")
+    },
+
     // ------------------------------------ additional relational cover
     Q("q45_percentiles",
       """SELECT l_returnflag,

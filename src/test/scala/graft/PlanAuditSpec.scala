@@ -577,6 +577,14 @@ class PlanAuditSpec extends SparkSpec {
       s"the pairing must be the banded equi-join, not a cross product:\n$p")
   }
 
+  test("q185: incremental refresh aggregates deltas map-side; no cartesian, no window") {
+    val p = plan("q185_incremental_agg")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("Window"), s"CDF + merge are equi-joins only:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"delta aggregation must combine map-side before the shuffle:\n$p")
+  }
+
   test("q165: text canonicalization is a pure projection before the output sort") {
     val p = plan("q165_text_canonical_dedup")
     // one scan → project (the codegen expression) → range sort for the
