@@ -64,16 +64,37 @@ object StreamingDedup {
       nBands: Int = 4,
       maxHamming: Int = 3,
       maxPerBucket: Int = 64): Dataset[BandVerdict] = {
-    require(maxHamming < nBands, "banding is only exact when maxHamming < nBands")
-    require(60 % nBands == 0, s"nBands=$nBands must divide 60")
     val spark = docs.sparkSession
-    import spark.implicits._
     GraftFunctions.register(spark) // idempotent; simhash60 must resolve
+    bandVerdictsSig(
+      docs.select(col(idCol).cast("long").as("docId"),
+        GraftFunctions.simhash60(TextAnalysis.tokens(col(textCol))).as("sig")),
+      "docId", "sig", nBands, maxHamming, maxPerBucket, sigBits = 60)
+  }
+
+  /** [[bandVerdicts]] over a PRECOMPUTED signature column — the entry
+    * point for non-text fingerprints (image dHash, video temporal
+    * signatures, audio fingerprints: any 64-bit-or-less perceptual
+    * hash): the banding, bucket state, admission rule and pigeonhole
+    * argument are signature-agnostic, so one state machine serves every
+    * modality. `sigBits` must match the signature width (64 for
+    * dHash/video signatures, 60 for text SimHash).
+    */
+  def bandVerdictsSig(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      nBands: Int = 4,
+      maxHamming: Int = 3,
+      maxPerBucket: Int = 64,
+      sigBits: Int = 64): Dataset[BandVerdict] = {
+    require(maxHamming < nBands, "banding is only exact when maxHamming < nBands")
+    require(sigBits % nBands == 0, s"nBands=$nBands must divide sigBits=$sigBits")
+    val spark = sigs.sparkSession
+    import spark.implicits._
     val banded = graft.operators.Dedup.bandSignatures(
-        docs.select(
-          col(idCol).cast("long").as("docId"),
-          GraftFunctions.simhash60(TextAnalysis.tokens(col(textCol))).as("sig")),
-        "sig", nBands, sigBits = 60)
+        sigs.select(col(idCol).cast("long").as("docId"), col(sigCol).as("sig")),
+        "sig", nBands, sigBits = sigBits)
       .as[(Long, Long, Int, Long)]
       .map { case (id, sig, band, bval) => BandDoc(id, sig, band, bval) }
 

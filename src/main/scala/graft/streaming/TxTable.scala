@@ -510,6 +510,57 @@ object TxTable {
       pruneBy: Seq[ColRange] = Nil): Option[DataFrame] =
     readSnapshot(spark, tablePath, snapshotAt(tablePath, version), partitions, pruneBy)
 
+  /** [[readMerged]]'s last-value view pinned to `version` — the
+    * merge-on-read collapse over a time-travel snapshot, so delta tables
+    * expose consistent per-key states at ANY version, not just HEAD.
+    */
+  def readMergedAt(spark: SparkSession, tablePath: String, version: Long,
+      keys: Seq[String] = Seq("serverName", "tag"),
+      order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp"),
+      partitions: Option[Seq[String]] = None): Option[DataFrame] =
+    readAt(spark, tablePath, version, partitions)
+      .map(df => graft.operators.LastValue.latestPerKey(df, keys, order))
+
+  /** Change data feed between two committed versions of this table: the
+    * standard CDF rows (insert / delete / update_preimage /
+    * update_postimage with payloads, see
+    * [[graft.operators.Snapshot.changeDataFeed]]) computed over the two
+    * versions' MERGED last-value views — on a delta table superseded
+    * rows never leak into the feed. `keyCol` must be one of `keys`
+    * making a row unique (for the canonical telemetry schema that is
+    * `tag` within a server partition; pass `partitions` to scope).
+    * Feeds [[graft.operators.IncrementalAgg]]: downstream aggregates
+    * refresh from O(changes between versions), never a table rescan.
+    * An empty version (no files) reads as an empty relation of the
+    * other side's schema.
+    */
+  def changeDataFeed(
+      spark: SparkSession,
+      tablePath: String,
+      fromVersion: Long,
+      toVersion: Long,
+      keyCol: String,
+      compareCols: Seq[String] = Nil,
+      keys: Seq[String] = Seq("serverName", "tag"),
+      order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp"),
+      partitions: Option[Seq[String]] = None): DataFrame = {
+    val oldV = readMergedAt(spark, tablePath, fromVersion, keys, order, partitions)
+    val newV = readMergedAt(spark, tablePath, toVersion, keys, order, partitions)
+    def emptyLike(d: DataFrame) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.schema)
+    (oldV, newV) match {
+      case (Some(o), Some(n)) =>
+        graft.operators.Snapshot.changeDataFeed(o, n, keyCol, compareCols)
+      case (Some(o), None) =>
+        graft.operators.Snapshot.changeDataFeed(o, emptyLike(o), keyCol, compareCols)
+      case (None, Some(n)) =>
+        graft.operators.Snapshot.changeDataFeed(emptyLike(n), n, keyCol, compareCols)
+      case (None, None) =>
+        throw new IllegalArgumentException(
+          s"both versions $fromVersion and $toVersion of $tablePath are empty — no schema to diff")
+    }
+  }
+
   /** The files a read with these prune predicates opens — partition
     * selection then stats-based skipping, both metadata-only (no
     * listing, no Spark job). Package-visible so specs can assert

@@ -56,6 +56,51 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got === Map("y" -> ((2L, 9L))))
   }
 
+  test("TxTable.changeDataFeed across versions feeds incremental refresh on a delta table") {
+    import graft.streaming.TxTable
+    val path = java.nio.file.Files.createTempDirectory("graft-cdf-tx").toString
+    def batch(rows: (String, String, String, Double)*) =
+      rows.map { case (srv, tag, t, v) => (srv, tag, v, ts(t), ts(t)) }
+        .toDF("serverName", "tag", "doubleValue", "serverTimestamp", "sourceTimestamp")
+
+    // v1: three tags on one server
+    val v1 = TxTable.upsertDelta(spark, batch(
+      ("s1", "a", "2024-01-01 00:00:01", 10.0),
+      ("s1", "b", "2024-01-01 00:00:01", 20.0),
+      ("s1", "c", "2024-01-01 00:00:01", 30.0)), path)
+    // v2: a updated (superseding delta), d inserted — b, c untouched
+    val v2 = TxTable.upsertDelta(spark, batch(
+      ("s1", "a", "2024-01-01 00:00:05", 11.5),
+      ("s1", "d", "2024-01-01 00:00:05", 40.0)), path)
+
+    val cdf = TxTable.changeDataFeed(spark, path, v1, v2, "tag",
+      compareCols = Seq("doubleValue"))
+    val got = cdf.select("tag", "doubleValue", "change_type")
+      .as[(String, Double, String)].collect().toSet
+    assert(got === Set(
+      ("a", 10.0, "update_preimage"), ("a", 11.5, "update_postimage"),
+      ("d", 40.0, "insert")),
+      "merged views must hide superseded delta rows from the feed")
+
+    // compose: maintain a per-server (count, sum) state v1 → v2 and
+    // match a from-scratch aggregate over the v2 merged view.
+    // doubleValue sums are fine HERE (single partition, tiny) — q185
+    // demonstrates the decimal contract.
+    val prev = TxTable.readMergedAt(spark, path, v1).get
+      .groupBy("serverName")
+      .agg(count(lit(1)).as("n"), sum("doubleValue").as("doubleValue"))
+    val refreshed = IncrementalAgg.refreshSumCount(prev,
+        TxTable.changeDataFeed(spark, path, v1, v2, "tag",
+          compareCols = Seq("serverName", "doubleValue")),
+        Seq("serverName"), "n", Seq("doubleValue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(refreshed === Set(("s1", 4L, 10.0 + 20.0 + 30.0 + 40.0 + 1.5)))
+
+    // a version diffed against itself is an empty feed (no false changes)
+    assert(TxTable.changeDataFeed(spark, path, v2, v2, "tag",
+      compareCols = Seq("doubleValue")).isEmpty)
+  }
+
   test("a malformed change_type fails loudly instead of dropping weight") {
     val bad = Seq(("a", 1L, "upsert")).toDF("g", "v", "change_type")
     val e = intercept[Exception] {

@@ -1376,4 +1376,58 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(latest() == Map("t1" -> 2.0, "t2" -> 8.0))
   }
+
+  test("streaming MEDIA near-dup: video signatures dedupe through the signature-agnostic filter") {
+    // the composition claim: Apng.videoSignatures (batch fingerprinting)
+    // and StreamingDedup share one 64-bit signature space, so a media
+    // stream dedupes with ZERO media-specific streaming code — the same
+    // bucket state machine that serves text SimHash
+    import graft.operators.Apng
+    import graft.streaming.StreamingDedup
+    implicit val sc = spark.sqlContext
+
+    // three distinct videos; id 10/11 share a build seed (byte-identical)
+    def sigOf(buildId: Long): Long = {
+      val blob = Apng.encodeSyntheticApng(buildId,
+        9 + (buildId % 8).toInt, 8 + (buildId % 7).toInt, 2 + (buildId % 3).toInt)
+      Apng.videoSignatures(
+          Seq((buildId, blob)).toDF("doc_id", "blob"), spark)
+        .select("signature").as[Long].head()
+    }
+    val sigA = sigOf(21L); val sigB = sigOf(22L)
+
+    val mem = MemoryStream[(Long, Long)]
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val ckpt = tmp("graft-media-dedup-ckpt")
+    def run(): Unit = {
+      val q = StreamingDedup.bandVerdictsSig(
+          mem.toDF().toDF("doc_id", "signature"), "doc_id", "signature",
+          sigBits = 64)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          survivors.synchronized {
+            survivors ++= StreamingDedup.novelDocs(b)
+              .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+              .collect()
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: two distinct videos arrive
+    mem.addData((10L, sigA), (20L, sigB))
+    run()
+    assert(survivors.sorted == Seq(10L, 20L))
+    // batch 2 (state carried across triggers): an identical re-upload of
+    // video 10 must drop; a new distinct video survives
+    mem.addData((11L, sigA), (30L, sigOf(23L)))
+    run()
+    assert(survivors.sorted == Seq(10L, 20L, 30L),
+      s"re-uploaded video (11) must be dropped, got $survivors")
+  }
 }
