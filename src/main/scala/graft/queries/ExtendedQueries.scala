@@ -954,6 +954,40 @@ object ExtendedQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    Q("q186_jaccard_join_exact",
+      // EXACT set-similarity join (prefix filtering, AllPairs/PPJoin
+      // family): every pair with shingle-Jaccard >= 1/2, NO recall loss
+      // — the engine exposes only each doc's rarest n-ceil(n/2)+1
+      // shingles as join keys (global df order) and verifies candidates
+      // with integer arithmetic; the oracle is the brute-force
+      // all-sharing-pairs filter over the full corpus, so
+      // prefix-pruning-vs-exact equality IS the correctness claim (cf.
+      // q183's banding argument, but lossless by construction rather
+      // than pigeonhole-bounded).
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM words WHERE len(w) >= 3)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, CAST(i AS BIGINT) AS inter,
+        |  CAST(z1.n AS BIGINT) AS n1, CAST(z2.n AS BIGINT) AS n2
+        |FROM inter
+        |JOIN sizes z1 ON z1.doc_id = id1
+        |JOIN sizes z2 ON z2.doc_id = id2
+        |WHERE 3 * i >= z1.n + z2.n
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      Dedup.prefixJaccardJoin(
+          t(s, d, "documents"), "doc_id", "text", tNum = 1, tDen = 2)
+        .orderBy("id1", "id2")
+    },
+
     Q("q185_incremental_agg",
       // incremental aggregate maintenance: the Spark side NEVER
       // aggregates the new snapshot — it refreshes the old snapshot's

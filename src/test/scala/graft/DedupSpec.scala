@@ -372,4 +372,62 @@ class DedupSpec extends SparkSpec {
     assert(inc.contains((10L, 1L)) && inc.contains((12L, 11L)),
       "must find cross-boundary and within-batch duplicates")
   }
+
+  test("prefixJaccardJoin: lossless vs brute force on a colliding random corpus") {
+    // 60 docs over an 8-word vocabulary — tiny vocab forces massive
+    // shingle sharing, the adversarial regime for prefix filtering
+    // (everything wants to collide). The result must equal the
+    // brute-force all-pairs answer EXACTLY: prefix filtering is a
+    // candidate-pruning argument, never a recall trade.
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val rnd = new scala.util.Random(42)
+    // 6 base docs; each corpus doc is a base with 0–2 point mutations →
+    // guaranteed clusters of genuinely-qualifying pairs PLUS hard
+    // negatives that share many shingles but miss the threshold
+    val bases = Array.fill(6)(Array.fill(12)(vocab(rnd.nextInt(vocab.length))))
+    val docs = (1L to 60L).map { id =>
+      val w = bases(rnd.nextInt(bases.length)).clone()
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.length))
+      }
+      (id, w.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val got = Dedup.prefixJaccardJoin(docs, "doc_id", "text", 1, 2)
+      .select("id1", "id2", "inter", "n1", "n2")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    // brute force: every pair sharing >= 1 shingle, exact integer filter
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      i = (sh(a) & sh(b)).size if i > 0
+      if 3L * i >= sh(a).size + sh(b).size // J >= 1/2 in integers
+    } yield (a, b, i.toLong, sh(a).size.toLong, sh(b).size.toLong)).toSet
+    assert(want.nonEmpty, "fixture must actually produce qualifying pairs")
+    assert(got === want)
+  }
+
+  test("prefixJaccardJoin: threshold boundary is exact; t=1 finds only identical sets") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // 4 shingles
+      (2L, "a b c d e zz"),  // 3 shared with 1 -> J = 3/5
+      (3L, "a b c d e f"),   // identical to 1 -> J = 1
+      (4L, "q w e r t y"))   // disjoint
+      .toDF("doc_id", "text")
+    // t = 3/5: pair (1,2) sits EXACTLY on the boundary and must be kept
+    val at35 = Dedup.prefixJaccardJoin(docs, "doc_id", "text", 3, 5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(at35 === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // a hair above the boundary (61/100) must drop it
+    val above = Dedup.prefixJaccardJoin(docs, "doc_id", "text", 61, 100)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(above === Set((1L, 3L)))
+    // t = 1: prefix length collapses to 1 (the single rarest shingle)
+    // and only identical sets survive
+    val eq = Dedup.prefixJaccardJoin(docs, "doc_id", "text", 1, 1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(eq === Set((1L, 3L)))
+  }
 }

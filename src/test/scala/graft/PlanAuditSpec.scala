@@ -585,6 +585,12 @@ class PlanAuditSpec extends SparkSpec {
       s"delta aggregation must combine map-side before the shuffle:\n$p")
   }
 
+  test("q186: exact jaccard join candidates come from an equi-join; never a cross product") {
+    val p = plan("q186_jaccard_join_exact")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering must candidate via equi-join:\n$p")
+  }
+
   test("q165: text canonicalization is a pure projection before the output sort") {
     val p = plan("q165_text_canonical_dedup")
     // one scan → project (the codegen expression) → range sort for the
