@@ -988,6 +988,37 @@ object ExtendedQueries {
         .orderBy("id1", "id2")
     },
 
+    Q("q187_bpe_pair_counts",
+      // the first layer of distributed BPE training (Bpe.train): the
+      // corpus collapses to its distinct-word vocabulary, words become
+      // char symbols + '</w>', adjacent pairs count weighted by word
+      // frequency — the exact argmax input of merge 1, with training's
+      // (cnt desc, left, right) tie order. The oracle replays word
+      // splitting, the end-of-word symbol, and the weighted pair count;
+      // the iterative trajectory itself is pinned in BpeSpec (merge k+1
+      // depends on merge k — not single-layer SQL).
+      """WITH words AS (
+        |  SELECT w AS word, count(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) t
+        |  WHERE w <> '' GROUP BY w),
+        |syms AS (
+        |  SELECT word, c, i,
+        |    CASE WHEN i <= length(word) THEN substr(word, i, 1)
+        |         ELSE '</w>' END AS s
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, length(word) + 1)) AS i) g),
+        |pairs AS (
+        |  SELECT a.s AS sym_l, b.s AS sym_r, a.c
+        |  FROM syms a JOIN syms b ON b.word = a.word AND b.i = a.i + 1)
+        |SELECT sym_l, sym_r, CAST(sum(c) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY sym_l, sym_r
+        |ORDER BY cnt DESC, sym_l, sym_r LIMIT 20""".stripMargin) { (s, d) =>
+      import graft.operators.Bpe
+      Bpe.pairCounts(Bpe.wordVocab(t(s, d, "documents"), "text"))
+        .orderBy(col("cnt").desc, col("sym_l"), col("sym_r"))
+        .limit(20)
+    },
+
     Q("q185_incremental_agg",
       // incremental aggregate maintenance: the Spark side NEVER
       // aggregates the new snapshot — it refreshes the old snapshot's

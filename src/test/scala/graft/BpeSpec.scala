@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Bpe
+import graft.operators.Bpe.Merge
+
+/** BPE training: the iterative merge trajectory the single-layer q187
+  * oracle can't express, pinned hand-derived on the classic fixture.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train learns the hand-derived merge trajectory on the classic corpus") {
+    // Sennrich-style fixture: frequencies low:5 lower:2 newest:6 widest:3
+    val docs = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val merges = Bpe.train(docs, "text", numMerges = 4)
+    // pair counts, round 1: (e,s)=9 (newest+widest), (s,t)=9, (t,</w>)=9,
+    // (l,o)=7, (o,w)=7 ... tie on 9 → lexicographic: (e,s) wins.
+    // round 2: es+t → (es,t)=9 beats (t,</w>)=9 lexicographically? No:
+    // ("es","t") < ("t","</w>") since "es" < "t". round 3: (est,</w>)=9.
+    // round 4: (l,o)=7 vs (o,w)=7 → (l,o).
+    assert(merges.map(m => (m.left, m.right, m.cnt)) === Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L), ("l", "o", 7L)))
+  }
+
+  test("merge algebra: greedy left-to-right, non-overlapping; tokenize applies in order") {
+    assert(Bpe.mergeOnce(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(Bpe.mergeOnce(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(Bpe.mergeOnce(Seq("x", "a", "b", "y"), "a", "b") === Seq("x", "ab", "y"))
+
+    // applying learned merges to an UNSEEN word: "lowest" under the
+    // trajectory above → l+o merged, est+</w> merged
+    val merges = Seq(Merge("e", "s", 0), Merge("es", "t", 0),
+      Merge("est", "</w>", 0), Merge("l", "o", 0))
+    val toks = Bpe.tokenize(Seq((1L, "lowest")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .select("tokens").as[Seq[String]].head()
+    assert(toks === Seq("lo", "w", "est</w>"))
+  }
+
+  test("training is deterministic and stops below minCount") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab xy zq")).toDF("id", "text")
+    val m1 = Bpe.train(docs, "text", numMerges = 10, minCount = 2)
+    val m2 = Bpe.train(docs, "text", numMerges = 10, minCount = 2)
+    assert(m1 === m2, "same corpus, same merges — replay-stable")
+    // "ab" appears 3x: (a,b)=3 then (ab,</w>)=3; everything else is 1
+    assert(m1.map(m => (m.left, m.right, m.cnt)) === Seq(
+      ("a", "b", 3L), ("ab", "</w>", 3L)))
+  }
+
+  test("vocabulary compression: each merge shrinks total weighted symbol count by its pair count") {
+    val docs = Seq((Seq.fill(4)("banana") ++ Seq.fill(3)("bandana")).mkString(" "))
+      .toDF("text")
+    def totalSyms(merges: Seq[Merge]): Long =
+      Bpe.tokenize(docs.selectExpr("cast(1 as long) as doc_id", "text"),
+          "doc_id", "text", merges)
+        .selectExpr("cast(size(tokens) as long) as n").as[Long].head()
+    val merges = Bpe.train(docs, "text", numMerges = 3)
+    var prev = totalSyms(Nil)
+    merges.indices.foreach { k =>
+      val cur = totalSyms(merges.take(k + 1))
+      assert(cur < prev, s"merge ${merges(k)} must shrink the stream")
+      prev = cur
+    }
+  }
+}
