@@ -988,6 +988,47 @@ object ExtendedQueries {
         .orderBy("id1", "id2")
     },
 
+    Q("q188_lsh_recall_eval",
+      // the approximation audit the "measure, don't guess" rule demands:
+      // MinHash-LSH pair recall measured against the EXACT prefix-join
+      // ground truth (q186) on the same corpus and threshold. LSH output
+      // is exact-verified (candidates filter on true Jaccard), so
+      // lsh ⊆ exact and n_missed is pure banding loss. All-integer
+      // threshold arithmetic (3·i ≥ n1+n2 ⇔ J ≥ 1/2) — no float
+      // boundary on either engine. One row: (n_exact, n_lsh, n_missed).
+      s"""WITH $minhashCtes,
+         |lsh AS (
+         |  SELECT i.id1, i.id2 FROM inter i
+         |  JOIN sizes z1 ON z1.doc_id = i.id1
+         |  JOIN sizes z2 ON z2.doc_id = i.id2
+         |  WHERE 3 * i.i >= z1.sz + z2.sz),
+         |exact0 AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT e.id1, e.id2 FROM exact0 e
+         |  JOIN sizes z1 ON z1.doc_id = e.id1
+         |  JOIN sizes z2 ON z2.doc_id = e.id2
+         |  WHERE 3 * e.i >= z1.sz + z2.sz)
+         |SELECT
+         |  CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+         |  CAST((SELECT count(*) FROM
+         |    (SELECT id1, id2 FROM exact EXCEPT SELECT id1, id2 FROM lsh) t)
+         |    AS BIGINT) AS n_missed""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val exact = Dedup.prefixJaccardJoin(docs, "doc_id", "text", 1, 2)
+        .select("id1", "id2")
+      val lsh = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5)
+        .select("id1", "id2")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(exact.join(lsh, Seq("id1", "id2"), "left_anti")
+          .agg(count(lit(1)).as("n_missed")))
+    },
+
     Q("q187_bpe_pair_counts",
       // the first layer of distributed BPE training (Bpe.train): the
       // corpus collapses to its distinct-word vocabulary, words become
