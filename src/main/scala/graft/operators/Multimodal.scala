@@ -1242,7 +1242,10 @@ object Multimodal {
     */
   private[graft] def audioFingerprint(
       id: Long, bytes: Array[Byte], windowSize: Int, nBands: Int): Option[Seq[Row]] = {
-    if (windowSize <= 0 || nBands < 2 || windowSize % nBands != 0) return None
+    // nBands caps at 65: bit positions go up to nBands−2, and a 1L<<64
+    // would silently wrap to bit 0 (JVM shifts mod 64)
+    if (windowSize <= 0 || nBands < 2 || nBands > 65 ||
+      windowSize % nBands != 0) return None
     val (_, _, dataOff, n) = parseWavHeader(bytes) match {
       case Some(g) => g
       case None => return None

@@ -80,6 +80,10 @@ object Snapshot {
       if (compareCols.nonEmpty) compareCols
       else oldDf.columns.filter(c => c != keyCol && newDf.columns.contains(c)).toSeq
     require(cols.nonEmpty, "no common non-key columns to compare")
+    require(!cols.contains(keyCol),
+      s"compareCols must not repeat the key column $keyCol")
+    require(!cols.contains("change_type"),
+      "a compared column named change_type would collide with the CDF type column")
     def side(df: DataFrame, payload: String, hc: String) = df.select(col(keyCol),
       struct(cols.map(col): _*).as(payload),
       md5(concat_ws("", cols.map(c =>

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import graft.model.OpcValue
+
+/** The minimal document-store surface [[MongoKvStore]] drives — connect,
+  * keyed replace-upsert, close. Two implementations:
+  * [[MongoReflectionSink]] (binds the official MongoDB Java sync driver's
+  * public API via reflection, so this repo compiles and tests with ZERO
+  * Mongo jars — the sandbox has no network and no driver; a cluster
+  * deployment drops `mongodb-driver-sync` on the classpath and it just
+  * works) and test doubles (the spec drives the full store lifecycle and
+  * document shape against a scripted sink).
+  */
+private[graft] trait DocumentSink extends AutoCloseable {
+  def connect(): Unit
+
+  /** Replace the document whose `keyField` equals `key` in `collection`,
+    * inserting when absent — the reference's
+    * `ReplaceOneAsync(filter, doc, upsert: true)`
+    * (/root/reference/OPC2MongoDB/Program.cs:1186-1196). `doc` fields
+    * arrive in emission order.
+    */
+  def replaceOne(collection: String, keyField: String, key: String,
+      doc: Seq[(String, Any)]): Unit
+
+  def close(): Unit
+}
+
+/** MongoDB sync-driver binding, resolved REFLECTIVELY at `connect()`:
+  *
+  *   - `com.mongodb.client.MongoClients.create(uri)` → client,
+  *   - `getDatabase(db)` / `getCollection(name)` per upsert target
+  *     (method lookup on the PUBLIC INTERFACES — `MongoClient`,
+  *     `MongoDatabase`, `MongoCollection` — because the driver's
+  *     implementation classes are package-private and direct
+  *     `getClass`-based invocation would throw IllegalAccessException),
+  *   - `replaceOne(Filters.eq(keyField, key), new Document(...),
+  *     new ReplaceOptions().upsert(true))`,
+  *   - `close()` on the client.
+  *
+  * No Mongo type appears statically, so the class LOADS (and the
+  * provider's fail-fast resolution succeeds) without the driver; only a
+  * real `connect()` demands the jars, throwing a clear
+  * ClassNotFoundException that names the missing artifact.
+  */
+private[graft] final class MongoReflectionSink(
+    uri: String, database: String) extends DocumentSink {
+
+  private var client: AnyRef = _
+  private var clientCls: Class[_] = _
+  private var dbCls: Class[_] = _
+  private var collCls: Class[_] = _
+
+  override def connect(): Unit = {
+    val clientsCls =
+      try Class.forName("com.mongodb.client.MongoClients")
+      catch {
+        case e: ClassNotFoundException =>
+          throw new ClassNotFoundException(
+            "MongoDB sync driver not on the classpath: add " +
+              "org.mongodb:mongodb-driver-sync to bind a real MongoDB sink " +
+              "(the InMemory/TxTable sinks need no jars)", e)
+      }
+    clientCls = Class.forName("com.mongodb.client.MongoClient")
+    dbCls = Class.forName("com.mongodb.client.MongoDatabase")
+    collCls = Class.forName("com.mongodb.client.MongoCollection")
+    client = clientsCls.getMethod("create", classOf[String]).invoke(null, uri)
+    require(client != null,
+      "unexpected MongoClients.create return — unsupported driver version?")
+  }
+
+  override def replaceOne(collection: String, keyField: String, key: String,
+      doc: Seq[(String, Any)]): Unit = {
+    require(client != null, "replaceOne before connect()")
+    val db = clientCls.getMethod("getDatabase", classOf[String])
+      .invoke(client, database)
+    val coll = dbCls.getMethod("getCollection", classOf[String])
+      .invoke(db, collection)
+    val docCls = Class.forName("org.bson.Document")
+    val bsonDoc = docCls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+    val append = docCls.getMethod("append", classOf[String], classOf[Object])
+    doc.foreach { case (k, v) => append.invoke(bsonDoc, k, v.asInstanceOf[AnyRef]) }
+    val filtersCls = Class.forName("com.mongodb.client.model.Filters")
+    val filter = filtersCls.getMethod("eq", classOf[String], classOf[Object])
+      .invoke(null, keyField, key)
+    val optsCls = Class.forName("com.mongodb.client.model.ReplaceOptions")
+    val opts = optsCls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+    optsCls.getMethod("upsert", classOf[Boolean]).invoke(opts, java.lang.Boolean.TRUE)
+    // erasure of replaceOne(Bson, TDocument, ReplaceOptions)
+    val bsonIface = Class.forName("org.bson.conversions.Bson")
+    collCls.getMethod("replaceOne", bsonIface, classOf[Object], optsCls)
+      .invoke(coll, filter, bsonDoc, opts)
+    ()
+  }
+
+  override def close(): Unit = {
+    if (client != null) {
+      try clientCls.getMethod("close").invoke(client)
+      catch { case _: NoSuchMethodException | _: java.lang.reflect.InvocationTargetException => () }
+      client = null
+    }
+  }
+}
+
+/** [[KeyValueUpsertStore]] over a [[DocumentSink]]: converts each
+  * [[OpcValue]] into the reference's BSON document shape
+  * (/root/reference/OPC2MongoDB/Program.cs:1162-1172 — the FIXTURES.md
+  * A2 mirror: tag, dataType, doubleValue, boolValue, stringValue,
+  * sourceTimestamp, serverTimestamp, quality; timestamps as
+  * java.util.Date, which every BSON codec maps natively) and
+  * replace-upserts it keyed on `tag` into the collection named by the
+  * server — collection-per-server, exactly the reference topology.
+  */
+private[graft] final class MongoKvStore(sink: DocumentSink)
+    extends KeyValueUpsertStore {
+
+  override def connect(): Unit = sink.connect()
+
+  override def upsert(collection: String, key: String, doc: OpcValue): Unit =
+    sink.replaceOne(collection, "tag", key, MongoKvStore.document(doc))
+
+  override def close(): Unit = sink.close()
+}
+
+private[graft] object MongoKvStore {
+  /** The BSON field list for one normalized value, in emission order. */
+  def document(v: OpcValue): Seq[(String, Any)] = Seq(
+    "tag" -> v.tag,
+    "dataType" -> v.dataType,
+    "doubleValue" -> v.doubleValue,
+    "boolValue" -> v.boolValue,
+    "stringValue" -> v.stringValue,
+    "sourceTimestamp" -> new java.util.Date(v.sourceTimestamp.getTime),
+    "serverTimestamp" -> new java.util.Date(v.serverTimestamp.getTime),
+    "quality" -> v.quality)
+}
+
+/** The [[KeyValueStoreProvider]] for a real MongoDB: pass
+  * `graft.streaming.MongoKvProvider` as `providerClass` to
+  * [[KeyValueSink.kvUpsertSink]]. Connection settings ride JVM system
+  * properties (`graft.mongo.uri`, default `mongodb://localhost:27017`;
+  * `graft.mongo.database`, default `opc_values` — set them via
+  * `spark.executor.extraJavaOptions` on a cluster): the provider
+  * contract is a no-arg constructor resolved by class name on
+  * executors, so configuration must travel ambient, not through fields.
+  * Resolution succeeds with zero Mongo jars (fail-fast stays at sink
+  * construction); `connect()` is the point that demands the driver.
+  */
+final class MongoKvProvider extends KeyValueStoreProvider {
+  override def open(): KeyValueUpsertStore =
+    new MongoKvStore(new MongoReflectionSink(
+      System.getProperty("graft.mongo.uri", "mongodb://localhost:27017"),
+      System.getProperty("graft.mongo.database", "opc_values")))
+}
