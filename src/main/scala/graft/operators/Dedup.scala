@@ -417,15 +417,27 @@ object Dedup {
       .withColumn("__plen",
         expr(s"cast(__n - ((__n * $tNum + ${tDen - 1}) div $tDen) + 1 as int)"))
     val pre = packed.select(col(idCol), col("__n"),
-      explode(slice(col("__toks"), lit(1), col("__plen"))).as("__p"))
-    // the SIZE filter rides the candidate join: J ≥ t forces
-    // t·n1 ≤ n2 ≤ n1/t, so wildly different sizes never become pairs
-    val cand = pre.select(col(idCol).as("id1"), col("__n").as("__na"), col("__p"))
-      .join(pre.select(col(idCol).as("id2"), col("__n").as("__nb"), col("__p")),
-        Seq("__p"))
+      posexplode(slice(col("__toks"), lit(1), col("__plen"))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__p")
+    // two lossless prunes ride the candidate join:
+    //   - SIZE filter: J ≥ t forces t·n1 ≤ n2 ≤ n1/t;
+    //   - POSITIONAL upper bound (the PPJoin refinement): a shared
+    //     prefix token at sorted positions (p1, p2) caps the overlap at
+    //     1 + min(n1−p1−1, n2−p2−1), and J ≥ t needs overlap
+    //     ≥ t/(1+t)·(n1+n2) — a qualifying pair's EARLIEST shared token
+    //     always satisfies the bound, so filtering per matching row
+    //     before the distinct never loses a pair. Integer form:
+    //     (tNum+tDen)·bound ≥ tNum·(n1+n2).
+    val cand = pre.select(col(idCol).as("id1"), col("__n").as("__na"),
+        col("__pos").as("__pa"), col("__p"))
+      .join(pre.select(col(idCol).as("id2"), col("__n").as("__nb"),
+        col("__pos").as("__pb"), col("__p")), Seq("__p"))
       .filter(col("id1") < col("id2") &&
         lit(tNum.toLong) * col("__na") <= lit(tDen.toLong) * col("__nb") &&
-        lit(tNum.toLong) * col("__nb") <= lit(tDen.toLong) * col("__na"))
+        lit(tNum.toLong) * col("__nb") <= lit(tDen.toLong) * col("__na") &&
+        lit(tNum.toLong + tDen) * (lit(1L) +
+          least(col("__na") - 1 - col("__pa"), col("__nb") - 1 - col("__pb"))) >=
+          lit(tNum.toLong) * (col("__na") + col("__nb")))
       .select("id1", "id2").distinct()
     // verify on the PACKED arrays (codegen'd array_intersect per
     // candidate), not by re-exploding the shingle table — the explode
