@@ -55,6 +55,52 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** FILTERED vector search with PRE-filter semantics: the attribute
+    * predicate restricts the candidate set BEFORE ranking, so every
+    * query gets its true top-k among QUALIFYING neighbors. The
+    * alternative (post-filtering an unfiltered top-k) silently returns
+    * fewer than k rows — or none — whenever the filter is selective,
+    * because the qualifying neighbors were crowded out of the
+    * unfiltered top-k; the spec demonstrates the divergence. At scale
+    * the predicate is a plain column filter on the corpus scan, so it
+    * pushes into the parquet reader (PushedFilters — plan-audited) and
+    * composes with the cell-partitioned saved indexes' partition
+    * pruning for the IVF paths.
+    */
+  def filteredTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    bruteForceTopK(corpus.filter(predicate), queries, idCol, vecCol, k)
+
+  /** Per-query attribute-matched search ("same-category neighbors"):
+    * each query ranks only neighbors sharing its `attrCol` value — the
+    * predicate varies per query, so it becomes an EQUI-join key next to
+    * the broadcast rather than a corpus filter. One unshuffled corpus
+    * pass, per-partition bounded top-k partials, exactly
+    * [[bruteForceTopK]]'s scan shape.
+    */
+  def sameAttrTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      attrCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+      col(attrCol).as("__qattr"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"),
+      col(attrCol).as("__cattr"))
+    val scored = c.join(broadcast(q),
+        col("__qattr") === col("__cattr") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("__qvec"), col("__cvec")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** HARD-NEGATIVE mining for contrastive training: per query, the
     * neighbors ranked (kSkip, kSkip + kTake] by cosine — similar enough
     * to be informative negatives, far enough to (probably) not be

@@ -359,6 +359,57 @@ object ExtendedQueries {
         .orderBy("query_id", "rank")
     },
 
+    Q("q189_filtered_ann",
+      // FILTERED vector search, pre-filter semantics: neighbors restrict
+      // to label % 3 = 0 BEFORE ranking, so each query's k results are
+      // its true top-k among qualifying vectors (post-filtering an
+      // unfiltered top-k under-returns — SimilaritySearchSpec shows the
+      // divergence). The label filter pushes to the corpus scan
+      // (plan-audited PushedFilters).
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id AND e.label % 3 = 0)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+        |  neighbor_id, round(cosine, 6) AS cosine
+        |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.filteredTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, predicate = col("label") % 3 === 0)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    Q("q190_ann_same_label",
+      // per-query attribute-matched search: each query ranks only
+      // neighbors sharing ITS label — the predicate varies per query, so
+      // it rides the broadcast join as an equi-key instead of a corpus
+      // filter; the scan shape (one unshuffled corpus pass, bounded
+      // top-k partials) is q40's
+      """WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine
+        |  FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.query_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+        |  neighbor_id, round(cosine, 6) AS cosine
+        |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.sameAttrTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          "label", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     Q("q41_embedding_neardup",
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

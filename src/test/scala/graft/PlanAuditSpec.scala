@@ -591,6 +591,14 @@ class PlanAuditSpec extends SparkSpec {
       s"prefix filtering must candidate via equi-join:\n$p")
   }
 
+  test("q189: the ANN attribute filter is pushed to the corpus scan") {
+    val p = plan("q189_filtered_ann")
+    assert(p.contains("PushedFilters:") && p.contains("label"),
+      s"the label predicate must reach the parquet reader:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scoring stays a broadcast join over the filtered scan:\n$p")
+  }
+
   test("q165: text canonicalization is a pure projection before the output sort") {
     val p = plan("q165_text_canonical_dedup")
     // one scan → project (the codegen expression) → range sort for the

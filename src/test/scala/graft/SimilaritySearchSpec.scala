@@ -408,4 +408,50 @@ class SimilaritySearchSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(a == b, "guarded re-rank must not change results")
   }
+
+  test("filteredTopK: pre-filter returns the true top-k among QUALIFYING neighbors") {
+    // predicate: ids divisible by 4. The fixture clusters ids mod 10, so
+    // query 0's unfiltered top-5 mixes ids 10,20,30,... of BOTH
+    // residues mod 4 — post-filtering that list (the strawman) keeps
+    // fewer than 5 rows and misses qualifying vectors ranked 6+, while
+    // the pre-filter fills k from the qualifying population.
+    val withLabel = corpus.withColumn("label", (col("vec_id") % 4).cast("int"))
+    val queries = withLabel.filter(col("vec_id") === 0L)
+    val pre = SimilaritySearch.filteredTopK(withLabel, queries,
+        "vec_id", "embedding", k = 5, predicate = col("label") === 0)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(pre.length === 5, "pre-filter always fills k when enough qualify")
+    assert(pre.forall(_._1 % 4 == 0), "every neighbor satisfies the predicate")
+
+    val unfiltered = SimilaritySearch.bruteForceTopK(withLabel, queries,
+        "vec_id", "embedding", k = 5)
+      .select("neighbor_id").as[Long].collect()
+    val post = unfiltered.filter(_ % 4 == 0)
+    assert(post.length < 5, "the post-filter strawman under-returns here")
+    // and pre-filter's top-k is exactly brute force over the filtered corpus
+    val direct = SimilaritySearch.bruteForceTopK(
+        withLabel.filter(col("label") === 0), queries, "vec_id", "embedding", k = 5)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(pre.toSeq === direct.toSeq)
+  }
+
+  test("sameAttrTopK: each query ranks only neighbors sharing ITS attribute") {
+    val withLabel = corpus.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val queries = withLabel.filter(col("vec_id") isin (0L, 1L))
+    val got = SimilaritySearch.sameAttrTopK(withLabel, queries,
+        "vec_id", "embedding", "label", k = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, n) =>
+      assert(n % 3 == q % 3, s"query $q got cross-label neighbor $n")
+      assert(n != q)
+    }
+    // per-query equivalence with a per-label filtered brute force
+    val q0 = got.filter(_._1 == 0L).map(_._2).toSet
+    val direct0 = SimilaritySearch.bruteForceTopK(
+        withLabel.filter(col("label") === 0), queries.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(q0 === direct0)
+  }
 }
