@@ -268,4 +268,83 @@ class RoundTripPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: APNG compositing matches an independent reference on random frame stacks") {
+    // 30 seeded random APNGs: random canvas, 1-5 frames with random
+    // rectangles, random dispose (NONE/BACKGROUND/PREVIOUS) and blend
+    // (SOURCE/OVER) ops, RGBA pixels with alphas spanning 0/partial/255.
+    // Expected canvases come from an INDEPENDENT straight-line
+    // compositor over raw pixel arrays (no chunks, no deflate, no
+    // filters) — so a bug anywhere in the container walk, sequence
+    // numbers, per-frame inflate/unfilter, or region/dispose/blend
+    // arithmetic breaks byte equality.
+    import graft.operators.Apng
+    val rnd = new scala.util.Random(1234)
+    (1 to 30).foreach { trial =>
+      val w = 3 + rnd.nextInt(16); val h = 3 + rnd.nextInt(12)
+      val nF = 1 + rnd.nextInt(5)
+      val frames = (0 until nF).map { k =>
+        val (fw, fh, fx, fy) =
+          if (k == 0) (w, h, 0, 0) // IDAT frame must cover the canvas
+          else {
+            val fw = 1 + rnd.nextInt(w); val fh = 1 + rnd.nextInt(h)
+            (fw, fh, rnd.nextInt(w - fw + 1), rnd.nextInt(h - fh + 1))
+          }
+        val pix = Array.fill(4 * fw * fh)(0.toByte)
+        (0 until fw * fh).foreach { i =>
+          pix(4 * i) = rnd.nextInt(256).toByte
+          pix(4 * i + 1) = rnd.nextInt(256).toByte
+          pix(4 * i + 2) = rnd.nextInt(256).toByte
+          pix(4 * i + 3) = (rnd.nextInt(6) * 51).toByte // 0,51,...,255
+        }
+        Apng.FrameSpec(fw, fh, fx, fy, rnd.nextInt(3), rnd.nextInt(2), pix)
+      }
+      val blob = Apng.encodeApng(trial.toLong, w, h, frames, colorType = 6)
+      val (gw, gh, got) = Apng.decodeApngCanvases(blob)
+        .getOrElse(fail(s"trial $trial: decode returned None"))
+      assert(gw == w && gh == h && got.size == nF)
+
+      // independent reference compositor
+      val canvas = Array.fill(4 * w * h)(0.toByte)
+      var saved: Array[Byte] = null
+      val expect = Seq.newBuilder[Array[Byte]]
+      frames.zipWithIndex.foreach { case (f, k) =>
+        if (k > 0) {
+          val p = frames(k - 1)
+          val d = if (k - 1 == 0 && p.dispose == 2) 1 else p.dispose
+          if (d == 1)
+            for (yy <- 0 until p.h; xx <- 0 until p.w; c <- 0 until 4)
+              canvas(4 * ((p.y + yy) * w + p.x + xx) + c) = 0
+          else if (d == 2)
+            for (yy <- 0 until p.h; xx <- 0 until p.w; c <- 0 until 4)
+              canvas(4 * ((p.y + yy) * w + p.x + xx) + c) = saved(4 * (yy * p.w + xx) + c)
+        }
+        if (f.dispose == 2 && k != 0) {
+          saved = new Array[Byte](4 * f.w * f.h)
+          for (yy <- 0 until f.h; xx <- 0 until f.w; c <- 0 until 4)
+            saved(4 * (yy * f.w + xx) + c) = canvas(4 * ((f.y + yy) * w + f.x + xx) + c)
+        } else saved = null
+        for (yy <- 0 until f.h; xx <- 0 until f.w) {
+          val s = 4 * (yy * f.w + xx)
+          val dOff = 4 * ((f.y + yy) * w + (f.x + xx))
+          val sa = f.pix(s + 3) & 0xff
+          if (f.blend == 0 || sa == 255) (0 until 4).foreach(c => canvas(dOff + c) = f.pix(s + c))
+          else if (sa != 0) {
+            val da = canvas(dOff + 3) & 0xff
+            val outA = sa + da * (255 - sa) / 255.0
+            (0 until 3).foreach { c =>
+              val v = ((f.pix(s + c) & 0xff) * sa +
+                (canvas(dOff + c) & 0xff) * da * (255 - sa) / 255.0) / outA
+              canvas(dOff + c) = math.floor(v + 0.5).toInt.toByte
+            }
+            canvas(dOff + 3) = math.floor(outA + 0.5).toInt.toByte
+          }
+        }
+        expect += canvas.clone()
+      }
+      expect.result().zip(got).zipWithIndex.foreach { case ((e, g), k) =>
+        assert(java.util.Arrays.equals(e, g), s"trial $trial frame $k differs")
+      }
+    }
+  }
 }
