@@ -276,11 +276,16 @@ class RoundTripPropertySpec extends SparkSpec {
     // Expected canvases come from an INDEPENDENT straight-line
     // compositor over raw pixel arrays (no chunks, no deflate, no
     // filters) — so a bug anywhere in the container walk, sequence
-    // numbers, per-frame inflate/unfilter, or region/dispose/blend
-    // arithmetic breaks byte equality.
+    // numbers, per-frame inflate/unfilter, or region bookkeeping breaks
+    // byte equality. The blend/dispose FORMULAS are shared with the
+    // decoder by design (independently pinned by ApngSpec's
+    // hand-derived OVER case: (100,0,0,102) over (0,200,0,255) →
+    // (40,120,0,255)); what this sweep adds is the ordering and
+    // region-arithmetic coverage across random dispose/blend stacks.
+    // Per-trial seeds: a failing trial replays alone.
     import graft.operators.Apng
-    val rnd = new scala.util.Random(1234)
     (1 to 30).foreach { trial =>
+      val rnd = new scala.util.Random(5000L + trial)
       val w = 3 + rnd.nextInt(16); val h = 3 + rnd.nextInt(12)
       val nF = 1 + rnd.nextInt(5)
       val frames = (0 until nF).map { k =>
