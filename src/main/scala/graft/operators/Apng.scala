@@ -290,17 +290,7 @@ object Apng {
       }
       gy += 1
     }
-    var bits = 0L
-    var y = 0
-    while (y < 8) {
-      var x = 0
-      while (x < 8) {
-        if (luma(y * gw + x) < luma(y * gw + x + 1)) bits |= 1L << (y * 8 + x)
-        x += 1
-      }
-      y += 1
-    }
-    bits
+    Multimodal.lumaGridBits(luma)
   }
 
   val frameDHashSchema: StructType = StructType(Seq(

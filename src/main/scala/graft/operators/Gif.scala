@@ -154,9 +154,38 @@ private[graft] object Gif {
     * non-GIF, truncated, oversized, or LZW-malformed input.
     */
   private[graft] def decodeStats(id: Long, bytes: Array[Byte]): Option[Row] = {
-    if (bytes.length < 14) return None
+    var w = 0; var h = 0
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
+    val ok = decodeFirstFrame(bytes) { (iw, ih) => w = iw; h = ih } {
+      (i, r, g, b) =>
+        sumR += r; sumG += g; sumB += b
+        wR += i * r
+    }
+    if (!ok) None
+    else {
+      val n = w.toLong * h
+      Some(Row(id, w, h, n, sumR.toDouble / n, sumG.toDouble / n,
+        sumB.toDouble / n, wR))
+    }
+  }
+
+  /** The shared first-image decode path: header + global/local color
+    * table, block walk to the first image descriptor, full LZW
+    * machinery, de-interlace. `init(w, h)` runs once at the descriptor;
+    * `emit(i, r, g, b)` runs per pixel with `i` the LOGICAL index
+    * y·w + x (interlaced streams arrive in storage order but are
+    * emitted with their logical position — downstream code never sees
+    * the pass structure). Returns false for non-GIF, truncated,
+    * oversized, palette-escaping, or LZW-malformed input. ONE proven
+    * decode path under both [[decodeStats]] and
+    * [[Multimodal.gifDHash]].
+    */
+  private[graft] def decodeFirstFrame(bytes: Array[Byte])(
+      init: (Int, Int) => Unit)(
+      emit: (Long, Int, Int, Int) => Unit): Boolean = {
+    if (bytes.length < 14) return false
     val magic = new String(bytes, 0, 6, "US-ASCII")
-    if (magic != "GIF87a" && magic != "GIF89a") return None
+    if (magic != "GIF87a" && magic != "GIF89a") return false
     val packed = bytes(10) & 0xff
     var pos = 13
     var gctSize = 0
@@ -165,23 +194,23 @@ private[graft] object Gif {
       gctSize = 2 << (packed & 7)
       gctOff = pos
       pos += 3 * gctSize
-      if (pos > bytes.length) return None
+      if (pos > bytes.length) return false
     }
     // walk blocks to the first image descriptor
     while (pos < bytes.length) {
       (bytes(pos) & 0xff) match {
-        case 0x3b => return None // trailer before any image
+        case 0x3b => return false // trailer before any image
         case 0x21 => // extension: label + sub-blocks
           pos += 2
-          var len = if (pos < bytes.length) bytes(pos) & 0xff else return None
+          var len = if (pos < bytes.length) bytes(pos) & 0xff else return false
           while (len != 0) {
             pos += 1 + len
-            if (pos >= bytes.length) return None
+            if (pos >= bytes.length) return false
             len = bytes(pos) & 0xff
           }
           pos += 1
         case 0x2c =>
-          if (pos + 10 > bytes.length) return None
+          if (pos + 10 > bytes.length) return false
           val w = le16(bytes, pos + 5)
           val h = le16(bytes, pos + 7)
           val ipacked = bytes(pos + 9) & 0xff
@@ -193,35 +222,33 @@ private[graft] object Gif {
             palSize = 2 << (ipacked & 7)
             palOff = pos
             pos += 3 * palSize
-            if (pos > bytes.length) return None
+            if (pos > bytes.length) return false
           }
-          if (w <= 0 || h <= 0 || palOff < 0) return None
+          if (w <= 0 || h <= 0 || palOff < 0) return false
           val n = w.toLong * h
-          if (n > Multimodal.MaxStatPixels) return None
-          if (pos >= bytes.length) return None
+          if (n > Multimodal.MaxStatPixels) return false
+          if (pos >= bytes.length) return false
           val minCode = bytes(pos) & 0xff
-          if (minCode < 2 || minCode > 8) return None
+          if (minCode < 2 || minCode > 8) return false
+          init(w, h)
           val rows = if (interlaced) interlaceRows(h) else null
-          var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
           var k = 0L // stream position in stored order
+          val pOff = palOff; val pSize = palSize
           val reader = new LzwReader(bytes, pos + 1, minCode)
           val got = try reader.decodeInto(n) { v =>
-            if (v >= palSize) throw new IllegalArgumentException("palette index")
-            val r = bytes(palOff + 3 * v) & 0xff
-            val g = bytes(palOff + 3 * v + 1) & 0xff
-            val b = bytes(palOff + 3 * v + 2) & 0xff
-            sumR += r; sumG += g; sumB += b
+            if (v >= pSize) throw new IllegalArgumentException("palette index")
+            val r = bytes(pOff + 3 * v) & 0xff
+            val g = bytes(pOff + 3 * v + 1) & 0xff
+            val b = bytes(pOff + 3 * v + 2) & 0xff
             val y = if (rows == null) k / w else rows((k / w).toInt).toLong
-            wR += (y * w + k % w) * r
+            emit(y * w + k % w, r, g, b)
             k += 1
           } catch { case _: IllegalArgumentException => -1L }
-          if (got != n) return None
-          return Some(Row(id, w, h, n, sumR.toDouble / n, sumG.toDouble / n,
-            sumB.toDouble / n, wR))
-        case _ => return None
+          return got == n
+        case _ => return false
       }
     }
-    None
+    false
   }
 
   // ===================== ANIMATION METADATA =====================

@@ -547,6 +547,60 @@ private[graft] object Jpeg {
     }
   }
 
+  /** Sample a gw×gh nearest-neighbor RGB grid from a baseline JPEG,
+    * streaming per MCU — only the grid samples are kept (packed
+    * r<<16|g<<8|b), so memory is O(gw·gh) whatever the image size and
+    * the [[decode]] total-sample cap does not apply. Grid row y samples
+    * source row ⌊y·h/gh⌋, column x samples ⌊x·w/gw⌋ — the SAME
+    * nearest-neighbor rule as [[Multimodal.bmpDHash]], so cross-format
+    * fingerprints agree. Uses the identical JFIF YCbCr→RGB arithmetic as
+    * [[decodeStats]] (grayscale replicates). None on unsupported or
+    * corrupt input.
+    */
+  private[graft] def gridRgb(bytes: Array[Byte], gw: Int, gh: Int): Option[Array[Int]] = {
+    var w = 0; var h = 0; var nc = 0
+    var sxs: Array[Int] = null; var sys: Array[Int] = null
+    val out = new Array[Int](gw * gh)
+    val ok = decodeStream(bytes) { (iw, ih, inc) =>
+      w = iw; h = ih; nc = inc
+      sxs = Array.tabulate(gw)(gx => (gx.toLong * w / gw).toInt)
+      sys = Array.tabulate(gh)(gy => (gy.toLong * h / gh).toInt)
+      true
+    } { (mx, my, hMax, vMax, samp, blocks) =>
+      val x0 = mx * 8 * hMax; val y0 = my * 8 * vMax
+      val yEnd = math.min(h, y0 + 8 * vMax)
+      val xEnd = math.min(w, x0 + 8 * hMax)
+      var gy = 0
+      while (gy < gh) {
+        val py = sys(gy)
+        if (py >= y0 && py < yEnd) {
+          var gx = 0
+          while (gx < gw) {
+            val px = sxs(gx)
+            if (px >= x0 && px < xEnd) {
+              var r = 0; var g = 0; var b = 0
+              if (nc == 1) {
+                r = sampleMcu(blocks, samp, 0, mx, my, hMax, vMax, px, py)
+                g = r; b = r
+              } else {
+                val y = sampleMcu(blocks, samp, 0, mx, my, hMax, vMax, px, py).toDouble
+                val cb = sampleMcu(blocks, samp, 1, mx, my, hMax, vMax, px, py).toDouble - 128.0
+                val cr = sampleMcu(blocks, samp, 2, mx, my, hMax, vMax, px, py).toDouble - 128.0
+                r = clamp8(math.round(y + 1.402 * cr).toInt)
+                g = clamp8(math.round(y - 0.344136 * cb - 0.714136 * cr).toInt)
+                b = clamp8(math.round(y + 1.772 * cb).toInt)
+              }
+              out(gy * gw + gx) = (r << 16) | (g << 8) | b
+            }
+            gx += 1
+          }
+        }
+        gy += 1
+      }
+    }
+    if (ok) Some(out) else None
+  }
+
   private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
   // ------------------------------------------------------------- encode

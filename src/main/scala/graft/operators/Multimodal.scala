@@ -320,6 +320,17 @@ object Multimodal {
       }
       gy += 1
     }
+    Some(lumaGridBits(luma))
+  }
+
+  /** Pack the 9×8 luma grid into the 64 dHash bits: bit y·8+x set iff
+    * luma(x,y) < luma(x+1,y). ONE copy of the bit layout, shared by
+    * every format's dHash ([[bmpDHash]], [[pngDHash]], [[jpegDHash]],
+    * [[gifDHash]]) and the video-frame path ([[Apng.canvasDHash]]) — the
+    * fingerprints all live in the same 64-bit space by construction.
+    */
+  private[graft] def lumaGridBits(luma: Array[Int]): Long = {
+    val gw = 9
     var bits = 0L
     var y = 0
     while (y < 8) {
@@ -330,15 +341,129 @@ object Multimodal {
       }
       y += 1
     }
-    Some(bits)
+    bits
+  }
+
+  /** dHash of an 8-bit non-interlaced PNG (color types 0/2/6) — the
+    * same grid/luma/bit rules as [[bmpDHash]], sampled from the
+    * unfiltered scanlines ([[decodePngRaw]] — the one proven
+    * inflate+reconstruct path). Grayscale replicates its sample into all
+    * three luma weights (299+587+114 = ×1000, same as RGB of equal
+    * channels); RGBA's alpha is decoded but ignored, matching
+    * [[decodePngStats]]' channel contract.
+    */
+  private[graft] def pngDHash(bytes: Array[Byte]): Option[Long] = {
+    val (w, h, ctype, raw) = decodePngRaw(bytes) match {
+      case Some(g) => g
+      case None => return None
+    }
+    val bpp = if (ctype == 0) 1 else if (ctype == 2) 3 else 4
+    val rowBytes = 1 + bpp * w
+    val gw = 9; val gh = 8
+    val luma = new Array[Int](gh * gw)
+    var gy = 0
+    while (gy < gh) {
+      val sy = (gy.toLong * h / gh).toInt
+      val base = sy * rowBytes + 1
+      var gx = 0
+      while (gx < gw) {
+        val sx = (gx.toLong * w / gw).toInt
+        val r = raw(base + bpp * sx) & 0xff
+        val g = if (ctype == 0) r else raw(base + bpp * sx + 1) & 0xff
+        val b = if (ctype == 0) r else raw(base + bpp * sx + 2) & 0xff
+        luma(gy * gw + gx) = 299 * r + 587 * g + 114 * b
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(lumaGridBits(luma))
+  }
+
+  /** dHash of a baseline JPEG (grayscale or YCbCr, any sampling the
+    * decoder supports incl. 4:2:0): [[Jpeg.gridRgb]] streams the scan
+    * per MCU and keeps only the 72 grid samples — O(1) memory, no
+    * full-image materialization, no pixel cap.
+    */
+  private[graft] def jpegDHash(bytes: Array[Byte]): Option[Long] = {
+    val rgb = Jpeg.gridRgb(bytes, 9, 8) match {
+      case Some(g) => g
+      case None => return None
+    }
+    val luma = new Array[Int](rgb.length)
+    var k = 0
+    while (k < rgb.length) {
+      val p = rgb(k)
+      luma(k) = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)
+      k += 1
+    }
+    Some(lumaGridBits(luma))
+  }
+
+  /** dHash of a GIF's first image (palette + LZW + optional interlace
+    * all handled by [[Gif.decodeFirstFrame]] — pixels arrive in LOGICAL
+    * order semantics via their index, so the grid is orientation-true
+    * for interlaced streams too).
+    */
+  private[graft] def gifDHash(bytes: Array[Byte]): Option[Long] = {
+    // grid slots keyed by logical pixel index; a narrow image (w == 8)
+    // maps two grid columns to one pixel, so a slot LIST per index
+    val slots = new java.util.HashMap[Long, java.util.ArrayList[Int]]()
+    val luma = new Array[Int](8 * 9)
+    var ok = false
+    val got = Gif.decodeFirstFrame(bytes) { (w, h) =>
+      val gw = 9; val gh = 8
+      var gy = 0
+      while (gy < gh) {
+        val sy = (gy.toLong * h / gh).toInt
+        var gx = 0
+        while (gx < gw) {
+          val sx = (gx.toLong * w / gw).toInt
+          val key = sy.toLong * w + sx
+          var l = slots.get(key)
+          if (l == null) { l = new java.util.ArrayList[Int](2); slots.put(key, l) }
+          l.add(gy * gw + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      ok = true
+    } { (i, r, g, b) =>
+      val l = slots.get(i)
+      if (l != null) {
+        val v = 299 * r + 587 * g + 114 * b
+        var j = 0
+        while (j < l.size()) { luma(l.get(j)) = v; j += 1 }
+      }
+    }
+    if (got && ok) Some(lumaGridBits(luma)) else None
+  }
+
+  /** Format-dispatching perceptual dHash: BMP, PNG (0/2/6), baseline
+    * JPEG (4:4:4 + 4:2:0), GIF — every still-image decoder the repo
+    * owns, one 64-bit fingerprint space. Sniffs the container by magic
+    * bytes; None on unknown or corrupt input. The SAME logical image
+    * hashes identically through BMP and PNG (lossless paths,
+    * MultimodalSpec-pinned) and near-identically through JPEG (lossy).
+    */
+  private[graft] def imageDHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 8) None
+    else if (bytes(0) == 'B' && bytes(1) == 'M') bmpDHash(bytes)
+    else if ((bytes(0) & 0xff) == 137 && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G') pngDHash(bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) jpegDHash(bytes)
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8') gifDHash(bytes)
+    else None
   }
 
   val dHashSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("dhash", LongType, nullable = false)))
 
-  /** Per-partition dHash of (idCol, blob) BMP rows → (doc_id, dhash).
-    * Corrupt rows drop (same contract as the decode paths). Compose with
+  /** Per-partition dHash of (idCol, blob) image rows → (doc_id, dhash),
+    * format-sniffed per row ([[imageDHash]]: BMP/PNG/JPEG/GIF — a mixed
+    * crawl needs no pre-routing). Corrupt/unknown rows drop (same
+    * contract as the decode paths). Compose with
     * [[Dedup.simhashPairs]](…, sigBits = 64) for banded image near-dup
     * pairs — no new join machinery, the pigeonhole argument carries over.
     */
@@ -348,7 +473,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(dHashSchema)
     blobs.mapPartitions { it =>
       it.flatMap { r =>
-        scala.util.Try(bmpDHash(r.getAs[Array[Byte]](blobIdx)))
+        scala.util.Try(imageDHash(r.getAs[Array[Byte]](blobIdx)))
           .toOption.flatten.map(hs => Row(r.getLong(idIdx), hs))
       }
     }(enc)
@@ -388,6 +513,40 @@ object Multimodal {
     * width = 8 + id mod 9 (so row padding varies 0–3 bytes) and
     * height = 8 + id mod 7. Narrow per-row work, no shuffle.
     */
+  /** A MIXED-format image corpus, format routed by doc_id mod 4:
+    * 0 → BMP (dims of [[syntheticBmps]]), 1 → PNG (dims + rotating
+    * color type of [[syntheticPngsTyped]]), 2 → baseline grayscale JPEG
+    * (dims of [[syntheticJpegs]]), 3 → GIF (dims + every-third
+    * interlace of [[syntheticGifs]]) — each with its family's
+    * deterministic pixel formula, so an oracle predicts every format's
+    * dHash from arithmetic alone. The fixture for the format-sniffing
+    * [[imageDHashes]] gate: a real crawl is exactly this kind of mix.
+    */
+  def syntheticMixedImages(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val blob = (id % 4) match {
+          case 0 => encodeSyntheticBmp(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt)
+          case 1 =>
+            val ct = (id % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+            encodeSyntheticPng(id, 8 + (id % 11).toInt, 8 + (id % 5).toInt, ct)
+          case 2 =>
+            encodeSyntheticJpeg(id, 8 * (1 + (id % 5).toInt), 8 * (1 + (id % 3).toInt))
+          case _ =>
+            Gif.encodeSynthetic(id, 8 + (id % 13).toInt, 8 + (id % 6).toInt,
+              interlaced = id % 3 == 0)
+        }
+        Row(id, blob)
+      }
+    }(enc)
+  }
+
   def syntheticBmps(ids: DataFrame, spark: SparkSession): DataFrame = {
     val idIdx = 0
     val schema = StructType(Seq(
@@ -484,17 +643,20 @@ object Multimodal {
     Some(raw)
   }
 
-  /** Parse an 8-bit non-interlaced PNG (color types 0 grayscale, 2 RGB,
-    * 6 RGBA — alpha decoded, excluded from channel stats) and compute
-    * the same pixel stats as [[decodeBmpStats]] ([[bmpStatsSchema]]):
-    * per-channel means + the position-sensitive `weighted_r` = Σ i·R(i)
-    * over i = y·width + x (PNG scanlines are top-down, so i is the
-    * storage order). Returns None for wrong signature/IHDR, interlaced,
-    * palette or 16-bit images, oversized/truncated pixel data, or a
-    * corrupt DEFLATE stream. All bounds in Long; the Inflater is always `end()`d
-    * (native memory — a leak per corrupt blob would sink a 100 TB scan).
+  /** The shared PNG critical path: signature, big-endian chunk walk
+    * (IHDR first, multi-IDAT concatenation, IEND), IHDR validation
+    * (8-bit, color types 0/2/6, non-interlaced only — palette and
+    * 16-bit stay out), bounded [[inflateUnfilter]]. Returns
+    * (w, h, colorType, raw) with `raw` in scanline layout (1 filter
+    * byte + bpp·w reconstructed samples per row, filter bytes left in
+    * place); None on any corruption or unsupported layout. ONE proven
+    * decode path under both [[decodePngStats]] and [[pngDHash]]. All
+    * bounds in Long; oversized images (raw stream past an int buffer, or
+    * pixel count past [[MaxStatPixels]] where the Σ i·R checksum could
+    * wrap) are refused before allocation.
     */
-  private[graft] def decodePngStats(id: Long, bytes: Array[Byte]): Option[Row] = {
+  private[graft] def decodePngRaw(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (bytes.length < 8 + 25) return None
     var i = 0
     while (i < 8) { if ((bytes(i) & 0xff) != PngSig(i)) return None; i += 1 }
@@ -540,11 +702,26 @@ object Multimodal {
     }
     if (!ihdrOk || idat.size() == 0) return None
     val bpp = if (ctype == 0) 1 else if (ctype == 2) 3 else 4
-    val rowBytes = 1 + bpp * w
-    val raw = inflateUnfilter(idat.toByteArray, w, h, bpp) match {
-      case Some(r) => r
+    inflateUnfilter(idat.toByteArray, w, h, bpp).map(raw => (w, h, ctype, raw))
+  }
+
+  /** Parse an 8-bit non-interlaced PNG (color types 0 grayscale, 2 RGB,
+    * 6 RGBA — alpha decoded, excluded from channel stats) and compute
+    * the same pixel stats as [[decodeBmpStats]] ([[bmpStatsSchema]]):
+    * per-channel means + the position-sensitive `weighted_r` = Σ i·R(i)
+    * over i = y·width + x (PNG scanlines are top-down, so i is the
+    * storage order). Returns None for wrong signature/IHDR, interlaced,
+    * palette or 16-bit images, oversized/truncated pixel data, or a
+    * corrupt DEFLATE stream. All bounds in Long; the Inflater is always `end()`d
+    * (native memory — a leak per corrupt blob would sink a 100 TB scan).
+    */
+  private[graft] def decodePngStats(id: Long, bytes: Array[Byte]): Option[Row] = {
+    val (w, h, ctype, raw) = decodePngRaw(bytes) match {
+      case Some(g) => g
       case None => return None
     }
+    val bpp = if (ctype == 0) 1 else if (ctype == 2) 3 else 4
+    val rowBytes = 1 + bpp * w
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var wR = 0L
     var y = 0
     while (y < h) {

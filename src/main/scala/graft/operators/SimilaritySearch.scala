@@ -198,6 +198,92 @@ object SimilaritySearch {
       .filter(col("cosine") >= threshold)
   }
 
+  // ------------------------------------------------------------ SemDeDup
+
+  /** Axis-sign coarse cell: bit j set iff vec[j] ≥ 0 (first `nBits`
+    * dims) — sign-random-projection LSH with the CANONICAL basis as the
+    * hyperplanes. No arithmetic at all, so an oracle replays it
+    * bit-exactly from the stored floats (a dot-product quantizer's sign
+    * can flip on last-bit summation noise; a raw sign test cannot).
+    * Crude next to a trained quantizer ([[semDedupIvf]]) but the SAME
+    * pair machinery runs under both.
+    */
+  def axisSignCell(vec: Column, nBits: Int): Column = {
+    require(nBits >= 1 && nBits <= 30, s"nBits in [1, 30], got $nBits")
+    (0 until nBits)
+      .map(j => when(element_at(vec, j + 1) >= 0f, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
+  /** SemDeDup (embedding-space near-duplicate discovery, after Abbas et
+    * al. 2023 — the semantic layer the LLM brief asks for beyond
+    * MinHash/SimHash): assign every vector to a coarse cell, emit
+    * within-cell pairs with exact cosine ≥ `threshold`. The join is a
+    * cell equi-join — candidate volume is Σ|cell|², NEVER corpus² — and
+    * the exact cosine runs on candidates only: the same
+    * band-then-verify shape as every other near-dup path here. Pairs
+    * crossing a cell boundary are missed by construction (the standard
+    * SemDeDup trade; recall vs brute force is spec-floored for the IVF
+    * cells). Output: (id1 < id2, cell, cosine).
+    */
+  def semanticDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cell: Column,
+      threshold: Double): DataFrame = {
+    val cells = df.select(col(idCol), col(vecCol), cell.as("__cell"))
+    val a = cells.select(col("__cell"), col(idCol).as("id1"), col(vecCol).as("__v1"))
+    val b = cells.select(col("__cell"), col(idCol).as("id2"), col(vecCol).as("__v2"))
+    a.join(b, "__cell")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("__cell").as("cell"),
+        cosineSim(col("__v1"), col("__v2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The KEEP-FIRST removal policy over [[semanticDupPairs]]: a doc is
+    * removed iff some SMALLER-id doc in its cell sits within the cosine
+    * threshold; `keep_witness` is the smallest such neighbor. Returns
+    * one row per REMOVED doc — deterministic, order-free, and
+    * SQL-replayable (a min over the pair set), unlike a greedy
+    * sequential sweep. For cluster-representative semantics compose the
+    * pairs with [[Dedup.dupClusters]] / [[Dedup.keepRepresentatives]]
+    * instead ([[semDedupIvf]] does).
+    */
+  def semanticRemovals(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cell: Column,
+      threshold: Double): DataFrame =
+    semanticDupPairs(df, idCol, vecCol, cell, threshold)
+      .groupBy(col("id2").as("removed"))
+      .agg(min(col("id1")).as("keep_witness"))
+
+  /** End-to-end SemDeDup with TRAINED cells: spherical-k-means IVF
+    * centroids ([[trainCentroids]] — deterministic seeding), cell
+    * assignment as a codegen'd argmax over centroid literals
+    * ([[assignCell]]), within-cell exact-cosine pairs, connected
+    * components, keep the min-id representative per cluster. Returns the
+    * kept rows of `df`. Approximate across cell boundaries →
+    * spec-floored recall vs brute force (SimilaritySearchSpec), no SQL
+    * oracle possible (k-means is not SQL-replayable); the pair machinery
+    * itself is oracle-paired through the axis-sign cell query.
+    */
+  def semDedupIvf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int,
+      threshold: Double): DataFrame = {
+    val cents = trainCentroids(df, idCol, vecCol, nCells, iters)
+    val pairs = semanticDupPairs(df, idCol, vecCol,
+      assignCell(col(vecCol), cents), threshold)
+    Dedup.keepRepresentatives(df, idCol, pairs.select("id1", "id2"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (table, plane,
     * dim): a 60-bit md5 hash mapped to (-1, 1). Computed ONCE on the
     * driver — the planes are data-independent constants, so they ship to

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{Apng, Dedup, Multimodal, RangeJoin, SimilaritySearch}
+import graft.operators.{Apng, Bpe, Curation, Dedup, Multimodal, RangeJoin, SimilaritySearch}
 import Q.t
 
 /** The LLM-data-pipeline query inventory over `documents`/`embeddings`
@@ -89,6 +89,55 @@ object ExtendedQueries {
        |  FROM votes GROUP BY doc_id)""".stripMargin
 
   private val simhashCte = simhashCteBits(32)
+
+  /** The q192/q193 axis-sign cell (SimilaritySearch.axisSignCell with
+    * nBits = 8) as DuckDB SQL: bit j set iff embedding[j] ≥ 0 — pure
+    * sign tests on the stored floats, zero arithmetic, bit-exact across
+    * engines. DuckDB lists are 1-based like Spark's element_at.
+    */
+  private val semCellSql: String =
+    (0 until 8).map(j =>
+      s"CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  private def sqlHash60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** The q194/q195 FROZEN merge table: Bpe.train(documents, 16 merges)
+    * at sf0.01, replayed here as a literal so tokenization is a pure
+    * per-row function (the training trajectory itself is q187 +
+    * BpeSpec). Invariant the oracle's string-rewrite replay relies on:
+    * no LEFT symbol contains '</w>' (structurally true of any learned
+    * BPE table — '</w>'-bearing symbols are word-final, nothing follows
+    * them), so a merge pattern can never span a word boundary in the
+    * flattened document stream.
+    */
+  private val bpeFrozenMerges: Seq[Bpe.Merge] = Seq(
+    Bpe.Merge("e", "r", 4568), Bpe.Merge("e", "</w>", 4473),
+    Bpe.Merge("n", "</w>", 2834), Bpe.Merge("er", "</w>", 2779),
+    Bpe.Merge("o", "w", 2747), Bpe.Merge("ow", "</w>", 2747),
+    Bpe.Merge("o", "r", 2696), Bpe.Merge("s", "t", 2676),
+    Bpe.Merge("h", "</w>", 1884), Bpe.Merge("a", "t", 1845),
+    Bpe.Merge("l", "u", 1831), Bpe.Merge("i", "n", 1796),
+    Bpe.Merge("a", "</w>", 1788), Bpe.Merge("g", "</w>", 1777),
+    Bpe.Merge("y", "</w>", 1767), Bpe.Merge("a", "r", 1758))
+
+  /** DuckDB replay of [[Bpe.tokenize]] under [[bpeFrozenMerges]] as a
+    * string-rewrite chain over `text`. Symbol stream encoding: every
+    * symbol rides as ' sym ' so adjacent symbols are separated by
+    * exactly TWO spaces; word gaps (5 spaces after the per-char wrap)
+    * become the ' </w> ' end-of-word symbol; each merge (l, r) is then
+    * replace(' l  r ', ' lr ') — string replace's non-overlapping
+    * left-to-right scan IS mergeOnce's semantics. The result's tokens
+    * are the double-space-separated fields.
+    */
+  private val bpeChainSql: String = {
+    val wrapped = """regexp_replace(regexp_replace(trim(text), '\s+', ' ', 'g'), '(.)', ' \1 ', 'g')"""
+    val withEow = s"replace($wrapped, '     ', '  </w>  ') || ' </w> '"
+    val chain = bpeFrozenMerges.foldLeft(withEow) { (e, m) =>
+      s"replace($e, ' ${m.left}  ${m.right} ', ' ${m.left}${m.right} ')"
+    }
+    s"trim($chain)"
+  }
 
   /** DuckDB CTEs shared by the APNG video oracles (q180–q182): the
     * synthetic fixture's canvas dims / frame count / patch dims per
@@ -424,6 +473,52 @@ object ExtendedQueries {
         .orderBy("id1", "id2")
     },
 
+    Q("q192_semdedup_pairs",
+      // SemDeDup — embedding-SPACE near-dup discovery (no metadata
+      // blocking like q41's label): vectors land in coarse cells, exact
+      // cosine runs within cells only. This oracle-paired variant uses
+      // the axis-sign cell (bit j = sign of dim j — SRP-LSH with the
+      // canonical basis), which DuckDB replays BIT-EXACTLY from the
+      // stored floats; the trained-quantizer path (semDedupIvf) shares
+      // this pair machinery and is recall-floored in
+      // SimilaritySearchSpec. Cell equi-join: Σ|cell|² candidates,
+      // never corpus².
+      s"""WITH c AS (
+        |  SELECT vec_id, embedding, $semCellSql AS cell FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2, CAST(a.cell AS INT) AS cell,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      SimilaritySearch.semanticDupPairs(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          SimilaritySearch.axisSignCell(col("embedding"), 8), threshold = 0.35)
+        .select(col("id1"), col("id2"), col("cell").cast("int").as("cell"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("id1", "id2")
+    },
+
+    Q("q193_semdedup_removals",
+      // the removal decision over q192's pair set: drop a doc iff a
+      // SMALLER-id doc in its cell is within the cosine threshold;
+      // keep_witness = the smallest such neighbor. A min over the pair
+      // set — deterministic and SQL-replayable, unlike a greedy sweep.
+      s"""WITH c AS (
+        |  SELECT vec_id, embedding, $semCellSql AS cell FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35)
+        |SELECT id2 AS removed, min(id1) AS keep_witness
+        |FROM p GROUP BY id2 ORDER BY removed""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      SimilaritySearch.semanticRemovals(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          SimilaritySearch.axisSignCell(col("embedding"), 8), threshold = 0.35)
+        .orderBy("removed")
+    },
+
     Q("q176_retrieval_eval",
       // retrieval-quality gate: recall@5 / MRR / nDCG@5 of the exact
       // top-5 run (q40's scoring chain) against same-label relevance —
@@ -707,6 +802,62 @@ object ExtendedQueries {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       Multimodal.imageDHashes(
           Multimodal.syntheticBmps(t(s, d, "documents").select("doc_id"), s), s)
+        .orderBy("doc_id")
+    },
+
+    Q("q191_image_dhash_all",
+      // UNIFIED perceptual fingerprints over a MIXED-format corpus —
+      // the format-sniffing dispatch (BMP / PNG 0/2/6 / baseline JPEG /
+      // GIF incl. interlace) is the capability a real crawl needs: one
+      // dHash space across every still-image decoder the repo owns.
+      // The oracle replays each format's own fixture formula (BMP/PNG
+      // the RGB triple, PNG gray the single sample ×1000, JPEG the
+      // block-constant gray value — integer-exact end to end per q133 —
+      // GIF the palette map g=2v,b=3v) over the shared 9×8 grid
+      // arithmetic and bit packing. Any dispatch, decoder, or sampling
+      // disagreement between formats breaks the hash.
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 4 AS fmt,
+        |    CASE doc_id % 4 WHEN 0 THEN 8 + doc_id % 9 WHEN 1 THEN 8 + doc_id % 11
+        |         WHEN 2 THEN 8 * (1 + doc_id % 5) ELSE 8 + doc_id % 13 END AS w,
+        |    CASE doc_id % 4 WHEN 0 THEN 8 + doc_id % 7 WHEN 1 THEN 8 + doc_id % 5
+        |         WHEN 2 THEN 8 * (1 + doc_id % 3) ELSE 8 + doc_id % 6 END AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT d.doc_id, d.fmt, d.w, gx.gx, gy.gy,
+        |    ((gy.gy * d.h) // 8) * d.w + ((gx.gx * d.w) // 9) AS i
+        |  FROM dims d,
+        |    (SELECT unnest(generate_series(0, 8)) AS gx) gx,
+        |    (SELECT unnest(generate_series(0, 7)) AS gy) gy),
+        |lum AS (
+        |  SELECT doc_id, gx, gy,
+        |    CASE
+        |      WHEN fmt = 2 THEN
+        |        1000 * ((5 * doc_id + 11 * (((i // w) // 8) * (w // 8) + (i % w) // 8)) % 256)
+        |      WHEN fmt = 3 THEN
+        |        299 * ((5 * doc_id + 7 * i) % 256)
+        |      + 587 * ((2 * ((5 * doc_id + 7 * i) % 256)) % 256)
+        |      + 114 * ((3 * ((5 * doc_id + 7 * i) % 256)) % 256)
+        |      WHEN fmt = 1 AND doc_id % 3 = 0 THEN 1000 * ((3 * doc_id + 7 * i) % 256)
+        |      ELSE 299 * ((3 * doc_id + 7 * i) % 256)
+        |         + 587 * ((2 * doc_id + 5 * i) % 256)
+        |         + 114 * ((doc_id + 3 * i) % 256)
+        |    END AS luma
+        |  FROM cells),
+        |bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+        |  FROM lum a JOIN lum b
+        |    ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.luma < b.luma)
+        |SELECT d.doc_id, CAST(d.fmt AS INT) AS fmt,
+        |  coalesce(bit_or(CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |                       ELSE (1::BIGINT << bit::INT) END), 0) AS dhash
+        |FROM dims d LEFT JOIN bits USING (doc_id)
+        |GROUP BY d.doc_id, d.fmt ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Multimodal.imageDHashes(
+          Multimodal.syntheticMixedImages(t(s, d, "documents").select("doc_id"), s), s)
+        .withColumn("fmt", (col("doc_id") % 4).cast("int"))
+        .select(col("doc_id"), col("fmt"), col("dhash"))
         .orderBy("doc_id")
     },
 
@@ -1109,6 +1260,71 @@ object ExtendedQueries {
       Bpe.pairCounts(Bpe.wordVocab(t(s, d, "documents"), "text"))
         .orderBy(col("cnt").desc, col("sym_l"), col("sym_r"))
         .limit(20)
+    },
+
+    Q("q194_bpe_tokenize",
+      // the ENCODE side of BPE: every document tokenized with a frozen
+      // 16-merge table (trained once by Bpe.train on this corpus at
+      // sf0.01 and frozen as a literal, so the query is a pure function
+      // of the data — training's own trajectory is q187 + BpeSpec). The
+      // oracle replays greedy left-to-right merge application as a
+      // string-rewrite chain: each symbol rides as ' sym ' in a
+      // double-space-separated stream, so replace(' l  r ', ' lr ')
+      // has EXACTLY mergeOnce's non-overlapping left-to-right
+      // semantics, and word boundaries cannot false-match because a
+      // word-final symbol always carries '</w>' while a merge's left
+      // symbol never does. n_tokens drives the budget family (q195).
+      s"""SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(string_split($bpeChainSql, '  ')) END::BIGINT AS n_tokens,
+        |  CASE WHEN trim(text) = '' THEN md5('')
+        |       ELSE md5(replace($bpeChainSql, '  ', ' ')) END AS tok_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Bpe
+      Bpe.tokenize(t(s, d, "documents"), "doc_id", "text", bpeFrozenMerges)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
+          md5(array_join(col("tokens"), " ")).as("tok_md5"))
+        .orderBy("doc_id")
+    },
+
+    Q("q195_bpe_budget_select",
+      // q171's token-budget fill re-run on REAL tokenizer counts: the
+      // 40% budget, per-score bucket walk, and basis-point hash gate are
+      // unchanged, but the token mass is now n_tokens from the frozen
+      // BPE table (q194) instead of a char-count estimate — budgets in
+      // actual subword tokens, the unit LLM training data is priced in.
+      s"""WITH tk AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split($bpeChainSql, '  ')) END::BIGINT AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens, least(9, n_chars // 100) AS score FROM tk),
+        |tot AS (SELECT sum(n_tokens) * 2 // 5 AS budget FROM s),
+        |b AS (SELECT score, sum(n_tokens) AS btok FROM s GROUP BY score),
+        |c AS (SELECT score, btok,
+        |    coalesce(sum(btok) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM b),
+        |r AS (SELECT score,
+        |    CASE WHEN bef >= budget THEN 0
+        |         WHEN bef + btok <= budget THEN 10000
+        |         ELSE (budget - bef) * 10000 // btok END AS bp
+        |  FROM c, tot)
+        |SELECT s.doc_id, CAST(s.score AS BIGINT) AS score, s.n_tokens
+        |FROM s JOIN r USING (score)
+        |WHERE ${sqlHash60("s.doc_id::VARCHAR")} % 10000 < r.bp
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Bpe
+      val docs = t(s, d, "documents")
+      val toks = Bpe.tokenize(docs, "doc_id", "text", bpeFrozenMerges)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+      val scored = docs.select(col("doc_id").as("__did"),
+          least(lit(9L), expr("n_chars div 100")).as("score"))
+        .join(toks, col("__did") === col("doc_id")).drop("__did")
+      Curation.budgetSelectFraction(scored, "score", "n_tokens", "doc_id", 2L, 5L)
+        .select(col("doc_id"), col("score").cast("long").as("score"), col("n_tokens"))
+        .orderBy("doc_id")
     },
 
     Q("q185_incremental_agg",

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Jpeg, Mp4, Multimodal}
+import graft.operators.{Gif, Jpeg, Mp4, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -131,6 +131,62 @@ class MultimodalSpec extends SparkSpec {
     // corrupt rows drop, not crash
     val withBad = blobs.unionByName(Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "blob"))
     assert(Multimodal.imageDHashes(withBad, spark).count() === 3)
+  }
+
+  test("imageDHash: one fingerprint space across BMP/PNG/JPEG/GIF") {
+    // the SAME logical image through the two lossless encoders hashes
+    // IDENTICALLY — dispatch, decode, and grid sampling all agree
+    for (id <- Seq(0L, 7L, 23L)) {
+      val (w, h) = (8 + (id % 11).toInt, 8 + (id % 5).toInt)
+      // a BMP carrying the PNG-fixture formula pixels (same dims)
+      val bmpOfPng = {
+        val b = Multimodal.encodeSyntheticBmp(id, w, h)
+        b // encodeSyntheticBmp already uses the identical RGB formula
+      }
+      val png = Multimodal.encodeSyntheticPng(id, w, h, colorType = 2)
+      val pngA = Multimodal.encodeSyntheticPng(id, w, h, colorType = 6)
+      val hb = Multimodal.imageDHash(bmpOfPng)
+      val hp = Multimodal.imageDHash(png)
+      val hpA = Multimodal.imageDHash(pngA)
+      assert(hb.isDefined && hb === hp, s"BMP vs PNG dHash diverged for id=$id")
+      assert(hp === hpA, "alpha plane must not affect the fingerprint")
+    }
+
+    // the same logical image through LOSSY JPEG lands within a small
+    // Hamming distance of the lossless hash (dHash's whole point)
+    val (w, h) = (24, 16)
+    def px(i: Long): (Int, Int, Int) =
+      (((3 * 5 + 7 * i) % 256).toInt, ((2 * 5 + 5 * i) % 256).toInt,
+        ((5 + 3 * i) % 256).toInt)
+    val n = w * h
+    val (rs, gs, bs) = (new Array[Int](n), new Array[Int](n), new Array[Int](n))
+    for (i <- 0 until n) { val (r, g, b) = px(i); rs(i) = r; gs(i) = g; bs(i) = b }
+    val jpeg = Jpeg.encodeRgb(rs, gs, bs, w, h)
+    val bmp = Multimodal.encodeSyntheticBmp(5L, w, h) // same formula, id=5
+    val hj = Multimodal.imageDHash(jpeg).get
+    val hbm = Multimodal.imageDHash(bmp).get
+    val ham = java.lang.Long.bitCount(hj ^ hbm)
+    assert(ham <= 8, s"lossy JPEG drifted $ham bits from the lossless hash")
+
+    // GIF (incl. interlaced) dispatches and matches a direct formula replay
+    for ((id, interlaced) <- Seq((3L, true), (10L, false))) {
+      val (gw, gh) = (8 + (id % 13).toInt, 8 + (id % 6).toInt)
+      val gif = Gif.encodeSynthetic(id, gw, gh, interlaced)
+      val luma = new Array[Int](72)
+      for (gy <- 0 until 8; gx <- 0 until 9) {
+        val i = (gy.toLong * gh / 8) * gw + (gx.toLong * gw / 9)
+        val v = ((5 * id + 7 * i) % 256).toInt
+        luma(gy * 9 + gx) = 299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)
+      }
+      assert(Multimodal.imageDHash(gif).contains(Multimodal.lumaGridBits(luma)),
+        s"GIF dHash mismatch for id=$id interlaced=$interlaced")
+    }
+
+    // unknown magic and truncated streams land in None, never a crash
+    assert(Multimodal.imageDHash("no magic here at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.imageDHash(
+      Multimodal.encodeSyntheticPng(4L, 12, 9).take(40)).isEmpty)
+    assert(Multimodal.imageDHash(Array[Byte]()).isEmpty)
   }
 
   test("decodeBmpStats rejects non-BMP, compressed, and truncated input") {

@@ -63,6 +63,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$p")
   }
 
+  test("q192: SemDeDup pairs come from a cell equi-join, never all-pairs") {
+    val p = plan("q192_semdedup_pairs")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$p")
+  }
+
   test("q49: the range join is a bucketed equi-join, not a nested loop") {
     val p = plan("q49_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.SimilaritySearch
+import graft.operators.{Dedup, SimilaritySearch}
 
 class SimilaritySearchSpec extends SparkSpec {
   import spark.implicits._
@@ -47,6 +47,75 @@ class SimilaritySearchSpec extends SparkSpec {
     val got = SimilaritySearch.nearDupPairsBlocked(df, "vec_id", "embedding", "blk", 0.9)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L))) // 1-3 cross-block, 1-4 below threshold
+  }
+
+  test("semDedup: axis-sign cells match a local replay; pair recall floor; keep set") {
+    // axisSignCell = Σ 2^j · [v(j) >= 0] over the first 8 dims
+    val cells = corpus
+      .select(col("vec_id"),
+        SimilaritySearch.axisSignCell(col("embedding"), 8).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    for (i <- 0 until 200 by 17) {
+      val v = vec(i)
+      val expect = (0 until 8).map(j => if (v(j) >= 0f) 1 << j else 0).sum
+      assert(cells(i.toLong) === expect, s"cell mismatch for vec $i")
+    }
+
+    // brute-force ground-truth pair set at the threshold
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) { dot += a(k).toDouble * b(k); na += a(k).toDouble * a(k); nb += b(k).toDouble * b(k) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val thr = 0.995
+    val truth = (for {
+      i <- 0 until 200; j <- i + 1 until 200
+      if cos(vec(i), vec(j)) >= thr
+    } yield (i.toLong, j.toLong)).toSet
+    assert(truth.nonEmpty, "fixture must contain true near-dup pairs")
+
+    // every found pair is TRUE (the exact verify guarantees precision);
+    // recall is floored — cells cost only cross-boundary pairs
+    val found = SimilaritySearch.semanticDupPairs(
+        corpus, "vec_id", "embedding",
+        SimilaritySearch.axisSignCell(col("embedding"), 8), thr)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(truth), "semanticDupPairs must never emit a false pair")
+    assert(found.size >= (truth.size * 6) / 10,
+      s"axis-sign recall too low: ${found.size}/${truth.size}")
+
+    // trained-quantizer path: recall floor vs brute force, and the kept
+    // set is exactly corpus minus non-representative cluster members
+    val ivfPairs = SimilaritySearch.semanticDupPairs(
+        corpus, "vec_id", "embedding",
+        SimilaritySearch.assignCell(col("embedding"),
+          SimilaritySearch.trainCentroids(corpus, "vec_id", "embedding", nCells = 8, iters = 3)),
+        thr)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(ivfPairs.subsetOf(truth))
+    assert(ivfPairs.size >= (truth.size * 6) / 10,
+      s"IVF-cell recall too low: ${ivfPairs.size}/${truth.size}")
+
+    val kept = SimilaritySearch.semDedupIvf(
+        corpus, "vec_id", "embedding", nCells = 8, iters = 3, threshold = thr)
+      .select("vec_id").as[Long].collect().toSet
+    val expectedDropped = Dedup.dupClusters(
+        ivfPairs.toSeq.toDF("id1", "id2"))
+      .filter(col("id") =!= col("cluster"))
+      .select("id").as[Long].collect().toSet
+    assert(kept === (0L until 200L).toSet -- expectedDropped)
+
+    // removal policy: removed iff a smaller-id same-cell neighbor is
+    // within threshold; witness = the smallest one
+    val removals = SimilaritySearch.semanticRemovals(
+        corpus, "vec_id", "embedding",
+        SimilaritySearch.axisSignCell(col("embedding"), 8), thr)
+      .as[(Long, Long)].collect().toMap
+    val byId2 = found.groupBy(_._2)
+    assert(removals.keySet === byId2.keySet)
+    byId2.foreach { case (id2, prs) =>
+      assert(removals(id2) === prs.map(_._1).min, s"wrong witness for $id2")
+    }
   }
 
   test("ivfTopK achieves high recall@5 against brute force on clustered data") {
