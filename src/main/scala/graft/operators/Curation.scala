@@ -215,8 +215,9 @@ object Curation {
       scoreCol: String,
       tokensCol: String,
       idCol: String,
-      budget: Long): DataFrame =
-    budgetSelectWith(df, scoreCol, tokensCol, idCol, _ => budget)
+      budget: Long,
+      maxScoreBuckets: Int = MaxExactScoreBuckets): DataFrame =
+    budgetSelectWith(df, scoreCol, tokensCol, idCol, _ => budget, maxScoreBuckets)
 
   /** [[budgetSelect]] with the budget as a FRACTION (num/den) of the
     * corpus's total tokens — derived from the per-score totals the
@@ -230,30 +231,49 @@ object Curation {
       tokensCol: String,
       idCol: String,
       num: Long,
-      den: Long): DataFrame = {
+      den: Long,
+      maxScoreBuckets: Int = MaxExactScoreBuckets): DataFrame = {
     require(num >= 0 && den > 0, "fraction must be non-negative with positive denominator")
     budgetSelectWith(df, scoreCol, tokensCol, idCol,
-      total => (BigInt(total) * num / den).toLong)
+      total => (BigInt(total) * num / den).toLong, maxScoreBuckets)
   }
+
+  /** The exact path's driver-walk ceiling: one row per distinct
+    * long-cast score is collected, so a CONTINUOUS score column would
+    * grow the driver walk with the corpus. Above this many distinct
+    * buckets the exact path REFUSES (structurally — the collect is
+    * limit-bounded, the oversized result never materializes) and points
+    * at [[budgetSelectBucketed]], whose collect is O(buckets) for any
+    * score cardinality.
+    */
+  val MaxExactScoreBuckets: Int = 100000
 
   private def budgetSelectWith(
       df: DataFrame,
       scoreCol: String,
       tokensCol: String,
       idCol: String,
-      budgetOf: Long => Long): DataFrame = {
+      budgetOf: Long => Long,
+      maxScoreBuckets: Int = MaxExactScoreBuckets): DataFrame = {
     // null scores are unrankable — like mixtureResample's null groups
     // they are EXCLUDED here explicitly rather than NPE-ing the driver
     // walk (and their tokens must not inflate any bucket's total)
     val scored = df.filter(col(scoreCol).isNotNull)
-    val totals = scored
+    val collected = scored
       // the long cast is the BUCKETING rule; the rates join below must
       // apply the identical cast or fractional scores silently drop.
       // coalesce: a bucket whose every token count is NULL sums to NULL —
       // it carries zero token mass (and must not NPE the getLong below)
       .groupBy(col(scoreCol).cast("long").as("__score"))
       .agg(coalesce(sum(col(tokensCol)), lit(0L)).cast("long").as("__btok"))
+      .limit(maxScoreBuckets + 1)
       .collect()
+    require(collected.length <= maxScoreBuckets,
+      s"budgetSelect's exact path collects one row per distinct long-cast '$scoreCol' " +
+        s"and this column exceeds $maxScoreBuckets distinct buckets — a continuous " +
+        "score; use budgetSelectBucketed, whose driver collect is O(buckets) " +
+        "for any score cardinality")
+    val totals = collected
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(-_._1) // best score first
     val budget = budgetOf(totals.map(_._2).sum)

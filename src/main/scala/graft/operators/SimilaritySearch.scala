@@ -366,17 +366,26 @@ object SimilaritySearch {
       require(cents.size == nCells,
         s"training sample has ${cents.size} rows < nCells=$nCells; lower trainOneIn")
       for (_ <- 0 until iters) {
+        // element-wise mean per cell, then an executor-side fold of the
+        // per-(cell, pos) scalars into ONE array row per cell: the
+        // driver receives O(nCells) rows carrying dim-length arrays,
+        // not nCells×dim scalar rows — at 100 TB-appropriate shapes
+        // (64k cells × dim 1024) that is 64k rows vs 67M. The packing
+        // is exact (same avg doubles, array_sort orders by the unique
+        // __pos), so centroids are byte-identical to a scalar collect.
         val means = vecs
           .select(assignCell(col("__v"), cents).as("__cell"),
             posexplode(col("__v")).as(Seq("__pos", "__x")))
           .groupBy("__cell", "__pos")
           .agg(avg(col("__x")).as("__m"))
+          .groupBy("__cell")
+          .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
           .collect()
-        val byCell = means.groupBy(_.getInt(0))
+        val byCell = means.map(r =>
+          r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
         cents = cents.indices.map { c =>
           byCell.get(c) match {
-            case Some(rows) =>
-              rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toIndexedSeq
+            case Some(ms) => ms.map(_.getDouble(1).toFloat).toIndexedSeq
             case None => cents(c)
           }
         }

@@ -112,4 +112,54 @@ object StreamingAsOf {
         col("__asof.rts").as("asof_ts"),
         col("__asof.rvalue").as("asof_value"))
   }
+
+  /** NEAREST streaming as-of — the streaming twin of the batch
+    * `AsOfJoin.leftAsOf(direction = "nearest")` (q178): enrich each
+    * probe with the reading closest in ABSOLUTE gap, looking up to
+    * `lookback` behind and `lookahead` ahead; exact gap ties resolve
+    * BACKWARD (the batch/pandas rule). One stream-stream join covers
+    * both directions — the event-time range is
+    * `pts − lookback ≤ rts ≤ pts + lookahead` (both states stay
+    * watermark-bounded) — and the collapse is a lexicographic `min`
+    * over (|gap|, direction-rank, rts, rvalue): smallest gap first,
+    * backward (rank 0) beating forward (rank 1) on equal gap. The two
+    * bounds are the per-direction tolerances, applied BEFORE the
+    * choice exactly as the batch operator documents — a too-far
+    * backward candidate never shadows an in-range forward one. A probe
+    * emits once the combined watermark passes `pts + lookahead`;
+    * windows that close empty emit NULLs.
+    */
+  def enrichNearest(
+      probes: DataFrame,
+      readings: DataFrame,
+      keyCol: String = "key",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      lookback: String = "10 minutes",
+      lookahead: String = "10 minutes",
+      watermarkDelay: String = "1 minute"): DataFrame = {
+    val p = probes.select(
+        col(keyCol).cast("string").as("pkey"),
+        col(tsCol).cast("timestamp").as("pts"))
+      .withWatermark("pts", watermarkDelay)
+    val r = readings.select(
+        col(keyCol).cast("string").as("rkey"),
+        col(tsCol).cast("timestamp").as("rts"),
+        col(valueCol).cast("double").as("rvalue"))
+      .withWatermark("rts", watermarkDelay)
+    p.join(r,
+        col("pkey") === col("rkey") &&
+          col("rts") >= col("pts") - expr(s"interval $lookback") &&
+          col("rts") <= col("pts") + expr(s"interval $lookahead"),
+        "leftOuter")
+      .groupBy(col("pkey").as("key"), col("pts"))
+      .agg(min(when(col("rts").isNotNull,
+        struct(
+          abs(unix_micros(col("rts")) - unix_micros(col("pts"))).as("gap"),
+          when(col("rts") <= col("pts"), lit(0)).otherwise(lit(1)).as("dir"),
+          col("rts"), col("rvalue")))).as("__asof"))
+      .select(col("key"), col("pts").as("ts"),
+        col("__asof.rts").as("asof_ts"),
+        col("__asof.rvalue").as("asof_value"))
+  }
 }

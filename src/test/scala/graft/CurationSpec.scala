@@ -113,6 +113,20 @@ class CurationSpec extends SparkSpec {
     assert(keptT == Set(1L, 2L, 3L), s"null-token bucket is free to keep: $keptT")
   }
 
+  test("budgetSelect exact path refuses continuous scores, pointing at the bucketed path") {
+    // 50 distinct long-cast scores against a bound of 8: the guard must
+    // throw (the collect is limit-bounded, so the oversized result never
+    // reaches the driver) and the message must route to the fix
+    val docs = (1 to 50).map(i => (i.toLong, i * 1000.0, 10L)).toDF("doc_id", "score", "toks")
+    val e = intercept[IllegalArgumentException] {
+      Curation.budgetSelect(docs, "score", "toks", "doc_id", 100L, maxScoreBuckets = 8)
+    }
+    assert(e.getMessage.contains("budgetSelectBucketed"), e.getMessage)
+    // at or under the bound the path works unchanged
+    assert(Curation.budgetSelect(docs, "score", "toks", "doc_id", 100L,
+      maxScoreBuckets = 50).count() > 0)
+  }
+
   test("budgetSelectBucketed: equals exact path on bucket-aligned scores; O(B) collect") {
     // 100 rows, 10 integer scores x 10 rows each, uniform tokens: with
     // buckets == #score-groups the ntile(score DESC, id) bucketization

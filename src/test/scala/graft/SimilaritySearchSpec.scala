@@ -182,6 +182,33 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(r(2L) == ((None, None)))
   }
 
+  test("trainCentroids: array-packed mean fold is byte-identical to a scalar collect") {
+    // seeds = iters-0 output; one Lloyd's round replayed with the plain
+    // per-(cell,pos) scalar recipe must equal the packed path exactly
+    val seeds = SimilaritySearch.trainCentroids(corpus, "vec_id", "embedding",
+      nCells = 6, iters = 0)
+    val expected = {
+      val rows = corpus
+        .select(SimilaritySearch.assignCell(col("embedding"), seeds).as("c"),
+          posexplode(col("embedding")).as(Seq("p", "x")))
+        .groupBy("c", "p").agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = rows.groupBy(_.getInt(0))
+      seeds.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rs) => rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toIndexedSeq
+          case None => seeds(c)
+        }
+      }
+    }
+    val got = SimilaritySearch.trainCentroids(corpus, "vec_id", "embedding",
+      nCells = 6, iters = 1)
+    assert(got.size === expected.size)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), c) =>
+      assert(g === e, s"centroid $c diverged from the scalar-collect reference")
+    }
+  }
+
   test("trainCentroids with trainOneIn sampling still yields usable centroids") {
     val cents = SimilaritySearch.trainCentroids(corpus, "vec_id", "embedding", 6, 2,
       trainOneIn = 3)

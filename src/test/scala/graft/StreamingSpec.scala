@@ -717,6 +717,89 @@ class StreamingSpec extends SparkSpec {
     assert(core == want, s"forward as-of sequence:\n got=$core\n want=$want")
   }
 
+  test("streaming NEAREST as-of: closest reading, backward on tie, parity with batch") {
+    import graft.streaming.StreamingAsOf
+    implicit val sc = spark.sqlContext
+    val probes = MemoryStream[(String, Timestamp)]
+    val readings = MemoryStream[(String, Timestamp, Double)]
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long, Option[Long], Option[Double])]()
+    val ckpt = tmp("graft-asofnear-ckpt")
+    def run(): Unit = {
+      val q = StreamingAsOf.enrichNearest(
+          probes.toDF().toDF("key", "ts"),
+          readings.toDF().toDF("key", "ts", "value"),
+          lookback = "60 seconds", lookahead = "60 seconds",
+          watermarkDelay = "10 seconds")
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map { r =>
+            (r.getString(0), r.getTimestamp(1).getTime / 1000,
+              Option(r.getTimestamp(2)).map(_.getTime / 1000),
+              if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+          }
+          out.synchronized { out ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    def at(s: Long) = new Timestamp(s * 1000)
+    val allProbes = scala.collection.mutable.ArrayBuffer[(String, Timestamp)]()
+    val allReadings = scala.collection.mutable.ArrayBuffer[(String, Timestamp, Double)]()
+    def addP(rows: (String, Timestamp)*): Unit = { allProbes ++= rows; probes.addData(rows) }
+    def addR(rows: (String, Timestamp, Double)*): Unit = { allReadings ++= rows; readings.addData(rows) }
+    // run 1: A@100 — behind at 80 (gap 20) vs ahead at 110 (gap 10): the
+    // FORWARD one is closer and must win despite backward preference.
+    // B@100 — gap tie (90 vs 110, both 10): BACKWARD wins.
+    addP(("A", at(100)), ("B", at(100)))
+    addR(("A", at(80), 1.0), ("A", at(110), 2.0),
+      ("B", at(90), 3.0), ("B", at(110), 4.0))
+    run()
+    // run 2 (restart from checkpoint): per-direction tolerance — A@300's
+    // only candidates are 80 s behind and 50 s ahead; the behind one is
+    // OUT of the 60 s lookback, so the farther-in-seconds forward
+    // candidate is the only admissible match. C@300 has nothing in
+    // range at all -> NULL.
+    addP(("A", at(300)), ("C", at(300)))
+    addR(("A", at(220), 5.0), ("A", at(350), 6.0), ("C", at(500), 7.0))
+    run()
+    // run 3: probe exactly on a reading (gap 0 beats everything);
+    // sentinels push both watermarks past every open lookahead window
+    addP(("A", at(600)), ("A", at(3000)))
+    addR(("A", at(600), 8.0), ("A", at(590), 9.0), ("A", at(3000), 0.0))
+    addP(("Z", at(5000)))
+    addR(("Z", at(5000), 0.0))
+    run()
+    val got = out.filter(_._2 <= 600L).sortBy(r => (r._1, r._2)).toList
+    val want = List(
+      ("A", 100L, Some(110L), Some(2.0)),
+      ("A", 300L, Some(350L), Some(6.0)),
+      ("A", 600L, Some(600L), Some(8.0)),
+      ("B", 100L, Some(90L), Some(3.0)),
+      ("C", 300L, None, None))
+    assert(got == want, s"nearest as-of sequence:\n got=$got\n want=$want")
+
+    // PARITY: the batch nearest as-of over the SAME accumulated data
+    // must produce the identical enrichment for every emitted probe
+    import graft.operators.AsOfJoin
+    val bl = allProbes.toSeq.toDF("key", "ts")
+    val br = allReadings.toSeq.toDF("key", "ts", "value")
+      .withColumn("rts_copy", org.apache.spark.sql.functions.col("ts"))
+    val batch = AsOfJoin.leftAsOf(bl, br, "key", "ts",
+        Seq("value", "rts_copy"), direction = "nearest",
+        toleranceMicros = Some(60L * 1000 * 1000))
+      .collect().map { r =>
+        (r.getString(0), r.getTimestamp(1).getTime / 1000,
+          Option(r.getTimestamp(3)).map(_.getTime / 1000),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      }
+      .filter(_._2 <= 600L).sortBy(r => (r._1, r._2)).toList
+    assert(batch == got, s"batch/streaming divergence:\n batch=$batch\n stream=$got")
+  }
+
   test("streaming quantiles: exact under capacity, bounded and deterministic over it") {
     import graft.streaming.StreamingQuantiles
     import StreamingQuantiles.QuantileSnapshot
