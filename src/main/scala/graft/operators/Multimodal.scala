@@ -547,6 +547,33 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[syntheticMixedImages]] plus CROSS-FORMAT re-encodes: every BMP
+    * primary (doc_id ≡ 0 mod 4) also appears as a PNG carrying the SAME
+    * logical image (identical formula pixels and dims) under
+    * doc_id + 1_000_000 — the re-upload-in-another-container scenario
+    * image dedup exists for. The re-encode's dHash equals its
+    * primary's exactly (lossless pixels, shared grid), so the pair is
+    * findable by signature alone, across formats.
+    */
+  def syntheticCrossEncodedImages(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    val primaries = syntheticMixedImages(ids, spark)
+    val reEncodes = ids.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        if (id % 4 == 0)
+          Some(Row(id + 1000000L,
+            encodeSyntheticPng(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt)))
+        else None
+      }
+    }(enc)
+    primaries.unionByName(reEncodes)
+  }
+
   def syntheticBmps(ids: DataFrame, spark: SparkSession): DataFrame = {
     val idIdx = 0
     val schema = StructType(Seq(

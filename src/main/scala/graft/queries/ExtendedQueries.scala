@@ -861,6 +861,76 @@ object ExtendedQueries {
         .orderBy("doc_id")
     },
 
+    Q("q196_image_neardup_crossformat",
+      // END-TO-END cross-format image dedup — the capability the
+      // unified hash space exists for: a corpus of mixed BMP/PNG/JPEG/
+      // GIF where every BMP also rides as a PNG RE-ENCODE of the same
+      // logical image (doc_id + 1e6 — the re-upload-in-another-
+      // container scenario). imageDHashes sniffs per row, and the SAME
+      // pigeonhole banding as text SimHash pairs the re-encodes at
+      // hamming 0 ACROSS container formats. The oracle derives every
+      // row's dHash from its pixel formula (re-encodes reuse their
+      // source's BMP formula — lossless pixels, equal hash by
+      // construction) and brute-forces pairs at hamming ≤ 3; banding
+      // (4 × 16-bit bands) is exact there by pigeonhole, so equality
+      // with brute force IS the claim.
+      """WITH rows AS (
+        |  SELECT doc_id, doc_id AS src, doc_id % 4 AS fmt FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, doc_id AS src, 0 AS fmt
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |dims AS (
+        |  SELECT doc_id, src, fmt,
+        |    CASE fmt WHEN 0 THEN 8 + src % 9 WHEN 1 THEN 8 + src % 11
+        |         WHEN 2 THEN 8 * (1 + src % 5) ELSE 8 + src % 13 END AS w,
+        |    CASE fmt WHEN 0 THEN 8 + src % 7 WHEN 1 THEN 8 + src % 5
+        |         WHEN 2 THEN 8 * (1 + src % 3) ELSE 8 + src % 6 END AS h
+        |  FROM rows),
+        |cells AS (
+        |  SELECT d.doc_id, d.src, d.fmt, d.w, gx.gx, gy.gy,
+        |    ((gy.gy * d.h) // 8) * d.w + ((gx.gx * d.w) // 9) AS i
+        |  FROM dims d,
+        |    (SELECT unnest(generate_series(0, 8)) AS gx) gx,
+        |    (SELECT unnest(generate_series(0, 7)) AS gy) gy),
+        |lum AS (
+        |  SELECT doc_id, gx, gy,
+        |    CASE
+        |      WHEN fmt = 2 THEN
+        |        1000 * ((5 * src + 11 * (((i // w) // 8) * (w // 8) + (i % w) // 8)) % 256)
+        |      WHEN fmt = 3 THEN
+        |        299 * ((5 * src + 7 * i) % 256)
+        |      + 587 * ((2 * ((5 * src + 7 * i) % 256)) % 256)
+        |      + 114 * ((3 * ((5 * src + 7 * i) % 256)) % 256)
+        |      WHEN fmt = 1 AND src % 3 = 0 THEN 1000 * ((3 * src + 7 * i) % 256)
+        |      ELSE 299 * ((3 * src + 7 * i) % 256)
+        |         + 587 * ((2 * src + 5 * i) % 256)
+        |         + 114 * ((src + 3 * i) % 256)
+        |    END AS luma
+        |  FROM cells),
+        |bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+        |  FROM lum a JOIN lum b
+        |    ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.luma < b.luma),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    coalesce(bit_or(CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |                         ELSE (1::BIGINT << bit::INT) END), 0) AS dhash
+        |  FROM dims d LEFT JOIN bits USING (doc_id)
+        |  GROUP BY d.doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+        |FROM sig a JOIN sig b
+        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val sigs = Multimodal.imageDHashes(
+        Multimodal.syntheticCrossEncodedImages(
+          t(s, d, "documents").select("doc_id"), s), s)
+      Dedup.simhashPairs(sigs, "doc_id", "dhash",
+          nBands = 4, maxHamming = 3, sigBits = 64)
+        .orderBy("id1", "id2")
+    },
+
     Q("q180_apng_frames",
       // INTER-FRAME video decode, oracle-checked end to end: the engine
       // builds a real APNG per document (frame 0 full-canvas via IDAT,
