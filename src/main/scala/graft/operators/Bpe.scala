@@ -165,4 +165,90 @@ object Bpe {
       }
     }(enc)
   }
+
+  /** The id of the bare end-of-word token: one past the Unicode code
+    * space, so single-char token ids (their code point) can never
+    * collide with it or with merge ids.
+    */
+  val EndOfWordId: Int = 0x110000
+
+  /** Deterministic token→id map for a merge table: a single-char token
+    * is its code point (0..0x10FFFF), the bare `</w>` token is
+    * [[EndOfWordId]], and the k-th merge's RESULT symbol is
+    * EndOfWordId + 1 + k — injective by construction (merge results
+    * have length ≥ 2 or contain `</w>`, never a bare char), stable
+    * across corpora for the same table, and replayable in SQL as a
+    * 16-arm CASE plus `unicode(token)`.
+    */
+  def tokenIdMap(merges: Seq[Merge]): Map[String, Int] = {
+    val merged = merges.zipWithIndex
+      .map { case (m, k) => (m.left + m.right) -> (EndOfWordId + 1 + k) }
+    // a later duplicate result symbol would shadow an earlier id — real
+    // BPE tables never repeat a result (the pair is gone once merged),
+    // so refuse rather than silently remap
+    require(merged.map(_._1).distinct.size == merged.size,
+      "merge table repeats a result symbol")
+    (merged :+ (EndOfWord -> EndOfWordId)).toMap
+  }
+
+  private def idOf(tok: String, ids: Map[String, Int]): Int =
+    ids.getOrElse(tok, {
+      require(tok.codePointCount(0, tok.length) == 1,
+        s"token '$tok' is neither a merge result nor a single char")
+      tok.codePointAt(0)
+    })
+
+  /** [[tokenize]] to integer ids: (doc_id, ids ARRAY<INT>) under
+    * [[tokenIdMap]]. The id stream is what a training pipeline ships;
+    * [[detokenize]] inverts it exactly.
+    */
+  def tokenizeIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val ids = tokenIdMap(merges)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ids", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val txtIdx = docs.schema.fieldIndex(textCol)
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val words = Option(r.getString(txtIdx)).getOrElse("")
+          .trim.split("\\s+").filter(_.nonEmpty)
+        Row(r.getLong(idIdx),
+          words.toSeq.flatMap(w => applyMerges(w, merges)).map(idOf(_, ids)))
+      }
+    }(enc)
+  }
+
+  /** Invert [[tokenizeIds]]: (doc_id, text) with words rejoined on
+    * single spaces — BPE is LOSSLESS up to whitespace normalization, so
+    * `detokenize(tokenizeIds(text)) == regexp_replace(trim(text),
+    * '\s+', ' ')` exactly (the round-trip oracle's claim). Unknown ids
+    * fail loudly — a silent skip would corrupt training text.
+    */
+  def detokenize(idsDf: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val rev = tokenIdMap(merges).map(_.swap)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    val idIdx = idsDf.schema.fieldIndex("doc_id")
+    val arrIdx = idsDf.schema.fieldIndex("ids")
+    idsDf.mapPartitions { it =>
+      it.map { r =>
+        val toks = r.getSeq[Int](arrIdx).map { id =>
+          rev.getOrElse(id, {
+            require(id >= 0 && id < EndOfWordId, s"unknown token id $id")
+            new String(Character.toChars(id))
+          })
+        }
+        Row(r.getLong(idIdx), toks.mkString.replace(EndOfWord, " ").trim)
+      }
+    }(enc)
+  }
 }

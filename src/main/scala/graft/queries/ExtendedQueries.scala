@@ -130,6 +130,17 @@ object ExtendedQueries {
     * left-to-right scan IS mergeOnce's semantics. The result's tokens
     * are the double-space-separated fields.
     */
+  /** The q197 token→id rule as a DuckDB CASE over a lambda variable
+    * `x`: mirrors [[Bpe.tokenIdMap]] — bare `</w>` → 0x110000, merge
+    * k's result → 0x110001+k, single chars → their code point.
+    */
+  private val bpeIdCaseSql: String =
+    "CASE x WHEN '</w>' THEN 1114112 " +
+      bpeFrozenMerges.zipWithIndex.map { case (m, k) =>
+        s"WHEN '${m.left}${m.right}' THEN ${1114113 + k}"
+      }.mkString(" ") +
+      " ELSE unicode(x) END"
+
   private val bpeChainSql: String = {
     val wrapped = """regexp_replace(regexp_replace(trim(text), '\s+', ' ', 'g'), '(.)', ' \1 ', 'g')"""
     val withEow = s"replace($wrapped, '     ', '  </w>  ') || ' </w> '"
@@ -1394,6 +1405,51 @@ object ExtendedQueries {
         .join(toks, col("__did") === col("doc_id")).drop("__did")
       Curation.budgetSelectFraction(scored, "score", "n_tokens", "doc_id", 2L, 5L)
         .select(col("doc_id"), col("score").cast("long").as("score"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    Q("q197_bpe_token_ids",
+      // the ID space a training pipeline actually ships: single-char
+      // tokens are their code point, bare '</w>' is 0x110000, merge k's
+      // result is 0x110001+k — injective by construction, stable across
+      // corpora for the same table. The oracle maps the replayed token
+      // stream through the same rule (a 16-arm CASE + unicode()) and
+      // checks the full id sequence via order-sensitive md5.
+      s"""SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(string_split($bpeChainSql, '  ')) END::BIGINT AS n_tokens,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE list_sum(list_transform(string_split($bpeChainSql, '  '),
+        |         x -> $bpeIdCaseSql)) END::BIGINT AS ids_sum,
+        |  CASE WHEN trim(text) = '' THEN md5('')
+        |       ELSE md5(array_to_string(list_transform(string_split($bpeChainSql, '  '),
+        |         x -> $bpeIdCaseSql), ' ')) END AS ids_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Bpe.tokenizeIds(t(s, d, "documents"), "doc_id", "text", bpeFrozenMerges)
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          expr("aggregate(ids, 0L, (a, x) -> a + x)").as("ids_sum"),
+          md5(array_join(expr("transform(ids, x -> cast(x as string))"), " "))
+            .as("ids_md5"))
+        .orderBy("doc_id")
+    },
+
+    Q("q198_bpe_roundtrip",
+      // BPE is LOSSLESS up to whitespace normalization: ids back through
+      // detokenize reproduce the single-spaced text EXACTLY. The oracle
+      // never runs the tokenizer at all — it just normalizes the source
+      // text; equality of md5s over the full document bodies is the
+      // strongest possible round-trip claim.
+      """SELECT doc_id,
+        |  length(regexp_replace(trim(text), '\s+', ' ', 'g'))::BIGINT AS n_chars_norm,
+        |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Bpe.detokenize(
+          Bpe.tokenizeIds(t(s, d, "documents"), "doc_id", "text", bpeFrozenMerges),
+          bpeFrozenMerges)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_norm"),
+          md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     },
 

@@ -65,4 +65,37 @@ class BpeSpec extends SparkSpec {
       prev = cur
     }
   }
+
+  test("token ids: injective map, exact round trip, loud unknown-id failure") {
+    val merges = Seq(Merge("e", "s", 0), Merge("es", "t", 0),
+      Merge("est", "</w>", 0), Merge("l", "o", 0))
+    val ids = Bpe.tokenIdMap(merges)
+    assert(ids(Bpe.EndOfWord) === Bpe.EndOfWordId)
+    assert(ids("es") === Bpe.EndOfWordId + 1) // merge index 0's result
+    assert(ids.values.toSeq.distinct.size === ids.size)
+
+    // "lowest" → [lo, w, est</w>] → [0x110004, 'w', 0x110003]
+    val docs = Seq((7L, "lowest  low\nwider"), (8L, "")).toDF("doc_id", "text")
+    val got = Bpe.tokenizeIds(docs, "doc_id", "text", merges)
+    val row7 = got.filter($"doc_id" === 7L).select("ids").as[Seq[Int]].head()
+    assert(row7.take(3) === Seq(Bpe.EndOfWordId + 4, 'w'.toInt, Bpe.EndOfWordId + 3))
+
+    // round trip: whitespace-normalized text, exactly
+    val back = Bpe.detokenize(got, merges)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(back(7L) === "lowest low wider")
+    assert(back(8L) === "")
+
+    // a corrupt id stream fails loudly, never silently skips
+    val bad = Seq((1L, Seq(Bpe.EndOfWordId + 99))).toDF("doc_id", "ids")
+    val e = intercept[org.apache.spark.SparkException] {
+      Bpe.detokenize(bad, merges).collect()
+    }
+    assert(e.getMessage != null)
+
+    // a merge table with a duplicated result symbol is refused
+    intercept[IllegalArgumentException] {
+      Bpe.tokenIdMap(Seq(Merge("a", "b", 0), Merge("a", "b", 0)))
+    }
+  }
 }
