@@ -104,4 +104,41 @@ object StreamingAnnProbe {
       .select(col("query_id"), col("neighbor_id"), adc.as("cosine"))
     new Probe(out, if (cacheIndex) Seq(idx) else Nil)
   }
+
+  /** STREAMING SemDeDup probe — the ingestion-time twin of
+    * [[SimilaritySearch.semanticDupPairs]] (q192): every arriving
+    * embedding lands in its coarse cell (`cellOf` — axis-sign or trained
+    * centroids via `SimilaritySearch.assignCell`, a narrow stateless
+    * projection) and probes the STATIC corpus by a cell equi-join; exact
+    * cosine ≥ `threshold` emits (id, corpus_id, cell, cosine) — "this
+    * new document is a semantic duplicate of corpus row X", the filter a
+    * training-data ingest runs before admitting a document. Stateless,
+    * append mode, O(batch × cell-collision) per trigger; stream-vs-stream
+    * pairs are (deliberately) not emitted — new arrivals join the static
+    * side only on the next index refresh, the same contract as
+    * [[StreamingIndexProbe]]. StreamingSpec pins parity with the batch
+    * pair set restricted to stream-involving pairs.
+    */
+  def semanticProbe(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellOf: Column => Column,
+      threshold: Double,
+      cacheIndex: Boolean = true): Probe = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val stat = corpus.select(cellOf(col(vecCol)).as("__cell"),
+      col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val idx = if (cacheIndex) stat.persist() else stat
+    val out = stream
+      .select(cellOf(col(vecCol)).as("__cell"), col(idCol).as("id"),
+        col(vecCol).as("__v"))
+      .join(idx, "__cell")
+      .filter(col("id") =!= col("corpus_id"))
+      .select(col("id"), col("corpus_id"), col("__cell").as("cell"),
+        cosineSim(col("__v"), col("__cv")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    new Probe(out, if (cacheIndex) Seq(idx) else Nil)
+  }
 }

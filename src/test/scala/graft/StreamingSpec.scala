@@ -1423,6 +1423,54 @@ class StreamingSpec extends SparkSpec {
     pqProbe.close()
   }
 
+  test("streaming SemDeDup probe: stream-vs-corpus pairs equal the batch pair set") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SimilaritySearch
+    import graft.streaming.StreamingAnnProbe
+    implicit val sc = spark.sqlContext
+    // vectors repeat every 5 ids → exact semantic dups across the id space
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(j => math.sin(i % 5 + j * 0.7).toFloat)
+    val corpus = (0 until 50).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val cellOf = (v: org.apache.spark.sql.Column) =>
+      SimilaritySearch.axisSignCell(v, 4)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val probe = StreamingAnnProbe.semanticProbe(
+      mem.toDF().toDF("vec_id", "embedding"), corpus,
+      "vec_id", "embedding", cellOf, threshold = 0.999)
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val ckpt = tmp("graft-semprobe-ckpt")
+    def run(): Unit = {
+      val q = probe.output.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            b.select("corpus_id", "id").as[(Long, Long)].collect().foreach(got += _)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    val arrivals = Seq((100L, vec(103)), (101L, vec(101)), (102L, vec(52)))
+    mem.addData(arrivals.take(2))
+    run()
+    mem.addData(arrivals.drop(2))
+    run()
+    assert(got.nonEmpty, "the repeating-vector fixture must produce dup hits")
+
+    // batch reference: semanticDupPairs over corpus ∪ arrivals, restricted
+    // to corpus-vs-stream pairs (the probe's contract — stream-vs-stream
+    // waits for the next index refresh)
+    val all = corpus.unionByName(arrivals.toDF("vec_id", "embedding"))
+    val batchPairs = SimilaritySearch.semanticDupPairs(
+        all, "vec_id", "embedding", cellOf(col("embedding")), 0.999)
+      .filter(col("id1") < 100L && col("id2") >= 100L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == batchPairs, s"stream $got != batch $batchPairs")
+    probe.close()
+  }
+
   test("TxTable LSM streaming sink: delta commits per batch, periodic fold, restart-safe") {
     import graft.streaming.TxTable
     implicit val sc = spark.sqlContext
