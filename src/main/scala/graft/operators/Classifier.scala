@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed LINEAR QUALITY CLASSIFIER — the trainable document
+  * filter of an LLM curation pipeline (the fastText-style "quality
+  * model" step between heuristic scoring and token budgets; the
+  * reference has no ML surface at all, SURVEY §2.11). Logistic
+  * regression by full-batch gradient descent, Spark-first:
+  *
+  *   - the WEIGHTS live on the driver (O(dim) doubles — dim is a
+  *     handful of engineered features, never the corpus) and ship to
+  *     executors as literals inside a codegen'd margin expression;
+  *   - one iteration = ONE map-side-combined aggregation over the
+  *     corpus: per-dimension gradient Σ (σ(w·x) − y)·x_j via
+  *     `posexplode` + `groupBy(pos)` (the [[SimilaritySearch
+  *     .trainCentroids]] shape), collected as dim+1 rows;
+  *   - nothing else touches the driver — scoring is a pure projection.
+  *
+  * At 100 TB: each pass is a single scan+shuffle of (dim+1)-row
+  * partials; train on a hash sample ([[Curation]] samplers) when
+  * full passes stop paying — the estimator is unchanged.
+  *
+  * Exactness seams (how the oracle gates an iterative float algorithm):
+  *   - the FIRST gradient at w = 0 has σ ≡ 0.5, so with INTEGER
+  *     features it is 0.5·(Σ_{y=0} x_j − Σ_{y=1} x_j) — exact integer
+  *     arithmetic, replayed verbatim in SQL (q199);
+  *   - SCORING with frozen rational weights k_j/1024 over integer
+  *     features has margin (Σ k_j·x_j)/1024 — exact in double while
+  *     |Σ k·x| < 2^52, so the decision boundary is bit-stable across
+  *     engines (q200);
+  *   - the training LOOP itself (σ at w ≠ 0) is floating-point and
+  *     partition-order-dependent in the last bits — pinned by
+  *     ClassifierSpec floors (separable-fixture accuracy, loss
+  *     descent), not by hash equality.
+  */
+object Classifier {
+
+  private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** w·x + b as a Column: `features` is ARRAY<DOUBLE> of length
+    * `weights.size`, `bias` rides separately. A fold over a zipped
+    * literal array — expression-level (no UDF, no RDD); HOF lambdas are
+    * interpreted, fine off the per-row hot path at dim ≈ a handful (the
+    * SrpBits lesson only bites at dim × planes scale).
+    */
+  def margin(features: Column, weights: Seq[Double], bias: Double): Column = {
+    val w = typedLit(weights)
+    aggregate(
+      zip_with(features, w, (x, wi) => x * wi),
+      lit(bias),
+      (acc, t) => acc + t)
+  }
+
+  /** σ(w·x + b) as a Column. */
+  def probability(features: Column, weights: Seq[Double], bias: Double): Column =
+    lit(1.0) / (lit(1.0) + exp(-margin(features, weights, bias)))
+
+  /** One full-batch gradient of the logistic loss (mean over rows, plus
+    * L2 on the weights, never the bias): returns (∇w, ∇b). The corpus
+    * sees ONE aggregation; the collect is dim+1 rows.
+    */
+  private[graft] def gradient(
+      df: DataFrame,
+      featuresCol: String,
+      labelCol: String,
+      weights: Seq[Double],
+      bias: Double,
+      l2: Double): (IndexedSeq[Double], Double) = {
+    val dim = weights.size
+    val resid = probability(col(featuresCol), weights, bias) -
+      col(labelCol).cast("double")
+    // per-dim partials AND the bias partial in the same aggregation:
+    // pos -1 carries the residual itself (x ≡ 1 for the intercept)
+    val rows = df
+      .select(col(featuresCol).as("__f"), resid.as("__r"))
+      .select(explode(concat(array(struct(lit(-1).as("__p"), col("__r").as("__g"))),
+        zip_with(col("__f"), sequence(lit(0), lit(dim - 1)),
+          (x, p) => struct(p.cast("int").as("__p"), (x * col("__r")).as("__g")))))
+        .as("__e"))
+      .groupBy(col("__e.__p").as("__p"))
+      .agg(sum(col("__e.__g")).as("__s"), count(lit(1)).as("__n"))
+      .collect()
+    val n = rows.headOption.map(_.getLong(2).toDouble).getOrElse(1.0)
+    val byPos = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val gw = (0 until dim).map(j =>
+      byPos.getOrElse(j, 0.0) / n + l2 * weights(j))
+    (gw, byPos.getOrElse(-1, 0.0) / n)
+  }
+
+  /** The first training step as a DATAFRAME — the oracle seam of the
+    * iterative algorithm (the [[Bpe]] layer-1 recipe): at w = 0 every
+    * σ is exactly 0.5, so with INTEGER-valued features the per-dimension
+    * gradient mean is (Σ (0.5 − y)·x_j) / n — sums of exact multiples
+    * of 0.5, order-insensitive, and the final IEEE division is
+    * bit-identical across engines. Output: (pos, grad) with pos = -1
+    * the intercept. Later steps are float-iterative and spec-gated
+    * instead ([[logisticTrain]]).
+    */
+  def firstGradient(
+      df: DataFrame,
+      featuresCol: String,
+      labelCol: String,
+      dim: Int): DataFrame = {
+    val resid = lit(0.5) - col(labelCol).cast("double")
+    df.select(col(featuresCol).cast("array<double>").as("__f"), resid.as("__r"))
+      .select(explode(concat(array(struct(lit(-1).as("__p"), col("__r").as("__g"))),
+        zip_with(col("__f"), sequence(lit(0), lit(dim - 1)),
+          (x, p) => struct(p.cast("int").as("__p"), (x * col("__r")).as("__g")))))
+        .as("__e"))
+      .groupBy(col("__e.__p").as("pos"))
+      .agg((sum(col("__e.__g")) / count(lit(1))).as("grad"))
+  }
+
+  /** Learned model: weights (one per feature), intercept, and the
+    * training loss trajectory (mean logistic loss per iteration —
+    * monotone descent is ClassifierSpec's convergence gate).
+    */
+  final case class Model(
+      weights: IndexedSeq[Double], bias: Double, losses: IndexedSeq[Double])
+
+  /** Train by full-batch gradient descent from w = 0. Deterministic up
+    * to float summation order (the last-bit partition-order effect every
+    * distributed double sum has); the decision QUALITY is what specs
+    * pin. `df` is persisted across iterations and released on return.
+    */
+  def logisticTrain(
+      df: DataFrame,
+      featuresCol: String,
+      labelCol: String,
+      dim: Int,
+      iters: Int = 50,
+      lr: Double = 0.5,
+      l2: Double = 0.0): Model = {
+    require(dim >= 1 && iters >= 0 && lr > 0 && l2 >= 0, "bad hyperparameters")
+    val data = df.select(col(featuresCol).cast("array<double>").as("__x"),
+      col(labelCol).cast("double").as("__y")).persist()
+    try {
+      var w: IndexedSeq[Double] = IndexedSeq.fill(dim)(0.0)
+      var b = 0.0
+      val losses = IndexedSeq.newBuilder[Double]
+      for (_ <- 0 until iters) {
+        val (gw, gb) = gradient(data, "__x", "__y", w, b, l2)
+        w = w.indices.map(j => w(j) - lr * gw(j))
+        b = b - lr * gb
+        // mean logistic loss at the NEW point: one more aggregation;
+        // -[y ln p + (1-y) ln(1-p)] via the numerically-stable margin form
+        val m = margin(col("__x"), w, b)
+        val loss = data
+          .select(avg(
+            when(col("__y") === 1.0, log(lit(1.0) + exp(-m)))
+              .otherwise(log(lit(1.0) + exp(m)))).as("__l"))
+          .head().getDouble(0)
+        losses += loss
+      }
+      Model(w, b, losses.result())
+    } finally { data.unpersist(blocking = false); () }
+  }
+
+  /** Score rows with a frozen model: adds `margin`, `probability`, and
+    * `predicted` (margin > 0). A pure projection — no shuffle, no
+    * driver. With integer features and weights that are multiples of
+    * 1/1024 the margin is EXACT (q200's cross-engine claim).
+    */
+  def score(
+      df: DataFrame,
+      featuresCol: String,
+      weights: Seq[Double],
+      bias: Double): DataFrame = {
+    val m = margin(col(featuresCol), weights, bias)
+    df.withColumn("margin", m)
+      .withColumn("probability", lit(1.0) / (lit(1.0) + exp(-m)))
+      .withColumn("predicted", (m > 0).cast("int"))
+  }
+}

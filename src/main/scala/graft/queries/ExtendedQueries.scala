@@ -102,6 +102,26 @@ object ExtendedQueries {
 
   private def sqlHash60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** q199/q200's INTEGER document features, as matching Spark Column /
+    * DuckDB SQL pairs: char count, whitespace-token count, digit count,
+    * vowel count — integer-valued by construction, which is what makes
+    * the classifier's gradient/margin arithmetic exact cross-engine.
+    */
+  private def qualityFeatures =
+    array(
+      col("n_chars").cast("double"),
+      size(split(trim(col("text")), "\\s+")).cast("double"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+        .cast("double"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", "")))
+        .cast("double"))
+  private val qfSqlF0 = "n_chars::DOUBLE"
+  private val qfSqlF1 = """len(string_split_regex(trim(text), '\s+'))::DOUBLE"""
+  private val qfSqlF2 =
+    """(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE"""
+  private val qfSqlF3 =
+    """(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::DOUBLE"""
+
   /** The q194/q195 FROZEN merge table: Bpe.train(documents, 16 merges)
     * at sf0.01, replayed here as a literal so tokenization is a pure
     * per-row function (the training trajectory itself is q187 +
@@ -1450,6 +1470,57 @@ object ExtendedQueries {
         .select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars_norm"),
           md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+
+    Q("q199_quality_grad",
+      // the trainable quality CLASSIFIER's oracle seam (the BPE layer-1
+      // recipe applied to gradient descent): at w = 0, σ ≡ 0.5, so the
+      // per-dimension logistic gradient over INTEGER features is
+      // Σ(0.5 − y)·x_j / n — sums of exact multiples of 0.5
+      // (order-insensitive) and one IEEE division, bit-identical across
+      // engines. pos −1 is the intercept. The iterative loop itself is
+      // ClassifierSpec's convergence gate, not SQL.
+      s"""WITH f AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+        |    $qfSqlF0 AS f0, $qfSqlF1 AS f1, $qfSqlF2 AS f2, $qfSqlF3 AS f3
+        |  FROM documents),
+        |per AS (
+        |        SELECT -1 AS pos, sum(0.5 - y) AS s, count(*) AS n FROM f
+        |  UNION ALL SELECT 0, sum((0.5 - y) * f0), count(*) FROM f
+        |  UNION ALL SELECT 1, sum((0.5 - y) * f1), count(*) FROM f
+        |  UNION ALL SELECT 2, sum((0.5 - y) * f2), count(*) FROM f
+        |  UNION ALL SELECT 3, sum((0.5 - y) * f3), count(*) FROM f)
+        |SELECT CAST(pos AS INT) AS pos, s / n AS grad
+        |FROM per ORDER BY pos""".stripMargin) { (s, d) =>
+      import graft.operators.Classifier
+      val docs = t(s, d, "documents")
+        .withColumn("y", when(col("doc_id") % 3 === 0, 1).otherwise(0))
+        .withColumn("feats", qualityFeatures)
+      Classifier.firstGradient(docs, "feats", "y", dim = 4)
+        .orderBy("pos")
+    },
+
+    Q("q200_quality_classify",
+      // frozen-model scoring: weights are multiples of 1/1024 over
+      // integer features, so the margin (Σ k_j·x_j)/1024 + b is EXACT
+      // dyadic arithmetic — the decision boundary is bit-stable across
+      // engines and the raw margin itself hash-matches with NO rounding
+      // recipe. The model filter every curation pipeline ends with.
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    $qfSqlF0 AS f0, $qfSqlF1 AS f1, $qfSqlF2 AS f2, $qfSqlF3 AS f3
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (3 * f0 + 5 * f1 - 7 * f2 - 2 * f3) / 1024.0 - 1 AS margin,
+        |  CASE WHEN (3 * f0 + 5 * f1 - 7 * f2 - 2 * f3) / 1024.0 - 1 > 0
+        |       THEN 1 ELSE 0 END AS predicted
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Classifier
+      val docs = t(s, d, "documents").withColumn("feats", qualityFeatures)
+      Classifier.score(docs, "feats",
+          Seq(3.0 / 1024, 5.0 / 1024, -7.0 / 1024, -2.0 / 1024), bias = -1.0)
+        .select(col("doc_id"), col("margin"), col("predicted"))
         .orderBy("doc_id")
     },
 
