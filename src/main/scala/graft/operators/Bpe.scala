@@ -42,6 +42,14 @@ object Bpe {
   /** The distinct-word vocabulary of a corpus as symbol sequences:
     * (syms = [chars..., </w>], cnt = corpus frequency of the word).
     */
+  /** A word as base symbols: one symbol per Unicode CODE POINT (not
+    * UTF-16 unit — a supplementary char must be one symbol, or ids
+    * would carry lone surrogates and the SQL oracles, which split per
+    * code point, would disagree), plus the trailing [[EndOfWord]].
+    */
+  private[graft] def baseSymbols(w: String): Seq[String] =
+    w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp))) :+ EndOfWord
+
   def wordVocab(docs: DataFrame, textCol: String): DataFrame = {
     val words = docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("__w"))
@@ -50,8 +58,7 @@ object Bpe {
     val enc = RowEncoder.encoderFor(vocabSchema)
     words.mapPartitions { it =>
       it.map { r =>
-        val w = r.getString(0)
-        Row(w.map(_.toString) :+ EndOfWord, r.getLong(1))
+        Row(baseSymbols(r.getString(0)), r.getLong(1))
       }
     }(enc)
   }
@@ -135,7 +142,7 @@ object Bpe {
 
   /** Apply learned merges (in training order) to one word's symbols. */
   private[graft] def applyMerges(word: String, merges: Seq[Merge]): Seq[String] = {
-    var syms: Seq[String] = word.map(_.toString) :+ EndOfWord
+    var syms: Seq[String] = baseSymbols(word)
     merges.foreach(m => syms = mergeOnce(syms, m.left, m.right))
     syms
   }
@@ -188,6 +195,13 @@ object Bpe {
     // so refuse rather than silently remap
     require(merged.map(_._1).distinct.size == merged.size,
       "merge table repeats a result symbol")
+    // a result spelling EXACTLY the marker string would shadow the
+    // marker's id and make marker vs source-fused '</w>' symbols
+    // indistinguishable downstream (the classic sentinel-collision of
+    // string-symbol BPE) — refuse loudly; an id-space fix would need
+    // symbol provenance the string pipeline doesn't carry
+    require(!merged.exists(_._1 == EndOfWord),
+      s"merge result collides with the end-of-word marker '$EndOfWord'")
     (merged :+ (EndOfWord -> EndOfWordId)).toMap
   }
 
@@ -225,14 +239,37 @@ object Bpe {
     }(enc)
   }
 
+  /** Does this merge-table symbol CARRY the end-of-word marker (i.e.
+    * its trailing `</w>` characters are the real marker symbol, not
+    * source text that happens to spell them)? The marker only ever
+    * rides a word's FINAL symbol, so a result carries iff its RIGHT
+    * component does — recursively down to the bare [[EndOfWord]]
+    * symbol. A result whose string merely ENDS in the four characters
+    * `</w>` but was fused from source chars ('<','/','w','>') does NOT
+    * carry, and [[detokenize]] emits it literally — the ambiguity a
+    * naive string-suffix test (or a global replace) gets wrong.
+    */
+  private[graft] def markerCarry(merges: Seq[Merge]): Map[String, Boolean] = {
+    val carries = scala.collection.mutable.Map[String, Boolean](EndOfWord -> true)
+    merges.foreach { m =>
+      carries(m.left + m.right) = carries.getOrElse(m.right, false)
+    }
+    carries.toMap
+  }
+
   /** Invert [[tokenizeIds]]: (doc_id, text) with words rejoined on
     * single spaces — BPE is LOSSLESS up to whitespace normalization, so
     * `detokenize(tokenizeIds(text)) == regexp_replace(trim(text),
-    * '\s+', ' ')` exactly (the round-trip oracle's claim). Unknown ids
-    * fail loudly — a silent skip would corrupt training text.
+    * '\s+', ' ')` exactly (the round-trip oracle's claim), including
+    * documents whose TEXT contains the literal characters `</w>` (the
+    * token-ID space distinguishes the marker from look-alike source
+    * chars, and [[markerCarry]] distinguishes marker-fused merge
+    * results from source-fused ones). Unknown ids fail loudly — a
+    * silent skip would corrupt training text.
     */
   def detokenize(idsDf: DataFrame, merges: Seq[Merge]): DataFrame = {
     val rev = tokenIdMap(merges).map(_.swap)
+    val carries = markerCarry(merges)
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("text", StringType, nullable = false)))
@@ -241,13 +278,19 @@ object Bpe {
     val arrIdx = idsDf.schema.fieldIndex("ids")
     idsDf.mapPartitions { it =>
       it.map { r =>
-        val toks = r.getSeq[Int](arrIdx).map { id =>
-          rev.getOrElse(id, {
-            require(id >= 0 && id < EndOfWordId, s"unknown token id $id")
+        val pieces = r.getSeq[Int](arrIdx).map { id =>
+          if (id == EndOfWordId) " "
+          else if (id > EndOfWordId) {
+            val tok = rev.getOrElse(id, sys.error(s"unknown token id $id"))
+            if (carries.getOrElse(tok, false))
+              tok.dropRight(EndOfWord.length) + " "
+            else tok
+          } else {
+            require(id >= 0, s"unknown token id $id")
             new String(Character.toChars(id))
-          })
+          }
         }
-        Row(r.getLong(idIdx), toks.mkString.replace(EndOfWord, " ").trim)
+        Row(r.getLong(idIdx), pieces.mkString.trim)
       }
     }(enc)
   }

@@ -47,10 +47,17 @@ object Classifier {
     */
   def margin(features: Column, weights: Seq[Double], bias: Double): Column = {
     val w = typedLit(weights)
-    aggregate(
+    val fold = aggregate(
       zip_with(features, w, (x, wi) => x * wi),
       lit(bias),
       (acc, t) => acc + t)
+    // zip_with pads a length-mismatched side with nulls and the fold
+    // would propagate them into a SILENT null margin — refuse loudly
+    // instead (the wrong-feature-builder failure mode)
+    when(size(features) === lit(weights.size), fold)
+      .otherwise(raise_error(
+        concat(lit(s"feature vector length != ${weights.size} weights: size="),
+          size(features).cast("string"))).cast("double"))
   }
 
   /** σ(w·x + b) as a Column. */
@@ -58,8 +65,13 @@ object Classifier {
     lit(1.0) / (lit(1.0) + exp(-margin(features, weights, bias)))
 
   /** One full-batch gradient of the logistic loss (mean over rows, plus
-    * L2 on the weights, never the bias): returns (∇w, ∇b). The corpus
-    * sees ONE aggregation; the collect is dim+1 rows.
+    * L2 on the weights, never the bias) AND the mean loss at the SAME
+    * point: returns (∇w, ∇b, loss). The corpus sees exactly ONE
+    * aggregation — the loss term rides the same explode as pos −2, the
+    * bias partial as pos −1 — and the collect is dim+2 rows. The loss
+    * uses the overflow-safe form max(m,0) − m·y + log1p(e^−|m|)
+    * (log(1+e^m) overflows to Inf past m ≈ 709, which unnormalized
+    * integer features reach in one step).
     */
   private[graft] def gradient(
       df: DataFrame,
@@ -67,26 +79,32 @@ object Classifier {
       labelCol: String,
       weights: Seq[Double],
       bias: Double,
-      l2: Double): (IndexedSeq[Double], Double) = {
+      l2: Double): (IndexedSeq[Double], Double, Double) = {
     val dim = weights.size
-    val resid = probability(col(featuresCol), weights, bias) -
-      col(labelCol).cast("double")
-    // per-dim partials AND the bias partial in the same aggregation:
-    // pos -1 carries the residual itself (x ≡ 1 for the intercept)
+    val m = margin(col(featuresCol), weights, bias)
+    val y = col(labelCol).cast("double")
+    val resid = (lit(1.0) / (lit(1.0) + exp(-m))) - y
+    val lossTerm = greatest(m, lit(0.0)) - m * y + log1p(exp(-abs(m)))
+    // per-dim partials, the bias partial (pos −1, x ≡ 1), and the loss
+    // term (pos −2) in the same aggregation
     val rows = df
-      .select(col(featuresCol).as("__f"), resid.as("__r"))
-      .select(explode(concat(array(struct(lit(-1).as("__p"), col("__r").as("__g"))),
+      .select(col(featuresCol).as("__f"), resid.as("__r"), lossTerm.as("__l"))
+      .select(explode(concat(
+        array(struct(lit(-2).as("__p"), col("__l").as("__g")),
+          struct(lit(-1).as("__p"), col("__r").as("__g"))),
         zip_with(col("__f"), sequence(lit(0), lit(dim - 1)),
           (x, p) => struct(p.cast("int").as("__p"), (x * col("__r")).as("__g")))))
         .as("__e"))
       .groupBy(col("__e.__p").as("__p"))
       .agg(sum(col("__e.__g")).as("__s"), count(lit(1)).as("__n"))
       .collect()
+    rows.foreach(r => require(!r.isNullAt(1),
+      s"null gradient partial at pos ${r.getInt(0)} — null labels or features?"))
     val n = rows.headOption.map(_.getLong(2).toDouble).getOrElse(1.0)
     val byPos = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val gw = (0 until dim).map(j =>
       byPos.getOrElse(j, 0.0) / n + l2 * weights(j))
-    (gw, byPos.getOrElse(-1, 0.0) / n)
+    (gw, byPos.getOrElse(-1, 0.0) / n, byPos.getOrElse(-2, 0.0) / n)
   }
 
   /** The first training step as a DATAFRAME — the oracle seam of the
@@ -114,8 +132,11 @@ object Classifier {
   }
 
   /** Learned model: weights (one per feature), intercept, and the
-    * training loss trajectory (mean logistic loss per iteration —
-    * monotone descent is ClassifierSpec's convergence gate).
+    * training loss trajectory — losses(t) is the mean logistic loss AT
+    * the point visited at iteration t (w₀ = 0 first, so losses.head is
+    * ln 2 up to float), measured inside the same aggregation that
+    * computes that iteration's gradient. Descent is ClassifierSpec's
+    * convergence gate.
     */
   final case class Model(
       weights: IndexedSeq[Double], bias: Double, losses: IndexedSeq[Double])
@@ -141,18 +162,12 @@ object Classifier {
       var b = 0.0
       val losses = IndexedSeq.newBuilder[Double]
       for (_ <- 0 until iters) {
-        val (gw, gb) = gradient(data, "__x", "__y", w, b, l2)
+        // ONE corpus aggregation per iteration: gradient AND the loss
+        // at the current point ride the same pass
+        val (gw, gb, loss) = gradient(data, "__x", "__y", w, b, l2)
+        losses += loss
         w = w.indices.map(j => w(j) - lr * gw(j))
         b = b - lr * gb
-        // mean logistic loss at the NEW point: one more aggregation;
-        // -[y ln p + (1-y) ln(1-p)] via the numerically-stable margin form
-        val m = margin(col("__x"), w, b)
-        val loss = data
-          .select(avg(
-            when(col("__y") === 1.0, log(lit(1.0) + exp(-m)))
-              .otherwise(log(lit(1.0) + exp(m)))).as("__l"))
-          .head().getDouble(0)
-        losses += loss
       }
       Model(w, b, losses.result())
     } finally { data.unpersist(blocking = false); () }

@@ -86,6 +86,44 @@ class BpeSpec extends SparkSpec {
     assert(back(7L) === "lowest low wider")
     assert(back(8L) === "")
 
+    // HOSTILE round trips: text containing the LITERAL characters </w>
+    // (the id space + marker-carry map must keep them as source chars,
+    // never conflate them with the real end-of-word marker), and a
+    // supplementary char (must be ONE code-point token, not two
+    // lone-surrogate UTF-16 units)
+    val hostile = Seq((21L, "see </w> tag"), (22L, "a😀b x"))
+      .toDF("doc_id", "text")
+    val hIds = Bpe.tokenizeIds(hostile, "doc_id", "text", merges)
+    val hBack = Bpe.detokenize(hIds, merges)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(hBack(21L) === "see </w> tag", s"literal </w> corrupted: '${hBack(21L)}'")
+    assert(hBack(22L) === "a😀b x")
+    val emojiIds = hIds.filter($"doc_id" === 22L).select("ids").as[Seq[Int]].head()
+    assert(emojiIds.contains(0x1F600), s"emoji must be one code-point id: $emojiIds")
+    assert(!emojiIds.exists(id => id >= 0xD800 && id <= 0xDFFF),
+      s"no lone surrogates in the id stream: $emojiIds")
+
+    // marker-carry: a merge result fusing SOURCE chars toward '</w>'
+    // does not carry the marker; marker-fused results do — and the
+    // round trip keeps literal near-marker text intact
+    val spoofMerges = Seq(Merge("<", "/", 0), Merge("</", "w", 0),
+      Merge("e", "</w>", 0))
+    val carry = Bpe.markerCarry(spoofMerges)
+    assert(carry("</w") === false, "source-fused prefix must NOT carry")
+    assert(carry("e</w>") === true, "marker-fused e</w> must carry")
+    val spoofBack = Bpe.detokenize(
+      Bpe.tokenizeIds(Seq((31L, "see </w> he")).toDF("doc_id", "text"),
+        "doc_id", "text", spoofMerges), spoofMerges)
+      .select("text").as[String].head()
+    assert(spoofBack === "see </w> he", s"spoof round trip broke: '$spoofBack'")
+
+    // a table whose result spells EXACTLY the marker string is refused —
+    // it would shadow the marker's id and make the two indistinguishable
+    intercept[IllegalArgumentException] {
+      Bpe.tokenIdMap(Seq(Merge("<", "/", 0), Merge("</", "w", 0),
+        Merge("</w", ">", 0)))
+    }
+
     // a corrupt id stream fails loudly, never silently skips
     val bad = Seq((1L, Seq(Bpe.EndOfWordId + 99))).toDF("doc_id", "ids")
     val e = intercept[org.apache.spark.SparkException] {

@@ -26,8 +26,13 @@ class ClassifierSpec extends SparkSpec {
   test("logisticTrain separates a separable fixture; loss descends") {
     val df = sep.toDF("id", "x", "y")
     val m = Classifier.logisticTrain(df, "x", "y", dim = 2, iters = 200, lr = 0.3)
+    // losses(0) is the loss AT w=0 — exactly ln 2 for logistic loss
+    assert(math.abs(m.losses.head - math.log(2.0)) < 1e-12,
+      s"w=0 loss must be ln 2: ${m.losses.head}")
     assert(m.losses.head > m.losses.last, s"loss must descend: ${m.losses.head} -> ${m.losses.last}")
     assert(m.losses.last < 0.3, s"terminal loss too high: ${m.losses.last}")
+    assert(m.losses.forall(l => !l.isNaN && !l.isInfinite),
+      "the stable loss form must never overflow")
     val scored = Classifier.score(df, "x", m.weights, m.bias)
     val acc = scored.filter(col("predicted") === col("y")).count().toDouble /
       scored.count()
