@@ -261,6 +261,78 @@ object SimilaritySearch {
       .groupBy(col("id2").as("removed"))
       .agg(min(col("id1")).as("keep_witness"))
 
+  /** [[semDedupAdmit]]'s result: `admitted` rows were appended to the
+    * index, `rejected` rows carry their nearest-duplicate witness and
+    * whether it sat in the corpus index or earlier in the same batch.
+    * Both are eagerly localCheckpoint'ed (lineage truncated BEFORE the
+    * append, so no recomputation can ever see the batch's own rows in
+    * the index) — `close()` releases the backing blocks.
+    */
+  final class Admission private[operators] (
+      val admitted: DataFrame,
+      val rejected: DataFrame) extends AutoCloseable {
+    override def close(): Unit = {
+      admitted.unpersist(blocking = false)
+      rejected.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** INCREMENTAL SemDeDup admission against a saved IVF index — the
+    * ingestion loop of a deduplicated 100 TB corpus: probe the batch
+    * against the index (cell equi-join over the STATICALLY PRUNED cell
+    * partitions — only the batch's own cells are read, the
+    * [[ivfQueryIndex]] recipe), reject rows with an indexed semantic
+    * duplicate (cosine ≥ `threshold`; witness = smallest such corpus
+    * id), then keep-first dedup the SURVIVORS within the batch
+    * ([[semanticRemovals]] — without this, two near-identical new rows
+    * would both pass the corpus probe and both land in the index), and
+    * append what remains with [[ivfAppendIndex]] (O(batch), no
+    * rebuild). Everything is materialized before the append, so the
+    * returned frames are stable. Compose with [[cellImbalance]] /
+    * [[needsRetrain]] / [[compactIndexLists]] for maintenance exactly
+    * like the ANN index.
+    */
+  def semDedupAdmit(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): Admission = {
+    val (cents, lists) = ivfLoadIndex(spark, path)
+    val probed = batch.select(col(idCol), col(vecCol),
+      assignCell(col(vecCol), cents).as("__cell"))
+    // bounded O(nCells) collect — static IN-list so the cell-partitioned
+    // parquet prunes at planning time (a dynamic join key would read
+    // every partition and hope for DPP)
+    val cells = probed.select(col("__cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val pruned = lists.filter(col("__cell").isin(cells: _*))
+    val corpusRejected = probed.join(pruned, "__cell")
+      .select(col(idCol), col("neighbor_id").as("__w"),
+        cosineSim(col(vecCol), col("__cvec")).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(min(col("__w")).as("keep_witness"))
+      .withColumn("witness_in", lit("corpus"))
+    val afterCorpus = batch.join(
+      corpusRejected.select(col(idCol)), Seq(idCol), "left_anti")
+    val batchRejected = semanticRemovals(afterCorpus, idCol, vecCol,
+        assignCell(col(vecCol), cents), threshold)
+      .select(col("removed").as(idCol), col("keep_witness"))
+      .withColumn("witness_in", lit("batch"))
+    // eager localCheckpoint TRUNCATES LINEAGE before the append: a mere
+    // persist+count could still recompute an evicted partition against
+    // the grown index (batch rows would then self-match)
+    val rejected = corpusRejected.unionByName(batchRejected).localCheckpoint(true)
+    val admitted = afterCorpus.join(
+        batchRejected.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    ivfAppendIndex(spark, path, admitted, idCol, vecCol)
+    new Admission(admitted, rejected)
+  }
+
   /** End-to-end SemDeDup with TRAINED cells: spherical-k-means IVF
     * centroids ([[trainCentroids]] — deterministic seeding), cell
     * assignment as a codegen'd argmax over centroid literals

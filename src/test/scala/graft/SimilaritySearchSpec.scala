@@ -118,6 +118,47 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("semDedupAdmit: corpus dups rejected, batch dups keep-first, survivors indexed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-semadmit").toString
+    val (cents, assigned) = SimilaritySearch.ivfBuildIndex(
+      corpus, "vec_id", "embedding", nCells = 8, iters = 2)
+    SimilaritySearch.ivfSaveIndex(dir, cents, assigned)
+    val before = spark.read.parquet(s"$dir/lists").count()
+
+    // batch: 300 = exact dup of corpus vec(7); 301/302 = intra-batch
+    // exact dup pair of an UNSEEN direction; 303 = unseen singleton
+    def novel(k: Int): Array[Float] =
+      Array.tabulate(16)(j => math.cos(k * 1.7 + j * 0.9).toFloat)
+    val batch = Seq(
+      (300L, vec(7)), (301L, novel(1)), (302L, novel(1)), (303L, novel(2)))
+      .toDF("vec_id", "embedding")
+    val adm = SimilaritySearch.semDedupAdmit(
+      spark, dir, batch, "vec_id", "embedding", threshold = 0.999)
+    val rej = adm.rejected
+      .select("vec_id", "keep_witness", "witness_in")
+      .as[(Long, Long, String)].collect()
+      .map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(rej.keySet === Set(300L, 302L), s"rejections: $rej")
+    // 300 duplicates corpus row 7 EXACTLY (cosine 1), and 7 is the
+    // smallest matching corpus id → the min-witness
+    assert(rej(300L) === ((7L, "corpus")), s"corpus rejection: ${rej(300L)}")
+    assert(rej(302L) === ((301L, "batch")), "intra-batch dup keeps the first id")
+    assert(adm.admitted.select("vec_id").as[Long].collect().toSet === Set(301L, 303L))
+
+    // the admitted rows are IN the index now: a second batch duplicating
+    // an admitted row is rejected with that row as corpus witness
+    val adm2 = SimilaritySearch.semDedupAdmit(
+      spark, dir, Seq((400L, novel(1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.999)
+    val rej2 = adm2.rejected
+      .select("vec_id", "keep_witness", "witness_in")
+      .as[(Long, Long, String)].collect().toList
+    assert(rej2 === List((400L, 301L, "corpus")), s"second admission: $rej2")
+    assert(adm2.admitted.count() === 0)
+    assert(spark.read.parquet(s"$dir/lists").count() === before + 2)
+    adm.close(); adm2.close()
+  }
+
   test("ivfTopK achieves high recall@5 against brute force on clustered data") {
     val queries = corpus.filter(col("vec_id") % 20 === 0)
     val exact = SimilaritySearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
