@@ -261,6 +261,39 @@ object SimilaritySearch {
       .groupBy(col("id2").as("removed"))
       .agg(min(col("id1")).as("keep_witness"))
 
+  /** The PURE admission-decision semantics of [[semDedupAdmit]],
+    * index-free (cells computed by `cell` on both sides — for the
+    * saved-index path use [[semDedupAdmit]], which probes the stored
+    * cell partitions instead): one row per REJECTED batch member,
+    * (idCol, keep_witness, witness_in) with witness_in = 'corpus'
+    * (smallest same-cell corpus id within the threshold) or 'batch'
+    * (keep-first among corpus-survivors). Fully deterministic and —
+    * with an arithmetic-free cell like [[axisSignCell]] —
+    * SQL-replayable end to end (q201's oracle).
+    */
+  def admissionDecisions(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cell: Column,
+      threshold: Double): DataFrame = {
+    val k = corpus.select(cell.as("__cell"), col(idCol).as("__w"),
+      col(vecCol).as("__cv"))
+    val b = batch.select(cell.as("__cell"), col(idCol), col(vecCol))
+    val corpusRejected = b.join(k, "__cell")
+      .filter(cosineSim(col(vecCol), col("__cv")) >= threshold)
+      .groupBy(col(idCol))
+      .agg(min(col("__w")).as("keep_witness"))
+      .withColumn("witness_in", lit("corpus"))
+    val afterCorpus = batch.join(
+      corpusRejected.select(col(idCol)), Seq(idCol), "left_anti")
+    val batchRejected = semanticRemovals(afterCorpus, idCol, vecCol, cell, threshold)
+      .select(col("removed").as(idCol), col("keep_witness"))
+      .withColumn("witness_in", lit("batch"))
+    corpusRejected.unionByName(batchRejected)
+  }
+
   /** [[semDedupAdmit]]'s result: `admitted` rows were appended to the
     * index, `rejected` rows carry their nearest-duplicate witness and
     * whether it sat in the corpus index or earlier in the same batch.

@@ -550,6 +550,72 @@ object ExtendedQueries {
         .orderBy("removed")
     },
 
+    Q("q201_semdedup_admission",
+      // the ADMISSION decision of an incremental semantic-dedup ingest
+      // (q192/q193 between two table halves): corpus = 80% of the
+      // embeddings, batch = the arriving 20%; a batch row is rejected
+      // with the smallest same-cell corpus duplicate as witness
+      // ('corpus'), survivors then keep-first dedup among themselves
+      // ('batch'). The sign cell makes every decision SQL-replayable;
+      // the SAVED-INDEX twin (trained cells, static partition pruning,
+      // O(batch) append) is q202 + the SimilaritySearchSpec lifecycle.
+      s"""WITH c AS (
+        |  SELECT vec_id, embedding, $semCellSql AS cell FROM embeddings),
+        |corpus AS (SELECT * FROM c WHERE vec_id % 5 < 4),
+        |batch AS (SELECT * FROM c WHERE vec_id % 5 = 4),
+        |corp_rej AS (
+        |  SELECT b.vec_id, min(k.vec_id) AS keep_witness, 'corpus' AS witness_in
+        |  FROM batch b JOIN corpus k ON k.cell = b.cell
+        |  WHERE list_cosine_similarity(b.embedding::DOUBLE[], k.embedding::DOUBLE[]) >= 0.35
+        |  GROUP BY b.vec_id),
+        |surv AS (
+        |  SELECT * FROM batch
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM corp_rej)),
+        |batch_rej AS (
+        |  SELECT b.vec_id, min(a.vec_id) AS keep_witness, 'batch' AS witness_in
+        |  FROM surv b JOIN surv a ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) >= 0.35
+        |  GROUP BY b.vec_id)
+        |SELECT vec_id, keep_witness, witness_in FROM corp_rej
+        |UNION ALL SELECT vec_id, keep_witness, witness_in FROM batch_rej
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.admissionDecisions(
+          emb.filter(col("vec_id") % 5 < 4), emb.filter(col("vec_id") % 5 === 4),
+          "vec_id", "embedding",
+          SimilaritySearch.axisSignCell(col("embedding"), 8), threshold = 0.35)
+        .orderBy("vec_id")
+    },
+
+    Q.noOracle("q202_semdedup_admit_lifecycle") { (s, d) =>
+      // the SAVED-INDEX admission lifecycle end to end (the q175 stance
+      // for semantic dedup): build the IVF index on 80% of the
+      // embeddings, save, ADMIT the remaining 20% against it —
+      // statically-pruned probe, corpus-dup rejection, intra-batch
+      // keep-first, O(batch) append of survivors — then report the
+      // rejection table. Trained cells are not SQL-replayable (k-means),
+      // so no oracle; the decision semantics are oracle-paired in q201
+      // and the lifecycle (incl. append visibility to a second batch)
+      // is SimilaritySearchSpec-pinned.
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val path = Q.scratchDir("graft-q202") + "/idx"
+      val corpus = emb.filter(col("vec_id") % 5 < 4)
+      val (cents, assigned) = SimilaritySearch.ivfBuildIndex(
+        corpus, "vec_id", "embedding", nCells = 16, iters = 3)
+      SimilaritySearch.ivfSaveIndex(path, cents, assigned)
+      val adm = SimilaritySearch.semDedupAdmit(
+        s, path, emb.filter(col("vec_id") % 5 === 4),
+        "vec_id", "embedding", threshold = 0.35)
+      // release the admitted side's checkpoint blocks; the returned
+      // frame IS the rejected checkpoint, so that one must stay live
+      adm.admitted.unpersist(blocking = false)
+      adm.rejected
+        .select(col("vec_id"), col("keep_witness"), col("witness_in"))
+        .orderBy("vec_id")
+    },
+
     Q("q176_retrieval_eval",
       // retrieval-quality gate: recall@5 / MRR / nDCG@5 of the exact
       // top-5 run (q40's scoring chain) against same-label relevance —
