@@ -174,6 +174,35 @@ object PipelineQueries {
         .orderBy("o_orderkey")
     },
 
+    Q("q203_txtable_delete",
+      // keyed DELETE end to end — the right-to-be-forgotten lifecycle:
+      // orders lands in a TxTable (partitioned by status), every
+      // o_orderkey ≡ 0 mod 7 is erased via deleteKeys (partition
+      // rewrite, one ACID commit; time travel keeps the audit window,
+      // vacuum makes it physical — TxTableStatsSpec pins both), and the
+      // table reads back EXACTLY like a source that never had the rows —
+      // which is this oracle. Integer aggregates keep the compare exact.
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      import graft.streaming.TxTable
+      val table = Q.scratchDir("graft-q203") + "/orders_tx"
+      val orders = t(s, d, "orders").select(
+        col("o_orderstatus"), col("o_orderkey"), col("o_orderdate"))
+      TxTable.mergeLatest(s, orders, table, partitionCol = "o_orderstatus",
+        keys = Seq("o_orderstatus", "o_orderkey"), order = Seq("o_orderdate"))
+      TxTable.deleteKeys(s,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select("o_orderstatus", "o_orderkey"),
+        table, partitionCol = "o_orderstatus",
+        keys = Seq("o_orderstatus", "o_orderkey"))
+      TxTable.read(s, table).get
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_okey"))
+        .orderBy("o_orderstatus")
+    },
+
     Q("q108_neardup_removal",
       // End-to-end near-duplicate REMOVAL: MinHash-LSH pairs (the q34
       // pipeline) → connected components (log-round pointer jumping) →

@@ -687,6 +687,79 @@ object TxTable {
     } finally batchLatest.unpersist(blocking = false)
   }
 
+  /** Keyed DELETE — the right-to-be-forgotten surface (GDPR erasure;
+    * the reference's Mongo tables delete by tag document,
+    * /root/reference/OPC2MongoDB/Program.cs keeps one document per tag):
+    * rewrite every partition containing a requested key WITHOUT the
+    * matching rows (left-anti on the key columns), as one normal commit
+    * — so time travel to pre-delete versions still reads the data
+    * (audit window) until [[vacuum]] reclaims the removed files, and
+    * HARD erasure is exactly `deleteKeys` + checkpoint + `vacuum`
+    * (tombstones are deliberately NOT offered: a tombstone hides rows
+    * but erases no bytes, which is not deletion in the GDPR sense, and
+    * a later schema-mixed read could silently drop the flag column).
+    * Works identically on [[mergeLatest]] and [[upsertDelta]] tables
+    * (delta partitions rewrite to one dir holding their raw overlapping
+    * rows minus the keys — [[readMerged]] still folds them; the rewrite
+    * doubles as an incidental compaction of the touched partitions).
+    * O(affected partitions) write amplification — deletion is a rare
+    * batch operation, and erasure REQUIRES rewriting the files anyway.
+    * [[changeDataFeed]] across the commit reports the rows as deletes.
+    *
+    * `keysDf` carries one row per key tuple to erase (columns = `keys`,
+    * which must include `partitionCol`). Returns the committed version,
+    * or the current version when nothing matched.
+    */
+  def deleteKeys(
+      spark: SparkSession,
+      keysDf: DataFrame,
+      tablePath: String,
+      partitionCol: String = "serverName",
+      keys: Seq[String] = Seq("serverName", "tag"),
+      maxRetries: Int = 50,
+      statsCols: Seq[String] = AutoStats): Long = {
+    require(keys.contains(partitionCol),
+      s"keys must include the partition column $partitionCol")
+    val del = keysDf.select(keys.map(col): _*)
+      .filter(col(partitionCol).isNotNull).distinct().persist()
+    try {
+      val affected = del.select(partitionCol).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      var attempt = 0
+      while (attempt <= maxRetries) {
+        val snap = snapshot(tablePath)
+        val removedFiles = affected.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
+        if (removedFiles.isEmpty) return snap.version
+        val current = spark.read.parquet(removedFiles.map(p => s"$tablePath/$p"): _*)
+        val kept = current.join(del, keys, "left_anti").persist()
+        val statCols = eligibleStats(kept, statsCols)
+        val adds = affected.flatMap { p =>
+          val rel = s"data/${UUID.randomUUID()}"
+          val part = kept.filter(col(partitionCol) === p)
+          if (part.isEmpty) None
+          else Some((p, rel, writeWithStats(part, s"$tablePath/$rel", statCols)))
+        }
+        kept.unpersist(blocking = false)
+        val lines = Seq(s"op\tdeleteKeys\tattempt\t$attempt") ++
+          adds.map { case (p, rel, st) => addLine(p, rel, st) } ++
+          removedFiles.map(f => s"remove\t$f")
+        try {
+          publishCommit(tablePath, snap.version + 1, lines)
+          maybeCheckpoint(tablePath, snap.version + 1)
+          return snap.version + 1
+        } catch {
+          case _: FileAlreadyExistsException =>
+            // rebase: a concurrent writer may have added new rows for the
+            // affected partitions — recompute from the fresh snapshot so
+            // the delete never erases or resurrects a racer's rows
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"deleteKeys lost $maxRetries consecutive commit races on $tablePath")
+    } finally { del.unpersist(blocking = false); () }
+  }
+
   /** LSM-style DELTA upsert — merge-on-READ: commit ONLY the batch's
     * latest rows as new data directories, touching nothing that exists.
     * [[mergeLatest]] rewrites every touched partition per micro-batch —

@@ -189,6 +189,65 @@ class TxTableStatsSpec extends SparkSpec {
 
   // ======================= readMerged contract =======================
 
+  test("deleteKeys: erased from reads, audit via time travel, CDF deletes, hard-erase after vacuum") {
+    val dir = tmp("tx-delete")
+    // two partitions, three tags; srvA/t1 is the key to forget
+    val v1 = TxTable.mergeLatest(spark,
+      txBatch(("srvA", "t1", "2024-01-01 10:00:00", 1.0),
+        ("srvA", "t2", "2024-01-01 10:00:00", 2.0),
+        ("srvB", "t3", "2024-01-01 10:00:00", 3.0)), dir)
+    val vDel = TxTable.deleteKeys(spark,
+      Seq(("srvA", "t1")).toDF("serverName", "tag"), dir)
+    assert(vDel === v1 + 1)
+
+    // current reads no longer see the key — on BOTH read paths
+    val now = TxTable.read(spark, dir).get
+      .select("serverName", "tag").as[(String, String)].collect().toSet
+    assert(now === Set(("srvA", "t2"), ("srvB", "t3")))
+    assert(TxTable.readMerged(spark, dir).get.count() === 2)
+
+    // the audit window: time travel to the pre-delete version still reads it
+    assert(TxTable.readAt(spark, dir, v1).get
+      .filter(col("tag") === "t1").count() === 1)
+
+    // CDF across the delete commit reports exactly the deleted row
+    val cdf = TxTable.changeDataFeed(spark, dir, v1, vDel, keyCol = "tag")
+      .select("change_type", "tag").as[(String, String)].collect().toSet
+    assert(cdf === Set(("delete", "t1")), s"cdf: $cdf")
+
+    // untouched partition files survive; the touched partition rewrote
+    val snapDel = TxTable.snapshot(dir)
+    assert(snapDel.filesByPartition("srvB") === TxTable.snapshotAt(dir, v1).filesByPartition("srvB"),
+      "deleting srvA keys must not rewrite srvB")
+
+    // HARD erasure: after vacuum, the removed pre-delete files are gone
+    // from disk (checkpoint written by deleteKeys subsumes them)
+    val reclaimed = TxTable.vacuum(dir, minAgeMs = 0L)
+    val oldFiles = TxTable.snapshotAt(dir, v1).filesByPartition("srvA")
+    assert(oldFiles.exists(f => reclaimed.exists(_.endsWith(f)) ||
+      !new java.io.File(dir, f).exists()),
+      s"pre-delete srvA data must be physically reclaimed: $reclaimed")
+
+    // deleting on an LSM delta table: overlapping deltas, then forget
+    val dir2 = tmp("tx-delete-lsm")
+    TxTable.upsertDelta(spark, txBatch(("srvA", "t1", "2024-01-01 10:00:00", 1.0)), dir2)
+    TxTable.upsertDelta(spark, txBatch(("srvA", "t1", "2024-01-01 11:00:00", 9.0),
+      ("srvA", "t2", "2024-01-01 11:00:00", 2.0)), dir2)
+    TxTable.deleteKeys(spark, Seq(("srvA", "t1")).toDF("serverName", "tag"), dir2)
+    val merged2 = TxTable.readMerged(spark, dir2).get
+      .select("tag").as[String].collect().toSeq
+    assert(merged2 === Seq("t2"), "every overlapping delta row of the key is erased")
+    // a later upsert re-inserts the key cleanly
+    TxTable.upsertDelta(spark, txBatch(("srvA", "t1", "2024-01-02 10:00:00", 7.0)), dir2)
+    assert(TxTable.readMerged(spark, dir2).get
+      .filter(col("tag") === "t1").select("doubleValue").as[Double].head() === 7.0)
+
+    // deleting a key that matches nothing is a no-op at the current version
+    val vSame = TxTable.deleteKeys(spark,
+      Seq(("srvZ", "nope")).toDF("serverName", "tag"), dir2)
+    assert(vSame === TxTable.snapshot(dir2).version)
+  }
+
   test("readMerged: key-column pruning equals unpruned view; value-column pruning rejected") {
     val table = tmp("graft-txstats") + "/mtbl"
     // two deltas where t1's LATEST value (2.0) lives in a file whose
