@@ -261,6 +261,57 @@ object SimilaritySearch {
       .groupBy(col("id2").as("removed"))
       .agg(min(col("id1")).as("keep_witness"))
 
+  /** MATRYOSHKA truncation eval — the dimension-budget question of a
+    * modern embedding pipeline (Kusupati et al. 2022: MRL-trained
+    * vectors keep most retrieval quality in a prefix): for each prefix
+    * length in `dims`, the mean recall@k of exact search over the
+    * TRUNCATED vectors against the full-dimension ground truth. One row
+    * per prefix: (dim, recall). Both rankings order by
+    * (cosine ROUNDED to 6 decimals DESC, neighbor_id) — the rounding is
+    * what makes the ranked SETS bit-stable across engines even when a
+    * truncated cosine lands in a near-tie, so the whole eval is
+    * SQL-replayable (q204). Scan shape per prefix = [[bruteForceTopK]]'s
+    * (broadcast queries, one corpus pass); recall is exact rational
+    * arithmetic (hits / (nQueries · k)).
+    */
+  def matryoshkaRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Seq[Int],
+      k: Int = 5): DataFrame = {
+    require(dims.nonEmpty && k >= 1, "need at least one prefix length and k >= 1")
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    def topSet(prefix: Option[Int]): DataFrame = {
+      def cut(c: Column): Column = prefix.fold(c)(p => slice(c, 1, p))
+      val q = broadcast(queries.select(col(idCol).as("query_id"),
+        cut(col(vecCol)).as("__qv")))
+      val c = corpus.select(col(idCol).as("neighbor_id"), cut(col(vecCol)).as("__cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__cos").desc, col("neighbor_id"))
+      q.join(c, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosineSim(col("__qv"), col("__cv")), 6).as("__cos"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    val gold = topSet(None).persist()
+    try {
+      val nQ = queries.select(col(idCol)).distinct().count()
+      val frames = dims.map { d =>
+        val hits = topSet(Some(d)).join(gold, Seq("query_id", "neighbor_id")).count()
+        import spark.implicits._
+        // one IEEE division of small integers — identical across engines
+        Seq((d, hits.toDouble / (nQ * k))).toDF("dim", "recall")
+          .select(col("dim"), round(col("recall"), 6).as("recall"))
+      }
+      frames.reduce(_.unionByName(_))
+    } finally { gold.unpersist(blocking = false); () }
+  }
+
   /** The PURE admission-decision semantics of [[semDedupAdmit]],
     * index-free (cells computed by `cell` on both sides — for the
     * saved-index path use [[semDedupAdmit]], which probes the stored

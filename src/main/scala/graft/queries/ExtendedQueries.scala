@@ -102,6 +102,20 @@ object ExtendedQueries {
 
   private def sqlHash60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** q204's ranked top-5 set over a vector expression: rank by
+    * (cosine rounded to 6 dp DESC, neighbor_id) — the rounding pins
+    * ranked SETS across engines at near-ties.
+    */
+  private def matryoshkaTopSqlVec(vec: String): String =
+    s"""SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        round(list_cosine_similarity((q.embedding$vec)::DOUBLE[], (e.embedding$vec)::DOUBLE[]), 6) DESC,
+       |        e.vec_id) AS rk
+       |    FROM q JOIN embeddings e ON e.vec_id <> q.query_id) WHERE rk <= 5""".stripMargin
+  private val matryoshkaTopSql: String = matryoshkaTopSqlVec("")
+  private def matryoshkaTopSqlDim(d: Int): String = matryoshkaTopSqlVec(s"[1:$d]")
+
   /** q199/q200's INTEGER document features, as matching Spark Column /
     * DuckDB SQL pairs: char count, whitespace-token count, digit count,
     * vowel count — integer-valued by construction, which is what makes
@@ -488,6 +502,33 @@ object ExtendedQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
+    },
+
+    Q("q204_matryoshka_recall",
+      // Matryoshka truncation eval — "how many dims can retrieval
+      // afford to drop?": recall@5 of exact search over 8/16/32-dim
+      // PREFIXES against the full 64-dim ground truth. Both rankings
+      // order by (cosine ROUNDED to 6 dp DESC, neighbor_id), which
+      // pins the ranked SETS bit-stably across engines even at
+      // truncation-induced near-ties; recall is integer hits over one
+      // IEEE division. The dimension-budget knob of an embedding
+      // pipeline, measured not guessed.
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |nq AS (SELECT count(*) AS n FROM q),
+        |gold AS ($matryoshkaTopSql),
+        |${Seq(8, 16, 32).map(d =>
+            s"t$d AS (${matryoshkaTopSqlDim(d)})").mkString(",\n")}
+        |${Seq(8, 16, 32).map(d =>
+            s"SELECT CAST($d AS INT) AS dim, round((SELECT count(*) FROM t$d JOIN gold USING (query_id, neighbor_id))::DOUBLE / (n * 5), 6) AS recall FROM nq")
+          .mkString("\nUNION ALL\n")}
+        |ORDER BY dim""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.matryoshkaRecall(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          dims = Seq(8, 16, 32), k = 5)
+        .orderBy("dim")
     },
 
     Q("q41_embedding_neardup",

@@ -118,6 +118,21 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("matryoshkaRecall: full-length prefix is exactly 1.0; truncation degrades deterministically") {
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+    val r = SimilaritySearch.matryoshkaRecall(
+        corpus, queries, "vec_id", "embedding", dims = Seq(2, 8, 16), k = 5)
+      .as[(Int, Double)].collect().toMap
+    // a 16-dim prefix of a 16-dim vector IS the ground-truth ranking
+    assert(r(16) === 1.0, s"full-prefix recall must be 1.0: $r")
+    assert(r(2) >= 0.0 && r(2) <= 1.0 && r(8) >= 0.0 && r(8) <= 1.0)
+    // deterministic across runs (rounded-cosine tie-break, no sampling)
+    val r2 = SimilaritySearch.matryoshkaRecall(
+        corpus, queries, "vec_id", "embedding", dims = Seq(2, 8, 16), k = 5)
+      .as[(Int, Double)].collect().toMap
+    assert(r === r2)
+  }
+
   test("semDedupAdmit: corpus dups rejected, batch dups keep-first, survivors indexed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-semadmit").toString
     val (cents, assigned) = SimilaritySearch.ivfBuildIndex(
