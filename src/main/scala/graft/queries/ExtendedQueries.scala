@@ -1580,6 +1580,40 @@ object ExtendedQueries {
         .orderBy("doc_id")
     },
 
+    Q("q205_bpe_packing",
+      // sequence packing in REAL subword tokens (q83's sharded
+      // running-count recipe, with the frozen-table BPE counts instead
+      // of word counts): documents fill 1024-token training sequences
+      // per hash shard in deterministic order — the unit is now exactly
+      // what the training job consumes. All-integer arithmetic.
+      s"""WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split($bpeChainSql, '  ')) END::BIGINT AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens, doc_id % 8 AS shard,
+        |    sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tk)
+        |SELECT shard, CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM s GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin) { (s, d) =>
+      val toks = Bpe.tokenize(t(s, d, "documents"), "doc_id", "text", bpeFrozenMerges)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+        .withColumn("shard", col("doc_id") % 8)
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / 1024).cast("long"))
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard", "seq_id")
+    },
+
     Q("q199_quality_grad",
       // the trainable quality CLASSIFIER's oracle seam (the BPE layer-1
       // recipe applied to gradient descent): at w = 0, σ ≡ 0.5, so the
