@@ -283,19 +283,26 @@ object SimilaritySearch {
       k: Int = 5): DataFrame = {
     require(dims.nonEmpty && k >= 1, "need at least one prefix length and k >= 1")
     val spark = corpus.sparkSession
-    import org.apache.spark.sql.expressions.Window
+    // slice() silently CAPS at the array length — an out-of-range prefix
+    // would rank identically to gold and report a fake recall 1.0, so
+    // bound-check against the actual vector dimensionality up front
+    val probe = corpus.select(size(col(vecCol)).as("__d")).limit(1).collect()
+    require(probe.nonEmpty, "matryoshkaRecall needs a non-empty corpus")
+    val vecDim = probe.head.getInt(0)
+    require(dims.forall(d => d >= 1 && d <= vecDim),
+      s"prefix lengths must be within 1..$vecDim (vector dim), got $dims")
     def topSet(prefix: Option[Int]): DataFrame = {
       def cut(c: Column): Column = prefix.fold(c)(p => slice(c, 1, p))
       val q = broadcast(queries.select(col(idCol).as("query_id"),
         cut(col(vecCol)).as("__qv")))
       val c = corpus.select(col(idCol).as("neighbor_id"), cut(col(vecCol)).as("__cv"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("__cos").desc, col("neighbor_id"))
-      q.join(c, col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(cosineSim(col("__qv"), col("__cv")), 6).as("__cos"))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= k)
+      // rankTopK: bounded per-partition top-k partials (the
+      // bruteForceTopK scan shape) with the same (cosine DESC, id) tie
+      // order as the oracle — never a full-stream ranking window
+      rankTopK(
+        q.join(c, col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(cosineSim(col("__qv"), col("__cv")), 6).as("cosine")), k)
         .select("query_id", "neighbor_id")
     }
     val gold = topSet(None).persist()
@@ -356,9 +363,12 @@ object SimilaritySearch {
       val admitted: DataFrame,
       val rejected: DataFrame) extends AutoCloseable {
     override def close(): Unit = {
-      admitted.unpersist(blocking = false)
-      rejected.unpersist(blocking = false)
-      ()
+      // localCheckpoint blocks live in a LogicalRDD leaf, not the cache
+      // manager — Dataset.unpersist would be a silent no-op and every
+      // batch of the ingestion loop would pin its blocks forever
+      // (Checkpoints.free exists for exactly this)
+      Checkpoints.free(admitted)
+      Checkpoints.free(rejected)
     }
   }
 
@@ -376,6 +386,11 @@ object SimilaritySearch {
     * returned frames are stable. Compose with [[cellImbalance]] /
     * [[needsRetrain]] / [[compactIndexLists]] for maintenance exactly
     * like the ANN index.
+    *
+    * SINGLE-WRITER assumption (unlike TxTable's optimistic commit
+    * loop): two concurrent admits would both probe the pre-append index
+    * and could admit mutual duplicates permanently. Serialize admission
+    * batches — one ingest writer per index path.
     */
   def semDedupAdmit(
       spark: org.apache.spark.sql.SparkSession,

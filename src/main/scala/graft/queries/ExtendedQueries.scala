@@ -649,9 +649,10 @@ object ExtendedQueries {
       val adm = SimilaritySearch.semDedupAdmit(
         s, path, emb.filter(col("vec_id") % 5 === 4),
         "vec_id", "embedding", threshold = 0.35)
-      // release the admitted side's checkpoint blocks; the returned
+      // release the admitted side's checkpoint blocks (Checkpoints.free —
+      // a plain unpersist is a no-op on a LogicalRDD leaf); the returned
       // frame IS the rejected checkpoint, so that one must stay live
-      adm.admitted.unpersist(blocking = false)
+      graft.operators.Checkpoints.free(adm.admitted)
       adm.rejected
         .select(col("vec_id"), col("keep_witness"), col("witness_in"))
         .orderBy("vec_id")

@@ -731,6 +731,10 @@ object TxTable {
         val removedFiles = affected.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
         if (removedFiles.isEmpty) return snap.version
         val current = spark.read.parquet(removedFiles.map(p => s"$tablePath/$p"): _*)
+        // idempotence: a re-issued erasure whose keys are already gone
+        // must NOT rewrite (and re-version, and orphan) whole partitions
+        // — the read happens anyway, the semi-join probe is one action
+        if (current.join(del, keys, "left_semi").isEmpty) return snap.version
         val kept = current.join(del, keys, "left_anti").persist()
         val statCols = eligibleStats(kept, statsCols)
         val adds = affected.flatMap { p =>

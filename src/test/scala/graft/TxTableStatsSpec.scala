@@ -242,10 +242,19 @@ class TxTableStatsSpec extends SparkSpec {
     assert(TxTable.readMerged(spark, dir2).get
       .filter(col("tag") === "t1").select("doubleValue").as[Double].head() === 7.0)
 
-    // deleting a key that matches nothing is a no-op at the current version
+    // deleting a key that matches nothing is a no-op at the current
+    // version — BOTH for an absent partition and for an existing
+    // partition with no matching rows (an idempotent erasure re-issue
+    // must not rewrite and re-version whole partitions)
     val vSame = TxTable.deleteKeys(spark,
       Seq(("srvZ", "nope")).toDF("serverName", "tag"), dir2)
     assert(vSame === TxTable.snapshot(dir2).version)
+    val filesBefore = TxTable.snapshot(dir2).allFiles.toSet
+    val vSame2 = TxTable.deleteKeys(spark,
+      Seq(("srvA", "already-gone")).toDF("serverName", "tag"), dir2)
+    assert(vSame2 === TxTable.snapshot(dir2).version)
+    assert(TxTable.snapshot(dir2).allFiles.toSet === filesBefore,
+      "a no-match delete on a live partition must not rewrite its files")
   }
 
   test("readMerged: key-column pruning equals unpruned view; value-column pruning rejected") {
