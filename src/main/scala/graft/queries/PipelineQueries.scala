@@ -1322,6 +1322,27 @@ object PipelineQueries {
           sum("n_chars").cast("long").as("total_chars"),
           countDistinct("lang").as("n_langs"))
         .orderBy("split")
+    },
+
+    Q("q206_hybrid_rrf",
+      // HYBRID retrieval: document-as-query BM25 (each doc_id % 50 = 0 doc
+      // queries the corpus with its own tokens, stopword-elided at df >
+      // 50%·N) fused with dense brute-force cosine over the same id space
+      // by reciprocal-rank fusion (1/(60+rank), two coalesced terms in
+      // fixed run order). Both runs are top-20 cut BEFORE the fuse, so the
+      // fusion join touches ≤40 rows/query at any corpus size; the oracle
+      // replays every stage — seeded term-order fold, rounded-score
+      // lexical rank, raw-cosine dense rank, exact rrf re-rank.
+      Ranking.hybridRrfSql(queryMod = 50)) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val lex = Ranking.bm25QueryDocTopK(t(s, d, "documents"), "doc_id", "text",
+        queryPred = col("doc_id") % 50 === 0)
+      val dense = graft.operators.SimilaritySearch
+        .bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 20)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      Ranking.rrfFuse(lex, dense).orderBy("query_id", "rank")
     }
   )
 }
