@@ -673,4 +673,144 @@ object Curation {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): rank the raw pool by how much
+    * more likely each document is under a hashed-n-gram model of the
+    * TARGET distribution than under the pool's own.
+    *
+    * Features are unigram + bigram counts hashed into `numBuckets`
+    * buckets (md5-60-bit, oracle-reproducible); each distribution is an
+    * add-`alpha` smoothed bucket multinomial, and a document's log
+    * importance weight is Σ_b c_b·(ln p̂_target[b] − ln p̂_pool[b]). The
+    * paper resamples with Gumbel noise; this variant takes the
+    * deterministic weight-ranked top-k (also evaluated in the paper) so
+    * the selection is reproducible and oracle-checkable — seeded
+    * cross-engine noise has no bit-stable recipe.
+    *
+    * Shape at scale: the n-gram stream (where the per-row md5 cost
+    * lives) is scanned ONCE, reduced to per-(doc, side, bucket) counts —
+    * ≤ |docs|·numBuckets rows — and materialized (checkpoint, freed
+    * before return); both the numBuckets-row distribution table and the
+    * per-doc scoring read that reduced table, never the stream again.
+    * The bucket log-ratio table BROADCASTS into the per-doc join, so
+    * scoring is shuffle-free past the count aggregate; the final cut is
+    * a global TakeOrdered top-k, never a full sort. Float determinism: ratios are
+    * identical closed-form expressions of exact integer counts; per-doc
+    * folds run in bucket-id order from a first-element seed, ROUNDED to
+    * 6 dp before the rank with a doc-id tiebreak.
+    *
+    * Returns (rank, doc_id-named `idCol`, weight, n_ngrams): the `topK`
+    * pool docs most target-like. Target docs are excluded from the pool.
+    */
+  def dsirSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      numBuckets: Int = 128,
+      alpha: Double = 0.01,
+      topK: Int = 25): DataFrame = {
+    require(numBuckets > 0 && alpha > 0)
+    val base = docs.select(col(idCol), targetPred.as("__tgt"),
+      Dedup.tokens(col(textCol)).as("__toks"))
+    // unigrams ++ bigrams in one exploded stream, bucketed immediately so
+    // the shuffle key is an int, not the n-gram string
+    val bigrams = zip_with(
+      slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+      slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val ng = base
+      .select(col(idCol), col("__tgt"),
+        explode(concat(col("__toks"), bigrams)).as("__ng"))
+      .select(col(idCol), col("__tgt"),
+        (Dedup.hash60(col("__ng")) % numBuckets).as("__b"))
+
+    // ONE pass over the n-gram stream (md5 is the per-row cost): reduce to
+    // per-(doc, side, bucket) long counts, then derive the numBuckets-row
+    // distribution table from that already-reduced aggregate
+    val db0 = Checkpoints.truncate(
+      ng.groupBy(col(idCol), col("__tgt"), col("__b"))
+        .agg(count(lit(1)).as("__c")))
+    val byBucket = db0.groupBy("__b").agg(
+      sum(when(col("__tgt"), col("__c")).otherwise(0L)).cast("double").as("__ct"),
+      sum(when(!col("__tgt"), col("__c")).otherwise(0L)).cast("double").as("__cr"))
+    val tots = byBucket.agg(sum("__ct").as("__nt"), sum("__cr").as("__nr"))
+    val aB = alpha * numBuckets
+    val ratio = byBucket.crossJoin(broadcast(tots)).select(col("__b"),
+      (log((col("__ct") + alpha) / (col("__nt") + aB)) -
+        log((col("__cr") + alpha) / (col("__nr") + aB))).as("__r"))
+
+    val db = db0.filter(!col("__tgt"))
+      .select(col(idCol), col("__b"), col("__c").cast("double").as("__c"))
+      .join(broadcast(ratio), "__b")
+    val contrib = array_sort(collect_list(struct(col("__b"), (col("__c") * col("__r")).as("v"))))
+    val vals = transform(contrib, x => x.getField("v"))
+    val weights = db.groupBy(idCol).agg(
+      round(aggregate(slice(vals, 2, 100000), element_at(vals, 1), (a, x) => a + x), 6)
+        .as("weight"),
+      sum("__c").cast("long").as("n_ngrams"))
+    // eager ≤topK-row result (dupClusters convention: only the returned
+    // table stays pinned), so the per-(doc,bucket) checkpoint can be
+    // freed before returning
+    val out = Checkpoints.truncate(
+      weights
+        .orderBy(col("weight").desc, col(idCol))
+        .limit(topK)
+        .withColumn("rank",
+          row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("weight").desc, col(idCol)))
+            .cast("long"))
+        .select(col("rank"), col(idCol), col("weight"), col("n_ngrams")))
+    Checkpoints.free(db0)
+    out
+  }
+
+  /** DuckDB oracle twin of [[dsirSelect]] over `documents` with target
+    * `source = '$targetSource'` — replays the hashing, smoothing,
+    * bucket-ordered fold and the rounded-weight rank exactly.
+    */
+  def dsirSql(
+      targetSource: String,
+      numBuckets: Int = 128,
+      alpha: Double = 0.01,
+      topK: Int = 25): String = {
+    val aB = alpha * numBuckets
+    s"""WITH base AS (
+       |  SELECT doc_id, source = '$targetSource' AS tgt,
+       |    string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |uni AS (SELECT doc_id, tgt, unnest(toks) AS ngr FROM base),
+       |bi AS (
+       |  SELECT doc_id, tgt, toks[i] || ' ' || toks[i + 1] AS ngr
+       |  FROM (SELECT doc_id, tgt, toks,
+       |          unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM base WHERE len(toks) >= 2)),
+       |ng AS (
+       |  SELECT doc_id, tgt,
+       |    ('0x' || substr(md5(ngr), 1, 15))::BIGINT % $numBuckets AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+       |bybkt AS (
+       |  SELECT b, count(CASE WHEN tgt THEN 1 END)::DOUBLE AS ctb,
+       |    count(CASE WHEN NOT tgt THEN 1 END)::DOUBLE AS crb
+       |  FROM ng GROUP BY b),
+       |tots AS (SELECT sum(ctb) AS nt, sum(crb) AS nr FROM bybkt),
+       |ratio AS (
+       |  SELECT b, ln((ctb + $alpha) / (nt + $aB))
+       |    - ln((crb + $alpha) / (nr + $aB)) AS r
+       |  FROM bybkt, tots),
+       |db AS (
+       |  SELECT doc_id, b, count(*)::DOUBLE AS c FROM ng
+       |  WHERE NOT tgt GROUP BY doc_id, b),
+       |w AS (
+       |  SELECT doc_id,
+       |    round(list_reduce(list(c * r ORDER BY b), (a, x) -> a + x), 6)
+       |      AS weight,
+       |    CAST(sum(c) AS BIGINT) AS n_ngrams
+       |  FROM db JOIN ratio USING (b) GROUP BY doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS BIGINT)
+       |    AS rank, doc_id, weight, n_ngrams
+       |FROM w QUALIFY rank <= $topK ORDER BY rank""".stripMargin
+  }
 }

@@ -1343,6 +1343,17 @@ object PipelineQueries {
           "vec_id", "embedding", k = 20)
         .withColumnRenamed("neighbor_id", "doc_id")
       Ranking.rrfFuse(lex, dense).orderBy("query_id", "rank")
+    },
+
+    Q("q207_dsir_select",
+      // DSIR importance-resampling selection (Xie et al. 2023): rank the
+      // non-src0 pool by hashed-ngram log-likelihood ratio against the
+      // src0 target distribution (128 buckets, add-0.01 smoothing),
+      // deterministic top-25 variant. The oracle replays hashing,
+      // smoothing, the bucket-ordered fold and the rounded-weight rank.
+      Curation.dsirSql(targetSource = "src0")) { (s, d) =>
+      Curation.dsirSelect(t(s, d, "documents"), "doc_id", "text",
+        targetPred = col("source") === "src0")
     }
   )
 }

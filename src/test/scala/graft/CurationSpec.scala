@@ -394,4 +394,37 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect()
     assert(t.map(r => (r._1, r._2)).toSet == Set(("a", 1L), ("b", 3L)))
   }
+
+  test("dsirSelect ranks target-like pool docs first and excludes the target") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "wiki facts wiki facts", "tgt"),   // target distribution
+      (1L, "wiki facts more", "pool"),        // shares target vocabulary
+      (2L, "spam spam buy now", "pool"),
+      (3L, "facts wiki", "pool")).toDF("doc_id", "text", "source")
+    val got = Curation.dsirSelect(docs, "doc_id", "text",
+        targetPred = col("source") === "tgt", topK = 10)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // target doc 0 never appears; target-vocab docs outrank the spam doc
+    assert(got.map(_._2).toSet == Set(1L, 2L, 3L))
+    val weightOf = got.map(r => r._2 -> r._3).toMap
+    assert(weightOf(1L) > weightOf(2L) && weightOf(3L) > weightOf(2L))
+    // ranks follow (weight desc, doc_id) exactly
+    assert(got.sortBy(_._1).map(_._2) ==
+      got.sortBy(r => (-r._3, r._2)).map(_._2))
+    // n_ngrams = unigrams + bigrams: "facts wiki" → 2 + 1
+    assert(got.find(_._2 == 3L).get._4 == 3L)
+  }
+
+  test("dsirSelect is deterministic across reruns and respects topK") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L to 30L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3}",
+        if (i % 10 == 0) "t" else "p")).toDF("doc_id", "text", "source")
+    def run() = Curation.dsirSelect(docs, "doc_id", "text",
+        col("source") === "t", topK = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val a = run()
+    assert(a == run() && a.size == 5 && a.map(_._1) == (1L to 5L))
+  }
 }
