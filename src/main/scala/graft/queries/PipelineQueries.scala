@@ -1354,6 +1354,50 @@ object PipelineQueries {
       Curation.dsirSql(targetSource = "src0")) { (s, d) =>
       Curation.dsirSelect(t(s, d, "documents"), "doc_id", "text",
         targetPred = col("source") === "src0")
+    },
+
+    Q("q208_txtable_merge",
+      // conditional MERGE INTO end to end: orders bootstraps a TxTable
+      // (partitioned by status) via an all-insert merge, then ONE merge
+      // commit updates every key ≡0 mod 3 (val += source key), deletes the
+      // ≡0 mod 9 subset, and inserts synthetic keys — the oracle is the
+      // closed form of that final state over the raw table. All-integer
+      // values keep the compare exact; time travel / audit across the
+      // commit is TxTableMergeSpec's job.
+      """WITH kept AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_custkey + o_orderkey
+        |         ELSE o_custkey END AS val
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 9 = 0)),
+        |ins AS (
+        |  SELECT o_orderstatus, 7::BIGINT AS val FROM orders
+        |  WHERE o_orderkey % 10 = 1),
+        |allr AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+        |  CAST(sum(val) AS BIGINT) AS sum_val
+        |FROM allr GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      import graft.streaming.TxTable
+      val table = Q.scratchDir("graft-q208") + "/orders_tx"
+      val ks = Seq("o_orderstatus", "o_orderkey")
+      val orders = t(s, d, "orders").select(
+        col("o_orderstatus"), col("o_orderkey"), col("o_custkey").as("val"))
+      TxTable.mergeInto(s, orders, table,
+        partitionCol = "o_orderstatus", keys = ks)
+      val srcUpd = orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("val", lit(0L))
+      val srcIns = orders.filter(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderstatus"),
+          (col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit(7L).as("val"))
+      TxTable.mergeInto(s, srcUpd.unionByName(srcIns), table,
+        partitionCol = "o_orderstatus", keys = ks,
+        updateExprs = Map("val" -> (col("t.val") + col("s.o_orderkey"))),
+        deleteCondition = Some(col("s.o_orderkey") % 9 === 0))
+      TxTable.read(s, table).get
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("val")).as("sum_val"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.LastValue
@@ -762,6 +762,137 @@ object TxTable {
       throw new IllegalStateException(
         s"deleteKeys lost $maxRetries consecutive commit races on $tablePath")
     } finally { del.unpersist(blocking = false); () }
+  }
+
+  /** Conditional MERGE (ANSI MERGE INTO / Delta-Lake `merge` semantics),
+    * completing the ACID write surface next to [[mergeLatest]] (blind
+    * last-value upsert), [[deleteKeys]] and [[upsertDelta]]:
+    *
+    *   - target rows whose key matches a source row: DELETED when
+    *     `deleteCondition` holds, else UPDATED by `updateExprs`
+    *     (unlisted columns keep their target value; identity merge when
+    *     empty);
+    *   - matched source rows never insert; unmatched source rows INSERT
+    *     (when `insertNotMatched`) with the target's columns selected
+    *     from the source;
+    *   - target rows with no source match are untouched.
+    *
+    * Expressions in `updateExprs` / `deleteCondition` reference the two
+    * sides as `col("t.x")` (target) and `col("s.x")` (source) — the
+    * source may carry extra expression-only columns beyond the target
+    * schema. Key and partition columns are REFUSED as update targets (a
+    * partition/key rewrite is a delete+insert, as in every MERGE
+    * implementation — silently re-homing rows would drop them from the
+    * partition-scoped rewrite below). Duplicate source keys are refused
+    * loudly (ANSI MERGE's cardinality violation): "latest wins" here
+    * would silently pick an arbitrary update. Null source partition
+    * keys are likewise refused — unrepresentable under partition
+    * pruning, and dropping an INSERT silently is data loss.
+    *
+    * Write shape: identical to [[deleteKeys]] — only partitions present
+    * in the source are rewritten (matched updates/deletes live there by
+    * construction, because keys include the partition column), as ONE
+    * commit with per-file stats; time travel keeps the pre-merge
+    * versions readable and a commit race rebases on the fresh snapshot,
+    * so a concurrent writer's rows are never clobbered. On an empty
+    * table the merge bootstraps: every source row inserts and the
+    * source's columns become the table schema. A non-empty source
+    * always commits (matched rows rewrite even under an identity
+    * update — no change detection, as in Delta). Returns the committed
+    * version, or the current version for an empty source.
+    */
+  def mergeInto(
+      spark: SparkSession,
+      source: DataFrame,
+      tablePath: String,
+      partitionCol: String = "serverName",
+      keys: Seq[String] = Seq("serverName", "tag"),
+      updateExprs: Map[String, Column] = Map.empty,
+      deleteCondition: Option[Column] = None,
+      insertNotMatched: Boolean = true,
+      maxRetries: Int = 50,
+      statsCols: Seq[String] = AutoStats): Long = {
+    require(keys.contains(partitionCol),
+      s"keys must include the partition column $partitionCol")
+    val badTargets = updateExprs.keySet.intersect(keys.toSet)
+    require(badTargets.isEmpty,
+      s"updateExprs may not assign key/partition columns ${badTargets.mkString(",")} — " +
+        "re-keying is a delete + insert")
+    val src = source.persist()
+    try {
+      // ONE action validates cardinality + null partition keys and
+      // collects the affected partitions
+      val (nRows, nKeys, nNullPart, affected) = {
+        val agg = src.agg(
+          count(lit(1)), count_distinct(struct(keys.map(col): _*)),
+          count(when(col(partitionCol).isNull, 1)),
+          sort_array(collect_set(col(partitionCol)))).collect()(0)
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2),
+          agg.getSeq[String](3))
+      }
+      if (nRows == 0L) return snapshot(tablePath).version
+      require(nNullPart == 0L,
+        s"mergeInto source has $nNullPart null $partitionCol rows — " +
+          "unrepresentable under partition pruning")
+      require(nKeys == nRows,
+        s"mergeInto source violates MERGE cardinality: $nRows rows but only " +
+          s"$nKeys distinct ${keys.mkString("(", ",", ")")} keys")
+
+      var attempt = 0
+      while (attempt <= maxRetries) {
+        val snap = snapshot(tablePath)
+        val removedFiles = affected.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
+        val current = if (removedFiles.isEmpty) None
+          else Some(spark.read.parquet(removedFiles.map(p => s"$tablePath/$p"): _*))
+        val targetCols = current.fold(source.columns.toIndexedSeq)(_.columns.toIndexedSeq)
+        require(targetCols.forall(src.columns.contains),
+          s"source is missing target columns ${targetCols.filterNot(src.columns.contains).mkString(",")}")
+
+        val newData = current match {
+          case None => src.select(targetCols.map(col): _*)
+          case Some(cur) =>
+            val joined = cur.as("t").join(src.as("s"),
+              keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+              "left_outer")
+            val isMatched = col(s"s.${keys.head}").isNotNull
+            val dropped = deleteCondition.fold(lit(false))(c => isMatched && c)
+            val kept = joined.filter(!dropped)
+              .select(targetCols.map { c =>
+                val base = col(s"t.$c")
+                updateExprs.get(c)
+                  .fold(base)(u => when(isMatched, u).otherwise(base)).as(c)
+              }: _*)
+            if (!insertNotMatched) kept
+            else kept.unionByName(
+              src.join(cur.select(keys.map(col): _*), keys, "left_anti")
+                .select(targetCols.map(col): _*))
+        }
+        val materialized = newData.persist()
+        val statCols = eligibleStats(materialized, statsCols)
+        val adds = affected.flatMap { p =>
+          val rel = s"data/${UUID.randomUUID()}"
+          val part = materialized.filter(col(partitionCol) === p)
+          if (part.isEmpty) None
+          else Some((p, rel, writeWithStats(part, s"$tablePath/$rel", statCols)))
+        }
+        materialized.unpersist(blocking = false)
+        val lines = Seq(s"op\tmergeInto\tattempt\t$attempt") ++
+          adds.map { case (p, rel, st) => addLine(p, rel, st) } ++
+          removedFiles.map(f => s"remove\t$f")
+        try {
+          publishCommit(tablePath, snap.version + 1, lines)
+          maybeCheckpoint(tablePath, snap.version + 1)
+          return snap.version + 1
+        } catch {
+          case _: FileAlreadyExistsException =>
+            // rebase on the racer's snapshot: matched/unmatched sets are
+            // recomputed against the fresh partition contents
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"mergeInto lost $maxRetries consecutive commit races on $tablePath")
+    } finally { src.unpersist(blocking = false); () }
   }
 
   /** LSM-style DELTA upsert — merge-on-READ: commit ONLY the batch's

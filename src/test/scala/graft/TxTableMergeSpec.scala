@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.TxTable
+
+/** Conditional MERGE INTO semantics on the ACID table: matched
+  * update/delete, not-matched insert, bootstrap on an empty table,
+  * cardinality/partition/assignment guards, time travel across the merge
+  * commit, and untouched-partition isolation.
+  */
+class TxTableMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val K = Seq("part", "id")
+
+  private def target(rows: (String, Long, Double)*) =
+    rows.toDF("part", "id", "value")
+
+  private def readAll(path: String): Set[(String, Long, Double)] =
+    TxTable.read(spark, path).get
+      .select("part", "id", "value").as[(String, Long, Double)]
+      .collect().toSet
+
+  test("mergeInto bootstraps an empty table from the source") {
+    val path = tmp("txm-boot") + "/t"
+    val v = TxTable.mergeInto(spark, target(("a", 1L, 1.0), ("b", 2L, 2.0)),
+      path, partitionCol = "part", keys = K)
+    assert(v == 0L)
+    assert(readAll(path) == Set(("a", 1L, 1.0), ("b", 2L, 2.0)))
+  }
+
+  test("matched update + matched delete + not-matched insert in one commit") {
+    val path = tmp("txm-full") + "/t"
+    TxTable.mergeInto(spark,
+      target(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0)),
+      path, partitionCol = "part", keys = K)
+    // source: id 1 updated to s.value+t.value, id 2 deleted, id 9 inserted;
+    // id 3 has no source row and must ride through the rewrite unchanged
+    val src = target(("a", 1L, 5.0), ("a", 2L, 0.0), ("a", 9L, 99.0))
+    val v = TxTable.mergeInto(spark, src, path,
+      partitionCol = "part", keys = K,
+      updateExprs = Map("value" -> (col("t.value") + col("s.value"))),
+      deleteCondition = Some(col("s.id") === 2L))
+    assert(v == 1L)
+    assert(readAll(path) ==
+      Set(("a", 1L, 15.0), ("a", 3L, 30.0), ("a", 9L, 99.0)))
+    // time travel: the pre-merge version still reads the original rows
+    assert(TxTable.readAt(spark, path, 0L).get
+      .select("part", "id", "value").as[(String, Long, Double)]
+      .collect().toSet ==
+      Set(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0)))
+  }
+
+  test("partitions absent from the source are not rewritten") {
+    val path = tmp("txm-iso") + "/t"
+    TxTable.mergeInto(spark, target(("a", 1L, 1.0), ("b", 2L, 2.0)),
+      path, partitionCol = "part", keys = K)
+    val filesB = TxTable.snapshot(path).filesByPartition("b")
+    TxTable.mergeInto(spark, target(("a", 1L, 7.0)), path,
+      partitionCol = "part", keys = K,
+      updateExprs = Map("value" -> col("s.value")))
+    // b's data directory is untouched byte-for-byte (same file list)
+    assert(TxTable.snapshot(path).filesByPartition("b") == filesB)
+    assert(readAll(path) == Set(("a", 1L, 7.0), ("b", 2L, 2.0)))
+  }
+
+  test("absolute-assignment merge is idempotent on re-issue") {
+    val path = tmp("txm-idem") + "/t"
+    TxTable.mergeInto(spark, target(("a", 1L, 1.0)), path,
+      partitionCol = "part", keys = K)
+    val src = target(("a", 1L, 42.0), ("a", 2L, 2.0))
+    def merge() = TxTable.mergeInto(spark, src, path,
+      partitionCol = "part", keys = K,
+      updateExprs = Map("value" -> col("s.value")))
+    merge(); merge()
+    assert(readAll(path) == Set(("a", 1L, 42.0), ("a", 2L, 2.0)))
+  }
+
+  test("insertNotMatched=false restricts the merge to matched rows") {
+    val path = tmp("txm-upd") + "/t"
+    TxTable.mergeInto(spark, target(("a", 1L, 1.0)), path,
+      partitionCol = "part", keys = K)
+    TxTable.mergeInto(spark, target(("a", 1L, 5.0), ("a", 8L, 8.0)), path,
+      partitionCol = "part", keys = K,
+      updateExprs = Map("value" -> col("s.value")),
+      insertNotMatched = false)
+    assert(readAll(path) == Set(("a", 1L, 5.0)))
+  }
+
+  test("guards: duplicate source keys, null partition, key assignment, empty source") {
+    val path = tmp("txm-guard") + "/t"
+    TxTable.mergeInto(spark, target(("a", 1L, 1.0)), path,
+      partitionCol = "part", keys = K)
+    val dup = intercept[IllegalArgumentException] {
+      TxTable.mergeInto(spark, target(("a", 1L, 1.0), ("a", 1L, 2.0)), path,
+        partitionCol = "part", keys = K)
+    }
+    assert(dup.getMessage.contains("cardinality"))
+    val nullPart = intercept[IllegalArgumentException] {
+      TxTable.mergeInto(spark,
+        Seq((Option.empty[String], 5L, 5.0)).toDF("part", "id", "value"),
+        path, partitionCol = "part", keys = K)
+    }
+    assert(nullPart.getMessage.contains("null part"))
+    val keyAssign = intercept[IllegalArgumentException] {
+      TxTable.mergeInto(spark, target(("a", 1L, 1.0)), path,
+        partitionCol = "part", keys = K,
+        updateExprs = Map("id" -> lit(9L)))
+    }
+    assert(keyAssign.getMessage.contains("re-keying"))
+    // empty source: no commit, version unchanged
+    val before = TxTable.snapshot(path).version
+    assert(TxTable.mergeInto(spark, target(), path,
+      partitionCol = "part", keys = K) == before)
+  }
+
+  test("extra source-only columns feed expressions without entering the schema") {
+    val path = tmp("txm-extra") + "/t"
+    TxTable.mergeInto(spark, target(("a", 1L, 10.0)), path,
+      partitionCol = "part", keys = K)
+    val src = Seq(("a", 1L, 0.0, 3.5), ("a", 2L, 7.0, 0.0))
+      .toDF("part", "id", "value", "delta")
+    TxTable.mergeInto(spark, src, path, partitionCol = "part", keys = K,
+      updateExprs = Map("value" -> (col("t.value") * col("s.delta"))))
+    val out = TxTable.read(spark, path).get
+    assert(out.columns.toSeq == Seq("part", "id", "value"))
+    assert(readAll(path) == Set(("a", 1L, 35.0), ("a", 2L, 7.0)))
+  }
+}
