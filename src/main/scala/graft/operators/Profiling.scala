@@ -43,4 +43,68 @@ object Profiling {
         percentile(col("__f"), lit(0.99)).as("p99_freq"),
         round(max("__f") * count(lit(1)).cast("double") / sum("__f"), 4)
           .as("skew"))
+
+  /** Per-dimension embedding-distribution drift between two snapshots of
+    * a corpus, as the Population Stability Index — the standard "did the
+    * feature distribution move?" monitor, applied to each embedding
+    * coordinate:
+    *
+    *   PSI(dim) = Σ_bins (p_b − q_b) · ln(p_b / q_b)
+    *
+    * with `numBins` equal-width bins over [lo, hi] (values outside clamp
+    * into the edge bins), p = reference (`refPred` rows) and q = current
+    * proportions, both add-0.5 smoothed so a bin empty on ONE side stays
+    * finite. Bins empty in BOTH snapshots are excluded: their smoothed
+    * term is an artifact of the smoothing constant, not evidence of
+    * drift. The conventional alert threshold is ~0.2 (`drifted` flag);
+    * equal distributions give PSI ≈ 0.
+    *
+    * Shape at scale: ONE pass over the exploded (vector, dim) stream
+    * into a (dim × bin) count grid — bounded by dims·numBins rows
+    * regardless of corpus size — then all arithmetic happens on the
+    * grid; per-dim totals ride a broadcast self-join of the grid, and
+    * the per-dim sum folds in bin order from a first-element seed (the
+    * cross-engine bit-exact recipe), ROUNDED to 6 dp.
+    *
+    * Returns (dim, n_ref, n_cur, psi, drifted) ordered by dim.
+    */
+  def psiDrift(
+      df: DataFrame,
+      vecCol: String,
+      refPred: org.apache.spark.sql.Column,
+      numBins: Int = 8,
+      lo: Double = -1.0,
+      hi: Double = 1.0,
+      threshold: Double = 0.2): DataFrame = {
+    require(numBins > 1 && hi > lo)
+    val w = (hi - lo) / numBins
+    val px = df.select(refPred.as("__ref"),
+      posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+    val binned = px.select(col("__ref"), col("__dim"),
+      least(greatest(floor((col("__v").cast("double") - lo) / w), lit(0.0)),
+        lit((numBins - 1).toDouble)).cast("int").as("__bin"))
+    val grid = binned.groupBy("__dim", "__bin").agg(
+      sum(when(col("__ref"), 1L).otherwise(0L)).as("__cr"),
+      sum(when(!col("__ref"), 1L).otherwise(0L)).as("__cc"))
+    val totals = grid.groupBy("__dim").agg(
+      sum("__cr").as("__nr"), sum("__cc").as("__nc"))
+    val sm = 0.5 * numBins
+    val scored = grid.join(broadcast(totals), "__dim").select(
+      col("__dim"), col("__cr"), col("__cc"), col("__nr"), col("__nc"),
+      col("__bin"),
+      (((col("__cr") + 0.5) / (col("__nr") + sm) -
+        (col("__cc") + 0.5) / (col("__nc") + sm)) *
+        log(((col("__cr") + 0.5) / (col("__nr") + sm)) /
+          ((col("__cc") + 0.5) / (col("__nc") + sm)))).as("__t"))
+    val terms = transform(
+      array_sort(collect_list(struct(col("__bin"), col("__t").as("t")))),
+      x => x.getField("t"))
+    scored.groupBy(col("__dim").cast("long").as("dim"))
+      .agg(max("__nr").cast("long").as("n_ref"),
+        max("__nc").cast("long").as("n_cur"),
+        round(aggregate(slice(terms, 2, 10000), element_at(terms, 1),
+          (a, x) => a + x), 6).as("psi"))
+      .withColumn("drifted", col("psi") > threshold)
+      .orderBy("dim")
+  }
 }

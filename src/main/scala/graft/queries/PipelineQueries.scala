@@ -1398,6 +1398,44 @@ object PipelineQueries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_rows"), sum(col("val")).as("sum_val"))
         .orderBy("o_orderstatus")
+    },
+
+    Q("q209_embedding_psi",
+      // per-dimension Population Stability Index between the even- and
+      // odd-vec_id snapshot halves — the embedding-distribution drift
+      // monitor of a vector pipeline. 8 equal-width bins over [-1,1]
+      // (add-0.5 smoothed, both-empty bins excluded), bin-ordered seeded
+      // fold, PSI rounded to 6 dp, drift flag at the conventional 0.2.
+      """WITH px AS (
+        |  SELECT vec_id % 2 = 0 AS ref, i - 1 AS dim, embedding[i]::DOUBLE AS v
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |binned AS (
+        |  SELECT ref, dim,
+        |    CAST(least(greatest(floor((v - (-1.0)) / 0.25), 0.0), 7.0) AS INT)
+        |      AS bin
+        |  FROM px),
+        |grid AS (
+        |  SELECT dim, bin,
+        |    sum(CASE WHEN ref THEN 1 ELSE 0 END)::BIGINT AS cr,
+        |    sum(CASE WHEN NOT ref THEN 1 ELSE 0 END)::BIGINT AS cc
+        |  FROM binned GROUP BY dim, bin),
+        |tot AS (SELECT dim, sum(cr) AS nr, sum(cc) AS nc FROM grid GROUP BY dim),
+        |terms AS (
+        |  SELECT g.dim, g.bin, t.nr, t.nc,
+        |    ((g.cr + 0.5) / (t.nr + 4.0) - (g.cc + 0.5) / (t.nc + 4.0)) *
+        |      ln(((g.cr + 0.5) / (t.nr + 4.0)) / ((g.cc + 0.5) / (t.nc + 4.0)))
+        |      AS tm
+        |  FROM grid g JOIN tot t USING (dim))
+        |SELECT dim, CAST(max(nr) AS BIGINT) AS n_ref,
+        |  CAST(max(nc) AS BIGINT) AS n_cur,
+        |  round(list_reduce(list(tm ORDER BY bin), (a, x) -> a + x), 6) AS psi,
+        |  round(list_reduce(list(tm ORDER BY bin), (a, x) -> a + x), 6) > 0.2
+        |    AS drifted
+        |FROM terms GROUP BY dim ORDER BY dim""".stripMargin) { (s, d) =>
+      Profiling.psiDrift(t(s, d, "embeddings"), "embedding",
+        refPred = col("vec_id") % 2 === 0)
     }
   )
 }

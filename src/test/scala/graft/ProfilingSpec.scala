@@ -38,4 +38,42 @@ class ProfilingSpec extends SparkSpec {
     // max picks the largest key string
     assert(a.getAs[String]("max_key") == "7")
   }
+
+  test("psiDrift: identical snapshots score 0; a shifted dim drifts") {
+    import org.apache.spark.sql.functions.col
+    // dim 0 identical across halves; dim 1 moves from ~-0.8 to ~+0.8
+    val rows = (0L until 40L).map { i =>
+      val d1 = if (i % 2 == 0) -0.8f else 0.8f
+      (i, Array(0.1f, d1))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Profiling.psiDrift(df, "embedding", col("vec_id") % 2 === 0)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L))
+    val (d0, d1) = (got(0), got(1))
+    assert(d0._4 == 0.0 && !d0._5, s"identical dim drifted: $d0")
+    assert(d1._4 > 0.2 && d1._5, s"shifted dim not flagged: $d1")
+    assert(d0._2 == 20L && d0._3 == 20L)
+  }
+
+  test("psiDrift clamps out-of-range values into the edge bins") {
+    import org.apache.spark.sql.functions.col
+    // every value far outside [lo,hi]; both snapshots identical → psi 0,
+    // and the clamp keeps the bin grid well-defined (no null bins)
+    val df = (0L until 10L).map(i => (i, Array(-5.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Profiling.psiDrift(df, "embedding", col("vec_id") % 2 === 0)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got.size == 2 && got.forall(r => r._4 == 0.0 && !r._5))
+  }
+
+  test("psiDrift is partitioning-invariant") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 30L).map(i => (i, Array((i % 7).toFloat / 10f - 0.3f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val a = Profiling.psiDrift(df, "embedding", col("vec_id") < 15).collect().toSeq
+    val b = Profiling.psiDrift(df.repartition(7), "embedding", col("vec_id") < 15)
+      .collect().toSeq
+    assert(a == b)
+  }
 }
