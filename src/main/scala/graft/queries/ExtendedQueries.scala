@@ -1536,6 +1536,46 @@ object ExtendedQueries {
         .orderBy("doc_id")
     },
 
+    Q("q210_tokenizer_fertility",
+      // tokenizer fairness audit: per-language fertility (subword tokens
+      // per whitespace word) and compression (chars per token) under the
+      // frozen BPE table — the disparity metric behind "this tokenizer
+      // taxes language X" analyses. All-integer sums + ONE division per
+      // metric keep the doubles bit-exact cross-engine (rounded 6 dp for
+      // the output grid).
+      s"""WITH tk AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_words,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split($bpeChainSql, '  ')) END::BIGINT
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(sum(n_tokens)::DOUBLE / sum(n_words)::DOUBLE, 6) AS fertility,
+        |  round(sum(n_chars)::DOUBLE / sum(n_tokens)::DOUBLE, 6)
+        |    AS chars_per_token
+        |FROM tk GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import graft.operators.Bpe
+      val docs = t(s, d, "documents")
+      val toks = Bpe.tokenize(docs, "doc_id", "text", bpeFrozenMerges)
+        .select(col("doc_id").as("__did"), size(col("tokens")).cast("long").as("n_tokens"))
+      docs
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_words"))
+        .join(toks, col("doc_id") === col("__did"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("total_words"),
+          sum("n_tokens").as("total_tokens"),
+          round(sum("n_tokens").cast("double") / sum("n_words").cast("double"), 6)
+            .as("fertility"),
+          round(sum("n_chars").cast("double") / sum("n_tokens").cast("double"), 6)
+            .as("chars_per_token"))
+        .orderBy("lang")
+    },
+
     Q("q197_bpe_token_ids",
       // the ID space a training pipeline actually ships: single-char
       // tokens are their code point, bare '</w>' is 0x110000, merge k's
