@@ -120,6 +120,26 @@ class TxTableMergeSpec extends SparkSpec {
       partitionCol = "part", keys = K) == before)
   }
 
+  test("changeDataFeed across a merge commit reports update, delete and insert") {
+    val path = tmp("txm-cdf") + "/t"
+    TxTable.mergeInto(spark, target(("a", 1L, 10.0), ("a", 2L, 20.0)),
+      path, partitionCol = "part", keys = K)
+    val v = TxTable.mergeInto(spark,
+      target(("a", 1L, 11.0), ("a", 2L, 0.0), ("a", 3L, 30.0)), path,
+      partitionCol = "part", keys = K,
+      updateExprs = Map("value" -> col("s.value")),
+      deleteCondition = Some(col("s.id") === 2L))
+    val cdf = TxTable.changeDataFeed(spark, path, v - 1, v,
+        keyCol = "id", compareCols = Seq("value"),
+        keys = K, order = Seq("value"))
+      .select("id", "change_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    // update carries pre+post images; delete the pre image; insert the post
+    assert(cdf == Set(
+      (1L, "update_preimage", 10.0), (1L, "update_postimage", 11.0),
+      (2L, "delete", 20.0), (3L, "insert", 30.0)))
+  }
+
   test("extra source-only columns feed expressions without entering the schema") {
     val path = tmp("txm-extra") + "/t"
     TxTable.mergeInto(spark, target(("a", 1L, 10.0)), path,
