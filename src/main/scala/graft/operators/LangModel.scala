@@ -59,4 +59,46 @@ object LangModel {
         count(lit(1)).as("n_bigrams"),
         round(avg(log(col("__c12") / col("__c1"))), 6).as("avg_logp"))
   }
+
+  /** CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    * score every document with the corpus-trained [[bigramLogProb]]
+    * (the perplexity proxy), then split EACH language's documents into
+    * head/middle/tail thirds by score — the pipeline that trains on
+    * "head" web data and drops the tail. Documents with fewer than two
+    * tokens have no bigrams, hence no score, hence no bucket — exactly
+    * CCNet's "unscorable" drop.
+    *
+    * Bucketing is exact ntile(3) over the TOTAL order (rounded score
+    * desc, doc id) — deterministic and oracle-replayable; at extreme
+    * scale the same cut points would come from an approximate quantile
+    * pass instead of a per-language sort, but the window here is
+    * bounded by the language partition, which is also how CCNet shards.
+    *
+    * Returns one row per (langCol, bucket): n_docs, total of `massCol`,
+    * min/max score (order-free aggregates — never a float sum over a
+    * variable row set), ordered by (lang, bucket).
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      massCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = bigramLogProb(df, idCol, textCol)
+    val w = Window.partitionBy(langCol)
+      .orderBy(col("avg_logp").desc, col(idCol))
+    df.select(col(idCol), col(langCol), col(massCol))
+      .join(scores, idCol)
+      .withColumn("__tile", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("__tile") === 1, "head")
+          .when(col("__tile") === 2, "middle").otherwise("tail"))
+      .groupBy(col(langCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(massCol).cast("long").as("total_mass"),
+        min("avg_logp").as("min_score"),
+        max("avg_logp").as("max_score"))
+      .orderBy(col(langCol), col("bucket"))
+  }
 }

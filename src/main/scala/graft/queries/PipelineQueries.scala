@@ -1436,6 +1436,39 @@ object PipelineQueries {
         |FROM terms GROUP BY dim ORDER BY dim""".stripMargin) { (s, d) =>
       Profiling.psiDrift(t(s, d, "embeddings"), "embedding",
         refPred = col("vec_id") % 2 === 0)
+    },
+
+    Q("q211_perplexity_buckets",
+      // CCNet head/middle/tail bucketing (Wenzek et al. 2020): the q105
+      // corpus-trained bigram-LM score splits each language into exact
+      // score terciles (ntile over the rounded-score + doc_id total
+      // order); sub-2-token docs are unscorable and drop, as in CCNet.
+      // Bucket aggregates are count/sum-of-long/min/max only — no float
+      // sum over a variable row set.
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bi AS (
+        |  SELECT doc_id, toks[__i] AS w1, toks[__i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS __i
+        |        FROM w WHERE len(toks) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*)::DOUBLE AS __c12 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*)::DOUBLE AS __c1 FROM bi GROUP BY w1),
+        |sc AS (
+        |  SELECT doc_id, round(avg(ln(__c12 / __c1)), 6) AS avg_logp
+        |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id),
+        |rk AS (
+        |  SELECT d.lang, d.n_chars, s.avg_logp,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY s.avg_logp DESC, d.doc_id) AS tile
+        |  FROM sc s JOIN documents d USING (doc_id))
+        |SELECT lang,
+        |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS bucket,
+        |  count(*)::BIGINT AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_mass,
+        |  min(avg_logp) AS min_score, max(avg_logp) AS max_score
+        |FROM rk GROUP BY lang, tile ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+      LangModel.perplexityBuckets(t(s, d, "documents"),
+        "doc_id", "text", "lang", "n_chars")
     }
   )
 }
