@@ -94,6 +94,126 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ColBERT-style late-interaction MaxSim over two multi-vector columns
+  * packed as flat `ARRAY<FLOAT>`s of `subDim`-sized sub-vectors:
+  *
+  *   max_sim(q, d) = Σ_{i < |q|/subDim}  max_{j < |d|/subDim}
+  *                     cos(q[i·subDim ..], d[j·subDim ..])
+  *
+  * — each query token-vector scores against its best-matching document
+  * token-vector, and the per-token bests sum in ascending i order (a
+  * FIXED-order sum, so the result is bit-stable; max over j is
+  * order-free). A zero-norm sub-vector pair contributes cosine 0.0 —
+  * keeping the function total so the oracle can replay it with a
+  * coalesce — and null is returned when either length is not a positive
+  * multiple of `subDim`. Native codegen for the same reason as
+  * [[CosineSimilarity]]: the candidate-pair stream is the dominant cost
+  * and boxes `|q|·|d|/subDim²` sub-cosines per pair under a UDF.
+  */
+case class MaxSim(left: Expression, right: Expression, subDim: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) if subDim > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ if subDim <= 0 => TypeCheckResult.TypeCheckFailure(
+        s"max_sim: subDim must be positive, got $subDim")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"max_sim requires (ARRAY<FLOAT>, ARRAY<FLOAT>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "max_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    if (nx == 0 || ny == 0 || nx % subDim != 0 || ny % subDim != 0) null
+    else {
+      val nq = nx / subDim; val nd = ny / subDim
+      var total = 0.0
+      var qi = 0
+      while (qi < nq) {
+        var best = java.lang.Double.NEGATIVE_INFINITY
+        var dj = 0
+        while (dj < nd) {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+          while (k < subDim) {
+            val xi = x.getFloat(qi * subDim + k).toDouble
+            val yi = y.getFloat(dj * subDim + k).toDouble
+            dot += xi * yi; na += xi * xi; nb += yi * yi
+            k += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          val c = if (denom == 0.0) 0.0 else dot / denom
+          if (c > best) best = c
+          dj += 1
+        }
+        total += best
+        qi += 1
+      }
+      java.lang.Double.valueOf(total)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+    val nq = ctx.freshName("nq"); val nd = ctx.freshName("nd")
+    val qi = ctx.freshName("qi"); val dj = ctx.freshName("dj")
+    val k = ctx.freshName("k"); val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+    val denom = ctx.freshName("denom"); val c = ctx.freshName("c")
+    val best = ctx.freshName("best"); val total = ctx.freshName("total")
+    val arrayCls = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          $arrayCls $x = ${leftGen.value};
+          $arrayCls $y = ${rightGen.value};
+          int $nx = $x.numElements();
+          int $ny = $y.numElements();
+          if ($nx > 0 && $ny > 0 && $nx % $subDim == 0 && $ny % $subDim == 0) {
+            int $nq = $nx / $subDim;
+            int $nd = $ny / $subDim;
+            double $total = 0.0;
+            for (int $qi = 0; $qi < $nq; $qi++) {
+              double $best = Double.NEGATIVE_INFINITY;
+              for (int $dj = 0; $dj < $nd; $dj++) {
+                double $dot = 0.0, $na = 0.0, $nb = 0.0;
+                for (int $k = 0; $k < $subDim; $k++) {
+                  double $xi = (double) $x.getFloat($qi * $subDim + $k);
+                  double $yi = (double) $y.getFloat($dj * $subDim + $k);
+                  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+                }
+                double $denom = Math.sqrt($na) * Math.sqrt($nb);
+                double $c = ($denom == 0.0) ? 0.0 : $dot / $denom;
+                if ($c > $best) $best = $c;
+              }
+              $total += $best;
+            }
+            ${ev.isNull} = false;
+            ${ev.value} = $total;
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sign-random-projection bits over an `ARRAY<FLOAT>` vector against a
   * flattened plane-major `ARRAY<DOUBLE>` literal of `nPlanes × dim`
   * hyperplane components: bit p of the result is set iff
@@ -360,6 +480,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
+      "max_sim", exprs => MaxSim(exprs(0), exprs(1),
+        HashExpressions.litInt(exprs(2), "max_sim", "subDim")), "built-in")
+    registry.createOrReplaceTempFunction(
       "simhash32", exprs => SimHash32(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs.head), "built-in")
@@ -388,6 +511,8 @@ object GraftFunctions {
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def maxSim(a: Column, b: Column, subDim: Int): Column =
+    call_function("max_sim", a, b, lit(subDim))
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
   def rollingHash(text: Column): Column = call_function("rolling_hash", text)

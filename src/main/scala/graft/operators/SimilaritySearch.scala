@@ -55,6 +55,33 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** ColBERT-style late-interaction retrieval: each query's flat
+    * `ARRAY<FLOAT>` is read as |v|/subDim token-sub-vectors and scored
+    * against every corpus document by MaxSim (per query token, the best
+    * cosine over the document's tokens; fixed-order sum — see
+    * [[graft.functions.MaxSim]]), a strictly finer signal than one
+    * pooled cosine when queries and documents are multi-aspect. Same
+    * scan shape as [[bruteForceTopK]]: queries broadcast, ONE unshuffled
+    * corpus pass, bounded per-partition top-k partials; the per-pair
+    * cost is |q|·|d|/subDim² sub-cosines inside whole-stage codegen.
+    * Ranking is over the 6dp-ROUNDED score with an id tiebreak.
+    */
+  def maxSimTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      subDim: Int,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.GraftFunctions.maxSim(
+          col("__qvec"), col("__cvec"), subDim), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** FILTERED vector search with PRE-filter semantics: the attribute
     * predicate restricts the candidate set BEFORE ranking, so every
     * query gets its true top-k among QUALIFYING neighbors. The

@@ -1469,6 +1469,37 @@ object PipelineQueries {
         |FROM rk GROUP BY lang, tile ORDER BY lang, bucket""".stripMargin) { (s, d) =>
       LangModel.perplexityBuckets(t(s, d, "documents"),
         "doc_id", "text", "lang", "n_chars")
+    },
+
+    Q("q212_maxsim_topk",
+      // ColBERT-style late interaction: the 64-dim embedding read as 8
+      // token-sub-vectors of 8 dims; score(q,d) = Σ_i max_j cos(q_i,d_j)
+      // (native codegen'd max_sim expression; fixed-order sum, zero-norm
+      // pairs contribute 0). The oracle replays the same arithmetic with
+      // nested list lambdas; ranking is over the ROUNDED score, id
+      // tiebreak, top 5 per query.
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |           WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_reduce(
+        |      list_transform(generate_series(1, 8), i ->
+        |        list_max(list_transform(generate_series(1, 8), j ->
+        |          coalesce(list_cosine_similarity(
+        |            (q.embedding[(i-1)*8+1 : i*8])::DOUBLE[],
+        |            (e.embedding[(j-1)*8+1 : j*8])::DOUBLE[]), 0.0)))),
+        |      (a, x) -> a + x), 6) AS cosine
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+        |  neighbor_id, cosine
+        |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      graft.operators.SimilaritySearch.maxSimTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          subDim = 8, k = 5)
+        .orderBy("query_id", "rank")
     }
   )
 }

@@ -57,6 +57,75 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("max_sim: hand values, degenerates to cosine at subDim = length") {
+    // 2 sub-vectors of dim 2 per side: q = [(1,0),(0,1)], d = [(1,0),(1,1)]
+    // token 1 best: max(cos with (1,0))=1, (cos with (1,1))=1/√2 → 1
+    // token 2 best: max(0, 1/√2) = 1/√2 → total 1 + 1/√2
+    val df = Seq((Array(1f, 0f, 0f, 1f), Array(1f, 0f, 1f, 1f))).toDF("q", "d")
+    val got = df.select(GraftFunctions.maxSim(col("q"), col("d"), 2))
+      .as[Option[Double]].collect().head
+    assert(got.isDefined && math.abs(got.get - (1.0 + 1.0 / math.sqrt(2))) < 1e-12)
+    // subDim = full length reduces MaxSim to plain cosine
+    val one = Seq((Array(1f, 2f, 3f, 4f), Array(4f, 3f, 2f, 1f))).toDF("q", "d")
+    val ms = one.select(GraftFunctions.maxSim(col("q"), col("d"), 4))
+      .as[Option[Double]].collect().head
+    val cs = one.select(GraftFunctions.cosineSim(col("q"), col("d")))
+      .as[Option[Double]].collect().head
+    assert(ms == cs)
+  }
+
+  test("max_sim: zero-norm token contributes 0; non-multiple lengths are null") {
+    val zero = Seq((Array(0f, 0f, 1f, 0f), Array(1f, 0f, 0f, 1f))).toDF("q", "d")
+    // token 1 is the zero vector → best = 0; token 2 best = max(1, 0) = 1
+    val g = zero.select(GraftFunctions.maxSim(col("q"), col("d"), 2))
+      .as[Option[Double]].collect().head
+    assert(g.contains(1.0))
+    val bad = Seq(
+      (Some(Array(1f, 0f, 1f)), Some(Array(1f, 0f))), // 3 % 2 != 0
+      (Some(Array.empty[Float]), Some(Array(1f, 0f))), // empty
+      (None, Some(Array(1f, 0f)))).toDF("q", "d")
+    val got = bad.select(GraftFunctions.maxSim(col("q"), col("d"), 2))
+      .as[Option[Double]].collect()
+    assert(got.forall(_.isEmpty))
+  }
+
+  test("max_sim: asymmetric token counts; codegen and interpreted agree") {
+    val vecs = (0 until 40).map { i =>
+      (Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat),
+        Array.tabulate(16)(j => ((i * 17 + j * 11) % 9 - 4).toFloat))
+    }
+    val df = vecs.toDF("q", "d")
+    val expr = GraftFunctions.maxSim(col("q"), col("d"), 4)
+    val viaCodegen = df.select(expr).as[Option[Double]].collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.select(expr).as[Option[Double]].collect()
+      assert(viaCodegen.toSeq == interpreted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // 2 query tokens vs 4 doc tokens: every query token takes the max over
+    // all 4 — cross-check one row against a scalar reference
+    val (qa, da) = vecs.head
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { k =>
+        dot += a(k).toDouble * b(k); na += a(k).toDouble * a(k); nb += b(k).toDouble * b(k)
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else dot / den
+    }
+    val want = (0 until 2).map { i =>
+      (0 until 4).map { j =>
+        cos(qa.slice(i * 4, i * 4 + 4).toSeq, da.slice(j * 4, j * 4 + 4).toSeq)
+      }.max
+    }.sum
+    assert(math.abs(viaCodegen.head.get - want) < 1e-12)
+  }
+
   test("adc_score: equals the HOF fold it replaced; null contracts; codegen parity") {
     // deterministic m=4, ksub=8 shapes
     val rows = (0 until 40).map { i =>
