@@ -82,6 +82,71 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** Binary-quantized retrieval (1-bit / "binary embedding" search):
+    * each vector quantizes to its per-dimension sign bits — packed into
+    * TWO 32-bit words held in plain long columns — candidates shortlist
+    * by Hamming distance (`bit_count(xor)` on both words: pure codegen'd
+    * integer ops on the |queries|×|corpus| pair stream, 32× less memory
+    * traffic than the float vectors), and the shortlist reranks with the
+    * exact cosine. The whole pipeline is DETERMINISTIC (quantize →
+    * Hamming → cut → rerank, every tie id-broken), so unlike the
+    * LSH/IVF paths it is exactly oracle-replayable end to end; it is
+    * still approximate versus brute force, with recall set by
+    * `shortlist` (floor-pinned in the spec).
+    *
+    * Packing runs ONCE per row (an interpreted fold over the vector —
+    * off the per-pair hot path, the q76 rule); the per-pair cost is two
+    * xors + two popcounts inside WholeStageCodegen. Shortlisting rides
+    * [[rankTopK]]'s bounded per-partition partials on negated Hamming;
+    * the rerank joins ≤`shortlist` rows per query back to the float
+    * vectors, so the expensive cosine touches O(queries·shortlist)
+    * pairs, not O(queries·corpus).
+    *
+    * Returns (query_id, rank, neighbor_id, cosine), top `k` per query
+    * by exact cosine over the shortlist. `dims` ≤ 64.
+    */
+  def binaryHammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"dims must be in [1,64], got $dims")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val loBits = math.min(dims, 32)
+    def packWord(off: Int, n: Int): Column = expr(
+      s"aggregate(sequence($off, ${off + n - 1}), 0L, (acc, i) -> " +
+        s"acc | IF(element_at($vecCol, i + 1) > 0, shiftleft(1L, i - $off), 0L))")
+    def quant(df: DataFrame, idAs: String): DataFrame = df.select(
+      col(idCol).as(idAs),
+      packWord(0, loBits).as(s"__lo_$idAs"),
+      (if (dims > 32) packWord(32, dims - 32) else lit(0L)).as(s"__hi_$idAs"))
+    val c = quant(corpus, "neighbor_id")
+    val q = quant(queries, "query_id")
+    val ham = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (bit_count(col("__lo_neighbor_id").bitwiseXOR(col("__lo_query_id"))) +
+          bit_count(col("__hi_neighbor_id").bitwiseXOR(col("__hi_query_id"))))
+          .as("__ham"))
+    // negated Hamming through the bounded top-k partials: (-h desc, id)
+    // == (h asc, id)
+    val short = rankTopK(
+      ham.select(col("query_id"), col("neighbor_id"),
+        (-col("__ham")).cast("double").as("cosine")), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val rerank = short
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        "neighbor_id")
+      .join(broadcast(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("__qv"), col("__cv")).as("cosine"))
+    rankTopK(rerank, k)
+  }
+
   /** FILTERED vector search with PRE-filter semantics: the attribute
     * predicate restricts the candidate set BEFORE ranking, so every
     * query gets its true top-k among QUALIFYING neighbors. The

@@ -1500,6 +1500,51 @@ object PipelineQueries {
           emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
           subDim = 8, k = 5)
         .orderBy("query_id", "rank")
+    },
+
+    Q("q213_binary_hamming_topk",
+      // binary-quantized ANN: sign bits packed into two 32-bit words,
+      // Hamming-distance shortlist (top-16, codegen'd xor+popcount on the
+      // pair stream), exact-cosine rerank to top-5. Deterministic end to
+      // end, so the oracle replays quantize → Hamming → cut → rerank
+      // exactly; recall floors vs brute force live in the spec.
+      """WITH bits AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(generate_series(1, 32), i ->
+        |      CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+        |           ELSE 0::BIGINT END), (a, x) -> a | x) AS lo,
+        |    list_reduce(list_transform(generate_series(33, 64), i ->
+        |      CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33))
+        |           ELSE 0::BIGINT END), (a, x) -> a | x) AS hi
+        |  FROM embeddings),
+        |qb AS (SELECT vec_id AS query_id, lo, hi FROM bits WHERE vec_id % 50 = 0),
+        |ham AS (
+        |  SELECT qb.query_id, b.vec_id AS neighbor_id,
+        |    bit_count(xor(qb.lo, b.lo)) + bit_count(xor(qb.hi, b.hi)) AS h
+        |  FROM qb JOIN bits b ON b.vec_id <> qb.query_id),
+        |short AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id)
+        |      AS sr
+        |  FROM ham QUALIFY sr <= 16),
+        |rer AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        |      AS cosine
+        |  FROM short s JOIN embeddings q ON q.vec_id = s.query_id
+        |    JOIN embeddings e ON e.vec_id = s.neighbor_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+        |  neighbor_id, round(cosine, 6) AS cosine
+        |FROM rer QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      graft.operators.SimilaritySearch.binaryHammingTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          dims = 64, shortlist = 16, k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
     }
   )
 }

@@ -587,6 +587,57 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(pre.toSeq === direct.toSeq)
   }
 
+  test("binaryHammingTopK: full shortlist equals brute force; tight shortlist keeps recall") {
+    val queries = corpus.filter(col("vec_id") isin (0L, 5L, 9L))
+    // shortlist = whole corpus → the rerank sees every candidate, so the
+    // result must EQUAL brute force (same ranking tail)
+    val full = SimilaritySearch.binaryHammingTopK(corpus, queries,
+        "vec_id", "embedding", dims = 16, shortlist = 199, k = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSet
+    val brute = SimilaritySearch.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(full == brute)
+    // a 20-candidate shortlist on the clustered fixture keeps recall@5
+    // high (the sign pattern of a cluster's direction is shared)
+    val short = SimilaritySearch.binaryHammingTopK(corpus, queries,
+        "vec_id", "embedding", dims = 16, shortlist = 20, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bruteBy = brute.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    val recalls = bruteBy.map { case (q, want) =>
+      short.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    assert(recalls.sum / recalls.size >= 0.6,
+      s"mean recall ${recalls.sum / recalls.size} under the 0.6 floor")
+  }
+
+  test("binaryHammingTopK: an exact duplicate is Hamming-0 and ranks first; partition-invariant") {
+    val dup = corpus.unionByName(
+      corpus.filter(col("vec_id") === 3L).select(
+        (col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+    val queries = dup.filter(col("vec_id") === 3L)
+    // the whole i%10==3 cluster shares the query's sign pattern (Hamming
+    // 0 — the quantizer cannot separate them), so the shortlist must be
+    // wide enough to hold all ~21 of them; the rerank then surfaces the
+    // exact duplicate at cosine ≈ 1 (cos(v,v) lands 1–2 ulp BELOW other
+    // near-1 cosines — dot/(√n·√n) ≠ dot/n at double precision — so
+    // strict first place is not guaranteed, membership + value are)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.binaryHammingTopK(df, queries,
+          "vec_id", "embedding", dims = 16, shortlist = 30, k = 3)
+        .select("rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    val a = run(dup)
+    val dupRow = a.find(_._2 == 1003L)
+    assert(dupRow.isDefined, s"duplicate missing from top-3: $a")
+    assert(math.abs(dupRow.get._3 - 1.0) < 1e-9)
+    assert(a == run(dup.repartition(7)), "result depends on partitioning")
+  }
+
   test("sameAttrTopK: each query ranks only neighbors sharing ITS attribute") {
     val withLabel = corpus.withColumn("label", (col("vec_id") % 3).cast("int"))
     val queries = withLabel.filter(col("vec_id") isin (0L, 1L))
