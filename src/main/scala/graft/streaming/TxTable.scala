@@ -576,12 +576,21 @@ object TxTable {
     else byPart.filter(p => keepByStats(snap.statsOf(p), pruneBy))
   }
 
+  /** A log file reference resolved to a readable path: references are
+    * table-relative (`data/<uuid>`) except for [[shallowClone]]d entries,
+    * which are ABSOLUTE paths into the source table and pass through
+    * unchanged. Every read path resolves through here; write paths always
+    * emit relative references into their own table.
+    */
+  private def resolveRef(tablePath: String, ref: String): String =
+    if (ref.startsWith("/")) ref else s"$tablePath/$ref"
+
   private def readSnapshot(spark: SparkSession, tablePath: String,
       snap: Snapshot, partitions: Option[Seq[String]],
       pruneBy: Seq[ColRange] = Nil): Option[DataFrame] = {
     val selected = selectFiles(snap, partitions, pruneBy)
     if (selected.isEmpty) None
-    else Some(spark.read.parquet(selected.map(p => s"$tablePath/$p"): _*))
+    else Some(spark.read.parquet(selected.map(p => resolveRef(tablePath, p)): _*))
   }
 
   /** Read the current snapshot (optionally pruned to `partitions`, and —
@@ -649,7 +658,7 @@ object TxTable {
         val snap = snapshot(tablePath)
         val removedFiles = affected.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
         val current = if (removedFiles.isEmpty) None
-          else Some(spark.read.parquet(removedFiles.map(p => s"$tablePath/$p"): _*)
+          else Some(spark.read.parquet(removedFiles.map(p => resolveRef(tablePath, p)): _*)
             .select(batchLatest.columns.toIndexedSeq.map(col): _*))
         val merged = LastValue.latestPerKey(
           current.fold(batchLatest)(_.unionByName(batchLatest)), keys, order)
@@ -730,7 +739,7 @@ object TxTable {
         val snap = snapshot(tablePath)
         val removedFiles = affected.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
         if (removedFiles.isEmpty) return snap.version
-        val current = spark.read.parquet(removedFiles.map(p => s"$tablePath/$p"): _*)
+        val current = spark.read.parquet(removedFiles.map(p => resolveRef(tablePath, p)): _*)
         // idempotence: a re-issued erasure whose keys are already gone
         // must NOT rewrite (and re-version, and orphan) whole partitions
         // — the read happens anyway, the semi-join probe is one action
@@ -843,7 +852,7 @@ object TxTable {
         val snap = snapshot(tablePath)
         val removedFiles = affected.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
         val current = if (removedFiles.isEmpty) None
-          else Some(spark.read.parquet(removedFiles.map(p => s"$tablePath/$p"): _*))
+          else Some(spark.read.parquet(removedFiles.map(p => resolveRef(tablePath, p)): _*))
         val targetCols = current.fold(source.columns.toIndexedSeq)(_.columns.toIndexedSeq)
         require(targetCols.forall(src.columns.contains),
           s"source is missing target columns ${targetCols.filterNot(src.columns.contains).mkString(",")}")
@@ -893,6 +902,45 @@ object TxTable {
       throw new IllegalStateException(
         s"mergeInto lost $maxRetries consecutive commit races on $tablePath")
     } finally { src.unpersist(blocking = false); () }
+  }
+
+  /** Zero-copy SHALLOW CLONE (Delta `CLONE` semantics): `dstPath` becomes
+    * a new table whose first commit references the SOURCE's current data
+    * files by absolute path — no data is copied, per-file stats carry
+    * over, and the clone costs one log write regardless of table size
+    * (the "branch a 100 TB table for an experiment" primitive). The two
+    * tables then evolve independently: any write that touches a cloned
+    * partition (merge/delete/compact) rewrites it with LOCAL files and
+    * drops the absolute references, so divergence is copy-on-write at
+    * partition granularity, and [[vacuum]] on the clone only ever
+    * deletes clone-local files.
+    *
+    * Caveat (same as Delta's): the clone borrows the source's files
+    * WITHOUT telling the source — `vacuum` on the SOURCE cannot see
+    * clone references and will reclaim files the source itself no longer
+    * needs, breaking clones that still reference them. Clones are for
+    * experiments and short-lived branches; promote one to a standalone
+    * table by rewriting its partitions (e.g. [[compact]] with
+    * minFiles = 1 semantics or a full merge).
+    *
+    * The destination must not already exist as a table (refused loudly —
+    * cloning over live data would orphan it silently). Returns the
+    * clone's committed version (0).
+    */
+  def shallowClone(srcPath: String, dstPath: String): Long = {
+    val snap = snapshot(srcPath)
+    require(snap.allFiles.nonEmpty, s"cannot clone empty table $srcPath")
+    require(!logDir(dstPath).exists(),
+      s"shallowClone destination $dstPath already has a table log")
+    val srcAbs = new File(srcPath).getAbsolutePath
+    val lines = Seq(s"op\tshallowClone\tsrc\t$srcAbs") ++
+      snap.filesByPartition.toSeq.sortBy(_._1).flatMap { case (p, files) =>
+        files.map { f =>
+          addLine(p, s"$srcAbs/$f", snap.statsByFile.getOrElse(f, ""))
+        }
+      }
+    publishCommit(dstPath, 0L, lines)
+    0L
   }
 
   /** LSM-style DELTA upsert — merge-on-READ: commit ONLY the batch's
@@ -1019,7 +1067,7 @@ object TxTable {
       val adds = victims.toSeq.sortBy(_._1).map { case (p, files) =>
         val rel = s"data/${UUID.randomUUID()}"
         val folded = LastValue.latestPerKey(
-            spark.read.parquet(files.map(f => s"$tablePath/$f"): _*), keys, order)
+            spark.read.parquet(files.map(f => resolveRef(tablePath, f)): _*), keys, order)
           .coalesce(1) // one server's live keys: bounded by tag cardinality
         (p, rel, files,
           writeWithStats(folded, s"$tablePath/$rel", eligibleStats(folded, statsCols)))
