@@ -104,17 +104,32 @@ object TxTable {
           case _ => None // malformed entry: carry no stats, never fail a read
         }
       }.toMap
+    /** The same tab/newline-safe escaping for any other one-field log
+      * payload (CHECK constraint expressions).
+      */
+    def escField(s: String): String = esc(s)
+    def unescField(s: String): String = unesc(s)
   }
 
   final case class Snapshot(
       version: Long,
       filesByPartition: Map[String, Seq[String]],
-      statsByFile: Map[String, String] = Map.empty) {
+      statsByFile: Map[String, String] = Map.empty,
+      constraints: Map[String, String] = Map.empty) {
     def allFiles: Seq[String] = filesByPartition.values.flatten.toSeq
     /** Decoded column stats of one file (empty when none recorded). */
     def statsOf(path: String): Map[String, ColStats] =
       StatsCodec.decode(statsByFile.getOrElse(path, ""))
   }
+
+  /** The state a log replay folds: active files plus the table's CHECK
+    * constraints (name -> SQL expression). Both survive checkpoints —
+    * a checkpoint is a full re-statement of BOTH, or log pruning would
+    * silently drop constraints recorded below it.
+    */
+  private final case class LogState(
+      files: Map[String, (String, String)] = Map.empty,
+      constraints: Map[String, String] = Map.empty)
 
   /** Should a file with `stats` survive `pruneBy`? Conservative in every
     * uncertain direction: no stats / no parse / unknown column → keep.
@@ -300,16 +315,16 @@ object TxTable {
           val ckpt = new File(dir, f"$base%020d.checkpoint")
           if (!ckpt.exists()) return None // anchor gone: stale hint or corruption
           try {
-            var files = Map.empty[String, (String, String)]
+            var st = LogState()
             val read = Seq.newBuilder[File]
-            files = applyLogFile(ckpt, files)
+            st = applyLogFile(ckpt, st)
             read += ckpt
             var v = base + 1
             var probing = true
             while (probing) {
               val c = new File(dir, f"$v%020d.commit")
               if (c.exists()) {
-                files = applyLogFile(c, files)
+                st = applyLogFile(c, st)
                 read += c
                 v += 1
               } else probing = false
@@ -321,7 +336,7 @@ object TxTable {
                 .trim.toLongOption
               catch { case _: java.nio.file.NoSuchFileException => None }
             if (nowHint.contains(base))
-              return Some((toSnapshot(v - 1, files), read.result()))
+              return Some((toSnapshot(v - 1, st), read.result()))
             attempt += 1
           } catch {
             // probed file vacuumed between exists() and read: retry
@@ -332,31 +347,39 @@ object TxTable {
     None // persistent churn: let the caller fall back to the full listing
   }
 
-  /** Fold one log file's add/remove lines into the active-file map
-    * (path -> (partition, encoded stats)). 3-field adds (stats-less
-    * writers, pre-stats logs) carry empty stats — readable forever.
+  /** Fold one log file's add/remove/constraint lines into the replay
+    * state. 3-field adds (stats-less writers, pre-stats logs) carry
+    * empty stats — readable forever; unknown line shapes stay
+    * informational.
     */
-  private def applyLogFile(
-      f: File, files0: Map[String, (String, String)]): Map[String, (String, String)] = {
-    var files = files0
+  private def applyLogFile(f: File, st0: LogState): LogState = {
+    var st = st0
     new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).foreach { line =>
         line.split("\t") match {
-          case Array("add", part, path)        => files += (path -> (part, ""))
-          case Array("add", part, path, stats) => files += (path -> (part, stats))
-          case Array("remove", path)           => files -= path
-          case _                               => // header/op lines are informational
+          case Array("add", part, path) =>
+            st = st.copy(files = st.files + (path -> (part, "")))
+          case Array("add", part, path, stats) =>
+            st = st.copy(files = st.files + (path -> (part, stats)))
+          case Array("remove", path) =>
+            st = st.copy(files = st.files - path)
+          case Array("constraint", "add", name, e) =>
+            st = st.copy(constraints =
+              st.constraints + (name -> StatsCodec.unescField(e)))
+          case Array("constraint", "drop", name) =>
+            st = st.copy(constraints = st.constraints - name)
+          case _ => // header/op lines are informational
         }
       }
-    files
+    st
   }
 
-  /** Snapshot from a fully-folded active-file map. */
-  private def toSnapshot(
-      version: Long, files: Map[String, (String, String)]): Snapshot =
+  /** Snapshot from a fully-folded replay state. */
+  private def toSnapshot(version: Long, st: LogState): Snapshot =
     Snapshot(version,
-      files.groupBy(_._2._1).map { case (p, m) => p -> m.keys.toSeq.sorted },
-      files.collect { case (path, (_, st)) if st.nonEmpty => path -> st })
+      st.files.groupBy(_._2._1).map { case (p, m) => p -> m.keys.toSeq.sorted },
+      st.files.collect { case (path, (_, s)) if s.nonEmpty => path -> s },
+      st.constraints)
 
   /** The version a checkpoint file's payload header claims to capture,
     * or None for a header-less file (written by a pre-header build, whose
@@ -386,11 +409,11 @@ object TxTable {
     val commits = entries.flatMap(f => versionOf(f, ".commit").map(_ -> f)).sortBy(_._1)
     val ckpt = entries.flatMap(f => versionOf(f, ".checkpoint").map(_ -> f))
       .sortBy(_._1).lastOption
-    var files = Map.empty[String, (String, String)] // rel path -> (partition, stats)
-    ckpt.foreach { case (_, f) => files = applyLogFile(f, files) }
+    var st = LogState() // files: rel path -> (partition, stats)
+    ckpt.foreach { case (_, f) => st = applyLogFile(f, st) }
     val base = ckpt.map(_._1).getOrElse(-1L)
-    commits.filter(_._1 > base).foreach { case (_, f) => files = applyLogFile(f, files) }
-    toSnapshot(commits.lastOption.map(_._1).getOrElse(base), files)
+    commits.filter(_._1 > base).foreach { case (_, f) => st = applyLogFile(f, st) }
+    toSnapshot(commits.lastOption.map(_._1).getOrElse(base), st)
   }
 
   /** Write `_log/<version>.checkpoint` — a full active-file listing — so
@@ -415,10 +438,16 @@ object TxTable {
       // stats ride along: a checkpoint is a full re-statement of the
       // active files and MUST re-state their stats too, or the first
       // post-checkpoint snapshot would silently lose all skipping
-      val lines = s"version\t${snap.version}" +:
+      // constraints are re-stated like files/stats: log pruning deletes
+      // commits at or below the checkpoint, so anything not re-stated
+      // here is LOST after the next vacuum
+      val lines = (s"version\t${snap.version}" +:
         snap.filesByPartition.toSeq.sortBy(_._1).flatMap {
           case (part, paths) => paths.map(p =>
             addLine(part, p, snap.statsByFile.getOrElse(p, "")))
+        }) ++
+        snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+          s"constraint\tadd\t$n\t${StatsCodec.escField(e)}"
         }
       val dir = logDir(tablePath)
       val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
@@ -653,6 +682,8 @@ object TxTable {
     try {
       val affected = batchLatest.select(partitionCol).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
+      if (affected.nonEmpty)
+        enforceConstraints(batchLatest, snapshot(tablePath).constraints, "mergeLatest")
       var attempt = 0
       while (true) {
         val snap = snapshot(tablePath)
@@ -877,6 +908,7 @@ object TxTable {
                 .select(targetCols.map(col): _*))
         }
         val materialized = newData.persist()
+        enforceConstraints(materialized, snap.constraints, "mergeInto")
         val statCols = eligibleStats(materialized, statsCols)
         val adds = affected.flatMap { p =>
           val rel = s"data/${UUID.randomUUID()}"
@@ -938,9 +970,133 @@ object TxTable {
         files.map { f =>
           addLine(p, s"$srcAbs/$f", snap.statsByFile.getOrElse(f, ""))
         }
+      } ++
+      snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+        s"constraint\tadd\t$n\t${StatsCodec.escField(e)}"
       }
     publishCommit(dstPath, 0L, lines)
     0L
+  }
+
+  /** Enforce the snapshot's CHECK constraints on rows about to be
+    * written: SQL CHECK semantics — a row violates iff the expression
+    * evaluates to FALSE (NULL passes). One aggregation action over the
+    * batch, all constraints at once; throws naming every violated
+    * constraint with its row count, BEFORE any data file is written.
+    */
+  private def enforceConstraints(
+      df: DataFrame, constraints: Map[String, String], op: String): Unit =
+    if (constraints.nonEmpty) {
+      val cs = constraints.toSeq.sortBy(_._1)
+      val counts = df.agg(
+        count(when(!coalesce(expr(cs.head._2), lit(true)), 1)),
+        cs.tail.map { case (_, e) =>
+          count(when(!coalesce(expr(e), lit(true)), 1)) }: _*).collect()(0)
+      val violated = cs.zipWithIndex.collect {
+        case ((n, e), i) if counts.getLong(i) > 0 =>
+          s"$n (${counts.getLong(i)} rows violate: $e)"
+      }
+      if (violated.nonEmpty) throw new IllegalStateException(
+        s"$op rejected by CHECK constraints: ${violated.mkString("; ")}")
+    }
+
+  /** Register a CHECK constraint (Delta `ADD CONSTRAINT` semantics): the
+    * CURRENT table must already satisfy `exprSql` (validated here, one
+    * scan — refusing means no write path ever has to wonder whether old
+    * data predates the rule), after which every row-adding write path
+    * validates its batch before committing. The constraint is a log
+    * entry: versioned, replayed, re-stated by checkpoints, carried into
+    * [[shallowClone]]s, and visible to time travel like any other table
+    * state. Returns the committed version.
+    */
+  def addConstraint(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      exprSql: String,
+      maxRetries: Int = 50): Long = {
+    require(name.nonEmpty && !name.contains('\t') && !name.contains('\n'),
+      s"constraint name must be a tab/newline-free token, got '$name'")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val snap = snapshot(tablePath)
+      require(!snap.constraints.contains(name),
+        s"constraint $name already exists on $tablePath")
+      read(spark, tablePath).foreach { cur =>
+        enforceConstraints(cur, Map(name -> exprSql), s"addConstraint($name)")
+      }
+      try {
+        publishCommit(tablePath, snap.version + 1, Seq(
+          s"op\taddConstraint\tname\t$name",
+          s"constraint\tadd\t$name\t${StatsCodec.escField(exprSql)}"))
+        maybeCheckpoint(tablePath, snap.version + 1)
+        return snap.version + 1
+      } catch {
+        case _: FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"addConstraint lost $maxRetries consecutive commit races on $tablePath")
+  }
+
+  /** Drop a CHECK constraint by name (no-op version bump if absent —
+    * idempotent, like SQL `DROP CONSTRAINT IF EXISTS`). Returns the
+    * committed version, or the current one when nothing was dropped.
+    */
+  def dropConstraint(
+      tablePath: String, name: String, maxRetries: Int = 50): Long = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val snap = snapshot(tablePath)
+      if (!snap.constraints.contains(name)) return snap.version
+      try {
+        publishCommit(tablePath, snap.version + 1, Seq(
+          s"op\tdropConstraint\tname\t$name",
+          s"constraint\tdrop\t$name"))
+        maybeCheckpoint(tablePath, snap.version + 1)
+        return snap.version + 1
+      } catch {
+        case _: FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"dropConstraint lost $maxRetries consecutive commit races on $tablePath")
+  }
+
+  /** One retained commit's audit row: version, the writer-declared
+    * operation (from the `op` header line; "unknown" for header-less
+    * commits), its key/value detail pairs, the file mtime, and add /
+    * remove counts.
+    */
+  final case class CommitInfo(
+      version: Long,
+      op: String,
+      detail: Map[String, String],
+      timestampMs: Long,
+      nAdded: Int,
+      nRemoved: Int)
+
+  /** The table's audit history (`DESCRIBE HISTORY` analog): one
+    * [[CommitInfo]] per RETAINED commit file, newest first. Commits
+    * pruned by [[vacuum]]'s log retention are gone from history too —
+    * history depth follows the retention window, as in Delta.
+    */
+  def history(tablePath: String): Seq[CommitInfo] = {
+    val entries = Option(logDir(tablePath).listFiles()).toSeq.flatten
+    entries.flatMap(f => versionOf(f, ".commit").map(_ -> f))
+      .sortBy(-_._1)
+      .map { case (v, f) =>
+        val lines = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+        val (op, detail) = lines.find(_.startsWith("op\t")).map(_.split("\t"))
+          .map { arr =>
+            (arr.lift(1).getOrElse("unknown"),
+              arr.drop(2).grouped(2).collect { case Array(k, vv) => k -> vv }.toMap)
+          }.getOrElse(("unknown", Map.empty[String, String]))
+        CommitInfo(v, op, detail, f.lastModified(),
+          lines.count(_.startsWith("add\t")),
+          lines.count(_.startsWith("remove\t")))
+      }
   }
 
   /** LSM-style DELTA upsert — merge-on-READ: commit ONLY the batch's
@@ -975,6 +1131,7 @@ object TxTable {
       val affected = batchLatest.select(partitionCol).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
       if (affected.isEmpty) return snapshot(tablePath).version
+      enforceConstraints(batchLatest, snapshot(tablePath).constraints, "upsertDelta")
       // no isEmpty guard (unlike mergeLatest): `affected` IS the distinct
       // partition set of batchLatest, so every filtered slice is
       // non-empty by construction — the check would cost one extra Spark
@@ -1117,6 +1274,7 @@ object TxTable {
       statsCols: Seq[String] = AutoStats,
       maxRetries: Int = 50): Long = {
     require(buckets >= 1, "buckets must be >= 1")
+    enforceConstraints(df, snapshot(tablePath).constraints, "ingestZOrdered")
     val staged = s"data/${UUID.randomUUID()}"
     val abs = s"$tablePath/$staged"
     df.withColumn("__z", graft.operators.Layout.zorder16(col(xCol), col(yCol)))
