@@ -115,21 +115,31 @@ object TxTable {
       version: Long,
       filesByPartition: Map[String, Seq[String]],
       statsByFile: Map[String, String] = Map.empty,
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      schemaJson: Option[String] = None) {
     def allFiles: Seq[String] = filesByPartition.values.flatten.toSeq
     /** Decoded column stats of one file (empty when none recorded). */
     def statsOf(path: String): Map[String, ColStats] =
       StatsCodec.decode(statsByFile.getOrElse(path, ""))
+    /** The declared table schema, when one has been committed (schema
+      * evolution); absent → readers infer from the parquet files, the
+      * pre-evolution behavior.
+      */
+    def declaredSchema: Option[org.apache.spark.sql.types.StructType] =
+      schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
-  /** The state a log replay folds: active files plus the table's CHECK
-    * constraints (name -> SQL expression). Both survive checkpoints —
-    * a checkpoint is a full re-statement of BOTH, or log pruning would
-    * silently drop constraints recorded below it.
+  /** The state a log replay folds: active files, the table's CHECK
+    * constraints (name -> SQL expression), and the declared schema.
+    * ALL of it survives checkpoints — a checkpoint is a full
+    * re-statement, or log pruning would silently drop whatever was
+    * recorded below it.
     */
   private final case class LogState(
       files: Map[String, (String, String)] = Map.empty,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      schemaJson: Option[String] = None)
 
   /** Should a file with `stats` survive `pruneBy`? Conservative in every
     * uncertain direction: no stats / no parse / unknown column → keep.
@@ -368,6 +378,8 @@ object TxTable {
               st.constraints + (name -> StatsCodec.unescField(e)))
           case Array("constraint", "drop", name) =>
             st = st.copy(constraints = st.constraints - name)
+          case Array("schema", j) =>
+            st = st.copy(schemaJson = Some(StatsCodec.unescField(j)))
           case _ => // header/op lines are informational
         }
       }
@@ -379,7 +391,8 @@ object TxTable {
     Snapshot(version,
       st.files.groupBy(_._2._1).map { case (p, m) => p -> m.keys.toSeq.sorted },
       st.files.collect { case (path, (_, s)) if s.nonEmpty => path -> s },
-      st.constraints)
+      st.constraints,
+      st.schemaJson)
 
   /** The version a checkpoint file's payload header claims to capture,
     * or None for a header-less file (written by a pre-header build, whose
@@ -448,7 +461,8 @@ object TxTable {
         }) ++
         snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
           s"constraint\tadd\t$n\t${StatsCodec.escField(e)}"
-        }
+        } ++
+        snap.schemaJson.map(j => s"schema\t${StatsCodec.escField(j)}").toSeq
       val dir = logDir(tablePath)
       val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
       Files.write(tmp.toPath, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -614,12 +628,26 @@ object TxTable {
   private def resolveRef(tablePath: String, ref: String): String =
     if (ref.startsWith("/")) ref else s"$tablePath/$ref"
 
+  /** Parquet reader honoring the snapshot's declared (evolved) schema:
+    * files written before an evolution read with nulls for the columns
+    * they lack, and mixed-schema partitions (delta dirs appended after
+    * an evolution) read uniformly. No declared schema → inference, the
+    * pre-evolution contract.
+    */
+  private def snapReader(spark: SparkSession, snap: Snapshot) =
+    snap.declaredSchema.fold(spark.read)(sc => spark.read.schema(sc))
+
   private def readSnapshot(spark: SparkSession, tablePath: String,
       snap: Snapshot, partitions: Option[Seq[String]],
       pruneBy: Seq[ColRange] = Nil): Option[DataFrame] = {
     val selected = selectFiles(snap, partitions, pruneBy)
     if (selected.isEmpty) None
-    else Some(spark.read.parquet(selected.map(p => resolveRef(tablePath, p)): _*))
+    else {
+      // a declared (evolved) schema reads files written BEFORE the
+      // evolution with nulls for the columns they lack; without one,
+      // schema inference from the parquet files is the contract
+      Some(snapReader(spark, snap).parquet(selected.map(p => resolveRef(tablePath, p)): _*))
+    }
   }
 
   /** Read the current snapshot (optionally pruned to `partitions`, and —
@@ -689,7 +717,7 @@ object TxTable {
         val snap = snapshot(tablePath)
         val removedFiles = affected.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
         val current = if (removedFiles.isEmpty) None
-          else Some(spark.read.parquet(removedFiles.map(p => resolveRef(tablePath, p)): _*)
+          else Some(snapReader(spark, snap).parquet(removedFiles.map(p => resolveRef(tablePath, p)): _*)
             .select(batchLatest.columns.toIndexedSeq.map(col): _*))
         val merged = LastValue.latestPerKey(
           current.fold(batchLatest)(_.unionByName(batchLatest)), keys, order)
@@ -770,7 +798,7 @@ object TxTable {
         val snap = snapshot(tablePath)
         val removedFiles = affected.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
         if (removedFiles.isEmpty) return snap.version
-        val current = spark.read.parquet(removedFiles.map(p => resolveRef(tablePath, p)): _*)
+        val current = snapReader(spark, snap).parquet(removedFiles.map(p => resolveRef(tablePath, p)): _*)
         // idempotence: a re-issued erasure whose keys are already gone
         // must NOT rewrite (and re-version, and orphan) whole partitions
         // — the read happens anyway, the semi-join probe is one action
@@ -840,6 +868,15 @@ object TxTable {
     * always commits (matched rows rewrite even under an identity
     * update — no change detection, as in Delta). Returns the committed
     * version, or the current version for an empty source.
+    *
+    * Schema evolution (`mergeSchema = true`, Delta `autoMerge`): columns
+    * the source carries beyond the target schema WIDEN the table —
+    * matched rows fill them from the source (overridable via
+    * `updateExprs`), pre-evolution rows read as null, and the commit
+    * declares the widened all-nullable schema in the log so files the
+    * rewrite did not touch (other partitions, older delta dirs) read
+    * uniformly everywhere. With the default `mergeSchema = false`,
+    * extra source columns stay expression-only, as before.
     */
   def mergeInto(
       spark: SparkSession,
@@ -850,6 +887,7 @@ object TxTable {
       updateExprs: Map[String, Column] = Map.empty,
       deleteCondition: Option[Column] = None,
       insertNotMatched: Boolean = true,
+      mergeSchema: Boolean = false,
       maxRetries: Int = 50,
       statsCols: Seq[String] = AutoStats): Long = {
     require(keys.contains(partitionCol),
@@ -883,10 +921,22 @@ object TxTable {
         val snap = snapshot(tablePath)
         val removedFiles = affected.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
         val current = if (removedFiles.isEmpty) None
-          else Some(spark.read.parquet(removedFiles.map(p => resolveRef(tablePath, p)): _*))
-        val targetCols = current.fold(source.columns.toIndexedSeq)(_.columns.toIndexedSeq)
-        require(targetCols.forall(src.columns.contains),
-          s"source is missing target columns ${targetCols.filterNot(src.columns.contains).mkString(",")}")
+          else Some(snapReader(spark, snap).parquet(removedFiles.map(p => resolveRef(tablePath, p)): _*))
+        val baseCols = current.fold(source.columns.toIndexedSeq)(_.columns.toIndexedSeq)
+        // schema evolution: source-only columns widen the target schema
+        // (appended in source order); files not rewritten by this commit
+        // are covered by the declared-schema read (nulls for the columns
+        // they lack)
+        val newCols =
+          if (mergeSchema) src.columns.toIndexedSeq.filterNot(baseCols.contains)
+          else IndexedSeq.empty[String]
+        val targetCols = baseCols ++ newCols
+        require(baseCols.forall(src.columns.contains),
+          s"source is missing target columns ${baseCols.filterNot(src.columns.contains).mkString(",")}")
+        val unknownAssign = updateExprs.keySet -- targetCols
+        require(unknownAssign.isEmpty,
+          s"updateExprs assign columns ${unknownAssign.mkString(",")} that are in " +
+            "neither the target schema nor (with mergeSchema) the source")
 
         val newData = current match {
           case None => src.select(targetCols.map(col): _*)
@@ -898,9 +948,17 @@ object TxTable {
             val dropped = deleteCondition.fold(lit(false))(c => isMatched && c)
             val kept = joined.filter(!dropped)
               .select(targetCols.map { c =>
-                val base = col(s"t.$c")
-                updateExprs.get(c)
-                  .fold(base)(u => when(isMatched, u).otherwise(base)).as(c)
+                if (newCols.contains(c))
+                  // a NEW column fills from the source on match (that is
+                  // what the evolution is for; updateExprs may override)
+                  // and is null for pre-evolution rows
+                  when(isMatched, updateExprs.getOrElse(c, col(s"s.$c")))
+                    .otherwise(lit(null).cast(src.schema(c).dataType)).as(c)
+                else {
+                  val base = col(s"t.$c")
+                  updateExprs.get(c)
+                    .fold(base)(u => when(isMatched, u).otherwise(base)).as(c)
+                }
               }: _*)
             if (!insertNotMatched) kept
             else kept.unionByName(
@@ -917,9 +975,19 @@ object TxTable {
           else Some((p, rel, writeWithStats(part, s"$tablePath/$rel", statCols)))
         }
         materialized.unpersist(blocking = false)
+        // an evolving merge declares the widened schema (all-nullable —
+        // pre-evolution files must read with nulls, and parquet row
+        // groups never prove non-nullability anyway)
+        val schemaLine =
+          if (newCols.isEmpty) Nil
+          else {
+            val nullable = org.apache.spark.sql.types.StructType(
+              materialized.schema.fields.map(_.copy(nullable = true)))
+            Seq(s"schema\t${StatsCodec.escField(nullable.json)}")
+          }
         val lines = Seq(s"op\tmergeInto\tattempt\t$attempt") ++
           adds.map { case (p, rel, st) => addLine(p, rel, st) } ++
-          removedFiles.map(f => s"remove\t$f")
+          removedFiles.map(f => s"remove\t$f") ++ schemaLine
         try {
           publishCommit(tablePath, snap.version + 1, lines)
           maybeCheckpoint(tablePath, snap.version + 1)
@@ -973,7 +1041,8 @@ object TxTable {
       } ++
       snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
         s"constraint\tadd\t$n\t${StatsCodec.escField(e)}"
-      }
+      } ++
+      snap.schemaJson.map(j => s"schema\t${StatsCodec.escField(j)}").toSeq
     publishCommit(dstPath, 0L, lines)
     0L
   }
@@ -1224,7 +1293,7 @@ object TxTable {
       val adds = victims.toSeq.sortBy(_._1).map { case (p, files) =>
         val rel = s"data/${UUID.randomUUID()}"
         val folded = LastValue.latestPerKey(
-            spark.read.parquet(files.map(f => resolveRef(tablePath, f)): _*), keys, order)
+            snapReader(spark, snap).parquet(files.map(f => resolveRef(tablePath, f)): _*), keys, order)
           .coalesce(1) // one server's live keys: bounded by tag cardinality
         (p, rel, files,
           writeWithStats(folded, s"$tablePath/$rel", eligibleStats(folded, statsCols)))

@@ -140,6 +140,67 @@ class TxTableMergeSpec extends SparkSpec {
       (2L, "delete", 20.0), (3L, "insert", 30.0)))
   }
 
+  test("mergeSchema widens the table; untouched partitions read nulls via the declared schema") {
+    val path = tmp("txm-evo") + "/t"
+    TxTable.mergeInto(spark, target(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 3L, 3.0)),
+      path, partitionCol = "part", keys = K)
+    // evolving merge touches ONLY partition a with a new score column
+    val src = Seq(("a", 1L, 1.0, 0.9), ("a", 9L, 9.0, 0.5))
+      .toDF("part", "id", "value", "score")
+    TxTable.mergeInto(spark, src, path, partitionCol = "part", keys = K,
+      mergeSchema = true)
+    val out = TxTable.read(spark, path).get
+    assert(out.columns.toSeq == Seq("part", "id", "value", "score"))
+    val got = out.select("part", "id", "value", "score")
+      .as[(String, Long, Double, Option[Double])].collect().toSet
+    assert(got == Set(
+      ("a", 1L, 1.0, Some(0.9)),   // matched: new col fills from source
+      ("a", 2L, 2.0, None),        // pre-evolution row in a rewritten partition
+      ("a", 9L, 9.0, Some(0.5)),   // insert carries the new col
+      ("b", 3L, 3.0, None)))       // partition b's FILE was never rewritten
+    // partition b's file is really the original (declared-schema read,
+    // not a rewrite)
+    assert(TxTable.snapshot(path).filesByPartition("b").nonEmpty)
+    // a later NON-evolving merge sees the widened target schema
+    TxTable.mergeInto(spark,
+      Seq(("b", 3L, 30.0, 0.1)).toDF("part", "id", "value", "score"),
+      path, partitionCol = "part", keys = K,
+      updateExprs = Map("value" -> col("s.value"), "score" -> col("s.score")))
+    assert(TxTable.read(spark, path).get.filter(col("id") === 3L)
+      .select("value", "score").as[(Double, Option[Double])].collect().head ==
+      ((30.0, Some(0.1))))
+  }
+
+  test("mergeSchema evolution composes with delta dirs and readMerged") {
+    val path = tmp("txm-evo2") + "/t"
+    TxTable.mergeInto(spark, target(("a", 1L, 1.0)), path,
+      partitionCol = "part", keys = K)
+    TxTable.mergeInto(spark,
+      Seq(("a", 1L, 1.0, 7.0)).toDF("part", "id", "value", "score"),
+      path, partitionCol = "part", keys = K, mergeSchema = true)
+    // an LSM delta append AFTER evolution: new dir has the new schema;
+    // the merged view folds both uniformly under the declared schema
+    TxTable.upsertDelta(spark,
+      Seq(("a", 2L, 2.0, 8.0)).toDF("part", "id", "value", "score"),
+      path, partitionCol = "part", keys = K, order = Seq("value"))
+    val merged = TxTable.readMerged(spark, path, keys = K, order = Seq("value")).get
+      .select("id", "value", "score").as[(Long, Double, Option[Double])]
+      .collect().toSet
+    assert(merged == Set((1L, 1.0, Some(7.0)), (2L, 2.0, Some(8.0))))
+  }
+
+  test("unknown updateExprs targets are refused without mergeSchema") {
+    val path = tmp("txm-evo3") + "/t"
+    TxTable.mergeInto(spark, target(("a", 1L, 1.0)), path,
+      partitionCol = "part", keys = K)
+    val e = intercept[IllegalArgumentException] {
+      TxTable.mergeInto(spark, target(("a", 1L, 2.0)), path,
+        partitionCol = "part", keys = K,
+        updateExprs = Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("extra source-only columns feed expressions without entering the schema") {
     val path = tmp("txm-extra") + "/t"
     TxTable.mergeInto(spark, target(("a", 1L, 10.0)), path,
