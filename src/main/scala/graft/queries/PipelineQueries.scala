@@ -1545,6 +1545,84 @@ object PipelineQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
+    },
+
+    Q("q214_cdf_stream",
+      // the ACID table consumed AS A STREAM (TxTableCdfSource): three
+      // commits land on a scratch TxTable (base inserts → upsert batch →
+      // keyed delete), then a txtable-cdf readStream drains the table's
+      // whole change feed (Trigger.AvailableNow → parquet sink) and the
+      // result aggregates the streamed CDF rows per (commit, change
+      // type). The ENGINE only ever sees per-commit diffs through the
+      // streaming source; the ORACLE replays the upsert/delete algebra
+      // relationally from the raw orders table — agreement means the
+      // stream delivered every commit's delta exactly once, with exact
+      // payloads (DECIMAL sums keep the compare order-insensitive).
+      """WITH s0 AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |c1 AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice + 1, 2) AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |v0 AS (SELECT 0 AS v, 'insert' AS ct, k, p FROM s0),
+        |v1 AS (
+        |  SELECT 1, 'update_preimage', s0.k, s0.p
+        |  FROM s0 JOIN c1 ON s0.k = c1.k
+        |  UNION ALL
+        |  SELECT 1, 'update_postimage', c1.k, c1.p
+        |  FROM s0 JOIN c1 ON s0.k = c1.k
+        |  UNION ALL
+        |  SELECT 1, 'insert', c1.k, c1.p
+        |  FROM c1 WHERE c1.k NOT IN (SELECT k FROM s0)),
+        |s1 AS (
+        |  SELECT coalesce(c1.k, s0.k) AS k, coalesce(c1.p, s0.p) AS p
+        |  FROM s0 FULL JOIN c1 ON s0.k = c1.k),
+        |v2 AS (SELECT 2, 'delete', k, p FROM s1 WHERE k % 7 = 0),
+        |cdf AS (
+        |  SELECT * FROM v0 UNION ALL SELECT * FROM v1
+        |  UNION ALL SELECT * FROM v2)
+        |SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+        |  count(*)::BIGINT AS n_rows, CAST(sum(k) AS BIGINT) AS sum_key,
+        |  CAST(sum(p) AS DECIMAL(18,2)) AS sum_p
+        |FROM cdf GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.streaming.TxTable
+      val root = Q.scratchDir("graft-q214")
+      val table = root + "/tbl"; val ckpt = root + "/ckpt"; val out = root + "/out"
+      val orders = t(s, d, "orders")
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      TxTable.mergeLatest(s,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("p"), lit(0L).as("seq")),
+        table, "o_orderstatus", keys, Seq("seq"))
+      TxTable.mergeLatest(s,
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            round(col("o_totalprice") + 1, 2).cast("decimal(18,2)").as("p"),
+            lit(1L).as("seq")),
+        table, "o_orderstatus", keys, Seq("seq"))
+      TxTable.deleteKeys(s,
+        orders.filter(col("o_orderkey") % 7 === 0 &&
+            (col("o_orderkey") % 3 === 0 || col("o_orderkey") % 5 === 0))
+          .select("o_orderstatus", "o_orderkey"),
+        table, "o_orderstatus", keys)
+      val q = s.readStream.format("txtable-cdf")
+        .option("path", table).option("keyCol", "o_orderkey")
+        .option("keys", "o_orderstatus,o_orderkey").option("order", "seq")
+        .option("compareCols", "o_orderstatus,p")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy(col("_commit_version").as("commit_version"), col("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("p")).cast("decimal(18,2)").as("sum_p"))
+        .orderBy("commit_version", "change_type")
     }
   )
 }

@@ -575,7 +575,10 @@ object TxTable {
     * Feeds [[graft.operators.IncrementalAgg]]: downstream aggregates
     * refresh from O(changes between versions), never a table rescan.
     * An empty version (no files) reads as an empty relation of the
-    * other side's schema.
+    * other side's schema. `fromVersion = -1` is the empty PRE-table
+    * state (the snapshot before commit 0), so the feed of the very
+    * first commit is every row as an insert — the contract
+    * [[TxTableCdfSource]] relies on to stream a table from its origin.
     */
   def changeDataFeed(
       spark: SparkSession,
@@ -587,7 +590,11 @@ object TxTable {
       keys: Seq[String] = Seq("serverName", "tag"),
       order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp"),
       partitions: Option[Seq[String]] = None): DataFrame = {
-    val oldV = readMergedAt(spark, tablePath, fromVersion, keys, order, partitions)
+    require(fromVersion >= -1,
+      s"fromVersion must be >= -1 (-1 = the empty pre-table state), got $fromVersion")
+    val oldV =
+      if (fromVersion == -1L) None
+      else readMergedAt(spark, tablePath, fromVersion, keys, order, partitions)
     val newV = readMergedAt(spark, tablePath, toVersion, keys, order, partitions)
     def emptyLike(d: DataFrame) =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.schema)
@@ -602,6 +609,27 @@ object TxTable {
         throw new IllegalArgumentException(
           s"both versions $fromVersion and $toVersion of $tablePath are empty — no schema to diff")
     }
+  }
+
+  /** The partitions whose file sets differ between `version - 1` and
+    * `version` — metadata-only (two log replays, no listing of data, no
+    * Spark job). Rows can only change in a partition whose files
+    * changed, so a change-data-feed for one commit is EXACT when
+    * restricted to these partitions: [[TxTableCdfSource]] uses this to
+    * diff O(touched partitions) per streamed commit instead of two full
+    * merged views. `version = 0` diffs against the empty pre-table
+    * state, so it returns every partition of the first commit. A
+    * content-neutral commit (compact, checkpoint, re-stat) may still
+    * report its rewritten partitions — the diff there is just empty.
+    */
+  def touchedPartitions(tablePath: String, version: Long): Seq[String] = {
+    val now = snapshotAt(tablePath, version).filesByPartition
+    val before =
+      if (version == 0L) Map.empty[String, Seq[String]]
+      else snapshotAt(tablePath, version - 1).filesByPartition
+    (now.keySet ++ before.keySet)
+      .filter(p => now.getOrElse(p, Nil).toSet != before.getOrElse(p, Nil).toSet)
+      .toSeq.sorted
   }
 
   /** The files a read with these prune predicates opens — partition

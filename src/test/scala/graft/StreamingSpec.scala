@@ -1561,4 +1561,183 @@ class StreamingSpec extends SparkSpec {
     assert(survivors.sorted == Seq(10L, 20L, 30L),
       s"re-uploaded video (11) must be dropped, got $survivors")
   }
+
+  // ----------------------------------------------- txtable-cdf source
+
+  private def cdfBatch(rows: (String, String, String, Double)*) = {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    rows.toSeq.toDF("serverName", "tag", "tsS", "value")
+      .select(col("serverName"), col("tag"),
+        to_timestamp(col("tsS")).as("ts"), col("value"))
+  }
+
+  /** Drain the txtable-cdf stream into `sink` (rows as canonical strings
+    * tagged with their micro-batch id), AvailableNow against `ckpt`.
+    */
+  private def drainCdf(table: String, ckpt: String,
+      sink: scala.collection.mutable.ArrayBuffer[(Long, String)],
+      extraOptions: Map[String, String] = Map.empty): Unit = {
+    import org.apache.spark.sql.functions.col
+    val reader = spark.readStream.format("txtable-cdf")
+      .option("path", table).option("keyCol", "tag").option("order", "ts")
+    val q = extraOptions.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = b.select(col("tag"), col("serverName"),
+            col("ts").cast("string"), col("value"), col("change_type"),
+            col("_commit_version"))
+          .collect().map(_.toString)
+        sink.synchronized { sink ++= rows.map(id -> _) }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+  }
+
+  test("txtable-cdf source: per-commit deltas from origin, exactly once across restarts") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-cdfsrc") + "/tbl"
+    val k = Seq("serverName", "tag"); val o = Seq("ts")
+    // commit 0: two inserts; commit 1: update t1 + insert t3; commit 2: delete t2
+    TxTable.mergeLatest(spark, cdfBatch(
+      ("srv1", "t1", "2024-06-01 10:00:00", 1.0),
+      ("srv1", "t2", "2024-06-01 10:00:00", 5.0)), table, "serverName", k, o)
+    TxTable.mergeLatest(spark, cdfBatch(
+      ("srv1", "t1", "2024-06-01 10:01:00", 2.0),
+      ("srv1", "t3", "2024-06-01 10:00:30", 9.0)), table, "serverName", k, o)
+    TxTable.deleteKeys(spark, Seq(("srv1", "t2")).toDF("serverName", "tag"),
+      table, "serverName", k)
+
+    val ckpt = tmp("graft-cdfsrc-ckpt")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    drainCdf(table, ckpt, got)
+
+    // exact parity with the batch CDF replay of every commit (incl. the
+    // new fromVersion = -1 empty-pre-table arm for commit 0)
+    import org.apache.spark.sql.functions.{col, lit}
+    val expected = (0L to 2L).map { v =>
+      TxTable.changeDataFeed(spark, table, v - 1, v, "tag", Nil, k, o)
+        .withColumn("_commit_version", lit(v))
+    }.reduce(_.unionByName(_))
+      .select(col("tag"), col("serverName"), col("ts").cast("string"),
+        col("value"), col("change_type"), col("_commit_version"))
+      .collect().map(_.toString)
+    assert(got.map(_._2).sorted.toSeq == expected.sorted.toSeq)
+    // semantic pins: v0 pure inserts, v1 update pre/post + insert, v2 delete
+    def types(v: Long) = got.map(_._2).filter(_.endsWith(s",$v]"))
+      .map(_.split(",")(4)).sorted.toSeq
+    assert(types(0L) == Seq("insert", "insert"))
+    assert(types(1L) == Seq("insert", "update_postimage", "update_preimage"))
+    assert(types(2L) == Seq("delete"))
+
+    // commit 3: update t3; resume from the same checkpoint → ONLY v3 rows
+    TxTable.mergeLatest(spark, cdfBatch(
+      ("srv1", "t3", "2024-06-01 10:02:00", 10.0)), table, "serverName", k, o)
+    val got2 = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    drainCdf(table, ckpt, got2)
+    val vs2 = got2.map(_._2.split(",").last.stripSuffix("]")).distinct
+    assert(vs2 == Seq("3"), s"restart must emit only commit 3, got $got2")
+    assert(got2.map(_._2.split(",")(4)).sorted.toSeq ==
+      Seq("update_postimage", "update_preimage"))
+
+    // nothing new → a third drain emits zero rows
+    val got3 = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    drainCdf(table, ckpt, got3)
+    assert(got3.isEmpty, s"no-new-commit drain must be empty, got $got3")
+  }
+
+  test("txtable-cdf stream maintains a downstream aggregate incrementally, == full recompute") {
+    import graft.operators.IncrementalAgg
+    import graft.streaming.TxTable
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val table = tmp("graft-cdfagg") + "/tbl"
+    val k = Seq("serverName", "tag"); val o = Seq("ts")
+    def b(rows: (String, String, String, String)*) = {
+      import org.apache.spark.sql.functions.to_timestamp
+      rows.toSeq.toDF("serverName", "tag", "tsS", "vS")
+        .select(col("serverName"), col("tag"),
+          to_timestamp(col("tsS")).as("ts"),
+          col("vS").cast("decimal(10,2)").as("value"))
+    }
+    TxTable.mergeLatest(spark, b(
+      ("srv1", "t1", "2024-06-01 10:00:00", "1.00"),
+      ("srv1", "t2", "2024-06-01 10:00:00", "5.00"),
+      ("srv2", "u1", "2024-06-01 10:00:00", "3.00")), table, "serverName", k, o)
+    TxTable.mergeLatest(spark, b(
+      ("srv1", "t1", "2024-06-01 10:01:00", "2.00"),
+      ("srv1", "t3", "2024-06-01 10:00:30", "9.00")), table, "serverName", k, o)
+    TxTable.deleteKeys(spark, Seq(("srv1", "t2")).toDF("serverName", "tag"),
+      table, "serverName", k)
+
+    // the consumer NEVER rescans the table: per-server (count, decimal
+    // sum) state lives on the driver (tiny here; a real pipeline would
+    // hold it in a bucketed state table) and refreshes from each
+    // micro-batch's CDF rows alone
+    var state = Seq.empty[(String, Long, BigDecimal)]
+    val q = spark.readStream.format("txtable-cdf")
+      .option("path", table).option("keyCol", "tag").option("order", "ts")
+      .load()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val prev = state.toDF("serverName", "n", "value")
+          .select(col("serverName"), col("n"),
+            col("value").cast("decimal(20,2)").as("value"))
+        state = IncrementalAgg.refreshSumCount(prev,
+            batch.select("serverName", "value", "change_type"),
+            Seq("serverName"), "n", Seq("value"))
+          .select(col("serverName"), col("n").cast("long"),
+            col("value").cast("decimal(20,2)"))
+          .as[(String, Long, BigDecimal)].collect().toSeq
+        ()
+      }
+      .option("checkpointLocation", tmp("graft-cdfagg-ckpt"))
+      .start()
+    q.awaitTermination()
+
+    val expected = TxTable.readMergedAt(spark, table,
+        TxTable.snapshot(table).version, k, o).get
+      .groupBy(col("serverName"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value"))
+      .select(col("serverName"), col("n"),
+        col("value").cast("decimal(20,2)"))
+      .as[(String, Long, BigDecimal)].collect().toSeq
+    assert(state.sortBy(_._1) == expected.sortBy(_._1),
+      s"maintained state $state != recompute $expected")
+  }
+
+  test("txtable-cdf source: partition scoping and maxVersionsPerTrigger pacing") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-cdfsrc2") + "/tbl"
+    val k = Seq("serverName", "tag"); val o = Seq("ts")
+    // v0 touches both servers, v1 only srv1, v2 only srv2 (scoped OUT)
+    TxTable.mergeLatest(spark, cdfBatch(
+      ("srv1", "t1", "2024-06-01 10:00:00", 1.0),
+      ("srv2", "u1", "2024-06-01 10:00:00", 4.0)), table, "serverName", k, o)
+    TxTable.mergeLatest(spark, cdfBatch(
+      ("srv1", "t1", "2024-06-01 10:01:00", 2.0)), table, "serverName", k, o)
+    TxTable.mergeLatest(spark, cdfBatch(
+      ("srv2", "u1", "2024-06-01 10:01:00", 8.0)), table, "serverName", k, o)
+
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    drainCdf(table, tmp("graft-cdfsrc2-ckpt"), got,
+      Map("partitions" -> "srv1", "maxVersionsPerTrigger" -> "1"))
+
+    // scope: srv2 rows never appear; its commit (v2) contributes nothing
+    assert(got.forall(_._2.contains("srv1")), s"scoped stream leaked: $got")
+    val versions = got.map(_._2.split(",").last.stripSuffix("]")).distinct.sorted
+    assert(versions == Seq("0", "1"))
+    // pacing: each micro-batch carries at most ONE commit's rows even
+    // under AvailableNow (SupportsTriggerAvailableNow keeps batching
+    // toward the frozen target instead of folding the backlog into one)
+    got.groupBy(_._1).foreach { case (batchId, rows) =>
+      val vs = rows.map(_._2.split(",").last).distinct
+      assert(vs.size <= 1, s"batch $batchId mixed commits: $rows")
+    }
+    assert(got.map(_._1).distinct.size >= 2,
+      "pacing must spread two data-bearing commits over >= 2 micro-batches")
+  }
 }
