@@ -1623,6 +1623,95 @@ object PipelineQueries {
           sum(col("o_orderkey")).as("sum_key"),
           sum(col("p")).cast("decimal(18,2)").as("sum_p"))
         .orderBy("commit_version", "change_type")
+    },
+
+    Q("q215_html_extract",
+      // HTML → training text (operators/HtmlExtract): each document is
+      // wrapped in a deterministic page (title, style+script noise, h1,
+      // entity-ESCAPED body, a nav block with two links), and the ENGINE
+      // runs the real regex extraction chain — script/style/comment
+      // dropping, block→line structure, tag strip, entity decode,
+      // whitespace normalization, link metrics. The ORACLE never parses
+      // HTML: the page is constructed, so the extraction has a closed
+      // form (title line + h1 line + normalized body + anchor line),
+      // and md5 equality of the full extracted text proves the chain
+      // char-exact — incl. the escape/decode round trip. Link density =
+      // anchor chars / text chars, the boilerplate signal.
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n = '' THEN '' ELSE n || chr(10) END AS body
+        |  FROM (
+        |    SELECT doc_id,
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        text, '[ \t\r]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
+        |        '\n{2,}', chr(10), 'g'), '^\s+|\s+$', '', 'g') AS n
+        |    FROM documents)),
+        |e AS (
+        |  SELECT doc_id,
+        |    'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10)
+        |      || body || 'prev next' AS txt
+        |  FROM d)
+        |SELECT doc_id, 'Doc ' || doc_id AS title,
+        |  CAST(length(txt) AS BIGINT) AS n_chars, md5(txt) AS text_md5,
+        |  2::BIGINT AS n_links, '/doc/' || (doc_id - 1) AS first_link,
+        |  round(8.0 / length(txt), 6) AS link_density
+        |FROM e ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.HtmlExtract
+      val esc = (t: org.apache.spark.sql.Column) =>
+        replace(replace(replace(t, lit("&"), lit("&amp;")),
+          lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>body{margin:0}</style>" +
+          "<script>if (1<2) { nav(\"x\"); }</script></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><p>"), esc(col("text")),
+        lit("</p><div class=\"nav\"><a href=\"/doc/"), col("doc_id") - 1,
+        lit("\">prev</a> <a href=\"/doc/"), col("doc_id") + 1,
+        lit("\">next</a></div></body></html>"))
+      t(s, d, "documents")
+        .withColumn("html", html)
+        .withColumn("txt", HtmlExtract.htmlText(col("html")))
+        .select(col("doc_id"),
+          HtmlExtract.htmlTitle(col("html")).as("title"),
+          length(col("txt")).cast("long").as("n_chars"),
+          md5(col("txt")).as("text_md5"),
+          size(HtmlExtract.htmlLinks(col("html"))).cast("long").as("n_links"),
+          element_at(HtmlExtract.htmlLinks(col("html")), 1).as("first_link"),
+          round(HtmlExtract.linkDensity(col("html")), 6).as("link_density"))
+        .orderBy("doc_id")
+    },
+
+    Q("q216_html_outlinks",
+      // extraction → graph composition: pages carry prev/next/hub links
+      // (hub = doc_id * 7 % 100 — a skewed popularity law), the engine
+      // EXTRACTS hrefs from the markup, parses targets, and aggregates
+      // the in-link degree; the oracle derives the same graph from the
+      // link-placement formula without ever seeing HTML. The shape of
+      // every crawl-graph pass (PageRank seeding, spam-hub detection).
+      """WITH l AS (
+        |  SELECT doc_id - 1 AS target FROM documents
+        |  UNION ALL SELECT doc_id + 1 FROM documents
+        |  UNION ALL SELECT (doc_id * 7) % 100 FROM documents)
+        |SELECT target, count(*)::BIGINT AS indegree
+        |FROM l GROUP BY target
+        |HAVING count(*) >= 3 ORDER BY indegree DESC, target""".stripMargin) { (s, d) =>
+      import graft.operators.HtmlExtract
+      val html = concat(
+        lit("<body><p>Doc "), col("doc_id"),
+        lit("</p><nav><a href=\"/doc/"), col("doc_id") - 1,
+        lit("\">prev</a><a href=\"/doc/"), col("doc_id") + 1,
+        lit("\">next</a><a href=\"/doc/"), (col("doc_id") * 7) % 100,
+        lit("\">hub</a></nav></body>"))
+      t(s, d, "documents")
+        .withColumn("link",
+          explode(HtmlExtract.htmlLinks(html)))
+        .select(regexp_extract(col("link"), "/doc/(-?\\d+)", 1)
+          .cast("long").as("target"))
+        .groupBy("target")
+        .agg(count(lit(1)).as("indegree"))
+        .filter(col("indegree") >= 3)
+        .orderBy(col("indegree").desc, col("target"))
     }
   )
 }
