@@ -1712,6 +1712,82 @@ object PipelineQueries {
         .agg(count(lit(1)).as("indegree"))
         .filter(col("indegree") >= 3)
         .orderBy(col("indegree").desc, col("target"))
+    },
+
+    Q("q217_gopher_quality",
+      // the Gopher/MassiveText format-rule battery (operators/
+      // GopherFilter): word stats as array expressions, duplicate-line
+      // stats through ONE explode+fold (never O(lines²)), the composed
+      // pass verdict. The oracle replays every signal with DuckDB list
+      // functions and the identical rounding — the engine's explode side
+      // and the oracle's unnest side must agree on integer counts AND
+      // the final 1/0 verdict for all documents.
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '') AS ws,
+        |    list_filter(list_transform(string_split_regex(text, '\. '),
+        |      s -> trim(s)), s -> s <> '') AS segs
+        |  FROM documents),
+        |wm AS (
+        |  SELECT doc_id, segs, len(ws)::BIGINT AS n_words,
+        |    CASE WHEN len(ws) > 0 THEN round(
+        |      list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+        |        / len(ws), 4) END AS mean_word_len,
+        |    CASE WHEN len(ws) > 0 THEN round(
+        |      len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |        / len(ws), 6) END AS alpha_frac,
+        |    CASE WHEN len(ws) > 0 THEN round(
+        |      ((length(text) - length(replace(text, '#', '')))
+        |        + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+        |        / len(ws), 6) END AS symbol_ratio,
+        |    (list_contains(list_transform(ws, x -> lower(x)), 'the')::BIGINT
+        |      + list_contains(list_transform(ws, x -> lower(x)), 'be')::BIGINT
+        |      + list_contains(list_transform(ws, x -> lower(x)), 'to')::BIGINT
+        |      + list_contains(list_transform(ws, x -> lower(x)), 'of')::BIGINT
+        |      + list_contains(list_transform(ws, x -> lower(x)), 'and')::BIGINT
+        |      + list_contains(list_transform(ws, x -> lower(x)), 'that')::BIGINT
+        |      + list_contains(list_transform(ws, x -> lower(x)), 'have')::BIGINT
+        |      + list_contains(list_transform(ws, x -> lower(x)), 'with')::BIGINT
+        |      ) AS n_stop,
+        |    CASE WHEN len(segs) > 0 THEN round(
+        |      len(list_filter(segs, s -> s LIKE '- %' OR s LIKE '* %'
+        |        OR s LIKE chr(8226) || '%'))::DOUBLE / len(segs), 6)
+        |      END AS bullet_frac,
+        |    CASE WHEN len(segs) > 0 THEN round(
+        |      len(list_filter(segs, s -> s LIKE '%...'
+        |        OR s LIKE '%' || chr(8230)))::DOUBLE / len(segs), 6)
+        |      END AS ellipsis_frac
+        |  FROM w),
+        |pl AS (
+        |  SELECT doc_id, line, count(*) AS n, length(line) AS l
+        |  FROM (SELECT doc_id, unnest(segs) AS line FROM wm)
+        |  GROUP BY doc_id, line),
+        |ls AS (
+        |  SELECT doc_id, sum(n)::BIGINT AS n_lines,
+        |    round(1.0 - count(*)::DOUBLE / sum(n), 6) AS dup_line_frac,
+        |    round(CASE WHEN sum(n * l) > 0 THEN
+        |      sum(CASE WHEN n > 1 THEN n * l ELSE 0 END)::DOUBLE / sum(n * l)
+        |      END, 6) AS dup_line_char_frac
+        |  FROM pl GROUP BY doc_id),
+        |j AS (
+        |  SELECT wm.*, coalesce(ls.n_lines, 0) AS n_lines,
+        |    ls.dup_line_frac, ls.dup_line_char_frac
+        |  FROM wm LEFT JOIN ls USING (doc_id))
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+        |  n_stop, n_lines, dup_line_frac, dup_line_char_frac,
+        |  bullet_frac, ellipsis_frac,
+        |  (CASE WHEN n_words BETWEEN 50 AND 100000
+        |     AND mean_word_len BETWEEN 3.0 AND 10.0
+        |     AND symbol_ratio < 0.1 AND alpha_frac > 0.8 AND n_stop >= 2
+        |     AND coalesce(dup_line_frac < 0.3, true)
+        |     AND coalesce(dup_line_char_frac < 0.2, true)
+        |     AND coalesce(bullet_frac < 0.9, true)
+        |     AND coalesce(ellipsis_frac < 0.3, true)
+        |   THEN 1 ELSE 0 END)::BIGINT AS pass
+        |FROM j ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.GopherFilter.signals(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 }
