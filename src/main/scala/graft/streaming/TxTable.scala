@@ -611,6 +611,54 @@ object TxTable {
     }
   }
 
+  /** Apply a change-data-feed batch to ANOTHER table — the CDC
+    * replication primitive: inserts/update-postimages upsert via
+    * [[mergeLatest]], deletes erase via [[deleteKeys]], update-preimages
+    * are informational and skipped. Composed with [[TxTableCdfSource]]
+    * (read side) and a foreachBatch (apply side), this replays one
+    * table into a replica with ACID commits on both ends.
+    *
+    * ORDER matters when one micro-batch folds several source commits: a
+    * key deleted in commit v and re-inserted in v+1 must end PRESENT.
+    * When the feed carries `_commit_version` (the streaming source
+    * always does), versions apply in ascending order; without it the
+    * batch applies as one upsert-then-delete pass, which is only safe
+    * for single-commit feeds — pass `maxVersionsPerTrigger=1` or keep
+    * the version column.
+    *
+    * Idempotent under micro-batch replay (the upsert converges, the
+    * delete re-issues as a no-op), so checkpoint recovery stays
+    * exactly-once end to end.
+    */
+  def applyChangeFeed(
+      spark: SparkSession,
+      cdf: DataFrame,
+      tablePath: String,
+      partitionCol: String = "serverName",
+      keys: Seq[String] = Seq("serverName", "tag"),
+      order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp")): Unit = {
+    val missing = keys.filterNot(cdf.columns.contains)
+    require(missing.isEmpty,
+      s"change feed lacks key columns ${missing.mkString(", ")} — include " +
+        "them in the source's compareCols")
+    def applyOne(feed: DataFrame): Unit = {
+      val ups = feed
+        .filter(col("change_type").isin("insert", "update_postimage"))
+        .drop("change_type", "_commit_version")
+      val dels = feed.filter(col("change_type") === "delete")
+        .select(keys.map(col): _*)
+      if (!ups.isEmpty) { mergeLatest(spark, ups, tablePath, partitionCol, keys, order); () }
+      if (!dels.isEmpty) { deleteKeys(spark, dels, tablePath, partitionCol, keys); () }
+    }
+    if (cdf.columns.contains("_commit_version")) {
+      // bounded: versions per micro-batch, not rows
+      val versions = cdf.select("_commit_version").distinct()
+        .collect().map(_.getLong(0)).sorted
+      versions.foreach(v =>
+        applyOne(cdf.filter(col("_commit_version") === v)))
+    } else applyOne(cdf)
+  }
+
   /** The partitions whose file sets differ between `version - 1` and
     * `version` — metadata-only (two log replays, no listing of data, no
     * Spark job). Rows can only change in a partition whose files

@@ -30,4 +30,20 @@ object StreamingShim {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse door, for the SINK side: the frame handed to a v1
+    * `Sink.addBatch` carries streaming-flagged leaves, so any plan
+    * derived from it (a filter, a groupBy, a write) trips the
+    * unsupported-operation checker ("streaming sources must be executed
+    * with writeStream.start()"). Re-rooting the micro-batch's physical
+    * RDD as a plain batch leaf — exactly what the engine's own
+    * ForeachBatchSink does before invoking the user function — makes
+    * the batch usable as an ordinary DataFrame. One execution: the
+    * wrapped RDD IS the micro-batch's planned RDD.
+    */
+  def asBatchDataFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[ClassicSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -1709,6 +1709,102 @@ class StreamingSpec extends SparkSpec {
       s"maintained state $state != recompute $expected")
   }
 
+  test("txtable sink: declarative writeStream lands ACID last-value merge commits") {
+    import graft.streaming.TxTable
+    import org.apache.spark.sql.functions.col
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Double)]
+    val table = tmp("graft-txsink") + "/tbl"
+    val ckpt = tmp("graft-txsink-ckpt")
+    def run(): Unit = {
+      val q = mem.toDF().toDF("serverName", "tag", "tsS", "value")
+        .select(col("serverName"), col("tag"),
+          org.apache.spark.sql.functions.to_timestamp(col("tsS")).as("ts"),
+          col("value"))
+        .writeStream.format("txtable")
+        .option("path", table)
+        .option("partitionCol", "serverName")
+        .option("keys", "serverName,tag").option("order", "ts")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    mem.addData(("srv1", "t1", "2024-06-01 10:00:00", 1.0),
+      ("srv1", "t2", "2024-06-01 10:00:05", 5.0))
+    run()
+    assert(TxTable.snapshot(table).version == 0L)
+    // batch 2: late t1 (loses), newer t2 (wins), new t3
+    mem.addData(("srv1", "t1", "2024-06-01 09:59:00", 99.0),
+      ("srv1", "t2", "2024-06-01 10:00:06", 6.0),
+      ("srv1", "t3", "2024-06-01 10:00:00", 7.0))
+    run()
+    assert(TxTable.snapshot(table).version == 1L)
+    val state = TxTable.readMergedAt(spark, table, 1L,
+        Seq("serverName", "tag"), Seq("ts")).get
+      .select(col("tag"), col("value")).as[(String, Double)].collect().sorted
+    assert(state.toSeq == Seq(("t1", 1.0), ("t2", 6.0), ("t3", 7.0)),
+      s"late data must lose the merge: ${state.toSeq}")
+    // empty drain commits nothing
+    run()
+    assert(TxTable.snapshot(table).version == 1L)
+  }
+
+  test("CDC replication: txtable-cdf source + applyChangeFeed rebuild a replica exactly") {
+    import graft.streaming.TxTable
+    import org.apache.spark.sql.functions.col
+    val src = tmp("graft-repl-src") + "/a"
+    val dst = tmp("graft-repl-dst") + "/b"
+    val ckpt = tmp("graft-repl-ckpt")
+    val k = Seq("serverName", "tag"); val o = Seq("ts")
+
+    def drainInto(): Unit = {
+      val q = spark.readStream.format("txtable-cdf")
+        .option("path", src).option("keyCol", "tag").option("order", "ts")
+        .load()
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          TxTable.applyChangeFeed(spark, b, dst, "serverName", k, o)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    def stateOf(path: String) =
+      TxTable.readMergedAt(spark, path, TxTable.snapshot(path).version, k, o)
+        .get.select(col("serverName"), col("tag"),
+          col("ts").cast("string"), col("value"))
+        .collect().map(_.toString).sorted.toSeq
+
+    // v0 inserts, v1 update, v2 DELETE t2, v3 RE-INSERT t2 — all four
+    // versions fold into ONE micro-batch (no pacing), so the replica is
+    // only correct if applyChangeFeed applies versions in order
+    TxTable.mergeLatest(spark, cdfBatch(
+      ("srv1", "t1", "2024-06-01 10:00:00", 1.0),
+      ("srv1", "t2", "2024-06-01 10:00:00", 5.0)), src, "serverName", k, o)
+    TxTable.mergeLatest(spark, cdfBatch(
+      ("srv1", "t1", "2024-06-01 10:01:00", 2.0)), src, "serverName", k, o)
+    TxTable.deleteKeys(spark, Seq(("srv1", "t2")).toDF("serverName", "tag"),
+      src, "serverName", k)
+    TxTable.mergeLatest(spark, cdfBatch(
+      ("srv1", "t2", "2024-06-01 10:02:00", 8.0)), src, "serverName", k, o)
+    drainInto()
+    assert(stateOf(dst) == stateOf(src),
+      s"replica diverged: ${stateOf(dst)} vs ${stateOf(src)}")
+
+    // keep replicating: another update + a delete, incremental drain
+    TxTable.mergeLatest(spark, cdfBatch(
+      ("srv1", "t3", "2024-06-01 10:03:00", 9.0)), src, "serverName", k, o)
+    TxTable.deleteKeys(spark, Seq(("srv1", "t1")).toDF("serverName", "tag"),
+      src, "serverName", k)
+    drainInto()
+    assert(stateOf(dst) == stateOf(src))
+    assert(stateOf(dst).exists(_.contains("t2")), "re-inserted key must survive")
+    assert(!stateOf(dst).exists(_.contains("t1")), "deleted key must be gone")
+  }
+
   test("txtable-cdf source: partition scoping and maxVersionsPerTrigger pacing") {
     import graft.streaming.TxTable
     val table = tmp("graft-cdfsrc2") + "/tbl"
