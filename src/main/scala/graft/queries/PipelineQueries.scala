@@ -1560,11 +1560,11 @@ object PipelineQueries {
       // payloads (DECIMAL sums keep the compare order-insensitive).
       """WITH s0 AS (
         |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |  FROM orders WHERE o_orderkey % 9 = 0),
         |c1 AS (
         |  SELECT o_orderkey AS k,
         |    CAST(round(o_totalprice + 1, 2) AS DECIMAL(18,2)) AS p
-        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |  FROM orders WHERE o_orderkey % 15 = 0),
         |v0 AS (SELECT 0 AS v, 'insert' AS ct, k, p FROM s0),
         |v1 AS (
         |  SELECT 1, 'update_preimage', s0.k, s0.p
@@ -1578,7 +1578,7 @@ object PipelineQueries {
         |s1 AS (
         |  SELECT coalesce(c1.k, s0.k) AS k, coalesce(c1.p, s0.p) AS p
         |  FROM s0 FULL JOIN c1 ON s0.k = c1.k),
-        |v2 AS (SELECT 2, 'delete', k, p FROM s1 WHERE k % 7 = 0),
+        |v2 AS (SELECT 2, 'delete', k, p FROM s1 WHERE k % 21 = 0),
         |cdf AS (
         |  SELECT * FROM v0 UNION ALL SELECT * FROM v1
         |  UNION ALL SELECT * FROM v2)
@@ -1592,19 +1592,19 @@ object PipelineQueries {
       val orders = t(s, d, "orders")
       val keys = Seq("o_orderstatus", "o_orderkey")
       TxTable.mergeLatest(s,
-        orders.filter(col("o_orderkey") % 3 === 0)
+        orders.filter(col("o_orderkey") % 9 === 0)
           .select(col("o_orderstatus"), col("o_orderkey"),
             col("o_totalprice").cast("decimal(18,2)").as("p"), lit(0L).as("seq")),
         table, "o_orderstatus", keys, Seq("seq"))
       TxTable.mergeLatest(s,
-        orders.filter(col("o_orderkey") % 5 === 0)
+        orders.filter(col("o_orderkey") % 15 === 0)
           .select(col("o_orderstatus"), col("o_orderkey"),
             round(col("o_totalprice") + 1, 2).cast("decimal(18,2)").as("p"),
             lit(1L).as("seq")),
         table, "o_orderstatus", keys, Seq("seq"))
       TxTable.deleteKeys(s,
-        orders.filter(col("o_orderkey") % 7 === 0 &&
-            (col("o_orderkey") % 3 === 0 || col("o_orderkey") % 5 === 0))
+        orders.filter(col("o_orderkey") % 21 === 0 &&
+            (col("o_orderkey") % 9 === 0 || col("o_orderkey") % 15 === 0))
           .select("o_orderstatus", "o_orderkey"),
         table, "o_orderstatus", keys)
       val q = s.readStream.format("txtable-cdf")
