@@ -84,4 +84,79 @@ object IncrementalAgg {
       sumCols: Seq[String]): DataFrame =
     applySumCount(prevAgg, sumCountDeltas(cdf, groupCols, sumCols),
       groupCols, cntCol, sumCols)
+
+  /** The groups whose min/max CANNOT be maintained from the feed alone
+    * and need a rescan: min/max are not invertible under deletion, so a
+    * group re-derives iff the feed removes weight AT an extremum —
+    * a delete/update_preimage row with value ≤ the maintained min or ≥
+    * the maintained max (ties included: the removed row may have BEEN
+    * the extremum's last copy) — or the feed touches a group the state
+    * does not know. Deletions strictly inside the (min, max) interval
+    * cannot move either end and stay feed-only. Exposed separately so
+    * callers (and the spec) can audit that a refresh rescans O(affected
+    * groups), not the table.
+    */
+  def minMaxRescanKeys(
+      prevAgg: DataFrame,
+      cdf: DataFrame,
+      groupCols: Seq[String],
+      valCol: String,
+      mnCol: String = "mn",
+      mxCol: String = "mx"): DataFrame = {
+    val removed = cdf
+      .filter(col("change_type").isin("delete", "update_preimage"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(valCol)).as("__rmn"), max(col(valCol)).as("__rmx"))
+    removed.join(prevAgg.select((groupCols.map(col) :+
+        col(mnCol).as("__mn") :+ col(mxCol).as("__mx")): _*),
+        groupCols, "left")
+      .filter(col("__mn").isNull ||
+        col("__rmn") <= col("__mn") || col("__rmx") >= col("__mx"))
+      .select(groupCols.map(col): _*)
+  }
+
+  /** Maintain per-group min/max from a change data feed, rescanning
+    * ONLY the groups a deletion at an extremum invalidates
+    * ([[minMaxRescanKeys]]); every other group merges monotonically
+    * (insert/update-postimage values can only tighten an extremum
+    * outward: min' = least(min, batch min), max' = greatest).
+    *
+    * @param newBase the POST-change base relation (e.g. the table's new
+    *                merged view, or the CDF-maintained replica): rescans
+    *                read the affected groups from here via one semi-join
+    *                — partition-/bucket-pruned when the base is laid out
+    *                on the group key, so the rescan cost is O(rows of
+    *                affected groups), never a table scan.
+    * @return groupCols ++ (mnCol, mxCol); groups with no remaining rows
+    *         disappear (their rescan finds nothing).
+    *
+    * Exactness needs an order-insensitive value domain for the COMPARE
+    * (any orderable type works — min/max never add), so unlike the
+    * sum path even doubles are safe here.
+    */
+  def refreshMinMax(
+      prevAgg: DataFrame,
+      cdf: DataFrame,
+      newBase: DataFrame,
+      groupCols: Seq[String],
+      valCol: String,
+      mnCol: String = "mn",
+      mxCol: String = "mx"): DataFrame = {
+    val rescanKeys = minMaxRescanKeys(prevAgg, cdf, groupCols, valCol,
+      mnCol, mxCol)
+    val rescanned = newBase.join(rescanKeys, groupCols, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(valCol)).as(mnCol), max(col(valCol)).as(mxCol))
+    val added = cdf
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(valCol)).as("__amn"), max(col(valCol)).as("__amx"))
+    val monotonic = prevAgg.join(added, groupCols, "full_outer")
+      .join(rescanKeys.withColumn("__r", lit(true)), groupCols, "left")
+      .filter(col("__r").isNull)
+      .select((groupCols.map(col) :+
+        least(col(mnCol), col("__amn")).as(mnCol) :+
+        greatest(col(mxCol), col("__amx")).as(mxCol)): _*)
+    monotonic.unionByName(rescanned)
+  }
 }

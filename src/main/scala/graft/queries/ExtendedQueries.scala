@@ -1745,6 +1745,47 @@ object ExtendedQueries {
         .orderBy("o_custkey")
     },
 
+    Q("q218_incremental_minmax",
+      // the NON-invertible half of incremental view maintenance: min/max
+      // cannot subtract a delete, so IncrementalAgg.refreshMinMax
+      // rescans exactly the groups where the feed removed weight at an
+      // extremum and merges every other group monotonically from the
+      // feed alone. The engine maintains the old snapshot's per-customer
+      // (min, max) through the q185 change set (inserts %97, deletes
+      // %89, reprices %101); the oracle recomputes over the new snapshot
+      // from scratch — equality of a maintained state with a full
+      // recompute IS the claim, and deletes landing on per-customer
+      // minima/maxima are guaranteed at this scale.
+      """WITH newsnap AS (
+        |  SELECT o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice + 1, 2)
+        |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 89 <> 0)
+        |SELECT o_custkey,
+        |  CAST(min(p) AS DECIMAL(18,2)) AS mn,
+        |  CAST(max(p) AS DECIMAL(18,2)) AS mx
+        |FROM newsnap GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      import graft.operators.{IncrementalAgg, Snapshot}
+      val orders = t(s, d, "orders")
+      val oldSnap = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val newSnap = orders.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 101 === 0, round(col("o_totalprice") + 1, 2))
+            .otherwise(col("o_totalprice")).cast("decimal(18,2)").as("p"))
+      val prevAgg = oldSnap.groupBy("o_custkey")
+        .agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
+      val cdf = Snapshot.changeDataFeed(oldSnap, newSnap, "o_orderkey",
+        Seq("o_custkey", "p"))
+      IncrementalAgg.refreshMinMax(prevAgg, cdf, newSnap,
+          Seq("o_custkey"), "p")
+        .select(col("o_custkey"),
+          col("mn").cast("decimal(18,2)").as("mn"),
+          col("mx").cast("decimal(18,2)").as("mx"))
+        .orderBy("o_custkey")
+    },
+
     // ------------------------------------ additional relational cover
     Q("q45_percentiles",
       """SELECT l_returnflag,

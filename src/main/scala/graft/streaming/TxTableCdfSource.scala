@@ -212,7 +212,21 @@ class TxTableCdfSource(spark: SparkSession, opts: TxTableCdfSource.Options)
     val fromV = start.map(o => ver(o)).getOrElse(opts.startingVersion - 1L)
     val endV = ver(end)
     val perVersion = ((fromV + 1L) to endV).flatMap { v =>
-      val touched = TxTable.touchedPartitions(opts.path, v)
+      val touched =
+        try TxTable.touchedPartitions(opts.path, v)
+        catch {
+          case e: IllegalArgumentException =>
+            // a vacuum/retention pass erased part of the commit range the
+            // stream still owes — surface the REMEDY, not just the replay
+            // failure (the classic Delta "history pruned" failure mode)
+            throw new IllegalStateException(
+              s"txtable-cdf: commit $v of ${opts.path} is no longer " +
+                "reconstructible (vacuumed past or checkpoint-anchored " +
+                "after it). The table's retention window lapsed while the " +
+                "stream was behind — restart with a fresh checkpoint and " +
+                ".option(\"startingVersion\", <first retained version>), " +
+                "accepting a gap in the feed.", e)
+        }
       val parts = opts.partitions.fold(touched)(scope => touched.filter(scope.contains))
       if (parts.isEmpty) None // content-neutral or out-of-scope commit
       else Some(

@@ -109,4 +109,54 @@ class IncrementalAggSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown change_type")
       || Option(e.getCause).exists(_.getMessage.contains("unknown change_type")))
   }
+
+  test("refreshMinMax: rescan ONLY extremum-touching deletes; merge the rest; == recompute") {
+    // g1 [1,5,9]: delete the MAX 9      → must rescan
+    // g2 [2,8]:   insert 10             → monotonic merge, no rescan
+    // g3 [4]:     delete 4              → rescan finds nothing, group dies
+    // g4 (new):   insert 7              → monotonic (new group)
+    // g5 [1,5,9]: delete the INNER 5    → extrema can't move, no rescan
+    val old = Seq(
+      (1L, "g1", 1L), (2L, "g1", 5L), (3L, "g1", 9L),
+      (4L, "g2", 2L), (5L, "g2", 8L),
+      (6L, "g3", 4L),
+      (7L, "g5", 1L), (8L, "g5", 5L), (9L, "g5", 9L))
+      .toDF("k", "g", "v")
+    val neu = Seq(
+      (1L, "g1", 1L), (2L, "g1", 5L),
+      (4L, "g2", 2L), (5L, "g2", 8L), (10L, "g2", 10L),
+      (11L, "g4", 7L),
+      (7L, "g5", 1L), (9L, "g5", 9L))
+      .toDF("k", "g", "v")
+    val prev = old.groupBy("g").agg(min("v").as("mn"), max("v").as("mx"))
+    val cdf = Snapshot.changeDataFeed(old, neu, "k")
+
+    val rescan = IncrementalAgg.minMaxRescanKeys(prev, cdf, Seq("g"), "v")
+      .as[String].collect().sorted.toSeq
+    assert(rescan == Seq("g1", "g3"),
+      s"rescan must be exactly the extremum-touching groups, got $rescan")
+
+    val got = IncrementalAgg.refreshMinMax(prev, cdf, neu, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val want = neu.groupBy("g").agg(min("v").as("mn"), max("v").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == want, s"maintained $got != recompute $want")
+    assert(!got.contains("g3"), "emptied group must disappear")
+  }
+
+  test("refreshMinMax: a deleted DUPLICATE of the min forces the rescan (tie semantics)") {
+    // two rows hold the min 3; deleting one leaves the min at 3 — only a
+    // rescan can know that, so the tie MUST trigger one
+    val old = Seq((1L, "g", 3L), (2L, "g", 3L), (3L, "g", 7L)).toDF("k", "g", "v")
+    val neu = Seq((2L, "g", 3L), (3L, "g", 7L)).toDF("k", "g", "v")
+    val prev = old.groupBy("g").agg(min("v").as("mn"), max("v").as("mx"))
+    val cdf = Snapshot.changeDataFeed(old, neu, "k")
+    assert(IncrementalAgg.minMaxRescanKeys(prev, cdf, Seq("g"), "v")
+      .count() == 1L)
+    val got = IncrementalAgg.refreshMinMax(prev, cdf, neu, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("g", 3L, 7L)))
+  }
 }

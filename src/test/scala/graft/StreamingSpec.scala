@@ -1709,6 +1709,43 @@ class StreamingSpec extends SparkSpec {
       s"maintained state $state != recompute $expected")
   }
 
+  test("txtable-cdf: history vacuumed past the stream fails loudly; restart past the gap works") {
+    import graft.streaming.TxTable
+    val table = tmp("graft-cdfvac") + "/tbl"
+    val k = Seq("serverName", "tag"); val o = Seq("ts")
+    // 11 commits → checkpoint lands at version 10 → vacuum prunes every
+    // commit the checkpoint subsumes (the log-retention contract), so
+    // versions < 10 are no longer reconstructible — the exact state a
+    // stream that fell behind the retention window wakes up to
+    for (i <- 0 to 10)
+      TxTable.mergeLatest(spark, cdfBatch(
+        ("srv1", "t1", f"2024-06-01 10:${i}%02d:00", i.toDouble)),
+        table, "serverName", k, o)
+    TxTable.vacuum(table, minAgeMs = 0L)
+
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainCdf(table, tmp("graft-cdfvac-ck1"), got)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    val msgs = chain(e).mkString("\n")
+    assert(msgs.contains("no longer reconstructible") &&
+      msgs.contains("startingVersion"), s"unhelpful failure: $msgs")
+
+    // the advertised remedy: fresh checkpoint, start past the gap
+    val ck2 = tmp("graft-cdfvac-ck2")
+    val got2 = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    drainCdf(table, ck2, got2, Map("startingVersion" -> "11"))
+    assert(got2.isEmpty, s"nothing at or past v11 yet: $got2")
+    TxTable.mergeLatest(spark, cdfBatch(
+      ("srv1", "t1", "2024-06-01 11:00:00", 99.0)), table, "serverName", k, o)
+    drainCdf(table, ck2, got2, Map("startingVersion" -> "11"))
+    assert(got2.map(_._2.split(",").last.stripSuffix("]")).distinct == Seq("11"))
+    assert(got2.map(_._2.split(",")(4)).sorted.toSeq ==
+      Seq("update_postimage", "update_preimage"))
+  }
+
   test("txtable sink: declarative writeStream lands ACID last-value merge commits") {
     import graft.streaming.TxTable
     import org.apache.spark.sql.functions.col
