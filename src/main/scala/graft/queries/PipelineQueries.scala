@@ -1714,6 +1714,50 @@ object PipelineQueries {
         .orderBy(col("indegree").desc, col("target"))
     },
 
+    Q("q219_warc_pipeline",
+      // the crawl CONTAINER step upstream of q215: documents are framed
+      // as WARC records (Content-Length in OCTETS of the UTF-8 body),
+      // concatenated into per-file containers (doc_id % 37, record order
+      // by doc_id), and the ENGINE parses the binary containers back
+      // with the sequential Content-Length framing parser — regex
+      // boundary detection would be fooled by bodies embedding the
+      // record magic. The oracle never parses: every field of every
+      // record has a closed form from the assembly recipe, md5(body)
+      // pins byte-exact body recovery.
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 37 AS file_id,
+        |    '<html><body><p>' || text || '</p></body></html>' AS body
+        |  FROM documents)
+        |SELECT file_id,
+        |  CAST(row_number() OVER (PARTITION BY file_id ORDER BY doc_id) - 1
+        |    AS INT) AS rec_idx,
+        |  'http://corpus.example/doc/' || doc_id AS target_uri,
+        |  CAST(octet_length(encode(body)) AS BIGINT) AS content_length,
+        |  md5(body) AS body_md5
+        |FROM b ORDER BY file_id, rec_idx""".stripMargin) { (s, d) =>
+      import graft.operators.Warc
+      val body = concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "http://corpus.example/doc/"), col("doc_id"),
+        lit("\r\nWARC-Date: 2024-06-01T00:00:00Z\r\nContent-Length: "),
+        octet_length(col("body")),
+        lit("\r\n\r\n"), col("body"), lit("\r\n\r\n"))
+      val containers = t(s, d, "documents")
+        .withColumn("body", body)
+        .withColumn("rec", rec)
+        .groupBy((col("doc_id") % 37).as("file_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec")), "").as("warc"))
+        .select(col("file_id"), encode(col("warc"), "utf-8").as("blob"))
+      Warc.records(containers, "file_id", "blob")
+        .select(col("file_id"), col("rec_idx"), col("target_uri"),
+          col("content_length"), md5(col("body")).as("body_md5"))
+        .orderBy("file_id", "rec_idx")
+    },
+
     Q("q217_gopher_quality",
       // the Gopher/MassiveText format-rule battery (operators/
       // GopherFilter): word stats as array expressions, duplicate-line
