@@ -622,6 +622,36 @@ class PlanAuditSpec extends SparkSpec {
       s"no cross product:\n$p")
   }
 
+  test("q215: the whole HTML extraction chain is UDF-free column work") {
+    val p = plan("q215_html_extract")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+      s"extraction must stay native expressions:\n$p")
+    // one documents scan; the only exchange is the output ORDER BY
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"a projection chain must not hash-shuffle:\n$p")
+    // shape: scan → projection chain → the output sort, nothing else
+    assert(p.contains("Scan parquet") && p.contains("Project"),
+      s"expected a pure scan+project chain:\n$p")
+  }
+
+  test("q217: gopher signals shuffle only for the line-dup fold and its stitch join") {
+    val p = plan("q217_gopher_quality")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cross product:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"line stats must partial-aggregate below the exchange:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+  }
+
+  test("q219: WARC assembly partial-aggregates; parse side is one narrow pass") {
+    val p = plan("q219_warc_pipeline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cross product:\n$p")
+    // container assembly groups by file_id: map-side partials for the
+    // record list, then exactly the grouping exchange
+    assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+  }
+
   test("q77: chunking is shuffle-free end to end") {
     val p = plan("q77_doc_chunking")
     // the only exchange allowed is the output ORDER BY's range partitioning
