@@ -80,8 +80,9 @@ object HtmlExtract {
   }
 
   /** Whitespace normalization: CR and tab runs become single spaces,
-    * spaces around line breaks drop, 3+ line breaks collapse to a blank
-    * line, edges trim.
+    * spaces around line breaks drop, 2+ line breaks collapse to a single
+    * newline (one line per block — the q215 oracle and the object-level
+    * contract both encode this; blank lines do NOT survive), edges trim.
     */
   def normalizeWs(text: Column): Column = {
     val sp = regexp_replace(text, "[ \\t\\r]+", " ")

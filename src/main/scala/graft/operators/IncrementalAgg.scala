@@ -159,4 +159,68 @@ object IncrementalAgg {
         greatest(col(mxCol), col("__amx")).as(mxCol)): _*)
     monotonic.unionByName(rescanned)
   }
+
+  /** Signed per-(group, value) SUPPORT deltas from a CDF — the classic
+    * counting algorithm that makes COUNT(DISTINCT) incrementally
+    * maintainable: distinct-count itself is not invertible (a delete may
+    * or may not remove the value's last copy), but the support table
+    * (group, value) -> multiplicity IS an abelian-group state, and
+    * n_distinct = the number of support rows per group. Map-side partial;
+    * the shuffle carries one row per affected (group, value), never per
+    * change row.
+    */
+  def supportDeltas(
+      cdf: DataFrame,
+      groupCols: Seq[String],
+      valCol: String): DataFrame = {
+    val sign = when(col("change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("change_type").isin("delete", "update_preimage"), -1L)
+    val checked = cdf.withColumn("__sign",
+      coalesce(sign, raise_error(concat(lit("unknown change_type: "),
+        col("change_type")))))
+    checked.groupBy((groupCols :+ valCol).map(col): _*)
+      .agg(sum(col("__sign")).as("d_sup"))
+  }
+
+  /** Merge support deltas into the previous support table. Values whose
+    * multiplicity reaches zero leave the state; a multiplicity that
+    * would go NEGATIVE fails loudly — the feed deleted a row the state
+    * never held, so state and feed have diverged and every downstream
+    * distinct-count would silently lie. One full-outer equi-join on
+    * (group, value) — co-located for free when the state is bucketed by
+    * the group key. State size is O(distinct (group, value)) — the
+    * irreducible memory of EXACT distinct maintenance; use the HLL
+    * sketches (q26/q123) when approximate is acceptable at 100 TB.
+    */
+  def refreshSupport(
+      prevSupport: DataFrame,
+      cdf: DataFrame,
+      groupCols: Seq[String],
+      valCol: String,
+      supCol: String = "support"): DataFrame = {
+    val merged = prevSupport
+      .join(supportDeltas(cdf, groupCols, valCol), groupCols :+ valCol,
+        "full_outer")
+      .select((groupCols :+ valCol).map(col) :+
+        (coalesce(col(supCol), lit(0L)) + coalesce(col("d_sup"), lit(0L)))
+          .as(supCol): _*)
+    merged
+      .withColumn(supCol,
+        when(col(supCol) < 0, raise_error(concat(
+          lit(s"negative support in $supCol: CDF deleted a row the state " +
+            "never held for value "), col(valCol).cast("string"))))
+          .otherwise(col(supCol)))
+      .filter(col(supCol) > 0)
+  }
+
+  /** Derive the per-group aggregate view from a support table:
+    * n_distinct = support rows, n_rows = Σ multiplicity. */
+  def distinctFromSupport(
+      support: DataFrame,
+      groupCols: Seq[String],
+      supCol: String = "support",
+      ndCol: String = "n_distinct",
+      rowsCol: String = "n_rows"): DataFrame =
+    support.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(ndCol), sum(col(supCol)).as(rowsCol))
 }

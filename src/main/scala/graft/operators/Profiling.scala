@@ -29,7 +29,11 @@ object Profiling {
     * string for the report.
     */
   def keySkewProfile(df: DataFrame, keyCol: String): DataFrame =
-    df.select(coalesce(col(keyCol).cast("string"), lit("<null>")).as("__k"))
+    // NULL is its own groupBy key — no sentinel, so a literal "<null>"
+    // string in the data stays a distinct key; the sentinel appears only
+    // in the max_key REPORT column (struct-max treats a null field as
+    // smallest, so a null key loses frequency ties — still deterministic)
+    df.select(col(keyCol).cast("string").as("__k"))
       .groupBy("__k").agg(count(lit(1)).as("__f"))
       .agg(
         sum("__f").as("n_rows"),
@@ -38,7 +42,8 @@ object Profiling {
         // struct max = (freq desc, key desc) winner — a deterministic,
         // partitioning-independent tiebreak where max_by(__k, __f) would
         // tie arbitrarily
-        max(struct(col("__f"), col("__k"))).getField("__k").as("max_key"),
+        coalesce(max(struct(col("__f"), col("__k"))).getField("__k"),
+          lit("<null>")).as("max_key"),
         percentile(col("__f"), lit(0.5)).as("p50_freq"),
         percentile(col("__f"), lit(0.99)).as("p99_freq"),
         round(max("__f") * count(lit(1)).cast("double") / sum("__f"), 4)

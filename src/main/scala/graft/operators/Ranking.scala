@@ -228,7 +228,8 @@ object Ranking {
       array_sort(collect_list(struct(col("__tok").as("t"), col("__s").as("s")))),
       x => x.getField("s"))
     val folded = aggregate(
-      slice(termScores, 2, 10000), element_at(termScores, 1), (a, x) => a + x)
+      slice(termScores, lit(2), greatest(size(termScores) - 1, lit(0))),
+      element_at(termScores, 1), (a, x) => a + x)
     val scored = cand
       .groupBy(col("query_id"), col(idCol))
       .agg(round(folded, 6).as("cosine"))

@@ -1786,6 +1786,48 @@ object ExtendedQueries {
         .orderBy("o_custkey")
     },
 
+    Q("q220_incremental_distinct",
+      // exact COUNT(DISTINCT) maintenance — the third IVM algebra beside
+      // sum/count (q185, invertible) and min/max (q218, rescan-repaired):
+      // distinct-count is not invertible, but the per-(group, value)
+      // SUPPORT table is, and n_distinct falls out as its row count. The
+      // engine maintains the old snapshot's per-priority support table
+      // through the q185-style change set (inserts %97, deletes %89,
+      // %101 rows move to a DIFFERENT customer — the update changes the
+      // counted value, exercising both a support decrement and an
+      // increment); the oracle recomputes DISTINCT from the new snapshot
+      // from scratch. Equality of maintained state with full recompute
+      // IS the claim.
+      """WITH newsnap AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN o_custkey + 1
+        |         ELSE o_custkey END AS c
+        |  FROM orders WHERE o_orderkey % 89 <> 0)
+        |SELECT o_orderpriority,
+        |  CAST(count(DISTINCT c) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM newsnap GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      import graft.operators.{IncrementalAgg, Snapshot}
+      val orders = t(s, d, "orders")
+      val oldSnap = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey").as("c"))
+      val newSnap = orders.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("o_orderkey") % 101 === 0, col("o_custkey") + 1)
+            .otherwise(col("o_custkey")).as("c"))
+      val prevSupport = oldSnap.groupBy("o_orderpriority", "c")
+        .agg(count(lit(1)).as("support"))
+      val cdf = Snapshot.changeDataFeed(oldSnap, newSnap, "o_orderkey",
+        Seq("o_orderpriority", "c"))
+      IncrementalAgg.distinctFromSupport(
+          IncrementalAgg.refreshSupport(prevSupport, cdf,
+            Seq("o_orderpriority"), "c"),
+          Seq("o_orderpriority"))
+        .orderBy("o_orderpriority")
+    },
+
     // ------------------------------------ additional relational cover
     Q("q45_percentiles",
       """SELECT l_returnflag,

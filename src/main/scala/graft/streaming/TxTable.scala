@@ -786,17 +786,35 @@ object TxTable {
     try {
       val affected = batchLatest.select(partitionCol).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
-      if (affected.nonEmpty)
-        enforceConstraints(batchLatest, snapshot(tablePath).constraints, "mergeLatest")
       var attempt = 0
+      // constraints come from each attempt's snapshot: a concurrently
+      // added CHECK must gate the retry, not be bypassed by a pre-loop
+      // read (mergeInto re-reads per attempt; here the agg re-runs only
+      // when the constraint set actually changed under a lost race)
+      var enforcedFor: Map[String, String] = null
       while (true) {
         val snap = snapshot(tablePath)
+        if (affected.nonEmpty && snap.constraints != enforcedFor) {
+          enforceConstraints(batchLatest, snap.constraints, "mergeLatest")
+          enforcedFor = snap.constraints
+        }
         val removedFiles = affected.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
         val current = if (removedFiles.isEmpty) None
-          else Some(snapReader(spark, snap).parquet(removedFiles.map(p => resolveRef(tablePath, p)): _*)
-            .select(batchLatest.columns.toIndexedSeq.map(col): _*))
+          else Some(snapReader(spark, snap).parquet(removedFiles.map(p => resolveRef(tablePath, p)): _*))
+        // an evolved table may be WIDER than the batch: keep table-only
+        // columns (null for upserted rows — an upsert with a narrower
+        // batch leaves unspecified columns unset); a batch column the
+        // table does not declare is refused (silent undeclared evolution
+        // would make reads file-order-dependent)
+        current.foreach { cur =>
+          val unknown = batchLatest.columns.filterNot(cur.columns.contains)
+          require(unknown.isEmpty,
+            s"mergeLatest batch has columns ${unknown.mkString(",")} unknown to " +
+              "the table — evolve the schema via mergeInto(mergeSchema = true) first")
+        }
         val merged = LastValue.latestPerKey(
-          current.fold(batchLatest)(_.unionByName(batchLatest)), keys, order)
+          current.fold(batchLatest)(
+            _.unionByName(batchLatest, allowMissingColumns = true)), keys, order)
           .persist()
         // one data directory per affected partition, written before the
         // commit references it; unique names make them invisible until
@@ -1021,7 +1039,10 @@ object TxTable {
               keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
               "left_outer")
             val isMatched = col(s"s.${keys.head}").isNotNull
-            val dropped = deleteCondition.fold(lit(false))(c => isMatched && c)
+            // SQL/Delta MERGE deletes only on TRUE: a NULL-valued delete
+            // predicate must KEEP the row (filter drops NULL, so coalesce)
+            val dropped = deleteCondition.fold(lit(false))(c =>
+              isMatched && coalesce(c, lit(false)))
             val kept = joined.filter(!dropped)
               .select(targetCols.map { c =>
                 if (newCols.contains(c))
@@ -1112,7 +1133,11 @@ object TxTable {
     val lines = Seq(s"op\tshallowClone\tsrc\t$srcAbs") ++
       snap.filesByPartition.toSeq.sortBy(_._1).flatMap { case (p, files) =>
         files.map { f =>
-          addLine(p, s"$srcAbs/$f", snap.statsByFile.getOrElse(f, ""))
+          // a clone-of-a-clone's refs are already absolute — re-prefixing
+          // them would fabricate "<dst>//<orig>/..." paths that resolveRef
+          // passes through verbatim and that do not exist
+          val ref = if (f.startsWith("/")) f else s"$srcAbs/$f"
+          addLine(p, ref, snap.statsByFile.getOrElse(f, ""))
         }
       } ++
       snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
@@ -1276,7 +1301,12 @@ object TxTable {
       val affected = batchLatest.select(partitionCol).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
       if (affected.isEmpty) return snapshot(tablePath).version
-      enforceConstraints(batchLatest, snapshot(tablePath).constraints, "upsertDelta")
+      // enforced again inside the commit loop iff the constraint set
+      // changed under a lost race — a concurrently added CHECK must gate
+      // the retry (the data files are staged but unpublished, so failing
+      // here leaks only vacuumable orphans)
+      var enforcedFor = snapshot(tablePath).constraints
+      enforceConstraints(batchLatest, enforcedFor, "upsertDelta")
       // no isEmpty guard (unlike mergeLatest): `affected` IS the distinct
       // partition set of batchLatest, so every filtered slice is
       // non-empty by construction — the check would cost one extra Spark
@@ -1290,6 +1320,10 @@ object TxTable {
       var attempt = 0
       while (attempt <= maxRetries) {
         val snap = snapshot(tablePath)
+        if (snap.constraints != enforcedFor) {
+          enforceConstraints(batchLatest, snap.constraints, "upsertDelta")
+          enforcedFor = snap.constraints
+        }
         val lines = Seq(s"op\tupsertDelta\tattempt\t$attempt") ++
           adds.map { case (p, rel, st) => addLine(p, rel, st) }
         try {
@@ -1419,7 +1453,9 @@ object TxTable {
       statsCols: Seq[String] = AutoStats,
       maxRetries: Int = 50): Long = {
     require(buckets >= 1, "buckets must be >= 1")
-    enforceConstraints(df, snapshot(tablePath).constraints, "ingestZOrdered")
+    // re-enforced in the commit loop iff the set changes under a race
+    var enforcedFor = snapshot(tablePath).constraints
+    enforceConstraints(df, enforcedFor, "ingestZOrdered")
     val staged = s"data/${UUID.randomUUID()}"
     val abs = s"$tablePath/$staged"
     df.withColumn("__z", graft.operators.Layout.zorder16(col(xCol), col(yCol)))
@@ -1459,6 +1495,10 @@ object TxTable {
     var attempt = 0
     while (attempt <= maxRetries) {
       val snap = snapshot(tablePath)
+      if (snap.constraints != enforcedFor) {
+        enforceConstraints(df, snap.constraints, "ingestZOrdered")
+        enforcedFor = snap.constraints
+      }
       val lines = Seq(s"op\tingestZOrdered\tattempt\t$attempt") ++
         bucketDirs.map { case (b, rel) =>
           addLine(partition, rel, statsByBucket.getOrElse(b, ""))

@@ -159,4 +159,34 @@ class IncrementalAggSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("g", 3L, 7L)))
   }
+
+  test("refreshSupport: distinct-count == recompute across duplicate death and value birth") {
+    // g: values {10:×2, 20:×1} → delete ONE copy of 10 (distinct stays 2),
+    // delete 20's only copy (distinct drops), insert 30 (distinct gains),
+    // k5 UPDATES 10→30 (support −1 on 10 kills it, +1 on existing 30)
+    val old = Seq((1L, "g", 10L), (2L, "g", 10L), (3L, "g", 20L),
+      (5L, "g", 10L)).toDF("k", "g", "v")
+    val neu = Seq((2L, "g", 10L), (4L, "g", 30L), (5L, "g", 30L))
+      .toDF("k", "g", "v")
+    val prev = old.groupBy("g", "v").agg(count(lit(1)).as("support"))
+    val cdf = Snapshot.changeDataFeed(old, neu, "k")
+    val sup = IncrementalAgg.refreshSupport(prev, cdf, Seq("g"), "v")
+    val got = IncrementalAgg.distinctFromSupport(sup, Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("g", 2L, 3L))) // distinct {10, 30}, 3 rows
+    // and the support table itself matches a recompute
+    val wantSup = neu.groupBy("g", "v").agg(count(lit(1)).as("support"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sup.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet == wantSup)
+  }
+
+  test("refreshSupport: a feed deleting a row the state never held fails loudly") {
+    val prev = Seq(("g", 10L, 1L)).toDF("g", "v", "support")
+    val cdf = Seq((9L, "g", 99L, "delete")).toDF("k", "g", "v", "change_type")
+    val e = intercept[Exception] {
+      IncrementalAgg.refreshSupport(prev, cdf, Seq("g"), "v").collect()
+    }
+    assert(e.getMessage.contains("negative support"))
+  }
 }

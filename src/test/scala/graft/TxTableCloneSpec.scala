@@ -93,4 +93,17 @@ class TxTableCloneSpec extends SparkSpec {
     }
     assert(dup.getMessage.contains("already has a table log"))
   }
+
+  test("clone of a clone still resolves to the original files") {
+    val src = mkSource()
+    val mid = tmp("txc-mid") + "/t"
+    val dst = tmp("txc-deep") + "/t"
+    TxTable.shallowClone(src, mid)
+    // mid's refs are already absolute — cloning it must NOT re-prefix
+    // them (a "<mid>//<src>/..." path would break every read of dst)
+    TxTable.shallowClone(mid, dst)
+    assert(rows(dst) == rows(src))
+    assert(TxTable.snapshot(dst).allFiles ==
+      TxTable.snapshot(mid).allFiles)
+  }
 }

@@ -213,4 +213,50 @@ class TxTableMergeSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("part", "id", "value"))
     assert(readAll(path) == Set(("a", 1L, 35.0), ("a", 2L, 7.0)))
   }
+
+  test("NULL delete condition keeps the row (MERGE deletes only on TRUE)") {
+    val path = tmp("txm-nulldel") + "/t"
+    TxTable.mergeInto(spark, target(("a", 1L, 1.0), ("a", 2L, 2.0)),
+      path, partitionCol = "part", keys = K)
+    // flag is NULL for id=1's source row, TRUE for id=2's: SQL MERGE
+    // semantics delete id=2 only — a NULL predicate must not delete
+    val src = Seq(("a", 1L, 10.0, null.asInstanceOf[java.lang.Boolean]),
+        ("a", 2L, 20.0, java.lang.Boolean.TRUE))
+      .toDF("part", "id", "value", "flag")
+    TxTable.mergeInto(spark, src, path, partitionCol = "part", keys = K,
+      updateExprs = Map("value" -> col("s.value")),
+      deleteCondition = Some(col("s.flag")))
+    assert(readAll(path) == Set(("a", 1L, 10.0)))
+  }
+
+  test("mergeLatest on an evolved table keeps wider columns; narrower upsert unsets only its own rows") {
+    val path = tmp("txm-evolat") + "/t"
+    TxTable.mergeInto(spark, target(("a", 1L, 1.0), ("a", 2L, 2.0)),
+      path, partitionCol = "part", keys = K)
+    TxTable.mergeInto(spark,
+      Seq(("a", 1L, 1.0, 0.9), ("a", 2L, 2.0, 0.8))
+        .toDF("part", "id", "value", "score"),
+      path, partitionCol = "part", keys = K, mergeSchema = true,
+      updateExprs = Map("value" -> col("s.value")))
+    // a narrower last-value batch updates id=1 and inserts id=3: id=2's
+    // score must SURVIVE the partition rewrite; id=1's becomes unset
+    // (the upserted row replaces the old one entirely)
+    TxTable.mergeLatest(spark,
+      Seq(("a", 1L, 100.0), ("a", 3L, 3.0)).toDF("part", "id", "value"),
+      path, partitionCol = "part", keys = K, order = Seq("value"))
+    val got = TxTable.read(spark, path).get
+      .select("part", "id", "value", "score")
+      .as[(String, Long, Double, Option[Double])].collect().toSet
+    assert(got == Set(
+      ("a", 1L, 100.0, None),
+      ("a", 2L, 2.0, Some(0.8)),
+      ("a", 3L, 3.0, None)))
+    // a batch column the table does not declare is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      TxTable.mergeLatest(spark,
+        Seq(("a", 4L, 4.0, "x")).toDF("part", "id", "value", "mystery"),
+        path, partitionCol = "part", keys = K, order = Seq("value"))
+    }
+    assert(e.getMessage.contains("mystery"))
+  }
 }
