@@ -184,6 +184,20 @@ object ExtendedQueries {
     s"trim($chain)"
   }
 
+  /** WordPiece piece vocabulary frozen from a 16-merge
+    * [[Wordpiece.train]] run on this corpus at sf0.01 (alphabet +
+    * fused results via [[Wordpiece.trainedPieces]]) — a literal, so
+    * q222 is a pure function of the data at any SF; characters outside
+    * this alphabet become `[UNK]` identically on both engines.
+    */
+  private val wpFrozenPieces: Seq[String] =
+    ("##a,##b,##bl,##c,##ch,##d,##e,##g,##h,##i,##in,##k,##l,##m,##n," +
+      "##o,##p,##r,##s,##sh,##t,##u,##w,##y,a,ag,agg,b,bi,big,c,d,f,fi," +
+      "g,h,j,k,l,li,lin,m,o,p,q,qu,r,s,t,th,v,w,wi,win,wind").split(',').toSeq
+
+  private val wpPiecesSql: String =
+    wpFrozenPieces.map(p => s"'$p'").mkString("[", ",", "]")
+
   /** DuckDB CTEs shared by the APNG video oracles (q180–q182): the
     * synthetic fixture's canvas dims / frame count / patch dims per
     * document, and the per-frame fanout. Mirrors
@@ -1533,6 +1547,107 @@ object ExtendedQueries {
         .join(toks, col("__did") === col("doc_id")).drop("__did")
       Curation.budgetSelectFraction(scored, "score", "n_tokens", "doc_id", 2L, 5L)
         .select(col("doc_id"), col("score").cast("long").as("score"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    Q("q221_wordpiece_pair_scores",
+      // the merge-1 argmax input of WORDPIECE training
+      // (Wordpiece.train) — the second learned-tokenizer family beside
+      // BPE, whose argmax is the LIKELIHOOD score cnt/(cnt_l·cnt_r),
+      // not the raw pair count (q187). The oracle replays the ##
+      // symbol spelling, both aggregates, and the score division —
+      // one IEEE divide of exactly-representable integers, so the
+      // double is bit-identical cross-engine and the (score desc,
+      // left, right) order is replay-stable. The iterative trajectory
+      // is pinned in WordpieceSpec.
+      """WITH words AS (
+        |  SELECT w AS word, count(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) t
+        |  WHERE w <> '' GROUP BY w),
+        |syms AS (
+        |  SELECT word, c, i,
+        |    CASE WHEN i = 1 THEN substr(word, 1, 1)
+        |         ELSE '##' || substr(word, i, 1) END AS s
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) g),
+        |symcnt AS (SELECT s, CAST(sum(c) AS BIGINT) AS sc FROM syms GROUP BY s),
+        |pairs AS (
+        |  SELECT a.s AS sym_l, b.s AS sym_r, a.c
+        |  FROM syms a JOIN syms b ON b.word = a.word AND b.i = a.i + 1),
+        |pc AS (SELECT sym_l, sym_r, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM pairs GROUP BY sym_l, sym_r)
+        |SELECT p.sym_l, p.sym_r, p.cnt, l.sc AS cnt_l, r.sc AS cnt_r,
+        |  CAST(p.cnt AS DOUBLE) / CAST(l.sc * r.sc AS DOUBLE) AS score
+        |FROM pc p
+        |JOIN symcnt l ON l.s = p.sym_l
+        |JOIN symcnt r ON r.s = p.sym_r
+        |ORDER BY score DESC, sym_l, sym_r LIMIT 20""".stripMargin) { (s, d) =>
+      import graft.operators.Wordpiece
+      Wordpiece.pairScores(Wordpiece.wordVocab(t(s, d, "documents"), "text"))
+        .orderBy(col("score").desc, col("sym_l"), col("sym_r"))
+        .limit(20)
+    },
+
+    Q("q222_wordpiece_tokenize",
+      // the ENCODE side of WordPiece: greedy longest-match-first
+      // against the frozen piece vocabulary (wpFrozenPieces) — NOT a
+      // merge replay like BPE's q194; a word with an unmatchable
+      // position becomes [UNK] wholesale. The oracle replays max-munch
+      // per distinct word as a recursive CTE: each step left-joins the
+      // piece list at the current code-point position (first pieces
+      // plain, continuations via the ## prefix) and takes max_by
+      // length — ties are impossible (equal-length matches at one
+      // position are the same string). Per-doc token streams then
+      // reassemble in word order.
+      s"""WITH RECURSIVE
+        |pieces(p) AS (SELECT unnest($wpPiecesSql)),
+        |words AS (SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |    FROM documents) t
+        |  WHERE w <> ''),
+        |step(w, pos, toks, failed) AS (
+        |  SELECT w, 1, '', false FROM words
+        |  UNION ALL
+        |  SELECT t.w,
+        |    CASE WHEN t.best IS NULL THEN length(t.w) + 1
+        |         ELSE t.pos + length(t.best)
+        |              - CASE WHEN t.pos = 1 THEN 0 ELSE 2 END END,
+        |    CASE WHEN t.best IS NULL THEN '[UNK]'
+        |         WHEN t.toks = '' THEN t.best
+        |         ELSE t.toks || ' ' || t.best END,
+        |    t.best IS NULL
+        |  FROM (
+        |    SELECT s.w, s.pos, s.toks, max_by(p.p, length(p.p)) AS best
+        |    FROM step s LEFT JOIN pieces p
+        |      ON CASE WHEN s.pos = 1
+        |              THEN p.p NOT LIKE '##%'
+        |                   AND substr(s.w, 1, length(p.p)) = p.p
+        |              ELSE p.p LIKE '##%'
+        |                   AND substr(s.w, s.pos, length(p.p) - 2)
+        |                       = substr(p.p, 3) END
+        |    WHERE s.pos <= length(s.w) AND NOT s.failed
+        |    GROUP BY s.w, s.pos, s.toks) t),
+        |final AS (SELECT w, toks FROM step WHERE pos > length(w)),
+        |docw AS (
+        |  SELECT doc_id, i, ws[i] AS w FROM (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        |    FROM documents) d,
+        |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+        |  WHERE ws[i] <> ''),
+        |joined AS (
+        |  SELECT dw.doc_id, string_agg(f.toks, ' ' ORDER BY dw.i) AS alltoks
+        |  FROM docw dw JOIN final f ON f.w = dw.w GROUP BY dw.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN j.alltoks IS NULL THEN 0
+        |       ELSE len(string_split(j.alltoks, ' ')) END AS BIGINT)
+        |    AS n_tokens,
+        |  md5(coalesce(j.alltoks, '')) AS tok_md5
+        |FROM documents d LEFT JOIN joined j ON j.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Wordpiece
+      Wordpiece.tokenize(t(s, d, "documents"), "doc_id", "text", wpFrozenPieces)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
+          md5(array_join(col("tokens"), " ")).as("tok_md5"))
         .orderBy("doc_id")
     },
 
