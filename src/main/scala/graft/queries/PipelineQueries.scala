@@ -23,7 +23,12 @@ object PipelineQueries {
     * (DuckDB decimal literals would otherwise fold (1.0 - 0.85) exactly
     * while Scala computes the double 0.15000000000000002).
     */
-  private def pageRankSql(iters: Int, damping: Double): String = {
+  private def pageRankSql(
+      iters: Int,
+      damping: Double,
+      edgeSql: String =
+        "SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst FROM lineitem")
+      : String = {
     val steps = (1 to iters).map { i =>
       s"""r$i AS (
          |  SELECT n.id, (1.0::DOUBLE - $damping::DOUBLE)
@@ -34,7 +39,7 @@ object PipelineQueries {
          |  ON n.id = m.dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (
-       |  SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst FROM lineitem),
+       |  $edgeSql),
        |deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
        |c AS (SELECT e.src, e.dst, 1.0::DOUBLE / deg.deg AS w FROM e JOIN deg USING (src)),
        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
@@ -1756,6 +1761,57 @@ object PipelineQueries {
         .select(col("file_id"), col("rec_idx"), col("target_uri"),
           col("content_length"), md5(col("body")).as("body_md5"))
         .orderBy("file_id", "rec_idx")
+    },
+
+    Q("q223_web_rank",
+      // the whole crawl-to-rank path in ONE distributed plan: pages are
+      // framed into binary WARC containers (q219's recipe), the engine
+      // re-parses the containers with the Content-Length framing
+      // walker, EXTRACTS each recovered page's hrefs from its markup,
+      // resolves them to the q216 link formula's targets, and runs
+      // 5-iteration PageRank over the recovered graph. The oracle never
+      // touches bytes or HTML — it derives the identical edge list from
+      // the link-placement formula and replays the rank arithmetic in
+      // chained CTEs (the q109 recipe). At scale every stage is the
+      // shape it must be: per-container sequential parse, narrow
+      // per-row extraction, distinct-edge shuffle, join+agg per rank
+      // iteration with O(1)-deep lineage.
+      pageRankSql(iters = 5, damping = 0.85, edgeSql =
+        """SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+          |  UNION SELECT doc_id, doc_id + 1 FROM documents
+          |  UNION SELECT doc_id, (doc_id * 7) % 100 FROM documents""".stripMargin)) { (s, d) =>
+      import graft.operators.{HtmlExtract, PageRank, Warc}
+      val body = concat(
+        lit("<html><body><p>page</p><nav><a href=\"/doc/"), col("doc_id") - 1,
+        lit("\">prev</a><a href=\"/doc/"), col("doc_id") + 1,
+        lit("\">next</a><a href=\"/doc/"), (col("doc_id") * 7) % 100,
+        lit("\">hub</a></nav></body></html>"))
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "http://corpus.example/doc/"), col("doc_id"),
+        lit("\r\nWARC-Date: 2024-06-01T00:00:00Z\r\nContent-Length: "),
+        octet_length(col("body")),
+        lit("\r\n\r\n"), col("body"), lit("\r\n\r\n"))
+      val containers = t(s, d, "documents")
+        .withColumn("body", body)
+        .withColumn("rec", rec)
+        .groupBy((col("doc_id") % 37).as("file_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec")), "").as("warc"))
+        .select(col("file_id"), encode(col("warc"), "utf-8").as("blob"))
+      val edges = Warc.records(containers, "file_id", "blob")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("src"),
+          explode(HtmlExtract.htmlLinks(col("body"))).as("link"))
+        .select(col("src"),
+          regexp_extract(col("link"), "/doc/(-?\\d+)", 1)
+            .cast("long").as("dst"))
+        .distinct()
+      PageRank.pageRank(edges, iters = 5, damping = 0.85)
+        .select(col("id"), round(col("pr"), 6).as("pagerank"))
+        .orderBy("id")
     },
 
     Q("q217_gopher_quality",
