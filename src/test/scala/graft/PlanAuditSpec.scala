@@ -662,4 +662,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(!body.contains("Arguments: hashpartitioning"),
       s"chunking itself must not shuffle:\n$p")
   }
+
+  test("q220: the support refresh is ONE full-outer join; deltas partial-aggregate") {
+    val sp = SparkEntry.queries("q220_incremental_distinct")(spark, sf)
+      .queryExecution.sparkPlan
+    val fullOuters = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType.toString == "FullOuter" => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType.toString == "FullOuter" => j
+    }
+    // two by construction: the q220 fixture DERIVES its CDF from an
+    // old-vs-new snapshot diff (one full-outer), and the refresh merges
+    // state with deltas (the second). A production refresh reads the
+    // CDF from the table log and pays only the second.
+    assert(fullOuters.size == 2,
+      s"CDF diff + state merge = exactly two full-outers, got ${fullOuters.size}:\n$sp")
+    val p = plan("q220_incremental_distinct")
+    assert(p.contains("partial_sum"),
+      s"signed deltas must combine map-side (one row per affected (group, value)):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product joins in the refresh:\n$p")
+  }
+
+  test("q221: both symbol-count joins broadcast; pair counts partial-aggregate") {
+    val p = plan("q221_wordpiece_pair_scores")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"symcnt joins must broadcast (alphabet-sized side):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join against the alphabet-sized count tables:\n$p")
+    assert(p.contains("partial_sum"),
+      s"pair counts must combine map-side:\n$p")
+  }
+
+  test("q222: wordpiece encode is a narrow per-row pass — no shuffle before the sort") {
+    val p = plan("q222_wordpiece_tokenize")
+    val body = p.substring(0, math.max(0, p.indexOf("Sort"))) match {
+      case "" => p
+      case pre => pre
+    }
+    assert(!body.contains("Arguments: hashpartitioning"),
+      s"greedy encode must not shuffle (piece set rides the closure):\n$p")
+  }
+
+  test("q223: crawl-to-rank ends lineage-truncated — iteration depth never compounds") {
+    // the rank loop checkpoints per iteration, so the FINAL plan must be
+    // a scan of the truncated result, not a 5-iteration join tower (the
+    // scale property: iteration k's plan cost is O(1), not O(k))
+    val p = plan("q223_web_rank")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected checkpoint-truncated lineage:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no join tower may survive into the final plan:\n$p")
+  }
 }
