@@ -1963,6 +1963,34 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     },
 
+    Q("q224_selection_median",
+      // the THIRD point on the percentile cost curve: q45's exact
+      // percentile buffers every group value in one task (OOM at 100 TB
+      // group sizes), q57's sketch is approximate — this is EXACT with
+      // O(1) executor memory: Selection.kthSmallestByGroup bisects the
+      // VALUE DOMAIN, one map-side-combined count pass per round,
+      // ~log2(range) rounds, driver state O(#groups). The oracle pins
+      // the same order statistic (k = ⌈n/2⌉, the lower median) via an
+      // explicit row_number — unambiguous under ties, no interpolation.
+      """SELECT l_returnflag, v AS median_cents FROM (
+        |  SELECT l_returnflag, v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM (SELECT l_returnflag,
+        |          CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |        FROM lineitem))
+        |WHERE rn = (n + 1) // 2
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import graft.operators.Selection
+      Selection.kthSmallestByGroup(
+          t(s, d, "lineitem")
+            .select(col("l_returnflag"),
+              round(col("l_extendedprice") * 100).cast("long").as("v")),
+          "l_returnflag", "v")
+        .select(col("l_returnflag"), col("kth").as("median_cents"))
+        .orderBy("l_returnflag")
+    },
+
     Q.noOracle("q57_approx_percentiles") { (s, d) =>
       // approx_percentile (bounded-memory sketch per group) — the scale
       // path for q45's exact percentile, which buffers all group values;
