@@ -223,4 +223,82 @@ object IncrementalAgg {
       rowsCol: String = "n_rows"): DataFrame =
     support.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as(ndCol), sum(col(supCol)).as(rowsCol))
+
+  /** The groups whose maintained top-k (largest values, multiset
+    * semantics) CANNOT be repaired from the feed alone: a
+    * delete/update_preimage at or above the maintained k-th value may
+    * remove a top-k member (ties included — the removed row may be a
+    * duplicate of the cut value), a group the state does not know has
+    * no baseline, and a state holding fewer than k values has EVERY
+    * row in its top-k. Deletions strictly below the cut cannot enter
+    * the top-k and stay feed-only — the [[minMaxRescanKeys]] argument,
+    * generalized from k = 1.
+    */
+  def topKRescanKeys(
+      prevAgg: DataFrame,
+      cdf: DataFrame,
+      groupCols: Seq[String],
+      valCol: String,
+      k: Int,
+      tkCol: String = "topk"): DataFrame = {
+    val removed = cdf
+      .filter(col("change_type").isin("delete", "update_preimage"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col(valCol)).as("__rmx"))
+    removed.join(prevAgg.select((groupCols.map(col) :+
+        col(tkCol).as("__tk")): _*), groupCols, "left")
+      .filter(col("__tk").isNull || size(col("__tk")) < k ||
+        col("__rmx") >= element_at(col("__tk"), k))
+      .select(groupCols.map(col): _*)
+  }
+
+  /** Maintain the per-group top-k largest `valCol` values (a sorted-
+    * descending array, multiset semantics) from a change data feed,
+    * rescanning ONLY the groups a deletion at the cut invalidates
+    * ([[topKRescanKeys]]); every other group merges monotonically —
+    * the batch's own top-k unions into the maintained array and the
+    * merge re-cuts at k. Both the per-batch and the rescan top-k cuts
+    * go through a row_number window (never a whole-group collect), so
+    * executor memory stays O(k) and the rescan cost is O(rows of
+    * affected groups). Any orderable value type works — top-k never
+    * adds, exactly like min/max.
+    *
+    * @param newBase the POST-change base relation (rescans read the
+    *                affected groups from here via one semi-join)
+    * @return groupCols ++ tkCol (ARRAY, length ≤ k, sorted descending);
+    *         emptied groups disappear (their rescan finds nothing).
+    */
+  def refreshTopK(
+      prevAgg: DataFrame,
+      cdf: DataFrame,
+      newBase: DataFrame,
+      groupCols: Seq[String],
+      valCol: String,
+      k: Int,
+      tkCol: String = "topk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    def topkOf(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col(valCol).desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .groupBy(groupCols.map(col): _*)
+        .agg(slice(sort_array(collect_list(col(valCol)), asc = false),
+          1, k).as(tkCol))
+    }
+    val rescanKeys = topKRescanKeys(prevAgg, cdf, groupCols, valCol, k, tkCol)
+    val rescanned = topkOf(newBase.join(rescanKeys, groupCols, "left_semi"))
+    val added = topkOf(cdf
+        .filter(col("change_type").isin("insert", "update_postimage")))
+      .withColumnRenamed(tkCol, "__add")
+    val empty = array().cast(prevAgg.schema(tkCol).dataType)
+    val monotonic = prevAgg.join(added, groupCols, "full_outer")
+      .join(rescanKeys.withColumn("__r", lit(true)), groupCols, "left")
+      .filter(col("__r").isNull)
+      .select((groupCols.map(col) :+
+        slice(sort_array(concat(coalesce(col(tkCol), empty),
+          coalesce(col("__add"), empty)), asc = false), 1, k).as(tkCol)): _*)
+    monotonic.unionByName(rescanned)
+  }
 }

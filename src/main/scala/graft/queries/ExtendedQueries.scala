@@ -1943,6 +1943,53 @@ object ExtendedQueries {
         .orderBy("o_orderpriority")
     },
 
+    Q("q225_incremental_topk",
+      // the FOURTH IVM algebra: per-group top-k (multiset of the k
+      // largest values) maintained from the change feed —
+      // IncrementalAgg.refreshTopK generalizes the min/max rescan
+      // argument to k: only a delete AT OR ABOVE the maintained cut
+      // (ties included), an unknown group, or an under-full state
+      // forces a rescan of that group; everything else merges the
+      // batch's own top-k monotonically. Values are exact cents; the
+      // oracle recomputes the top-3 from the new snapshot — maintained
+      // state == full recompute IS the claim, and with %89 deletes
+      // across 5 priorities, deletes above the cut occur at this scale.
+      """WITH newsnap AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(CASE WHEN o_orderkey % 101 = 0
+        |         THEN o_totalprice + 1 ELSE o_totalprice END * 100)
+        |      AS BIGINT) AS v
+        |  FROM orders WHERE o_orderkey % 89 <> 0)
+        |SELECT o_orderpriority,
+        |  array_to_string(list_slice(list(v ORDER BY v DESC), 1, 3), ',')
+        |    AS topk
+        |FROM newsnap GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      import graft.operators.{IncrementalAgg, Snapshot}
+      val orders = t(s, d, "orders")
+      def snap(mod: Int, bump: Boolean) = {
+        val base = orders.filter(col("o_orderkey") % mod =!= 0)
+        val price = if (bump)
+          when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice"))
+        else col("o_totalprice")
+        base.select(col("o_orderkey"), col("o_orderpriority"),
+          round(price * 100).cast("long").as("v"))
+      }
+      val oldSnap = snap(97, bump = false)
+      val newSnap = snap(89, bump = true)
+      val prev = oldSnap.groupBy("o_orderpriority")
+        .agg(slice(sort_array(collect_list(col("v")), asc = false), 1, 3)
+          .as("topk"))
+      val cdf = Snapshot.changeDataFeed(oldSnap, newSnap, "o_orderkey",
+        Seq("o_orderpriority", "v"))
+      IncrementalAgg.refreshTopK(prev, cdf, newSnap,
+          Seq("o_orderpriority"), "v", 3)
+        .select(col("o_orderpriority"),
+          array_join(col("topk"), ",").as("topk"))
+        .orderBy("o_orderpriority")
+    },
+
     // ------------------------------------ additional relational cover
     Q("q45_percentiles",
       """SELECT l_returnflag,

@@ -189,4 +189,55 @@ class IncrementalAggSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("negative support"))
   }
+
+  private def topkState(rows: (String, Seq[Long])*) =
+    rows.toDF("g", "topk")
+
+  test("refreshTopK: interior delete merges; delete at the cut rescans; == recompute") {
+    // a: top3 = [9,7,5]; delete the 3 (below the cut: NO rescan) and
+    //    insert 8 (monotonic merge) → [9,8,7]
+    // b: top3 = [6,6,4]; delete ONE duplicate of the 6 AT THE CUT? the
+    //    cut is 4; delete the 4 (== kth: rescan) → [6,6,2]
+    val old = Seq((1L, "a", 9L), (2L, "a", 7L), (3L, "a", 5L), (4L, "a", 3L),
+      (5L, "b", 6L), (6L, "b", 6L), (7L, "b", 4L), (8L, "b", 2L))
+      .toDF("k", "g", "v")
+    val neu = Seq((1L, "a", 9L), (2L, "a", 7L), (3L, "a", 5L), (9L, "a", 8L),
+      (5L, "b", 6L), (6L, "b", 6L), (8L, "b", 2L))
+      .toDF("k", "g", "v")
+    val prev = topkState("a" -> Seq(9L, 7L, 5L), "b" -> Seq(6L, 6L, 4L))
+    val cdf = Snapshot.changeDataFeed(old, neu, "k")
+    // only b needs the rescan
+    assert(IncrementalAgg.topKRescanKeys(prev, cdf, Seq("g"), "v", 3)
+      .as[String].collect().toSeq == Seq("b"))
+    val got = IncrementalAgg.refreshTopK(prev, cdf, neu, Seq("g"), "v", 3)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got == Map("a" -> Seq(9L, 8L, 7L), "b" -> Seq(6L, 6L, 2L)))
+  }
+
+  test("refreshTopK: under-full state, group birth and group death") {
+    // a holds only 2 values (< k): any delete rescans; c is new; b dies
+    val old = Seq((1L, "a", 5L), (2L, "a", 3L), (3L, "b", 8L)).toDF("k", "g", "v")
+    val neu = Seq((1L, "a", 5L), (4L, "c", 1L), (5L, "c", 2L)).toDF("k", "g", "v")
+    val prev = topkState("a" -> Seq(5L, 3L), "b" -> Seq(8L))
+    val cdf = Snapshot.changeDataFeed(old, neu, "k")
+    val got = IncrementalAgg.refreshTopK(prev, cdf, neu, Seq("g"), "v", 3)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got == Map("a" -> Seq(5L), "c" -> Seq(2L, 1L)))
+  }
+
+  test("refreshTopK: repeated refresh composes and equals direct recompute") {
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("g").agg(slice(sort_array(collect_list(col("v")),
+        asc = false), 1, 2).as("topk"))
+    val v1 = Seq((1L, "g", 10L), (2L, "g", 20L), (3L, "g", 30L)).toDF("k", "g", "v")
+    val v2 = Seq((1L, "g", 10L), (3L, "g", 35L), (4L, "g", 5L)).toDF("k", "g", "v")
+    val v3 = Seq((3L, "g", 35L), (4L, "g", 5L), (5L, "g", 40L)).toDF("k", "g", "v")
+    val s1 = topk(v1)
+    val s2 = IncrementalAgg.refreshTopK(s1,
+      Snapshot.changeDataFeed(v1, v2, "k"), v2, Seq("g"), "v", 2)
+    val s3 = IncrementalAgg.refreshTopK(s2,
+      Snapshot.changeDataFeed(v2, v3, "k"), v3, Seq("g"), "v", 2)
+    assert(s3.as[(String, Seq[Long])].collect().toMap ==
+      topk(v3).as[(String, Seq[Long])].collect().toMap)
+  }
 }
