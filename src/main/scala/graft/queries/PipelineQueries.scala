@@ -208,6 +208,55 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     },
 
+    Q("q226_txtable_restore",
+      // RESTORE end to end — the bad-deploy rollback lifecycle: orders
+      // lands in a TxTable (v0), a "bad" batch overwrites every %13
+      // order's date and inserts junk rows (v1), restore(v0) rolls the
+      // table back AS A COMMIT (v2, nothing copied or deleted), and one
+      // more good merge lands on top (v3). The read must equal a source
+      // that never saw the bad batch — which is this oracle. The bad
+      // batch is provably gone AND still auditable one time-travel hop
+      // away (TxTableRestoreSpec pins the history side).
+      """WITH good AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN DATE '2030-01-01'
+        |         ELSE o_orderdate END AS o_orderdate
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(max(o_orderdate) AS TIMESTAMP) AS max_date
+        |FROM good GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      import graft.streaming.TxTable
+      val table = Q.scratchDir("graft-q226") + "/orders_tx"
+      val orders = t(s, d, "orders").select(
+        col("o_orderstatus"), col("o_orderkey"), col("o_orderdate"))
+      val v0 = TxTable.mergeLatest(s, orders, table,
+        partitionCol = "o_orderstatus",
+        keys = Seq("o_orderstatus", "o_orderkey"), order = Seq("o_orderdate"))
+      // the bad batch: corrupts %13 dates (future-dated, so the
+      // last-value merge really takes them) and inserts junk keys
+      TxTable.mergeLatest(s,
+        orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderdate", to_date(lit("2040-12-31")))
+          .unionByName(orders.limit(5)
+            .withColumn("o_orderkey", col("o_orderkey") + 900000000L)),
+        table, partitionCol = "o_orderstatus",
+        keys = Seq("o_orderstatus", "o_orderkey"), order = Seq("o_orderdate"))
+      TxTable.restore(table, v0)
+      // life goes on: a legitimate update on top of the restored state
+      TxTable.mergeLatest(s,
+        orders.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_orderdate", to_date(lit("2030-01-01"))),
+        table, partitionCol = "o_orderstatus",
+        keys = Seq("o_orderstatus", "o_orderkey"), order = Seq("o_orderdate"))
+      TxTable.read(s, table).get
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_okey"),
+          max(col("o_orderdate")).cast("timestamp").as("max_date"))
+        .orderBy("o_orderstatus")
+    },
+
     Q("q108_neardup_removal",
       // End-to-end near-duplicate REMOVAL: MinHash-LSH pairs (the q34
       // pipeline) → connected components (log-round pointer jumping) →

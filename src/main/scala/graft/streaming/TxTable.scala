@@ -1148,6 +1148,59 @@ object TxTable {
     0L
   }
 
+  /** Roll the table back to `version` as a NEW commit (Delta's
+    * RESTORE): the current snapshot's file refs are removed, `version`'s
+    * refs re-added with their recorded stats, and the schema declaration
+    * reverts to `version`'s when it had one. Nothing is copied or
+    * deleted — both states' files stay on disk, so time travel ACROSS
+    * the restore keeps working, the restore itself is time-travelable,
+    * and the re-added refs are live again for vacuum purposes.
+    *
+    * Refused when any of `version`'s data dirs has already been
+    * vacuumed — a restore to dangling refs would poison every read.
+    * (The check races an in-flight vacuum by nature; restore promptly
+    * after deciding, not hours later.) CHECK constraints survive
+    * unchanged and are NOT re-validated against the restored rows (they
+    * were committed under `version`'s rules; constraints gate FUTURE
+    * writes). A restore to a PRE-evolution version keeps the current
+    * declared schema if that version declared none — the restored rows
+    * are identical, read through the wider all-nullable declaration
+    * (the same contract as time-travel reads after evolution).
+    *
+    * Returns the committed version (or the current version unchanged if
+    * it already equals `version`).
+    */
+  def restore(tablePath: String, version: Long, maxRetries: Int = 50): Long = {
+    val target = snapshotAt(tablePath, version)
+    require(target.allFiles.nonEmpty,
+      s"cannot restore $tablePath to version $version: empty state")
+    val missing = target.allFiles
+      .filterNot(f => new File(resolveRef(tablePath, f)).exists())
+    require(missing.isEmpty,
+      s"cannot restore to version $version: ${missing.size} data dirs " +
+        s"were vacuumed (first: ${missing.head})")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val snap = snapshot(tablePath)
+      if (snap.version == version) return version
+      val lines = Seq(s"op\trestore\tto\t$version") ++
+        snap.allFiles.map(f => s"remove\t$f") ++
+        target.filesByPartition.toSeq.sortBy(_._1).flatMap { case (p, fs) =>
+          fs.map(f => addLine(p, f, target.statsByFile.getOrElse(f, "")))
+        } ++
+        target.schemaJson.map(j => s"schema\t${StatsCodec.escField(j)}").toSeq
+      try {
+        publishCommit(tablePath, snap.version + 1, lines)
+        maybeCheckpoint(tablePath, snap.version + 1)
+        return snap.version + 1
+      } catch {
+        case _: FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"restore lost $maxRetries consecutive commit races on $tablePath")
+  }
+
   /** Enforce the snapshot's CHECK constraints on rows about to be
     * written: SQL CHECK semantics — a row violates iff the expression
     * evaluates to FALSE (NULL passes). One aggregation action over the
