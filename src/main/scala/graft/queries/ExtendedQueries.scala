@@ -198,6 +198,50 @@ object ExtendedQueries {
   private val wpPiecesSql: String =
     wpFrozenPieces.map(p => s"'$p'").mkString("[", ",", "]")
 
+  /** DuckDB replay of [[Wordpiece.tokenize]] under [[wpFrozenPieces]]:
+    * greedy max-munch per distinct word as a recursive CTE (LEFT JOIN
+    * the piece list at the cursor — first pieces plain, continuations
+    * via the ## prefix — and take max_by length; ties impossible), plus
+    * the per-doc word fanout. Shared by q222 (token streams) and q227
+    * (vocab-coverage audit). Use after `WITH RECURSIVE`; exposes
+    * `final(w, toks)` and `docw(doc_id, i, w)`.
+    */
+  private val wpEncodeCtes: String =
+    s"""pieces(p) AS (SELECT unnest($wpPiecesSql)),
+      |words AS (SELECT DISTINCT w FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      |    FROM documents) t
+      |  WHERE w <> ''),
+      |step(w, pos, toks, failed) AS (
+      |  SELECT w, 1, '', false FROM words
+      |  UNION ALL
+      |  SELECT t.w,
+      |    CASE WHEN t.best IS NULL THEN length(t.w) + 1
+      |         ELSE t.pos + length(t.best)
+      |              - CASE WHEN t.pos = 1 THEN 0 ELSE 2 END END,
+      |    CASE WHEN t.best IS NULL THEN '[UNK]'
+      |         WHEN t.toks = '' THEN t.best
+      |         ELSE t.toks || ' ' || t.best END,
+      |    t.best IS NULL
+      |  FROM (
+      |    SELECT s.w, s.pos, s.toks, max_by(p.p, length(p.p)) AS best
+      |    FROM step s LEFT JOIN pieces p
+      |      ON CASE WHEN s.pos = 1
+      |              THEN p.p NOT LIKE '##%'
+      |                   AND substr(s.w, 1, length(p.p)) = p.p
+      |              ELSE p.p LIKE '##%'
+      |                   AND substr(s.w, s.pos, length(p.p) - 2)
+      |                       = substr(p.p, 3) END
+      |    WHERE s.pos <= length(s.w) AND NOT s.failed
+      |    GROUP BY s.w, s.pos, s.toks) t),
+      |final AS (SELECT w, toks FROM step WHERE pos > length(w)),
+      |docw AS (
+      |  SELECT doc_id, i, ws[i] AS w FROM (
+      |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      |    FROM documents) d,
+      |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+      |  WHERE ws[i] <> '')""".stripMargin
+
   /** DuckDB CTEs shared by the APNG video oracles (q180–q182): the
     * synthetic fixture's canvas dims / frame count / patch dims per
     * document, and the per-frame fanout. Mirrors
@@ -1600,40 +1644,7 @@ object ExtendedQueries {
       // position are the same string). Per-doc token streams then
       // reassemble in word order.
       s"""WITH RECURSIVE
-        |pieces(p) AS (SELECT unnest($wpPiecesSql)),
-        |words AS (SELECT DISTINCT w FROM (
-        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-        |    FROM documents) t
-        |  WHERE w <> ''),
-        |step(w, pos, toks, failed) AS (
-        |  SELECT w, 1, '', false FROM words
-        |  UNION ALL
-        |  SELECT t.w,
-        |    CASE WHEN t.best IS NULL THEN length(t.w) + 1
-        |         ELSE t.pos + length(t.best)
-        |              - CASE WHEN t.pos = 1 THEN 0 ELSE 2 END END,
-        |    CASE WHEN t.best IS NULL THEN '[UNK]'
-        |         WHEN t.toks = '' THEN t.best
-        |         ELSE t.toks || ' ' || t.best END,
-        |    t.best IS NULL
-        |  FROM (
-        |    SELECT s.w, s.pos, s.toks, max_by(p.p, length(p.p)) AS best
-        |    FROM step s LEFT JOIN pieces p
-        |      ON CASE WHEN s.pos = 1
-        |              THEN p.p NOT LIKE '##%'
-        |                   AND substr(s.w, 1, length(p.p)) = p.p
-        |              ELSE p.p LIKE '##%'
-        |                   AND substr(s.w, s.pos, length(p.p) - 2)
-        |                       = substr(p.p, 3) END
-        |    WHERE s.pos <= length(s.w) AND NOT s.failed
-        |    GROUP BY s.w, s.pos, s.toks) t),
-        |final AS (SELECT w, toks FROM step WHERE pos > length(w)),
-        |docw AS (
-        |  SELECT doc_id, i, ws[i] AS w FROM (
-        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-        |    FROM documents) d,
-        |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
-        |  WHERE ws[i] <> ''),
+        |$wpEncodeCtes,
         |joined AS (
         |  SELECT dw.doc_id, string_agg(f.toks, ' ' ORDER BY dw.i) AS alltoks
         |  FROM docw dw JOIN final f ON f.w = dw.w GROUP BY dw.doc_id)
@@ -1649,6 +1660,45 @@ object ExtendedQueries {
         .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
           md5(array_join(col("tokens"), " ")).as("tok_md5"))
         .orderBy("doc_id")
+    },
+
+    Q("q227_vocab_coverage",
+      // tokenizer-fairness audit #2 (with q210's fertility): per-language
+      // VOCAB COVERAGE under the frozen WordPiece pieces — the fraction
+      // of words that fall out of the vocabulary entirely ([UNK]). An
+      // UNK word yields exactly one token, so the engine counts [UNK]
+      // tokens per doc; the oracle counts UNK words through the shared
+      // max-munch replay. Integer counts + one exact division keep the
+      // compare bit-stable.
+      s"""WITH RECURSIVE
+        |$wpEncodeCtes,
+        |wl AS (
+        |  SELECT d.lang, f.toks
+        |  FROM docw dw
+        |  JOIN documents d ON d.doc_id = dw.doc_id
+        |  JOIN final f ON f.w = dw.w)
+        |SELECT lang, count(*)::BIGINT AS n_words,
+        |  CAST(count(*) FILTER (WHERE toks = '[UNK]') AS BIGINT) AS n_unk,
+        |  round(count(*) FILTER (WHERE toks = '[UNK]')::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS unk_rate
+        |FROM wl GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import graft.operators.Wordpiece
+      val docs = t(s, d, "documents")
+      val unk = Wordpiece.tokenize(docs, "doc_id", "text", wpFrozenPieces)
+        .select(col("doc_id").as("__did"),
+          size(filter(col("tokens"), x => x === lit(Wordpiece.Unk)))
+            .cast("long").as("n_unk"))
+      docs
+        .select(col("doc_id"), col("lang"),
+          size(filter(split(trim(col("text")), "\\s+"),
+            w => length(w) > 0)).cast("long").as("n_words"))
+        .join(unk, col("__did") === col("doc_id")).drop("__did")
+        .groupBy("lang")
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_unk")).as("n_unk"),
+          round(sum(col("n_unk")).cast("double")
+            / sum(col("n_words")).cast("double"), 6).as("unk_rate"))
+        .orderBy("lang")
     },
 
     Q("q210_tokenizer_fertility",
