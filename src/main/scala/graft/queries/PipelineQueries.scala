@@ -179,6 +179,46 @@ object PipelineQueries {
         .orderBy("o_orderkey")
     },
 
+    Q("q228_txtable_bloom_lookup",
+      // BLOOM data skipping end to end — the point-lookup case range
+      // stats cannot touch: orders lands as LSM delta files whose
+      // o_orderkey ranges ALL span the whole key space (arrival order,
+      // not key order — the realistic ingest layout), addBlooms records
+      // a per-file bloom on o_orderkey as a metadata-only commit, and
+      // the point reads prune on definite bloom misses
+      // (TxTableStatsSpec pins files-opened < total). The bloom is a
+      // conservative pre-filter, so after the exact row filter the
+      // probed keys must hash-match DuckDB's plain scan — this oracle.
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey IN (32, 4711, 29443)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import graft.streaming.TxTable
+      val table = Q.scratchDir("graft-q228") + "/orders_bloom"
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("part", lit("all"))
+      // 4 arrival-order delta slices: every file's key range spans ~all
+      (0L until 4L).foreach { b =>
+        TxTable.upsertDelta(s, orders.filter(col("o_orderkey") % 4 === b),
+          table, partitionCol = "part",
+          keys = Seq("part", "o_orderkey"), order = Seq("o_totalprice"))
+      }
+      TxTable.addBlooms(s, table, Seq("o_orderkey"),
+        expectedItems = 5000L, fpp = 0.01)
+      val keys = Seq(32L, 4711L, 29443L)
+      keys.map { k =>
+        TxTable.readMerged(s, table, keys = Seq("part", "o_orderkey"),
+            order = Seq("o_totalprice"),
+            pruneBy = Seq(TxTable.ColRange("o_orderkey", Some(k), Some(k))))
+          .map(_.filter(col("o_orderkey") === k))
+      }.collect { case Some(df) => df }
+        .reduceOption(_ unionByName _)
+        .getOrElse(orders.limit(0))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
     Q("q203_txtable_delete",
       // keyed DELETE end to end — the right-to-be-forgotten lifecycle:
       // orders lands in a TxTable (partitioned by status), every

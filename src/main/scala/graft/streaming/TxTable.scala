@@ -141,13 +141,31 @@ object TxTable {
       constraints: Map[String, String] = Map.empty,
       schemaJson: Option[String] = None)
 
+  /** Stats-map key suffix for a column's per-file Bloom filter. */
+  private[graft] val BloomSuffix = "#bloom"
+
+  /** Decode a 'B' stats entry back into a Bloom filter; None on any
+    * malformation (conservative: an undecodable bloom prunes nothing).
+    */
+  private[graft] def decodeBloom(cs: ColStats): Option[org.apache.spark.util.sketch.BloomFilter] =
+    if (cs.typ != 'B') None
+    else try {
+      Some(org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(cs.min))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Should a file with `stats` survive `pruneBy`? Conservative in every
     * uncertain direction: no stats / no parse / unknown column → keep.
+    * A POINT range (lower == upper) additionally consults the column's
+    * per-file Bloom filter when one was recorded ([[addBlooms]]): a
+    * definite miss prunes the file even when its [min, max] spans the
+    * value — the high-cardinality case where range stats prune nothing.
     */
   private[graft] def keepByStats(
       stats: Map[String, ColStats], pruneBy: Seq[ColRange]): Boolean =
     pruneBy.forall { r =>
-      stats.get(r.column).forall { cs =>
+      val rangeOk = stats.get(r.column).forall { cs =>
         def cmp(a: String, b: String): Option[Int] = cs.typ match {
           case 'S' => Some(a.compareTo(b))
           case _ =>
@@ -160,6 +178,14 @@ object TxTable {
           cmp(cs.min, up.toString).forall(_ <= 0))
         aboveLower && belowUpper
       }
+      val bloomOk = (r.lower, r.upper) match {
+        case (Some(lo), Some(up)) if lo == up =>
+          stats.get(r.column + BloomSuffix)
+            .flatMap(decodeBloom)
+            .forall(_.mightContainString(lo.toString))
+        case _ => true
+      }
+      rangeOk && bloomOk
     }
 
   /** Sentinel for "record stats for every eligible top-level column" —
@@ -1199,6 +1225,82 @@ object TxTable {
     }
     throw new IllegalStateException(
       s"restore lost $maxRetries consecutive commit races on $tablePath")
+  }
+
+  /** Record per-file BLOOM FILTERS for `cols` as a metadata-only commit
+    * — point-lookup data skipping for high-cardinality columns whose
+    * [min, max] ranges span every probe (a uniformly-distributed id
+    * column prunes NOTHING by range: every file's range contains every
+    * key; its bloom rejects ~(1-fpp) of the files it does not hold).
+    * Delta's bloom-filter-index idea on this log: values go in as their
+    * CAST-TO-STRING form (the same canonical domain the range stats
+    * use), reads test point `ColRange`s against them automatically in
+    * [[keepByStats]], and a definite miss prunes the file.
+    *
+    * No data is rewritten — the commit re-adds the SAME refs with
+    * augmented stats (replay's add overwrites), so the pass composes
+    * with time travel, restore and vacuum, and is as off-hot-path as
+    * `compact`. Cost: one scan job per live file (content-immutable
+    * refs mean a bloom computed once stays valid until the file is
+    * rewritten — a later rewrite simply drops it, conservative). Size
+    * the filter to the file: ~1.2 bytes/item at the default 3% fpp
+    * ride each add line — size `expectedItems` to rows-per-file, not
+    * the table.
+    *
+    * Returns the committed version (unchanged when nothing to record).
+    */
+  def addBlooms(
+      spark: SparkSession,
+      tablePath: String,
+      cols: Seq[String],
+      expectedItems: Long = 20000L,
+      fpp: Double = 0.03,
+      maxRetries: Int = 50): Long = {
+    require(cols.nonEmpty, "addBlooms needs at least one column")
+    val snap0 = snapshot(tablePath)
+    val bloomsByFile: Map[String, Map[String, ColStats]] =
+      snap0.allFiles.map { f =>
+        val df = spark.read.parquet(resolveRef(tablePath, f))
+        val entries = cols.flatMap { c =>
+          if (!df.columns.contains(c)) None
+          else {
+            val bf = df.select(col(c).cast("string").as("__b"))
+              .filter(col("__b").isNotNull)
+              .stat.bloomFilter("__b", expectedItems, fpp)
+            val bos = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bos)
+            Some((c + BloomSuffix) -> ColStats('B',
+              java.util.Base64.getEncoder.encodeToString(bos.toByteArray), ""))
+          }
+        }.toMap
+        f -> entries
+      }.toMap
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val snap = snapshot(tablePath)
+      // only refs still live AND unchanged since the build get blooms;
+      // their CURRENT stats merge with (never lose to) the new entries
+      val lines = Seq(s"op\taddBlooms\tcols\t${cols.mkString(",")}") ++
+        snap.filesByPartition.toSeq.sortBy(_._1).flatMap { case (p, fs) =>
+          fs.flatMap { f =>
+            bloomsByFile.get(f).filter(_.nonEmpty).map { bm =>
+              val merged =
+                StatsCodec.decode(snap.statsByFile.getOrElse(f, "")) ++ bm
+              addLine(p, f, StatsCodec.encode(merged))
+            }
+          }
+        }
+      if (lines.size == 1) return snap.version
+      try {
+        publishCommit(tablePath, snap.version + 1, lines)
+        maybeCheckpoint(tablePath, snap.version + 1)
+        return snap.version + 1
+      } catch {
+        case _: FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"addBlooms lost $maxRetries consecutive commit races on $tablePath")
   }
 
   /** Enforce the snapshot's CHECK constraints on rows about to be

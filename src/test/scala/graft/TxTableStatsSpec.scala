@@ -121,6 +121,56 @@ class TxTableStatsSpec extends SparkSpec {
     assert(pruneY.size * 2 <= total, s"y-dim skipping: ${pruneY.size} of $total")
   }
 
+  test("addBlooms: point lookups skip files range stats cannot; pruned == full") {
+    import spark.implicits._
+    val table = tmp("graft-txbloom") + "/btbl"
+    // 4 delta files, EACH spanning the whole id range (shuffled round-
+    // robin), so [min, max] prunes NOTHING for any point probe — the
+    // worst case range stats have
+    (0 until 4).foreach { b =>
+      val rows = (0 until 1000).filter(_ % 4 == b)
+        .map(i => ("p", (i * 2654435761L) % 100000L, i.toDouble))
+      TxTable.upsertDelta(spark, rows.toDF("part", "id", "v"), table,
+        partitionCol = "part", keys = Seq("part", "id"), order = Seq("v"))
+    }
+    val v = TxTable.addBlooms(spark, table, Seq("id"),
+      expectedItems = 300L, fpp = 0.01)
+    val snap = TxTable.snapshot(table)
+    assert(snap.version == v)
+    val total = snap.allFiles.size
+    assert(total == 4)
+    // stats carry BOTH the old range entry and the new bloom entry
+    snap.allFiles.foreach { f =>
+      val st = snap.statsOf(f)
+      assert(st.contains("id") && st.contains("id#bloom"), s"stats on $f: ${st.keySet}")
+    }
+    // a known id lives in exactly one file; range stats keep all 4
+    val someId = (8L * 2654435761L) % 100000L
+    val probe = Seq(ColRange("id", Some(someId), Some(someId)))
+    val selected = TxTable.selectFiles(snap, None, probe)
+    assert(selected.size < total,
+      s"bloom must beat the all-spanning ranges: ${selected.size} of $total")
+    // pruned read == full-scan filter, for a present AND an absent key
+    def rowsFor(id: Long) =
+      TxTable.readMerged(spark, table, keys = Seq("part", "id"),
+          order = Seq("v"),
+          pruneBy = Seq(ColRange("id", Some(id), Some(id)))) match {
+        case Some(df) => df.filter(col("id") === id).count()
+        case None => 0L
+      }
+    assert(rowsFor(someId) == 1L)
+    val absent = 99999999L // hashes outside the inserted set
+    assert(rowsFor(absent) == 0L)
+    // non-point ranges ignore blooms (conservative: all files kept)
+    assert(TxTable.selectFiles(snap, None,
+      Seq(ColRange("id", Some(0L), Some(100000L)))).size == total)
+    // a rewrite drops the file's bloom but stays readable and correct
+    TxTable.compact(spark, table, keys = Seq("part", "id"), order = Seq("v"))
+    val snap2 = TxTable.snapshot(table)
+    assert(snap2.allFiles.forall(f => !snap2.statsOf(f).contains("id#bloom")))
+    assert(rowsFor(someId) == 1L)
+  }
+
   // ======================= stats survival =======================
 
   test("stats survive compact, vacuum, and time travel") {
