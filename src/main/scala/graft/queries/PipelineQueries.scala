@@ -1977,6 +1977,57 @@ object PipelineQueries {
         |FROM j ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.operators.GopherFilter.signals(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    Q("q229_warc_gz",
+      // q219's container walk under CommonCrawl's ACTUAL on-disk shape:
+      // one RFC 1952 gzip member per record, members concatenated into
+      // per-file .warc.gz blobs. The engine hand-walks the member
+      // framing (magic/FLG/optional fields), inflates each member via
+      // the JDK raw-deflate codec, verifies every member's CRC32+ISIZE
+      // trailer against the inflated octets, and runs the SAME
+      // Content-Length record parser over the payload. The oracle is
+      // q219's closed form — compression must be invisible to the
+      // logical records, and md5(body) pins byte-exact recovery
+      // THROUGH the deflate round-trip.
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 37 AS file_id,
+        |    '<html><body><p>' || text || '</p></body></html>' AS body
+        |  FROM documents)
+        |SELECT file_id,
+        |  CAST(row_number() OVER (PARTITION BY file_id ORDER BY doc_id) - 1
+        |    AS INT) AS rec_idx,
+        |  'http://corpus.example/doc/' || doc_id AS target_uri,
+        |  CAST(octet_length(encode(body)) AS BIGINT) AS content_length,
+        |  md5(body) AS body_md5
+        |FROM b ORDER BY file_id, rec_idx""".stripMargin) { (s, d) =>
+      import graft.operators.Warc
+      val body = concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "http://corpus.example/doc/"), col("doc_id"),
+        lit("\r\nWARC-Date: 2024-06-01T00:00:00Z\r\nContent-Length: "),
+        octet_length(col("body")),
+        lit("\r\n\r\n"), col("body"), lit("\r\n\r\n"))
+      val gzCat = udf { recs: Seq[String] =>
+        val out = new java.io.ByteArrayOutputStream()
+        recs.foreach { r =>
+          out.write(Warc.gzipMember(r.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        out.toByteArray
+      }
+      val containers = t(s, d, "documents")
+        .withColumn("body", body)
+        .withColumn("rec", rec)
+        .groupBy((col("doc_id") % 37).as("file_id"))
+        .agg(gzCat(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec"))).as("blob"))
+      Warc.gzRecords(containers, "file_id", "blob")
+        .select(col("file_id"), col("rec_idx"), col("target_uri"),
+          col("content_length"), md5(col("body")).as("body_md5"))
+        .orderBy("file_id", "rec_idx")
     }
   )
 }

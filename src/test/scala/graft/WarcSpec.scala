@@ -75,6 +75,96 @@ class WarcSpec extends SparkSpec {
     boom(rec("http://a", "ok") + "junk", "expected WARC/1.0")
   }
 
+  // ------------------------------------------------------------ .warc.gz
+
+  private def gz(payload: String): Array[Byte] =
+    Warc.gzipMember(payload.getBytes(StandardCharsets.UTF_8))
+
+  private def gunzip(bytes: Array[Byte]): Array[Byte] =
+    Warc.gunzipMembers(7L, bytes)
+
+  test("gzip member chain inflates and parses identically to the uncompressed container") {
+    val r1 = rec("http://a", "hello world")
+    val r2 = rec("http://b", "café — résumé")
+    val plain = parse(r1 + r2)
+    val viaGz = Warc.parseAll(7L, gunzip(gz(r1) ++ gz(r2)))
+    assert(viaGz == plain)
+  }
+
+  test("a record may straddle members and a member may carry several records") {
+    val r1 = rec("http://a", "one")
+    val r2 = rec("http://b", "two")
+    val r3 = rec("http://c", "three")
+    val all = r1 + r2 + r3
+    // split mid-record-2: members and records are independent framings
+    val cut = r1.length + r2.length / 2
+    val blob = gz(all.substring(0, cut)) ++ gz(all.substring(cut))
+    assert(Warc.parseAll(7L, gunzip(blob)) == parse(all))
+  }
+
+  test("optional header fields (FEXTRA, FNAME, FCOMMENT, FHCRC, FTEXT) all walk correctly") {
+    val payload = rec("http://a", "opt fields")
+    val base = gz(payload)
+    // splice optional fields into the fixed header by hand:
+    // FTEXT|FHCRC|FEXTRA|FNAME|FCOMMENT = 0x1f
+    val extra = Array[Byte](3, 0, 'x', 'y', 'z') // XLEN=3 LE + 3 octets
+    val name = "file.warc".getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
+    val comment = "a comment".getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
+    val header = base.take(10)
+    header(3) = 0x1f.toByte
+    val preCrc = header ++ extra ++ name ++ comment
+    val crc = new java.util.zip.CRC32
+    crc.update(preCrc)
+    val hcrc = Array[Byte]((crc.getValue & 0xff).toByte,
+      ((crc.getValue >> 8) & 0xff).toByte)
+    val blob = preCrc ++ hcrc ++ base.drop(10)
+    assert(new String(gunzip(blob), StandardCharsets.UTF_8) == payload)
+  }
+
+  test("hostile gzip shapes fail loudly: magic, reserved bits, CRC, ISIZE, truncation, bomb") {
+    def boom(bytes: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException](gunzip(bytes))
+      assert(e.getMessage.contains("container 7"), e.getMessage)
+      assert(e.getMessage.contains(what), s"wanted '$what' in: ${e.getMessage}")
+    }
+    val good = gz(rec("http://a", "body"))
+    boom("not gzip at all".getBytes(StandardCharsets.US_ASCII), "bad gzip magic")
+    val badCm = good.clone(); badCm(2) = 9; boom(badCm, "unsupported gzip CM")
+    val resv = good.clone(); resv(3) = 0x80.toByte; boom(resv, "reserved gzip FLG")
+    val badCrc = good.clone()
+    badCrc(badCrc.length - 8) = (badCrc(badCrc.length - 8) ^ 0xff).toByte
+    boom(badCrc, "CRC32 mismatch")
+    val badIsize = good.clone()
+    badIsize(badIsize.length - 1) = (badIsize(badIsize.length - 1) ^ 0x7f).toByte
+    boom(badIsize, "ISIZE mismatch")
+    boom(good.take(good.length - 12), "truncated")
+    boom(good.take(8), "truncated gzip member header")
+    val flipped = good.clone()
+    flipped(12) = (flipped(12) ^ 0x55).toByte // damage the deflate stream
+    val e = intercept[IllegalArgumentException](gunzip(flipped))
+    assert(e.getMessage.contains("container 7"))
+    // decompression bomb: a member claiming/containing >256 MiB is refused
+    // before allocation runs away — build 512 MiB of zeros via deflate
+    // (compresses to ~500 KiB) and expect the guard, not an OOM
+    val bomb = Warc.gzipMember(new Array[Byte](300 << 20))
+    boom(bomb, "bomb guard")
+  }
+
+  test("gzRecords() parses .warc.gz containers distributively, equal to records()") {
+    import org.apache.spark.sql.functions.col
+    val r1 = rec("http://a/1", "one")
+    val r2 = rec("http://a/2", "two")
+    val r3 = rec("http://b/1", "three")
+    val df = Seq(
+      (1L, gz(r1) ++ gz(r2)),
+      (2L, gz(r3))).toDF("file_id", "blob")
+    val got = Warc.gzRecords(df, "file_id", "blob")
+      .select(col("file_id"), col("rec_idx"), col("target_uri"), col("body"))
+      .as[(Long, Int, String, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, 0, "http://a/1", "one"),
+      (1L, 1, "http://a/2", "two"), (2L, 0, "http://b/1", "three")))
+  }
+
   test("records() explodes binary containers distributively") {
     import org.apache.spark.sql.functions.col
     val blob1 = (rec("http://a/1", "one") + rec("http://a/2", "two"))
