@@ -2028,6 +2028,100 @@ object PipelineQueries {
         .select(col("file_id"), col("rec_idx"), col("target_uri"),
           col("content_length"), md5(col("body")).as("body_md5"))
         .orderBy("file_id", "rec_idx")
+    },
+
+    Q("q230_winnow_fingerprints",
+      // MOSS winnowing (Schleimer et al., SIGMOD 2003): per document,
+      // the rightmost-minimum md5-hash of every w=8 window of k=12
+      // char-grams over the normalized text. The engine runs an O(L)
+      // monotonic-deque pass per document (NO shuffle to fingerprint
+      // the corpus); the oracle replays the definition literally —
+      // explode windows, min per window, max(pos) among ties — and the
+      // per-doc (count, bit_xor of hashes, sum of positions) must agree
+      // exactly: any wrong selection flips the xor.
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, s, unnest(generate_series(1, length(s) - 11)) AS p
+        |  FROM n WHERE length(s) >= 12),
+        |g AS (
+        |  SELECT doc_id, p::INT AS p,
+        |    ('0x' || substr(md5(substr(s, p::INT, 12)), 1, 15))::BIGINT AS h
+        |  FROM g0),
+        |mx AS (SELECT doc_id, max(p) AS mp FROM g GROUP BY doc_id),
+        |win AS (
+        |  SELECT g.doc_id, g.p - o.off AS q, g.p, g.h
+        |  FROM g, (SELECT unnest(generate_series(0, 7)) AS off) o
+        |  WHERE g.p - o.off >= 1),
+        |fw AS (
+        |  SELECT w.* FROM win w JOIN mx USING (doc_id) WHERE w.q + 7 <= mx.mp),
+        |mn AS (SELECT doc_id, q, min(h) AS mh FROM fw GROUP BY doc_id, q),
+        |sel AS (
+        |  SELECT f.doc_id, max(f.p) AS p, f.h
+        |  FROM fw f JOIN mn ON f.doc_id = mn.doc_id AND f.q = mn.q AND f.h = mn.mh
+        |  GROUP BY f.doc_id, f.q, f.h),
+        |fp AS (SELECT DISTINCT doc_id, p, h FROM sel)
+        |SELECT doc_id, count(*)::BIGINT AS n_fp, bit_xor(h)::BIGINT AS hash_xor,
+        |  sum(p)::BIGINT AS pos_sum
+        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Winnow
+      Winnow.fingerprints(t(s, d, "documents"), "doc_id", "text", k = 12, w = 8)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          expr("bit_xor(hash)").as("hash_xor"),
+          sum(col("pos")).cast("long").as("pos_sum"))
+        .orderBy("doc_id")
+    },
+
+    Q("q231_winnow_matches",
+      // the winnowing MATCH step: document pairs sharing >= 2 distinct
+      // fingerprints after dropping grams with document frequency > 8
+      // (corpus boilerplate is noise to a match detector and an n²
+      // skew bomb to the join bucket — MOSS's own drop-too-common
+      // rule). The join buckets on the 60-bit hash but verifies the
+      // GRAM equal, so the pair set is exact, never
+      // collision-polluted. Scale shape: fingerprint narrowly, cap df,
+      // equi-join candidates only — all-pairs never appears.
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, s, unnest(generate_series(1, length(s) - 11)) AS p
+        |  FROM n WHERE length(s) >= 12),
+        |g AS (
+        |  SELECT doc_id, p::INT AS p, substr(s, p::INT, 12) AS gram,
+        |    ('0x' || substr(md5(substr(s, p::INT, 12)), 1, 15))::BIGINT AS h
+        |  FROM g0),
+        |mx AS (SELECT doc_id, max(p) AS mp FROM g GROUP BY doc_id),
+        |win AS (
+        |  SELECT g.doc_id, g.p - o.off AS q, g.p, g.h, g.gram
+        |  FROM g, (SELECT unnest(generate_series(0, 7)) AS off) o
+        |  WHERE g.p - o.off >= 1),
+        |fw AS (
+        |  SELECT w.* FROM win w JOIN mx USING (doc_id) WHERE w.q + 7 <= mx.mp),
+        |mn AS (SELECT doc_id, q, min(h) AS mh FROM fw GROUP BY doc_id, q),
+        |sel AS (
+        |  SELECT f.doc_id, max(f.p) AS p, f.h, f.gram
+        |  FROM fw f JOIN mn ON f.doc_id = mn.doc_id AND f.q = mn.q AND f.h = mn.mh
+        |  GROUP BY f.doc_id, f.q, f.h, f.gram),
+        |pd AS (SELECT DISTINCT doc_id, h, gram FROM sel),
+        |rare AS (
+        |  SELECT h, gram FROM pd GROUP BY h, gram
+        |  HAVING count(DISTINCT doc_id) <= 8),
+        |kept AS (SELECT pd.* FROM pd JOIN rare USING (h, gram))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  count(DISTINCT a.h)::BIGINT AS n_shared
+        |FROM kept a JOIN kept b
+        |  ON a.h = b.h AND a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(DISTINCT a.h) >= 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.operators.Winnow
+      val fp = Winnow.fingerprints(t(s, d, "documents"), "doc_id", "text",
+        k = 12, w = 8)
+      Winnow.matches(fp, maxDf = 8, minShared = 2)
+        .select(col("id_a"), col("id_b"), col("n_shared").cast("long"))
+        .orderBy("id_a", "id_b")
     }
   )
 }
