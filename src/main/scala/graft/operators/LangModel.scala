@@ -101,4 +101,66 @@ object LangModel {
         max("avg_logp").as("max_score"))
       .orderBy(col(langCol), col("bucket"))
   }
+
+  // ------------------------------------------------- Kneser-Ney smoothing
+
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    * the formulation in Chen & Goodman 1998 §2.7, fixed discount):
+    *
+    * {{{
+    *   P(w2|w1) = max(c(w1,w2) − D, 0) / c(w1·)
+    *            + (D · N1+(w1,·) / c(w1·)) · N1+(·,w2) / N1+(·,·)
+    * }}}
+    *
+    * The continuation distribution asks "in how many distinct contexts
+    * does w2 complete a bigram" rather than "how often does w2 occur" —
+    * the fix for the raw-MLE model's ([[bigramLogProb]]) blindness to
+    * words that are frequent only inside one collocation. Per context
+    * w1 the probabilities sum to exactly 1 over the observed
+    * continuation vocabulary (spec-pinned).
+    *
+    * Every input to the formula is an exact integer count (two hash
+    * aggregates + one count of bigram types, all map-side combining);
+    * the float arithmetic is a fixed IEEE expression tree over them, so
+    * the scores replay bit-identically in DuckDB (q232). N1+(·,·) is a
+    * one-row frame broadcast onto the probe — never a driver round trip.
+    */
+  private[graft] def knProbs(
+      df: DataFrame, idCol: String, textCol: String,
+      discount: Double): (DataFrame, DataFrame) = {
+    require(discount > 0 && discount < 1, s"discount $discount outside (0,1)")
+    val bi = bigrams(df, idCol, textCol)
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("__c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).cast("double").as("__c1"),
+      countDistinct(col("w2")).cast("double").as("__n1fw"))
+    val cont = bi.groupBy("w2").agg(countDistinct(col("w1")).cast("double").as("__n1bw"))
+    val types = c12.agg(count(lit(1)).cast("double").as("__t"))
+    val d = lit(discount)
+    val scored = bi
+      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("__p",
+        greatest(col("__c12") - d, lit(0.0)) / col("__c1") +
+          ((d * col("__n1fw")) / col("__c1")) * (col("__n1bw") / col("__t")))
+    (scored, bi)
+  }
+
+  /** Mean interpolated-KN bigram log-probability per document — the
+    * [[bigramLogProb]] quality score under a real smoothed model.
+    * Output: (idCol, n_bigrams, avg_kn_logp rounded to 6 dp).
+    */
+  def kneserNeyLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75,
+      scoreFilter: org.apache.spark.sql.Column = null): DataFrame = {
+    val (scored, _) = knProbs(df, idCol, textCol, discount)
+    val probe = if (scoreFilter == null) scored else scored.filter(scoreFilter)
+    probe
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("__p"))), 6).as("avg_kn_logp"))
+  }
 }

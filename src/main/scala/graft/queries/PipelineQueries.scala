@@ -2122,6 +2122,37 @@ object PipelineQueries {
       Winnow.matches(fp, maxDf = 8, minShared = 2)
         .select(col("id_a"), col("id_b"), col("n_shared").cast("long"))
         .orderBy("id_a", "id_b")
+    },
+
+    Q("q232_kneser_ney_score",
+      // q105's quality scorer under a REAL smoothed model: interpolated
+      // Kneser-Ney (fixed D=0.75) — absolute discounting plus the
+      // continuation distribution N1+(·,w2)/N1+(·,·), the Chen-Goodman
+      // formulation. Every formula input is an exact integer count and
+      // the float combination is the same IEEE expression tree on both
+      // engines; avg(ln ·) rounds to 6 dp (q105 rule). Train on all,
+      // score the doc_id < 200 batch.
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bi AS (
+        |  SELECT doc_id, toks[__i] AS w1, toks[__i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS __i
+        |        FROM w WHERE len(toks) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*)::DOUBLE AS __c12 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*)::DOUBLE AS __c1,
+        |         count(DISTINCT w2)::DOUBLE AS __n1fw FROM bi GROUP BY w1),
+        |cont AS (SELECT w2, count(DISTINCT w1)::DOUBLE AS __n1bw FROM bi GROUP BY w2),
+        |t AS (SELECT count(*)::DOUBLE AS __t FROM c12)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln(
+        |    greatest(__c12 - 0.75::DOUBLE, 0.0::DOUBLE) / __c1
+        |      + ((0.75::DOUBLE * __n1fw) / __c1) * (__n1bw / __t))), 6) AS avg_kn_logp
+        |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN cont USING (w2)
+        |  CROSS JOIN t
+        |WHERE doc_id < 200 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      LangModel.kneserNeyLogProb(t(s, d, "documents"), "doc_id", "text",
+          discount = 0.75, scoreFilter = col("doc_id") < 200)
+        .orderBy("doc_id")
     }
   )
 }
