@@ -2153,6 +2153,28 @@ object PipelineQueries {
       LangModel.kneserNeyLogProb(t(s, d, "documents"), "doc_id", "text",
           discount = 0.75, scoreFilter = col("doc_id") < 200)
         .orderBy("doc_id")
+    },
+
+    Q("q233_txtable_stats_agg",
+      // the METADATA-ONLY aggregate path (Delta/Iceberg's
+      // answer-from-the-log query): orders is z-order-ingested into a
+      // TxTable whose commit log records per-file row counts (the
+      // #rows pseudo-column riding every stats-on write) and min/max;
+      // statsAggregate folds the LOG — zero data files opened, the
+      // shape a 100 TB COUNT(*) must take — and the result must equal
+      // DuckDB's full scan of the source. Refusal-not-wrong contract
+      // (missing counts/stats throw) is TxTableStatsSpec territory,
+      // including the data-files-deleted proof that no scan happens.
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  min(o_custkey) AS min_o_custkey, max(o_custkey) AS max_o_custkey,
+        |  min(o_totalprice) AS min_o_totalprice,
+        |  max(o_totalprice) AS max_o_totalprice
+        |FROM orders""".stripMargin) { (s, d) =>
+      import graft.streaming.TxTable
+      val table = Q.scratchDir("graft-q233") + "/orders_z"
+      TxTable.ingestZOrdered(s, t(s, d, "orders"), table,
+        "o_custkey", "o_orderkey", buckets = 16)
+      TxTable.statsAggregate(s, table, Seq("o_custkey", "o_totalprice"))
     }
   )
 }

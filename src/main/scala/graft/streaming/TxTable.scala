@@ -5,8 +5,9 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
 import java.util.UUID
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.operators.LastValue
 
@@ -228,6 +229,16 @@ object TxTable {
     * cast to string (a string-side min would be lexicographic and wrong
     * for numerics). All-null columns observe null and record no entry.
     */
+  /** Pseudo-column under which a file's ROW COUNT rides its stats entry
+    * (typ 'N', min == max == count). '#' is illegal in parquet column
+    * names Spark writes, so it can never collide with a real column;
+    * [[keepByStats]] only consults requested prune columns, so the
+    * entry is inert to pruning, and [[addBlooms]]' stats merge carries
+    * it forward. Enables [[statsAggregate]] — COUNT/MIN/MAX answered
+    * from the log alone, zero data files opened.
+    */
+  private[graft] val RowsKey = "#rows"
+
   private def writeWithStats(
       df: DataFrame, absPath: String, cols: Seq[(String, Char)]): String =
     if (cols.isEmpty) {
@@ -235,20 +246,21 @@ object TxTable {
       ""
     } else {
       val obs = org.apache.spark.sql.Observation()
-      val aggs = cols.flatMap { case (c, _) =>
+      val aggs = count(lit(1)).cast("string").as("__nrows") +: cols.flatMap { case (c, _) =>
         Seq(min(col(c)).cast("string").as(s"__mn_$c"),
           max(col(c)).cast("string").as(s"__mx_$c"))
       }
       df.observe(obs, aggs.head, aggs.tail: _*)
         .write.mode("overwrite").parquet(absPath)
       val row = obs.get
+      val n = row("__nrows").toString
       StatsCodec.encode(cols.flatMap { case (c, t) =>
         (Option(row(s"__mn_$c")), Option(row(s"__mx_$c"))) match {
           case (Some(mn), Some(mx)) =>
             Some(c -> ColStats(t, mn.toString, mx.toString))
           case _ => None
         }
-      }.toMap)
+      }.toMap + (RowsKey -> ColStats('N', n, n)))
     }
 
   /** One `add` log line; stats ride as an optional 4th field so a
@@ -1303,6 +1315,86 @@ object TxTable {
       s"addBlooms lost $maxRetries consecutive commit races on $tablePath")
   }
 
+  /** COUNT(*) + per-column MIN/MAX answered from the COMMIT LOG alone —
+    * zero data files opened, the aggregate a 100 TB table must answer
+    * in milliseconds (Delta/Iceberg's metadata-only query path). Row
+    * counts ride every stats-on write as the [[RowsKey]] pseudo-column;
+    * min/max fold the per-file stats in each column's recorded domain.
+    *
+    * Correct by the snapshot contract: the active file set IS the
+    * physical table, so summed file counts = COUNT(*) and folded file
+    * extremes = MIN/MAX (min/max ignore NULLs exactly like the stats
+    * do). Matches the [[read]] view — for LSM delta tables this counts
+    * physical (pre-[[readMerged]]) rows, like `read` itself.
+    *
+    * LOUD refusal, never a wrong answer, when the log cannot prove the
+    * result: any active file without a row count (stats-suppressed or
+    * pre-stats writer), without stats for a requested column (all-null
+    * file or ineligible type), or with mixed comparison domains.
+    * Output: one row — `n_rows`, then `min_<c>`/`max_<c>` typed by the
+    * column's stats domain ('L' long, 'D' double, 'S' string).
+    */
+  def statsAggregate(
+      spark: SparkSession,
+      tablePath: String,
+      cols: Seq[String] = Nil,
+      version: Long = -1L): DataFrame = {
+    val snap = if (version < 0) snapshot(tablePath) else snapshotAt(tablePath, version)
+    val files = snap.allFiles
+    require(files.nonEmpty, s"statsAggregate on empty table $tablePath")
+    def fail(f: String, what: String): Nothing = throw new IllegalStateException(
+      s"statsAggregate($tablePath): file $f $what — the log cannot answer " +
+        "this aggregate; use read() + aggregate, or re-commit with stats on")
+    val perFile = files.map(f => f -> snap.statsOf(f))
+    val nRows = perFile.map { case (f, st) =>
+      st.get(RowsKey) match {
+        case Some(cs) if cs.typ == 'N' =>
+          try cs.min.toLong
+          catch { case _: NumberFormatException =>
+            fail(f, s"has unparseable row count '${cs.min}'") }
+        case _ => fail(f,
+          "carries no row count (written before stats-on-write, or with stats suppressed)")
+      }
+    }.sum
+    val fields = scala.collection.mutable.ArrayBuffer[StructField](
+      StructField("n_rows", LongType, nullable = false))
+    val values = scala.collection.mutable.ArrayBuffer[Any](nRows)
+    cols.foreach { c =>
+      val entries = perFile.map { case (f, st) =>
+        f -> st.getOrElse(c,
+          fail(f, s"has no stats for column '$c' (all-null file or ineligible type)"))
+      }
+      val typs = entries.map(_._2.typ).distinct
+      require(typs.size == 1 && "LDS".contains(typs.head),
+        s"column '$c' has non-aggregatable stats domain(s) ${typs.mkString(",")}")
+      def parsed[T](p: String => T): Seq[(T, T)] = entries.map { case (f, cs) =>
+        try (p(cs.min), p(cs.max))
+        catch { case scala.util.control.NonFatal(_) =>
+          fail(f, s"has unparseable '$c' stats [${cs.min}, ${cs.max}]") }
+      }
+      typs.head match {
+        case 'L' =>
+          val e = parsed(_.toLong)
+          fields += StructField(s"min_$c", LongType, nullable = false)
+          fields += StructField(s"max_$c", LongType, nullable = false)
+          values += e.map(_._1).min; values += e.map(_._2).max
+        case 'D' =>
+          val e = parsed(_.toDouble)
+          fields += StructField(s"min_$c", DoubleType, nullable = false)
+          fields += StructField(s"max_$c", DoubleType, nullable = false)
+          values += e.map(_._1).min; values += e.map(_._2).max
+        case 'S' =>
+          val e = entries.map { case (_, cs) => (cs.min, cs.max) }
+          fields += StructField(s"min_$c", StringType, nullable = false)
+          fields += StructField(s"max_$c", StringType, nullable = false)
+          values += e.map(_._1).min; values += e.map(_._2).max
+      }
+    }
+    spark.createDataFrame(
+      java.util.Collections.singletonList(Row(values.toSeq: _*)),
+      StructType(fields.toSeq))
+  }
+
   /** Enforce the snapshot's CHECK constraints on rows about to be
     * written: SQL CHECK semantics — a row violates iff the expression
     * evaluates to FALSE (NULL passes). One aggregation action over the
@@ -1630,20 +1722,22 @@ object TxTable {
     val statsByBucket: Map[Int, String] =
       if (cols.isEmpty) Map.empty
       else {
-        val aggs = cols.flatMap { case (c, _) =>
-          Seq(min(col(c)).cast("string").as(s"__mn_$c"),
-            max(col(c)).cast("string").as(s"__mx_$c"))
-        }
+        val aggs = count(lit(1)).cast("string").as("__nrows") +:
+          cols.flatMap { case (c, _) =>
+            Seq(min(col(c)).cast("string").as(s"__mn_$c"),
+              max(col(c)).cast("string").as(s"__mx_$c"))
+          }
         back.groupBy(col("__b")).agg(aggs.head, aggs.tail: _*)
           .collect() // one row per bucket — bounded by `buckets`
           .map { r =>
+            val n = r.getAs[String]("__nrows")
             val m = cols.flatMap { case (c, t) =>
               (Option(r.getAs[String](s"__mn_$c")),
                 Option(r.getAs[String](s"__mx_$c"))) match {
                 case (Some(mn), Some(mx)) => Some(c -> ColStats(t, mn, mx))
                 case _ => None
               }
-            }.toMap
+            }.toMap + (RowsKey -> ColStats('N', n, n))
             r.getAs[Number]("__b").intValue() -> StatsCodec.encode(m)
           }.toMap
       }

@@ -226,7 +226,9 @@ class TxTableStatsSpec extends SparkSpec {
     val hot = TxTable.snapshot(table)
     hot.allFiles.foreach { f =>
       val st = hot.statsOf(f)
-      assert(st.keySet === Set("serverName", "tag"),
+      // key stats only — plus the #rows pseudo-column every stats-on
+      // write records (it is one observe field, not a per-column cost)
+      assert(st.keySet === Set("serverName", "tag", TxTable.RowsKey),
         s"hot-path deltas must carry key stats only: $st")
     }
     // the periodic fold (AutoStats default) restores full-column stats
@@ -235,6 +237,74 @@ class TxTableStatsSpec extends SparkSpec {
     val st = folded.statsOf(folded.filesByPartition("srvA").head)
     assert(st.contains("doubleValue") && st.contains("serverTimestamp"),
       s"compaction must recompute full stats: $st")
+  }
+
+  // ======================= statsAggregate =======================
+
+  test("statsAggregate: count/min/max from the log alone — survives data-file deletion") {
+    val dir = tmp("tx-statsagg")
+    val v1 = TxTable.mergeLatest(spark, txBatch(
+      ("srvA", "t1", "2024-01-01 10:00:00", 3.5),
+      ("srvA", "t2", "2024-01-01 10:00:01", -2.0),
+      ("srvB", "t3", "2024-01-01 10:00:02", 9.25)), dir)
+    TxTable.mergeLatest(spark, txBatch(
+      ("srvB", "t4", "2024-01-02 10:00:00", 11.5),
+      ("srvC", "t5", "2024-01-02 10:00:01", 0.5)), dir)
+
+    def agg() = TxTable.statsAggregate(spark, dir,
+        Seq("doubleValue", "serverName"))
+      .as[(Long, Double, Double, String, String)].collect().head
+
+    // matches the full scan on the live table
+    val full = TxTable.read(spark, dir).get
+      .agg(count(lit(1)), min("doubleValue"), max("doubleValue"),
+        min("serverName"), max("serverName"))
+      .as[(Long, Double, Double, String, String)].collect().head
+    assert(agg() === full)
+    assert(agg() === ((5L, -2.0, 11.5, "srvA", "srvC")))
+
+    // time travel: the v1 snapshot's aggregate, not the current one
+    val atV1 = TxTable.statsAggregate(spark, dir, Seq("doubleValue"), version = v1)
+      .as[(Long, Double, Double)].collect().head
+    assert(atV1 === ((3L, -2.0, 9.25)))
+
+    // blooms are a stats MERGE — countability and extremes survive
+    TxTable.addBlooms(spark, dir, Seq("tag"))
+    assert(agg() === full)
+
+    // the brutal metadata-only proof: remove every DATA directory and
+    // the log still answers (a scan now cannot)
+    new java.io.File(dir).listFiles().filter(f => f.isDirectory && f.getName != "_log")
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+        }
+        rm(d)
+      }
+    assert(agg() === full)
+    intercept[Exception](TxTable.read(spark, dir).get.count())
+  }
+
+  test("statsAggregate refuses loudly when the log cannot prove the answer") {
+    // stats-suppressed writer: no row counts anywhere
+    val bare = tmp("tx-statsagg-bare")
+    TxTable.mergeLatest(spark, txBatch(("srvA", "t1", "2024-01-01 10:00:00", 1.0)),
+      bare, statsCols = Nil)
+    val e1 = intercept[IllegalStateException](
+      TxTable.statsAggregate(spark, bare))
+    assert(e1.getMessage.contains("no row count"), e1.getMessage)
+
+    val dir = tmp("tx-statsagg-refuse")
+    TxTable.mergeLatest(spark, txBatch(("srvA", "t1", "2024-01-01 10:00:00", 1.0)), dir)
+    // a column with no recorded stats (never existed) refuses, not nulls
+    val e2 = intercept[IllegalStateException](
+      TxTable.statsAggregate(spark, dir, Seq("nope")))
+    assert(e2.getMessage.contains("no stats for column 'nope'"), e2.getMessage)
+    // the row-count pseudo-column is not itself an aggregatable domain
+    intercept[IllegalArgumentException](
+      TxTable.statsAggregate(spark, dir, Seq(TxTable.RowsKey)))
+    // count alone still fine
+    assert(TxTable.statsAggregate(spark, dir).as[Long].collect().head === 1L)
   }
 
   // ======================= readMerged contract =======================
