@@ -2175,6 +2175,33 @@ object PipelineQueries {
       TxTable.ingestZOrdered(s, t(s, d, "orders"), table,
         "o_custkey", "o_orderkey", buckets = 16)
       TxTable.statsAggregate(s, table, Seq("o_custkey", "o_totalprice"))
+    },
+
+    Q("q234_blocklist_scan",
+      // Aho-Corasick multi-pattern literal scan (CACM 1975): the
+      // 10^4-entry blocklist pass, O(text) per document INDEPENDENT of
+      // pattern count — automaton built once on the driver, closure-
+      // broadcast, one narrow mapPartitions. Semantics = OVERLAPPING
+      // occurrences (every end position counts), which the oracle
+      // replays literally as a per-position substring probe; the
+      // pattern set deliberately nests (tab ⊂ table) and crosses word
+      // boundaries so the failure/output links are load-bearing.
+      """WITH pats(pattern) AS (VALUES
+        |  ('table'), ('tab'), ('scan'), ('fast table'), ('a a'),
+        |  ('row'), ('order'), ('merge batch')),
+        |m AS (
+        |  SELECT doc_id, pattern,
+        |    len(list_filter(generate_series(1, length(text) - length(pattern) + 1),
+        |      p -> substr(text, p::INT, length(pattern)) = pattern))::BIGINT AS n_matches
+        |  FROM documents CROSS JOIN pats)
+        |SELECT doc_id, pattern, n_matches FROM m WHERE n_matches > 0
+        |ORDER BY doc_id, pattern""".stripMargin) { (s, d) =>
+      import graft.operators.MultiPattern
+      MultiPattern.countMatches(t(s, d, "documents"), "doc_id", "text",
+          Seq("table", "tab", "scan", "fast table", "a a",
+            "row", "order", "merge batch"))
+        .select(col("id").as("doc_id"), col("pattern"), col("n_matches"))
+        .orderBy("doc_id", "pattern")
     }
   )
 }
