@@ -47,6 +47,93 @@ object Layout {
     terms.mkString("(", " | ", ")")
   }
 
+  // ------------------------------------------------------------ Hilbert
+
+  /** Hilbert-curve distance of the low 16 bits of two non-negative
+    * integral columns (the xy2d walk over a 65536² grid) — the
+    * locality-tighter alternative to [[zorder16]]: consecutive Hilbert
+    * distances are always GRID NEIGHBORS (spec-pinned), so a file
+    * holding a contiguous distance range covers one connected blob of
+    * (x, y) space with no Morton "seams" (z-order jumps across half the
+    * plane at power-of-two boundaries, widening per-file min/max boxes).
+    *
+    * Built as 16 CHAINED PROJECTIONS over running (x, y, d) state
+    * columns, one per bit level — never one nested Column expression,
+    * whose tree would blow up exponentially under substitution. Each
+    * level is plain bitwise/CASE arithmetic, codegen-fused into the
+    * same stage; [[hilbert16Sql]] is the identical arithmetic as nested
+    * sub-selects for oracle pairing.
+    */
+  def hilbert16(df: DataFrame, xCol: String, yCol: String, outCol: String): DataFrame = {
+    val init = df
+      .withColumn("__hx", col(xCol).cast("long").bitwiseAND(lit(0xFFFFL)))
+      .withColumn("__hy", col(yCol).cast("long").bitwiseAND(lit(0xFFFFL)))
+      .withColumn("__hd", lit(0L))
+    val walked = (15 to 0 by -1).foldLeft(init) { (acc, i) =>
+      val s = 1L << i
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      // (3·rx) XOR ry over {0,1}²  ==  3·rx + ry·(1 − 2·rx): plain
+      // arithmetic, identical on both engines
+      val q = lit(3L) * rx + ry * (lit(1L) - lit(2L) * rx)
+      val refX = when(rx === 1L, lit(65535L) - col("__hx")).otherwise(col("__hx"))
+      val refY = when(rx === 1L, lit(65535L) - col("__hy")).otherwise(col("__hy"))
+      acc
+        .withColumn("__hd2", col("__hd") + lit(s * s) * q)
+        .withColumn("__hx2", when(ry === 0L, refY).otherwise(col("__hx")))
+        .withColumn("__hy2", when(ry === 0L, refX).otherwise(col("__hy")))
+        .drop("__hd", "__hx", "__hy")
+        .withColumnRenamed("__hd2", "__hd")
+        .withColumnRenamed("__hx2", "__hx")
+        .withColumnRenamed("__hy2", "__hy")
+    }
+    walked.withColumnRenamed("__hd", outCol).drop("__hx", "__hy")
+  }
+
+  /** Plain-Scala twin of [[hilbert16]] for specs/oracles: the same
+    * 16-level walk on one coordinate pair.
+    */
+  private[graft] def hilbert16Scala(x0: Long, y0: Long): Long = {
+    var x = x0 & 0xFFFFL; var y = y0 & 0xFFFFL
+    var d = 0L
+    var i = 15
+    while (i >= 0) {
+      val s = 1L << i
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * (3L * rx + ry * (1L - 2L * rx))
+      if (ry == 0L) {
+        if (rx == 1L) { x = 65535L - x; y = 65535L - y }
+        val t = x; x = y; y = t
+      }
+      i -= 1
+    }
+    d
+  }
+
+  /** DuckDB-SQL twin of [[hilbert16]]: the same walk as 16 NESTED
+    * sub-selects over running (hx, hy, hd) columns — linear SQL size,
+    * the chained-projection trick in SQL form. `keys` are carried
+    * through every level; the innermost level masks `x`/`y`.
+    */
+  def hilbert16Sql(x: String, y: String, keys: Seq[String], table: String): String = {
+    val ks = keys.mkString(", ")
+    val inner = s"SELECT $ks, (($x)::BIGINT & 65535) AS hx, " +
+      s"(($y)::BIGINT & 65535) AS hy, 0::BIGINT AS hd FROM $table"
+    (15 to 0 by -1).foldLeft(inner) { (acc, i) =>
+      val s = 1L << i
+      val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+      val refX = s"(CASE WHEN $rx = 1 THEN 65535 - hx ELSE hx END)"
+      val refY = s"(CASE WHEN $rx = 1 THEN 65535 - hy ELSE hy END)"
+      s"""SELECT $ks,
+         |  (CASE WHEN $ry = 0 THEN $refY ELSE hx END) AS hx,
+         |  (CASE WHEN $ry = 0 THEN $refX ELSE hy END) AS hy,
+         |  hd + ${s * s} * (3 * $rx + $ry * (1 - 2 * $rx)) AS hd
+         |FROM ($acc)""".stripMargin
+    }
+  }
+
   /** Write `df` clustered by the z-order of (xCol, yCol) into `numFiles`
     * parquet files: range-partition on the z-value (sampled bounds — no
     * global sort), sort within each partition, drop the helper column.

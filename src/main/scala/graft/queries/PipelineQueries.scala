@@ -2202,6 +2202,25 @@ object PipelineQueries {
             "row", "order", "merge batch"))
         .select(col("id").as("doc_id"), col("pattern"), col("n_matches"))
         .orderBy("doc_id", "pattern")
+    },
+
+    Q("q235_hilbert_values",
+      // q106's Morton twin on the HILBERT curve: the 16-level xy2d walk
+      // over (l_partkey, l_suppkey), engine side as 16 chained
+      // projections (one fused codegen stage — never a nested Column
+      // tree, which explodes exponentially under substitution), oracle
+      // side as the identical arithmetic in 16 nested sub-selects.
+      // Unlike Morton, consecutive distances are always grid neighbors
+      // (LayoutSpec pins bijection + unit adjacency + bbox area <=
+      // Morton's), which is what tightens per-file min/max boxes.
+      s"""SELECT l_orderkey, l_linenumber, hd AS hval
+         |FROM (${Layout.hilbert16Sql("l_partkey", "l_suppkey",
+              Seq("l_orderkey", "l_linenumber"), "lineitem")})
+         |ORDER BY hval, l_orderkey, l_linenumber LIMIT 50""".stripMargin) { (s, d) =>
+      Layout.hilbert16(t(s, d, "lineitem"), "l_partkey", "l_suppkey", "hval")
+        .select(col("l_orderkey"), col("l_linenumber"), col("hval"))
+        .orderBy(col("hval"), col("l_orderkey"), col("l_linenumber"))
+        .limit(50)
     }
   )
 }
