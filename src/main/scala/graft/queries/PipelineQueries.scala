@@ -2221,6 +2221,60 @@ object PipelineQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("hval"))
         .orderBy(col("hval"), col("l_orderkey"), col("l_linenumber"))
         .limit(50)
+    },
+
+    Q("q236_domain_rollup", {
+      // URL canonicalization + eTLD+1 rollup (operators/Urls): messy
+      // crawl URLs (mixed case, default ports, fragments, //, ./,
+      // nested ../) normalize under the documented fixed-pass subset,
+      // then aggregate per REGISTRABLE domain under the literal
+      // public-suffix sample — the per-domain cap/blocklist unit
+      // (C4/RefinedWeb's grouping), which plain host grouping gets
+      // wrong for co.uk-style suffixes. The oracle replays the pass
+      // chain step for step in CTEs via the operator's own SQL twins.
+      import graft.operators.Urls
+      val auth = "regexp_extract(nf, '^([^/?]*//[^/?]*)', 1)"
+      val pathE = "regexp_extract(r, '^([^?]*)', 1)"
+      s"""WITH u AS (
+         |  SELECT doc_id, CASE (doc_id % 4)
+         |    WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 7) || '.COM:80/a//b/./d' || doc_id || '.html#sec'
+         |    WHEN 1 THEN 'https://Blog.site' || (doc_id % 7) || '.CO.UK:443/posts/x/../arch/p' || doc_id || '?q=Q' || doc_id
+         |    WHEN 2 THEN 'http://site' || (doc_id % 7) || '.org/x/y/../../idx' || doc_id || '.htm'
+         |    ELSE 'https://cdn.site' || (doc_id % 7) || '.io:8443/img//f' || doc_id || '.png#x'
+         |  END AS mu FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(mu, '#.*$$', '', 'g') AS nf FROM u),
+         |s2 AS (SELECT doc_id, $auth AS a, substr(nf, length($auth) + 1) AS r FROM s1),
+         |s3 AS (SELECT doc_id,
+         |    CASE WHEN lower(a) LIKE 'http://%' THEN regexp_replace(lower(a), ':80$$', '')
+         |         WHEN lower(a) LIKE 'https://%' THEN regexp_replace(lower(a), ':443$$', '')
+         |         ELSE lower(a) END AS an,
+         |    $pathE AS p, substr(r, length($pathE) + 1) AS q FROM s2),
+         |s4 AS (SELECT doc_id, an || ${Urls.pathCleanupSql("p")} || q AS nu FROM s3),
+         |s5 AS (SELECT doc_id, nu,
+         |    ${Urls.registrableDomainSql(Urls.hostSql("nu"))} AS dom FROM s4)
+         |SELECT dom, count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT nu)::BIGINT AS n_urls, min(nu) AS sample_url
+         |FROM s5 GROUP BY dom ORDER BY dom""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.Urls
+      val k = (col("doc_id") % 7).cast("string")
+      val id = col("doc_id").cast("string")
+      val mu = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://WWW.Site"), k, lit(".COM:80/a//b/./d"), id, lit(".html#sec")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://Blog.site"), k, lit(".CO.UK:443/posts/x/../arch/p"), id, lit("?q=Q"), id))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("http://site"), k, lit(".org/x/y/../../idx"), id, lit(".htm")))
+        .otherwise(
+          concat(lit("https://cdn.site"), k, lit(".io:8443/img//f"), id, lit(".png#x")))
+      t(s, d, "documents")
+        .withColumn("nu", Urls.normalize(mu))
+        .withColumn("dom", Urls.registrableDomain(Urls.host(col("nu"))))
+        .groupBy("dom")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("nu")).as("n_urls"),
+          min(col("nu")).as("sample_url"))
+        .orderBy("dom")
     }
   )
 }
