@@ -85,6 +85,34 @@ object IncrementalAgg {
     applySumCount(prevAgg, sumCountDeltas(cdf, groupCols, sumCols),
       groupCols, cntCol, sumCols)
 
+  /** Second-moment (variance) maintenance — the FIFTH IVM algebra, and
+    * the degenerate-easy one: (count, Σv, Σv²) are all abelian-group
+    * aggregates, so variance maintains exactly like sum/count with a
+    * derived squared column — no rescan set, no support table. The
+    * prevAgg must carry `cntCol`, `valCol` (= Σv) and `<valCol>_sq`
+    * (= Σv²). Exactness needs an integer/decimal value domain, as
+    * everywhere in this family; derive the float variance at
+    * PRESENTATION time via [[popVariance]], never maintain it.
+    */
+  def refreshMoments(
+      prevAgg: DataFrame,
+      cdf: DataFrame,
+      groupCols: Seq[String],
+      cntCol: String,
+      valCol: String): DataFrame = {
+    val withSq = cdf.withColumn(s"${valCol}_sq", col(valCol) * col(valCol))
+    refreshSumCount(prevAgg, withSq, groupCols, cntCol,
+      Seq(valCol, s"${valCol}_sq"))
+  }
+
+  /** Population variance from maintained (count, Σv, Σv²): the integer
+    * numerator n·Σv² − (Σv)² computes EXACTLY, then one IEEE division —
+    * the same expression tree an oracle replays bit-identically
+    * (Welford-style running floats would drift engine-by-engine).
+    */
+  def popVariance(cnt: Column, s: Column, s2: Column): Column =
+    (s2 * cnt - s * s).cast("double") / (cnt * cnt).cast("double")
+
   /** The groups whose min/max CANNOT be maintained from the feed alone
     * and need a rescan: min/max are not invertible under deletion, so a
     * group re-derives iff the feed removes weight AT an extremum —

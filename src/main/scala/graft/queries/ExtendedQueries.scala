@@ -2254,6 +2254,49 @@ object ExtendedQueries {
           lead(col("o_orderkey"), 1).over(w).as("next_key"))
         .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
         .limit(500)
+    },
+
+    Q("q237_incremental_variance",
+      // VARIANCE maintenance — the fifth IVM algebra, and the
+      // degenerate-easy one the family map should still show: (count,
+      // Σv, Σv²) are all abelian, so the q185 signed-delta machinery
+      // maintains them with a derived squared column — no rescan set
+      // (q218), no support table (q220), no cut argument (q225). The
+      // engine refreshes the old snapshot's per-supplier moments from
+      // the change feed alone; the oracle recomputes over the new
+      // snapshot. Integer quantities keep the moments exact; variance
+      // derives at presentation as n·Σv² − (Σv)² (exact long) over one
+      // IEEE division — identical trees, bit-identical doubles.
+      """WITH newsnap AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN (o_orderkey % 97) + 1
+        |         ELSE o_orderkey % 97 END AS q
+        |  FROM orders WHERE o_orderkey % 89 <> 0)
+        |SELECT o_custkey, count(*)::BIGINT AS n, sum(q)::BIGINT AS s,
+        |  sum(q * q)::BIGINT AS s2,
+        |  round((sum(q * q) * count(*) - sum(q) * sum(q))::DOUBLE
+        |    / (count(*) * count(*))::DOUBLE, 6) AS pop_var
+        |FROM newsnap GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      import graft.operators.{IncrementalAgg, Snapshot}
+      // keyed on o_orderkey — UNIQUE, unlike anything in lineitem (the
+      // (l_orderkey, l_linenumber) duplicates would corrupt any CDF)
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey"),
+          (col("o_orderkey") % 97).as("q"))
+      val oldSnap = base.filter(col("k") % 93 =!= 0)
+      val newSnap = base.filter(col("k") % 89 =!= 0)
+        .withColumn("q", when(col("k") % 101 === 0, col("q") + 1).otherwise(col("q")))
+      val prevAgg = oldSnap.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("q"),
+          sum(col("q") * col("q")).as("q_sq"))
+      val cdf = Snapshot.changeDataFeed(oldSnap, newSnap, "k",
+        Seq("o_custkey", "q"))
+      IncrementalAgg.refreshMoments(prevAgg, cdf, Seq("o_custkey"), "n", "q")
+        .select(col("o_custkey"), col("n"), col("q").as("s"),
+          col("q_sq").as("s2"),
+          round(IncrementalAgg.popVariance(col("n"), col("q"), col("q_sq")), 6)
+            .as("pop_var"))
+        .orderBy("o_custkey")
     }
   )
 }

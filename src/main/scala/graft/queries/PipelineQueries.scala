@@ -2275,6 +2275,48 @@ object PipelineQueries {
           countDistinct(col("nu")).as("n_urls"),
           min(col("nu")).as("sample_url"))
         .orderBy("dom")
+    },
+
+    Q("q238_robots_decisions",
+      // robots.txt evaluation (RFC 9309 subset, operators/Robots): 7
+      // hosts get REAL robots bodies — even hosts carry a graftbot
+      // group (Disallow /private/, Allow /private/pub<k>/ — the
+      // longest-prefix override) above a star group disallowing
+      // everything; odd hosts only the star group. The ENGINE parses
+      // groups, picks exact-agent-else-star, and decides by longest
+      // matching prefix; the oracle never parses — every decision has
+      // a closed form from the construction (the q219 recipe): allowed
+      // iff the host is even AND the path is the allowed subtree, an
+      // unrestricted path, or the bare host.
+      """WITH u AS (SELECT doc_id, doc_id % 7 AS k, doc_id % 5 AS m FROM documents)
+        |SELECT 'http://site' || k || '.com' || CASE m
+        |    WHEN 0 THEN '/private/pub' || k || '/p' || doc_id
+        |    WHEN 1 THEN '/private/x' || doc_id
+        |    WHEN 2 THEN '/open/p' || doc_id
+        |    WHEN 3 THEN '/private/pub' || k || 'x' || doc_id
+        |    ELSE '' END AS url,
+        |  (k % 2 = 0 AND m IN (0, 2, 4)) AS allowed
+        |FROM u ORDER BY url""".stripMargin) { (s, d) =>
+      import graft.operators.Robots
+      val k = (col("doc_id") % 7).cast("string")
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 5
+      val url = concat(lit("http://site"), k, lit(".com"),
+        when(m === 0, concat(lit("/private/pub"), k, lit("/p"), id))
+          .when(m === 1, concat(lit("/private/x"), id))
+          .when(m === 2, concat(lit("/open/p"), id))
+          .when(m === 3, concat(lit("/private/pub"), k, lit("x"), id))
+          .otherwise(lit("")))
+      val urls = t(s, d, "documents").select(url.as("url"))
+      val robots = s.range(7).select(
+        concat(lit("site"), col("id"), lit(".com")).as("host"),
+        when(col("id") % 2 === 0, concat(
+            lit("User-agent: graftbot\nDisallow: /private/\nAllow: /private/pub"),
+            col("id").cast("string"),
+            lit("/\n\nUser-agent: *\nDisallow: /\n")))
+          .otherwise(lit("User-agent: *\nDisallow: /\n")).as("txt"))
+      Robots.allowed(urls, "url", robots, "host", "txt", "graftbot")
+        .orderBy("url")
     }
   )
 }

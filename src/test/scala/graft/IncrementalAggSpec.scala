@@ -225,6 +225,33 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got == Map("a" -> Seq(5L), "c" -> Seq(2L, 1L)))
   }
 
+  test("refreshMoments: maintained (n, Σv, Σv²) == recompute; variance derives exactly") {
+    val old = Seq((1L, "a", 3L), (2L, "a", 5L), (3L, "b", 7L), (4L, "b", 7L))
+      .toDF("k", "g", "v")
+    // delete k=2, update k=3 (7→9), insert k=5 into a, birth group c
+    val neu = Seq((1L, "a", 3L), (3L, "b", 9L), (4L, "b", 7L),
+      (5L, "a", 10L), (6L, "c", 4L)).toDF("k", "g", "v")
+    val prev = old.groupBy("g").agg(
+      count(lit(1)).as("n"), sum(col("v")).as("v"),
+      sum(col("v") * col("v")).as("v_sq"))
+    val cdf = Snapshot.changeDataFeed(old, neu, "k")
+    val got = IncrementalAgg.refreshMoments(prev, cdf, Seq("g"), "n", "v")
+      .select(col("g"), col("n"), col("v"), col("v_sq"),
+        IncrementalAgg.popVariance(col("n"), col("v"), col("v_sq")).as("pv"))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val want = neu.groupBy("g").agg(
+        count(lit(1)).as("n"), sum(col("v")).as("v"),
+        sum(col("v") * col("v")).as("v_sq"))
+      .select(col("g"), col("n"), col("v"), col("v_sq"),
+        IncrementalAgg.popVariance(col("n"), col("v"), col("v_sq")).as("pv"))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got == want)
+    // hand value: a holds {3, 10} → mean 6.5, popvar 12.25
+    assert(got("a")._5 == 12.25)
+  }
+
   test("refreshTopK: repeated refresh composes and equals direct recompute") {
     def topk(df: org.apache.spark.sql.DataFrame) = df
       .groupBy("g").agg(slice(sort_array(collect_list(col("v")),
