@@ -1304,6 +1304,58 @@ class StreamingSpec extends SparkSpec {
     probe.close()
   }
 
+  test("streaming winnow probe: shared-substring hits across triggers equal the batch matcher") {
+    import graft.operators.Winnow
+    import graft.streaming.StreamingWinnowProbe
+    implicit val sc = spark.sqlContext
+    def noise(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (1 to 90).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val shared = "thequickbrownfoxjumpsoverthelazydog"
+    val corpus = Seq(
+      (1L, noise(1) + shared + noise(2)),
+      (2L, noise(3)),
+      (3L, noise(4) + shared)).toDF("doc_id", "text")
+    val k = 8; val w = 4
+    val corpusFp = Winnow.fingerprints(corpus, "doc_id", "text", k, w)
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val ckpt = tmp("graft-winnow-ckpt")
+    val probe = StreamingWinnowProbe.matchesAgainstIndex(
+      mem.toDF().toDF("doc_id", "text"), corpusFp, "doc_id", "text", k, w)
+    def run(): Unit = {
+      val q = probe.output
+        .writeStream.outputMode("append").trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            b.collect().foreach(r => got += ((r.getLong(0), r.getLong(1))))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    val newDocs = Seq(
+      (10L, noise(9) + shared + noise(10)), // plagiarizes the corpus run
+      (11L, noise(11)))                     // unrelated
+    mem.addData(newDocs.head)
+    run()
+    mem.addData(newDocs(1)) // second trigger: stateless, restart-safe
+    run()
+    assert(got.map(_._1).contains(10L) && !got.map(_._1).contains(11L), s"$got")
+    assert(got.map(_._2).subsetOf(Set(1L, 3L)), s"matched only shared-run docs: $got")
+    // parity with the batch matcher over corpus ∪ new docs (cross pairs)
+    val batchPairs = Winnow.matches(
+        Winnow.fingerprints(corpus.union(newDocs.toDF("doc_id", "text")),
+          "doc_id", "text", k, w), maxDf = 8, minShared = 1)
+      .filter(org.apache.spark.sql.functions.col("id_b") >= 10L &&
+        org.apache.spark.sql.functions.col("id_a") <= 3L)
+      .select("id_b", "id_a").as[(Long, Long)].collect().toSet
+    assert(got == batchPairs, s"stream $got != batch $batchPairs")
+    probe.close()
+  }
+
   test("streaming ANN probe: per-batch ranked IVF results equal the batch probe; PQ twin") {
     import org.apache.spark.sql.functions.col
     import graft.operators.SimilaritySearch
