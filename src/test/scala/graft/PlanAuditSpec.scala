@@ -715,4 +715,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"no join tower may survive into the final plan:\n$p")
   }
+
+  test("q231: winnow matches bucket on fingerprint equi-joins — never a cross product") {
+    val p = plan("q231_winnow_matches")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair candidates must come from the (hash, gram) equi-join:\n$p")
+    assert(p.contains("partial_count"),
+      s"df-cap and pair counts must combine map-side:\n$p")
+  }
+
+  test("q233: the metadata aggregate plans ZERO file scans") {
+    // statsAggregate folds the commit log on the driver; the returned
+    // plan must be a local one-row relation — any parquet scan here
+    // means the 'metadata-only' claim silently became a table read
+    val p = plan("q233_txtable_stats_agg")
+    assert(!p.toLowerCase.contains("parquet"),
+      s"no parquet scan may appear in a log-only aggregate:\n$p")
+  }
+
+  test("q234: the blocklist scan is one narrow pass — no join, no pre-sort shuffle") {
+    val p = plan("q234_blocklist_scan")
+    assert(!p.contains("Join"), s"pattern dispatch rides the closure, not a join:\n$p")
+    val body = p.substring(0, math.max(0, p.indexOf("Sort"))) match {
+      case "" => p
+      case pre => pre
+    }
+    assert(!body.contains("Arguments: hashpartitioning"),
+      s"the automaton scan must not shuffle before the output sort:\n$p")
+  }
+
+  test("q236: domain rollup is UDF-free codegen with one aggregation exchange") {
+    val p = plan("q236_domain_rollup")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"normalization and eTLD+1 must be pure Column work:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-domain counts must combine map-side:\n$p")
+  }
+
+  test("q238: robots decisions contain no cartesian join; one window cut per url") {
+    val p = plan("q238_robots_decisions")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"url × rule candidates must come from the host equi-join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected the longest-prefix window cut:\n$p")
+  }
 }
