@@ -2317,6 +2317,50 @@ object PipelineQueries {
           .otherwise(lit("User-agent: *\nDisallow: /\n")).as("txt"))
       Robots.allowed(urls, "url", robots, "host", "txt", "graftbot")
         .orderBy("url")
+    },
+
+    Q("q239_avro_pipeline",
+      // the Avro object-container walk (operators/Avro — the published
+      // format, implemented like the other codecs): documents are
+      // encoded into per-file containers (deflate blocks, nullable
+      // union field, deterministic sync markers), and the ENGINE
+      // parses the binary back — zigzag varints, little-endian IEEE,
+      // per-block sync verification, declared-schema cross-check. The
+      // oracle never parses: every field has a closed form from the
+      // assembly recipe (the q219/q229 recipe), md5(text) pins
+      // byte-exact recovery through deflate, and the doc_id % 5 nulls
+      // pin the union branch handling.
+      """SELECT doc_id % 31 AS file_id, doc_id, lang, md5(text) AS text_md5,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |       ELSE CAST(length(text) AS BIGINT) END AS opt_len
+        |FROM documents ORDER BY file_id, doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Avro
+      val avroSchema =
+        """{"type":"record","name":"doc","fields":[
+          |{"name":"doc_id","type":"long"},
+          |{"name":"lang","type":"string"},
+          |{"name":"text","type":"string"},
+          |{"name":"opt_len","type":["null","long"]}]}"""
+          .stripMargin.replace("\n", "")
+      val mkAvro = udf { (fileId: Long, recs: Seq[org.apache.spark.sql.Row]) =>
+        val rows: Seq[Seq[Any]] = recs.map { r =>
+          val id = r.getLong(0)
+          Seq(id, r.getString(1), r.getString(2),
+            if (id % 5 == 0) null else java.lang.Long.valueOf(r.getString(2).length.toLong))
+        }
+        val sync = (0 until 16).map(i => (fileId * 31 + i).toByte).toArray
+        Avro.writeContainer(avroSchema, rows, sync, codec = "deflate",
+          recordsPerBlock = 16)
+      }
+      val containers = t(s, d, "documents")
+        .groupBy((col("doc_id") % 31).as("file_id"))
+        .agg(array_sort(collect_list(
+          struct(col("doc_id"), col("lang"), col("text")))).as("recs"))
+        .select(col("file_id"), mkAvro(col("file_id"), col("recs")).as("blob"))
+      Avro.records(containers, "file_id", "blob", avroSchema)
+        .select(col("file_id"), col("doc_id"), col("lang"),
+          md5(col("text")).as("text_md5"), col("opt_len"))
+        .orderBy("file_id", "doc_id")
     }
   )
 }
