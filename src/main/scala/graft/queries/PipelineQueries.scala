@@ -2361,6 +2361,45 @@ object PipelineQueries {
         .select(col("file_id"), col("doc_id"), col("lang"),
           md5(col("text")).as("text_md5"), col("opt_len"))
         .orderBy("file_id", "doc_id")
+    },
+
+    Q("q240_spatial_grid_join",
+      // 2-D spatial join (operators/SpatialJoin), the RangeJoin
+      // family's planar sibling: orders become points, suppliers
+      // become axis-aligned rectangles, and the engine joins them by
+      // exploding each rectangle to its grid cells + ONE equi-join on
+      // (cx, cy) + the exact containment filter — a (point, rect) pair
+      // meets in exactly one cell, so no dedup step exists to get
+      // wrong. The oracle is the brute-force range join (DuckDB's
+      // IEJoin); the engine plan must never contain it (plan-audited
+      // in SpatialJoinSpec).
+      """WITH p AS (
+        |  SELECT o_orderkey, o_orderkey % 997 AS px, o_custkey % 997 AS py
+        |  FROM orders),
+        |r AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey * 37) % 900 AS xlo, (s_suppkey * 59) % 900 AS ylo,
+        |    (s_suppkey * 37) % 900 + 40 + s_suppkey % 50 AS xhi,
+        |    (s_suppkey * 59) % 900 + 40 + (s_suppkey * 3) % 50 AS yhi
+        |  FROM supplier)
+        |SELECT s_suppkey, count(*)::BIGINT AS n_points,
+        |  sum(o_orderkey)::BIGINT AS key_sum
+        |FROM p JOIN r ON px BETWEEN xlo AND xhi AND py BETWEEN ylo AND yhi
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      import graft.operators.SpatialJoin
+      val pts = t(s, d, "orders").select(col("o_orderkey"),
+        (col("o_orderkey") % 997).as("px"), (col("o_custkey") % 997).as("py"))
+      val rects = t(s, d, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") * 37) % 900).as("xlo"),
+        ((col("s_suppkey") * 59) % 900).as("ylo"),
+        ((col("s_suppkey") * 37) % 900 + 40 + col("s_suppkey") % 50).as("xhi"),
+        ((col("s_suppkey") * 59) % 900 + 40 + (col("s_suppkey") * 3) % 50).as("yhi"))
+      SpatialJoin.pointInRect(pts, "px", "py",
+          rects, "xlo", "ylo", "xhi", "yhi", cellSize = 64L)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"))
+        .orderBy("s_suppkey")
     }
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.SpatialJoin
+
+/** [[SpatialJoin]] — brute-force parity on random data across cell
+  * sizes, inclusive-bound edges, no duplicate emissions, and loud
+  * refusal of malformed / grid-exploding rectangles.
+  */
+class SpatialJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches brute force across cell sizes; no duplicate pairs") {
+    val rnd = new scala.util.Random(13)
+    val pts = (1L to 400L).map(i =>
+      (i, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val rects = (1L to 60L).map { i =>
+      val x0 = rnd.nextInt(900).toLong; val y0 = rnd.nextInt(900).toLong
+      (i, x0, y0, x0 + 1 + rnd.nextInt(150), y0 + 1 + rnd.nextInt(150))
+    }
+    val want = (for {
+      (pid, x, y) <- pts
+      (rid, x0, y0, x1, y1) <- rects
+      if x >= x0 && x <= x1 && y >= y0 && y <= y1
+    } yield (pid, rid)).toSeq.sorted
+    for (cs <- Seq(16L, 64L, 500L)) {
+      val got = SpatialJoin.pointInRect(
+          pts.toDF("pid", "px", "py"), "px", "py",
+          rects.toDF("rid", "xlo", "ylo", "xhi", "yhi"),
+          "xlo", "ylo", "xhi", "yhi", cellSize = cs)
+        .select("pid", "rid").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"cellSize=$cs: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("inclusive bounds: points exactly on every edge and corner are hits") {
+    val pts = Seq((1L, 10L, 10L), (2L, 20L, 10L), (3L, 10L, 30L),
+      (4L, 20L, 30L), (5L, 15L, 20L), (6L, 21L, 20L)).toDF("pid", "px", "py")
+    val rects = Seq((7L, 10L, 10L, 20L, 30L)).toDF("rid", "xlo", "ylo", "xhi", "yhi")
+    val got = SpatialJoin.pointInRect(pts, "px", "py",
+        rects, "xlo", "ylo", "xhi", "yhi", cellSize = 7L)
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("malformed and grid-exploding rectangles fail loudly") {
+    val pts = Seq((1L, 5L, 5L)).toDF("pid", "px", "py")
+    val bad = Seq((1L, 10L, 0L, 5L, 10L)).toDF("rid", "xlo", "ylo", "xhi", "yhi")
+    val e1 = intercept[Exception](SpatialJoin.pointInRect(
+      pts, "px", "py", bad, "xlo", "ylo", "xhi", "yhi", 10L).collect())
+    assert(e1.getMessage.contains("malformed rectangle") ||
+      e1.getCause.getMessage.contains("malformed rectangle"))
+    val huge = Seq((1L, 0L, 0L, 10000000L, 10000000L)).toDF("rid", "xlo", "ylo", "xhi", "yhi")
+    val e2 = intercept[Exception](SpatialJoin.pointInRect(
+      pts, "px", "py", huge, "xlo", "ylo", "xhi", "yhi", 10L).collect())
+    assert(e2.getMessage.contains("grid cells") ||
+      e2.getCause.getMessage.contains("grid cells"))
+  }
+
+  test("the plan is an equi-join on cells — never a cross product") {
+    val pts = Seq((1L, 5L, 5L)).toDF("pid", "px", "py")
+    val rects = Seq((1L, 0L, 0L, 10L, 10L)).toDF("rid", "xlo", "ylo", "xhi", "yhi")
+    val p = SpatialJoin.pointInRect(pts, "px", "py",
+        rects, "xlo", "ylo", "xhi", "yhi", 10L)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the cell equi-join:\n$p")
+  }
+}
