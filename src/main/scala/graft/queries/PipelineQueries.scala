@@ -2400,6 +2400,43 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_points"),
           sum(col("o_orderkey")).cast("long").as("key_sum"))
         .orderBy("s_suppkey")
+    },
+
+    Q("q241_postings_vbyte",
+      // delta + VByte posting-list compression (operators/Postings —
+      // the IR-textbook wire format): the engine REALLY encodes each
+      // term's sorted doc-id list (absolute first value, strictly
+      // positive gaps after, 7-bit groups with a continuation bit) and
+      // measures the blob; the oracle predicts every blob's length
+      // from the closed form — sum of the VByte CASE ladder over
+      // first + gaps. A wrong gap, group boundary, or continuation
+      // bit shifts byte_len and fails the hash. Round-trip identity
+      // and hostile shapes are PostingsSpec territory.
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |p AS (SELECT DISTINCT term, doc_id FROM w),
+        |g AS (SELECT term, doc_id,
+        |        doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS gap
+        |      FROM p),
+        |l AS (SELECT term, coalesce(gap, doc_id) AS v FROM g),
+        |b AS (SELECT term, count(*)::BIGINT AS df,
+        |        sum(CASE WHEN v < 128 THEN 1 WHEN v < 16384 THEN 2
+        |                 WHEN v < 2097152 THEN 3 WHEN v < 268435456 THEN 4
+        |                 ELSE 5 END)::BIGINT AS byte_len
+        |      FROM l GROUP BY term)
+        |SELECT term, df, byte_len, round((df * 8.0) / byte_len, 4) AS ratio
+        |FROM b ORDER BY term""".stripMargin) { (s, d) =>
+      import graft.operators.{Dedup, Postings}
+      val idx = t(s, d, "documents")
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(sort_array(collect_set(col("doc_id"))).as("postings"))
+      Postings.compress(idx, "term", "postings")
+        .select(col("term"), col("df"), col("byte_len"),
+          round((col("df") * lit(8.0)) / col("byte_len"), 4).as("ratio"))
+        .orderBy("term")
     }
   )
 }
