@@ -223,4 +223,62 @@ object TimeSeries {
         (acc, x) => acc + (x - acc) * lit(alpha)),
       roundTo))
   }
+
+  // --------------------------------------------- seasonal decomposition
+
+  /** Denominator of the centered-moving-average trend for `period`:
+    * even periods use the classical 2×m MA (half-weight endpoints),
+    * odd the plain centered m-window — so trend = trend_num / scale.
+    */
+  def trendScale(period: Int): Int =
+    if (period % 2 == 0) 2 * period else period
+
+  /** Classical additive seasonal decomposition, INTEGER-EXACT core
+    * (the IncrementalAgg discipline: maintain exact numerators, derive
+    * floats at presentation — sliding-window float sums differ between
+    * engines because segment-tree vs streaming summation order
+    * differs, so an oracle-pairable decomposition must keep the window
+    * arithmetic in longs).
+    *
+    * Input: a DENSE series — one row per consecutive integer
+    * `bucketCol` (gap-fill first: [[denseGrid]], or coalesce absent
+    * buckets to 0 — absence must be a MODELED value, not a silently
+    * shrunken window) with a LONG `valCol`. Output per row:
+    * `phase` = bucket mod period, `trend_num` = the weighted window
+    * sum (null at the edges where no full window exists — never a
+    * shrunken window), `detrended_num` = scale·v − trend_num. The
+    * seasonal index of phase j is then avg(detrended_num)/scale over
+    * the phase — exact integers until the caller's one division.
+    */
+  def seasonalDecompose(
+      series: DataFrame,
+      bucketCol: String,
+      valCol: String,
+      period: Int,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(period >= 2, s"period $period must be >= 2")
+    val scale = trendScale(period)
+    // keyed series parallelize per key; an unkeyed series is one
+    // PRE-AGGREGATED row per bucket (bounded by the time range), so the
+    // single-partition window is bounded by calendar, not data volume
+    val w = (if (keyCols.isEmpty) Window.orderBy(col(bucketCol))
+      else Window.partitionBy(keyCols.map(col): _*).orderBy(col(bucketCol)))
+    val half = period / 2
+    val trendNum =
+      if (period % 2 == 0) {
+        // 2×m MA: x_{−h} + 2·Σ_{−h+1..h−1} x + x_{+h}, all exact longs
+        val inner = sum(col(valCol)).over(w.rowsBetween(-(half - 1), half - 1))
+        lag(col(valCol), half).over(w) + inner * 2 + lead(col(valCol), half).over(w)
+      } else {
+        sum(col(valCol)).over(w.rowsBetween(-half, half))
+      }
+    // a full window exists iff both edge neighbors exist (dense series)
+    val full = lag(col(bucketCol), half).over(w).isNotNull &&
+      lead(col(bucketCol), half).over(w).isNotNull
+    series
+      .withColumn("phase", pmod(col(bucketCol), lit(period.toLong)))
+      .withColumn("trend_num", when(full, trendNum))
+      .withColumn("detrended_num",
+        when(full, col(valCol) * scale - col("trend_num")))
+  }
 }

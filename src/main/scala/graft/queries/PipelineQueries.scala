@@ -2437,6 +2437,56 @@ object PipelineQueries {
         .select(col("term"), col("df"), col("byte_len"),
           round((col("df") * lit(8.0)) / col("byte_len"), 4).as("ratio"))
         .orderBy("term")
+    },
+
+    Q("q242_seasonal_decompose",
+      // classical additive seasonal decomposition over the hourly
+      // events series (TimeSeries.seasonalDecompose): 2×24 centered-MA
+      // trend with half-weight endpoints, detrended residuals grouped
+      // by hour-of-day phase. The whole window pipeline stays in EXACT
+      // LONGS (cents × trend scale 48) because engines disagree on
+      // sliding float summation order (segment tree vs streaming); the
+      // one IEEE division happens at presentation, identical trees.
+      // Absent hours enter as explicit zeros (a modeled value, never a
+      // silently shrunken window); edge buckets without a full window
+      // carry no trend by construction.
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |agg AS (SELECT b, sum(v)::BIGINT AS x FROM e GROUP BY b),
+        |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM agg),
+        |grid AS (SELECT unnest(generate_series(lo, hi)) AS b FROM bounds),
+        |ser AS (SELECT g.b, coalesce(agg.x, 0)::BIGINT AS x
+        |        FROM grid g LEFT JOIN agg ON g.b = agg.b),
+        |win AS (SELECT b, x,
+        |    lag(x, 12) OVER w AS xm, lead(x, 12) OVER w AS xp,
+        |    sum(x) OVER (ORDER BY b ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS innr,
+        |    lag(b, 12) OVER w AS bm, lead(b, 12) OVER w AS bp
+        |  FROM ser WINDOW w AS (ORDER BY b)),
+        |det AS (
+        |  SELECT b % 24 AS phase, x * 48 - (xm + innr * 2 + xp) AS dn
+        |  FROM win WHERE bm IS NOT NULL AND bp IS NOT NULL)
+        |SELECT phase, count(*)::BIGINT AS n, sum(dn)::BIGINT AS s_num,
+        |  round((sum(dn)::DOUBLE / count(*)::DOUBLE) / 4800.0, 6) AS seasonal
+        |FROM det GROUP BY phase ORDER BY phase""".stripMargin) { (s, d) =>
+      import graft.operators.TimeSeries
+      val ev = t(s, d, "events")
+        .select(floor(unix_timestamp(col("ts")) / 3600).cast("long").as("b"),
+          round(col("value") * 100).cast("long").as("v"))
+      val agg = ev.groupBy("b").agg(sum(col("v")).cast("long").as("x"))
+      val grid = agg.agg(min("b").as("lo"), max("b").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("b"))
+      val series = grid.join(agg, Seq("b"), "left")
+        .select(col("b"), coalesce(col("x"), lit(0L)).as("x"))
+      TimeSeries.seasonalDecompose(series, "b", "x", period = 24)
+        .filter(col("detrended_num").isNotNull)
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n"),
+          sum(col("detrended_num")).cast("long").as("s_num"),
+          round((sum(col("detrended_num")).cast("double") /
+            count(lit(1)).cast("double")) / lit(4800.0), 6).as("seasonal"))
+        .orderBy("phase")
     }
   )
 }

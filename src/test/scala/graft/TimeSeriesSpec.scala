@@ -167,4 +167,38 @@ class TimeSeriesSpec extends SparkSpec {
       .agg(sum("n")).as[Long].collect().head
     assert(n2 == 12L) // 4 events x 3 tiers, the null row nowhere
   }
+
+  test("seasonalDecompose: linear trend + zero-mean seasonal recovered exactly (even period)") {
+    // x_b = 10·b + s[b mod 4], s = (0, 8, -4, -4) sums to 0, so the 2×4
+    // centered MA reproduces the line exactly and detrended/8 == s
+    val s = Seq(0L, 8L, -4L, -4L)
+    val series = (0L until 20L).map(b => (b, 10L * b + s((b % 4).toInt)))
+      .toDF("bucket", "v")
+    val got = graft.operators.TimeSeries
+      .seasonalDecompose(series, "bucket", "v", period = 4)
+      .select("bucket", "phase", "trend_num", "detrended_num")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(graft.operators.TimeSeries.trendScale(4) == 8)
+    for ((b, phase, tn, dn) <- got) {
+      assert(phase == b % 4)
+      if (b < 2 || b >= 18) assert(tn.isEmpty && dn.isEmpty, s"edge bucket $b")
+      else {
+        assert(tn.get == 8L * 10L * b, s"bucket $b trend")
+        assert(dn.get == 8L * s((b % 4).toInt), s"bucket $b seasonal")
+      }
+    }
+  }
+
+  test("seasonalDecompose: odd period plain centered window; constant series detrends to 0") {
+    val series = (0L until 9L).map(b => (b, 7L)).toDF("bucket", "v")
+    val got = graft.operators.TimeSeries
+      .seasonalDecompose(series, "bucket", "v", period = 3)
+      .select("bucket", "trend_num", "detrended_num")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(graft.operators.TimeSeries.trendScale(3) == 3)
+    for ((b, tn, dn) <- got) {
+      if (b == 0 || b == 8) assert(tn.isEmpty)
+      else { assert(tn.get == 21L); assert(dn.get == 0L) }
+    }
+  }
 }
