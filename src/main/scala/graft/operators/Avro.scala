@@ -163,8 +163,8 @@ object Avro {
       StandardCharsets.UTF_8)
     val codec = new String(meta.getOrElse("avro.codec", "null".getBytes),
       StandardCharsets.UTF_8)
-    require(codec == "null" || codec == "deflate",
-      s"avro container $id: unsupported codec '$codec' (subset: null, deflate)")
+    require(codec == "null" || codec == "deflate" || codec == "snappy",
+      s"avro container $id: unsupported codec '$codec' (subset: null, deflate, snappy)")
     val fields = parseSchema(schemaJson)
     val sync = r.take(16)
     val out = Seq.newBuilder[Row]
@@ -173,7 +173,22 @@ object Avro {
       val byteLen = r.zlong()
       if (count < 0 || byteLen < 0) r.err(s"negative block framing ($count, $byteLen)")
       val payload0 = r.take(byteLen.toInt)
-      val payload = if (codec == "null") payload0 else inflateRaw(r, payload0)
+      val payload = codec match {
+        case "null" => payload0
+        case "deflate" => inflateRaw(r, payload0)
+        case "snappy" =>
+          // avro's snappy codec: block + 4-octet BIG-endian CRC32 of
+          // the UNCOMPRESSED data
+          if (payload0.length < 4) r.err("snappy block shorter than its checksum")
+          val body = try Snappy.decompress(payload0.dropRight(4))
+            catch { case e: IllegalArgumentException => r.err(e.getMessage) }
+          val crc = new java.util.zip.CRC32
+          crc.update(body)
+          val want = java.nio.ByteBuffer.wrap(payload0.takeRight(4)).getInt & 0xffffffffL
+          if (want != crc.getValue)
+            r.err(f"snappy CRC32 mismatch: computed 0x${crc.getValue}%08x, stored 0x$want%08x")
+          body
+      }
       val br = new Reader(payload, id)
       (1L to count).foreach { _ =>
         out += Row(fields.map(f => decodeField(br, f)): _*)
@@ -247,7 +262,8 @@ object Avro {
       sync: Array[Byte], codec: String = "null",
       recordsPerBlock: Int = 1000): Array[Byte] = {
     require(sync.length == 16, "sync marker must be 16 octets")
-    require(codec == "null" || codec == "deflate", s"unsupported codec '$codec'")
+    require(codec == "null" || codec == "deflate" || codec == "snappy",
+      s"unsupported codec '$codec'")
     val fields = parseSchema(schemaJson)
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic)
@@ -263,9 +279,9 @@ object Avro {
           s"row arity ${vals.length} != schema arity ${fields.length}")
         fields.zip(vals).foreach { case (f, v) => encodeField(body, f, v) }
       }
-      val payload =
-        if (codec == "null") body.toByteArray
-        else {
+      val payload = codec match {
+        case "null" => body.toByteArray
+        case "deflate" =>
           val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
           d.setInput(body.toByteArray); d.finish()
           val o = new java.io.ByteArrayOutputStream()
@@ -273,7 +289,13 @@ object Avro {
           try while (!d.finished()) { val k = d.deflate(buf); o.write(buf, 0, k) }
           finally d.end()
           o.toByteArray
-        }
+        case "snappy" =>
+          val raw = body.toByteArray
+          val crc = new java.util.zip.CRC32
+          crc.update(raw)
+          Snappy.compress(raw) ++
+            java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+      }
       writeZlong(out, block.size.toLong)
       writeZlong(out, payload.length.toLong)
       out.write(payload)

@@ -2322,14 +2322,15 @@ object PipelineQueries {
     Q("q239_avro_pipeline",
       // the Avro object-container walk (operators/Avro — the published
       // format, implemented like the other codecs): documents are
-      // encoded into per-file containers (deflate blocks, nullable
-      // union field, deterministic sync markers), and the ENGINE
-      // parses the binary back — zigzag varints, little-endian IEEE,
-      // per-block sync verification, declared-schema cross-check. The
-      // oracle never parses: every field has a closed form from the
-      // assembly recipe (the q219/q229 recipe), md5(text) pins
-      // byte-exact recovery through deflate, and the doc_id % 5 nulls
-      // pin the union branch handling.
+      // encoded into per-file containers (codec rotating per file
+      // through null / deflate / snappy-with-CRC, nullable union
+      // field, deterministic sync markers), and the ENGINE parses the
+      // binary back — zigzag varints, little-endian IEEE, per-block
+      // sync verification, declared-schema cross-check, snappy
+      // back-reference decode. The oracle never parses: every field
+      // has a closed form from the assembly recipe (the q219/q229
+      // recipe), md5(text) pins byte-exact recovery through BOTH
+      // compressors, and the doc_id % 5 nulls pin the union branches.
       """SELECT doc_id % 31 AS file_id, doc_id, lang, md5(text) AS text_md5,
         |  CASE WHEN doc_id % 5 = 0 THEN NULL
         |       ELSE CAST(length(text) AS BIGINT) END AS opt_len
@@ -2349,7 +2350,8 @@ object PipelineQueries {
             if (id % 5 == 0) null else java.lang.Long.valueOf(r.getString(2).length.toLong))
         }
         val sync = (0 until 16).map(i => (fileId * 31 + i).toByte).toArray
-        Avro.writeContainer(avroSchema, rows, sync, codec = "deflate",
+        val codec = Seq("null", "deflate", "snappy")((fileId % 3).toInt)
+        Avro.writeContainer(avroSchema, rows, sync, codec,
           recordsPerBlock = 16)
       }
       val containers = t(s, d, "documents")

@@ -30,8 +30,8 @@ class AvroSpec extends SparkSpec {
       false, Array.emptyByteArray, null),
     Seq(0L, Int.MaxValue, Double.MaxValue, -2f, "", true, Array[Byte](-1), "x"))
 
-  test("round-trip: all subset types, both codecs, multiple blocks") {
-    for (codec <- Seq("null", "deflate")) {
+  test("round-trip: all subset types, all three codecs, multiple blocks") {
+    for (codec <- Seq("null", "deflate", "snappy")) {
       val blob = Avro.writeContainer(schema, rows, sync, codec, recordsPerBlock = 2)
       val (gotSchema, gotRows) = Avro.parseContainer(7L, blob)
       assert(Avro.parseSchema(gotSchema) == Avro.parseSchema(schema))
@@ -74,10 +74,18 @@ class AvroSpec extends SparkSpec {
     val badSync = good.clone()
     badSync(badSync.length - 1) = (badSync(badSync.length - 1) ^ 0x7f).toByte
     boom(badSync, "sync marker differs")
-    // unsupported codec in the header
-    val e1 = intercept[IllegalArgumentException](Avro.parseContainer(7L,
-      Avro.writeContainer(schema, rows, sync, "snappy")))
+    // unsupported codec is refused by the ENCODER too
+    val e1 = intercept[IllegalArgumentException](
+      Avro.writeContainer(schema, rows, sync, "zstandard"))
     assert(e1.getMessage.contains("unsupported codec"))
+    // snappy codec: round-trips, and its per-block CRC32 catches damage
+    val sn = Avro.writeContainer(schema, rows, sync, "snappy")
+    assert(Avro.parseContainer(7L, sn)._2.size == rows.size)
+    val badCrc = sn.clone()
+    badCrc(badCrc.length - 17) = (badCrc(badCrc.length - 17) ^ 0x5a).toByte
+    val e2 = intercept[IllegalArgumentException](Avro.parseContainer(7L, badCrc))
+    assert(e2.getMessage.contains("CRC32 mismatch") ||
+      e2.getMessage.contains("malformed"), e2.getMessage)
     // out-of-subset schemas are refused at parse time
     intercept[IllegalArgumentException](Avro.parseSchema(
       """{"type":"record","name":"r","fields":[{"name":"a","type":{"type":"array","items":"long"}}]}"""))
