@@ -2489,6 +2489,66 @@ object PipelineQueries {
           round((sum(col("detrended_num")).cast("double") /
             count(lit(1)).cast("double")) / lit(4800.0), 6).as("seasonal"))
         .orderBy("phase")
+    },
+
+    Q("q243_unigram_viterbi",
+      // the THIRD learned-subword family (operators/Unigram, after BPE
+      // q194/q195 and WordPiece q221/q222): SentencePiece-unigram
+      // DECODE — globally-optimal Viterbi segmentation under an
+      // integer-scored lexicon, where ta+ble (9) beats the whole-word
+      // 'table' (8), the case greedy max-munch structurally cannot
+      // produce, and 'window' (12) shows the whole word winning back.
+      // Ties prefer the longer FINAL piece at every DP position; the
+      // oracle enumerates EVERY segmentation by recursive CTE (words
+      // are short, so the space is small) and applies the same global
+      // order (score desc, reversed-length key desc) — the DP must
+      // pick the identical argmax for all 31 words. Off-lexicon chars
+      // are score-0 UNK singletons, so segmentation is total.
+      """WITH RECURSIVE
+        |px(p, s) AS (VALUES
+        |  ('ta', 4), ('ble', 5), ('table', 8), ('cust', 6), ('omer', 6),
+        |  ('customer', 11), ('scan', 9), ('s', 1), ('tream', 7), ('win', 5),
+        |  ('dow', 5), ('window', 12), ('sort', 7), ('so', 2), ('rt', 2),
+        |  ('a', 2), ('val', 3), ('ue', 3), ('li', 3), ('ne', 3), ('lin', 4), ('e', 2)),
+        |w AS (SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |      FROM documents),
+        |pos AS (SELECT word, unnest(generate_series(0, length(word) - 1)) AS j FROM w),
+        |cand AS (
+        |  SELECT pos.word, pos.j::INT AS j, px.p, px.s::BIGINT AS s, 0::BIGINT AS unk
+        |  FROM pos JOIN px ON substr(pos.word, pos.j::INT + 1, length(px.p)) = px.p
+        |  UNION ALL
+        |  SELECT word, j::INT, substr(word, j::INT + 1, 1), 0::BIGINT, 1::BIGINT
+        |  FROM pos WHERE substr(word, j::INT + 1, 1) NOT IN (SELECT p FROM px)),
+        |seg AS (
+        |  SELECT word, 0 AS i, 0::BIGINT AS score, '' AS pieces, 0::BIGINT AS n_unk,
+        |         0::BIGINT AS n_pieces, '' AS rkey
+        |  FROM w
+        |  UNION ALL
+        |  SELECT s.word, s.i + length(c.p), s.score + c.s,
+        |         CASE WHEN s.pieces = '' THEN c.p ELSE s.pieces || ' ' || c.p END,
+        |         s.n_unk + c.unk, s.n_pieces + 1,
+        |         lpad(length(c.p)::VARCHAR, 9, '0') || s.rkey
+        |  FROM seg s JOIN cand c ON c.word = s.word AND c.j = s.i),
+        |full_seg AS (SELECT * FROM seg WHERE i = length(word)),
+        |ranked AS (
+        |  SELECT word, pieces, score, n_pieces, n_unk,
+        |    row_number() OVER (PARTITION BY word ORDER BY score DESC, rkey DESC) AS rn
+        |  FROM full_seg)
+        |SELECT word, pieces, score, CAST(n_pieces AS INT) AS n_pieces,
+        |  CAST(n_unk AS INT) AS n_unk
+        |FROM ranked WHERE rn = 1 ORDER BY word""".stripMargin) { (s, d) =>
+      import graft.operators.{Dedup, Unigram}
+      val lexicon = Map(
+        "ta" -> 4L, "ble" -> 5L, "table" -> 8L, "cust" -> 6L, "omer" -> 6L,
+        "customer" -> 11L, "scan" -> 9L, "s" -> 1L, "tream" -> 7L, "win" -> 5L,
+        "dow" -> 5L, "window" -> 12L, "sort" -> 7L, "so" -> 2L, "rt" -> 2L,
+        "a" -> 2L, "val" -> 3L, "ue" -> 3L, "li" -> 3L, "ne" -> 3L,
+        "lin" -> 4L, "e" -> 2L)
+      val words = t(s, d, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("word"))
+        .distinct()
+      Unigram.viterbiSegment(words, "word", lexicon)
+        .orderBy("word")
     }
   )
 }
