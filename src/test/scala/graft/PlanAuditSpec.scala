@@ -759,4 +759,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"),
       s"expected the longest-prefix window cut:\n$p")
   }
+
+  test("q240: the spatial join is a cell equi-join, never a range nested loop") {
+    val p = plan("q240_spatial_grid_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the (cx, cy) equi-join:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-rect counts must combine map-side:\n$p")
+  }
+
+  test("q242: the decomposition is ONE ordered window over pre-aggregated buckets") {
+    val p = plan("q242_seasonal_decompose")
+    // the series aggregates BEFORE the window: the window input is one
+    // row per hour bucket, so exactly one Window operator and it sits
+    // above a hash aggregate, not the raw events
+    assert(p.contains("Window"), s"expected the trend window:\n$p")
+    assert(p.contains("partial_sum"),
+      s"bucket sums must combine map-side before the window:\n$p")
+  }
+
+  test("q243: viterbi segmentation is a narrow pass over the distinct-word frame") {
+    val p = plan("q243_unigram_viterbi")
+    assert(!p.contains("Join"),
+      s"the lexicon rides the closure, never a join:\n$p")
+  }
+
+  test("q235: the hilbert walk is projection-only before the top-k cut") {
+    val p = plan("q235_hilbert_values")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT must plan as top-k, not a full sort:\n$p")
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"the 16-level walk must stay shuffle-free:\n$p")
+  }
 }
