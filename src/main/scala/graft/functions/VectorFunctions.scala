@@ -472,6 +472,60 @@ case class AdcScore(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hilbert-curve distance of two 16-bit coordinates — the xy2d walk as
+  * ONE native expression whose `doGenCode` emits the 16-iteration LOOP.
+  * The Column-chain formulation ([[graft.operators.Layout]]'s first
+  * cut) fused 17 stacked projections into a whole-stage method big
+  * enough to lose codegen/JIT benefits and ran ~10 µs/row; the loop
+  * compiles to ~30 lines of branch-light Java and keeps the stage
+  * small — the "custom Expression beats expression-tree contortions"
+  * case, same as [[AdcScore]].
+  */
+case class Hilbert16Dist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hilbert16 requires (BIGINT, BIGINT), got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert16"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.operators.Layout.hilbert16Scala(
+      a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val hx = ctx.freshName("hx"); val hy = ctx.freshName("hy")
+      val hd = ctx.freshName("hd"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val rx = ctx.freshName("rx")
+      val ry = ctx.freshName("ry"); val t = ctx.freshName("t")
+      s"""
+        long $hx = ($x) & 65535L;
+        long $hy = ($y) & 65535L;
+        long $hd = 0L;
+        for (int $i = 15; $i >= 0; $i--) {
+          long $s = 1L << $i;
+          long $rx = ($hx >> $i) & 1L;
+          long $ry = ($hy >> $i) & 1L;
+          $hd += $s * $s * (3L * $rx + $ry * (1L - 2L * $rx));
+          if ($ry == 0L) {
+            if ($rx == 1L) { $hx = 65535L - $hx; $hy = 65535L - $hy; }
+            long $t = $hx; $hx = $hy; $hy = $t;
+          }
+        }
+        ${ev.value} = $hd;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
 
   /** Idempotent; call once per session before using the helpers below. */
@@ -500,6 +554,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "adc_score", exprs => AdcScore(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
+      "hilbert16", exprs => Hilbert16Dist(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
       "url_canonicalize", exprs => UrlCanonicalize(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "text_canonicalize", exprs => TextCanonicalize(exprs.head), "built-in")
@@ -522,6 +578,7 @@ object GraftFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
   def int8Quant(vec: Column): Column = call_function("int8_quant", vec)
+  def hilbert16(x: Column, y: Column): Column = call_function("hilbert16", x, y)
   def adcScore(codes: Column, lut: Column): Column =
     call_function("adc_score", codes, lut)
   def urlCanonicalize(url: Column): Column = call_function("url_canonicalize", url)

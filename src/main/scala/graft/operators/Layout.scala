@@ -57,37 +57,21 @@ object Layout {
     * (x, y) space with no Morton "seams" (z-order jumps across half the
     * plane at power-of-two boundaries, widening per-file min/max boxes).
     *
-    * Built as 16 CHAINED PROJECTIONS over running (x, y, d) state
-    * columns, one per bit level — never one nested Column expression,
-    * whose tree would blow up exponentially under substitution. Each
-    * level is plain bitwise/CASE arithmetic, codegen-fused into the
-    * same stage; [[hilbert16Sql]] is the identical arithmetic as nested
-    * sub-selects for oracle pairing.
+    * Implemented as ONE native Catalyst expression
+    * ([[graft.functions.Hilbert16Dist]]) whose codegen emits the
+    * 16-iteration loop directly — the expression-tree formulations
+    * (16 chained projections of CASE ladders, or their branchless
+    * multiply-add twin) fused into a whole-stage method too large to
+    * execute well (~10 µs/row measured); the loop is ~30 lines of Java
+    * and runs at ALU speed. [[hilbert16Sql]] emits the identical
+    * arithmetic as nested sub-selects for oracle pairing — same
+    * integer values, so CASE-vs-loop cannot diverge.
     */
   def hilbert16(df: DataFrame, xCol: String, yCol: String, outCol: String): DataFrame = {
-    val init = df
-      .withColumn("__hx", col(xCol).cast("long").bitwiseAND(lit(0xFFFFL)))
-      .withColumn("__hy", col(yCol).cast("long").bitwiseAND(lit(0xFFFFL)))
-      .withColumn("__hd", lit(0L))
-    val walked = (15 to 0 by -1).foldLeft(init) { (acc, i) =>
-      val s = 1L << i
-      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
-      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
-      // (3·rx) XOR ry over {0,1}²  ==  3·rx + ry·(1 − 2·rx): plain
-      // arithmetic, identical on both engines
-      val q = lit(3L) * rx + ry * (lit(1L) - lit(2L) * rx)
-      val refX = when(rx === 1L, lit(65535L) - col("__hx")).otherwise(col("__hx"))
-      val refY = when(rx === 1L, lit(65535L) - col("__hy")).otherwise(col("__hy"))
-      acc
-        .withColumn("__hd2", col("__hd") + lit(s * s) * q)
-        .withColumn("__hx2", when(ry === 0L, refY).otherwise(col("__hx")))
-        .withColumn("__hy2", when(ry === 0L, refX).otherwise(col("__hy")))
-        .drop("__hd", "__hx", "__hy")
-        .withColumnRenamed("__hd2", "__hd")
-        .withColumnRenamed("__hx2", "__hx")
-        .withColumnRenamed("__hy2", "__hy")
-    }
-    walked.withColumnRenamed("__hd", outCol).drop("__hx", "__hy")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn(outCol,
+      graft.functions.GraftFunctions.hilbert16(
+        col(xCol).cast("long"), col(yCol).cast("long")))
   }
 
   /** Plain-Scala twin of [[hilbert16]] for specs/oracles: the same
