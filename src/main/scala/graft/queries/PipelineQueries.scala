@@ -2549,6 +2549,56 @@ object PipelineQueries {
         .distinct()
       Unigram.viterbiSegment(words, "word", lexicon)
         .orderBy("word")
+    },
+
+    Q("q244_protobuf_pipeline",
+      // the protobuf wire-format walk (operators/Protobuf — the
+      // published encoding spec): documents become length-prefixed
+      // messages with a PACKED repeated word-length field, a zigzag
+      // sint64, and a conditionally-ABSENT string (doc_id % 7 — absent
+      // must surface as NULL, not proto3's invisible default); the
+      // ENGINE decodes tags, varints, packed runs and zigzag back.
+      // The oracle never parses (q219/q229/q239 recipe): every field,
+      // the repeated array's length and sum included, has a closed
+      // form from the assembly recipe.
+      """SELECT doc_id % 33 AS file_id, doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |  md5(text) AS text_md5,
+        |  CAST(-doc_id AS BIGINT) AS neg,
+        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_words,
+        |  list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |    w -> length(w)))::BIGINT AS words_len_sum
+        |FROM documents ORDER BY file_id, doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Protobuf
+      import graft.operators.Protobuf.PbField
+      val pbSchema = Seq(
+        PbField(1, "doc_id", "int64"),
+        PbField(2, "lang", "string"),
+        PbField(3, "text", "string"),
+        PbField(4, "word_lens", "int64", repeated = true),
+        PbField(5, "neg", "sint64"))
+      val mkPb = udf { recs: Seq[org.apache.spark.sql.Row] =>
+        Protobuf.writeStream(pbSchema, recs.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(2)
+          Map[String, Any]("doc_id" -> id,
+            "lang" -> (if (id % 7 == 0) null else r.getString(1)),
+            "text" -> text,
+            "word_lens" -> text.trim.split("\\s+").toSeq.map(_.length.toLong),
+            "neg" -> -id)
+        })
+      }
+      val containers = t(s, d, "documents")
+        .groupBy((col("doc_id") % 33).as("file_id"))
+        .agg(array_sort(collect_list(
+          struct(col("doc_id"), col("lang"), col("text")))).as("recs"))
+        .select(col("file_id"), mkPb(col("recs")).as("blob"))
+      Protobuf.records(containers, "file_id", "blob", pbSchema)
+        .select(col("file_id"), col("doc_id"), col("lang"),
+          md5(col("text")).as("text_md5"), col("neg"),
+          size(col("word_lens")).cast("long").as("n_words"),
+          aggregate(col("word_lens"), lit(0L), _ + _).as("words_len_sum"))
+        .orderBy("file_id", "doc_id")
     }
   )
 }
