@@ -59,4 +59,67 @@ object SpatialJoin {
         col(py) >= col(ylo) && col(py) <= col(yhi))
       .drop("__cx", "__cy")
   }
+
+  /** Points × CONVEX polygons — the general-shape sibling of
+    * [[pointInRect]]: candidates come from the polygon's bounding box
+    * on the same grid, the exact test is the half-plane intersection
+    * (every edge's cross product ≥ 0 — boundary inclusive), all in
+    * exact integer arithmetic so an oracle replays it with list
+    * lambdas. `vertsCol` is `array<struct<x: long, y: long>>` in
+    * COUNTER-CLOCKWISE order; polygons that are not convex-CCW (any
+    * negative consecutive-edge cross) or degenerate (< 3 vertices)
+    * fail loudly — a silently-accepted clockwise polygon would match
+    * nothing and read as "no points in region".
+    */
+  def pointInConvexPoly(
+      points: DataFrame, px: String, py: String,
+      polys: DataFrame, vertsCol: String,
+      cellSize: Long,
+      maxCellsPerPoly: Long = 100000L): DataFrame = {
+    require(cellSize > 0, s"cellSize $cellSize must be positive")
+    def cellOf(c: Column): Column = floor(c / lit(cellSize.toDouble)).cast("long")
+    val verts = col(vertsCol)
+    val n = size(verts)
+    def vx(i: Column) = element_at(verts, i + 1).getField("x")
+    def vy(i: Column) = element_at(verts, i + 1).getField("y")
+    def nxt(i: Column) = (i + 1) % n
+    // cross of edge i with the following edge (cyclic) — convex CCW iff
+    // all ≥ 0 and at least one > 0 (not all collinear)
+    def edgeCross(i: Column): Column = {
+      val j = nxt(i); val k = nxt(j)
+      (vx(j) - vx(i)) * (vy(k) - vy(j)) - (vy(j) - vy(i)) * (vx(k) - vx(j))
+    }
+    val convexOk = forall(sequence(lit(0), n - 1), i => edgeCross(i) >= 0) &&
+      exists(sequence(lit(0), n - 1), i => edgeCross(i) > 0)
+    val checked = polys.withColumn("__ok",
+      when(n < 3, raise_error(lit("polygon with fewer than 3 vertices")))
+        .when(!convexOk, raise_error(
+          lit("polygon is not convex counter-clockwise — a clockwise ring would " +
+            "silently match nothing; reverse the vertex order")))
+        .otherwise(lit(true)))
+    val xs = transform(verts, v => v.getField("x"))
+    val ys = transform(verts, v => v.getField("y"))
+    val span = (cellOf(array_max(xs)) - cellOf(array_min(xs)) + 1) *
+      (cellOf(array_max(ys)) - cellOf(array_min(ys)) + 1)
+    val polyCells = checked
+      .withColumn("__span", when(span > maxCellsPerPoly, raise_error(concat(
+          lit(s"polygon covers more than $maxCellsPerPoly grid cells (span "),
+          span.cast("string"), lit(") — broadcast it instead of exploding the grid"))))
+        .otherwise(span))
+      .withColumn("__cx", explode(sequence(cellOf(array_min(xs)), cellOf(array_max(xs)))))
+      .withColumn("__cy", explode(sequence(cellOf(array_min(ys)), cellOf(array_max(ys)))))
+      .drop("__ok", "__span")
+    val pts = points
+      .withColumn("__cx", cellOf(col(px)))
+      .withColumn("__cy", cellOf(col(py)))
+    // inside iff every edge (v_i → v_{i+1}) keeps the point on its left
+    val inside = forall(sequence(lit(0), n - 1), i => {
+      val j = nxt(i)
+      (vx(j) - vx(i)) * (col(py) - vy(i)) -
+        (vy(j) - vy(i)) * (col(px) - vx(i)) >= 0
+    })
+    pts.join(polyCells, Seq("__cx", "__cy"))
+      .filter(inside)
+      .drop("__cx", "__cy")
+  }
 }

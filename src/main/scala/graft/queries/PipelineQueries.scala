@@ -2599,6 +2599,46 @@ object PipelineQueries {
           size(col("word_lens")).cast("long").as("n_words"),
           aggregate(col("word_lens"), lit(0L), _ + _).as("words_len_sum"))
         .orderBy("file_id", "doc_id")
+    },
+
+    Q("q245_spatial_polygon_join",
+      // q240's general-shape sibling: points × CONVEX POLYGONS
+      // (supplier diamonds, CCW by construction) via the same grid
+      // bucketing — bounding-box cells, one equi-join, then the exact
+      // half-plane test (every edge's integer cross product >= 0).
+      // The oracle dodges the cross products entirely: a diamond has
+      // the closed containment form |dx|·b + |dy|·a <= a·b, also
+      // exact integers — two INDEPENDENT formulations that must agree
+      // point for point. Clockwise/degenerate rings are refused
+      // loudly in the operator (SpatialJoinSpec).
+      """WITH p AS (
+        |  SELECT o_orderkey, o_orderkey % 997 AS px, o_custkey % 997 AS py
+        |  FROM orders),
+        |r AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey * 37) % 900 + 50 AS cx, (s_suppkey * 59) % 900 + 50 AS cy,
+        |    20 + s_suppkey % 30 AS a, 20 + (s_suppkey * 3) % 30 AS b
+        |  FROM supplier)
+        |SELECT s_suppkey, count(*)::BIGINT AS n_points,
+        |  sum(o_orderkey)::BIGINT AS key_sum
+        |FROM p JOIN r ON abs(px - cx) * b + abs(py - cy) * a <= a * b
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      import graft.operators.SpatialJoin
+      val pts = t(s, d, "orders").select(col("o_orderkey"),
+        (col("o_orderkey") % 997).as("px"), (col("o_custkey") % 997).as("py"))
+      val cx = (col("s_suppkey") * 37) % 900 + 50
+      val cy = (col("s_suppkey") * 59) % 900 + 50
+      val a = lit(20) + col("s_suppkey") % 30
+      val b = lit(20) + (col("s_suppkey") * 3) % 30
+      def v(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        struct(x.cast("long").as("x"), y.cast("long").as("y"))
+      val polys = t(s, d, "supplier").select(col("s_suppkey"),
+        array(v(cx + a, cy), v(cx, cy + b), v(cx - a, cy), v(cx, cy - b)).as("verts"))
+      SpatialJoin.pointInConvexPoly(pts, "px", "py", polys, "verts", cellSize = 64L)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"))
+        .orderBy("s_suppkey")
     }
   )
 }

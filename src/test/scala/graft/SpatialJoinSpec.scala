@@ -8,8 +8,13 @@ import graft.operators.SpatialJoin
   * sizes, inclusive-bound edges, no duplicate emissions, and loud
   * refusal of malformed / grid-exploding rectangles.
   */
+object SpatialJoinSpec {
+  final case class V(x: Long, y: Long)
+}
+
 class SpatialJoinSpec extends SparkSpec {
   import spark.implicits._
+  import SpatialJoinSpec.V
 
   test("matches brute force across cell sizes; no duplicate pairs") {
     val rnd = new scala.util.Random(13)
@@ -56,6 +61,51 @@ class SpatialJoinSpec extends SparkSpec {
       pts, "px", "py", huge, "xlo", "ylo", "xhi", "yhi", 10L).collect())
     assert(e2.getMessage.contains("grid cells") ||
       e2.getCause.getMessage.contains("grid cells"))
+  }
+
+  test("pointInConvexPoly: brute-force parity on random convex polygons; boundary inclusive") {
+    val rnd = new scala.util.Random(29)
+    val pts = (1L to 300L).map(i =>
+      (i, rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+    // diamonds are convex and CCW by construction
+    val polys = (1L to 25L).map { i =>
+      val cx = 50L + rnd.nextInt(300); val cy = 50L + rnd.nextInt(300)
+      val a = 10L + rnd.nextInt(40); val b = 10L + rnd.nextInt(40)
+      (i, Seq(V(cx + a, cy), V(cx, cy + b), V(cx - a, cy), V(cx, cy - b)), a, b, cx, cy)
+    }
+    val want = (for {
+      (pid, x, y) <- pts
+      (rid, _, a, b, cx, cy) <- polys
+      if math.abs(x - cx) * b + math.abs(y - cy) * a <= a * b // closed diamond form
+    } yield (pid, rid)).sorted
+    val polyDf = polys.map { case (i, vs, _, _, _, _) => (i, vs) }.toDF("rid", "verts")
+    for (cs <- Seq(16L, 100L)) {
+      val got = SpatialJoin.pointInConvexPoly(
+          pts.toDF("pid", "px", "py"), "px", "py", polyDf, "verts", cs)
+        .select("pid", "rid").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"cellSize=$cs: ${got.size} vs ${want.size}")
+    }
+    // a vertex and an edge midpoint are boundary hits (inclusive)
+    val tri = Seq((1L, Seq(V(0L, 0L), V(10L, 0L), V(0L, 10L)))).toDF("rid", "verts")
+    val edgePts = Seq((1L, 0L, 0L), (2L, 5L, 0L), (3L, 5L, 5L), (4L, 6L, 5L))
+      .toDF("pid", "px", "py")
+    val hits = SpatialJoin.pointInConvexPoly(edgePts, "px", "py", tri, "verts", 8L)
+      .select("pid").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L, 3L))
+  }
+
+  test("pointInConvexPoly: clockwise and degenerate polygons are refused loudly") {
+    val pts = Seq((1L, 5L, 5L)).toDF("pid", "px", "py")
+    val cw = Seq((1L, Seq(V(0L, 0L), V(0L, 10L), V(10L, 0L)))).toDF("rid", "verts")
+    val e1 = intercept[Exception](SpatialJoin.pointInConvexPoly(
+      pts, "px", "py", cw, "verts", 8L).collect())
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage).getOrElse(""))
+      .contains("not convex counter-clockwise"))
+    val degenerate = Seq((1L, Seq(V(0L, 0L), V(10L, 10L)))).toDF("rid", "verts")
+    val e2 = intercept[Exception](SpatialJoin.pointInConvexPoly(
+      pts, "px", "py", degenerate, "verts", 8L).collect())
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .contains("fewer than 3"))
   }
 
   test("the plan is an equi-join on cells — never a cross product") {
