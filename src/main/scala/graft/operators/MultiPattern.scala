@@ -111,8 +111,9 @@ object MultiPattern {
       patterns: Seq[String]): DataFrame = {
     val ac = automaton(patterns)
     val pats = patterns.toArray
-    val prepared = df.select(col(idCol).cast("long").as("id"),
-      col(textCol).as("t"))
+    val prepared = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
     val enc = RowEncoder.encoderFor(matchSchema)
     prepared.mapPartitions { it =>
       it.flatMap { r =>

@@ -101,7 +101,7 @@ object Unigram {
     val maxLen = lexicon.keys.map(_.length).max
     val idx = words.schema.fieldIndex(wordCol)
     val enc = RowEncoder.encoderFor(outSchema)
-    words.mapPartitions { it =>
+    words.filter(col(wordCol).isNotNull).mapPartitions { it =>
       it.map { r =>
         val w = r.getString(idx)
         val (pieces, score, unk) = segment(w, lexicon, maxLen)

@@ -99,8 +99,10 @@ object Winnow {
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, w: Int = 8): DataFrame = {
     require(k >= 2 && w >= 2, s"degenerate winnow parameters k=$k w=$w")
-    val prepared = df.select(col(idCol).cast("long").as("id"),
-      normalize(col(textCol)).as("s"))
+    val prepared = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        normalize(col(textCol)).as("s"))
     val enc = RowEncoder.encoderFor(fpSchema)
     prepared.mapPartitions { it =>
       it.flatMap { r =>
