@@ -1689,20 +1689,20 @@ object TxTable {
     * z-ordered ingests compose with deltas, compaction, vacuum and time
     * travel like any other writer.
     */
-  def ingestZOrdered(
+  /** Stage one z-ordered write under `tablePath` and return
+    * (bucket, rel, encodedStats) — shared by [[ingestZOrdered]] (new
+    * data) and [[optimizeZOrder]] (re-clustering live files). The
+    * staged directories are invisible until a commit references them.
+    */
+  private def stageZOrdered(
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,
       xCol: String,
       yCol: String,
       buckets: Int,
-      partition: String = "default",
-      statsCols: Seq[String] = AutoStats,
-      maxRetries: Int = 50): Long = {
+      statsCols: Seq[String]): Seq[(Int, String, String)] = {
     require(buckets >= 1, "buckets must be >= 1")
-    // re-enforced in the commit loop iff the set changes under a race
-    var enforcedFor = snapshot(tablePath).constraints
-    enforceConstraints(df, enforcedFor, "ingestZOrdered")
     val staged = s"data/${UUID.randomUUID()}"
     val abs = s"$tablePath/$staged"
     df.withColumn("__z", graft.operators.Layout.zorder16(col(xCol), col(yCol)))
@@ -1741,6 +1741,23 @@ object TxTable {
             r.getAs[Number]("__b").intValue() -> StatsCodec.encode(m)
           }.toMap
       }
+    bucketDirs.map { case (b, rel) => (b, rel, statsByBucket.getOrElse(b, "")) }
+  }
+
+  def ingestZOrdered(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      xCol: String,
+      yCol: String,
+      buckets: Int,
+      partition: String = "default",
+      statsCols: Seq[String] = AutoStats,
+      maxRetries: Int = 50): Long = {
+    // re-enforced in the commit loop iff the set changes under a race
+    var enforcedFor = snapshot(tablePath).constraints
+    enforceConstraints(df, enforcedFor, "ingestZOrdered")
+    val bucketDirs = stageZOrdered(spark, df, tablePath, xCol, yCol, buckets, statsCols)
     var attempt = 0
     while (attempt <= maxRetries) {
       val snap = snapshot(tablePath)
@@ -1749,9 +1766,7 @@ object TxTable {
         enforcedFor = snap.constraints
       }
       val lines = Seq(s"op\tingestZOrdered\tattempt\t$attempt") ++
-        bucketDirs.map { case (b, rel) =>
-          addLine(partition, rel, statsByBucket.getOrElse(b, ""))
-        }
+        bucketDirs.map { case (_, rel, st) => addLine(partition, rel, st) }
       try {
         publishCommit(tablePath, snap.version + 1, lines)
         maybeCheckpoint(tablePath, snap.version + 1)
@@ -1762,6 +1777,52 @@ object TxTable {
     }
     throw new IllegalStateException(
       s"ingestZOrdered lost $maxRetries consecutive commit races on $tablePath")
+  }
+
+  /** OPTIMIZE ZORDER BY for a LIVE table: rewrite one partition's
+    * current files into `buckets` Morton-clustered directories as a
+    * normal add+remove commit — same mechanics as [[compact]] (time
+    * travel to the pre-optimize version keeps replaying until vacuum;
+    * a lost race re-reads the fresh snapshot, since the winner may
+    * have added files the stale remove set would orphan), but the fold
+    * is a LAYOUT change, not a latest-per-key collapse: the row
+    * multiset is IDENTICAL before and after (spec-pinned), only file
+    * boundaries move so per-file min/max stats prune again after the
+    * table's write history has scattered the clustering.
+    *
+    * Returns the committed version, or -1 when the partition holds no
+    * files.
+    */
+  def optimizeZOrder(
+      spark: SparkSession,
+      tablePath: String,
+      xCol: String,
+      yCol: String,
+      buckets: Int,
+      partition: String = "default",
+      statsCols: Seq[String] = AutoStats,
+      maxRetries: Int = 50): Long = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val snap = snapshot(tablePath)
+      val victims = snap.filesByPartition.getOrElse(partition, Nil)
+      if (victims.isEmpty) return -1L
+      val df = snapReader(spark, snap)
+        .parquet(victims.map(f => resolveRef(tablePath, f)): _*)
+      val bucketDirs = stageZOrdered(spark, df, tablePath, xCol, yCol, buckets, statsCols)
+      val lines = Seq(s"op\toptimizeZOrder\tattempt\t$attempt") ++
+        bucketDirs.map { case (_, rel, st) => addLine(partition, rel, st) } ++
+        victims.map(f => s"remove\t$f")
+      try {
+        publishCommit(tablePath, snap.version + 1, lines)
+        maybeCheckpoint(tablePath, snap.version + 1)
+        return snap.version + 1
+      } catch {
+        case _: FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"optimizeZOrder lost $maxRetries consecutive commit races on $tablePath")
   }
 
   /** Delete data directories no longer referenced by the current snapshot

@@ -121,6 +121,39 @@ class TxTableStatsSpec extends SparkSpec {
     assert(pruneY.size * 2 <= total, s"y-dim skipping: ${pruneY.size} of $total")
   }
 
+  test("optimizeZOrder: identical rows, skipping restored, time travel intact") {
+    val table = tmp("graft-txoptz") + "/otbl"
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).cast("long").as("x"),
+      (col("id") / 64).cast("long").as("y"),
+      (col("id") * 3 % 997).cast("long").as("v"))
+    // ingest clustered on the WRONG key (v, v): x/y predicates prune ~nothing
+    TxTable.ingestZOrdered(spark, df, table, "v", "v", buckets = 16)
+    val pre = TxTable.snapshot(table)
+    val prune = Seq(ColRange("x", Some(3), Some(4)))
+    val openedBefore = TxTable.selectFiles(pre, None, prune).size
+
+    val vOpt = TxTable.optimizeZOrder(spark, table, "x", "y", buckets = 16)
+    assert(vOpt === pre.version + 1)
+    val post = TxTable.snapshot(table)
+    // layout change, not a data change: the row multiset is identical
+    val before = TxTable.readAt(spark, table, pre.version).get
+    val after = TxTable.read(spark, table).get
+    assert(after.count() === 4096L)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    // skipping restored: the re-clustered table opens ≪ total and fewer
+    // than the mis-clustered one did
+    val openedAfter = TxTable.selectFiles(post, None, prune).size
+    assert(openedAfter * 2 <= post.allFiles.size,
+      s"x-range must skip after optimize: $openedAfter of ${post.allFiles.size}")
+    assert(openedAfter < openedBefore,
+      s"optimize must improve skipping: $openedAfter vs $openedBefore")
+    // row counts still ride the stats: the metadata aggregate survives
+    assert(TxTable.statsAggregate(spark, table).as[Long].collect().head === 4096L)
+    // idempotent-ish second pass and empty partitions are clean no-ops
+    assert(TxTable.optimizeZOrder(spark, table, "x", "y", 16, partition = "nope") === -1L)
+  }
+
   test("addBlooms: point lookups skip files range stats cannot; pruned == full") {
     import spark.implicits._
     val table = tmp("graft-txbloom") + "/btbl"
