@@ -790,5 +790,25 @@ class PlanAuditSpec extends SparkSpec {
       s"ORDER BY + LIMIT must plan as top-k, not a full sort:\n$p")
     assert(!p.contains("Arguments: hashpartitioning"),
       s"the 16-level walk must stay shuffle-free:\n$p")
+    assert(p.contains("hilbert16"),
+      s"the walk must be the ONE native loop expression, not a project tower:\n$p")
+  }
+
+  test("q241: posting compression rides the index build's own aggregation") {
+    val p = plan("q241_postings_vbyte")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no join belongs in an index build:\n$p")
+    assert(p.contains("partial_"),
+      s"the (term, doc) dedup and postings collect must partial-aggregate:\n$p")
+  }
+
+  test("q245: polygon candidates come from the cell equi-join with the bbox filter inside") {
+    val p = plan("q245_spatial_polygon_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the (cx, cy) equi-join:\n$p")
+    // the codegen'd bbox range test must sit in the plan as a plain
+    // comparison filter — it is what shields the interpreted forall
+    assert(p.contains("__bxlo") || p.contains("bxlo"),
+      s"expected the materialized bbox pre-filter:\n$p")
   }
 }
