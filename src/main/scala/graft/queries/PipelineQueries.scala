@@ -2639,6 +2639,30 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_points"),
           sum(col("o_orderkey")).cast("long").as("key_sum"))
         .orderBy("s_suppkey")
+    },
+
+    Q("q246_txtable_partition_census",
+      // q233's GROUPED sibling: orders land in a TxTable PARTITIONED
+      // by priority (the reference's collection-per-server shape), and
+      // statsAggregateByPartition answers the per-partition
+      // count/min/max census from the COMMIT LOG alone — one row per
+      // partition, zero data files opened, the per-tenant dashboard
+      // poll a 100 TB operator runs every minute. All keys are unique
+      // so the last-value merge keeps every row, and the oracle is a
+      // plain grouped scan of the source.
+      """SELECT o_orderpriority AS partition, count(*)::BIGINT AS n_rows,
+        |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+        |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.streaming.TxTable
+      val table = Q.scratchDir("graft-q246") + "/orders_parts"
+      val batch = t(s, d, "orders").select(
+        col("o_orderpriority").as("p"), col("o_orderkey").as("k"),
+        col("o_orderkey").as("o"), col("o_totalprice").as("v"))
+      TxTable.mergeLatest(s, batch, table,
+        partitionCol = "p", keys = Seq("p", "k"), order = Seq("o"))
+      TxTable.statsAggregateByPartition(s, table, Seq("k", "v"))
+        .orderBy("partition")
     }
   )
 }

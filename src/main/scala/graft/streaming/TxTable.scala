@@ -1342,6 +1342,43 @@ object TxTable {
     val snap = if (version < 0) snapshot(tablePath) else snapshotAt(tablePath, version)
     val files = snap.allFiles
     require(files.nonEmpty, s"statsAggregate on empty table $tablePath")
+    val (fields, values) = foldFileStats(tablePath, snap, files, cols)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(Row(values: _*)),
+      StructType(fields))
+  }
+
+  /** [[statsAggregate]] GROUPED BY the table's physical partition —
+    * per-partition COUNT/MIN/MAX from the log alone (the per-server /
+    * per-tenant census a 100 TB operator dashboard polls): one output
+    * row per partition, same columns as [[statsAggregate]] after the
+    * leading `partition`, same refusal-not-wrong contract per file.
+    */
+  def statsAggregateByPartition(
+      spark: SparkSession,
+      tablePath: String,
+      cols: Seq[String] = Nil,
+      version: Long = -1L): DataFrame = {
+    val snap = if (version < 0) snapshot(tablePath) else snapshotAt(tablePath, version)
+    require(snap.allFiles.nonEmpty, s"statsAggregate on empty table $tablePath")
+    val parts = snap.filesByPartition.toSeq.filter(_._2.nonEmpty).sortBy(_._1)
+    var fields: Seq[StructField] = null
+    val rows = parts.map { case (p, files) =>
+      val (fs, values) = foldFileStats(tablePath, snap, files, cols)
+      fields = fs
+      Row.fromSeq(p +: values)
+    }
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      StructType(StructField("partition", StringType, nullable = false) +: fields))
+  }
+
+  /** The shared log-fold: (schema, one row of values) for `files`. */
+  private def foldFileStats(
+      tablePath: String,
+      snap: Snapshot,
+      files: Seq[String],
+      cols: Seq[String]): (Seq[StructField], Seq[Any]) = {
     def fail(f: String, what: String): Nothing = throw new IllegalStateException(
       s"statsAggregate($tablePath): file $f $what — the log cannot answer " +
         "this aggregate; use read() + aggregate, or re-commit with stats on")
@@ -1390,9 +1427,7 @@ object TxTable {
           values += e.map(_._1).min; values += e.map(_._2).max
       }
     }
-    spark.createDataFrame(
-      java.util.Collections.singletonList(Row(values.toSeq: _*)),
-      StructType(fields.toSeq))
+    (fields.toSeq, values.toSeq)
   }
 
   /** Enforce the snapshot's CHECK constraints on rows about to be

@@ -318,6 +318,26 @@ class TxTableStatsSpec extends SparkSpec {
     intercept[Exception](TxTable.read(spark, dir).get.count())
   }
 
+  test("statsAggregateByPartition: per-partition census from the log == grouped scan") {
+    val dir = tmp("tx-statsagg-part")
+    TxTable.mergeLatest(spark, txBatch(
+      ("srvA", "t1", "2024-01-01 10:00:00", 3.5),
+      ("srvA", "t2", "2024-01-01 10:00:01", -2.0),
+      ("srvB", "t3", "2024-01-01 10:00:02", 9.25)), dir)
+    TxTable.mergeLatest(spark, txBatch(
+      ("srvB", "t4", "2024-01-02 10:00:00", 11.5),
+      ("srvC", "t5", "2024-01-02 10:00:01", 0.5)), dir)
+    val got = TxTable.statsAggregateByPartition(spark, dir, Seq("doubleValue"))
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val want = TxTable.read(spark, dir).get
+      .groupBy("serverName")
+      .agg(count(lit(1)), min("doubleValue"), max("doubleValue"))
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.map(_._1) == Seq("srvA", "srvB", "srvC"))
+    assert(got.map(_._2) == Seq(2L, 2L, 1L))
+  }
+
   test("statsAggregate refuses loudly when the log cannot prove the answer") {
     // stats-suppressed writer: no row counts anywhere
     val bare = tmp("tx-statsagg-bare")
