@@ -75,7 +75,18 @@ object SpatialJoin {
       points: DataFrame, px: String, py: String,
       polys: DataFrame, vertsCol: String,
       cellSize: Long,
-      maxCellsPerPoly: Long = 100000L): DataFrame = {
+      maxCellsPerPoly: Long = 100000L): DataFrame =
+    probePolyCells(points, px, py,
+      stagePolyCells(polys, vertsCol, cellSize, maxCellsPerPoly), vertsCol, cellSize)
+
+  /** The validated, bbox-annotated, cell-exploded polygon side —
+    * exposed so [[graft.streaming.StreamingSpatialProbe]] can persist
+    * it once for a stream's lifetime (a stream-static join re-evaluates
+    * the static subplan every trigger).
+    */
+  private[graft] def stagePolyCells(
+      polys: DataFrame, vertsCol: String,
+      cellSize: Long, maxCellsPerPoly: Long): DataFrame = {
     require(cellSize > 0, s"cellSize $cellSize must be positive")
     def cellOf(c: Column): Column = floor(c / lit(cellSize.toDouble)).cast("long")
     val verts = col(vertsCol)
@@ -115,6 +126,19 @@ object SpatialJoin {
       .withColumn("__cx", explode(sequence(cellOf(col("__bxlo")), cellOf(col("__bxhi")))))
       .withColumn("__cy", explode(sequence(cellOf(col("__bylo")), cellOf(col("__byhi")))))
       .drop("__ok", "__span")
+    polyCells
+  }
+
+  /** The point-side probe against [[stagePolyCells]] output. */
+  private[graft] def probePolyCells(
+      points: DataFrame, px: String, py: String,
+      cells: DataFrame, vertsCol: String, cellSize: Long): DataFrame = {
+    def cellOf(c: Column): Column = floor(c / lit(cellSize.toDouble)).cast("long")
+    val verts = col(vertsCol)
+    val n = size(verts)
+    def vx(i: Column) = element_at(verts, i + 1).getField("x")
+    def vy(i: Column) = element_at(verts, i + 1).getField("y")
+    def nxt(i: Column) = (i + 1) % n
     val pts = points
       .withColumn("__cx", cellOf(col(px)))
       .withColumn("__cy", cellOf(col(py)))
@@ -124,7 +148,7 @@ object SpatialJoin {
       (vx(j) - vx(i)) * (col(py) - vy(i)) -
         (vy(j) - vy(i)) * (col(px) - vx(i)) >= 0
     })
-    pts.join(polyCells, Seq("__cx", "__cy"))
+    pts.join(cells, Seq("__cx", "__cy"))
       .filter(col(px) >= col("__bxlo") && col(px) <= col("__bxhi") &&
         col(py) >= col("__bylo") && col(py) <= col("__byhi"))
       .filter(inside)

@@ -1304,6 +1304,48 @@ class StreamingSpec extends SparkSpec {
     probe.close()
   }
 
+  test("streaming spatial probe: geofence hits across triggers equal the batch join") {
+    import graft.operators.SpatialJoin
+    import graft.streaming.StreamingSpatialProbe
+    implicit val sc = spark.sqlContext
+    val polys = Seq(
+      (1L, Seq(SpatialJoinSpec.V(60L, 50L), SpatialJoinSpec.V(50L, 60L),
+        SpatialJoinSpec.V(40L, 50L), SpatialJoinSpec.V(50L, 40L))),
+      (2L, Seq(SpatialJoinSpec.V(200L, 190L), SpatialJoinSpec.V(210L, 200L),
+        SpatialJoinSpec.V(200L, 210L), SpatialJoinSpec.V(190L, 200L))))
+      .toDF("region", "verts")
+    val mem = MemoryStream[(Long, Long, Long)]
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val ckpt = tmp("graft-geo-ckpt")
+    val probe = StreamingSpatialProbe.pointsInPolygons(
+      mem.toDF().toDF("event_id", "px", "py"), "px", "py", polys, "verts", 32L)
+    def run(): Unit = {
+      val q = probe.output
+        .writeStream.outputMode("append").trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            b.select("event_id", "region").collect()
+              .foreach(r => got += ((r.getLong(0), r.getLong(1))))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    val pts = Seq((10L, 50L, 50L), (11L, 0L, 0L), (12L, 60L, 50L))
+    mem.addData(pts.take(2): _*)
+    run()
+    mem.addData(pts(2)) // second trigger: stateless, restart-safe
+    run()
+    val batch = SpatialJoin.pointInConvexPoly(
+        pts.toDF("event_id", "px", "py"), "px", "py", polys, "verts", 32L)
+      .select("event_id", "region")
+      .as[(Long, Long)].collect().toSet
+    assert(got.toSet == batch, s"stream $got != batch $batch")
+    assert(got.toSet == Set((10L, 1L), (12L, 1L))) // 11 outside, vertex 12 inclusive
+    probe.close()
+  }
+
   test("streaming winnow probe: shared-substring hits across triggers equal the batch matcher") {
     import graft.operators.Winnow
     import graft.streaming.StreamingWinnowProbe
