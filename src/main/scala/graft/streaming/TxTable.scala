@@ -1315,6 +1315,102 @@ object TxTable {
       s"addBlooms lost $maxRetries consecutive commit races on $tablePath")
   }
 
+  /** Per-file HLL DISTINCT SKETCHES into the commit log — [[addBlooms]]'
+    * sibling for the approximate-NDV question: each live file gets a
+    * DataSketches HLL of `cols` (Spark's own `hll_sketch_agg`), stored
+    * base64 under `<col>#hll` in its stats entry. Sketch union is
+    * LOSSLESS over the sketch state, so [[statsApproxDistinct]] can
+    * answer "roughly how many distinct X" from the log alone — no data
+    * files opened — with the SAME estimate a direct sketch of the full
+    * table yields (spec-pinned equality, not an error bound).
+    */
+  def addDistinctSketches(
+      spark: SparkSession,
+      tablePath: String,
+      cols: Seq[String],
+      lgK: Int = 12,
+      maxRetries: Int = 50): Long = {
+    require(cols.nonEmpty, "addDistinctSketches needs at least one column")
+    val snap0 = snapshot(tablePath)
+    val byFile: Map[String, Map[String, ColStats]] =
+      snap0.allFiles.map { f =>
+        val df = spark.read.parquet(resolveRef(tablePath, f))
+        val entries = cols.flatMap { c =>
+          if (!df.columns.contains(c)) None
+          else {
+            val sk = df.agg(hll_sketch_agg(col(c).cast("string"), lit(lgK)))
+              .head().getAs[Array[Byte]](0)
+            Some((c + HllSuffix) -> ColStats('H',
+              java.util.Base64.getEncoder.encodeToString(sk), ""))
+          }
+        }.toMap
+        f -> entries
+      }.toMap
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val snap = snapshot(tablePath)
+      // only refs still live AND unchanged since the build get sketches;
+      // current stats merge with (never lose to) the new entries
+      val lines = Seq(s"op\taddDistinctSketches\tcols\t${cols.mkString(",")}") ++
+        snap.filesByPartition.toSeq.sortBy(_._1).flatMap { case (p, fs) =>
+          fs.flatMap { f =>
+            byFile.get(f).filter(_.nonEmpty).map { m =>
+              addLine(p, f,
+                StatsCodec.encode(StatsCodec.decode(snap.statsByFile.getOrElse(f, "")) ++ m))
+            }
+          }
+        }
+      if (lines.size == 1) return snap.version
+      try {
+        publishCommit(tablePath, snap.version + 1, lines)
+        maybeCheckpoint(tablePath, snap.version + 1)
+        return snap.version + 1
+      } catch {
+        case _: FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"addDistinctSketches lost $maxRetries consecutive commit races on $tablePath")
+  }
+
+  private[graft] val HllSuffix = "#hll"
+
+  /** Approximate COUNT(DISTINCT col) from the COMMIT LOG alone: decode
+    * every live file's `<col>#hll` sketch and union them through
+    * Spark's `hll_union_agg` / `hll_sketch_estimate` (one local
+    * one-row-per-file frame — the sketches are the data, no table file
+    * opens). LOUD refusal when any live file lacks the sketch (written
+    * after the [[addDistinctSketches]] pass, or rewritten since) —
+    * a partial union would silently under-count.
+    */
+  def statsApproxDistinct(
+      spark: SparkSession,
+      tablePath: String,
+      column: String,
+      version: Long = -1L): Long = {
+    val snap = if (version < 0) snapshot(tablePath) else snapshotAt(tablePath, version)
+    val files = snap.allFiles
+    require(files.nonEmpty, s"statsApproxDistinct on empty table $tablePath")
+    val sketches = files.map { f =>
+      snap.statsOf(f).get(column + HllSuffix) match {
+        case Some(cs) if cs.typ == 'H' =>
+          try java.util.Base64.getDecoder.decode(cs.min)
+          catch { case scala.util.control.NonFatal(_) =>
+            throw new IllegalStateException(
+              s"statsApproxDistinct($tablePath): file $f carries an undecodable " +
+                s"'$column' sketch") }
+        case _ => throw new IllegalStateException(
+          s"statsApproxDistinct($tablePath): file $f has no '$column' sketch " +
+            "(file written or rewritten after the addDistinctSketches pass) — " +
+            "re-run addDistinctSketches, or count from read()")
+      }
+    }
+    import spark.implicits._
+    sketches.toDF("sk")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head().getLong(0)
+  }
+
   /** COUNT(*) + per-column MIN/MAX answered from the COMMIT LOG alone —
     * zero data files opened, the aggregate a 100 TB table must answer
     * in milliseconds (Delta/Iceberg's metadata-only query path). Row

@@ -318,6 +318,42 @@ class TxTableStatsSpec extends SparkSpec {
     intercept[Exception](TxTable.read(spark, dir).get.count())
   }
 
+  test("addDistinctSketches + statsApproxDistinct: log-union estimate == whole-table sketch") {
+    val dir = tmp("tx-hll")
+    TxTable.mergeLatest(spark, txBatch(
+      ("srvA", "t1", "2024-01-01 10:00:00", 1.0),
+      ("srvA", "t2", "2024-01-01 10:00:01", 2.0),
+      ("srvB", "t3", "2024-01-01 10:00:02", 1.0)), dir)
+    TxTable.mergeLatest(spark, txBatch(
+      ("srvB", "t4", "2024-01-02 10:00:00", 2.0),
+      ("srvC", "t5", "2024-01-02 10:00:01", 7.0)), dir)
+    val v = TxTable.addDistinctSketches(spark, dir, Seq("tag", "doubleValue"))
+    assert(v > 0)
+    // sketch union is lossless over the sketch state: the log answer
+    // equals a direct sketch of the full table, and at this cardinality
+    // both equal the exact count
+    val full = TxTable.read(spark, dir).get
+    def direct(c: String): Long = full
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(c).cast("string"), lit(12))))
+      .head().getLong(0)
+    assert(TxTable.statsApproxDistinct(spark, dir, "tag") === direct("tag"))
+    assert(TxTable.statsApproxDistinct(spark, dir, "tag") === 5L)
+    assert(TxTable.statsApproxDistinct(spark, dir, "doubleValue") === direct("doubleValue"))
+    assert(TxTable.statsApproxDistinct(spark, dir, "doubleValue") === 3L)
+    // blooms merge on top without losing the sketches
+    TxTable.addBlooms(spark, dir, Seq("tag"))
+    assert(TxTable.statsApproxDistinct(spark, dir, "tag") === 5L)
+    // a file rewritten after the pass (new upsert) refuses loudly
+    TxTable.mergeLatest(spark, txBatch(
+      ("srvA", "t9", "2024-01-03 10:00:00", 9.0)), dir)
+    val e = intercept[IllegalStateException](
+      TxTable.statsApproxDistinct(spark, dir, "tag"))
+    assert(e.getMessage.contains("no 'tag' sketch"), e.getMessage)
+    // re-running the pass repairs it
+    TxTable.addDistinctSketches(spark, dir, Seq("tag"))
+    assert(TxTable.statsApproxDistinct(spark, dir, "tag") === 6L)
+  }
+
   test("statsAggregateByPartition: per-partition census from the log == grouped scan") {
     val dir = tmp("tx-statsagg-part")
     TxTable.mergeLatest(spark, txBatch(
