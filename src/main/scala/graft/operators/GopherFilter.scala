@@ -133,4 +133,37 @@ object GopherFilter {
       coalesce(s("dup_line_char_frac") < 0.2d, lit(true)) &&
       coalesce(s("bullet_frac") < 0.9d, lit(true)) &&
       coalesce(s("ellipsis_frac") < 0.3d, lit(true))
+
+  // ------------------------------------------------------- readability
+
+  /** Flesch reading ease (Flesch 1948) over the battery's own
+    * word/sentence splits, with the classic vowel-group syllable
+    * heuristic: syllables(w) = max(1, vowel runs − 1 if w ends in a
+    * silent-ish 'e' and has more than one run). Counts stay EXACT
+    * LONGS; the score is the one published formula — 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words) — as a single
+    * IEEE tree, rounded 4 dp (the q105 rule), NULL when either count
+    * is zero (a 0/0 reading-ease differs by engine and ANSI mode).
+    * A heuristic, not linguistics — the DOCUMENTED estimator is the
+    * contract, and the oracle replays it run for run.
+    */
+  def fleschSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = filter(split(trim(lower(col(textCol))), "\\s+"), w => w =!= "")
+    val segs = filter(
+      transform(split(col(textCol), "[.!?]+"), s => trim(s)), s => s =!= "")
+    def runs(w: Column) = regexp_count(w, lit("[aeiouy]+")).cast("long")
+    val syl = aggregate(ws, lit(0L), (acc, w) =>
+      acc + greatest(lit(1L),
+        runs(w) - when(endswith(w, lit("e")) && runs(w) > 1, 1L).otherwise(0L)))
+    df.select(col(idCol),
+        size(ws).cast("long").as("n_words"),
+        size(segs).cast("long").as("n_sentences"),
+        syl.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")),
+            4)))
+  }
 }

@@ -2663,6 +2663,41 @@ object PipelineQueries {
         partitionCol = "p", keys = Seq("p", "k"), order = Seq("o"))
       TxTable.statsAggregateByPartition(s, table, Seq("k", "v"))
         .orderBy("partition")
+    },
+
+    Q("q247_flesch_readability",
+      // Flesch reading ease (1948) with the vowel-group syllable
+      // heuristic — the classic readability score beside the Gopher
+      // battery (q217): counts stay exact longs (words, sentences,
+      // vowel runs with the silent-e deduction floored at 1), the
+      // published formula is one shared IEEE tree rounded 4 dp, and
+      // zero-count documents yield NULL, never an engine-dependent
+      // 0/0. The oracle replays the estimator run for run with DuckDB
+      // list/regexp primitives.
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      w -> w <> '') AS ws,
+        |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+        |      s -> trim(s)), s -> s <> '') AS segs
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(ws)::BIGINT AS n_words, len(segs)::BIGINT AS n_sentences,
+        |    list_sum(list_transform(ws, w -> greatest(1,
+        |      len(regexp_extract_all(w, '[aeiouy]+'))
+        |        - CASE WHEN ends_with(w, 'e')
+        |               AND len(regexp_extract_all(w, '[aeiouy]+')) > 1
+        |          THEN 1 ELSE 0 END)))::BIGINT AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, coalesce(n_syllables, 0) AS n_syllables,
+        |  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+        |    round(206.835::DOUBLE
+        |      - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE)
+        |      - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE), 4)
+        |  END AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.GopherFilter.fleschSignals(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 }

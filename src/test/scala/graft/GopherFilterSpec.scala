@@ -65,4 +65,24 @@ class GopherFilterSpec extends SparkSpec {
     val m = sig(1L -> dots)
     assert(m(1L).getAs[Double]("ellipsis_frac") == 1.0)
   }
+
+  test("fleschSignals: hand-computed counts and score; empty text yields NULL score") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "The table. Nice code here!"),
+      (2L, "rhythm") /* no vowels in runs? y counts: 'y' IS a vowel run */,
+      (3L, "")).toDF("doc_id", "text")
+    val got = graft.operators.GopherFilter.fleschSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // words: the(1) table.(2) nice(2-1=1) code(2-1=1) here!(2) → 7 syllables
+    val r1 = got(1L)
+    assert(r1.getLong(1) == 5L && r1.getLong(2) == 2L && r1.getLong(3) == 7L)
+    val want = math.rint((206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (7.0 / 5.0)) * 1e4) / 1e4
+    assert(r1.getDouble(4) == want)
+    // 'rhythm': one vowel run ('y'), floor at 1
+    assert(got(2L).getLong(3) == 1L)
+    // empty text: zero counts, NULL score (never a 0/0)
+    val r3 = got(3L)
+    assert(r3.getLong(1) == 0L && r3.isNullAt(4))
+  }
 }
