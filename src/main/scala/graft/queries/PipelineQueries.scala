@@ -2649,14 +2649,17 @@ object PipelineQueries {
       // partition, zero data files opened, the per-tenant dashboard
       // poll a 100 TB operator runs every minute. All keys are unique
       // so the last-value merge keeps every row, and the oracle is a
-      // plain grouped scan of the source.
+      // plain grouped scan of the source. A third of orders: the
+      // bench cost of this query is the TABLE BUILD per run (the
+      // census itself is milliseconds), so the fixture stays small
+      // while every partition keeps thousands of rows.
       """SELECT o_orderpriority AS partition, count(*)::BIGINT AS n_rows,
         |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
         |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+        |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       import graft.streaming.TxTable
       val table = Q.scratchDir("graft-q246") + "/orders_parts"
-      val batch = t(s, d, "orders").select(
+      val batch = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0).select(
         col("o_orderpriority").as("p"), col("o_orderkey").as("k"),
         col("o_orderkey").as("o"), col("o_totalprice").as("v"))
       TxTable.mergeLatest(s, batch, table,

@@ -1304,6 +1304,40 @@ class StreamingSpec extends SparkSpec {
     probe.close()
   }
 
+  test("streaming blocklist scan: the Aho-Corasick pass is stateless and batch-identical") {
+    import graft.operators.MultiPattern
+    implicit val sc = spark.sqlContext
+    val pats = Seq("she", "he", "hells")
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[(Long, String, Long)]()
+    val ckpt = tmp("graft-ac-ckpt")
+    // countMatches is a projection + narrow mapPartitions — it runs on
+    // a streaming frame AS-IS, no probe wrapper needed (nothing static
+    // to cache: the automaton rides the closure)
+    val out = MultiPattern.countMatches(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", pats)
+    def run(): Unit = {
+      val q = out.writeStream.outputMode("append").trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            b.collect().foreach(r => got += ((r.getLong(0), r.getString(1), r.getLong(2))))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    val docs = Seq((1L, "she sells seashells"), (2L, "nothing here"), (3L, "he he he"))
+    mem.addData(docs.take(2): _*)
+    run()
+    mem.addData(docs(2))
+    run()
+    val batch = MultiPattern.countMatches(docs.toDF("doc_id", "text"),
+        "doc_id", "text", pats)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got.toSet == batch, s"stream $got != batch $batch")
+  }
+
   test("streaming spatial probe: geofence hits across triggers equal the batch join") {
     import graft.operators.SpatialJoin
     import graft.streaming.StreamingSpatialProbe
