@@ -85,4 +85,52 @@ object Graph {
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .as("transitivity"))
   }
+
+  /** k-CORE of the undirected graph (Seidman 1983): the maximal
+    * subgraph where every node keeps degree ≥ k — iterative PEELING
+    * (drop sub-k nodes, re-derive degrees, repeat) until a fixpoint.
+    * The peel order is irrelevant to the result (the k-core is unique),
+    * so the synchronized round is deterministic; and a CONVERGED peel
+    * is idempotent, which is what lets a statically-unrolled SQL
+    * replay with extra no-op rounds hash-match (q248).
+    *
+    * Returns (node, deg) over the surviving subgraph — empty when the
+    * graph has no k-core. Each round is one degree aggregation + two
+    * semi-joins, lineage-truncated via [[Checkpoints]] (the PageRank
+    * pattern — an iterated self-referential plan otherwise doubles per
+    * round), with ONE count action per round for the convergence test.
+    * LOUD failure when `maxRounds` rounds do not converge — callers
+    * pairing with a fixed-round replay pass the replay's round count
+    * here, so drift fails instead of silently mismatching.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var e = Checkpoints.truncate(canonicalEdges(edges, srcCol, dstCol))
+    var prevEdges = e.count()
+    var rounds = 0
+    var converged = prevEdges == 0L
+    while (!converged) {
+      rounds += 1
+      if (rounds > maxRounds) throw new IllegalStateException(
+        s"k-core peeling did not converge within $maxRounds rounds " +
+          s"($prevEdges edges still shrinking)")
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("v")
+      val next = Checkpoints.truncate(
+        e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi"))
+      val nextEdges = next.count()
+      Checkpoints.free(e)
+      e = next
+      converged = nextEdges == prevEdges || nextEdges == 0L
+      prevEdges = nextEdges
+    }
+    e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
 }

@@ -2701,6 +2701,47 @@ object PipelineQueries {
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.operators.GopherFilter.fleschSignals(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    Q("q248_kcore", {
+      // k-core peeling (Seidman 1983) over a bipartite-ish order/part
+      // graph: the engine peels to the FIXPOINT (one count action per
+      // round, lineage-truncated rounds — the PageRank discipline);
+      // the oracle unrolls 14 static peel rounds in chained CTEs. The
+      // bridge between them is idempotence: a converged peel is a
+      // no-op, so as long as the engine converges within the replay's
+      // round budget (maxRounds = 14 here — drift past it fails LOUD,
+      // never a silent mismatch) the two reach the identical unique
+      // k-core. sf0.01 cascades ~9 rounds deep; sf0.1 is dense enough
+      // to survive almost intact — both ends of the behavior, same
+      // code.
+      val k = 6; val rounds = 14
+      val steps = (1 to rounds).map { i =>
+        s"""d$i AS (SELECT v, count(*) AS deg FROM (
+           |  SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY v),
+           |k$i AS (SELECT v FROM d$i WHERE deg >= $k),
+           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+           |  JOIN k$i x ON e.a = x.v JOIN k$i y ON e.b = y.v)""".stripMargin
+      }.mkString(",\n")
+      // MATERIALIZED: DuckDB inlines CTEs by default, which makes a
+      // 14-round self-referencing chain expand exponentially (observed
+      // as fd exhaustion re-opening the parquet)
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey % 50021 AS a,
+         |         50021 + (l_partkey * 7) % 49999 AS b
+         |  FROM lineitem),
+         |$steps
+         |SELECT node, count(*)::BIGINT AS deg FROM (
+         |  SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds) __n
+         |GROUP BY node ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.Graph
+      val edges = t(s, d, "lineitem").select(
+        (col("l_orderkey") % 50021).as("src"),
+        (lit(50021) + (col("l_partkey") * 7) % 49999).as("dst"))
+      Graph.kCore(edges, "src", "dst", k = 6, maxRounds = 14)
+        .select(col("node"), col("deg").cast("long"))
+        .orderBy("node")
     }
   )
 }

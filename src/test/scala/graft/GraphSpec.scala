@@ -68,4 +68,53 @@ class GraphSpec extends SparkSpec {
     assert(edges == und.size.toLong)
     assert(tris == brute.toLong, s"expected $brute triangles")
   }
+
+  // ------------------------------------------------------------ k-core
+
+  /** Brute-force peel: drop sub-k nodes one round at a time. */
+  private def bruteKCore(edges: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+    var e = edges
+    var changed = true
+    while (changed) {
+      val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val e2 = e.filter(p => keep(p._1) && keep(p._2))
+      changed = e2 != e
+      e = e2
+    }
+    e.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  test("kCore equals brute-force peeling on random graphs, across k") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 8) {
+      val n = 30
+      val raw = (1 to 120).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val und = raw.filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2)).toSet
+      for (k <- Seq(2, 3, 5)) {
+        val got = graft.operators.Graph.kCore(
+            raw.toDF("s", "d"), "s", "d", k)
+          .as[(Long, Long)].collect().map { case (v, deg) => v -> deg.toInt }.toMap
+        assert(got == bruteKCore(und, k), s"trial $trial k=$k")
+      }
+    }
+  }
+
+  test("kCore hand cases: a cycle is its own 2-core, a path has none; chain cascade") {
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6))
+    val gotCycle = graft.operators.Graph.kCore(cycle.toDF("s", "d"), "s", "d", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(gotCycle == (0L until 6L).map(_ -> 2L).toMap)
+    val path = (0L until 6L).map(i => (i, i + 1))
+    assert(graft.operators.Graph.kCore(path.toDF("s", "d"), "s", "d", 2).isEmpty)
+    // the path peels one endpoint pair per round — a deep cascade that
+    // must trip a too-small round bound LOUDLY
+    val e = intercept[IllegalStateException](
+      graft.operators.Graph.kCore(path.toDF("s", "d"), "s", "d", 2, maxRounds = 1))
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
 }
