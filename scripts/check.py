@@ -22,6 +22,16 @@ def canon(df):
 def cells_equal(a, b):
     if a is None and b is None:
         return True
+    # Decimals compare as exact Decimal — NO float coercion. The r12
+    # driver gate hash-failed q185/q218 (decimal outputs) while this
+    # script's float-coercion path passed them; decimal cells must stay
+    # in exact arithmetic so a representational divergence can't hide.
+    import decimal
+    if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
+        try:
+            return decimal.Decimal(a) == decimal.Decimal(b)
+        except (TypeError, ValueError, decimal.InvalidOperation):
+            return False
     try:
         if isinstance(a, float) or isinstance(b, float):
             fa, fb = float(a), float(b)
@@ -56,9 +66,13 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            got = canon(con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
-            exp = canon(con.execute(sql).df())
+            got_rel = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_arrow = got_rel.arrow()
+            got = canon(got_arrow.to_pandas())
+            exp_rel = con.execute(sql)
+            exp_arrow = exp_rel.arrow()
+            exp = canon(exp_arrow.to_pandas())
         except Exception as e:
             print(f"FAIL {name}: {str(e).splitlines()[0]}")
             n_fail += 1
@@ -67,16 +81,35 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
             n_fail += 1
             continue
-        # The driver's hash is TYPE-sensitive: DuckDB HUGEINT (e.g. an
-        # uncast sum(BIGINT)) surfaces as float64 and hashes differently
-        # from Spark's int64 even when every value is numerically equal.
-        # That bit q83 in round 2 — flag dtype kind mismatches as FAIL.
-        kind_bad = [c for c in got.columns
-                    if got[c].dtype.kind != exp[c].dtype.kind]
-        if kind_bad:
-            c = kind_bad[0]
-            print(f"FAIL {name}: col {c} dtype spark={got[c].dtype} "
-                  f"duckdb={exp[c].dtype} (driver hash is type-sensitive)")
+        # Arrow-level type check, EXACT (not dtype.kind): int64 vs
+        # HUGEINT-as-float64 (q83, round 2), decimal scale/precision,
+        # int32 vs int64 all fail here even when every value compares
+        # numerically equal — the driver's hash is representation-
+        # sensitive at this level.
+        arrow_types = {f.name: str(f.type) for f in got_arrow.schema}
+        exp_types = {f.name: str(f.type) for f in exp_arrow.schema}
+        type_bad = [c for c in got.columns
+                    if arrow_types.get(c) != exp_types.get(c)]
+        if type_bad:
+            c = type_bad[0]
+            print(f"FAIL {name}: col {c} arrow type spark={arrow_types.get(c)} "
+                  f"duckdb={exp_types.get(c)} (driver hash is type-sensitive)")
+            n_fail += 1
+            continue
+        # DECIMAL output columns are banned outright: in round 12 the
+        # driver hash-failed BOTH queries whose final schema exposed a
+        # raw DECIMAL (q185/q218) even though the arrow schemas and every
+        # cell value matched exactly — the driver's canonicalization of
+        # decimal outputs diverges for reasons invisible from here.
+        # Maintain decimals internally for exactness, then present
+        # through ONE exact terminal CAST to DOUBLE or BIGINT on both
+        # sides (the q89 pattern, which is hash-green).
+        dec_cols = [c for c in got.columns
+                    if arrow_types.get(c, "").startswith("decimal")]
+        if dec_cols:
+            print(f"FAIL {name}: DECIMAL output column(s) {dec_cols} — "
+                  f"driver hash diverges on decimal outputs (r12 "
+                  f"q185/q218); present via exact CAST to DOUBLE/BIGINT")
             n_fail += 1
             continue
         if len(got) != len(exp):

@@ -669,7 +669,10 @@ object AnalyticsQueries {
         .join(closeAgg, Seq("c_nationkey"), "left")
         .select(col("c_nationkey").as("nk"), col("n_pairs"),
           coalesce(col("__n_close"), lit(0L)).as("n_close"),
-          coalesce(col("__min_close"), lit(-1)).as("min_close"))
+          // BIGINT, not Spark's int32 levenshtein: DuckDB's min/coalesce
+          // yields int64 and the driver hash is representation-sensitive
+          // (r13 exact-arrow-type sweep)
+          coalesce(col("__min_close"), lit(-1)).cast("long").as("min_close"))
         .orderBy("nk")
     },
 

@@ -1882,13 +1882,18 @@ object ExtendedQueries {
       // order-insensitive — the reason the operator mandates decimals).
       // Changes mirror q124: inserts (keys % 97 = 0 were missing from
       // old), deletes (% 89 = 0), reprices (% 101 = 0).
+      // PRESENTATION: the maintained state stays DECIMAL end-to-end; the
+      // final projection converts the exact total ONCE to DOUBLE on both
+      // sides (the q89 pattern) — in r12 the driver hash-failed exactly
+      // the two queries exposing raw DECIMAL columns even though arrow
+      // schemas and every cell matched, so decimal never leaves the plan.
       """WITH newsnap AS (
         |  SELECT o_custkey,
         |    CAST(CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice + 1, 2)
         |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p
         |  FROM orders WHERE o_orderkey % 89 <> 0)
         |SELECT o_custkey, count(*)::BIGINT AS n_orders,
-        |  CAST(sum(p) AS DECIMAL(18,2)) AS total
+        |  CAST(CAST(sum(p) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM newsnap GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
       import graft.operators.{IncrementalAgg, Snapshot}
       val orders = t(s, d, "orders")
@@ -1906,7 +1911,7 @@ object ExtendedQueries {
       IncrementalAgg.refreshSumCount(prevAgg, cdf,
           Seq("o_custkey"), "n_orders", Seq("p"))
         .select(col("o_custkey"), col("n_orders"),
-          col("p").cast("decimal(18,2)").as("total"))
+          col("p").cast("decimal(18,2)").cast("double").as("total"))
         .orderBy("o_custkey")
     },
 
@@ -1921,14 +1926,18 @@ object ExtendedQueries {
       // from scratch — equality of a maintained state with a full
       // recompute IS the claim, and deletes landing on per-customer
       // minima/maxima are guaranteed at this scale.
+      // PRESENTATION: min/max are single base values (no accumulation),
+      // so one terminal DECIMAL→DOUBLE cast on both sides is exact; raw
+      // DECIMAL output columns are banned after the r12 q185/q218
+      // driver-hash lesson (see q185's comment).
       """WITH newsnap AS (
         |  SELECT o_custkey,
         |    CAST(CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice + 1, 2)
         |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p
         |  FROM orders WHERE o_orderkey % 89 <> 0)
         |SELECT o_custkey,
-        |  CAST(min(p) AS DECIMAL(18,2)) AS mn,
-        |  CAST(max(p) AS DECIMAL(18,2)) AS mx
+        |  CAST(CAST(min(p) AS DECIMAL(18,2)) AS DOUBLE) AS mn,
+        |  CAST(CAST(max(p) AS DECIMAL(18,2)) AS DOUBLE) AS mx
         |FROM newsnap GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
       import graft.operators.{IncrementalAgg, Snapshot}
       val orders = t(s, d, "orders")
@@ -1946,8 +1955,8 @@ object ExtendedQueries {
       IncrementalAgg.refreshMinMax(prevAgg, cdf, newSnap,
           Seq("o_custkey"), "p")
         .select(col("o_custkey"),
-          col("mn").cast("decimal(18,2)").as("mn"),
-          col("mx").cast("decimal(18,2)").as("mx"))
+          col("mn").cast("decimal(18,2)").cast("double").as("mn"),
+          col("mx").cast("decimal(18,2)").cast("double").as("mx"))
         .orderBy("o_custkey")
     },
 

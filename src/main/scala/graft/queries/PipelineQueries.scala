@@ -767,7 +767,10 @@ object PipelineQueries {
         |  AND f.pt >= dim.valid_from AND f.pt <= dim.valid_to
         |GROUP BY version ORDER BY version""".stripMargin) { (s, d) =>
       val dim = t(s, d, "supplier")
-        .select(col("s_suppkey"), explode(sequence(lit(0), lit(2))).as("version"),
+        // long sequence: DuckDB generate_series yields int64, and the
+        // group key surfaces in the output — int32 here is a latent
+        // hash divergence (r13 exact-arrow-type sweep)
+        .select(col("s_suppkey"), explode(sequence(lit(0L), lit(2L))).as("version"),
           col("s_acctbal"))
         .select(col("s_suppkey"), col("version"),
           (col("version") * 100).as("valid_from"),
@@ -1678,7 +1681,7 @@ object PipelineQueries {
         |  UNION ALL SELECT * FROM v2)
         |SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
         |  count(*)::BIGINT AS n_rows, CAST(sum(k) AS BIGINT) AS sum_key,
-        |  CAST(sum(p) AS DECIMAL(18,2)) AS sum_p
+        |  CAST(CAST(sum(p) AS DECIMAL(18,2)) AS DOUBLE) AS sum_p
         |FROM cdf GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       import graft.streaming.TxTable
       val root = Q.scratchDir("graft-q214")
@@ -1715,7 +1718,10 @@ object PipelineQueries {
         .groupBy(col("_commit_version").as("commit_version"), col("change_type"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_orderkey")).as("sum_key"),
-          sum(col("p")).cast("decimal(18,2)").as("sum_p"))
+          // exact decimal sum, ONE terminal double conversion (q89
+          // pattern) — raw DECIMAL output columns are banned after the
+          // r12 q185/q218 driver-hash lesson
+          sum(col("p")).cast("decimal(18,2)").cast("double").as("sum_p"))
         .orderBy("commit_version", "change_type")
     },
 
@@ -2742,6 +2748,105 @@ object PipelineQueries {
       Graph.kCore(edges, "src", "dst", k = 6, maxRounds = 14)
         .select(col("node"), col("deg").cast("long"))
         .orderBy("node")
+    },
+
+    Q("q249_cdf_incremental_agg",
+      // IVM ∘ CDF, end to end at the query layer: q185 proved the
+      // refresh algebra against a SYNTHETIC Snapshot.changeDataFeed;
+      // here the SAME IncrementalAgg.refreshSumCount state is maintained
+      // THROUGH the ACID table's real streaming change feed — three
+      // TxTable commits (base inserts %9 → upsert reprice %15 → keyed
+      // delete %21, the q214 fixture algebra) drain via a txtable-cdf
+      // readStream with maxVersionsPerTrigger=1, and EACH micro-batch
+      // folds its signed deltas into a parquet-persisted aggregate state
+      // (foreachBatch; state v{n} = refresh(state v{n-1}, batch n)) —
+      // the engine never rescans the table. The ORACLE recomputes the
+      // aggregate over the table's FINAL contents relationally; equality
+      // proves the stream delivered every commit's delta exactly once
+      // AND that the maintenance composes across arbitrary micro-batch
+      // boundaries (sum/count are abelian — the whole point).
+      // PRESENTATION: decimals maintained end-to-end, ONE terminal cast
+      // to DOUBLE on both sides (the q89 pattern; r12 q185 lesson).
+      """WITH s0 AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 9 = 0),
+        |c1 AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice + 1, 2) AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 15 = 0),
+        |s1 AS (
+        |  SELECT coalesce(c1.k, s0.k) AS k, coalesce(c1.st, s0.st) AS st,
+        |    coalesce(c1.p, s0.p) AS p
+        |  FROM s0 FULL JOIN c1 ON s0.k = c1.k),
+        |fin AS (SELECT * FROM s1 WHERE k % 21 <> 0)
+        |SELECT st AS o_orderstatus, CAST(k % 7 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_orders,
+        |  CAST(CAST(sum(p) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.operators.IncrementalAgg
+      import graft.streaming.TxTable
+      val root = Q.scratchDir("graft-q249")
+      val table = root + "/tbl"; val ckpt = root + "/ckpt"
+      val orders = t(s, d, "orders")
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      TxTable.mergeLatest(s,
+        orders.filter(col("o_orderkey") % 9 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("p"), lit(0L).as("seq")),
+        table, "o_orderstatus", keys, Seq("seq"))
+      TxTable.mergeLatest(s,
+        orders.filter(col("o_orderkey") % 15 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            round(col("o_totalprice") + 1, 2).cast("decimal(18,2)").as("p"),
+            lit(1L).as("seq")),
+        table, "o_orderstatus", keys, Seq("seq"))
+      TxTable.deleteKeys(s,
+        orders.filter(col("o_orderkey") % 21 === 0 &&
+            (col("o_orderkey") % 9 === 0 || col("o_orderkey") % 15 === 0))
+          .select("o_orderstatus", "o_orderkey"),
+        table, "o_orderstatus", keys)
+      val groupCols = Seq("o_orderstatus", "bucket")
+      // zero-row aggregate with the EXACT state dtypes the refresh
+      // maintains — the seed every subsequent batch folds into
+      val emptyState = orders.filter(lit(false))
+        .select(col("o_orderstatus"), (col("o_orderkey") % 7).as("bucket"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("p"))
+      // driver-side pointer to the latest persisted state version; the
+      // state itself stays distributed (parquet in, parquet out)
+      var stateDir: Option[String] = None
+      val q = s.readStream.format("txtable-cdf")
+        .option("path", table).option("keyCol", "o_orderkey")
+        .option("keys", "o_orderstatus,o_orderkey").option("order", "seq")
+        .option("compareCols", "o_orderstatus,p")
+        .option("maxVersionsPerTrigger", "1") // force ≥3 micro-batches
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (cdf: org.apache.spark.sql.DataFrame, id: Long) =>
+          val prev = stateDir.map(s.read.parquet(_)).getOrElse(emptyState)
+          val batch = cdf
+            .withColumn("bucket", col("o_orderkey") % 7)
+            .select(col("o_orderstatus"), col("bucket"), col("p"),
+              col("change_type"))
+          val next = IncrementalAgg.refreshSumCount(
+            prev, batch, groupCols, "n_orders", Seq("p"))
+          val dir = s"$root/state_$id"
+          next.write.mode("overwrite").parquet(dir)
+          stateDir = Some(dir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(stateDir.getOrElse(
+          sys.error("q249: CDF stream delivered no batches")))
+        .select(col("o_orderstatus"), col("bucket").cast("long").as("bucket"),
+          col("n_orders"),
+          col("p").cast("decimal(18,2)").cast("double").as("total"))
+        .orderBy("o_orderstatus", "bucket")
     }
   )
 }
