@@ -49,6 +49,46 @@ object Bench {
       else lats(math.min(lats.length - 1, (p * lats.length).toInt)).toDouble
     (rows.value, sec, pct(0.50), pct(0.99))
   }
+  /** Fixed-work streaming CONTROL (VERDICT r12 item 5): end-to-end
+    * streaming throughput on this box swings ~2× at identical code, so
+    * cross-round comparisons need a per-trigger statistic, not a
+    * wall-clock quotient. 20 triggers × exactly 12,800 rows each
+    * (256 tags × 50 cycles) through the same source→normalize→count
+    * topology; the reported number is rowsPerTrigger / MEDIAN trigger
+    * seconds — robust to the JVM-warmup first trigger and to one-off
+    * load spikes, the streaming sibling of the q02 pure-scan control.
+    */
+  def streamControl(spark: SparkSession): (Double, Double) = {
+    val tags = (0 until 256).map { i =>
+      val t = Seq("Double", "Int32", "Boolean", "String", "Single", "DateTime")(i % 6)
+      s"ns=1;s=Plant.T$i,$t,N,T$i"
+    }.mkString("\n")
+    val conf = s"opc.tcp://host1:4840, 10, Server1\n$tags\n"
+    val q = graft.streaming.StreamingPipeline.normalizeStream(
+        spark.readStream.format("opcsim")
+          .option("config", conf).option("server", "Server1")
+          .option("cyclesPerTrigger", 50).option("maxCycles", 1000)
+          .option("numPartitions", 8).load())
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.format("noop").mode("overwrite").save(); ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-bench-ctrl").toString)
+      .start()
+    q.awaitTermination()
+    val lats = q.recentProgress.toIndexedSeq
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.longValue()))
+      .sorted
+    if (lats.isEmpty) (-1.0, -1.0)
+    else {
+      val medianMs = lats(lats.length / 2).toDouble
+      (medianMs, 256 * 50 / (medianMs / 1000.0))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -132,16 +172,29 @@ object Bench {
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // streaming ingest throughput (rows/s through source→normalize→sink);
-    // -1 on failure, never a crash of the whole bench
+    // -1 on failure, never a crash of the whole bench.
+    // SPARK_GRAFT_SKIP_STREAM=1 skips both streaming measurements — for
+    // batch-only iteration loops (e.g. the sf1 scale-step runs, which
+    // bench ten heavy queries in ten JVMs and don't need 10 copies of
+    // the streaming numbers).
+    val skipStream = sys.env.get("SPARK_GRAFT_SKIP_STREAM").contains("1")
     val (streamRps, streamP50, streamP99) =
-      try {
+      if (skipStream) (-1.0, -1.0, -1.0)
+      else try {
         val (n, sec, p50, p99) = streamIngest(spark)
         (if (sec > 0) n / sec else -1.0, p50, p99)
       }
       catch { case t: Throwable =>
         System.err.println(s"bench: streamIngest FAILED: ${t.getMessage}"); (-1.0, -1.0, -1.0) }
+    // fixed-work per-trigger control (VERDICT r12 item 5) — reported
+    // beside the end-to-end number, never instead of it
+    val (ctrlMedianMs, ctrlRps) =
+      if (skipStream) (-1.0, -1.0)
+      else try streamControl(spark)
+      catch { case t: Throwable =>
+        System.err.println(s"bench: streamControl FAILED: ${t.getMessage}"); (-1.0, -1.0) }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$streamRps,"stream_p50_ms":$streamP50,"stream_p99_ms":$streamP99,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$streamRps,"stream_p50_ms":$streamP50,"stream_p99_ms":$streamP99,"stream_ctrl_trigger_ms_median":$ctrlMedianMs,"stream_ctrl_rows_per_sec":$ctrlRps,"sf":"$sfDir"}"""
     println(json)
     // also persist to a file: round 2's driver capture truncated the
     // stdout tail mid-JSON and lost 18 queries' timings — the file is the

@@ -47,11 +47,21 @@ private[sources] trait UaSession extends AutoCloseable {
   * keystore loader into the config builder is deployment work on the
   * same seam, reference Program.cs:1247-1251).
   */
-private[sources] final class MiloReflectionSession extends UaSession {
+private[sources] class MiloReflectionSession extends UaSession {
   private var client: AnyRef = _
 
   // UA DateTime epoch (1601-01-01) to Unix epoch offset, in 100ns ticks
   private val UaEpochTicksToUnix = 116444736000000000L
+
+  /** Single seam through which every Milo class is resolved. Production
+    * is a plain `Class.forName`; the spec matrix overrides it to bind
+    * SCRIPTED fakes of different Milo API shapes (0.6's future-returning
+    * `connect()` vs a sync 1.x-style one, absent `disconnect()`, null
+    * timestamps) — the reflection paths are the most brittle code in
+    * this repo and each shape they tolerate must be pinned by a test,
+    * not by hope (VERDICT r12 item 6).
+    */
+  protected def loadClass(name: String): Class[_] = Class.forName(name)
 
   override def connect(
       url: String, certFile: Option[String], certPassword: Option[String]): Unit = {
@@ -63,7 +73,7 @@ private[sources] final class MiloReflectionSession extends UaSession {
         "wired (SecurityPolicy + keystore) — refusing to connect insecurely " +
         "against a cert-configured server")
     val clientCls =
-      try Class.forName("org.eclipse.milo.opcua.sdk.client.OpcUaClient")
+      try loadClass("org.eclipse.milo.opcua.sdk.client.OpcUaClient")
       catch {
         case e: ClassNotFoundException =>
           throw new ClassNotFoundException(
@@ -97,8 +107,8 @@ private[sources] final class MiloReflectionSession extends UaSession {
 
   override def readValue(nodeId: String): UaValue = {
     require(client != null, "readValue before connect()")
-    val nodeIdCls = Class.forName("org.eclipse.milo.opcua.stack.core.types.builtin.NodeId")
-    val tsrCls = Class.forName("org.eclipse.milo.opcua.stack.core.types.enumerated.TimestampsToReturn")
+    val nodeIdCls = loadClass("org.eclipse.milo.opcua.stack.core.types.builtin.NodeId")
+    val tsrCls = loadClass("org.eclipse.milo.opcua.stack.core.types.enumerated.TimestampsToReturn")
     val node = nodeIdCls.getMethod("parse", classOf[String]).invoke(null, nodeId)
     val both = tsrCls.getMethod("valueOf", classOf[String]).invoke(null, "Both")
     val fut = client.getClass

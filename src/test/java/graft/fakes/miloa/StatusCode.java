@@ -1,0 +1,7 @@
+package graft.fakes.miloa;
+
+public class StatusCode {
+  private final long v;
+  public StatusCode(long v) { this.v = v; }
+  public long getValue() { return v; }
+}

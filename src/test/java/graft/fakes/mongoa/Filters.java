@@ -1,0 +1,5 @@
+package graft.fakes.mongoa;
+
+public final class Filters {
+  public static Bson eq(String field, Object value) { return new EqBson(field, value); }
+}

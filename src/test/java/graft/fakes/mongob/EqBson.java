@@ -1,0 +1,6 @@
+package graft.fakes.mongob;
+
+public class EqBson implements Bson {
+  public final String field; public final Object value;
+  public EqBson(String field, Object value) { this.field = field; this.value = value; }
+}

@@ -108,6 +108,61 @@ class SpatialJoinSpec extends SparkSpec {
       .contains("fewer than 3"))
   }
 
+  test("saltBuckets: hot-cell fixture — identical results, balanced shuffle") {
+    // Manhattan fixture (VERDICT r12 item 4): 90% of points in ONE grid
+    // cell. Unsalted, the (cx, cy) shuffle puts all of them in one
+    // partition no matter the cluster size; salted, they spread.
+    val rnd = new scala.util.Random(47)
+    val pts = (1L to 5000L).map { i =>
+      if (i <= 4500L) (i, (rnd.nextInt(100)).toLong, (rnd.nextInt(100)).toLong)
+      else (i, (rnd.nextInt(10000)).toLong, (rnd.nextInt(10000)).toLong)
+    }
+    val ptsDf = pts.toDF("pid", "px", "py")
+    val rects = Seq(
+      (1L, 0L, 0L, 99L, 99L),      // covers the hot cell
+      (2L, 4000L, 4000L, 6000L, 6000L)).toDF("rid", "xlo", "ylo", "xhi", "yhi")
+    val cs = 100L
+    val unsalted = SpatialJoin.pointInRect(ptsDf, "px", "py",
+        rects, "xlo", "ylo", "xhi", "yhi", cellSize = cs)
+      .select("pid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    val salted = SpatialJoin.pointInRect(ptsDf, "px", "py",
+        rects, "xlo", "ylo", "xhi", "yhi", cellSize = cs, saltBuckets = 16)
+      .select("pid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    assert(salted == unsalted, s"${salted.size} vs ${unsalted.size}")
+    assert(unsalted.count(_._2 == 1L) >= 4500L) // the fixture IS hot
+
+    // shuffle balance, measured with the join's own partitioning
+    // function: rows land in pmod(hash(join keys), 32) — the exact
+    // hashpartitioning expression the exchange uses. Unsalted, the hot
+    // cell's 90% rides one task; with 16 salts no task holds more than
+    // a few times the uniform share.
+    import org.apache.spark.sql.functions.{floor, hash, lit, pmod, max => smax}
+    def cellOf(c: org.apache.spark.sql.Column) =
+      floor(c / lit(cs.toDouble)).cast("long")
+    val keyed = ptsDf
+      .withColumn("__cx", cellOf(col("px"))).withColumn("__cy", cellOf(col("py")))
+    val unsaltedMax = keyed
+      .withColumn("__part", pmod(hash(col("__cx"), col("__cy")), lit(32)))
+      .groupBy("__part").count().agg(smax("count")).as[Long].head
+    val saltedMax = keyed
+      .withColumn("__salt", pmod(hash(col("pid"), col("px"), col("py")), lit(16)))
+      .withColumn("__part", pmod(hash(col("__cx"), col("__cy"), col("__salt")), lit(32)))
+      .groupBy("__part").count().agg(smax("count")).as[Long].head
+    assert(unsaltedMax >= 4500L, s"fixture must be skewed, max=$unsaltedMax")
+    // 5000 rows / 32 partitions ≈ 156 uniform; hot cell contributes
+    // 4500/16 ≈ 281 per salt — allow collisions headroom, require the
+    // biggest task to carry well under a quarter of the data
+    assert(saltedMax < 1250L, s"salted shuffle still skewed, max=$saltedMax")
+
+    // the salted plan stays an equi-join — salting must never degrade
+    // the candidate generation to a cross product
+    val p = SpatialJoin.pointInRect(ptsDf, "px", "py",
+        rects, "xlo", "ylo", "xhi", "yhi", cs, saltBuckets = 16)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"salted candidates must come from the cell+salt equi-join:\n$p")
+  }
+
   test("the plan is an equi-join on cells — never a cross product") {
     val pts = Seq((1L, 5L, 5L)).toDF("pid", "px", "py")
     val rects = Seq((1L, 0L, 0L, 10L, 10L)).toDF("rid", "xlo", "ylo", "xhi", "yhi")
