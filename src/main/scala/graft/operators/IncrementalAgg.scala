@@ -188,6 +188,68 @@ object IncrementalAgg {
     monotonic.unionByName(rescanned)
   }
 
+  /** Maintain a JOIN-aggregate view from the change feeds of BOTH join
+    * inputs — the sixth IVM algebra, and the one that makes the others
+    * compose into real pipelines: V = γ(L ⋈ R) maintained without ever
+    * re-joining the full inputs. Joins are bilinear over signed
+    * multisets, so with L' = L + ΔL and R' = R + ΔR:
+    *
+    *   L' ⋈ R'  =  L ⋈ R  +  ΔL ⋈ R'  +  L ⋈ ΔR
+    *
+    * (the ΔL ⋈ ΔR cross term is absorbed by joining ΔL against the NEW
+    * right side and ΔR against the OLD left side — the standard
+    * delta-join bracketing). Each correction term is one equi-join of a
+    * small signed feed against a snapshot, then the [[sumCountDeltas]]
+    * sign algebra folds both into the maintained (count, sums) state —
+    * a feed row's sign rides every pair it produces, signs never
+    * multiply because no term joins two deltas.
+    *
+    * Scale posture: the refresh cost is O(|ΔL| · fanout + |ΔR| ·
+    * fanout) join work + one O(affected groups) state merge — never a
+    * scan of L, R, or the view. Both probe joins are partition-pruned /
+    * co-located for free when the snapshots are bucketed on their join
+    * keys. Exactness needs the same order-insensitive value domain as
+    * [[refreshSumCount]]: integer or DECIMAL sums.
+    *
+    * @param cdfLeft  change feed of the LEFT input: change_type + join
+    *                 key + the left-side group/sum columns
+    * @param oldLeft  PRE-change left snapshot (L)
+    * @param cdfRight change feed of the RIGHT input
+    * @param newRight POST-change right snapshot (R')
+    * @param leftKey/rightKey equi-join columns (renamed into one name
+    *                 internally; pass the same string when they match)
+    * @return the refreshed state, [[applySumCount]] semantics: emptied
+    *         groups leave, brand-new groups (e.g. a dimension value the
+    *         right feed just introduced) appear.
+    */
+  def refreshJoinSumCount(
+      prevAgg: DataFrame,
+      cdfLeft: DataFrame,
+      oldLeft: DataFrame,
+      cdfRight: DataFrame,
+      newRight: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      groupCols: Seq[String],
+      cntCol: String,
+      sumCols: Seq[String]): DataFrame = {
+    require(!oldLeft.columns.contains("change_type") &&
+        !newRight.columns.contains("change_type"),
+      "snapshot inputs must not carry a change_type column — it would " +
+        "shadow the feed's sign and silently corrupt the delta algebra")
+    val proj = (groupCols ++ sumCols :+ "change_type").map(col)
+    // ΔL ⋈ R′ : the left feed's sign rides each produced pair
+    val dLeft = cdfLeft
+      .join(newRight.withColumnRenamed(rightKey, leftKey), Seq(leftKey))
+      .select(proj: _*)
+    // L ⋈ ΔR : the right feed's sign rides each produced pair
+    val dRight = oldLeft
+      .join(cdfRight.withColumnRenamed(rightKey, leftKey), Seq(leftKey))
+      .select(proj: _*)
+    refreshSumCount(prevAgg, dLeft.unionByName(dRight),
+      groupCols, cntCol, sumCols)
+  }
+
   /** Signed per-(group, value) SUPPORT deltas from a CDF — the classic
     * counting algorithm that makes COUNT(DISTINCT) incrementally
     * maintainable: distinct-count itself is not invertible (a delete may

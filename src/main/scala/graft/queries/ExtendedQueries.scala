@@ -1960,6 +1960,64 @@ object ExtendedQueries {
         .orderBy("o_custkey")
     },
 
+    Q("q250_incremental_join_view",
+      // JOIN-view maintenance — the delta-join algebra that composes the
+      // IVM family into real pipelines: V = γ_seg(orders ⋈ customer)
+      // maintained from the change feeds of BOTH inputs
+      // (IncrementalAgg.refreshJoinSumCount: ΔL ⋈ R′ + L ⋈ ΔR — the
+      // bilinearity bracketing; the engine NEVER re-joins the new
+      // snapshots). Left feed = the q185 order change set (inserts %97,
+      // deletes %89, reprices %101); right feed = customer churn
+      // (deletes %53 — their orders must LEAVE the view through the
+      // right feed alone — and segment moves %31 to a brand-new 'MOVED'
+      // group, whose weight must arrive via BOTH feeds' cross terms).
+      // The oracle recomputes γ(L′ ⋈ R′) from scratch; equality of the
+      // maintained state with the recompute is the claim. Decimal
+      // maintenance, one terminal double cast (q89 pattern).
+      """WITH newA AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice + 1, 2)
+        |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |newB AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 31 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey % 53 <> 0)
+        |SELECT seg, count(*)::BIGINT AS n_orders,
+        |  CAST(CAST(sum(p) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM newA JOIN newB ON newA.o_custkey = newB.c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin) { (s, d) =>
+      import graft.operators.{IncrementalAgg, Snapshot}
+      val orders = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      val oldA = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val newA = orders.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 101 === 0, round(col("o_totalprice") + 1, 2))
+            .otherwise(col("o_totalprice")).cast("decimal(18,2)").as("p"))
+      val oldB = customer.select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val newB = customer.filter(col("c_custkey") % 53 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 31 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("seg"))
+      val cdfA = Snapshot.changeDataFeed(oldA, newA, "o_orderkey",
+        Seq("o_custkey", "p"))
+      val cdfB = Snapshot.changeDataFeed(oldB, newB, "c_custkey", Seq("seg"))
+      val prevAgg = oldA
+        .join(oldB.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("p"))
+      IncrementalAgg.refreshJoinSumCount(prevAgg,
+          cdfA.drop("o_orderkey"), oldA.drop("o_orderkey"), cdfB, newB,
+          leftKey = "o_custkey", rightKey = "c_custkey",
+          groupCols = Seq("seg"), cntCol = "n_orders", sumCols = Seq("p"))
+        .select(col("seg"), col("n_orders"),
+          col("p").cast("decimal(18,2)").cast("double").as("total"))
+        .orderBy("seg")
+    },
+
     Q("q220_incremental_distinct",
       // exact COUNT(DISTINCT) maintenance — the third IVM algebra beside
       // sum/count (q185, invertible) and min/max (q218, rescan-repaired):

@@ -101,6 +101,70 @@ class IncrementalAggSpec extends SparkSpec {
       compareCols = Seq("doubleValue")).isEmpty)
   }
 
+  test("refreshJoinSumCount: maintained join view == recompute across both feeds") {
+    // L = orders(k, cust, v); R = customers(cust, seg). Changes exercise
+    // every cross term of ΔL⋈R′ + L⋈ΔR: a left insert whose customer
+    // MOVED segment, a left delete, a left reprice, a right delete that
+    // must cascade its orders out of the view, a right segment move that
+    // must shift existing weight, and a brand-new group ('m') appearing.
+    val oldL = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L),
+      (4L, 30L, 400L), (5L, 30L, 500L)).toDF("k", "cust", "v")
+    val newL = Seq((1L, 10L, 101L), (3L, 20L, 300L),  // k2 deleted, k1 repriced
+      (4L, 30L, 400L), (5L, 30L, 500L),
+      (6L, 20L, 600L)).toDF("k", "cust", "v")         // k6 inserted (cust 20)
+    val oldR = Seq((10L, "a"), (20L, "a"), (30L, "b")).toDF("cust", "seg")
+    val newR = Seq((10L, "a"), (20L, "m")).toDF("cust", "seg") // 20 moves a→m, 30 deleted
+    val cdfL = Snapshot.changeDataFeed(oldL, newL, "k", Seq("cust", "v"))
+    val cdfR = Snapshot.changeDataFeed(oldR, newR, "cust", Seq("seg"))
+    val prev = oldL.join(oldR, Seq("cust"))
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("v"))
+    val got = IncrementalAgg.refreshJoinSumCount(prev, cdfL, oldL, cdfR, newR,
+        "cust", "cust", Seq("seg"), "n", Seq("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = newL.join(newR, Seq("cust"))
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+    assert(want === Map("a" -> ((1L, 101L)), "m" -> ((2L, 900L))),
+      "fixture must exercise cascade-delete (b gone) and group birth (m)")
+  }
+
+  test("refreshJoinSumCount: repeated refresh composes across both sides") {
+    val l1 = Seq((1L, 10L, 5L)).toDF("k", "cust", "v")
+    val l2 = Seq((1L, 10L, 5L), (2L, 20L, 7L)).toDF("k", "cust", "v")
+    val l3 = Seq((2L, 20L, 9L)).toDF("k", "cust", "v")
+    val r1 = Seq((10L, "x")).toDF("cust", "seg")
+    val r2 = Seq((10L, "x"), (20L, "y")).toDF("cust", "seg")
+    val r3 = Seq((20L, "x")).toDF("cust", "seg")
+    var state = l1.join(r1, Seq("cust"))
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("v"))
+    state = IncrementalAgg.refreshJoinSumCount(state,
+      Snapshot.changeDataFeed(l1, l2, "k", Seq("cust", "v")), l1,
+      Snapshot.changeDataFeed(r1, r2, "cust", Seq("seg")), r2,
+      "cust", "cust", Seq("seg"), "n", Seq("v"))
+    state = IncrementalAgg.refreshJoinSumCount(state,
+      Snapshot.changeDataFeed(l2, l3, "k", Seq("cust", "v")), l2,
+      Snapshot.changeDataFeed(r2, r3, "cust", Seq("seg")), r3,
+      "cust", "cust", Seq("seg"), "n", Seq("v"))
+    val got = state.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("x" -> ((1L, 9L))))
+  }
+
+  test("refreshJoinSumCount: a snapshot carrying change_type is refused") {
+    val l = Seq((1L, 10L, 5L)).toDF("k", "cust", "v")
+    val r = Seq((10L, "x")).toDF("cust", "seg")
+    val bad = r.withColumn("change_type", lit("insert"))
+    val prev = l.join(r, Seq("cust"))
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("v"))
+    val e = intercept[IllegalArgumentException](
+      IncrementalAgg.refreshJoinSumCount(prev,
+        Snapshot.changeDataFeed(l, l, "k", Seq("cust", "v")), l,
+        Snapshot.changeDataFeed(r, r, "cust", Seq("seg")), bad,
+        "cust", "cust", Seq("seg"), "n", Seq("v")))
+    assert(e.getMessage.contains("change_type"), e.getMessage)
+  }
+
   test("a malformed change_type fails loudly instead of dropping weight") {
     val bad = Seq(("a", 1L, "upsert")).toDF("g", "v", "change_type")
     val e = intercept[Exception] {
