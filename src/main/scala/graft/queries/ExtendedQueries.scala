@@ -2018,6 +2018,106 @@ object ExtendedQueries {
         .orderBy("seg")
     },
 
+    Q("q251_txtable_join_view",
+      // the IVM capstone: q250's join view maintained across the COMMIT
+      // HISTORIES of TWO ACID tables — orders and customers each live in
+      // a TxTable with three commits (base → upsert → keyed delete), and
+      // the per-segment view refreshes once per version STEP from
+      // TxTable.changeDataFeed version diffs of BOTH tables
+      // (refreshJoinSumCount per step; merged last-value views supply
+      // the O(changes)-sized probe snapshots). The engine never joins
+      // the full new snapshots; the oracle recomputes from the final
+      // logical contents — which equal q250's fixture exactly, so the
+      // SAME recompute SQL verifies a maintenance path that now spans
+      // the table log, the merge engine, the CDF diff, and the delta-
+      // join algebra end to end.
+      """WITH newA AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice + 1, 2)
+        |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |newB AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 31 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey % 53 <> 0)
+        |SELECT seg, count(*)::BIGINT AS n_orders,
+        |  CAST(CAST(sum(p) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM newA JOIN newB ON newA.o_custkey = newB.c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin) { (s, d) =>
+      import graft.operators.IncrementalAgg
+      import graft.streaming.TxTable
+      val root = Q.scratchDir("graft-q251")
+      val ordT = root + "/orders_t"; val custT = root + "/cust_t"
+      val orders = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      val oKeys = Seq("o_orderstatus", "o_orderkey")
+      val cKeys = Seq("bucket", "c_custkey")
+      // orders_t v0: the %97 base; v1: inserts (%97=0) + reprices
+      // (%101=0) in ONE upsert batch; v2: delete %89=0
+      TxTable.mergeLatest(s,
+        orders.filter(col("o_orderkey") % 97 =!= 0)
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("p"), lit(0L).as("seq")),
+        ordT, "o_orderstatus", oKeys, Seq("seq"))
+      TxTable.mergeLatest(s,
+        orders.filter(col("o_orderkey") % 97 === 0 || col("o_orderkey") % 101 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"),
+            when(col("o_orderkey") % 101 === 0, round(col("o_totalprice") + 1, 2))
+              .otherwise(col("o_totalprice")).cast("decimal(18,2)").as("p"),
+            lit(1L).as("seq")),
+        ordT, "o_orderstatus", oKeys, Seq("seq"))
+      TxTable.deleteKeys(s,
+        orders.filter(col("o_orderkey") % 89 === 0)
+          .select("o_orderstatus", "o_orderkey"),
+        ordT, "o_orderstatus", oKeys)
+      // cust_t partitions by a STABLE hash bucket, not the segment: a
+      // segment move must stay an in-partition UPDATE — partitioning by
+      // the mutable column would turn it into an insert beside a stale
+      // row under the (partition, key) merge identity
+      val bucketed = customer.withColumn("bucket",
+        concat(lit("b"), pmod(col("c_custkey"), lit(8))))
+      TxTable.mergeLatest(s,
+        bucketed.select(col("bucket"), col("c_custkey"),
+          col("c_mktsegment").as("seg"), lit(0L).as("seq")),
+        custT, "bucket", cKeys, Seq("seq"))
+      TxTable.mergeLatest(s,
+        bucketed.filter(col("c_custkey") % 31 === 0)
+          .select(col("bucket"), col("c_custkey"),
+            lit("MOVED").as("seg"), lit(1L).as("seq")),
+        custT, "bucket", cKeys, Seq("seq"))
+      TxTable.deleteKeys(s,
+        bucketed.filter(col("c_custkey") % 53 === 0)
+          .select("bucket", "c_custkey"),
+        custT, "bucket", cKeys)
+      def mergedOrders(v: Long) =
+        TxTable.readMergedAt(s, ordT, v, oKeys, Seq("seq"))
+          .getOrElse(sys.error(s"q251: orders_t version $v unreadable"))
+          .select(col("o_custkey"), col("p"))
+      def mergedCust(v: Long) =
+        TxTable.readMergedAt(s, custT, v, cKeys, Seq("seq"))
+          .getOrElse(sys.error(s"q251: cust_t version $v unreadable"))
+          .select(col("c_custkey"), col("seg"))
+      var state = mergedOrders(0)
+        .join(mergedCust(0).withColumnRenamed("c_custkey", "o_custkey"),
+          Seq("o_custkey"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("p"))
+      for (v <- 1L to 2L) {
+        val cdfA = TxTable.changeDataFeed(s, ordT, v - 1, v, "o_orderkey",
+          Seq("o_custkey", "p"), oKeys, Seq("seq"))
+        val cdfB = TxTable.changeDataFeed(s, custT, v - 1, v, "c_custkey",
+          Seq("seg"), cKeys, Seq("seq"))
+        state = IncrementalAgg.refreshJoinSumCount(state,
+          cdfA.drop("o_orderkey"), mergedOrders(v - 1), cdfB, mergedCust(v),
+          leftKey = "o_custkey", rightKey = "c_custkey",
+          groupCols = Seq("seg"), cntCol = "n_orders", sumCols = Seq("p"))
+      }
+      state
+        .select(col("seg"), col("n_orders"),
+          col("p").cast("decimal(18,2)").cast("double").as("total"))
+        .orderBy("seg")
+    },
+
     Q("q220_incremental_distinct",
       // exact COUNT(DISTINCT) maintenance — the third IVM algebra beside
       // sum/count (q185, invertible) and min/max (q218, rescan-repaired):
