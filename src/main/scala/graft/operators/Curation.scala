@@ -560,6 +560,54 @@ object Curation {
       Seq(Dedup.hash60(concat(lit(salt), col(idCol).cast("string"))), col(idCol)),
       "shuffle_pos")
 
+  /** LEAKAGE-SAFE train/val/test split: assign every member of a
+    * near-duplicate CLUSTER to the same split, so no evaluation example
+    * has a near-copy in training — the split discipline behind every
+    * honest benchmark number (splitting by raw document id leaks
+    * whenever the corpus has near-dups, which every web corpus does).
+    *
+    * `pairs` is any near-dup pair relation (the output of the MinHash /
+    * SimHash / PPJoin / SemDeDup families); clusters come from
+    * [[Dedup.dupClusters]] (connected components — leakage closes over
+    * TRANSITIVE near-duplication, a pairwise-only rule would leak
+    * through chains A≈B≈C), documents in no pair are their own
+    * singleton cluster. The split is the salted 60-bit hash of the
+    * CLUSTER id modulo 100 against cumulative percentage cuts —
+    * deterministic, reproducible, oracle-replayable, and independent of
+    * both corpus order and cluster size.
+    *
+    * Scale posture: one left join against the (small) cluster map + a
+    * pure projection; the CC cost is the pair graph's, already paid by
+    * the dedup pipeline that produced the pairs.
+    *
+    * @param cuts ordered (name, percent) with percents summing to 100,
+    *             e.g. Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    * @return `items` + (`cluster`, `split`)
+    */
+  def leakageSafeSplit(
+      items: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      cuts: Seq[(String, Int)] =
+        Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      salt: String = "split:"): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_._2 > 0) && cuts.map(_._2).sum == 100,
+      s"cuts must be positive percents summing to 100, got $cuts")
+    require(cuts.map(_._1).distinct.size == cuts.size,
+      s"cuts must have distinct names, got $cuts")
+    val clusters = Dedup.dupClusters(pairs).withColumnRenamed("id", idCol)
+    val withCluster = items.join(clusters, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val h = pmod(
+      Dedup.hash60(concat(lit(salt), col("cluster").cast("string"))), lit(100))
+    val cum = cuts.map(_._2).scanLeft(0)(_ + _).tail
+    val split = cuts.tail.zip(cum.tail)
+      .foldLeft(when(h < cum.head, lit(cuts.head._1))) {
+        case (e, ((name, _), bound)) => e.when(h < bound, lit(name))
+      }
+    withCluster.withColumn("split", split)
+  }
+
   /** Cross-document duplicate SPAN detection (the diagnostic half of
     * Lee et al. 2022's "Deduplicating Training Data Makes Language Models
     * Better": find the exact `spanTokens`-token sequences that recur

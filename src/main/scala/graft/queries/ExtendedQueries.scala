@@ -2118,6 +2118,53 @@ object ExtendedQueries {
         .orderBy("seg")
     },
 
+    Q("q252_leakage_safe_split",
+      // leakage-safe train/val/test split: every member of a near-dup
+      // CLUSTER lands in the same split (Curation.leakageSafeSplit —
+      // split by the salted hash of the CLUSTER id, not the document
+      // id), so no eval example has a near-copy in training. The pair
+      // graph is the q58 oracle-checkable fixture (consecutive orders
+      // of each customer form a path ⇒ cluster = the customer's min
+      // order key, singletons their own cluster), which makes the whole
+      // assignment — connected components INCLUDED — SQL-replayable;
+      // the engine must genuinely propagate labels along the path, then
+      // hash-split. n_clusters per split pins cluster-coherence: a
+      // single leaked member would shift a cluster count.
+      s"""WITH m AS (
+        |  SELECT o_custkey, min(o_orderkey) AS c, count(*) AS n
+        |  FROM orders GROUP BY o_custkey),
+        |a AS (
+        |  SELECT o_orderkey AS id,
+        |    CASE WHEN m.n >= 2 THEN m.c ELSE o_orderkey END AS cluster
+        |  FROM orders JOIN m USING (o_custkey)),
+        |s AS (
+        |  SELECT id, cluster,
+        |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT id, cluster,
+        |          ${sqlHash60("'split:' || cluster::VARCHAR")} % 100 AS h
+        |        FROM a))
+        |SELECT split, count(*)::BIGINT AS n_items,
+        |  count(DISTINCT cluster)::BIGINT AS n_clusters,
+        |  CAST(sum(id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      import graft.operators.Curation
+      val orders = t(s, d, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val pairs = orders
+        .select(col("o_orderkey").as("id2"),
+          lag("o_orderkey", 1).over(w).as("id1"))
+        .filter(col("id1").isNotNull)
+        .select("id1", "id2")
+      Curation.leakageSafeSplit(orders.select(col("o_orderkey").as("id")),
+          pairs, "id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("id")).as("id_sum"))
+        .orderBy("split")
+    },
+
     Q("q220_incremental_distinct",
       // exact COUNT(DISTINCT) maintenance — the third IVM algebra beside
       // sum/count (q185, invertible) and min/max (q218, rescan-repaired):

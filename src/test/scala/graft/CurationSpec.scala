@@ -311,6 +311,45 @@ class CurationSpec extends SparkSpec {
     assert(c != a)
   }
 
+  test("leakageSafeSplit: cluster-coherent, transitive, singleton-safe, deterministic") {
+    // chain A≈B≈C: leakage must close transitively — a pairwise rule
+    // would allow A and C in different splits
+    val items = (1L to 200L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 60L))
+      .toDF("id1", "id2")
+    val got = Curation.leakageSafeSplit(items, pairs, "id")
+      .select("id", "cluster", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(got.size === 200)
+    // every pair (and the transitive chain) shares cluster AND split
+    for ((a, b) <- Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (50L, 60L))) {
+      assert(byId(a)._2 === byId(b)._2, s"$a/$b cluster")
+      assert(byId(a)._3 === byId(b)._3, s"$a/$b split")
+    }
+    // singletons are their own cluster
+    assert(byId(100L)._2 === 100L)
+    // all three splits realized on 200 ids and fractions are sane
+    val frac = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(frac.keySet === Set("train", "val", "test"), frac.toString)
+    assert(frac("train") > frac("val") && frac("train") > frac("test"), frac.toString)
+    // deterministic: a second run assigns identically
+    val again = Curation.leakageSafeSplit(items, pairs, "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got.forall { case (id, _, s) => again(id) == s })
+  }
+
+  test("leakageSafeSplit refuses malformed cuts") {
+    val items = Seq(1L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val e1 = intercept[IllegalArgumentException](Curation.leakageSafeSplit(
+      items, pairs, "id", Seq("train" -> 90, "val" -> 5)))
+    assert(e1.getMessage.contains("summing to 100"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Curation.leakageSafeSplit(
+      items, pairs, "id", Seq("train" -> 50, "train" -> 50)))
+    assert(e2.getMessage.contains("distinct names"), e2.getMessage)
+  }
+
   test("duplicateSpans catches MISALIGNED shared passages; counts are exact") {
     // docs 1 and 2 share "p q r" but at different token offsets (1 vs 2) —
     // q104-style disjoint segments would never align them; doc 3 repeats

@@ -591,6 +591,15 @@ class PlanAuditSpec extends SparkSpec {
       s"delta aggregation must combine map-side before the shuffle:\n$p")
   }
 
+  test("q250: join-view refresh is equi-joins + map-side deltas; never re-joins full snapshots") {
+    val p = plan("q250_incremental_join_view")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("Window"),
+      s"both delta-join probe terms and the state merge are equi-joins only:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the folded two-feed deltas must combine map-side before the shuffle:\n$p")
+  }
+
   test("q186: exact jaccard join candidates come from an equi-join; never a cross product") {
     val p = plan("q186_jaccard_join_exact")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
