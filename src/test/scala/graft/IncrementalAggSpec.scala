@@ -151,6 +151,41 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got === Map("x" -> ((1L, 9L))))
   }
 
+  test("refreshJoinSumCount: maintained == recompute under seeded random churn") {
+    // the algebra's edge cases are combinatorial (which side changed,
+    // insert vs delete vs update, key present on the other side or not,
+    // group births/deaths) — a seeded random sweep covers combinations
+    // no hand fixture enumerates. 10 trials, each a fresh (L, R, ΔL, ΔR).
+    val rnd = new scala.util.Random(101)
+    for (trial <- 1 to 10) {
+      def randL(keys: Range) = keys.flatMap { k =>
+        if (rnd.nextDouble() < 0.7)
+          Some((k.toLong, (rnd.nextInt(6) + 1).toLong, rnd.nextInt(100).toLong))
+        else None
+      }
+      def randR(custs: Range) = custs.flatMap { c =>
+        if (rnd.nextDouble() < 0.8)
+          Some((c.toLong, s"g${rnd.nextInt(4)}"))
+        else None
+      }
+      val oldL = randL(1 to 40); val newL = randL(1 to 40)
+      val oldR = randR(1 to 6); val newR = randR(1 to 6)
+      val oldLDf = oldL.toDF("k", "cust", "v"); val newLDf = newL.toDF("k", "cust", "v")
+      val oldRDf = oldR.toDF("cust", "seg"); val newRDf = newR.toDF("cust", "seg")
+      val prev = oldLDf.join(oldRDf, Seq("cust"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("v"))
+      val got = IncrementalAgg.refreshJoinSumCount(prev,
+          Snapshot.changeDataFeed(oldLDf, newLDf, "k", Seq("cust", "v")), oldLDf,
+          Snapshot.changeDataFeed(oldRDf, newRDf, "cust", Seq("seg")), newRDf,
+          "cust", "cust", Seq("seg"), "n", Seq("v"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = newLDf.join(newRDf, Seq("cust"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("v"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === want, s"trial $trial: oldL=$oldL newL=$newL oldR=$oldR newR=$newR")
+    }
+  }
+
   test("refreshJoinSumCount: a snapshot carrying change_type is refused") {
     val l = Seq((1L, 10L, 5L)).toDF("k", "cust", "v")
     val r = Seq((10L, "x")).toDF("cust", "seg")
