@@ -1487,11 +1487,19 @@ object ExtendedQueries {
          |    (SELECT id1, id2 FROM exact EXCEPT SELECT id1, id2 FROM lsh) t)
          |    AS BIGINT) AS n_missed""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val exact = Dedup.prefixJaccardJoin(docs, "doc_id", "text", 1, 2)
-        .select("id1", "id2")
-      val lsh = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
-          shingleK = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5)
-        .select("id1", "id2")
+      // each pair set is consumed TWICE (its count + the anti-join), so
+      // materialize each ONCE: at sf0.1 exchange reuse hid the doubled
+      // lineage, at sf1 it re-ran both full pipelines a second time —
+      // the round-13 scale-step's one superlinear outlier (19× at 10×
+      // data; components q186/q34 measure ≈linear). The pair sets are
+      // thousands of rows — checkpoint cost is noise.
+      val exact = graft.operators.Checkpoints.truncate(
+        Dedup.prefixJaccardJoin(docs, "doc_id", "text", 1, 2)
+          .select("id1", "id2"))
+      val lsh = graft.operators.Checkpoints.truncate(
+        Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+            shingleK = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5)
+          .select("id1", "id2"))
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
         .crossJoin(exact.join(lsh, Seq("id1", "id2"), "left_anti")
