@@ -250,6 +250,80 @@ object IncrementalAgg {
       groupCols, cntCol, sumCols)
   }
 
+  /** One dimension input of [[refreshStarSumCount]]: its change feed,
+    * its PRE-change snapshot (joined in terms for feeds EARLIER in the
+    * chain is wrong — see the telescoping below — it appears in terms
+    * for feeds LATER in the chain), its POST-change snapshot (terms for
+    * earlier feeds), and the fact-side/dim-side equi-join columns. For
+    * a snowflake chain, `factKey` may name a column PRODUCED by the
+    * previous dimension's join (e.g. customer supplies `nationkey` for
+    * the nation dim) — terms join in chain order, so it is in scope.
+    */
+  final case class DimFeed(
+      cdf: DataFrame,
+      oldDim: DataFrame,
+      newDim: DataFrame,
+      factKey: String,
+      dimKey: String)
+
+  /** STAR/SNOWFLAKE-join aggregate maintenance — the N-way telescoping
+    * of [[refreshJoinSumCount]]: V = γ(F ⋈ D₁ ⋈ … ⋈ Dₙ) maintained
+    * from the change feeds of the fact AND every dimension. Joins are
+    * multilinear over signed multisets, so the update telescopes:
+    *
+    *   F′D₁′…Dₙ′ − FD₁…Dₙ =
+    *     ΔF ⋈ D₁′ ⋈ … ⋈ Dₙ′                 (all NEW dims)
+    *   + F ⋈ ΔD₁ ⋈ D₂′ ⋈ … ⋈ Dₙ′            (OLD before, NEW after)
+    *   + F ⋈ D₁ ⋈ ΔD₂ ⋈ D₃′ ⋈ … ⋈ Dₙ′
+    *   + …
+    *   + F ⋈ D₁ ⋈ … ⋈ Dₙ₋₁ ⋈ ΔDₙ
+    *
+    * — each term ONE signed feed joined against snapshots (signs never
+    * multiply), each O(|Δ| · fanout) probe work; the dims are the
+    * broadcast-sized sides of a star, so every term is a broadcast
+    * chain off a small feed or a partition-pruned probe of the fact.
+    * Group columns may come from any input (a dimension attribute the
+    * feed renames moves weight between groups through its own term);
+    * sum columns must come from the FACT (a dimension-carried measure
+    * would multiply through the join — refuse that shape by design).
+    * Exactness: the [[refreshSumCount]] integer/DECIMAL domain.
+    */
+  def refreshStarSumCount(
+      prevAgg: DataFrame,
+      factCdf: DataFrame,
+      oldFact: DataFrame,
+      dims: Seq[DimFeed],
+      groupCols: Seq[String],
+      cntCol: String,
+      sumCols: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "refreshStarSumCount needs at least one dimension" +
+      " — for zero dims use refreshSumCount directly")
+    require(!oldFact.columns.contains("change_type") &&
+        dims.forall(d => !d.oldDim.columns.contains("change_type") &&
+          !d.newDim.columns.contains("change_type")),
+      "snapshot inputs must not carry a change_type column — it would " +
+        "shadow the feed's sign and silently corrupt the delta algebra")
+    def dimJoin(base: DataFrame, d: DataFrame, factKey: String, dimKey: String) =
+      base.join(d.withColumnRenamed(dimKey, factKey), Seq(factKey))
+    val proj = (groupCols ++ sumCols :+ "change_type").map(col)
+    // term 0: the fact feed against every NEW dimension
+    val tFact = dims.foldLeft(factCdf) { case (b, dj) =>
+      dimJoin(b, dj.newDim, dj.factKey, dj.dimKey)
+    }.select(proj: _*)
+    // term i+1: old fact; dims joined IN CHAIN ORDER as old (< i),
+    // the feed (= i), new (> i) — chain order keeps snowflake keys in
+    // scope when a dim keys off a column the previous dim produced
+    val tDims = dims.indices.map { i =>
+      dims.zipWithIndex.foldLeft(oldFact) { case (b, (dj, j)) =>
+        val side =
+          if (j < i) dj.oldDim else if (j == i) dj.cdf else dj.newDim
+        dimJoin(b, side, dj.factKey, dj.dimKey)
+      }.select(proj: _*)
+    }
+    refreshSumCount(prevAgg, (tFact +: tDims).reduce(_ unionByName _),
+      groupCols, cntCol, sumCols)
+  }
+
   /** Signed per-(group, value) SUPPORT deltas from a CDF — the classic
     * counting algorithm that makes COUNT(DISTINCT) incrementally
     * maintainable: distinct-count itself is not invertible (a delete may

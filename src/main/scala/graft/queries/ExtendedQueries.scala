@@ -2126,6 +2126,83 @@ object ExtendedQueries {
         .orderBy("seg")
     },
 
+    Q("q253_star_incremental_view",
+      // N-way star IVM (refreshStarSumCount): V = γ_nation(orders ⋈
+      // customer ⋈ nation) maintained from the change feeds of ALL
+      // THREE inputs via the multilinear telescoping ΔF⋈D1′⋈D2′ +
+      // F⋈ΔD1⋈D2′ + F⋈D1⋈ΔD2 — a SNOWFLAKE chain (nation keys off the
+      // column customer produces), churn everywhere: order
+      // inserts/deletes/reprices (q185 set), customers deleted (%53)
+      // and REASSIGNED to the next nation (%41 — weight moves between
+      // groups through the D1 term), nations RENAMED (%7 — the group
+      // key itself changes under the view's feet, weight moves through
+      // the D2 term joining OLD fact and OLD customers). The oracle
+      // recomputes over the final snapshots; decimal maintenance, one
+      // terminal double cast (q89 pattern).
+      """WITH newF AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice + 1, 2)
+        |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |newD1 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 41 = 0 THEN (c_nationkey + 1) % 25
+        |         ELSE c_nationkey END AS c_nationkey
+        |  FROM customer WHERE c_custkey % 53 <> 0),
+        |newD2 AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey % 7 = 0 THEN 'X-' || n_name
+        |         ELSE n_name END AS nname
+        |  FROM nation)
+        |SELECT nname, count(*)::BIGINT AS n_orders,
+        |  CAST(CAST(sum(p) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM newF
+        |JOIN newD1 ON newF.o_custkey = newD1.c_custkey
+        |JOIN newD2 ON newD1.c_nationkey = newD2.n_nationkey
+        |GROUP BY nname ORDER BY nname""".stripMargin) { (s, d) =>
+      import graft.operators.{IncrementalAgg, Snapshot}
+      import graft.operators.IncrementalAgg.DimFeed
+      val orders = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      val nation = t(s, d, "nation")
+      val oldF = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val newF = orders.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 101 === 0, round(col("o_totalprice") + 1, 2))
+            .otherwise(col("o_totalprice")).cast("decimal(18,2)").as("p"))
+      val oldD1 = customer.select(col("c_custkey"), col("c_nationkey"))
+      val newD1 = customer.filter(col("c_custkey") % 53 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 41 === 0, (col("c_nationkey") + 1) % 25)
+            .otherwise(col("c_nationkey")).as("c_nationkey"))
+      val oldD2 = nation.select(col("n_nationkey"), col("n_name").as("nname"))
+      val newD2 = nation.select(col("n_nationkey"),
+        when(col("n_nationkey") % 7 === 0, concat(lit("X-"), col("n_name")))
+          .otherwise(col("n_name")).as("nname"))
+      val cdfF = Snapshot.changeDataFeed(oldF, newF, "o_orderkey",
+        Seq("o_custkey", "p")).drop("o_orderkey")
+      val cdfD1 = Snapshot.changeDataFeed(oldD1, newD1, "c_custkey",
+        Seq("c_nationkey"))
+      val cdfD2 = Snapshot.changeDataFeed(oldD2, newD2, "n_nationkey",
+        Seq("nname"))
+      val prev = oldF
+        .join(oldD1.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
+        .join(oldD2.withColumnRenamed("n_nationkey", "c_nationkey"),
+          Seq("c_nationkey"))
+        .groupBy("nname")
+        .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("p"))
+      IncrementalAgg.refreshStarSumCount(prev, cdfF,
+          oldF.drop("o_orderkey"),
+          Seq(DimFeed(cdfD1, oldD1, newD1, "o_custkey", "c_custkey"),
+            DimFeed(cdfD2, oldD2, newD2, "c_nationkey", "n_nationkey")),
+          groupCols = Seq("nname"), cntCol = "n_orders", sumCols = Seq("p"))
+        .select(col("nname"), col("n_orders"),
+          col("p").cast("decimal(18,2)").cast("double").as("total"))
+        .orderBy("nname")
+    },
+
     Q("q252_leakage_safe_split",
       // leakage-safe train/val/test split: every member of a near-dup
       // CLUSTER lands in the same split (Curation.leakageSafeSplit —

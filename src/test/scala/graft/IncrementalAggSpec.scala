@@ -186,6 +186,108 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("refreshStarSumCount: snowflake chain == recompute under churn in all three inputs") {
+    import graft.operators.IncrementalAgg.DimFeed
+    // F(k, cust, v) ⋈ D1(cust, nk) ⋈ D2(nk, name): fact churn, a
+    // customer reassigned to another nation (weight moves via the D1
+    // term), a nation RENAMED (the group key changes under the view —
+    // weight moves via the D2 term over OLD fact and OLD customers),
+    // and a customer delete cascading its orders out.
+    val oldF = Seq((1L, 10L, 5L), (2L, 10L, 7L), (3L, 20L, 11L),
+      (4L, 30L, 13L)).toDF("k", "cust", "v")
+    val newF = Seq((1L, 10L, 5L), (3L, 20L, 11L),      // k2 deleted
+      (4L, 30L, 17L), (5L, 20L, 19L)).toDF("k", "cust", "v") // k4 revalued, k5 new
+    val oldD1 = Seq((10L, 100L), (20L, 100L), (30L, 200L)).toDF("cust", "nk")
+    val newD1 = Seq((10L, 200L), (20L, 100L)).toDF("cust", "nk") // 10 moves, 30 deleted
+    val oldD2 = Seq((100L, "alpha"), (200L, "beta")).toDF("nk", "name")
+    val newD2 = Seq((100L, "alpha2"), (200L, "beta")).toDF("nk", "name") // rename
+    def agg(f: org.apache.spark.sql.DataFrame, d1: org.apache.spark.sql.DataFrame,
+        d2: org.apache.spark.sql.DataFrame) =
+      f.join(d1, Seq("cust")).join(d2, Seq("nk"))
+        .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("v"))
+    val prev = agg(oldF, oldD1, oldD2)
+    val got = IncrementalAgg.refreshStarSumCount(prev,
+        Snapshot.changeDataFeed(oldF, newF, "k", Seq("cust", "v")), oldF,
+        Seq(
+          DimFeed(Snapshot.changeDataFeed(oldD1, newD1, "cust", Seq("nk")),
+            oldD1, newD1, "cust", "cust"),
+          DimFeed(Snapshot.changeDataFeed(oldD2, newD2, "nk", Seq("name")),
+            oldD2, newD2, "nk", "nk")),
+        Seq("name"), "n", Seq("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = agg(newF, newD1, newD2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+    // the fixture exercises what it claims: alpha renamed away, beta
+    // gained customer 10's surviving order, customer 30's orders gone
+    assert(!want.contains("alpha") && want.contains("alpha2") &&
+      want.contains("beta"), want.toString)
+  }
+
+  test("refreshStarSumCount: maintained == recompute under seeded random 3-level churn") {
+    import graft.operators.IncrementalAgg.DimFeed
+    val rnd = new scala.util.Random(211)
+    for (trial <- 1 to 8) {
+      def randF() = (1 to 30).flatMap { k =>
+        if (rnd.nextDouble() < 0.7)
+          Some((k.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(50).toLong))
+        else None
+      }
+      def randD1() = (1 to 5).flatMap { c =>
+        if (rnd.nextDouble() < 0.85) Some((c.toLong, (rnd.nextInt(3) + 1).toLong))
+        else None
+      }
+      def randD2() = (1 to 3).flatMap { n =>
+        if (rnd.nextDouble() < 0.9) Some((n.toLong, s"n${rnd.nextInt(4)}"))
+        else None
+      }
+      val (of, nf) = (randF(), randF())
+      val (od1, nd1) = (randD1(), randD1())
+      val (od2, nd2) = (randD2(), randD2())
+      val ofD = of.toDF("k", "cust", "v"); val nfD = nf.toDF("k", "cust", "v")
+      val od1D = od1.toDF("cust", "nk"); val nd1D = nd1.toDF("cust", "nk")
+      val od2D = od2.toDF("nk", "name"); val nd2D = nd2.toDF("nk", "name")
+      def agg(f: org.apache.spark.sql.DataFrame, d1: org.apache.spark.sql.DataFrame,
+          d2: org.apache.spark.sql.DataFrame) =
+        f.join(d1, Seq("cust")).join(d2, Seq("nk"))
+          .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("v"))
+      val got = IncrementalAgg.refreshStarSumCount(agg(ofD, od1D, od2D),
+          Snapshot.changeDataFeed(ofD, nfD, "k", Seq("cust", "v")), ofD,
+          Seq(
+            DimFeed(Snapshot.changeDataFeed(od1D, nd1D, "cust", Seq("nk")),
+              od1D, nd1D, "cust", "cust"),
+            DimFeed(Snapshot.changeDataFeed(od2D, nd2D, "nk", Seq("name")),
+              od2D, nd2D, "nk", "nk")),
+          Seq("name"), "n", Seq("v"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = agg(nfD, nd1D, nd2D)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === want,
+        s"trial $trial: F $of -> $nf; D1 $od1 -> $nd1; D2 $od2 -> $nd2")
+    }
+  }
+
+  test("refreshStarSumCount: zero dims and change_type-carrying snapshots are refused") {
+    import graft.operators.IncrementalAgg.DimFeed
+    val f = Seq((1L, 10L, 5L)).toDF("k", "cust", "v")
+    val d1 = Seq((10L, 100L)).toDF("cust", "nk")
+    val prev = f.join(d1, Seq("cust"))
+      .groupBy("nk").agg(count(lit(1)).as("n"), sum("v").as("v"))
+    val e0 = intercept[IllegalArgumentException](
+      IncrementalAgg.refreshStarSumCount(prev,
+        Snapshot.changeDataFeed(f, f, "k", Seq("cust", "v")), f,
+        Nil, Seq("nk"), "n", Seq("v")))
+    assert(e0.getMessage.contains("at least one dimension"), e0.getMessage)
+    val bad = d1.withColumn("change_type", lit("insert"))
+    val e1 = intercept[IllegalArgumentException](
+      IncrementalAgg.refreshStarSumCount(prev,
+        Snapshot.changeDataFeed(f, f, "k", Seq("cust", "v")), f,
+        Seq(DimFeed(Snapshot.changeDataFeed(d1, d1, "cust", Seq("nk")),
+          d1, bad, "cust", "cust")),
+        Seq("nk"), "n", Seq("v")))
+    assert(e1.getMessage.contains("change_type"), e1.getMessage)
+  }
+
   test("refreshJoinSumCount: a snapshot carrying change_type is refused") {
     val l = Seq((1L, 10L, 5L)).toDF("k", "cust", "v")
     val r = Seq((10L, "x")).toDF("cust", "seg")
