@@ -237,6 +237,15 @@ object IncrementalAgg {
         !newRight.columns.contains("change_type"),
       "snapshot inputs must not carry a change_type column — it would " +
         "shadow the feed's sign and silently corrupt the delta algebra")
+    // sum columns must ride the LEFT (probe/fact) side: a right-carried
+    // measure multiplies by the join fan-out and the maintained number
+    // would be silently wrong
+    val rightMeasures = sumCols.filterNot(oldLeft.columns.contains)
+    require(rightMeasures.isEmpty,
+      s"sum column(s) ${rightMeasures.mkString(", ")} are not left-side " +
+        "columns — a right-carried measure multiplies by the join " +
+        "fan-out; make that side the left input or aggregate it " +
+        "in its own view")
     val proj = (groupCols ++ sumCols :+ "change_type").map(col)
     // ΔL ⋈ R′ : the left feed's sign rides each produced pair
     val dLeft = cdfLeft
@@ -303,6 +312,14 @@ object IncrementalAgg {
           !d.newDim.columns.contains("change_type")),
       "snapshot inputs must not carry a change_type column — it would " +
         "shadow the feed's sign and silently corrupt the delta algebra")
+    // the doc's "sum columns come from the FACT" is a THEOREM input, not
+    // advice: a dimension-carried measure multiplies by the join fan-out
+    // and the telescoping would maintain a silently wrong number
+    val dimMeasures = sumCols.filterNot(oldFact.columns.contains)
+    require(dimMeasures.isEmpty,
+      s"sum column(s) ${dimMeasures.mkString(", ")} are not fact columns — " +
+        "a dimension-carried measure multiplies by the join fan-out; " +
+        "aggregate it in its own view instead")
     def dimJoin(base: DataFrame, d: DataFrame, factKey: String, dimKey: String) =
       base.join(d.withColumnRenamed(dimKey, factKey), Seq(factKey))
     val proj = (groupCols ++ sumCols :+ "change_type").map(col)

@@ -286,6 +286,24 @@ class IncrementalAggSpec extends SparkSpec {
           d1, bad, "cust", "cust")),
         Seq("nk"), "n", Seq("v")))
     assert(e1.getMessage.contains("change_type"), e1.getMessage)
+    // a dimension-carried measure multiplies by join fan-out: refused
+    val e2 = intercept[IllegalArgumentException](
+      IncrementalAgg.refreshStarSumCount(prev,
+        Snapshot.changeDataFeed(f, f, "k", Seq("cust", "v")), f,
+        Seq(DimFeed(Snapshot.changeDataFeed(d1, d1, "cust", Seq("nk")),
+          d1, d1, "cust", "cust")),
+        Seq("cust"), "n", Seq("nk")))
+    assert(e2.getMessage.contains("fan-out"), e2.getMessage)
+    val l = Seq((1L, 10L, 5L)).toDF("k", "cust", "v")
+    val r = Seq((10L, 7L)).toDF("cust", "w")
+    val prevLr = l.join(r, Seq("cust"))
+      .groupBy("cust").agg(count(lit(1)).as("n"), sum("w").as("w"))
+    val e3 = intercept[IllegalArgumentException](
+      IncrementalAgg.refreshJoinSumCount(prevLr,
+        Snapshot.changeDataFeed(l, l, "k", Seq("cust", "v")), l,
+        Snapshot.changeDataFeed(r, r, "cust", Seq("w")), r,
+        "cust", "cust", Seq("cust"), "n", Seq("w")))
+    assert(e3.getMessage.contains("fan-out"), e3.getMessage)
   }
 
   test("refreshJoinSumCount: a snapshot carrying change_type is refused") {
