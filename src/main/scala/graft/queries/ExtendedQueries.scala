@@ -2043,7 +2043,7 @@ object ExtendedQueries {
         |  SELECT o_orderkey, o_custkey,
         |    CAST(CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice + 1, 2)
         |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p
-        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |  FROM orders WHERE o_orderkey % 89 <> 0 AND o_orderkey % 3 = 0),
         |newB AS (
         |  SELECT c_custkey,
         |    CASE WHEN c_custkey % 31 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
@@ -2056,7 +2056,11 @@ object ExtendedQueries {
       import graft.streaming.TxTable
       val root = Q.scratchDir("graft-q251")
       val ordT = root + "/orders_t"; val custT = root + "/cust_t"
-      val orders = t(s, d, "orders")
+      // fixture restricted to a third of orders: the query proves the
+      // maintenance algebra over the table log — commit volume is fixture
+      // cost, not semantics (the q246 shrink precedent); the oracle
+      // carries the same restriction
+      val orders = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
       val customer = t(s, d, "customer")
       val oKeys = Seq("o_orderstatus", "o_orderkey")
       val cKeys = Seq("bucket", "c_custkey")
