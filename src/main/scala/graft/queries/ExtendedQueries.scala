@@ -2119,10 +2119,15 @@ object ExtendedQueries {
           Seq("o_custkey", "p"), oKeys, Seq("seq"))
         val cdfB = TxTable.changeDataFeed(s, custT, v - 1, v, "c_custkey",
           Seq("seg"), cKeys, Seq("seq"))
-        state = IncrementalAgg.refreshJoinSumCount(state,
-          cdfA.drop("o_orderkey"), mergedOrders(v - 1), cdfB, mergedCust(v),
-          leftKey = "o_custkey", rightKey = "c_custkey",
-          groupCols = Seq("seg"), cntCol = "n_orders", sumCols = Seq("p"))
+        // materialize the (tiny) state between steps: each step's plan
+        // otherwise carries the previous step's whole lineage — per-step
+        // truncation is exactly what a production maintenance loop does
+        // with its persisted state table (the q249 parquet state)
+        state = graft.operators.Checkpoints.truncate(
+          IncrementalAgg.refreshJoinSumCount(state,
+            cdfA.drop("o_orderkey"), mergedOrders(v - 1), cdfB, mergedCust(v),
+            leftKey = "o_custkey", rightKey = "c_custkey",
+            groupCols = Seq("seg"), cntCol = "n_orders", sumCols = Seq("p")))
       }
       state
         .select(col("seg"), col("n_orders"),
