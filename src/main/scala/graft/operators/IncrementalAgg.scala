@@ -259,6 +259,114 @@ object IncrementalAgg {
       groupCols, cntCol, sumCols)
   }
 
+  /** [[applySumCount]] with a NULL-SAFE group-key merge: LEFT-outer
+    * views have a legitimate NULL group (the unmatched rows' null-padded
+    * dimension attributes), and the plain using-join would never match
+    * the state's null-group row against its delta — the group would
+    * silently split in two. Same contract otherwise.
+    */
+  def applySumCountNullSafe(
+      prevAgg: DataFrame,
+      deltas: DataFrame,
+      groupCols: Seq[String],
+      cntCol: String,
+      sumCols: Seq[String]): DataFrame = {
+    def z(c: Column) = coalesce(c, lit(0L))
+    val l = prevAgg.as("__s"); val r = deltas.as("__d")
+    val cond = groupCols.map(c => col(s"__s.$c") <=> col(s"__d.$c"))
+      .reduce(_ && _)
+    l.join(r, cond, "full_outer")
+      .select((groupCols.map(c =>
+        coalesce(col(s"__s.$c"), col(s"__d.$c")).as(c)) :+
+        (z(col(s"__s.$cntCol")) + z(col(s"__d.d_cnt"))).as(cntCol)) ++
+        sumCols.map(c =>
+          (coalesce(col(s"__s.$c"), lit(0)) +
+            coalesce(col(s"__d.d_sum_$c"), lit(0))).as(c)): _*)
+      .filter(col(cntCol) > 0)
+  }
+
+  /** LEFT-OUTER-join aggregate maintenance — the null-extension case
+    * the inner-join algebras can't express: V = γ(L ⟕ R), where an L
+    * row with no R match contributes once with null-padded R
+    * attributes. Decompose L ⟕ R = (L ⋈ R) ⊎ (L ▷ R) × {nulls}; the
+    * inner part maintains by the [[refreshJoinSumCount]] bracketing,
+    * and the anti part A = L · z(m) (z(m)=1 iff the row's key has ZERO
+    * R matches) telescopes the same way:
+    *
+    *   ΔA = ΔL · z′ + L · Δz
+    *
+    * — ΔL rows kept iff their key is absent from R′ (one anti-join),
+    * plus OLD L rows of keys whose match count TRANSITIONED: a key R′
+    * dropped entirely re-enters the anti part (+, its L rows regain
+    * the null group), a key R′ introduced leaves it (−). Signs ride
+    * the feed/transition rows through [[sumCountDeltas]]; the state
+    * merge is null-safe ([[applySumCountNullSafe]]) because the null
+    * group is a first-class group here. A NULL join key on the left
+    * never matches (SQL semantics) and lives permanently in the anti
+    * part — both sides of the telescoping preserve that.
+    *
+    * Scale posture: the transition keys come from two key-distinct
+    * anti-joins of the R snapshots — O(|R| keys), the dim side; at
+    * fact-sized R maintain the per-key match count with
+    * [[refreshSumCount]] instead and feed the transitions from its
+    * before/after states. Sum columns must ride L, as everywhere in
+    * the family.
+    */
+  def refreshLeftJoinSumCount(
+      prevAgg: DataFrame,
+      cdfLeft: DataFrame,
+      oldLeft: DataFrame,
+      cdfRight: DataFrame,
+      oldRight: DataFrame,
+      newRight: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      groupCols: Seq[String],
+      cntCol: String,
+      sumCols: Seq[String]): DataFrame = {
+    require(!oldLeft.columns.contains("change_type") &&
+        !oldRight.columns.contains("change_type") &&
+        !newRight.columns.contains("change_type"),
+      "snapshot inputs must not carry a change_type column — it would " +
+        "shadow the feed's sign and silently corrupt the delta algebra")
+    val leftMeasures = sumCols.filterNot(oldLeft.columns.contains)
+    require(leftMeasures.isEmpty,
+      s"sum column(s) ${leftMeasures.mkString(", ")} are not left-side " +
+        "columns — a right-carried measure multiplies by the join fan-out")
+    val proj = (groupCols ++ sumCols :+ "change_type").map(col)
+    // R-sourced group columns null-pad in the anti part, typed from R′
+    val rightTypes = newRight.schema.map(f => f.name -> f.dataType).toMap
+    val antiProj = (groupCols.map { g =>
+      if (oldLeft.columns.contains(g)) col(g)
+      else lit(null).cast(rightTypes.getOrElse(g,
+        org.apache.spark.sql.types.StringType)).as(g)
+    } ++ sumCols.map(col) :+ col("change_type"))
+    // inner part: the refreshJoinSumCount terms
+    val innerL = cdfLeft
+      .join(newRight.withColumnRenamed(rightKey, leftKey), Seq(leftKey))
+      .select(proj: _*)
+    val innerR = oldLeft
+      .join(cdfRight.withColumnRenamed(rightKey, leftKey), Seq(leftKey))
+      .select(proj: _*)
+    // anti part, term 1: ΔL against the NEW zero-match keys
+    val rKeysNew = newRight.select(col(rightKey).as(leftKey)).distinct()
+    val rKeysOld = oldRight.select(col(rightKey).as(leftKey)).distinct()
+    val antiDelta = cdfLeft.join(rKeysNew, Seq(leftKey), "left_anti")
+      .select(antiProj: _*)
+    // anti part, term 2: OLD L rows of keys whose emptiness flipped —
+    // a key R′ dropped re-enters the anti part (+), a born key leaves (−)
+    val died = rKeysOld.join(rKeysNew, Seq(leftKey), "left_anti")
+      .withColumn("change_type", lit("insert"))
+    val born = rKeysNew.join(rKeysOld, Seq(leftKey), "left_anti")
+      .withColumn("change_type", lit("delete"))
+    val antiTrans = oldLeft.join(died.unionByName(born), Seq(leftKey))
+      .select(antiProj: _*)
+    val deltas = sumCountDeltas(
+      Seq(innerL, innerR, antiDelta, antiTrans).reduce(_ unionByName _),
+      groupCols, sumCols)
+    applySumCountNullSafe(prevAgg, deltas, groupCols, cntCol, sumCols)
+  }
+
   /** One dimension input of [[refreshStarSumCount]]: its change feed,
     * its PRE-change snapshot (joined in terms for feeds EARLIER in the
     * chain is wrong — see the telescoping below — it appears in terms

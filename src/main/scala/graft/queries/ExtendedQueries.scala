@@ -2026,6 +2026,63 @@ object ExtendedQueries {
         .orderBy("seg")
     },
 
+    Q("q254_left_join_incremental_view",
+      // LEFT-OUTER-join IVM — the null-extension case inner-join
+      // algebras can't express: V = γ_seg(orders ⟕ customer) maintained
+      // from both feeds (IncrementalAgg.refreshLeftJoinSumCount: the
+      // inner part via the q250 bracketing, the anti part A = L·z(m)
+      // telescoping as ΔL·z′ + L·Δz). The q250 churn makes the NULL
+      // group do everything the algebra claims: it is EMPTY at the old
+      // state (every order matched), then the %53 customer deletes
+      // MIGRATE their surviving orders into it — where q250's inner
+      // view dropped those orders, this view must re-home them under
+      // null-padded attributes, exactly SQL LEFT JOIN semantics. The
+      // oracle recomputes LEFT JOIN from the new snapshots.
+      """WITH newA AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice + 1, 2)
+        |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |newB AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 31 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey % 53 <> 0)
+        |SELECT seg, count(*)::BIGINT AS n_orders,
+        |  CAST(CAST(sum(p) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM newA LEFT JOIN newB ON newA.o_custkey = newB.c_custkey
+        |GROUP BY seg ORDER BY seg NULLS FIRST""".stripMargin) { (s, d) =>
+      import graft.operators.{IncrementalAgg, Snapshot}
+      val orders = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      val oldA = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val newA = orders.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 101 === 0, round(col("o_totalprice") + 1, 2))
+            .otherwise(col("o_totalprice")).cast("decimal(18,2)").as("p"))
+      val oldB = customer.select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val newB = customer.filter(col("c_custkey") % 53 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 31 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("seg"))
+      val cdfA = Snapshot.changeDataFeed(oldA, newA, "o_orderkey",
+        Seq("o_custkey", "p"))
+      val cdfB = Snapshot.changeDataFeed(oldB, newB, "c_custkey", Seq("seg"))
+      val prevAgg = oldA
+        .join(oldB.withColumnRenamed("c_custkey", "o_custkey"),
+          Seq("o_custkey"), "left")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("p"))
+      IncrementalAgg.refreshLeftJoinSumCount(prevAgg,
+          cdfA.drop("o_orderkey"), oldA.drop("o_orderkey"), cdfB, oldB, newB,
+          leftKey = "o_custkey", rightKey = "c_custkey",
+          groupCols = Seq("seg"), cntCol = "n_orders", sumCols = Seq("p"))
+        .select(col("seg"), col("n_orders"),
+          col("p").cast("decimal(18,2)").cast("double").as("total"))
+        .orderBy(col("seg").asc_nulls_first)
+    },
+
     Q("q251_txtable_join_view",
       // the IVM capstone: q250's join view maintained across the COMMIT
       // HISTORIES of TWO ACID tables — orders and customers each live in

@@ -267,6 +267,63 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("refreshLeftJoinSumCount: null group births, deaths, and migrations == recompute") {
+    // oldR matches every left key; churn then deletes cust 30 entirely
+    // (its rows must MIGRATE to the null group), births cust 40 (whose
+    // rows must LEAVE it), and deletes a left row that lived in the
+    // null group at old state — every movement the telescoping claims.
+    val oldL = Seq((1L, 10L, 5L), (2L, 30L, 7L), (3L, 30L, 11L),
+      (4L, 40L, 13L)).toDF("k", "cust", "v")
+    val newL = Seq((1L, 10L, 5L), (2L, 30L, 7L), (3L, 30L, 11L),
+      (5L, 40L, 17L)).toDF("k", "cust", "v") // k4 (anti at old) deleted, k5 new
+    val oldR = Seq((10L, "a"), (30L, "b")).toDF("cust", "seg") // 40 unmatched
+    val newR = Seq((10L, "a"), (40L, "c")).toDF("cust", "seg") // 30 dies, 40 born
+    def agg(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      l.join(r, Seq("cust"), "left")
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("v"))
+    val got = IncrementalAgg.refreshLeftJoinSumCount(agg(oldL, oldR),
+        Snapshot.changeDataFeed(oldL, newL, "k", Seq("cust", "v")), oldL,
+        Snapshot.changeDataFeed(oldR, newR, "cust", Seq("seg")), oldR, newR,
+        "cust", "cust", Seq("seg"), "n", Seq("v"))
+      .collect().map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = agg(newL, newR)
+      .collect().map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+    assert(want(None) === ((2L, 18L)), // cust 30's two rows, null group
+      s"cust-30 rows must migrate to the null group: $want")
+    assert(want(Some("c")) === ((1L, 17L)), "born key's row must leave the null group")
+  }
+
+  test("refreshLeftJoinSumCount: maintained == recompute under seeded random churn") {
+    val rnd = new scala.util.Random(307)
+    for (trial <- 1 to 10) {
+      def randL() = (1 to 40).flatMap { k =>
+        if (rnd.nextDouble() < 0.7)
+          Some((k.toLong, (rnd.nextInt(8) + 1).toLong, rnd.nextInt(100).toLong))
+        else None
+      }
+      def randR() = (1 to 8).flatMap { c =>
+        if (rnd.nextDouble() < 0.6) Some((c.toLong, s"g${rnd.nextInt(4)}"))
+        else None
+      }
+      val (ol, nl) = (randL(), randL())
+      val (or_, nr) = (randR(), randR())
+      val olD = ol.toDF("k", "cust", "v"); val nlD = nl.toDF("k", "cust", "v")
+      val orD = or_.toDF("cust", "seg"); val nrD = nr.toDF("cust", "seg")
+      def agg(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+        l.join(r, Seq("cust"), "left")
+          .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("v"))
+      val got = IncrementalAgg.refreshLeftJoinSumCount(agg(olD, orD),
+          Snapshot.changeDataFeed(olD, nlD, "k", Seq("cust", "v")), olD,
+          Snapshot.changeDataFeed(orD, nrD, "cust", Seq("seg")), orD, nrD,
+          "cust", "cust", Seq("seg"), "n", Seq("v"))
+        .collect().map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = agg(nlD, nrD)
+        .collect().map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === want, s"trial $trial: L $ol -> $nl; R ${or_} -> $nr")
+    }
+  }
+
   test("refreshStarSumCount: zero dims and change_type-carrying snapshots are refused") {
     import graft.operators.IncrementalAgg.DimFeed
     val f = Seq((1L, 10L, 5L)).toDF("k", "cust", "v")
