@@ -367,6 +367,104 @@ object IncrementalAgg {
     applySumCountNullSafe(prevAgg, deltas, groupCols, cntCol, sumCols)
   }
 
+  /** FULL-OUTER-join aggregate maintenance — the final member of the
+    * join-IVM family: V = γ(L ⟗ R) = γ( (L ⋈ R) ⊎ (L ▷ R)×{nullR} ⊎
+    * (R ▷ L)×{nullL} ). The inner and left-anti parts maintain exactly
+    * as in [[refreshLeftJoinSumCount]]; the RIGHT-anti part is the
+    * mirror telescoping ΔA_R = ΔR·z_L′ + R·Δz_L over the LEFT side's
+    * key-emptiness — its rows carry real R-sourced group values but
+    * NULL measures (sum columns ride L by the family contract, and SQL
+    * FULL JOIN null-pads them for unmatched right rows: they add to the
+    * count and nothing to the sums, which is exactly what a null
+    * measure does under [[sumCountDeltas]]'s skip-null sums).
+    *
+    * Needs BOTH left snapshots (the right-anti transitions read the
+    * left side's old/new key sets — O(distinct keys); at fact-sized L
+    * maintain that key support with [[refreshSupport]] instead).
+    *
+    * STATE SCHEMA: groupCols ++ cntCol ++ sumCols ++ `<c>_nn` per sum
+    * column — the per-measure NON-NULL counter. SQL's `sum` over an
+    * all-null group is NULL, but an additive state can only say 0; the
+    * counter (itself abelian, so it maintains exactly) lets the caller
+    * restore exact SQL semantics at presentation:
+    * `when(col("p_nn") > 0, col("p"))`. Seed `prevAgg` with
+    * `count(col(c)).as(s"${c}_nn")` beside each sum.
+    */
+  def refreshFullJoinSumCount(
+      prevAgg: DataFrame,
+      cdfLeft: DataFrame,
+      oldLeft: DataFrame,
+      newLeft: DataFrame,
+      cdfRight: DataFrame,
+      oldRight: DataFrame,
+      newRight: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      groupCols: Seq[String],
+      cntCol: String,
+      sumCols: Seq[String]): DataFrame = {
+    require(Seq(oldLeft, newLeft, oldRight, newRight)
+        .forall(d => !d.columns.contains("change_type")),
+      "snapshot inputs must not carry a change_type column — it would " +
+        "shadow the feed's sign and silently corrupt the delta algebra")
+    val leftMeasures = sumCols.filterNot(oldLeft.columns.contains)
+    require(leftMeasures.isEmpty,
+      s"sum column(s) ${leftMeasures.mkString(", ")} are not left-side " +
+        "columns — a right-carried measure multiplies by the join fan-out")
+    val proj = (groupCols ++ sumCols :+ "change_type").map(col)
+    val leftTypes = oldLeft.schema.map(f => f.name -> f.dataType).toMap
+    val rightTypes = newRight.schema.map(f => f.name -> f.dataType).toMap
+    // left-anti rows: R-sourced group cols null-pad
+    val leftAntiProj = (groupCols.map { g =>
+      if (oldLeft.columns.contains(g)) col(g)
+      else lit(null).cast(rightTypes.getOrElse(g,
+        org.apache.spark.sql.types.StringType)).as(g)
+    } ++ sumCols.map(col) :+ col("change_type"))
+    // right-anti rows: L-sourced group cols AND all measures null-pad
+    val rightAntiProj = (groupCols.map { g =>
+      if (oldRight.columns.contains(g) || newRight.columns.contains(g)) col(g)
+      else lit(null).cast(leftTypes.getOrElse(g,
+        org.apache.spark.sql.types.StringType)).as(g)
+    } ++ sumCols.map(c => lit(null).cast(leftTypes(c)).as(c)) :+
+      col("change_type"))
+    val rRenamed = (d: DataFrame) => d.withColumnRenamed(rightKey, leftKey)
+    // inner part
+    val innerL = cdfLeft.join(rRenamed(newRight), Seq(leftKey)).select(proj: _*)
+    val innerR = oldLeft.join(rRenamed(cdfRight), Seq(leftKey)).select(proj: _*)
+    // left-anti part (rows of L with no R match)
+    val rKeysNew = newRight.select(col(rightKey).as(leftKey)).distinct()
+    val rKeysOld = oldRight.select(col(rightKey).as(leftKey)).distinct()
+    val lAntiDelta = cdfLeft.join(rKeysNew, Seq(leftKey), "left_anti")
+      .select(leftAntiProj: _*)
+    val rDied = rKeysOld.join(rKeysNew, Seq(leftKey), "left_anti")
+      .withColumn("change_type", lit("insert"))
+    val rBorn = rKeysNew.join(rKeysOld, Seq(leftKey), "left_anti")
+      .withColumn("change_type", lit("delete"))
+    val lAntiTrans = oldLeft.join(rDied.unionByName(rBorn), Seq(leftKey))
+      .select(leftAntiProj: _*)
+    // right-anti part (rows of R with no L match), mirror telescoping
+    val lKeysNew = newLeft.select(col(leftKey)).distinct()
+    val lKeysOld = oldLeft.select(col(leftKey)).distinct()
+    val rAntiDelta = rRenamed(cdfRight).join(lKeysNew, Seq(leftKey), "left_anti")
+      .select(rightAntiProj: _*)
+    val lDied = lKeysOld.join(lKeysNew, Seq(leftKey), "left_anti")
+      .withColumn("change_type", lit("insert"))
+    val lBorn = lKeysNew.join(lKeysOld, Seq(leftKey), "left_anti")
+      .withColumn("change_type", lit("delete"))
+    val rAntiTrans = rRenamed(oldRight).join(lDied.unionByName(lBorn), Seq(leftKey))
+      .select(rightAntiProj: _*)
+    val unioned = Seq(innerL, innerR, lAntiDelta, lAntiTrans,
+      rAntiDelta, rAntiTrans).reduce(_ unionByName _)
+    // per-measure non-null counters ride the same sign algebra
+    val withNn = sumCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"${c}_nn",
+        when(col(c).isNotNull, 1L).otherwise(0L))
+    }
+    val allSums = sumCols ++ sumCols.map(c => s"${c}_nn")
+    val deltas = sumCountDeltas(withNn, groupCols, allSums)
+    applySumCountNullSafe(prevAgg, deltas, groupCols, cntCol, allSums)
+  }
+
   /** One dimension input of [[refreshStarSumCount]]: its change feed,
     * its PRE-change snapshot (joined in terms for feeds EARLIER in the
     * chain is wrong — see the telescoping below — it appears in terms

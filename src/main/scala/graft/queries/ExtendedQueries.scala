@@ -2083,6 +2083,67 @@ object ExtendedQueries {
         .orderBy(col("seg").asc_nulls_first)
     },
 
+    Q("q255_full_join_incremental_view",
+      // FULL-OUTER-join IVM — both null directions live: orders of
+      // deleted customers migrate to the NULL-segment group (left-anti,
+      // as q254) AND orderless customers appear under their real
+      // segment with NULL measures (right-anti — the fixture orphans
+      // the o_custkey % 5 = 0 customers from the order side, so
+      // right-anti rows exist, get segment-MOVED, and get deleted).
+      // SQL's sum-over-all-null = NULL is restored from the maintained
+      // per-measure non-null counter (state carries p_nn; an additive
+      // state alone could only say 0). The oracle recomputes FULL JOIN
+      // from the new snapshots — n_custrows counts matched+orphan
+      // customer rows per group, so a right-anti row parked in the
+      // wrong group would shift two columns.
+      """WITH newA AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice + 1, 2)
+        |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 89 <> 0 AND o_custkey % 5 <> 0),
+        |newB AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 31 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey % 53 <> 0)
+        |SELECT seg, count(*)::BIGINT AS n_rows,
+        |  CAST(CAST(sum(p) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM newA FULL JOIN newB ON newA.o_custkey = newB.c_custkey
+        |GROUP BY seg ORDER BY seg NULLS FIRST""".stripMargin) { (s, d) =>
+      import graft.operators.{IncrementalAgg, Snapshot}
+      val orders = t(s, d, "orders").filter(col("o_custkey") % 5 =!= 0)
+      val customer = t(s, d, "customer")
+      val oldA = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val newA = orders.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 101 === 0, round(col("o_totalprice") + 1, 2))
+            .otherwise(col("o_totalprice")).cast("decimal(18,2)").as("p"))
+      val oldB = customer.select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val newB = customer.filter(col("c_custkey") % 53 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 31 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("seg"))
+      val cdfA = Snapshot.changeDataFeed(oldA, newA, "o_orderkey",
+        Seq("o_custkey", "p"))
+      val cdfB = Snapshot.changeDataFeed(oldB, newB, "c_custkey", Seq("seg"))
+      val prevAgg = oldA
+        .join(oldB.withColumnRenamed("c_custkey", "o_custkey"),
+          Seq("o_custkey"), "full")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_rows"), sum(col("p")).as("p"),
+          count(col("p")).as("p_nn"))
+      IncrementalAgg.refreshFullJoinSumCount(prevAgg,
+          cdfA.drop("o_orderkey"), oldA.drop("o_orderkey"),
+          newA.drop("o_orderkey"), cdfB, oldB, newB,
+          leftKey = "o_custkey", rightKey = "c_custkey",
+          groupCols = Seq("seg"), cntCol = "n_rows", sumCols = Seq("p"))
+        .select(col("seg"), col("n_rows"),
+          when(col("p_nn") > 0, col("p"))
+            .cast("decimal(18,2)").cast("double").as("total"))
+        .orderBy(col("seg").asc_nulls_first)
+    },
+
     Q("q251_txtable_join_view",
       // the IVM capstone: q250's join view maintained across the COMMIT
       // HISTORIES of TWO ACID tables — orders and customers each live in
