@@ -2847,6 +2847,70 @@ object PipelineQueries {
           col("n_orders"),
           col("p").cast("decimal(18,2)").cast("double").as("total"))
         .orderBy("o_orderstatus", "bucket")
+    },
+
+    Q("q256_bson_pipeline",
+      // the BSON document walk (operators/Bson — the published
+      // bsonspec.org grammar; the reference's egress is BSON documents
+      // into MongoDB, Program.cs:1146-1198, so a mongodump-style
+      // concatenated stream is its at-rest twin): documents become
+      // BSON docs carrying every supported element class — int64,
+      // explicitly-NULL string (0x0A must surface as SQL NULL),
+      // double, bool, UTC datetime (0x09 epoch ms → timestamp),
+      // int32, an int64 ARRAY (nested doc with consecutive decimal
+      // keys), plus an UNDECLARED field the decoder must skip. The
+      // oracle never parses (q219/q239/q244 recipe): every field has
+      // a closed form from the assembly recipe; the double is dyadic
+      // (k/8) so cross-engine floats are bit-exact.
+      """SELECT doc_id % 33 AS file_id, doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |  md5(text) AS text_md5,
+        |  CAST(doc_id % 256 AS DOUBLE) / 8 AS score,
+        |  CAST(doc_id % 2 = 0 AS INT) AS flag_i,
+        |  epoch_ms(doc_id * 977) AS ts,
+        |  CAST(strlen(text) AS INT) AS n_chars,
+        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_words,
+        |  list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |    w -> length(w)))::BIGINT AS words_len_sum
+        |FROM documents ORDER BY file_id, doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Bson
+      import graft.operators.Bson.BsonField
+      val readerFields = Seq(
+        BsonField("doc_id", "int64"), BsonField("lang", "string"),
+        BsonField("text", "string"), BsonField("score", "double"),
+        BsonField("flag", "bool"), BsonField("ts", "datetime"),
+        BsonField("n_chars", "int32"), BsonField("word_lens", "array", "int64"))
+      // the writer plants one extra field the reader never declares —
+      // the decoder's type-driven skip is load-bearing in this query
+      val writerFields = readerFields :+ BsonField("skipme", "int32")
+      val mkBson = udf { recs: Seq[org.apache.spark.sql.Row] =>
+        Bson.writeStream(writerFields, recs.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(2)
+          Map[String, Any]("doc_id" -> id,
+            "lang" -> (if (id % 7 == 0) null else r.getString(1)),
+            "text" -> text,
+            "score" -> ((id % 256).toDouble / 8.0),
+            "flag" -> (id % 2 == 0),
+            "ts" -> (id * 977),
+            "n_chars" -> text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length,
+            "word_lens" -> text.trim.split("\\s+").toSeq.map(_.length.toLong),
+            "skipme" -> 1)
+        })
+      }
+      val containers = t(s, d, "documents")
+        .groupBy((col("doc_id") % 33).as("file_id"))
+        .agg(array_sort(collect_list(
+          struct(col("doc_id"), col("lang"), col("text")))).as("recs"))
+        .select(col("file_id"), mkBson(col("recs")).as("blob"))
+      Bson.records(containers, "file_id", "blob", readerFields)
+        .select(col("file_id"), col("doc_id"), col("lang"),
+          md5(col("text")).as("text_md5"), col("score"),
+          col("flag").cast("int").as("flag_i"), col("ts"),
+          col("n_chars"),
+          size(col("word_lens")).cast("long").as("n_words"),
+          aggregate(col("word_lens"), lit(0L), _ + _).as("words_len_sum"))
+        .orderBy("file_id", "doc_id")
     }
   )
 }
