@@ -109,10 +109,21 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      minCount: Long = 2L): Seq[Merge] = {
+      minCount: Long = 2L): Seq[Merge] =
+    trainFromVocab(wordVocab(docs, textCol), numMerges, minCount)
+
+  /** The merge-learning loop over ANY (syms, cnt) vocabulary — shared
+    * by the `</w>`-marked char vocabulary above and [[ByteBpe]]'s
+    * byte-mapped piece vocabulary (same argmax, same lineage
+    * discipline; only the base-symbol alphabet differs).
+    */
+  private[graft] def trainFromVocab(
+      vocab0: DataFrame,
+      numMerges: Int,
+      minCount: Long): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     val enc = RowEncoder.encoderFor(vocabSchema)
-    var vocab = wordVocab(docs, textCol).persist()
+    var vocab = vocab0.persist()
     vocab.count() // materialize before the loop so each round is O(1) lineage
     val merges = Seq.newBuilder[Merge]
     var k = 0

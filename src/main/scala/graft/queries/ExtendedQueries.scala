@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{Apng, Bpe, Curation, Dedup, Multimodal, RangeJoin, SimilaritySearch}
+import graft.operators.{Apng, Bpe, ByteBpe, Curation, Dedup, Multimodal, RangeJoin, SimilaritySearch}
 import Q.t
 
 /** The LLM-data-pipeline query inventory over `documents`/`embeddings`
@@ -182,6 +182,45 @@ object ExtendedQueries {
       s"replace($e, ' ${m.left}  ${m.right} ', ' ${m.left}${m.right} ')"
     }
     s"trim($chain)"
+  }
+
+  /** The q257/q258 FROZEN BYTE-LEVEL merge table: ByteBpe.train
+    * (documents, 16 merges) at sf0.01, a literal so tokenization is a
+    * pure per-row function (training's trajectory is ByteBpeSpec).
+    * 'Ġ' is the mapped space byte (U+0120) — several merges fuse it
+    * with a following word-initial char, exactly GPT-2's shape.
+    */
+  private val byteBpeFrozenMerges: Seq[Bpe.Merge] = Seq(
+    Bpe.Merge("Ġ", "s", 5345), Bpe.Merge("e", "r", 4568),
+    Bpe.Merge("i", "n", 2760), Bpe.Merge("o", "w", 2747),
+    Bpe.Merge("o", "r", 2696), Bpe.Merge("m", "er", 1852),
+    Bpe.Merge("a", "t", 1845), Bpe.Merge("l", "u", 1831),
+    Bpe.Merge("Ġ", "c", 1826), Bpe.Merge("a", "s", 1801),
+    Bpe.Merge("Ġ", "b", 1788), Bpe.Merge("Ġ", "v", 1782),
+    Bpe.Merge("a", "r", 1758), Bpe.Merge("p", "ar", 1758),
+    Bpe.Merge("Ġ", "f", 1756), Bpe.Merge("Ġ", "a", 1747))
+
+  /** DuckDB replay of [[ByteBpe.tokenize]] under
+    * [[byteBpeFrozenMerges]], the q194 double-space rewrite chain
+    * adapted to byte space. This corpus is pure ASCII (checked:
+    * code points 32..121), so the byte↔unicode map is the identity
+    * except ' '→'Ġ' — the ONE mapped replace below. Byte-BPE merges
+    * must never span a PIECE boundary (each ` ?\S+` piece tokenizes
+    * independently), and in byte space every piece boundary sits
+    * immediately before a 'Ġ', so a sentinel token 'ø' (a mapped char
+    * that cannot occur in this corpus's symbols) is planted before
+    * each 'Ġ', blocks any cross-piece match, and is stripped after
+    * the chain.
+    */
+  private val byteBpeChainSql: String = {
+    val mapped =
+      """replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', 'Ġ')"""
+    val wrapped = "regexp_replace(" + mapped + """, '(.)', ' \1 ', 'g')"""
+    val sent = "replace(" + wrapped + ", ' Ġ ', ' ø  Ġ ')"
+    val chain = byteBpeFrozenMerges.foldLeft(sent) { (e, m) =>
+      s"replace($e, ' ${m.left}  ${m.right} ', ' ${m.left}${m.right} ')"
+    }
+    s"trim(replace($chain, '  ø  ', '  '))"
   }
 
   /** WordPiece piece vocabulary frozen from a 16-merge
@@ -2723,6 +2762,48 @@ object ExtendedQueries {
           round(IncrementalAgg.popVariance(col("n"), col("q"), col("q_sq")), 6)
             .as("pop_var"))
         .orderBy("o_custkey")
+    },
+
+    Q("q257_bytebpe_tokenize",
+      // BYTE-LEVEL BPE encode (operators/ByteBpe — the GPT-2-class
+      // variant: UTF-8 bytes through the published byte↔unicode map,
+      // leading spaces ride the pieces as 'Ġ', no UNK arm exists) under
+      // a frozen 16-merge table trained on this corpus at sf0.01. The
+      // oracle replays the greedy merge application as q194's
+      // double-space rewrite chain in mapped byte space, with a
+      // piece-boundary sentinel so no merge can span pieces — see
+      // byteBpeChainSql.
+      s"""SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(string_split($byteBpeChainSql, '  ')) END::BIGINT AS n_tokens,
+        |  CASE WHEN trim(text) = '' THEN md5('')
+        |       ELSE md5(replace($byteBpeChainSql, '  ', ' ')) END AS tok_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      ByteBpe.tokenize(t(s, d, "documents"), "doc_id", "text", byteBpeFrozenMerges)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
+          md5(array_join(col("tokens"), " ")).as("tok_md5"))
+        .orderBy("doc_id")
+    },
+
+    Q("q258_bytebpe_roundtrip",
+      // byte-level BPE is lossless BY CONSTRUCTION (ids are bytes and
+      // byte-fusions; no marker bookkeeping): ids back through
+      // detokenize reproduce the single-spaced text exactly, for any
+      // input byte sequence. The oracle never runs the tokenizer — it
+      // normalizes the source text; md5 equality over full bodies is
+      // the round-trip claim (the q198 recipe on the fourth family).
+      """SELECT doc_id,
+        |  length(regexp_replace(trim(text), '\s+', ' ', 'g'))::BIGINT AS n_chars_norm,
+        |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      ByteBpe.detokenize(
+          ByteBpe.tokenizeIds(t(s, d, "documents"), "doc_id", "text",
+            byteBpeFrozenMerges),
+          byteBpeFrozenMerges)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_norm"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
     }
   )
 }
