@@ -133,4 +133,93 @@ object Graph {
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
+
+  /** Bounded multi-source BFS over the undirected graph: (node, dist)
+    * with dist = hop distance to the NEAREST source, for every node
+    * within `maxDepth` hops (the "k-hop neighborhood" primitive:
+    * contamination blast radius, link-graph crawl frontiers, feature
+    * radii). Sources are dist 0; unreached nodes are ABSENT, not ∞.
+    *
+    * Each round expands the frontier by one hop: frontier ⋈ edges →
+    * candidate neighbors, anti-join against the settled set (a node's
+    * FIRST discovery round is its distance — later candidates lose),
+    * union into the state. All equi-joins and distincts, rounds
+    * lineage-truncated, ONE count action per round; early-out when a
+    * frontier empties. The bounded-round shape is what makes a static
+    * SQL unroll replay it exactly (q259's oracle: r_i = nodes within
+    * i hops, dist = min round of first appearance).
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val und = canonicalEdges(edges, srcCol, dstCol)
+    // both directions once, so each round is a single equi-join
+    val bidir = Checkpoints.truncate(
+      und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v"))))
+    var state = Checkpoints.truncate(
+      sources.select(col(sourceCol).cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0L)))
+    var frontier = state
+    var depth = 0
+    var frontierSize = frontier.count()
+    while (depth < maxDepth && frontierSize > 0) {
+      depth += 1
+      val next = Checkpoints.truncate(
+        frontier.join(bidir, col("node") === col("u"))
+          .select(col("v").as("node")).distinct()
+          .join(state, Seq("node"), "left_anti")
+          .withColumn("dist", lit(depth.toLong)))
+      val grown = Checkpoints.truncate(state.unionAll(next))
+      frontierSize = next.count()
+      Checkpoints.free(state)
+      if (frontier ne state) Checkpoints.free(frontier)
+      state = grown
+      frontier = next
+    }
+    Checkpoints.free(bidir)
+    state
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) for
+    * community detection, made DETERMINISTIC: every node starts as its
+    * own label; each round all nodes simultaneously adopt the most
+    * frequent label among their neighbors, ties broken by SMALLEST
+    * label. Runs a FIXED `rounds` count — fixed-round synchronous LPA
+    * is replay-stable across engines and partitionings (asynchronous /
+    * random-tie LPA is not), which is the whole oracle story (q260
+    * unrolls the same rounds in SQL).
+    *
+    * Per round: one equi-join (bidirectional edges ⋈ labels) and two
+    * hash aggregates — (node, label) counts, then the per-node argmax
+    * via max(struct(cnt, -label)) so no window ever partitions by
+    * node. Isolated nodes cannot occur (edge-derived node set).
+    * Returns (node, label).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val und = canonicalEdges(edges, srcCol, dstCol)
+    val bidir = Checkpoints.truncate(
+      und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v"))))
+    var labels = Checkpoints.truncate(
+      bidir.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node").cast("long")))
+    (1 to rounds).foreach { _ =>
+      val next = Checkpoints.truncate(
+        bidir
+          .join(labels.withColumnRenamed("node", "v"), "v")
+          .groupBy(col("u").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("node")
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("top"))
+          .select(col("node"), (-col("top.nl")).as("label")))
+      next.count() // materialize before freeing the previous round
+      Checkpoints.free(labels)
+      labels = next
+    }
+    Checkpoints.free(bidir)
+    labels
+  }
 }

@@ -2911,6 +2911,79 @@ object PipelineQueries {
           size(col("word_lens")).cast("long").as("n_words"),
           aggregate(col("word_lens"), lit(0L), _ + _).as("words_len_sum"))
         .orderBy("file_id", "doc_id")
+    },
+
+    Q("q259_bfs_khop", {
+      // bounded multi-source BFS (Graph.bfsDistances) on the q248
+      // order/part graph: distance to the NEAREST source for every
+      // node within 4 hops — the k-hop-neighborhood primitive
+      // (contamination blast radius, crawl frontiers). The oracle
+      // unrolls the frontier expansion statically: r_i = nodes within
+      // i hops (monotone sets), dist = min round of first appearance —
+      // exactly the engine's first-discovery-wins anti-join.
+      val depth = 4
+      val steps = (1 to depth).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT DISTINCT v AS node FROM bidir JOIN r${i - 1} ON u = node
+           |  UNION SELECT node FROM r${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val tags = (0 to depth)
+        .map(i => s"SELECT node, $i AS dist FROM r$i").mkString(" UNION ALL ")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey % 50021 AS a,
+         |         50021 + (l_partkey * 7) % 49999 AS b
+         |  FROM lineitem),
+         |bidir AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         |r0 AS MATERIALIZED (
+         |  SELECT DISTINCT a AS node FROM e WHERE a % 977 = 0),
+         |$steps
+         |SELECT node, min(dist)::BIGINT AS dist FROM ($tags) __t
+         |GROUP BY node ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val edges = t(s, d, "lineitem").select(
+        (col("l_orderkey") % 50021).as("src"),
+        (lit(50021) + (col("l_partkey") * 7) % 49999).as("dst"))
+      val sources = edges.select(col("src").as("n"))
+        .filter(col("n") % 977 === 0).distinct()
+      Graph.bfsDistances(edges, "src", "dst", sources, "n", maxDepth = 4)
+        .orderBy("node")
+    },
+
+    Q("q260_label_propagation", {
+      // synchronous label propagation (Raghavan 2007) made
+      // deterministic — most-frequent neighbor label, ties to the
+      // SMALLEST, a FIXED 4 rounds — so the oracle replays the exact
+      // trajectory round for round (free-running asynchronous LPA is
+      // unreplayable by design; fixed-round synchronous is the
+      // engine-stable variant). All-integer: label counts and min
+      // ties, no scores.
+      val rounds = 4
+      val steps = (1 to rounds).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT node, label,
+           |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+           |    FROM (SELECT b.u AS node, l.label, count(*) AS cnt
+           |          FROM bidir b JOIN l${i - 1} l ON b.v = l.node
+           |          GROUP BY 1, 2) __c$i) __r$i
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey % 50021 AS a,
+         |         50021 + (l_partkey * 7) % 49999 AS b
+         |  FROM lineitem),
+         |bidir AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM bidir),
+         |$steps
+         |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val edges = t(s, d, "lineitem").select(
+        (col("l_orderkey") % 50021).as("src"),
+        (lit(50021) + (col("l_partkey") * 7) % 49999).as("dst"))
+      Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+        .orderBy("node")
     }
   )
 }

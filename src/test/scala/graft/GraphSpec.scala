@@ -117,4 +117,55 @@ class GraphSpec extends SparkSpec {
       graft.operators.Graph.kCore(path.toDF("s", "d"), "s", "d", 2, maxRounds = 1))
     assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
+
+  test("bfsDistances: path graph, single source, bounded depth") {
+    val path = (1L until 5L).map(i => (i, i + 1)) // 1-2-3-4-5
+    val got = Graph.bfsDistances(path.toDF("s", "d"), "s", "d",
+      Seq(1L).toDF("n"), "n", maxDepth = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)) // 5 is absent
+  }
+
+  test("bfsDistances: multi-source takes the nearest source; depth 0 is sources only") {
+    val path = (1L until 5L).map(i => (i, i + 1))
+    val got = Graph.bfsDistances(path.toDF("s", "d"), "s", "d",
+      Seq(1L, 5L).toDF("n"), "n", maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+    val zero = Graph.bfsDistances(path.toDF("s", "d"), "s", "d",
+      Seq(3L).toDF("n"), "n", maxDepth = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(zero == Map(3L -> 0L))
+  }
+
+  test("bfsDistances: cycle never revisits; early-out on exhausted frontier") {
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6))
+    // depth 10 >> diameter 3: frontier empties, distances are shortest arcs
+    val got = Graph.bfsDistances(cycle.toDF("s", "d"), "s", "d",
+      Seq(0L).toDF("n"), "n", maxDepth = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 5L -> 1L, 2L -> 2L, 4L -> 2L, 3L -> 3L))
+  }
+
+  test("labelPropagation: two triangles with a bridge settle into two communities") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L))
+    val got = Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: round-by-round trace matches the synchronous min-tie rule") {
+    // hand-traced round 1 of the same graph: every node adopts the
+    // smallest among its neighbours' (all-distinct) labels
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L))
+    val r1 = Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    // rounds = 0 is the identity labelling
+    val r0 = Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", rounds = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(r0 == (1L to 6L).map(v => v -> v).toMap)
+  }
 }
