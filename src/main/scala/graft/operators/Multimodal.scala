@@ -438,12 +438,43 @@ object Multimodal {
     if (got && ok) Some(lumaGridBits(luma)) else None
   }
 
+  /** dHash of a QOI image ([[Qoi.decode]]) — the same grid/luma/bit
+    * rules as every other format, sampled from the fully-decoded pixel
+    * array (QOI is strictly sequential by design: the running index
+    * makes random access into the chunk stream impossible, so a
+    * streaming grid sampler cannot exist for it). Alpha decoded but
+    * ignored, matching the PNG path's channel contract.
+    */
+  private[graft] def qoiDHash(bytes: Array[Byte]): Option[Long] = {
+    val d = Qoi.decode(bytes) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val gw = 9; val gh = 8
+    val luma = new Array[Int](gh * gw)
+    var gy = 0
+    while (gy < gh) {
+      val sy = (gy.toLong * d.h / gh).toInt
+      var gx = 0
+      while (gx < gw) {
+        val sx = (gx.toLong * d.w / gw).toInt
+        val p = d.pixels(sy * d.w + sx)
+        luma(gy * gw + gx) =
+          299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(lumaGridBits(luma))
+  }
+
   /** Format-dispatching perceptual dHash: BMP, PNG (0/2/6), baseline
-    * JPEG (4:4:4 + 4:2:0), GIF — every still-image decoder the repo
-    * owns, one 64-bit fingerprint space. Sniffs the container by magic
-    * bytes; None on unknown or corrupt input. The SAME logical image
-    * hashes identically through BMP and PNG (lossless paths,
-    * MultimodalSpec-pinned) and near-identically through JPEG (lossy).
+    * JPEG (4:4:4 + 4:2:0), GIF, QOI — every still-image decoder the
+    * repo owns, one 64-bit fingerprint space. Sniffs the container by
+    * magic bytes; None on unknown or corrupt input. The SAME logical
+    * image hashes identically through BMP, PNG and QOI (lossless
+    * paths, MultimodalSpec-pinned) and near-identically through JPEG
+    * (lossy).
     */
   private[graft] def imageDHash(bytes: Array[Byte]): Option[Long] = {
     if (bytes == null || bytes.length < 8) None
@@ -453,6 +484,8 @@ object Multimodal {
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) jpegDHash(bytes)
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == '8') gifDHash(bytes)
+    else if (bytes(0) == 'q' && bytes(1) == 'o' && bytes(2) == 'i' &&
+      bytes(3) == 'f') qoiDHash(bytes)
     else None
   }
 
@@ -584,6 +617,46 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(idIdx)
         Row(id, encodeSyntheticBmp(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt))
+      }
+    }(enc)
+  }
+
+  /** The [[syntheticBmps]] pixel formula as a row-major 0xAARRGGBB
+    * array — the logical image both the BMP (bottom-up storage) and
+    * any lossless re-encode share.
+    */
+  private[graft] def syntheticPixels(id: Long, w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var i = 0
+    while (i < out.length) {
+      val r = ((3 * id + 7 * i) % 256).toInt
+      val g = ((2 * id + 5 * i) % 256).toInt
+      val b = ((id + 3 * i) % 256).toInt
+      out(i) = (0xff << 24) | (r << 16) | (g << 8) | b
+      i += 1
+    }
+    out
+  }
+
+  /** Every id's BMP plus a QOI RE-ENCODE of the same logical image
+    * under id + 1e6 (the re-upload-in-another-container scenario,
+    * q196's recipe with the fifth format) — the QOI side goes through
+    * the REAL [[Qoi.encode]] chunk emitter, so decode bugs in any op
+    * class break the hash equality the q261 oracle demands.
+    */
+  def syntheticBmpQoiPairs(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+        Seq(
+          Row(id, encodeSyntheticBmp(id, w, h)),
+          Row(id + 1000000L, Qoi.encode(w, h, 3, syntheticPixels(id, w, h))))
       }
     }(enc)
   }

@@ -2804,6 +2804,59 @@ object ExtendedQueries {
           length(col("text")).cast("long").as("n_chars_norm"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
+    },
+
+    Q("q261_image_neardup_qoi",
+      // q196's cross-format pairing with the FIFTH image container:
+      // every document's BMP plus a QOI re-encode of the same logical
+      // image under doc_id + 1e6, built through the REAL Qoi.encode
+      // chunk emitter (runs/index/diff/luma/rgb) and decoded back by
+      // the sniffing imageDHashes path — lossless, so each pair lands
+      // at hamming 0 through the UNCHANGED SimHash banding. The
+      // oracle derives both rows' hashes from the shared BMP pixel
+      // formula (re-encodes reuse their source's formula — equal hash
+      // by construction) and brute-forces pairs at hamming ≤ 3, where
+      // 4 × 16-bit banding is exact by pigeonhole.
+      """WITH rows AS (
+        |  SELECT doc_id, doc_id AS src FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, doc_id AS src FROM documents),
+        |dims AS (
+        |  SELECT doc_id, src, 8 + src % 9 AS w, 8 + src % 7 AS h FROM rows),
+        |cells AS (
+        |  SELECT d.doc_id, d.src, d.w, gx.gx, gy.gy,
+        |    ((gy.gy * d.h) // 8) * d.w + ((gx.gx * d.w) // 9) AS i
+        |  FROM dims d,
+        |    (SELECT unnest(generate_series(0, 8)) AS gx) gx,
+        |    (SELECT unnest(generate_series(0, 7)) AS gy) gy),
+        |lum AS (
+        |  SELECT doc_id, gx, gy,
+        |    299 * ((3 * src + 7 * i) % 256)
+        |    + 587 * ((2 * src + 5 * i) % 256)
+        |    + 114 * ((src + 3 * i) % 256) AS luma
+        |  FROM cells),
+        |bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+        |  FROM lum a JOIN lum b
+        |    ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.luma < b.luma),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    coalesce(bit_or(CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |                         ELSE (1::BIGINT << bit::INT) END), 0) AS dhash
+        |  FROM dims d LEFT JOIN bits USING (doc_id)
+        |  GROUP BY d.doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+        |FROM sig a JOIN sig b
+        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val sigs = Multimodal.imageDHashes(
+        Multimodal.syntheticBmpQoiPairs(
+          t(s, d, "documents").select("doc_id"), s), s)
+      Dedup.simhashPairs(sigs, "doc_id", "dhash",
+          nBands = 4, maxHamming = 3, sigBits = 64)
+        .orderBy("id1", "id2")
     }
   )
 }
