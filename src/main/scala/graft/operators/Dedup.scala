@@ -819,4 +819,69 @@ object Dedup {
       .withColumn("bval",
         expr(s"shiftright($sigCol, cast(band * $bandBits as int)) & ${(1L << bandBits) - 1}L"))
   }
+
+  /** EXACT-SUBSTRING duplicate spans across documents (the ExactSubstr
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — there via a monolithic suffix array):
+    * every maximal shared substring of length ≥ `minSpan` between any
+    * two documents, as (id1, id2, start1, start2, span_len) with
+    * 0-based starts into the whitespace-NORMALIZED text.
+    *
+    * Spark-first shape instead of a suffix array (which wants the
+    * corpus concatenated on one machine): positional char `gramLen`-
+    * grams (narrow explode), a document-frequency cap + df ≥ 2 prune
+    * (boilerplate grams are the n² join bomb — the winnowing lesson —
+    * and unique grams can never pair), one equi-join on the gram, then
+    * per (pair, DIAGONAL = start1 − start2) consecutive gram positions
+    * collapse into maximal runs with the islands trick (pos −
+    * row_number is constant exactly on a consecutive run): a run of
+    * positions [p, q] is a shared substring of length q − p + gramLen.
+    * Every step is an equi-join or a (pair, diagonal)-keyed window —
+    * fine-grained keys, no unpartitioned window, no cross product.
+    *
+    * Exactness caveat, stated not hidden: a gram dropped by the df cap
+    * splits any span crossing it in two on BOTH engines (the cap is
+    * part of the operator's definition); spans shorter than `gramLen`
+    * are invisible by construction (minSpan ≥ gramLen is required).
+    */
+  def sharedSubstringSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramLen: Int,
+      minSpan: Int,
+      dfCap: Long = 64L): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    require(minSpan >= gramLen, s"minSpan $minSpan < gramLen $gramLen")
+    require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
+    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"), norm.as("__s"))
+      .filter(length(col("__s")) >= gramLen)
+      .select(col("doc_id"), col("__s"),
+        explode(sequence(lit(0), length(col("__s")) - gramLen)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(__s, pos + 1, $gramLen)").as("gram"))
+    // df ≥ 2 (unique grams cannot pair) and ≤ dfCap (boilerplate guard)
+    val keep = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= dfCap)
+      .select("gram")
+    val pruned = grams.join(keep, Seq("gram"), "left_semi")
+    val pairs = pruned.select(col("gram"), col("doc_id").as("id1"), col("pos").as("p1"))
+      .join(pruned.select(col("gram"), col("doc_id").as("id2"), col("pos").as("p2")),
+        Seq("gram"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("p1"), col("p2"),
+        (col("p1") - col("p2")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1", "id2", "diag").orderBy("p1")
+    pairs
+      .withColumn("__run", col("p1") - row_number().over(w))
+      .groupBy("id1", "id2", "diag", "__run")
+      .agg(min(col("p1")).as("start1"),
+        (max(col("p1")) - min(col("p1")) + gramLen).as("span_len"))
+      .filter(col("span_len") >= minSpan)
+      .select(col("id1"), col("id2"), col("start1"),
+        (col("start1") - col("diag")).as("start2"), col("span_len"))
+  }
 }

@@ -2984,6 +2984,44 @@ object PipelineQueries {
         (lit(50021) + (col("l_partkey") * 7) % 49999).as("dst"))
       Graph.labelPropagation(edges, "src", "dst", rounds = 4)
         .orderBy("node")
+    },
+
+    Q("q262_exact_substring_spans",
+      // EXACT-SUBSTRING dedup (Lee et al., ACL 2022 — their suffix
+      // array re-expressed as positional-gram equi-joins + diagonal
+      // run-length islands, Dedup.sharedSubstringSpans): every maximal
+      // shared substring ≥ 40 chars between any two documents, with
+      // exact extents. df ∈ [2, 8] prunes both unique grams (cannot
+      // pair) and boilerplate (the join bomb); the oracle replays the
+      // identical construction in SQL, cap included, so the spans'
+      // exact starts and lengths are the claim. The planted exact-dup
+      // documents surface as full-document spans.
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, s,
+        |         unnest(generate_series(0, length(s) - 20)) AS pos FROM t),
+        |g AS (SELECT doc_id, pos, substring(s, pos::INT + 1, 20) AS gram FROM g0),
+        |keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 8),
+        |gk AS (SELECT g.* FROM g JOIN keep USING (gram)),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS p1,
+        |             a.pos - b.pos AS diag
+        |      FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |runs AS (SELECT id1, id2, diag, p1,
+        |           p1 - row_number() OVER (PARTITION BY id1, id2, diag ORDER BY p1) AS grp
+        |         FROM p)
+        |SELECT id1, id2, min(p1)::BIGINT AS start1,
+        |  (min(p1) - diag)::BIGINT AS start2,
+        |  (max(p1) - min(p1) + 20)::BIGINT AS span_len
+        |FROM runs GROUP BY id1, id2, diag, grp
+        |HAVING max(p1) - min(p1) + 20 >= 40
+        |ORDER BY id1, id2, start1, start2""".stripMargin) { (s, d) =>
+      Dedup.sharedSubstringSpans(t(s, d, "documents"), "doc_id", "text",
+          gramLen = 20, minSpan = 40, dfCap = 8L)
+        .select(col("id1"), col("id2"), col("start1").cast("long").as("start1"),
+          col("start2").cast("long").as("start2"),
+          col("span_len").cast("long").as("span_len"))
+        .orderBy("id1", "id2", "start1", "start2")
     }
   )
 }

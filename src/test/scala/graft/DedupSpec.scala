@@ -430,4 +430,46 @@ class DedupSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(eq === Set((1L, 3L)))
   }
+
+  test("sharedSubstringSpans: one maximal shared region, exact extent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "xx quick brown fox jumps zz")).toDF("doc_id", "text")
+    val got = Dedup.sharedSubstringSpans(docs, "doc_id", "text",
+      gramLen = 8, minSpan = 12)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // ' quick brown fox jumps ' = doc1[3..25], doc2[2..24]: 23 chars
+    assert(got == Set((1L, 2L, 3L, 2L, 23L)))
+  }
+
+  test("sharedSubstringSpans: exact-dup docs span the whole text; two regions give two rows") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((1L, a), (2L, a),
+      (3L, "Q alpha beta gamma Q Q Q delta epsilon zeta Q")).toDF("doc_id", "text")
+    val got = Dedup.sharedSubstringSpans(docs, "doc_id", "text",
+      gramLen = 6, minSpan = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // (1,2): identical docs -> full-length span at both starts 0
+    assert(got.contains((1L, 2L, 0L, 0L, a.length.toLong)))
+    // (1,3) and (2,3): 'alpha beta gamma ' and ' delta epsilon zeta '
+    // are SEPARATE diagals -> two rows per pair
+    val vs3 = got.filter(t => t._2 == 3L)
+    assert(vs3.groupBy(t => t._1).forall(_._2.size == 2), got.toString)
+  }
+
+  test("sharedSubstringSpans: the df cap drops boilerplate pairs loud-and-documented") {
+    import spark.implicits._
+    val boiler = "standard header boilerplate line"
+    val docs = (1L to 10L).map(i => (i, s"$boiler unique tail $i")).toDF("doc_id", "text")
+    // every boilerplate gram has df 10 > cap 4 -> no spans at all
+    val capped = Dedup.sharedSubstringSpans(docs, "doc_id", "text",
+      gramLen = 8, minSpan = 12, dfCap = 4L)
+    assert(capped.isEmpty)
+    // raising the cap restores the shared region
+    val open = Dedup.sharedSubstringSpans(docs, "doc_id", "text",
+      gramLen = 8, minSpan = 12, dfCap = 64L)
+    assert(open.count() == 45L) // C(10,2) pairs, one span each
+  }
 }
