@@ -3022,6 +3022,60 @@ object PipelineQueries {
           col("start2").cast("long").as("start2"),
           col("span_len").cast("long").as("span_len"))
         .orderBy("id1", "id2", "start1", "start2")
+    },
+
+    Q("q263_entity_resolution",
+      // END-TO-END entity resolution: dirty records (every %10
+      // customer gains a typo'd duplicate under id + 1e6: last char
+      // dropped, balance drifted +1) → blocked fuzzy MATCH
+      // (editDistancePairs d ≤ 1 within nation blocks — deletion
+      // neighborhoods, never the quadratic) → transitive CLUSTERS
+      // (dupClusters CC) → SURVIVORSHIP (golden record = source
+      // preference BEFORE balance recency, so the original wins over
+      // its higher-balance variant — precedence is load-bearing; field
+      // merge takes max balance). The fixture's decorated names carry
+      // the 9-digit key THREE times, so any two distinct customers sit
+      // at levenshtein ≥ 3, any record vs another's variant at ≥ 2,
+      // and exactly the (orig, variant) pairs match at 1 — which is
+      // what makes the whole pipeline's output CLOSED FORM: the oracle
+      // never matches, clusters, or merges at all.
+      """SELECT c_custkey AS cluster,
+        |  (CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_members,
+        |  c_custkey AS golden_id,
+        |  CAST(c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END
+        |    AS DOUBLE) AS merged_bal,
+        |  (CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_variants
+        |FROM customer ORDER BY cluster""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      val key9 = lpad(col("c_custkey").cast("string"), 9, "0")
+      val base = c.select(col("c_custkey"),
+        concat(col("c_name"), lit("~"), key9, key9).as("name"),
+        col("c_nationkey").as("nk"), col("c_acctbal"))
+      val orig = base.select(col("c_custkey").as("rec_id"), col("name"),
+        col("nk"), col("c_acctbal").cast("double").as("bal"), lit(0).as("src"))
+      val variants = base.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 1000000L).as("rec_id"),
+          expr("substring(name, 1, length(name) - 1)").as("name"),
+          col("nk"), (col("c_acctbal") + 1).cast("double").as("bal"),
+          lit(1).as("src"))
+      val recs = orig.unionByName(variants)
+      val pairs = Dedup.editDistancePairs(recs, "rec_id", "name", maxDist = 1,
+        blockCols = Seq("nk")).select("id1", "id2")
+      val clusters = Dedup.dupClusters(pairs) // (id, cluster)
+      val labeled = recs
+        .join(clusters, recs("rec_id") === clusters("id"), "left")
+        .select(coalesce(col("cluster"), col("rec_id")).as("cluster"),
+          col("rec_id"), col("bal"), col("src"))
+      labeled.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct((lit(1) - col("src")).as("pref"), col("bal"),
+            (-col("rec_id")).as("nid"))).as("top"),
+          max(col("bal")).as("merged_bal"),
+          sum(col("src")).cast("long").as("n_variants"))
+        .select(col("cluster"), col("n_members"),
+          (-col("top.nid")).as("golden_id"), col("merged_bal"),
+          col("n_variants"))
+        .orderBy("cluster")
     }
   )
 }
