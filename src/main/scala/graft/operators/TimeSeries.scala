@@ -281,4 +281,59 @@ object TimeSeries {
       .withColumn("detrended_num",
         when(full, col(valCol) * scale - col("trend_num")))
   }
+
+  /** HOLT double exponential smoothing (level + trend — the classic
+    * short-horizon forecaster one step up from [[ewma]]'s level-only
+    * recurrence): per key, over the (tCol-sorted) series,
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1}),
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},
+    * seeded l_0 = y_0, b_0 = 0. Returns one row per key:
+    * (keys…, n_points, level, trend) — the h-step forecast is
+    * level + h·trend at the call site.
+    *
+    * Exactness seam: α and β MUST be exactly-representable doubles
+    * (dyadics like 0.5 / 0.25 — enforced) and 1−α / 1−β are
+    * PRE-COMPUTED exact literals, so both engines run the IDENTICAL
+    * IEEE operation tree in the identical (t-sorted) order — bit-equal
+    * results even after the values stop being exactly dyadic (the q75
+    * EWMA lesson, extended to a two-component state).
+    *
+    * Scale shape: one hash aggregate collects each key's series into a
+    * sorted array (a per-key series is bounded — hours/days per
+    * entity, not corpus-sized; the same contract as [[ewma]]'s window)
+    * and the fold is one `aggregate` higher-order function over it —
+    * no iterative jobs, no driver state.
+    */
+  def holtSmooth(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tCol: String,
+      yCol: String,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    def dyadicOk(x: Double): Boolean =
+      x > 0 && x < 1 && (x * 4096.0) == Math.rint(x * 4096.0)
+    require(dyadicOk(alpha) && dyadicOk(beta),
+      s"alpha/beta must be dyadic in (0,1) with denominator <= 4096 " +
+        s"(got $alpha, $beta) — anything else breaks cross-engine IEEE parity")
+    val oneMinusA = 1.0 - alpha // exact for dyadic alpha
+    val oneMinusB = 1.0 - beta
+    val sorted = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(tCol).as("t"),
+        col(yCol).cast("double").as("y")))).as("__ser"))
+    val ys = expr("transform(__ser, p -> p.y)")
+    val seed = struct(element_at(col("__ys"), 1).as("l"), lit(0.0).as("b"))
+    val folded = sorted
+      .withColumn("__ys", ys)
+      .withColumn("__st",
+        aggregate(slice(col("__ys"), 2, 1000000), seed, (a, x) => {
+          val lNew = lit(alpha) * x + lit(oneMinusA) * (a("l") + a("b"))
+          struct(lNew.as("l"),
+            (lit(beta) * (lNew - a("l")) + lit(oneMinusB) * a("b")).as("b"))
+        }))
+    folded.select(keyCols.map(col) ++ Seq(
+      size(col("__ys")).cast("long").as("n_points"),
+      col("__st.l").as("level"), col("__st.b").as("trend")): _*)
+  }
 }

@@ -3076,6 +3076,45 @@ object PipelineQueries {
           (-col("top.nid")).as("golden_id"), col("merged_bal"),
           col("n_variants"))
         .orderBy("cluster")
+    },
+
+    Q("q264_holt_smoothing",
+      // HOLT double exponential smoothing (level + trend) per
+      // event_type over hourly counts, α = 1/2, β = 1/4 —
+      // TimeSeries.holtSmooth. Cross-engine float parity by IDENTICAL
+      // IEEE trees in identical t-order: dyadic smoothing constants
+      // (enforced), 1−α / 1−β as pre-computed exact literals, and the
+      // oracle replays the recurrence step for step in a recursive CTE
+      // (NOT list_reduce with struct state — DuckDB 1.0's lambda
+      // clobbers accumulator fields mid-struct: a.l reads the freshly
+      // written l inside the b expression; measured, not speculated).
+      """WITH RECURSIVE h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |    count(*)::DOUBLE AS y
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, array_agg(y ORDER BY hr) AS ys
+        |        FROM h GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, 1 AS i, len(ys) AS n, ys,
+        |    ys[1]::DOUBLE AS l, 0.0::DOUBLE AS b
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT event_type, i + 1, n, ys,
+        |    0.5::DOUBLE * ys[i + 1] + 0.5::DOUBLE * (l + b),
+        |    0.25::DOUBLE * ((0.5::DOUBLE * ys[i + 1] + 0.5::DOUBLE * (l + b)) - l)
+        |      + 0.75::DOUBLE * b
+        |  FROM f WHERE i < n)
+        |SELECT event_type, n::BIGINT AS n_points, l AS level, b AS trend,
+        |  l + 3::DOUBLE * b AS forecast3
+        |FROM f WHERE i = n ORDER BY event_type""".stripMargin) { (s, d) =>
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      TimeSeries.holtSmooth(hourly, Seq("event_type"), "hr", "y",
+          alpha = 0.5, beta = 0.25)
+        .select(col("event_type"), col("n_points"), col("level"), col("trend"),
+          (col("level") + lit(3.0) * col("trend")).as("forecast3"))
+        .orderBy("event_type")
     }
   )
 }

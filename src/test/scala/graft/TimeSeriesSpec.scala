@@ -201,4 +201,27 @@ class TimeSeriesSpec extends SparkSpec {
       else { assert(tn.get == 21L); assert(dn.get == 0L) }
     }
   }
+
+  test("holtSmooth: hand-folded level/trend, dyadic-exact") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 12.0), ("a", 3L, 11.0),
+      ("a", 4L, 15.0), ("b", 1L, 5.0)).toDF("k", "t", "y")
+    val got = graft.operators.TimeSeries
+      .holtSmooth(df, Seq("k"), "t", "y", alpha = 0.5, beta = 0.25)
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // seed l=10 b=0; fold 12 -> (11, 0.25); 11 -> (11.125, 0.21875);
+    // 15 -> (13.171875, 0.67578125). All dyadic, so == is exact.
+    assert(got == Seq(("a", 4L, 13.171875, 0.67578125), ("b", 1L, 5.0, 0.0)))
+    // out-of-order input folds in t order: shuffle rows, same answer
+    val shuffled = Seq(("a", 4L, 15.0), ("a", 1L, 10.0), ("a", 3L, 11.0),
+      ("a", 2L, 12.0)).toDF("k", "t", "y")
+    val got2 = graft.operators.TimeSeries
+      .holtSmooth(shuffled, Seq("k"), "t", "y", alpha = 0.5, beta = 0.25)
+      .as[(String, Long, Double, Double)].collect().head
+    assert(got2 == (("a", 4L, 13.171875, 0.67578125)))
+    // non-dyadic smoothing constants are refused (cross-engine parity)
+    val e = intercept[IllegalArgumentException](graft.operators.TimeSeries
+      .holtSmooth(df, Seq("k"), "t", "y", alpha = 0.3, beta = 0.25))
+    assert(e.getMessage.contains("dyadic"))
+  }
 }
