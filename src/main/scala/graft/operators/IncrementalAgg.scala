@@ -367,6 +367,72 @@ object IncrementalAgg {
     applySumCountNullSafe(prevAgg, deltas, groupCols, cntCol, sumCols)
   }
 
+  /** RIGHT-OUTER-join aggregate maintenance: V = γ(L ⟖ R) =
+    * γ( (L ⋈ R) ⊎ (R ▷ L)×{nullL} ). NOT expressible by swapping the
+    * left algebra's inputs when the measures ride L (the family
+    * contract): here the PRESERVED side R carries no measures, so an
+    * unmatched R row adds to the count with NULL sums — exactly
+    * [[refreshFullJoinSumCount]]'s right-anti machinery without its
+    * left-anti part. Same state schema as the full-outer (per-measure
+    * `<c>_nn` non-null counters beside each sum; restore SQL's
+    * sum-over-all-null = NULL at presentation with
+    * `when(col("p_nn") > 0, col("p"))`).
+    */
+  def refreshRightJoinSumCount(
+      prevAgg: DataFrame,
+      cdfLeft: DataFrame,
+      oldLeft: DataFrame,
+      newLeft: DataFrame,
+      cdfRight: DataFrame,
+      oldRight: DataFrame,
+      newRight: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      groupCols: Seq[String],
+      cntCol: String,
+      sumCols: Seq[String]): DataFrame = {
+    require(Seq(oldLeft, newLeft, oldRight, newRight)
+        .forall(d => !d.columns.contains("change_type")),
+      "snapshot inputs must not carry a change_type column — it would " +
+        "shadow the feed's sign and silently corrupt the delta algebra")
+    val leftMeasures = sumCols.filterNot(oldLeft.columns.contains)
+    require(leftMeasures.isEmpty,
+      s"sum column(s) ${leftMeasures.mkString(", ")} are not left-side " +
+        "columns — a right-carried measure multiplies by the join fan-out")
+    val proj = (groupCols ++ sumCols :+ "change_type").map(col)
+    val leftTypes = oldLeft.schema.map(f => f.name -> f.dataType).toMap
+    // right-anti rows: L-sourced group cols AND all measures null-pad
+    val rightAntiProj = (groupCols.map { g =>
+      if (oldRight.columns.contains(g) || newRight.columns.contains(g)) col(g)
+      else lit(null).cast(leftTypes.getOrElse(g,
+        org.apache.spark.sql.types.StringType)).as(g)
+    } ++ sumCols.map(c => lit(null).cast(leftTypes(c)).as(c)) :+
+      col("change_type"))
+    val rRenamed = (d: DataFrame) => d.withColumnRenamed(rightKey, leftKey)
+    // inner part: the refreshJoinSumCount bracketing
+    val innerL = cdfLeft.join(rRenamed(newRight), Seq(leftKey)).select(proj: _*)
+    val innerR = oldLeft.join(rRenamed(cdfRight), Seq(leftKey)).select(proj: _*)
+    // right-anti part: ΔR·z_L′ + R·Δz_L over the LEFT side's key-emptiness
+    val lKeysNew = newLeft.select(col(leftKey)).distinct()
+    val lKeysOld = oldLeft.select(col(leftKey)).distinct()
+    val rAntiDelta = rRenamed(cdfRight).join(lKeysNew, Seq(leftKey), "left_anti")
+      .select(rightAntiProj: _*)
+    val lDied = lKeysOld.join(lKeysNew, Seq(leftKey), "left_anti")
+      .withColumn("change_type", lit("insert"))
+    val lBorn = lKeysNew.join(lKeysOld, Seq(leftKey), "left_anti")
+      .withColumn("change_type", lit("delete"))
+    val rAntiTrans = rRenamed(oldRight).join(lDied.unionByName(lBorn), Seq(leftKey))
+      .select(rightAntiProj: _*)
+    val unioned = Seq(innerL, innerR, rAntiDelta, rAntiTrans)
+      .reduce(_ unionByName _)
+    val withNn = sumCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"${c}_nn", when(col(c).isNotNull, 1L).otherwise(0L))
+    }
+    val allSums = sumCols ++ sumCols.map(c => s"${c}_nn")
+    val deltas = sumCountDeltas(withNn, groupCols, allSums)
+    applySumCountNullSafe(prevAgg, deltas, groupCols, cntCol, allSums)
+  }
+
   /** FULL-OUTER-join aggregate maintenance — the final member of the
     * join-IVM family: V = γ(L ⟗ R) = γ( (L ⋈ R) ⊎ (L ▷ R)×{nullR} ⊎
     * (R ▷ L)×{nullL} ). The inner and left-anti parts maintain exactly

@@ -2764,6 +2764,63 @@ object ExtendedQueries {
         .orderBy("o_custkey")
     },
 
+    Q("q265_right_join_incremental_view",
+      // RIGHT-OUTER-join IVM — the fourth and last outer shape: R rows
+      // always preserved (orphan customers count with NULL totals, the
+      // maintained non-null counter restores SQL's NULL sum), while an
+      // order whose customer was DELETED must VANISH from the view
+      // (there is no left-anti part — the discriminator against q255's
+      // full outer, where it migrates to the NULL-segment group). Same
+      // churn fixture as q254/q255, so the three outer variants are
+      // directly comparable row for row.
+      """WITH newA AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice + 1, 2)
+        |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 89 <> 0 AND o_custkey % 5 <> 0),
+        |newB AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 31 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey % 53 <> 0)
+        |SELECT seg, count(*)::BIGINT AS n_rows,
+        |  CAST(CAST(sum(p) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM newA RIGHT JOIN newB ON newA.o_custkey = newB.c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin) { (s, d) =>
+      import graft.operators.{IncrementalAgg, Snapshot}
+      val orders = t(s, d, "orders").filter(col("o_custkey") % 5 =!= 0)
+      val customer = t(s, d, "customer")
+      val oldA = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val newA = orders.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 101 === 0, round(col("o_totalprice") + 1, 2))
+            .otherwise(col("o_totalprice")).cast("decimal(18,2)").as("p"))
+      val oldB = customer.select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val newB = customer.filter(col("c_custkey") % 53 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 31 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("seg"))
+      val cdfA = Snapshot.changeDataFeed(oldA, newA, "o_orderkey",
+        Seq("o_custkey", "p"))
+      val cdfB = Snapshot.changeDataFeed(oldB, newB, "c_custkey", Seq("seg"))
+      val prevAgg = oldA
+        .join(oldB.withColumnRenamed("c_custkey", "o_custkey"),
+          Seq("o_custkey"), "right")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_rows"), sum(col("p")).as("p"),
+          count(col("p")).as("p_nn"))
+      IncrementalAgg.refreshRightJoinSumCount(prevAgg,
+          cdfA.drop("o_orderkey"), oldA.drop("o_orderkey"),
+          newA.drop("o_orderkey"), cdfB, oldB, newB,
+          leftKey = "o_custkey", rightKey = "c_custkey",
+          groupCols = Seq("seg"), cntCol = "n_rows", sumCols = Seq("p"))
+        .select(col("seg"), col("n_rows"),
+          when(col("p_nn") > 0, col("p"))
+            .cast("decimal(18,2)").cast("double").as("total"))
+        .orderBy("seg")
+    },
+
     Q("q257_bytebpe_tokenize",
       // BYTE-LEVEL BPE encode (operators/ByteBpe — the GPT-2-class
       // variant: UTF-8 bytes through the published byte↔unicode map,

@@ -389,6 +389,68 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("refreshRightJoinSumCount: orphan R rows count with NULL sums == recompute") {
+    // the right-outer view: R rows are always preserved; L rows only
+    // when matched. cust 20's order arrives for a key R dropped — it
+    // must VANISH from the view (no left-anti part here), and orphan R
+    // rows rename/born with NULL sums via the maintained counter.
+    val oldL = Seq((1L, 10L, 5L)).toDF("k", "cust", "v")
+    val newL = Seq((1L, 10L, 5L), (2L, 20L, 7L)).toDF("k", "cust", "v")
+    val oldR = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("cust", "seg")
+    val newR = Seq((10L, "a"), (30L, "c2"), (40L, "d")).toDF("cust", "seg")
+    def agg(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      l.join(r, Seq("cust"), "right")
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("v"),
+          count(col("v")).as("v_nn"))
+    def present(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("seg"), col("n"), when(col("v_nn") > 0, col("v")).as("v"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val got = present(IncrementalAgg.refreshRightJoinSumCount(agg(oldL, oldR),
+      Snapshot.changeDataFeed(oldL, newL, "k", Seq("cust", "v")), oldL, newL,
+      Snapshot.changeDataFeed(oldR, newR, "cust", Seq("seg")), oldR, newR,
+      "cust", "cust", Seq("seg"), "n", Seq("v")))
+    val want = present(agg(newL, newR))
+    assert(got === want)
+    assert(want === Map(
+      Some("a") -> ((1L, Some(5L))),
+      Some("c2") -> ((1L, None)),
+      Some("d") -> ((1L, None))), want.toString)
+  }
+
+  test("refreshRightJoinSumCount: maintained == recompute under seeded random churn") {
+    val rnd = new scala.util.Random(811)
+    for (trial <- 1 to 10) {
+      def randL() = (1 to 30).flatMap { k =>
+        if (rnd.nextDouble() < 0.6)
+          Some((k.toLong, (rnd.nextInt(9) + 1).toLong, rnd.nextInt(100).toLong))
+        else None
+      }
+      def randR() = (1 to 9).flatMap { c =>
+        if (rnd.nextDouble() < 0.55) Some((c.toLong, s"g${rnd.nextInt(4)}"))
+        else None
+      }
+      val (ol, nl) = (randL(), randL())
+      val (or_, nr) = (randR(), randR())
+      val olD = ol.toDF("k", "cust", "v"); val nlD = nl.toDF("k", "cust", "v")
+      val orD = or_.toDF("cust", "seg"); val nrD = nr.toDF("cust", "seg")
+      def agg(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+        l.join(r, Seq("cust"), "right")
+          .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("v"),
+            count(col("v")).as("v_nn"))
+      def present(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("seg"), col("n"), when(col("v_nn") > 0, col("v")).as("v"))
+        .collect().map(r => Option(r.getString(0)) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      val got = present(IncrementalAgg.refreshRightJoinSumCount(agg(olD, orD),
+        Snapshot.changeDataFeed(olD, nlD, "k", Seq("cust", "v")), olD, nlD,
+        Snapshot.changeDataFeed(orD, nrD, "cust", Seq("seg")), orD, nrD,
+        "cust", "cust", Seq("seg"), "n", Seq("v")))
+      val want = present(agg(nlD, nrD))
+      assert(got === want, s"trial $trial: L $ol -> $nl; R ${or_} -> $nr")
+    }
+  }
+
   test("refreshStarSumCount: zero dims and change_type-carrying snapshots are refused") {
     import graft.operators.IncrementalAgg.DimFeed
     val f = Seq((1L, 10L, 5L)).toDF("k", "cust", "v")

@@ -820,4 +820,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("__bxlo") || p.contains("bxlo"),
       s"expected the materialized bbox pre-filter:\n$p")
   }
+
+  test("q256: the BSON pipeline is scan → group → decode, no join anywhere") {
+    val p = plan("q256_bson_pipeline")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"container assembly and decode are join-free:\n$p")
+    assert(p.contains("partial_"),
+      s"the per-file collect must partial-aggregate map-side:\n$p")
+  }
+
+  test("q259/q260: iterative graph state ends lineage-truncated") {
+    // both loops checkpoint per round (the PageRank discipline) — the
+    // FINAL plan must scan the truncated result, not a round tower
+    for (name <- Seq("q259_bfs_khop", "q260_label_propagation")) {
+      val p = plan(name)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name: expected checkpoint-truncated lineage:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: no round tower may survive into the final plan:\n$p")
+    }
+  }
+
+  test("q262: substring spans come from the gram equi-join; windows key on (pair, diagonal)") {
+    val p = plan("q262_exact_substring_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"position pairs must come from the gram equi-join:\n$p")
+    assert(p.contains("windowspecdefinition(id1") || p.contains("Window"),
+      s"expected the per-(pair, diagonal) islands window:\n$p")
+    // the window must never be unpartitioned: its spec carries the keys
+    assert(!p.contains("windowspecdefinition(__w"),
+      s"islands window must partition by pair+diagonal:\n$p")
+  }
+
+  test("q263: entity resolution never forms the quadratic — variant equi-join only") {
+    val p = plan("q263_entity_resolution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"match candidates must come from the deletion-variant equi-join:\n$p")
+  }
+
+  test("q264: holt smoothing is two hash aggregates and zero joins/windows") {
+    val p = plan("q264_holt_smoothing")
+    assert(!p.contains("Join"), s"the fold rides the collected series:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in the per-key fold:\n$p")
+    assert(p.contains("partial_"),
+      s"hourly counts must combine map-side:\n$p")
+  }
+
+  test("q261: QOI cross-format pairs come from the band equi-join") {
+    val p = plan("q261_image_neardup_qoi")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair candidates must come from the band equi-join:\n$p")
+  }
 }
