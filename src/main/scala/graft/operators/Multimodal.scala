@@ -468,13 +468,39 @@ object Multimodal {
     Some(lumaGridBits(luma))
   }
 
+  /** dHash of a baseline TIFF ([[Tiff.decode]]) — decoded raster,
+    * same grid/luma/bit rules as every other format.
+    */
+  private[graft] def tiffDHash(bytes: Array[Byte]): Option[Long] = {
+    val d = Tiff.decode(bytes) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val gw = 9; val gh = 8
+    val luma = new Array[Int](gh * gw)
+    var gy = 0
+    while (gy < gh) {
+      val sy = (gy.toLong * d.h / gh).toInt
+      var gx = 0
+      while (gx < gw) {
+        val sx = (gx.toLong * d.w / gw).toInt
+        val p = d.pixels(sy * d.w + sx)
+        luma(gy * gw + gx) =
+          299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(lumaGridBits(luma))
+  }
+
   /** Format-dispatching perceptual dHash: BMP, PNG (0/2/6), baseline
-    * JPEG (4:4:4 + 4:2:0), GIF, QOI — every still-image decoder the
-    * repo owns, one 64-bit fingerprint space. Sniffs the container by
-    * magic bytes; None on unknown or corrupt input. The SAME logical
-    * image hashes identically through BMP, PNG and QOI (lossless
-    * paths, MultimodalSpec-pinned) and near-identically through JPEG
-    * (lossy).
+    * JPEG (4:4:4 + 4:2:0), GIF, QOI, baseline TIFF (both byte orders)
+    * — every still-image decoder the repo owns, one 64-bit fingerprint
+    * space. Sniffs the container by magic bytes; None on unknown or
+    * corrupt input. The SAME logical image hashes identically through
+    * BMP, PNG, QOI and TIFF (lossless paths, spec-pinned) and
+    * near-identically through JPEG (lossy).
     */
   private[graft] def imageDHash(bytes: Array[Byte]): Option[Long] = {
     if (bytes == null || bytes.length < 8) None
@@ -486,6 +512,8 @@ object Multimodal {
       bytes(3) == '8') gifDHash(bytes)
     else if (bytes(0) == 'q' && bytes(1) == 'o' && bytes(2) == 'i' &&
       bytes(3) == 'f') qoiDHash(bytes)
+    else if ((bytes(0) == 'I' && bytes(1) == 'I') ||
+      (bytes(0) == 'M' && bytes(1) == 'M')) tiffDHash(bytes)
     else None
   }
 
@@ -657,6 +685,29 @@ object Multimodal {
         Seq(
           Row(id, encodeSyntheticBmp(id, w, h)),
           Row(id + 1000000L, Qoi.encode(w, h, 3, syntheticPixels(id, w, h))))
+      }
+    }(enc)
+  }
+
+  /** [[syntheticBmpQoiPairs]]' TIFF sibling: every id's BMP plus a
+    * baseline-TIFF re-encode under id + 1e6, strip layout varied by id
+    * (1 + id mod 5 rows/strip) so single- AND multi-strip framing both
+    * carry live pixels through the q266 gate.
+    */
+  def syntheticBmpTiffPairs(ids: DataFrame, spark: SparkSession): DataFrame = {
+    val idIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+        Seq(
+          Row(id, encodeSyntheticBmp(id, w, h)),
+          Row(id + 1000000L, Tiff.encode(w, h, 3, syntheticPixels(id, w, h),
+            rowsPerStrip = 1 + (id % 5).toInt)))
       }
     }(enc)
   }

@@ -2914,6 +2914,57 @@ object ExtendedQueries {
       Dedup.simhashPairs(sigs, "doc_id", "dhash",
           nBands = 4, maxHamming = 3, sigBits = 64)
         .orderBy("id1", "id2")
+    },
+
+    Q("q266_image_neardup_tiff",
+      // the SIXTH container through the same gate: baseline TIFF
+      // re-encodes (strip layout varied per id — single- and
+      // multi-strip framing both live) of every BMP under doc_id +
+      // 1e6, sniffed by magic ('II'/'MM') and paired at hamming 0 by
+      // the unchanged banding. Same closed-form oracle as q261: both
+      // rows' hashes derive from the shared pixel formula (lossless
+      // re-encode ⇒ equal hash by construction), pairs brute-forced at
+      // hamming ≤ 3 where 4 × 16-bit banding is exact by pigeonhole.
+      """WITH rows AS (
+        |  SELECT doc_id, doc_id AS src FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, doc_id AS src FROM documents),
+        |dims AS (
+        |  SELECT doc_id, src, 8 + src % 9 AS w, 8 + src % 7 AS h FROM rows),
+        |cells AS (
+        |  SELECT d.doc_id, d.src, d.w, gx.gx, gy.gy,
+        |    ((gy.gy * d.h) // 8) * d.w + ((gx.gx * d.w) // 9) AS i
+        |  FROM dims d,
+        |    (SELECT unnest(generate_series(0, 8)) AS gx) gx,
+        |    (SELECT unnest(generate_series(0, 7)) AS gy) gy),
+        |lum AS (
+        |  SELECT doc_id, gx, gy,
+        |    299 * ((3 * src + 7 * i) % 256)
+        |    + 587 * ((2 * src + 5 * i) % 256)
+        |    + 114 * ((src + 3 * i) % 256) AS luma
+        |  FROM cells),
+        |bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+        |  FROM lum a JOIN lum b
+        |    ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.luma < b.luma),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    coalesce(bit_or(CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |                         ELSE (1::BIGINT << bit::INT) END), 0) AS dhash
+        |  FROM dims d LEFT JOIN bits USING (doc_id)
+        |  GROUP BY d.doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+        |FROM sig a JOIN sig b
+        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val sigs = Multimodal.imageDHashes(
+        Multimodal.syntheticBmpTiffPairs(
+          t(s, d, "documents").select("doc_id"), s), s)
+      Dedup.simhashPairs(sigs, "doc_id", "dhash",
+          nBands = 4, maxHamming = 3, sigBits = 64)
+        .orderBy("id1", "id2")
     }
   )
 }
