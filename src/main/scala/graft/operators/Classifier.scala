@@ -188,4 +188,39 @@ object Classifier {
       .withColumn("probability", lit(1.0) / (lit(1.0) + exp(-m)))
       .withColumn("predicted", (m > 0).cast("int"))
   }
+
+  /** HASHING-TRICK featurization (Weinberger et al., ICML 2009 — the
+    * vocabulary-free vectorizer LLM-scale quality classifiers train
+    * on): each token lands in bucket `hash mod nBuckets` with a sign
+    * drawn from the next hash bit, so collisions cancel in expectation
+    * and NO vocabulary is built, broadcast, or synchronized — the
+    * property that matters at 100 TB, where a vocabulary is itself a
+    * big-data problem. Returns the exploded sparse form
+    * (idCol, bucket, wt) with wt = signed token count, zero-weight
+    * cells dropped; densify at the consumer if a fixed-dim array is
+    * needed ([[margin]] takes arrays).
+    *
+    * Pure Column pipeline (explode + two codegen'd hash ops + one hash
+    * aggregate) over [[Dedup.hash60]], so the whole featurization
+    * replays in SQL — q267's oracle is the same five lines in DuckDB.
+    */
+  def hashedFeatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [2, 2^20], got $nBuckets")
+    docs
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .select(col(idCol), Dedup.hash60(col("__tok")).as("__h"))
+      // __h is a 60-bit non-negative value: plain div/mod, no pmod needed
+      .select(col(idCol), expr(s"__h % ${nBuckets}L").as("bucket"),
+        when(expr(s"(__h div ${nBuckets}L) % 2") === 0, lit(1L))
+          .otherwise(lit(-1L)).as("sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("sign")).as("wt"))
+      .filter(col("wt") =!= 0)
+  }
 }

@@ -3115,6 +3115,31 @@ object PipelineQueries {
         .select(col("event_type"), col("n_points"), col("level"), col("trend"),
           (col("level") + lit(3.0) * col("trend")).as("forecast3"))
         .orderBy("event_type")
+    },
+
+    Q("q267_hashed_features",
+      // the HASHING TRICK (Weinberger 2009, Classifier.hashedFeatures):
+      // vocabulary-free signed-bucket featurization — each token lands
+      // in hash-mod-64 with a sign from the next hash bit, so
+      // collisions cancel in expectation and nothing vocabulary-sized
+      // is ever built or broadcast (the 100 TB property). Pure Column
+      // pipeline over the shared md5-prefix hash, so the oracle IS the
+      // same construction in SQL — exact signed counts, cell for cell.
+      s"""WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, ${sqlHash60("tok")} AS h
+        |  FROM tk WHERE length(tok) > 0)
+        |SELECT doc_id, h % 64 AS bucket,
+        |  sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS wt
+        |FROM h GROUP BY 1, 2
+        |HAVING sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin) { (s, d) =>
+      import graft.operators.Classifier
+      Classifier.hashedFeatures(t(s, d, "documents"), "doc_id", "text",
+          nBuckets = 64)
+        .orderBy("doc_id", "bucket")
     }
   )
 }

@@ -70,4 +70,30 @@ class ClassifierSpec extends SparkSpec {
     assert(norm(reg.weights) < norm(free.weights),
       s"l2 must shrink: ${norm(reg.weights)} !< ${norm(free.weights)}")
   }
+
+  test("hashedFeatures: signed bucket counts match a host-side replay") {
+    import spark.implicits._
+    val docs = Seq((1L, "row scan row  table"), (2L, "  "), (3L, "scan"))
+      .toDF("doc_id", "text")
+    def h60(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def cell(tok: String): (Long, Long) =
+      (h60(tok) % 64, if ((h60(tok) / 64) % 2 == 0) 1L else -1L)
+    val expect = Seq("row", "scan", "row", "table").map(cell)
+      .groupBy(_._1).map { case (b, xs) => (1L, b, xs.map(_._2).sum) }
+      .filter(_._3 != 0).toSet ++
+      Seq(cell("scan")).map { case (b, s) => (3L, b, s) }.toSet
+    val got = graft.operators.Classifier
+      .hashedFeatures(docs, "doc_id", "text", nBuckets = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect, s"got $got\nexpect $expect")
+    // whitespace-only doc contributes nothing; bucket guard is loud
+    assert(!got.exists(_._1 == 2L))
+    intercept[IllegalArgumentException](graft.operators.Classifier
+      .hashedFeatures(docs, "doc_id", "text", nBuckets = 1))
+  }
 }
