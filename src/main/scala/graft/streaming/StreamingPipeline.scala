@@ -333,12 +333,67 @@ object StreamingPipeline extends Serializable {
           out.result().iterator
       }.toDF()
   }
+
+  /** STREAMING Holt double exponential smoothing — the stateful twin of
+    * [[graft.operators.TimeSeries.holtSmooth]]: per key, O(1) state
+    * (n, level, trend), one updated estimate emitted per key per
+    * micro-batch. Within a batch samples apply in event-time order;
+    * ACROSS batches samples must arrive trigger-ordered per key (a
+    * recurrence cannot rewind — late data needs an upstream watermark
+    * sort, same contract as every recurrence-stateful operator here).
+    *
+    * Parity is EXACT, not approximate: the per-sample update is the
+    * identical IEEE tree the batch fold runs (α·y + (1−α)·(l+b);
+    * β·(l′−l) + (1−β)·b with dyadic constants and pre-computed
+    * complements), so feeding the same series through any trigger
+    * slicing reproduces the batch (level, trend) bit for bit —
+    * StreamingSpec pins it.
+    */
+  def holtStream(points: DataFrame, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1 && (alpha * 4096.0) == math.rint(alpha * 4096.0) &&
+      beta > 0 && beta < 1 && (beta * 4096.0) == math.rint(beta * 4096.0),
+      s"alpha/beta must be dyadic in (0,1) (got $alpha, $beta) — " +
+        "the batch-parity contract")
+    val oneMinusA = 1.0 - alpha
+    val oneMinusB = 1.0 - beta
+    import points.sparkSession.implicits._
+    points.as[HoltPoint]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[HoltState, HoltEstimate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, values, state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(0L, 0.0, 0.0))
+          values.toSeq.sortBy(_.t.getTime).foreach { p =>
+            st =
+              if (st.n == 0L) HoltState(1L, p.y, 0.0)
+              else {
+                val lNew = alpha * p.y + oneMinusA * (st.l + st.b)
+                HoltState(st.n + 1, lNew,
+                  beta * (lNew - st.l) + oneMinusB * st.b)
+              }
+          }
+          state.update(st)
+          Iterator.single(HoltEstimate(key, st.n, st.l, st.b))
+      }.toDF()
+  }
 }
 
 /** Welford accumulator for [[StreamingPipeline.anomalyStream]]:
   * m2 = Σ(x - mean)², so variance = m2 / (n - 1).
   */
 final case class RunningStats(n: Long, mean: Double, m2: Double)
+
+/** One input sample for [[StreamingPipeline.holtStream]]. */
+final case class HoltPoint(k: String, t: Timestamp, y: Double)
+
+/** Per-key Holt state: sample count + (level, trend). */
+final case class HoltState(n: Long, l: Double, b: Double)
+
+/** One running estimate from [[StreamingPipeline.holtStream]] —
+  * schema-aligned with [[graft.operators.TimeSeries.holtSmooth]]'s
+  * output so batch/stream parity is a column-for-column compare.
+  */
+final case class HoltEstimate(k: String, n_points: Long, level: Double, trend: Double)
 
 /** One flagged reading from [[StreamingPipeline.anomalyStream]]: `z` is
   * the score against the baseline of `baselineN` PRIOR samples.

@@ -297,6 +297,37 @@ class StreamingSpec extends SparkSpec {
     // i.e. the spike polluted the variance, not the emission logic
   }
 
+  test("holtStream: exact batch parity across trigger slicings") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[graft.streaming.HoltPoint]
+    val out = StreamingPipeline.holtStream(mem.toDF(), alpha = 0.5, beta = 0.25)
+    val q = out.writeStream.format("memory").queryName("holt_out")
+      .outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-holt"))
+      .start()
+    def pt(k: String, s: Int, y: Double) =
+      graft.streaming.HoltPoint(k, ts(f"2024-06-01 10:00:$s%02d"), y)
+    // the a-series split MID-RECURRENCE across two triggers
+    mem.addData(pt("a", 1, 10.0), pt("a", 2, 12.0), pt("b", 1, 5.0))
+    q.processAllAvailable()
+    mem.addData(pt("a", 3, 11.0), pt("a", 4, 15.0), pt("b", 2, 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.sql("SELECT k, n_points, level, trend FROM holt_out")
+      .as[(String, Long, Double, Double)].collect()
+      .groupBy(_._1).map { case (_, xs) => xs.maxBy(_._2) }.toSet
+    // dyadic hand-fold: a = (13.171875, 0.67578125); b = (5.5, 0.125)
+    assert(fin == Set(("a", 4L, 13.171875, 0.67578125), ("b", 2L, 5.5, 0.125)))
+    // and bit-for-bit the BATCH operator's answer on the same series
+    val batch = graft.operators.TimeSeries.holtSmooth(
+      Seq(("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 11.0), ("a", 4, 15.0),
+        ("b", 1, 5.0), ("b", 2, 6.0)).toDF("k", "t", "y"),
+      Seq("k"), "t", "y", alpha = 0.5, beta = 0.25)
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(batch == fin)
+  }
+
   test("windowedStats: tumbling windows with event-time watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[RawReading]
