@@ -866,7 +866,12 @@ object Dedup {
     val keep = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= dfCap)
       .select("gram")
-    val pruned = grams.join(keep, Seq("gram"), "left_semi")
+    // pruned is consumed TWICE (both sides of the pair join) and its
+    // lineage re-runs the full gram explode + df aggregate per consumer
+    // — and it is TINY (duplicated grams only). Truncate it once: the
+    // q188 lesson (a twice-consumed derived relation is only safe lazy
+    // when exchange reuse is PROVEN at the target scale).
+    val pruned = Checkpoints.truncate(grams.join(keep, Seq("gram"), "left_semi"))
     val pairs = pruned.select(col("gram"), col("doc_id").as("id1"), col("pos").as("p1"))
       .join(pruned.select(col("gram"), col("doc_id").as("id2"), col("pos").as("p2")),
         Seq("gram"))
