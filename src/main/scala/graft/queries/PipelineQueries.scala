@@ -3140,6 +3140,73 @@ object PipelineQueries {
       Classifier.hashedFeatures(t(s, d, "documents"), "doc_id", "text",
           nBuckets = 64)
         .orderBy("doc_id", "bucket")
+    },
+
+    Q("q268_bson_image_pipeline",
+      // END-TO-END multimodal ingest across TWO of this round's codecs:
+      // BSON containers (the reference's egress shape) carry QOI image
+      // blobs as binary elements; the engine walks the BSON grammar,
+      // lifts (doc_id, img), decodes QOI through the sniffing dHash,
+      // and bands near-dup pairs — one pipeline, three decoders deep.
+      // Images repeat on doc_id % 97 (the re-upload scenario), so
+      // same-src pairs land at hamming 0. The oracle touches NONE of
+      // the byte formats: every hash derives from the pixel formula
+      // (BSON binary round-trip and QOI decode are lossless — that IS
+      // the claim), pairs brute-forced at hamming ≤ 3 where banding is
+      // pigeonhole-exact.
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 97 AS src,
+        |    8 + (doc_id % 97) % 9 AS w, 8 + (doc_id % 97) % 7 AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT d.doc_id, d.src, d.w, gx.gx, gy.gy,
+        |    ((gy.gy * d.h) // 8) * d.w + ((gx.gx * d.w) // 9) AS i
+        |  FROM dims d,
+        |    (SELECT unnest(generate_series(0, 8)) AS gx) gx,
+        |    (SELECT unnest(generate_series(0, 7)) AS gy) gy),
+        |lum AS (
+        |  SELECT doc_id, gx, gy,
+        |    299 * ((3 * src + 7 * i) % 256)
+        |    + 587 * ((2 * src + 5 * i) % 256)
+        |    + 114 * ((src + 3 * i) % 256) AS luma
+        |  FROM cells),
+        |bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+        |  FROM lum a JOIN lum b
+        |    ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.luma < b.luma),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    coalesce(bit_or(CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |                         ELSE (1::BIGINT << bit::INT) END), 0) AS dhash
+        |  FROM dims d LEFT JOIN bits USING (doc_id)
+        |  GROUP BY d.doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+        |FROM sig a JOIN sig b
+        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      import graft.operators.{Bson, Multimodal, Qoi}
+      import graft.operators.Bson.BsonField
+      val fields = Seq(BsonField("doc_id", "int64"), BsonField("img", "binary"))
+      val mkBson = udf { ids: Seq[Long] =>
+        Bson.writeStream(fields, ids.map { id =>
+          val src = id % 97
+          val w = 8 + (src % 9).toInt; val h = 8 + (src % 7).toInt
+          Map[String, Any]("doc_id" -> id,
+            "img" -> Qoi.encode(w, h, 3, Multimodal.syntheticPixels(src, w, h)))
+        })
+      }
+      val containers = t(s, d, "documents")
+        .groupBy((col("doc_id") % 29).as("file_id"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .select(col("file_id"), mkBson(col("ids")).as("blob"))
+      val imgs = Bson.records(containers, "file_id", "blob", fields)
+        .select(col("doc_id"), col("img").as("blob"))
+      val sigs = Multimodal.imageDHashes(imgs, s)
+      Dedup.simhashPairs(sigs, "doc_id", "dhash",
+          nBands = 4, maxHamming = 3, sigBits = 64)
+        .orderBy("id1", "id2")
     }
   )
 }
