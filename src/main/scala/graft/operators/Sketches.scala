@@ -51,4 +51,53 @@ object Sketches {
         round(abs(col("approx_distinct") - col("exact_distinct"))
           .cast("double") / col("exact_distinct"), 4).as("rel_err"))
   }
+
+  /** COUNT-MIN sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    * fixed-memory frequency summary: `depth` hash rows × `width`
+    * buckets of plain counters, so two corpora's sketches union by
+    * adding cells and the whole structure is depth·width longs no
+    * matter the corpus (the property stream/shard merges need at
+    * 100 TB). Estimates overcount, never undercount (est ≥ exact —
+    * one-sided by construction; the spec pins both bounds).
+    *
+    * Everything is DETERMINISTIC integers over the shared md5-prefix
+    * hash salted with the row index, so construction AND estimation
+    * replay exactly in SQL (q269) — unlike the HLL family, no
+    * merge-topology sensitivity exists to dodge.
+    *
+    * Build: one explode (×depth) + one hash aggregate → (r, bucket,
+    * cnt). Estimate: keys × depth → equi-join against the sketch →
+    * min per key; a key whose (r, bucket) cell is absent from the
+    * sketch was never inserted — estimate 0.
+    */
+  def countMinSketch(items: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    items
+      .select(col(keyCol).cast("string").as("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"),
+        (Dedup.hash60(concat(col("r").cast("string"), lit(":"), col("__k")))
+          % width).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[countMinSketch]]: (key, est) =
+    * min over rows of the key's cell; absent cells count 0.
+    */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    keys
+      .select(col(keyCol), col(keyCol).cast("string").as("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col(keyCol), col("r"),
+        (Dedup.hash60(concat(col("r").cast("string"), lit(":"), col("__k")))
+          % width).as("bucket"))
+      .join(sketch, Seq("r", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

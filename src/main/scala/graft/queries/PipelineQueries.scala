@@ -3207,6 +3207,50 @@ object PipelineQueries {
       Dedup.simhashPairs(sigs, "doc_id", "dhash",
           nBands = 4, maxHamming = 3, sigBits = 64)
         .orderBy("id1", "id2")
+    },
+
+    Q("q269_count_min",
+      // COUNT-MIN sketch (Cormode & Muthukrishnan 2005,
+      // Sketches.countMinSketch): 4 × 512 counters summarize the whole
+      // token stream in fixed memory, sketches merge by cell-wise
+      // addition (SketchesSpec), and — unlike the HLL family — the
+      // construction is deterministic integers over the shared
+      // md5-prefix hash, so the ORACLE REBUILDS THE SKETCH ITSELF and
+      // every estimate hash-matches exactly. Output pairs each
+      // distinct token's exact count with its (one-sided, est ≥ exact)
+      // sketch estimate.
+      """WITH tk AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tok AS (SELECT tok FROM tk WHERE length(tok) > 0),
+        |rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |sk AS (
+        |  SELECT r,
+        |    ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 15))::BIGINT % 512 AS bucket,
+        |    count(*) AS cnt
+        |  FROM tok, rs GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT tok FROM tok),
+        |probes AS (
+        |  SELECT k.tok, rs.r,
+        |    ('0x' || substr(md5(rs.r::VARCHAR || ':' || k.tok), 1, 15))::BIGINT % 512 AS bucket
+        |  FROM keys k, rs),
+        |est AS (
+        |  SELECT p.tok, min(coalesce(s.cnt, 0)) AS est
+        |  FROM probes p LEFT JOIN sk s ON s.r = p.r AND s.bucket = p.bucket
+        |  GROUP BY 1),
+        |ex AS (SELECT tok, count(*) AS exact FROM tok GROUP BY 1)
+        |SELECT ex.tok, exact::BIGINT AS exact, est::BIGINT AS est
+        |FROM ex JOIN est USING (tok) ORDER BY tok""".stripMargin) { (s, d) =>
+      import graft.operators.Sketches
+      val toks = t(s, d, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val sk = Sketches.countMinSketch(toks, "tok", depth = 4, width = 512)
+      Sketches.countMinEstimate(sk, toks.distinct(), "tok",
+          depth = 4, width = 512)
+        .join(toks.groupBy("tok").agg(count(lit(1)).as("exact")), Seq("tok"))
+        .select(col("tok"), col("exact"), col("est"))
+        .orderBy("tok")
     }
   )
 }

@@ -56,4 +56,36 @@ class SketchesSpec extends SparkSpec {
     val empty = Seq.empty[(String, Int, String)].toDF("g", "b", "v")
     assert(Sketches.hllRollup(empty, "g", col("b"), "v").count() == 0)
   }
+
+  test("countMin: one-sided (est >= exact), exact at generous width, absent key = 0") {
+    import spark.implicits._
+    val items = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val exact = Map("a" -> 7L, "b" -> 3L, "c" -> 1L)
+    for (width <- Seq(2, 4096)) {
+      val sk = Sketches.countMinSketch(items, "k", depth = 4, width = width)
+      val est = Sketches.countMinEstimate(sk,
+        Seq("a", "b", "c", "never").toDF("k"), "k", depth = 4, width = width)
+        .as[(String, Long)].collect().toMap
+      exact.foreach { case (k, ex) =>
+        assert(est(k) >= ex, s"width=$width key=$k: ${est(k)} < $ex") }
+      if (width == 4096) assert(est.view.filterKeys(exact.contains).toMap == exact)
+      // a key never inserted can still collide at width 2; at 4096 it is 0
+      if (width == 4096) assert(est("never") == 0L)
+    }
+  }
+
+  test("countMin: sketches MERGE by cell-wise addition — union == sum of parts") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y").toDF("k")
+    val b = Seq("x", "z", "z").toDF("k")
+    val whole = Sketches.countMinSketch(a.unionAll(b), "k", 4, 64)
+      .as[(Int, Long, Long)].collect().toSet
+    val merged = Sketches.countMinSketch(a, "k", 4, 64)
+      .unionAll(Sketches.countMinSketch(b, "k", 4, 64))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(whole == merged)
+    intercept[IllegalArgumentException](
+      Sketches.countMinSketch(a, "k", depth = 0, width = 64))
+  }
 }
