@@ -3251,6 +3251,53 @@ object PipelineQueries {
         .join(toks.groupBy("tok").agg(count(lit(1)).as("exact")), Seq("tok"))
         .select(col("tok"), col("exact"), col("est"))
         .orderBy("tok")
+    },
+
+    Q("q270_txtable_timestamp_travel",
+      // TIMESTAMP AS OF time travel (TxTable.readAsOf): three commits
+      // land with stamped wall-clocks 1e6/2e6/3e6 ms
+      // (TxTable.stampCommitTime — the mtime substrate history reads),
+      // and the read AS OF 2.5e6 must resolve to the MIDDLE state:
+      // base prices with only the %13 correction applied, the %7
+      // correction (commit 3) invisible. Boundary semantics (at-commit
+      // inclusive), monotonic adjustment of regressed clocks, and the
+      // pre-history refusal are TxTableRestoreSpec's; this gate pins
+      // the resolved CONTENT against a recompute that never saw v2.
+      """WITH v1 AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(o_totalprice +
+        |      CASE WHEN o_orderkey % 13 = 0 THEN 100 ELSE 0 END
+        |      AS DECIMAL(18,2)) AS p
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+        |  CAST(CAST(sum(p) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.streaming.TxTable
+      val table = Q.scratchDir("graft-q270") + "/orders_tx"
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      val base = t(s, d, "orders").select(
+        col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      TxTable.mergeLatest(s, base.withColumn("seq", lit(0L)),
+        table, "o_orderstatus", keys, Seq("seq"))
+      TxTable.mergeLatest(s,
+        base.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("p", (col("p") + 100).cast("decimal(18,2)"))
+          .withColumn("seq", lit(1L)),
+        table, "o_orderstatus", keys, Seq("seq"))
+      TxTable.mergeLatest(s,
+        base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("p", (col("p") + 1000).cast("decimal(18,2)"))
+          .withColumn("seq", lit(2L)),
+        table, "o_orderstatus", keys, Seq("seq"))
+      TxTable.stampCommitTime(table, 0L, 1000000L)
+      TxTable.stampCommitTime(table, 1L, 2000000L)
+      TxTable.stampCommitTime(table, 2L, 3000000L)
+      TxTable.readAsOf(s, table, 2500000L).get
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("p")).cast("decimal(18,2)").cast("double").as("total"))
+        .orderBy("o_orderstatus")
     }
   )
 }

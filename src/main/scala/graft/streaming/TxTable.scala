@@ -1647,6 +1647,62 @@ object TxTable {
       }
   }
 
+  /** Monotonically-ADJUSTED commit wall-clock: (version, adjTsMs)
+    * ascending. A commit's effective time is max(its log-file mtime,
+    * previous effective + 1 ms) — Delta's published rule — so AS OF
+    * resolution stays well-defined when raw mtimes collide or regress
+    * (clock skew, file copies). Empty when no commits are retained.
+    */
+  def commitTimestamps(tablePath: String): Seq[(Long, Long)] = {
+    val entries = Option(logDir(tablePath).listFiles()).toSeq.flatten
+    val byV = entries.flatMap(f => versionOf(f, ".commit").map(_ -> f.lastModified()))
+      .sortBy(_._1)
+    var prev = Long.MinValue
+    byV.map { case (v, ts) =>
+      val adj = if (prev == Long.MinValue) ts else math.max(ts, prev + 1)
+      prev = adj
+      v -> adj
+    }
+  }
+
+  /** TIMESTAMP AS OF → version: the newest commit whose adjusted
+    * wall-clock is ≤ `tsMs`. LOUD when `tsMs` predates the first
+    * RETAINED commit — vacuumed history cannot answer "as of then",
+    * and silently serving the oldest surviving state would be a wrong
+    * answer wearing a right one's clothes.
+    */
+  def versionAsOf(tablePath: String, tsMs: Long): Long = {
+    val ts = commitTimestamps(tablePath)
+    if (ts.isEmpty) throw new IllegalStateException(
+      s"$tablePath has no retained commits")
+    val at = ts.takeWhile(_._2 <= tsMs)
+    if (at.isEmpty) throw new IllegalStateException(
+      s"timestamp $tsMs predates the first retained commit (at ${ts.head._2}) " +
+        s"of $tablePath — earlier history is vacuumed or never existed")
+    at.last._1
+  }
+
+  /** [[readAt]] by wall-clock — `TIMESTAMP AS OF` time travel. */
+  def readAsOf(spark: SparkSession, tablePath: String, tsMs: Long,
+      partitions: Option[Seq[String]] = None,
+      pruneBy: Seq[ColRange] = Nil): Option[DataFrame] =
+    readAt(spark, tablePath, versionAsOf(tablePath, tsMs), partitions, pruneBy)
+
+  /** Ops/test hook: backfill one commit's wall-clock by setting its log
+    * file's mtime — the exact substrate [[history]] and
+    * [[commitTimestamps]] read (a real deployment uses it to restore
+    * clock sanity after a log copy loses mtimes). Loud on an unknown
+    * version.
+    */
+  def stampCommitTime(tablePath: String, version: Long, tsMs: Long): Unit = {
+    val f = Option(logDir(tablePath).listFiles()).toSeq.flatten
+      .find(f => versionOf(f, ".commit").contains(version))
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath has no retained commit for version $version"))
+    if (!f.setLastModified(tsMs))
+      throw new IllegalStateException(s"could not set mtime on $f")
+  }
+
   /** LSM-style DELTA upsert — merge-on-READ: commit ONLY the batch's
     * latest rows as new data directories, touching nothing that exists.
     * [[mergeLatest]] rewrites every touched partition per micro-batch —

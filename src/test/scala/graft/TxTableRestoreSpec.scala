@@ -88,4 +88,38 @@ class TxTableRestoreSpec extends SparkSpec {
     assert(TxTable.restore(path, 0L) == 0L)
     assert(TxTable.snapshot(path).version == 0L)
   }
+
+  test("TIMESTAMP AS OF: boundary resolution, pre-history refusal, readAsOf content") {
+    val path = tmp("txr-asof")
+    merge(path, ("a", 1L, 1.0))                    // v0
+    merge(path, ("a", 1L, 2.0))                    // v1
+    merge(path, ("a", 2L, 5.0))                    // v2
+    TxTable.stampCommitTime(path, 0L, 1000L)
+    TxTable.stampCommitTime(path, 1L, 2000L)
+    TxTable.stampCommitTime(path, 2L, 3000L)
+    assert(TxTable.versionAsOf(path, 1000L) == 0L) // at-boundary: inclusive
+    assert(TxTable.versionAsOf(path, 1999L) == 0L)
+    assert(TxTable.versionAsOf(path, 2000L) == 1L)
+    assert(TxTable.versionAsOf(path, Long.MaxValue) == 2L)
+    assert(rows(TxTable.readAsOf(spark, path, 2500L).get) == Set(("a", 1L, 2.0)))
+    val e = intercept[IllegalStateException](TxTable.versionAsOf(path, 999L))
+    assert(e.getMessage.contains("predates"), e.getMessage)
+    intercept[IllegalStateException](TxTable.stampCommitTime(path, 9L, 0L))
+  }
+
+  test("TIMESTAMP AS OF: regressed mtimes are monotonically adjusted (Delta's rule)") {
+    val path = tmp("txr-asof-mono")
+    merge(path, ("a", 1L, 1.0))                    // v0
+    merge(path, ("a", 1L, 2.0))                    // v1
+    merge(path, ("a", 1L, 3.0))                    // v2
+    TxTable.stampCommitTime(path, 0L, 5000L)
+    TxTable.stampCommitTime(path, 1L, 500L)  // clock went BACKWARD
+    TxTable.stampCommitTime(path, 2L, 500L)  // and stayed there
+    // adjusted: v0=5000, v1=5001, v2=5002 — order preserved, no overlap
+    assert(TxTable.commitTimestamps(path) ==
+      Seq(0L -> 5000L, 1L -> 5001L, 2L -> 5002L))
+    assert(TxTable.versionAsOf(path, 5000L) == 0L)
+    assert(TxTable.versionAsOf(path, 5001L) == 1L)
+    assert(TxTable.versionAsOf(path, 6000L) == 2L)
+  }
 }
