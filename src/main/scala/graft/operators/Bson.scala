@@ -25,8 +25,10 @@ import org.apache.spark.sql.types._
   * string scalars (0x04 — a nested document whose keys MUST be the
   * consecutive decimal strings "0","1",…, as the spec requires).
   * Undeclared names are SKIPPED by their type-determined length
-  * (including ObjectId, decimal128, regex and nested documents —
-  * forward compatibility); a declared name arriving with a different
+  * (including ObjectId, decimal128, regex, nested documents and the
+  * deprecated DBPointer/symbol/code-with-scope — every assigned type
+  * byte IS length-determinable, so forward compatibility is total;
+  * only an unassigned type byte refuses); a declared name arriving with a different
   * type byte fails loudly; both an explicitly-null element and an
   * absent name surface as SQL NULL; duplicate names are last-one-wins
   * (MongoDB's own read behavior). Every document's int32 length
@@ -119,7 +121,8 @@ object Bson {
     */
   private def skipValue(r: Reader, t: Int): Unit = t match {
     case 0x01 | 0x09 | 0x11 | 0x12 => r.take(8) // double, datetime, ts, int64
-    case 0x02 | 0x0D => val n = r.int32(); r.take(n) // string, js code
+    case 0x02 | 0x0D | 0x0E => // string, js code, symbol (deprecated)
+      val n = r.int32(); r.take(n)
     case 0x03 | 0x04 => // embedded document / array: length includes itself
       val n = r.int32(); if (n < 5) r.err(s"embedded doc length $n < 5"); r.take(n - 4)
     case 0x05 => val n = r.int32(); r.byte(); r.take(n) // binary
@@ -127,6 +130,9 @@ object Bson {
     case 0x08 => r.byte() // bool
     case 0x0A | 0x06 | 0xFF | 0x7F => () // null, undefined, minkey, maxkey
     case 0x0B => r.cstring(); r.cstring(); () // regex: pattern + options
+    case 0x0C => val n = r.int32(); r.take(n); r.take(12) // DBPointer (deprecated)
+    case 0x0F => // code-with-scope: leading int32 is the TOTAL length
+      val n = r.int32(); if (n < 4) r.err(s"code-with-scope length $n < 4"); r.take(n - 4)
     case 0x10 => r.take(4) // int32
     case 0x13 => r.take(16) // decimal128
     case other => r.err(f"cannot skip unknown element type 0x$other%02x")

@@ -829,9 +829,10 @@ object Dedup {
     *
     * Spark-first shape instead of a suffix array (which wants the
     * corpus concatenated on one machine): positional char `gramLen`-
-    * grams (narrow explode), a document-frequency cap + df ≥ 2 prune
-    * (boilerplate grams are the n² join bomb — the winnowing lesson —
-    * and unique grams can never pair), one equi-join on the gram, then
+    * grams (narrow explode), an OCCURRENCE-frequency cap + ≥ 2 prune
+    * (boilerplate grams are the occurrences² join bomb — the winnowing
+    * lesson — and single-occurrence grams can never pair), one
+    * equi-join on the gram, then
     * per (pair, DIAGONAL = start1 − start2) consecutive gram positions
     * collapse into maximal runs with the islands trick (pos −
     * row_number is constant exactly on a consecutive run): a run of
@@ -862,7 +863,11 @@ object Dedup {
         explode(sequence(lit(0), length(col("__s")) - gramLen)).as("pos"))
       .select(col("doc_id"), col("pos"),
         expr(s"substring(__s, pos + 1, $gramLen)").as("gram"))
-    // df ≥ 2 (unique grams cannot pair) and ≤ dfCap (boilerplate guard)
+    // OCCURRENCE-frequency prune (total occurrences, deliberately NOT
+    // per-document df): the pair join fans out as occurrences², so the
+    // cap bounds the join bomb directly — a doc-df cap would let one
+    // document's 1000 internal repeats through. occurrences = 1 cannot
+    // pair; same-doc pairs die at id1 < id2 (bounded waste, ≤ cap²/pair)
     val keep = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= dfCap)
       .select("gram")

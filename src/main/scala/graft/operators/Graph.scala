@@ -177,6 +177,9 @@ object Graph {
       state = grown
       frontier = next
     }
+    // the LAST round's frontier blocks are dead too (its rows already
+    // live inside state) — leaving them pinned would leak per call
+    if (frontier ne state) Checkpoints.free(frontier)
     Checkpoints.free(bidir)
     state
   }

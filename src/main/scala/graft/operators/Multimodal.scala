@@ -438,61 +438,45 @@ object Multimodal {
     if (got && ok) Some(lumaGridBits(luma)) else None
   }
 
-  /** dHash of a QOI image ([[Qoi.decode]]) — the same grid/luma/bit
-    * rules as every other format, sampled from the fully-decoded pixel
-    * array (QOI is strictly sequential by design: the running index
-    * makes random access into the chunk stream impossible, so a
-    * streaming grid sampler cannot exist for it). Alpha decoded but
-    * ignored, matching the PNG path's channel contract.
+  /** The 9×8 grid dHash over an already-decoded row-major 0xAARRGGBB
+    * raster — ONE sampler shared by every whole-raster decoder (QOI,
+    * TIFF), so the grid/luma rule has exactly as many copies as
+    * [[lumaGridBits]]' bit layout: one. Alpha ignored (the PNG path's
+    * channel contract).
     */
-  private[graft] def qoiDHash(bytes: Array[Byte]): Option[Long] = {
-    val d = Qoi.decode(bytes) match {
-      case Some(x) => x
-      case None => return None
-    }
+  private[graft] def pixelArrayDHash(w: Int, h: Int, pixels: Array[Int]): Long = {
     val gw = 9; val gh = 8
     val luma = new Array[Int](gh * gw)
     var gy = 0
     while (gy < gh) {
-      val sy = (gy.toLong * d.h / gh).toInt
+      val sy = (gy.toLong * h / gh).toInt
       var gx = 0
       while (gx < gw) {
-        val sx = (gx.toLong * d.w / gw).toInt
-        val p = d.pixels(sy * d.w + sx)
+        val sx = (gx.toLong * w / gw).toInt
+        val p = pixels(sy * w + sx)
         luma(gy * gw + gx) =
           299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)
         gx += 1
       }
       gy += 1
     }
-    Some(lumaGridBits(luma))
+    lumaGridBits(luma)
   }
 
-  /** dHash of a baseline TIFF ([[Tiff.decode]]) — decoded raster,
-    * same grid/luma/bit rules as every other format.
+  /** dHash of a QOI image ([[Qoi.decode]]) — the shared
+    * [[pixelArrayDHash]] over the fully-decoded raster (QOI is
+    * strictly sequential by design: the running index makes random
+    * access into the chunk stream impossible, so a streaming grid
+    * sampler cannot exist for it).
     */
-  private[graft] def tiffDHash(bytes: Array[Byte]): Option[Long] = {
-    val d = Tiff.decode(bytes) match {
-      case Some(x) => x
-      case None => return None
-    }
-    val gw = 9; val gh = 8
-    val luma = new Array[Int](gh * gw)
-    var gy = 0
-    while (gy < gh) {
-      val sy = (gy.toLong * d.h / gh).toInt
-      var gx = 0
-      while (gx < gw) {
-        val sx = (gx.toLong * d.w / gw).toInt
-        val p = d.pixels(sy * d.w + sx)
-        luma(gy * gw + gx) =
-          299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)
-        gx += 1
-      }
-      gy += 1
-    }
-    Some(lumaGridBits(luma))
-  }
+  private[graft] def qoiDHash(bytes: Array[Byte]): Option[Long] =
+    Qoi.decode(bytes).map(d => pixelArrayDHash(d.w, d.h, d.pixels))
+
+  /** dHash of a baseline TIFF ([[Tiff.decode]]) — the shared
+    * [[pixelArrayDHash]] over the decoded raster.
+    */
+  private[graft] def tiffDHash(bytes: Array[Byte]): Option[Long] =
+    Tiff.decode(bytes).map(d => pixelArrayDHash(d.w, d.h, d.pixels))
 
   /** Format-dispatching perceptual dHash: BMP, PNG (0/2/6), baseline
     * JPEG (4:4:4 + 4:2:0), GIF, QOI, baseline TIFF (both byte orders)

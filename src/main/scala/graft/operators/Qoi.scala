@@ -58,7 +58,9 @@ object Qoi {
     val colorspace = bytes(13) & 0xff
     if (channels != 3 && channels != 4) err(s"channels $channels (spec: 3|4)")
     if (colorspace > 1) err(s"colorspace $colorspace (spec: 0|1)")
-    if (w <= 0 || h <= 0) err(s"dims ${w}x$h")
+    // guard each dimension BEFORE multiplying: w and h are raw uint32s,
+    // so w*h can wrap Long and sail past the product guard
+    if (w <= 0 || h <= 0 || w > MaxPixels || h > MaxPixels) err(s"dims ${w}x$h")
     if (w * h > MaxPixels) err(s"dims ${w}x$h exceed the $MaxPixels-pixel guard")
     val n = (w * h).toInt
     val out = new Array[Int](n)

@@ -93,9 +93,11 @@ object Tiff {
     if (photo == 0L) err("WhiteIsZero grayscale unsupported (inverted ramp)")
     val bits = tags.getOrElse(258, Seq.fill(spp)(8L))
     if (bits.exists(_ != 8L)) err(s"bits-per-sample $bits (subset: 8)")
-    if (w <= 0 || h <= 0) err(s"dims ${w}x$h")
+    // per-dim guard BEFORE the product: raw uint32s can wrap Long in w*h
+    if (w <= 0 || h <= 0 || w > MaxPixels || h > MaxPixels) err(s"dims ${w}x$h")
     if (w * h > MaxPixels) err(s"dims ${w}x$h exceed the $MaxPixels-pixel guard")
     val rowsPerStrip = opt(278, h)
+    if (rowsPerStrip <= 0) err(s"RowsPerStrip $rowsPerStrip")
     val offsets = tags.getOrElse(273, err("required tag StripOffsets (273) missing"))
     val counts = tags.getOrElse(279, err("required tag StripByteCounts (279) missing"))
     if (offsets.size != counts.size)
@@ -156,9 +158,9 @@ object Tiff {
     val ifdSize = 2 + 12 * nEntries + 4
     var cursor = ifdOff + ifdSize
     // strip offset/count arrays spill after the IFD when nStrips > 1
+    // (a single LONG value rides inline in the entry's value slot)
     val arraysOff = cursor
-    if (nStrips > 2) cursor += 2 * 4 * nStrips
-    else if (nStrips == 2) cursor += 2 * 4 * 2
+    if (nStrips > 1) cursor += 2 * 4 * nStrips
     val dataOff = cursor
     val stripOffsets = (0 until nStrips).map { s =>
       dataOff.toLong + s.toLong * rps * rowBytes

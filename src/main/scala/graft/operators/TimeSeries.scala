@@ -326,14 +326,22 @@ object TimeSeries {
     val seed = struct(element_at(col("__ys"), 1).as("l"), lit(0.0).as("b"))
     val folded = sorted
       .withColumn("__ys", ys)
+      // the slice bound below is a refusal line, not a silent cap: a
+      // series past it would fold a PREFIX while n_points reported the
+      // full length — fail loudly instead (refuse-don't-truncate)
+      .withColumn("__guard", expr(
+        "assert_true(size(__ys) < 1000000, " +
+          "'holtSmooth: series exceeds 1e6 points — bound the series upstream')"))
       .withColumn("__st",
         aggregate(slice(col("__ys"), 2, 1000000), seed, (a, x) => {
           val lNew = lit(alpha) * x + lit(oneMinusA) * (a("l") + a("b"))
           struct(lNew.as("l"),
             (lit(beta) * (lNew - a("l")) + lit(oneMinusB) * a("b")).as("b"))
         }))
+    // n_points routes THROUGH the guard (assert_true yields NULL on
+    // success) so column pruning can never optimize the refusal away
     folded.select(keyCols.map(col) ++ Seq(
-      size(col("__ys")).cast("long").as("n_points"),
+      when(col("__guard").isNull, size(col("__ys")).cast("long")).as("n_points"),
       col("__st.l").as("level"), col("__st.b").as("trend")): _*)
   }
 }

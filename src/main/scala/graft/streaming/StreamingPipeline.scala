@@ -363,7 +363,10 @@ object StreamingPipeline extends Serializable {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (key, values, state: GroupState[HoltState]) =>
           var st = state.getOption.getOrElse(HoltState(0L, 0.0, 0.0))
-          values.toSeq.sortBy(_.t.getTime).foreach { p =>
+          // (t, y) — NOT t alone: the batch twin sorts struct(t, y), so
+          // timestamp ties must break by y here too or the advertised
+          // bit-exact parity dies nondeterministically on tied samples
+          values.toSeq.sortBy(p => (p.t.getTime, p.y)).foreach { p =>
             st =
               if (st.n == 0L) HoltState(1L, p.y, 0.0)
               else {

@@ -93,18 +93,29 @@ class BsonSpec extends SparkSpec {
     assert(rows.map(_.toSeq) == Seq(Seq(77L)))
   }
 
-  test("ObjectId, decimal128, regex, nested doc and explicit null all skip") {
+  test("ObjectId, decimal128, regex, nested doc, DBPointer, symbol, code-with-scope and explicit null all skip") {
     def el(t: Int, name: String, payload: Array[Byte]) =
       b(t) ++ name.getBytes ++ b(0) ++ payload
     val nested = { // {"k": int32 1}
       val nb = el(0x10, "k", b(1, 0, 0, 0))
       b(nb.length + 5, 0, 0, 0) ++ nb ++ b(0)
     }
+    // code-with-scope: total-length int32 + string + scope doc
+    val cws = {
+      val codeStr = b(3, 0, 0, 0) ++ "fn".getBytes ++ b(0)
+      val scope = b(5, 0, 0, 0, 0) // empty doc
+      val total = 4 + codeStr.length + scope.length
+      b(total, 0, 0, 0) ++ codeStr ++ scope
+    }
     val body =
       el(0x07, "oid", Array.fill[Byte](12)(7)) ++
         el(0x13, "dec", Array.fill[Byte](16)(1)) ++
         el(0x0B, "re", "pat".getBytes ++ b(0) ++ "i".getBytes ++ b(0)) ++
         el(0x03, "sub", nested) ++
+        el(0x0C, "dbp", b(2, 0, 0, 0) ++ "c".getBytes ++ b(0) ++
+          Array.fill[Byte](12)(3)) ++
+        el(0x0E, "sym", b(2, 0, 0, 0) ++ "s".getBytes ++ b(0)) ++
+        el(0x0F, "cws", cws) ++
         el(0x0A, "nul", Array.emptyByteArray) ++
         el(0x12, "keep", b(5, 0, 0, 0, 0, 0, 0, 0))
     val doc = b(body.length + 5, 0, 0, 0) ++ body ++ b(0)
@@ -128,8 +139,8 @@ class BsonSpec extends SparkSpec {
     val sBody = b(0x02) ++ "x".getBytes ++ b(0) ++ b(2, 0, 0, 0) ++ "a".getBytes ++ b(0)
     assert(boom(b(sBody.length + 5, 0, 0, 0) ++ sBody ++ b(0))
       .getMessage.contains("arrived as"))
-    // unskippable unknown type (0x0C DBPointer, deprecated)
-    val uBody = b(0x0C) ++ "z".getBytes ++ b(0) ++ b(1, 2, 3)
+    // genuinely unknown type byte (0x20 — no BSON assignment)
+    val uBody = b(0x20) ++ "z".getBytes ++ b(0) ++ b(1, 2, 3)
     assert(boom(b(uBody.length + 5, 0, 0, 0) ++ uBody ++ b(0))
       .getMessage.contains("unknown element type"))
     // string payload missing its NUL

@@ -103,6 +103,11 @@ class QoiSpec extends SparkSpec {
     // channels out of spec
     val ch = good.clone(); ch(12) = 5
     assert(boom(ch).getMessage.contains("channels"))
+    // uint32 dims whose product wraps Long must refuse on the DIMS, not
+    // decode one garbage pixel (per-dim guard precedes the multiply)
+    val huge = good.clone()
+    (4 until 12).foreach(i => huge(i) = 0xff.toByte)
+    assert(boom(huge).getMessage.contains("dims"))
   }
 
   test("cross-format invariant: BMP and QOI of the same logical image hash equal") {

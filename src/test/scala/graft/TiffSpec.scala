@@ -66,6 +66,11 @@ class TiffSpec extends SparkSpec {
     // truncated strip data
     assert(intercept[IllegalArgumentException](
       Tiff.decode(good.dropRight(3))).getMessage.contains("truncated"))
+    // RowsPerStrip = 0 refuses, never an unguarded division
+    // entry 8 (ascending tag order) is 278 at offset 8+2+12*7 = 94;
+    // LONG value at 102
+    assert(boom { b => b(102) = 0; b(103) = 0; b(104) = 0; b(105) = 0 }
+      .getMessage.contains("RowsPerStrip"))
   }
 
   test("cross-format invariant: BMP, QOI and TIFF of one logical image hash equal") {

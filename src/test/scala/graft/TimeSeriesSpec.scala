@@ -223,5 +223,12 @@ class TimeSeriesSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](graft.operators.TimeSeries
       .holtSmooth(df, Seq("k"), "t", "y", alpha = 0.3, beta = 0.25))
     assert(e.getMessage.contains("dyadic"))
+    // tied timestamps fold in struct(t, y) order — y ascending: seed 3,
+    // then 5 → l = 0.5*5 + 0.5*3 = 4, b = 0.25*1 = 0.25
+    val tied = Seq(("c", 1L, 5.0), ("c", 1L, 3.0)).toDF("k", "t", "y")
+    val gotTied = graft.operators.TimeSeries
+      .holtSmooth(tied, Seq("k"), "t", "y", alpha = 0.5, beta = 0.25)
+      .as[(String, Long, Double, Double)].collect().head
+    assert(gotTied == (("c", 2L, 4.0, 0.25)))
   }
 }
