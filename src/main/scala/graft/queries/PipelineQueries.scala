@@ -3298,6 +3298,34 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("p")).cast("decimal(18,2)").cast("double").as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    Q("q271_orc_roundtrip",
+      // ORC — the one Spark-native columnar format the inventory had
+      // not exercised (warehouses hand exactly this kind of data over):
+      // lineitem round-trips through an ORC write (snappy, partitioned
+      // by returnflag) and the aggregate runs on the ORC READ path —
+      // predicate pushdown and column pruning included (PlanAuditSpec
+      // asserts the scan shape). The oracle reads the source parquet:
+      // equality proves the round trip preserved every row and value.
+      """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        |FROM lineitem WHERE l_discount >= 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val dir = Q.scratchDir("graft-q271") + "/lineitem_orc"
+      t(s, d, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+        .write.mode("overwrite").option("compression", "snappy")
+        .partitionBy("l_returnflag").orc(dir)
+      s.read.orc(dir)
+        .filter(col("l_discount") >= 0.05)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(col("l_extendedprice")).cast("decimal(18,2)").cast("double")
+            .as("revenue"))
+        .orderBy("l_returnflag")
     }
   )
 }
