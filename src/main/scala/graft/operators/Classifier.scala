@@ -223,4 +223,52 @@ object Classifier {
       .agg(sum(col("sign")).as("wt"))
       .filter(col("wt") =!= 0)
   }
+
+  /** ISOTONIC calibration (PAVA's fit, computed via the exact minimax
+    * characterization): the monotone-nondecreasing step function
+    * closest in L2 to the per-score label means — what turns a
+    * quality classifier's raw scores into honest probabilities
+    * (Zadrozny & Elkan 2002). fitted(i) = max_{k≤i} min_{j≥i}
+    * avg(labels over score ranks k..j) — the closed form of the
+    * pool-adjacent-violators solution, which needs no sequential
+    * pooling loop at all: prefix sums over the DISTINCT-SCORE table,
+    * one O(bins²) range self-join, a per-k suffix-min window and one
+    * hash-agg max. Every avg is ONE division of exact integer sums, so
+    * both engines produce bit-identical doubles (q272's oracle is the
+    * identical construction in SQL).
+    *
+    * Contract: calibration operates on score BINS — the distinct-score
+    * table must be small (the bins² join is the cost); more than 1e5
+    * distinct scores refuses loudly (bin upstream, e.g. round scores
+    * to a grid). Returns (scoreCol, n, p_cal), p_cal nondecreasing in
+    * score.
+    */
+  def isotonicCalibrate(samples: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.orderBy(scoreCol)
+    val bins = samples
+      .groupBy(col(scoreCol))
+      .agg(count(lit(1)).as("w"), sum(col(labelCol).cast("long")).as("sy"))
+      .withColumn("i",
+        when(row_number().over(wAll) <= 100000, row_number().over(wAll))
+          .otherwise(raise_error(lit(
+            "isotonicCalibrate: more than 1e5 distinct scores — bin upstream"))))
+      .withColumn("cw", sum(col("w")).over(wAll))
+      .withColumn("csy", sum(col("sy")).over(wAll))
+      .withColumn("pw", col("cw") - col("w"))
+      .withColumn("psy", col("csy") - col("sy"))
+    val k = bins.select(col("i").as("k"), col("pw"), col("psy"))
+    val j = bins.select(col("i").as("j"), col("cw"), col("csy").as("jcsy"))
+    val pairs = k.join(j, col("k") <= col("j"))
+      .select(col("k"), col("j"),
+        ((col("jcsy") - col("psy")).cast("double") / (col("cw") - col("pw")))
+          .as("a"))
+    val suffixMin = pairs.withColumn("m",
+      min(col("a")).over(Window.partitionBy("k").orderBy(col("j").desc)))
+    val fitted = suffixMin.groupBy(col("j").as("i"))
+      .agg(max(col("m")).as("p_cal"))
+    bins.join(fitted, Seq("i"))
+      .select(col(scoreCol), col("w").as("n"), col("p_cal"))
+  }
 }

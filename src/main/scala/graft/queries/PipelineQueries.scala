@@ -3326,6 +3326,44 @@ object PipelineQueries {
           sum(col("l_extendedprice")).cast("decimal(18,2)").cast("double")
             .as("revenue"))
         .orderBy("l_returnflag")
+    },
+
+    Q("q272_isotonic_calibration",
+      // ISOTONIC calibration (Zadrozny & Elkan 2002,
+      // Classifier.isotonicCalibrate): raw quality scores → honest
+      // monotone probabilities via PAVA's fit, computed through the
+      // minimax closed form (max_{k≤i} min_{j≥i} range-avg) — no
+      // sequential pooling loop, just prefix sums + an O(bins²) range
+      // join + a suffix-min window. The fixture's labels follow
+      // P(label|score) ≈ score/10 with deterministic integer noise, so
+      // real pooling happens; every fitted value is ONE division of
+      // exact integer sums — bit-identical cross-engine.
+      """WITH s AS (
+        |  SELECT least(9, n_chars // 100) AS score,
+        |    CASE WHEN (doc_id * 7) % 10 < least(9, n_chars // 100)
+        |         THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |b AS (SELECT score, count(*) AS w, sum(label) AS sy FROM s GROUP BY 1),
+        |r AS (SELECT score, w, sy,
+        |    row_number() OVER (ORDER BY score) AS i,
+        |    sum(w) OVER (ORDER BY score) AS cw,
+        |    sum(sy) OVER (ORDER BY score) AS csy
+        |  FROM b),
+        |p AS (SELECT kk.i AS k, jj.i AS j,
+        |    (jj.csy - (kk.csy - kk.sy))::DOUBLE / (jj.cw - (kk.cw - kk.w)) AS a
+        |  FROM r kk JOIN r jj ON kk.i <= jj.i),
+        |sm AS (SELECT k, j, min(a) OVER (PARTITION BY k ORDER BY j DESC) AS m
+        |       FROM p),
+        |fit AS (SELECT j AS i, max(m) AS p_cal FROM sm GROUP BY 1)
+        |SELECT r.score AS score, r.w::BIGINT AS n, fit.p_cal AS p_cal
+        |FROM r JOIN fit ON fit.i = r.i ORDER BY score""".stripMargin) { (s, d) =>
+      import graft.operators.Classifier
+      val samples = t(s, d, "documents").select(
+        least(lit(9L), expr("n_chars div 100")).as("score"),
+        when((col("doc_id") * 7) % 10 <
+          least(lit(9L), expr("n_chars div 100")), 1L).otherwise(0L).as("label"))
+      Classifier.isotonicCalibrate(samples, "score", "label")
+        .orderBy("score")
     }
   )
 }

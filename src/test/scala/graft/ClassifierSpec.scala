@@ -96,4 +96,28 @@ class ClassifierSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.operators.Classifier
       .hashedFeatures(docs, "doc_id", "text", nBuckets = 1))
   }
+
+  test("isotonicCalibrate: PAVA pooling on the classic violator case; monotone output") {
+    import spark.implicits._
+    // per-score means [1/2, 0, 1]: the 0.5 > 0 violation pools ranks
+    // 1-2 to 1/3; rank 3 stays 1. Hand-checkable against the minimax
+    // form (and any PAVA reference implementation).
+    val samples = Seq(
+      (1, 1), (1, 0), // score 1: mean 1/2
+      (2, 0), // score 2: mean 0
+      (3, 1)) // score 3: mean 1
+      .toDF("score", "label")
+    val got = graft.operators.Classifier
+      .isotonicCalibrate(samples, "score", "label")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, 2L, 1.0 / 3), (2, 1L, 1.0 / 3), (3, 1L, 1.0)))
+    // weighted case: counts act as weights; already-monotone input is a fixpoint
+    val mono = Seq((1, 0), (1, 0), (2, 1), (2, 0), (3, 1)).toDF("score", "label")
+    val gotM = graft.operators.Classifier
+      .isotonicCalibrate(mono, "score", "label")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(gotM == Seq((1, 2L, 0.0), (2, 2L, 0.5), (3, 1L, 1.0)))
+    // output is nondecreasing by construction
+    assert(gotM.map(_._3) == gotM.map(_._3).sorted)
+  }
 }
