@@ -871,4 +871,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair candidates must come from the band equi-join:\n$p")
   }
+
+  test("q269: count-min build and probe are hash aggregates over equi-joins") {
+    val p = plan("q269_count_min")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sketch cells and probes meet on (r, bucket) equi-joins:\n$p")
+    assert(p.contains("partial_"),
+      s"cell counts must combine map-side:\n$p")
+  }
+
+  test("q271: the ORC read path prunes columns and pushes the discount filter") {
+    val p = plan("q271_orc_roundtrip")
+    assert(p.contains("PushedFilters:") && p.contains("l_discount"),
+      s"the filter must reach the ORC scan:\n$p")
+    assert(!p.contains("l_comment"),
+      s"the ORC scan must not read unwritten/unused columns:\n$p")
+  }
+
+  test("q272: isotonic windows are keyed; only the tiny bins table is ever windowed") {
+    val p = plan("q272_isotonic_calibration")
+    // the suffix-min window partitions by k — never an unpartitioned
+    // window over data-sized input (the bins table is the contract)
+    assert(p.contains("Window"), s"expected the suffix-min window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the range join must stay a (non-cartesian) join on i <= j... " +
+        s"broadcast nested loop over BINS is acceptable, cartesian is not:\n$p")
+  }
 }
