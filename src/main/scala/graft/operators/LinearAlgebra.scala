@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed linear algebra over embedding columns — opening with the
+  * dominant-direction (top principal component of the uncentered second
+  * moment) primitive that "all-but-the-top" embedding post-processing
+  * (Mu & Viswanath, ICLR 2018) and anisotropy audits need.
+  *
+  * EXACTNESS DESIGN — the whole point of this implementation: floating
+  * matvecs are summation-order-dependent and can never hash-match
+  * across engines, so the pipeline is integer end to end:
+  *   1. vectors quantize on the fixed dyadic grid q = floor(x·S + 1/2)
+  *      (S a power of two, so x·S is EXACT for float inputs — no
+  *      double-rounding; both engines floor the identical double);
+  *   2. the second-moment matrix M = Σ q qᵀ is exact integer sums —
+  *      order-independent by construction;
+  *   3. power iteration stays in integers: w = M·v is an integer
+  *      matvec (order-independent), and the rescale that stops
+  *      overflow is an ARITHMETIC SHIFT by k = floor(log2 max|w|) − 20
+  *      (capping components at ~2²¹) — floor-division by a power of
+  *      two, identical in the JVM (>>) and SQL (bin-length for the
+  *      log, >> for the shift), so a static SQL unroll replays every
+  *      round bit for bit (q273).
+  *
+  * Scale shape: the matrix build is one narrow double-explode (dim²
+  * rows per vector) into a map-side-combined hash aggregate of dim²
+  * cells; each round is ONE equi-join (M ⋈ v on j) + one hash
+  * aggregate + a 1-row max collect for the shift decision — the
+  * driver holds only (round, maxabs), never data. Rounds are
+  * lineage-truncated ([[Checkpoints]]). Overflow headroom: |w| ≤
+  * dim · max|M| · 2²¹ — for dim 4096 and billion-row corpora that is
+  * still < 2⁶³ when S = 64 and inputs are unit-scale (documented,
+  * loudly guarded).
+  */
+object LinearAlgebra {
+
+  /** Integer second-moment matrix of a quantized vector column:
+    * (i, j, m) with 1-based indices, m = Σ_rows q_i · q_j.
+    */
+  def secondMoment(vecs: DataFrame, vecCol: String, quantScale: Int): DataFrame = {
+    require(quantScale >= 2 && (quantScale & (quantScale - 1)) == 0,
+      s"quantScale must be a power of two (exact float·scale), got $quantScale")
+    vecs
+      .select(expr(
+        s"transform($vecCol, x -> CAST(floor(x * $quantScale + 0.5D) AS BIGINT))")
+        .as("__qv"))
+      .select(posexplode(col("__qv")).as(Seq("__i0", "qi")), col("__qv"))
+      .select(col("__i0"), col("qi"),
+        posexplode(col("__qv")).as(Seq("__j0", "qj")))
+      .select((col("__i0") + 1).cast("long").as("i"),
+        (col("__j0") + 1).cast("long").as("j"),
+        (col("qi") * col("qj")).as("__p"))
+      .groupBy("i", "j").agg(sum(col("__p")).as("m"))
+  }
+
+  /** Dominant direction of the (uncentered) second moment by integer
+    * power iteration: returns (i, v) — the 1-based component index and
+    * the integer component of the direction estimate after `rounds`
+    * matvec+rescale steps from the all-ones·2²⁰ start. The vector's
+    * SCALE is arbitrary (direction is the object); its sign is
+    * deterministic (fixed start, deterministic arithmetic). Degenerate
+    * all-zero iterates fail loudly.
+    */
+  def dominantDirection(vecs: DataFrame, vecCol: String,
+      rounds: Int = 12, quantScale: Int = 64): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
+    val mm = Checkpoints.truncate(secondMoment(vecs, vecCol, quantScale))
+    // overflow headroom check: dim · max|M| · 2^21 must fit a Long
+    val hdr = mm.agg(max(abs(col("m"))).as("ma"), max(col("i")).as("dim")).head()
+    val (maxM, dim) = (hdr.getLong(0), hdr.getLong(1))
+    require(maxM > 0, "second moment is identically zero")
+    require(maxM <= Long.MaxValue / (dim * (1L << 22)),
+      s"matvec could overflow: dim=$dim, max|M|=$maxM — lower quantScale")
+    var v = Checkpoints.truncate(
+      mm.select(col("i")).distinct().withColumn("v", lit(1L << 20)))
+    (1 to rounds).foreach { _ =>
+      val w = Checkpoints.truncate(
+        mm.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+          .groupBy("i").agg(sum(col("m") * col("v")).as("w")))
+      val maxAbs = w.agg(max(abs(col("w")))).head().getLong(0)
+      if (maxAbs == 0L) throw new IllegalStateException(
+        "power iteration collapsed to the zero vector")
+      // floor(log2 maxAbs) = 63 - nlz; shift down to ~21-bit components
+      val k = (63 - java.lang.Long.numberOfLeadingZeros(maxAbs)) - 20
+      val next = Checkpoints.truncate(
+        if (k > 0) w.select(col("i"), shiftright(col("w"), k).as("v"))
+        else w.select(col("i"), col("w").as("v")))
+      Checkpoints.free(v); Checkpoints.free(w)
+      v = next
+    }
+    Checkpoints.free(mm)
+    v
+  }
+}

@@ -3364,6 +3364,44 @@ object PipelineQueries {
           least(lit(9L), expr("n_chars div 100")), 1L).otherwise(0L).as("label"))
       Classifier.isotonicCalibrate(samples, "score", "label")
         .orderBy("score")
+    },
+
+    Q("q273_dominant_direction", {
+      // DOMINANT DIRECTION of the embedding corpus (the top principal
+      // component of the uncentered second moment — the vector
+      // "all-but-the-top" post-processing removes) by INTEGER power
+      // iteration (LinearAlgebra.dominantDirection): fixed dyadic
+      // quantization grid, exact integer matvecs (order-independent
+      // sums — the property float matvecs can never have), and
+      // arithmetic-shift rescaling whose shift count comes from the
+      // binary length of max|w| — every round replays bit for bit in
+      // SQL, which is exactly what this oracle does (12 static rounds).
+      val rounds = 12
+      val steps = (1 to rounds).map { r =>
+        s"""w$r AS MATERIALIZED (
+           |  SELECT c.i, CAST(sum(c.m * p.v) AS BIGINT) AS w
+           |  FROM cells c JOIN v${r - 1} p ON c.j = p.i GROUP BY 1),
+           |k$r AS (SELECT greatest(length(bin(max(abs(w)))) - 1 - 20, 0) AS k
+           |        FROM w$r),
+           |v$r AS MATERIALIZED (SELECT i, w >> k AS v FROM w$r, k$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |cells AS MATERIALIZED (
+         |  SELECT ii.i AS i, jj.i AS j,
+         |    CAST(sum(qv[ii.i] * qv[jj.i]) AS BIGINT) AS m
+         |  FROM q, idx ii, idx jj GROUP BY 1, 2),
+         |v0 AS (SELECT i, 1048576::BIGINT AS v FROM idx),
+         |$steps
+         |SELECT i, v FROM v$rounds ORDER BY i""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.LinearAlgebra
+      LinearAlgebra.dominantDirection(t(s, d, "embeddings"), "embedding",
+          rounds = 12, quantScale = 64)
+        .orderBy("i")
     }
   )
 }
