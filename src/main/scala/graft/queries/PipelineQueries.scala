@@ -3402,6 +3402,70 @@ object PipelineQueries {
       LinearAlgebra.dominantDirection(t(s, d, "embeddings"), "embedding",
           rounds = 12, quantScale = 64)
         .orderBy("i")
+    },
+
+    Q("q274_all_but_the_top", {
+      // "ALL-BUT-THE-TOP" audit (Mu & Viswanath 2018): every vector's
+      // projection onto the q273 dominant direction and its residual
+      // energy after removing it — the post-processing step that
+      // de-anisotropizes embedding spaces. The direction comes from
+      // the integer power iteration (exact, collected O(dim) to the
+      // driver); the per-vector dot products are first-element-seeded
+      // left folds over double-cast elements (the q73/q99 recipe), and
+      // resid2 = xx − dot²/uu is one shared IEEE tree — raw doubles
+      // hash-match with NO rounding.
+      val rounds = 12
+      val steps = (1 to rounds).map { r =>
+        s"""w$r AS MATERIALIZED (
+           |  SELECT c.i, CAST(sum(c.m * p.v) AS BIGINT) AS w
+           |  FROM cells c JOIN v${r - 1} p ON c.j = p.i GROUP BY 1),
+           |k$r AS (SELECT greatest(length(bin(max(abs(w)))) - 1 - 20, 0) AS k
+           |        FROM w$r),
+           |v$r AS MATERIALIZED (SELECT i, w >> k AS v FROM w$r, k$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |cells AS MATERIALIZED (
+         |  SELECT ii.i AS i, jj.i AS j,
+         |    CAST(sum(qv[ii.i] * qv[jj.i]) AS BIGINT) AS m
+         |  FROM q, idx ii, idx jj GROUP BY 1, 2),
+         |v0 AS (SELECT i, 1048576::BIGINT AS v FROM idx),
+         |$steps,
+         |u AS (SELECT list(CAST(v AS DOUBLE) ORDER BY i) AS ul,
+         |        CAST(sum(v * v) AS BIGINT) AS uu FROM v$rounds),
+         |px AS (SELECT vec_id,
+         |        list_transform(embedding, y -> CAST(y AS DOUBLE)) AS ed
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT px.vec_id,
+         |    (SELECT list_reduce(l, (a, x) -> a + x) FROM (
+         |      SELECT list_transform(generate_series(1, len(px.ed)),
+         |        k -> px.ed[k] * u.ul[k]) AS l)) AS dot,
+         |    (SELECT list_reduce(l, (a, x) -> a + x) FROM (
+         |      SELECT list_transform(generate_series(1, len(px.ed)),
+         |        k -> px.ed[k] * px.ed[k]) AS l)) AS xx,
+         |    u.uu
+         |  FROM px, u)
+         |SELECT vec_id, dot, xx - (dot * dot) / CAST(uu AS DOUBLE) AS resid2
+         |FROM scored ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.LinearAlgebra
+      val e = t(s, d, "embeddings")
+      val uRows = LinearAlgebra.dominantDirection(e, "embedding",
+        rounds = 12, quantScale = 64).orderBy("i").collect()
+      val u = uRows.map(_.getLong(1))
+      val uu = u.map(x => x * x).sum
+      val ul = typedlit(u.map(_.toDouble).toSeq)
+      val dv = transform(col("embedding"), x => x.cast("double"))
+      val dot = Q.seededFold(zip_with(dv, ul, (a, b) => a * b))
+      val xx = Q.seededFold(zip_with(dv, dv, (a, b) => a * b))
+      e.select(col("vec_id"), dot.as("dot"), xx.as("xx"))
+        .select(col("vec_id"), col("dot"),
+          (col("xx") - (col("dot") * col("dot")) / lit(uu.toDouble)).as("resid2"))
+        .orderBy("vec_id")
     }
   )
 }
