@@ -248,6 +248,11 @@ object Classifier {
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.orderBy(scoreCol)
     val bins = samples
+      // a NULL score has no position on the score axis — and the two
+      // engines even ORDER nulls differently (Spark first, DuckDB
+      // last), so admitting them would be a silent cross-engine
+      // divergence, not a semantic: drop them explicitly
+      .filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol))
       .agg(count(lit(1)).as("w"), sum(col(labelCol).cast("long")).as("sy"))
       .withColumn("i",

@@ -69,6 +69,8 @@ object LinearAlgebra {
     val mm = Checkpoints.truncate(secondMoment(vecs, vecCol, quantScale))
     // overflow headroom check: dim · max|M| · 2^21 must fit a Long
     val hdr = mm.agg(max(abs(col("m"))).as("ma"), max(col("i")).as("dim")).head()
+    if (hdr.isNullAt(0)) throw new IllegalArgumentException(
+      "dominantDirection: no vectors (empty input)")
     val (maxM, dim) = (hdr.getLong(0), hdr.getLong(1))
     require(maxM > 0, "second moment is identically zero")
     require(maxM <= Long.MaxValue / (dim * (1L << 22)),
