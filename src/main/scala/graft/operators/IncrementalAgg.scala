@@ -222,6 +222,18 @@ object IncrementalAgg {
     *         groups leave, brand-new groups (e.g. a dimension value the
     *         right feed just introduced) appear.
     */
+  /** The join-view refreshers rename the right input's join key to the
+    * left's name before the using-join; if the right side ALREADY has a
+    * distinct column named like the left key, that rename would create
+    * duplicate column names and an ambiguous join — fail loudly instead.
+    */
+  private def requireNoKeyShadow(
+      right: DataFrame, leftKey: String, rightKey: String): Unit =
+    require(leftKey == rightKey || !right.columns.contains(leftKey),
+      s"right input already carries a column named '$leftKey' distinct " +
+        s"from its join key '$rightKey' — renaming would create an " +
+        "ambiguous duplicate; drop or rename it before the refresh")
+
   def refreshJoinSumCount(
       prevAgg: DataFrame,
       cdfLeft: DataFrame,
@@ -237,6 +249,7 @@ object IncrementalAgg {
         !newRight.columns.contains("change_type"),
       "snapshot inputs must not carry a change_type column — it would " +
         "shadow the feed's sign and silently corrupt the delta algebra")
+    Seq(cdfRight, newRight).foreach(requireNoKeyShadow(_, leftKey, rightKey))
     // sum columns must ride the LEFT (probe/fact) side: a right-carried
     // measure multiplies by the join fan-out and the maintained number
     // would be silently wrong
@@ -329,6 +342,8 @@ object IncrementalAgg {
         !newRight.columns.contains("change_type"),
       "snapshot inputs must not carry a change_type column — it would " +
         "shadow the feed's sign and silently corrupt the delta algebra")
+    Seq(cdfRight, oldRight, newRight)
+      .foreach(requireNoKeyShadow(_, leftKey, rightKey))
     val leftMeasures = sumCols.filterNot(oldLeft.columns.contains)
     require(leftMeasures.isEmpty,
       s"sum column(s) ${leftMeasures.mkString(", ")} are not left-side " +
@@ -395,6 +410,8 @@ object IncrementalAgg {
         .forall(d => !d.columns.contains("change_type")),
       "snapshot inputs must not carry a change_type column — it would " +
         "shadow the feed's sign and silently corrupt the delta algebra")
+    Seq(cdfRight, oldRight, newRight)
+      .foreach(requireNoKeyShadow(_, leftKey, rightKey))
     val leftMeasures = sumCols.filterNot(oldLeft.columns.contains)
     require(leftMeasures.isEmpty,
       s"sum column(s) ${leftMeasures.mkString(", ")} are not left-side " +
@@ -473,6 +490,8 @@ object IncrementalAgg {
         .forall(d => !d.columns.contains("change_type")),
       "snapshot inputs must not carry a change_type column — it would " +
         "shadow the feed's sign and silently corrupt the delta algebra")
+    Seq(cdfRight, oldRight, newRight)
+      .foreach(requireNoKeyShadow(_, leftKey, rightKey))
     val leftMeasures = sumCols.filterNot(oldLeft.columns.contains)
     require(leftMeasures.isEmpty,
       s"sum column(s) ${leftMeasures.mkString(", ")} are not left-side " +
@@ -584,6 +603,10 @@ object IncrementalAgg {
           !d.newDim.columns.contains("change_type")),
       "snapshot inputs must not carry a change_type column — it would " +
         "shadow the feed's sign and silently corrupt the delta algebra")
+    dims.foreach { d =>
+      Seq(d.cdf, d.oldDim, d.newDim)
+        .foreach(requireNoKeyShadow(_, d.factKey, d.dimKey))
+    }
     // the doc's "sum columns come from the FACT" is a THEOREM input, not
     // advice: a dimension-carried measure multiplies by the join fan-out
     // and the telescoping would maintain a silently wrong number

@@ -38,8 +38,41 @@ object LinearAlgebra {
 
   /** Integer second-moment matrix of a quantized vector column:
     * (i, j, m) with 1-based indices, m = Σ_rows q_i · q_j.
+    *
+    * Computed by the per-partition [[graft.functions.GramianAgg]]
+    * accumulator: each partition reduces its vectors into ONE dim²
+    * integer buffer (a primitive while-loop over the quantized array),
+    * so the exchange carries O(partitions) buffers instead of the
+    * dim²-rows-per-vector the previous double-`posexplode` form
+    * generated — at dim 1024–4096 that explode form emitted 1M–16M
+    * codegen rows per input row before the map-side combine.
+    * Integer adds are order-insensitive, so the result is cell-for-cell
+    * identical to the explode form ([[secondMomentExplode]], kept as the
+    * parity witness; GramianParitySpec pins equality).
     */
   def secondMoment(vecs: DataFrame, vecCol: String, quantScale: Int): DataFrame = {
+    require(quantScale >= 2 && (quantScale & (quantScale - 1)) == 0,
+      s"quantScale must be a power of two (exact float·scale), got $quantScale")
+    val gram = udaf(graft.functions.GramianAgg(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    vecs
+      .select(expr(
+        s"transform($vecCol, x -> CAST(floor(x * $quantScale + 0.5D) AS BIGINT))")
+        .as("__qv"))
+      .agg(gram(col("__qv")).as("__g"))
+      .select(col("__g.dim").as("__d"), posexplode(col("__g.cells")).as(Seq("__idx", "m")))
+      .select((expr("__idx div __d") + 1).cast("long").as("i"),
+        (expr("__idx % __d") + 1).cast("long").as("j"), col("m"))
+  }
+
+  /** The original double-`posexplode` formulation of [[secondMoment]] —
+    * retained as the independent parity witness for the accumulator
+    * rewrite (and as the reference semantics for ragged inputs: a cell
+    * exists iff some row covers it). Do NOT use on real embedding dims;
+    * it materializes dim² rows per vector.
+    */
+  private[graft] def secondMomentExplode(
+      vecs: DataFrame, vecCol: String, quantScale: Int): DataFrame = {
     require(quantScale >= 2 && (quantScale & (quantScale - 1)) == 0,
       s"quantScale must be a power of two (exact float·scale), got $quantScale")
     vecs
@@ -73,6 +106,11 @@ object LinearAlgebra {
       "dominantDirection: no vectors (empty input)")
     val (maxM, dim) = (hdr.getLong(0), hdr.getLong(1))
     require(maxM > 0, "second moment is identically zero")
+    // dim must be bounded BEFORE it multiplies into the divisor below —
+    // for dim > 2^41 the product dim·2^22 itself overflows Long and the
+    // overflow guard would silently pass
+    require(dim <= (1L << 20),
+      s"dominantDirection: dim=$dim exceeds 2^20 components")
     require(maxM <= Long.MaxValue / (dim * (1L << 22)),
       s"matvec could overflow: dim=$dim, max|M|=$maxM — lower quantScale")
     var v = Checkpoints.truncate(

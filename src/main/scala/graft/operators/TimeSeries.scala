@@ -338,10 +338,12 @@ object TimeSeries {
           struct(lNew.as("l"),
             (lit(beta) * (lNew - a("l")) + lit(oneMinusB) * a("b")).as("b"))
         }))
-    // n_points routes THROUGH the guard (assert_true yields NULL on
-    // success) so column pruning can never optimize the refusal away
+    // EVERY output routes THROUGH the guard (assert_true yields NULL on
+    // success) so no projection — not even level/trend-only — can prune
+    // the refusal and silently fold a prefix of an over-long series
     folded.select(keyCols.map(col) ++ Seq(
       when(col("__guard").isNull, size(col("__ys")).cast("long")).as("n_points"),
-      col("__st.l").as("level"), col("__st.b").as("trend")): _*)
+      when(col("__guard").isNull, col("__st.l")).as("level"),
+      when(col("__guard").isNull, col("__st.b")).as("trend")): _*)
   }
 }

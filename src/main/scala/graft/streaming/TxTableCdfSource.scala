@@ -211,28 +211,37 @@ class TxTableCdfSource(spark: SparkSession, opts: TxTableCdfSource.Options)
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val fromV = start.map(o => ver(o)).getOrElse(opts.startingVersion - 1L)
     val endV = ver(end)
+    // a vacuum/retention pass can erase part of the commit range the
+    // stream still owes, two ways: the LOG itself pruned past the commit
+    // (touchedPartitions throws), or the log survives but a version's
+    // DATA dirs were vacuumed (the parquet resolution throws
+    // PATH_NOT_FOUND). Both mean the same thing — surface the REMEDY,
+    // not just the replay failure (the classic Delta "history pruned"
+    // failure mode).
+    def historyGone(v: Long, cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"txtable-cdf: commit $v of ${opts.path} is no longer " +
+          "reconstructible (vacuumed past or checkpoint-anchored " +
+          "after it). The table's retention window lapsed while the " +
+          "stream was behind — restart with a fresh checkpoint and " +
+          ".option(\"startingVersion\", <first retained version>), " +
+          "accepting a gap in the feed.", cause)
     val perVersion = ((fromV + 1L) to endV).flatMap { v =>
       val touched =
         try TxTable.touchedPartitions(opts.path, v)
-        catch {
-          case e: IllegalArgumentException =>
-            // a vacuum/retention pass erased part of the commit range the
-            // stream still owes — surface the REMEDY, not just the replay
-            // failure (the classic Delta "history pruned" failure mode)
-            throw new IllegalStateException(
-              s"txtable-cdf: commit $v of ${opts.path} is no longer " +
-                "reconstructible (vacuumed past or checkpoint-anchored " +
-                "after it). The table's retention window lapsed while the " +
-                "stream was behind — restart with a fresh checkpoint and " +
-                ".option(\"startingVersion\", <first retained version>), " +
-                "accepting a gap in the feed.", e)
-        }
+        catch { case e: IllegalArgumentException => historyGone(v, e) }
       val parts = opts.partitions.fold(touched)(scope => touched.filter(scope.contains))
       if (parts.isEmpty) None // content-neutral or out-of-scope commit
-      else Some(
-        TxTable.changeDataFeed(spark, opts.path, v - 1, v, opts.keyCol,
-            cmpCols, opts.keys, opts.order, Some(parts))
-          .withColumn("_commit_version", lit(v)))
+      else
+        try Some(
+          TxTable.changeDataFeed(spark, opts.path, v - 1, v, opts.keyCol,
+              cmpCols, opts.keys, opts.order, Some(parts))
+            .withColumn("_commit_version", lit(v)))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("PATH_NOT_FOUND") =>
+            historyGone(v, e)
+        }
     }
     val batch = perVersion.reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(
