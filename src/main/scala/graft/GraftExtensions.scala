@@ -71,6 +71,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.HashExpressions.litInt(exprs(1), "cdc_bounds", "window"),
         graft.functions.HashExpressions.litInt(exprs(2), "cdc_bounds", "modulus"),
         graft.functions.HashExpressions.litInt(exprs(3), "cdc_bounds", "minLen"))))
+    ext.injectFunction((
+      FunctionIdentifier("image_dhash"),
+      info("image_dhash",
+        "image_dhash(payload) - 64-bit dHash of an encoded image (BMP/PNG/JPEG/GIF/QOI/TIFF), NULL if undecodable"),
+      (exprs: Seq[Expression]) => graft.functions.ImageDHash(exprs.head)))
+    // ACID-table reads as table-valued functions: FROM txtable_merged(...)
+    graft.functions.TxTableTvf.all.foreach { case (name, usage, builder) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name), info(name, usage), builder))
+    }
     // optimizer rule: banded rewrite of levenshtein threshold predicates
     ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRewrite)
   }

@@ -564,6 +564,13 @@ object GraftFunctions {
         HashExpressions.litInt(exprs(1), "cdc_bounds", "window"),
         HashExpressions.litInt(exprs(2), "cdc_bounds", "modulus"),
         HashExpressions.litInt(exprs(3), "cdc_bounds", "minLen")), "built-in")
+    registry.createOrReplaceTempFunction(
+      "image_dhash", exprs => ImageDHash(exprs.head), "built-in")
+    // ACID-table reads as table-valued functions: FROM txtable_merged(...)
+    val tvf = spark.sessionState.tableFunctionRegistry
+    TxTableTvf.all.foreach { case (name, _, builder) =>
+      tvf.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

@@ -491,6 +491,36 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       threshold: Double): Admission = {
+    // eager localCheckpoint TRUNCATES LINEAGE before the append: a mere
+    // persist+count could still recompute an evicted partition against
+    // the grown index (batch rows would then self-match)
+    val rejected = semDedupDecisions(spark, path, batch, idCol, vecCol,
+      threshold).localCheckpoint(true)
+    val admitted = batch.join(
+        rejected.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    ivfAppendIndex(spark, path, admitted, idCol, vecCol)
+    new Admission(admitted, rejected)
+  }
+
+  /** The DECISION phase of [[semDedupAdmit]], a pure function of (saved
+    * index, batch) with no side effects: (idCol, keep_witness,
+    * witness_in) for every rejected batch row. Split out because the
+    * decisions are fully deterministic GIVEN the index artifacts —
+    * trained cells are not SQL-replayable (k-means), but cell
+    * ASSIGNMENT is an argmax over the saved centroid table and the
+    * witness is a min over the saved inverted lists, so an oracle that
+    * reads the same parquet artifacts replays every decision exactly
+    * (q202b). [[semDedupAdmit]] = these decisions + the O(batch) append
+    * of the survivors.
+    */
+  def semDedupDecisions(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
     val (cents, lists) = ivfLoadIndex(spark, path)
     val probed = batch.select(col(idCol), col(vecCol),
       assignCell(col(vecCol), cents).as("__cell"))
@@ -513,15 +543,7 @@ object SimilaritySearch {
         assignCell(col(vecCol), cents), threshold)
       .select(col("removed").as(idCol), col("keep_witness"))
       .withColumn("witness_in", lit("batch"))
-    // eager localCheckpoint TRUNCATES LINEAGE before the append: a mere
-    // persist+count could still recompute an evicted partition against
-    // the grown index (batch rows would then self-match)
-    val rejected = corpusRejected.unionByName(batchRejected).localCheckpoint(true)
-    val admitted = afterCorpus.join(
-        batchRejected.select(col(idCol)), Seq(idCol), "left_anti")
-      .localCheckpoint(true)
-    ivfAppendIndex(spark, path, admitted, idCol, vecCol)
-    new Admission(admitted, rejected)
+    corpusRejected.unionByName(batchRejected)
   }
 
   /** End-to-end SemDeDup with TRAINED cells: spherical-k-means IVF

@@ -755,6 +755,59 @@ object ExtendedQueries {
         .orderBy("vec_id")
     },
 
+    Q("q202b_semdedup_index_decisions",
+      // VERDICT r13 task #7 — the saved-index admission DECISIONS,
+      // oracle-paired: trained cells are not SQL-replayable (k-means),
+      // but GIVEN the saved index artifacts every decision is — cell
+      // assignment is an argmax over the centroids parquet, the corpus
+      // witness a min over the cell's inverted list, intra-batch
+      // keep-first the q193/q201 min-witness algebra. The oracle reads
+      // the SAME parquet artifacts the Spark run wrote (fixed path:
+      // Verify runs before the DuckDB oracles) and replays all three.
+      // Unlike q202 this query does NOT append (pure decisions), so the
+      // artifacts the oracle reads are exactly what the query probed.
+      s"""WITH cents AS (
+        |  SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q202b_idx/centroids/*.parquet')),
+        |lists AS (
+        |  SELECT neighbor_id, __cvec, CAST(__cell AS INT) AS cell
+        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q202b_idx/lists/*/*.parquet',
+        |                    hive_partitioning = 1)),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 4),
+        |bc AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT b.vec_id, b.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY b.vec_id
+        |        ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+        |          c.cell) AS rn
+        |    FROM b CROSS JOIN cents c) WHERE rn = 1),
+        |corp_rej AS (
+        |  SELECT bc.vec_id, min(l.neighbor_id) AS keep_witness, 'corpus' AS witness_in
+        |  FROM bc JOIN lists l ON l.cell = bc.cell
+        |  WHERE list_cosine_similarity(bc.embedding::DOUBLE[], l.__cvec::DOUBLE[]) >= 0.35
+        |  GROUP BY bc.vec_id),
+        |surv AS (SELECT * FROM bc WHERE vec_id NOT IN (SELECT vec_id FROM corp_rej)),
+        |batch_rej AS (
+        |  SELECT s.vec_id, min(a.vec_id) AS keep_witness, 'batch' AS witness_in
+        |  FROM surv s JOIN surv a ON a.cell = s.cell AND a.vec_id < s.vec_id
+        |  WHERE list_cosine_similarity(s.embedding::DOUBLE[], a.embedding::DOUBLE[]) >= 0.35
+        |  GROUP BY s.vec_id)
+        |SELECT vec_id, keep_witness, witness_in FROM corp_rej
+        |UNION ALL SELECT vec_id, keep_witness, witness_in FROM batch_rej
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val path = Q.oracleArtifactDir("q202b_idx")
+      val corpus = emb.filter(col("vec_id") % 5 < 4)
+      val (cents, assigned) = SimilaritySearch.ivfBuildIndex(
+        corpus, "vec_id", "embedding", nCells = 16, iters = 3)
+      SimilaritySearch.ivfSaveIndex(path, cents, assigned)
+      SimilaritySearch.semDedupDecisions(
+          s, path, emb.filter(col("vec_id") % 5 === 4),
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy("vec_id")
+    },
+
     Q("q176_retrieval_eval",
       // retrieval-quality gate: recall@5 / MRR / nDCG@5 of the exact
       // top-5 run (q40's scoring chain) against same-label relevance —

@@ -61,6 +61,21 @@ object Q {
     dir.toString
   }
 
+  /** A scratch directory at a FIXED absolute path that SURVIVES this JVM:
+    * for queries whose oracle SQL must read back an artifact the query
+    * wrote (q202b's saved IVF index — the driver runs Verify first, then
+    * the DuckDB oracles in a separate process, so the path has to be
+    * static in the SQL text and the files still on disk). Cleared on
+    * every call like [[scratchDir]], never deleted at exit: steady-state
+    * disk is one copy per name.
+    */
+  def oracleArtifactDir(name: String): String = {
+    val dir = new java.io.File(s"/tmp/graft_oracle_artifacts/$name")
+    Option(dir.listFiles()).toSeq.flatten.foreach(rmTree)
+    dir.mkdirs()
+    dir.toString
+  }
+
   /** Read one of the driver-generated test tables (TESTDATA.md).
     *
     * The `events.ts` physical encoding has varied across testdata

@@ -42,6 +42,15 @@ class UdafExtensionsSpec extends SparkSpec {
           |  rolling_hash('abc') AS h""".stripMargin).collect().head
       assert(r.getDouble(0) == 1.0)
       assert(r.getLong(2) == 96354L)
+      // image_dhash resolves (NULL on non-image bytes, no exception)
+      assert(ext.sql("SELECT image_dhash(CAST('x' AS BINARY)) AS d")
+        .collect().head.isNullAt(0))
+      // the txtable_* table-valued functions are injected too
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      graft.functions.TxTableTvf.all.foreach { case (name, _, _) =>
+        assert(ext.sessionState.tableFunctionRegistry
+          .functionExists(FunctionIdentifier(name)), s"$name missing")
+      }
     } finally {
       // leave the default session as the suite's session
       SparkSession.setDefaultSession(spark)
