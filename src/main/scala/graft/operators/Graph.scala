@@ -225,4 +225,73 @@ object Graph {
     Checkpoints.free(bidir)
     labels
   }
+
+  /** Weighted single-source (well, multi-source) shortest paths by
+    * synchronous Bellman-Ford relaxation — the weighted completion of
+    * [[bfsDistances]] (SURVEY §2.11 graph family): per round, every
+    * settled node relaxes its out-edges (state ⋈ edges equi-join →
+    * candidate (v, dist_u + w)), then one hash aggregate takes the min
+    * per node over old + candidate distances. INTEGER weights by
+    * contract: integer min/plus is order-insensitive, so the result is
+    * replay-stable across engines and partitionings (float weights
+    * would tie-break nondeterministically) — the same exactness seam as
+    * the rest of the graph family, and what lets the oracle unroll the
+    * identical rounds in SQL (q275).
+    *
+    * Runs at most `maxRounds` rounds, stopping EARLY at the fixpoint
+    * (no distance improved). Early exit preserves round-unrolled oracle
+    * parity: once no round changes anything, further rounds are
+    * identity, so stopping at the fixpoint equals running all
+    * `maxRounds` rounds. Bellman-Ford needs |V|−1 rounds in the worst
+    * case; a bounded `maxRounds` yields the correct distance for every
+    * node within that many hops (documented partial-frontier contract,
+    * as [[bfsDistances]]).
+    *
+    * Scale shape: each round is ONE equi-join + ONE hash aggregate over
+    * the O(V) state — no windows, no driver data paths beyond the
+    * per-round 1-row change count; rounds are lineage-truncated.
+    * Negative weights are REFUSED (undirected interpretation makes any
+    * negative edge a negative cycle).
+    *
+    * @return (node, dist) for every node reachable within `maxRounds`
+    *         hops of a source; unreachable nodes are absent.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, sources: DataFrame, sourceCol: String,
+      maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    val und = edges.select(
+        col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      // parallel edges: only the lightest can ever matter
+      .groupBy("a", "b").agg(min(col("w")).as("w"))
+    val bidir = Checkpoints.truncate(
+      und.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v"), col("w"))))
+    val negs = bidir.filter(col("w") < 0).limit(1).count()
+    require(negs == 0L,
+      "shortestPaths: negative edge weight — an undirected negative " +
+        "edge is a negative cycle; distances would be unbounded")
+    var state = Checkpoints.truncate(
+      sources.select(col(sourceCol).cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0L)))
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0) {
+      round += 1
+      val relaxed = state.join(bidir, col("node") === col("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = Checkpoints.truncate(
+        state.unionAll(relaxed).groupBy("node").agg(min(col("dist")).as("dist")))
+      // fixpoint test: any (node, dist) not already in the old state —
+      // O(state) anti-join, result is the 1-row count the driver holds
+      changed = next.join(state, Seq("node", "dist"), "left_anti")
+        .limit(1).count()
+      Checkpoints.free(state)
+      state = next
+    }
+    Checkpoints.free(bidir)
+    state
+  }
 }

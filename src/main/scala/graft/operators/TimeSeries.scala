@@ -346,4 +346,89 @@ object TimeSeries {
       when(col("__guard").isNull, col("__st.l")).as("level"),
       when(col("__guard").isNull, col("__st.b")).as("trend")): _*)
   }
+
+  /** HOLT-WINTERS additive triple exponential smoothing (level + trend +
+    * seasonality of period `m`) per key — the seasonal completion of
+    * [[holtSmooth]], with the same engine-replayability contract: dyadic
+    * α/β/γ, identical IEEE expression trees in identical t-order, so an
+    * oracle replays the fold bit-for-bit (q276).
+    *
+    * PINNED recurrence (a documented convention, chosen for exact
+    * replayability — not a claim of matching any library's
+    * initialization heuristics): seed l = y₁, b = 0, every seasonal
+    * slot 0; for t ≥ 2 with sPrev = the seasonal written at t − m
+    * (0 until one full period has passed):
+    *   l' = α·(y_t − sPrev) + (1−α)·(l + b)
+    *   b' = β·(l' − l) + (1−β)·b
+    *   s' = γ·(y_t − l − b) + (1−γ)·sPrev      (pre-update l, b)
+    * Seasonals live in a FIXED circular buffer of length m (the slot
+    * being overwritten at step t is exactly the one holding s_{t−m}),
+    * so fold state is O(m) and per-step work O(m) — no quadratic
+    * append. Output per key: n_points, level, trend, s_last (the
+    * seasonal written at the final step) and forecast_next =
+    * level + trend + the upcoming slot's seasonal.
+    *
+    * Same scale posture and 1e6-point refusal as [[holtSmooth]]; every
+    * output column routes through the guard.
+    */
+  def holtWintersSmooth(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tCol: String,
+      yCol: String,
+      alpha: Double,
+      beta: Double,
+      gamma: Double,
+      m: Int): DataFrame = {
+    def dyadicOk(x: Double): Boolean =
+      x > 0 && x < 1 && (x * 4096.0) == Math.rint(x * 4096.0)
+    require(dyadicOk(alpha) && dyadicOk(beta) && dyadicOk(gamma),
+      s"alpha/beta/gamma must be dyadic in (0,1) with denominator <= 4096 " +
+        s"(got $alpha, $beta, $gamma) — anything else breaks IEEE parity")
+    require(m >= 2 && m <= 1024, s"period m must be in [2,1024], got $m")
+    val oneMinusA = 1.0 - alpha
+    val oneMinusB = 1.0 - beta
+    val oneMinusG = 1.0 - gamma
+    val sorted = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(tCol).as("t"),
+        col(yCol).cast("double").as("y")))).as("__ser"))
+    val seed = struct(
+      element_at(col("__ys"), 1).as("l"), lit(0.0).as("b"),
+      lit(1L).as("t"), array_repeat(lit(0.0), m).as("ss"))
+    val folded = sorted
+      .withColumn("__ys", expr("transform(__ser, p -> p.y)"))
+      .withColumn("__guard", expr(
+        "assert_true(size(__ys) < 1000000, " +
+          "'holtWintersSmooth: series exceeds 1e6 points — bound upstream')"))
+      .withColumn("__st",
+        aggregate(slice(col("__ys"), 2, 1000000), seed, (a, x) => {
+          val tNext = a("t") + 1
+          // circular slot for step tNext (0-based): (tNext - 1) mod m —
+          // holds s_{tNext − m}, and is overwritten with s_{tNext}
+          val pos0 = pmod(tNext - 1, lit(m.toLong)).cast("int")
+          val sPrev = element_at(a("ss"), pos0 + 1)
+          val lNew = lit(alpha) * (x - sPrev) + lit(oneMinusA) * (a("l") + a("b"))
+          val sNew = lit(gamma) * (x - a("l") - a("b")) + lit(oneMinusG) * sPrev
+          struct(
+            lNew.as("l"),
+            (lit(beta) * (lNew - a("l")) + lit(oneMinusB) * a("b")).as("b"),
+            tNext.as("t"),
+            transform(a("ss"), (s, j) =>
+              when(j === pos0, sNew).otherwise(s)).as("ss"))
+        }))
+    val n = size(col("__ys")).cast("long")
+    // slot arithmetic on the FINAL state: last written slot = (n−1) mod m;
+    // the upcoming step's slot = n mod m (holds s_{n+1−m})
+    val lastPos0 = pmod(n - 1, lit(m.toLong)).cast("int")
+    val nextPos0 = pmod(n, lit(m.toLong)).cast("int")
+    folded.select(keyCols.map(col) ++ Seq(
+      when(col("__guard").isNull, n).as("n_points"),
+      when(col("__guard").isNull, col("__st.l")).as("level"),
+      when(col("__guard").isNull, col("__st.b")).as("trend"),
+      when(col("__guard").isNull,
+        element_at(col("__st.ss"), lastPos0 + 1)).as("s_last"),
+      when(col("__guard").isNull, col("__st.l") + col("__st.b") +
+        element_at(col("__st.ss"), nextPos0 + 1)).as("forecast_next")): _*)
+  }
 }

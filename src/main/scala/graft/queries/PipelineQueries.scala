@@ -2950,6 +2950,52 @@ object PipelineQueries {
         .orderBy("node")
     },
 
+    Q("q275_weighted_shortest_paths", {
+      // weighted multi-source shortest paths (Graph.shortestPaths) on
+      // the q259 graph with INTEGER edge weights 1 + l_partkey % 7 —
+      // Bellman-Ford relaxation, synchronous rounds, integer min/plus
+      // (order-insensitive → engine-replayable; float weights would
+      // tie nondeterministically). The oracle unrolls the identical
+      // recurrence: d_i = per-node min over d_{i-1} ∪ relax(d_{i-1});
+      // the engine's early fixpoint exit is oracle-neutral (post-
+      // fixpoint rounds are identity). Parallel edges collapse to
+      // their min weight on BOTH sides.
+      val rounds = 6
+      val steps = (1 to rounds).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM r${i - 1}
+           |    UNION ALL
+           |    SELECT e.v AS node, r.dist + e.w AS dist
+           |    FROM r${i - 1} r JOIN bidir e ON e.u = r.node)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT a, b, min(w) AS w FROM (
+         |    SELECT l_orderkey % 50021 AS a,
+         |           50021 + (l_partkey * 7) % 49999 AS b,
+         |           1 + l_partkey % 7 AS w
+         |    FROM lineitem) GROUP BY a, b),
+         |bidir AS MATERIALIZED (
+         |  SELECT a AS u, b AS v, w FROM e
+         |  UNION ALL SELECT b, a, w FROM e),
+         |r0 AS MATERIALIZED (
+         |  SELECT DISTINCT a AS node, 0 AS dist FROM e WHERE a % 977 = 0),
+         |$steps
+         |SELECT node, dist::BIGINT AS dist FROM r$rounds
+         |ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val edges = t(s, d, "lineitem").select(
+        (col("l_orderkey") % 50021).as("src"),
+        (lit(50021) + (col("l_partkey") * 7) % 49999).as("dst"),
+        (lit(1) + col("l_partkey") % 7).as("w"))
+      val sources = edges.select(col("src").as("n"))
+        .filter(col("n") % 977 === 0).distinct()
+      Graph.shortestPaths(edges, "src", "dst", "w", sources, "n",
+          maxRounds = 6)
+        .orderBy("node")
+    },
+
     Q("q260_label_propagation", {
       // synchronous label propagation (Raghavan 2007) made
       // deterministic — most-frequent neighbor label, ties to the
@@ -3114,6 +3160,52 @@ object PipelineQueries {
           alpha = 0.5, beta = 0.25)
         .select(col("event_type"), col("n_points"), col("level"), col("trend"),
           (col("level") + lit(3.0) * col("trend")).as("forecast3"))
+        .orderBy("event_type")
+    },
+
+    Q("q276_holt_winters_seasonal", {
+      // HOLT-WINTERS additive triple smoothing (level + trend +
+      // 24-slot seasonality) over hourly counts — the seasonal
+      // completion of q264, same parity recipe: dyadic α/β/γ, one
+      // pinned recurrence (seed l = y₁, b = 0, seasonals 0; pre-update
+      // l,b in the seasonal step), identical IEEE trees in identical
+      // t-order. The seasonal state is a FIXED 24-slot circular
+      // buffer; the oracle updates it with DuckDB's indexed
+      // list_transform inside the same recursive CTE (every element
+      // ::DOUBLE — bare 0.0 literals would fold as DECIMAL and break
+      // IEEE parity).
+      val m = 24
+      val zeros = Seq.fill(m)("0.0::DOUBLE").mkString("[", ", ", "]")
+      val sPrev = s"ss[(i % $m) + 1]"
+      val lNew = s"0.5::DOUBLE * (ys[i + 1] - $sPrev) + 0.5::DOUBLE * (l + b)"
+      s"""WITH RECURSIVE h AS (
+         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         |    count(*)::DOUBLE AS y
+         |  FROM events GROUP BY 1, 2),
+         |ser AS (SELECT event_type, array_agg(y ORDER BY hr) AS ys
+         |        FROM h GROUP BY 1),
+         |f AS (
+         |  SELECT event_type, 1 AS i, len(ys) AS n, ys,
+         |    ys[1]::DOUBLE AS l, 0.0::DOUBLE AS b, $zeros AS ss
+         |  FROM ser
+         |  UNION ALL
+         |  SELECT event_type, i + 1, n, ys,
+         |    $lNew,
+         |    0.25::DOUBLE * (($lNew) - l) + 0.75::DOUBLE * b,
+         |    list_transform(ss, (x, j) -> CASE WHEN j = (i % $m) + 1
+         |      THEN 0.25::DOUBLE * (ys[i + 1] - l - b) + 0.75::DOUBLE * $sPrev
+         |      ELSE x END)
+         |  FROM f WHERE i < n)
+         |SELECT event_type, n::BIGINT AS n_points, l AS level, b AS trend,
+         |  ss[((n - 1) % $m) + 1] AS s_last,
+         |  l + b + ss[(n % $m) + 1] AS forecast_next
+         |FROM f WHERE i = n ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      TimeSeries.holtWintersSmooth(hourly, Seq("event_type"), "hr", "y",
+          alpha = 0.5, beta = 0.25, gamma = 0.25, m = 24)
         .orderBy("event_type")
     },
 

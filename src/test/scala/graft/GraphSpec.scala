@@ -168,4 +168,37 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(r0 == (1L to 6L).map(v => v -> v).toMap)
   }
+
+  test("shortestPaths: weighted distances beat hop-count paths; parallel edges take the min") {
+    // 0-1 (w 10) vs 0-2-1 (w 1+2=3): the 2-hop path must win; the
+    // duplicated 0-2 edge (w 5) must lose to its w 1 twin
+    val edges = Seq((0L, 1L, 10L), (0L, 2L, 1L), (0L, 2L, 5L),
+      (2L, 1L, 2L), (1L, 3L, 1L))
+    val got = Graph.shortestPaths(edges.toDF("s", "d", "w"), "s", "d", "w",
+        Seq(0L).toDF("n"), "n", maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 2L -> 1L, 1L -> 3L, 3L -> 4L))
+  }
+
+  test("shortestPaths: early fixpoint exit equals the full round count; bounded rounds are partial") {
+    val chain = (0L until 8L).map(i => (i, i + 1, 2L))
+    def run(r: Int) = Graph.shortestPaths(chain.toDF("s", "d", "w"),
+        "s", "d", "w", Seq(0L).toDF("n"), "n", maxRounds = r)
+      .as[(Long, Long)].collect().toMap
+    // diameter 8: fixpoint at round 8, and a huge budget changes nothing
+    assert(run(8) == run(50))
+    assert(run(50) == (0L to 8L).map(i => i -> 2 * i).toMap)
+    // 3 rounds: exactly the 3-hop horizon is settled
+    assert(run(3) == (0L to 3L).map(i => i -> 2 * i).toMap)
+  }
+
+  test("shortestPaths: negative weights and negative rounds refuse loudly") {
+    val e = intercept[IllegalArgumentException](
+      Graph.shortestPaths(Seq((0L, 1L, -1L)).toDF("s", "d", "w"),
+        "s", "d", "w", Seq(0L).toDF("n"), "n", maxRounds = 3))
+    assert(e.getMessage.contains("negative"))
+    intercept[IllegalArgumentException](
+      Graph.shortestPaths(Seq((0L, 1L, 1L)).toDF("s", "d", "w"),
+        "s", "d", "w", Seq(0L).toDF("n"), "n", maxRounds = -1))
+  }
 }

@@ -231,4 +231,53 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(String, Long, Double, Double)].collect().head
     assert(gotTied == (("c", 2L, 4.0, 0.25)))
   }
+
+  test("holtWintersSmooth: hand-folded level/trend/seasonal on a period-2 series") {
+    // m = 2, alpha = beta = gamma = 1/2; series 10, 14, 10, 14:
+    // seed: l=10 b=0 ss=[0,0]
+    // t=2 (slot 1): sPrev=0  l=.5*14+.5*10=12        b=.5*2+0=1    s=.5*(14-10)+0=2
+    // t=3 (slot 0): sPrev=0  l=.5*10+.5*13=11.5      b=.5*(-.5)+.5=.25  s=.5*(10-13)=-1.5
+    // t=4 (slot 1): sPrev=2  l=.5*12+.5*11.75=11.875 b=.5*.375+.125=.3125
+    //               s=.5*(14-11.75)+.5*2=2.125
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 14.0), ("a", 3L, 10.0),
+      ("a", 4L, 14.0)).toDF("k", "t", "y")
+    val got = graft.operators.TimeSeries
+      .holtWintersSmooth(df, Seq("k"), "t", "y", 0.5, 0.5, 0.5, m = 2)
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    // s_last = slot of t=4; forecast_next = l + b + slot of t=5 (slot 0)
+    assert(got == (("a", 4L, 11.875, 0.3125, 2.125, 11.875 + 0.3125 - 1.5)))
+    // out-of-order rows fold identically in t order
+    val got2 = graft.operators.TimeSeries
+      .holtWintersSmooth(df.orderBy(expr("-t")), Seq("k"), "t", "y",
+        0.5, 0.5, 0.5, m = 2)
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    assert(got2 == got)
+    // single point: seed only, all seasonals still 0
+    val one = Seq(("b", 1L, 7.0)).toDF("k", "t", "y")
+    val g1 = graft.operators.TimeSeries
+      .holtWintersSmooth(one, Seq("k"), "t", "y", 0.5, 0.25, 0.25, m = 4)
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    assert(g1 == (("b", 1L, 7.0, 0.0, 0.0, 7.0)))
+    // non-dyadic gamma and out-of-range period refuse loudly
+    intercept[IllegalArgumentException](graft.operators.TimeSeries
+      .holtWintersSmooth(df, Seq("k"), "t", "y", 0.5, 0.5, 0.3, m = 2))
+    intercept[IllegalArgumentException](graft.operators.TimeSeries
+      .holtWintersSmooth(df, Seq("k"), "t", "y", 0.5, 0.5, 0.5, m = 1))
+  }
+
+  test("holtWintersSmooth: a pure period-m signal is absorbed into the seasonals") {
+    // strict square wave 0/8 with period 2 over many cycles: the level
+    // settles near the mean, the trend near 0, and the seasonal pair
+    // carries the oscillation
+    val rows = (1 to 40).map(t => ("a", t.toLong, if (t % 2 == 0) 8.0 else 0.0))
+    val got = graft.operators.TimeSeries
+      .holtWintersSmooth(rows.toDF("k", "t", "y"), Seq("k"), "t", "y",
+        0.25, 0.125, 0.5, m = 2)
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    val (_, n, level, trend, sLast, _) = got
+    assert(n == 40L)
+    assert(math.abs(level - 4.0) < 1.5, s"level $level should be near the mean 4")
+    assert(math.abs(trend) < 0.3, s"trend $trend should be near 0")
+    assert(sLast > 2.0, s"even-slot seasonal $sLast should carry the +4 swing")
+  }
 }
