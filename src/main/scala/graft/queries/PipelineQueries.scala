@@ -3209,6 +3209,88 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    Q("q277_interval_merge",
+      // interval UNION per key (Intervals.mergeIntervals): shipping
+      // activity spells [shipdate, shipdate + 1 + l_partkey % 5 days]
+      // per order bucket, overlapping/touching spells merged into
+      // maximal intervals. Integer epoch-day arithmetic end to end —
+      // the sweep (running-max flag → running-sum group id → min/max
+      // per group) replays exactly in SQL window functions. ~30 spells
+      // of 1-5 days per key over six years: real merges AND real gaps.
+      """WITH iv AS (
+        |  SELECT l_orderkey % 2000 AS k,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      + 1 + l_partkey % 5 AS e
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT k, s, e,
+        |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM iv
+        |  WINDOW w AS (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (
+        |  SELECT k, s, e, sum(nw) OVER (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM f)
+        |SELECT k, min(s)::BIGINT AS interval_start,
+        |  max(e)::BIGINT AS interval_end, count(*)::BIGINT AS n_source
+        |FROM g GROUP BY k, grp
+        |ORDER BY k, interval_start""".stripMargin) { (s, d) =>
+      import graft.operators.Intervals
+      val iv = t(s, d, "lineitem").select(
+        (col("l_orderkey") % 2000).as("k"),
+        Intervals.epochDays(col("l_shipdate")).cast("long").as("s"),
+        (Intervals.epochDays(col("l_shipdate")).cast("long")
+          + 1 + col("l_partkey") % 5).as("e"))
+      Intervals.mergeIntervals(iv, Seq("k"), "s", "e")
+        .orderBy("k", "interval_start")
+    },
+
+    Q("q278_interval_coverage",
+      // the coverage summary over q277's merged intervals: per key the
+      // merged-interval count, total covered days Σ(end − start) and
+      // the largest inter-interval gap (NULL when one interval covers
+      // the key — integer date arithmetic keeps all three exact).
+      """WITH iv AS (
+        |  SELECT l_orderkey % 2000 AS k,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      + 1 + l_partkey % 5 AS e
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT k, s, e,
+        |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM iv
+        |  WINDOW w AS (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (
+        |  SELECT k, s, e, sum(nw) OVER (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM f),
+        |m AS (
+        |  SELECT k, min(s) AS ivs, max(e) AS ive
+        |  FROM g GROUP BY k, grp),
+        |mg AS (
+        |  SELECT k, ivs, ive,
+        |    ivs - lag(ive) OVER (PARTITION BY k ORDER BY ivs) AS gap
+        |  FROM m)
+        |SELECT k, count(*)::BIGINT AS n_intervals,
+        |  sum(ive - ivs)::BIGINT AS covered, max(gap)::BIGINT AS max_gap
+        |FROM mg GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      import graft.operators.Intervals
+      val iv = t(s, d, "lineitem").select(
+        (col("l_orderkey") % 2000).as("k"),
+        Intervals.epochDays(col("l_shipdate")).cast("long").as("s"),
+        (Intervals.epochDays(col("l_shipdate")).cast("long")
+          + 1 + col("l_partkey") % 5).as("e"))
+      Intervals.coverage(iv, Seq("k"), "s", "e")
+        .select(col("k"), col("n_intervals"), col("covered"), col("max_gap"))
+        .orderBy("k")
+    },
+
     Q("q267_hashed_features",
       // the HASHING TRICK (Weinberger 2009, Classifier.hashedFeatures):
       // vocabulary-free signed-bucket featurization — each token lands
