@@ -76,6 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("image_dhash",
         "image_dhash(payload) - 64-bit dHash of an encoded image (BMP/PNG/JPEG/GIF/QOI/TIFF), NULL if undecodable"),
       (exprs: Seq[Expression]) => graft.functions.ImageDHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (p=0.1, prefix<=4, 0.7 boost threshold)"),
+      (exprs: Seq[Expression]) => graft.functions.JaroWinkler(exprs(0), exprs(1))))
     // ACID-table reads as table-valued functions: FROM txtable_merged(...)
     graft.functions.TxTableTvf.all.foreach { case (name, usage, builder) =>
       ext.injectTableFunction((

@@ -566,6 +566,8 @@ object GraftFunctions {
         HashExpressions.litInt(exprs(3), "cdc_bounds", "minLen")), "built-in")
     registry.createOrReplaceTempFunction(
       "image_dhash", exprs => ImageDHash(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
     // ACID-table reads as table-valued functions: FROM txtable_merged(...)
     val tvf = spark.sessionState.tableFunctionRegistry
     TxTableTvf.all.foreach { case (name, _, builder) =>
@@ -592,4 +594,6 @@ object GraftFunctions {
   def textCanonicalize(text: Column): Column = call_function("text_canonicalize", text)
   def cdcBounds(text: Column, window: Int, modulus: Int, minLen: Int): Column =
     call_function("cdc_bounds", text, lit(window), lit(modulus), lit(minLen))
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
 }

@@ -431,4 +431,63 @@ object TimeSeries {
       when(col("__guard").isNull, col("__st.l") + col("__st.b") +
         element_at(col("__st.ss"), nextPos0 + 1)).as("forecast_next")): _*)
   }
+
+  /** Tabular CUSUM change-point detection (Page 1954) per key — THE
+    * classic statistical-process-control drift detector for exactly the
+    * industrial telemetry the reference carries: one-sided sums
+    *   s⁺ ← max(0, s⁺ + (y − target − slack))
+    *   s⁻ ← max(0, s⁻ + (target − y − slack))
+    * alarm when either exceeds `threshold`, then BOTH reset to 0 (the
+    * standard restart — each alarm is an independent detection). No
+    * smoothing constants multiply, so unlike [[holtSmooth]] there is no
+    * dyadic requirement: adds/subtracts/max in identical t-order give
+    * identical IEEE results cross-engine, and the oracle replays the
+    * fold in a recursive CTE (q279).
+    *
+    * Output per key: n_points, n_alarms, first_alarm_i (1-based index
+    * of the first alarming sample; 0 when never), sp_final, sn_final.
+    * Same bounded-series contract and 1e6-point refusal as the rest of
+    * the fold family; every output routes through the guard.
+    */
+  def cusum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tCol: String,
+      yCol: String,
+      target: Double,
+      slack: Double,
+      threshold: Double): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val sorted = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(tCol).as("t"),
+        col(yCol).cast("double").as("y")))).as("__ser"))
+    val seed = struct(lit(0.0).as("sp"), lit(0.0).as("sn"),
+      lit(0L).as("na"), lit(0L).as("fa"), lit(0L).as("i"))
+    val folded = sorted
+      .withColumn("__ys", expr("transform(__ser, p -> p.y)"))
+      .withColumn("__guard", expr(
+        "assert_true(size(__ys) < 1000000, " +
+          "'cusum: series exceeds 1e6 points — bound the series upstream')"))
+      .withColumn("__st",
+        aggregate(slice(col("__ys"), 1, 1000000), seed, (a, x) => {
+          val spRaw = greatest(lit(0.0), a("sp") + (x - lit(target) - lit(slack)))
+          val snRaw = greatest(lit(0.0), a("sn") + (lit(target) - x - lit(slack)))
+          val alarm = spRaw > lit(threshold) || snRaw > lit(threshold)
+          struct(
+            when(alarm, lit(0.0)).otherwise(spRaw).as("sp"),
+            when(alarm, lit(0.0)).otherwise(snRaw).as("sn"),
+            (a("na") + when(alarm, 1L).otherwise(0L)).as("na"),
+            when(a("fa") > 0, a("fa"))
+              .otherwise(when(alarm, a("i") + 1).otherwise(lit(0L))).as("fa"),
+            (a("i") + 1).as("i"))
+        }))
+    folded.select(keyCols.map(col) ++ Seq(
+      when(col("__guard").isNull, size(col("__ys")).cast("long")).as("n_points"),
+      when(col("__guard").isNull, col("__st.na")).as("n_alarms"),
+      when(col("__guard").isNull, col("__st.fa")).as("first_alarm_i"),
+      when(col("__guard").isNull, col("__st.sp")).as("sp_final"),
+      when(col("__guard").isNull, col("__st.sn")).as("sn_final")): _*)
+  }
 }

@@ -3291,6 +3291,78 @@ object PipelineQueries {
         .orderBy("k")
     },
 
+    Q("q279_cusum_changepoint",
+      // tabular CUSUM (Page 1954) per event_type over ts-ordered values
+      // — the SPC drift detector of the reference's industrial domain.
+      // No dyadic constants needed (adds/max only), so parity is just
+      // identical IEEE trees in identical t-order; alarms reset both
+      // sums (independent detections). The oracle folds the identical
+      // recurrence in a recursive CTE, computing the raw sums once in
+      // a subquery so alarm test and post-alarm reset read the SAME
+      // expressions the engine evaluates.
+      """WITH RECURSIVE ser AS (
+        |  SELECT event_type,
+        |    array_agg(value ORDER BY ts, value) AS ys
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, 0 AS i, len(ys) AS n, ys,
+        |    0.0::DOUBLE AS sp, 0.0::DOUBLE AS sn,
+        |    0::BIGINT AS na, 0::BIGINT AS fa
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT event_type, i + 1, n, ys,
+        |    CASE WHEN al THEN 0.0::DOUBLE ELSE spr END,
+        |    CASE WHEN al THEN 0.0::DOUBLE ELSE snr END,
+        |    na + CASE WHEN al THEN 1 ELSE 0 END,
+        |    CASE WHEN fa > 0 THEN fa WHEN al THEN i + 1 ELSE 0 END
+        |  FROM (
+        |    SELECT event_type, i, n, ys, na, fa, spr, snr,
+        |      (spr > 500.0::DOUBLE OR snr > 500.0::DOUBLE) AS al
+        |    FROM (
+        |      SELECT event_type, i, n, ys, na, fa,
+        |        greatest(0.0::DOUBLE,
+        |          sp + (ys[i + 1] - 50.0::DOUBLE - 25.0::DOUBLE)) AS spr,
+        |        greatest(0.0::DOUBLE,
+        |          sn + (50.0::DOUBLE - ys[i + 1] - 25.0::DOUBLE)) AS snr
+        |      FROM f)) WHERE i < n)
+        |SELECT event_type, n::BIGINT AS n_points, na AS n_alarms,
+        |  fa AS first_alarm_i, sp AS sp_final, sn AS sn_final
+        |FROM f WHERE i = n ORDER BY event_type""".stripMargin) { (s, d) =>
+      // the engine sorts struct(t, y) — tied timestamps break by y, so
+      // the oracle's ORDER BY ts, value is the same total order
+      TimeSeries.cusum(t(s, d, "events"), Seq("event_type"), "ts", "value",
+          target = 50.0, slack = 25.0, threshold = 500.0)
+        .orderBy("event_type")
+    },
+
+    Q("q280_jaro_winkler_linkage",
+      // Jaro-Winkler candidate scoring over brand-blocked part-name
+      // pairs — the record-linkage scorer beside q263's bounded edit
+      // distance. The graft expression is pinned to DuckDB's exact
+      // parameterization (p=0.1, prefix<=4, boost iff jaro>0.7,
+      // empty→0 — probed, not assumed), so the oracle IS DuckDB's
+      // built-in jaro_winkler_similarity. Blocking bounds the pair set
+      // (the expression scores candidates, never generates them).
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val p = t(s, d, "part").select("p_partkey", "p_name", "p_brand")
+      val a = p.select(col("p_brand"), col("p_partkey").as("id1"),
+        col("p_name").as("__n1"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("id2"),
+        col("p_name").as("__n2"))
+      a.join(b, "p_brand")
+        .filter(col("id1") < col("id2"))
+        .withColumn("__jw", GraftFunctions.jaroWinkler(col("__n1"), col("__n2")))
+        .filter(col("__jw") >= 0.8)
+        .select(col("id1"), col("id2"), round(col("__jw"), 6).as("jw"))
+        .orderBy("id1", "id2")
+    },
+
     Q("q267_hashed_features",
       // the HASHING TRICK (Weinberger 2009, Classifier.hashedFeatures):
       // vocabulary-free signed-bucket featurization — each token lands

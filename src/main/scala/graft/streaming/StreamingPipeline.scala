@@ -379,6 +379,43 @@ object StreamingPipeline extends Serializable {
           Iterator.single(HoltEstimate(key, st.n, st.l, st.b))
       }.toDF()
   }
+
+  /** Streaming twin of [[graft.operators.TimeSeries.cusum]] — per-key
+    * tabular CUSUM as flatMapGroupsWithState, O(1) state per key
+    * (sp, sn, alarm count, first-alarm index, sample count), BIT-EXACT
+    * batch parity: the per-sample update is the identical IEEE tree
+    * (add, subtract, max(0, ·), compare, reset), so any trigger slicing
+    * of the same series reproduces the batch fold exactly —
+    * StreamingSpec pins it. Same ordering contract as [[holtStream]]:
+    * within a batch samples apply in (t, y) order; across batches
+    * arrival must be trigger-ordered per key.
+    */
+  def cusumStream(points: DataFrame, target: Double, slack: Double,
+      threshold: Double): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    import points.sparkSession.implicits._
+    points.as[HoltPoint]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[CusumState, CusumReport](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, values, state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0.0, 0.0, 0L, 0L, 0L))
+          values.toSeq.sortBy(p => (p.t.getTime, p.y)).foreach { p =>
+            val spRaw = math.max(0.0, st.sp + (p.y - target - slack))
+            val snRaw = math.max(0.0, st.sn + (target - p.y - slack))
+            val alarm = spRaw > threshold || snRaw > threshold
+            st = CusumState(
+              if (alarm) 0.0 else spRaw,
+              if (alarm) 0.0 else snRaw,
+              st.na + (if (alarm) 1L else 0L),
+              if (st.fa > 0) st.fa else if (alarm) st.i + 1 else 0L,
+              st.i + 1)
+          }
+          state.update(st)
+          Iterator.single(CusumReport(key, st.i, st.na, st.fa, st.sp, st.sn))
+      }.toDF()
+  }
 }
 
 /** Welford accumulator for [[StreamingPipeline.anomalyStream]]:
@@ -391,6 +428,15 @@ final case class HoltPoint(k: String, t: Timestamp, y: Double)
 
 /** Per-key Holt state: sample count + (level, trend). */
 final case class HoltState(n: Long, l: Double, b: Double)
+
+/** Per-key CUSUM state for [[StreamingPipeline.cusumStream]]. */
+final case class CusumState(sp: Double, sn: Double, na: Long, fa: Long, i: Long)
+
+/** One running CUSUM report — schema-aligned with
+  * [[graft.operators.TimeSeries.cusum]] for column-for-column parity.
+  */
+final case class CusumReport(k: String, n_points: Long, n_alarms: Long,
+    first_alarm_i: Long, sp_final: Double, sn_final: Double)
 
 /** One running estimate from [[StreamingPipeline.holtStream]] —
   * schema-aligned with [[graft.operators.TimeSeries.holtSmooth]]'s

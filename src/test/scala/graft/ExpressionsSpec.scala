@@ -191,6 +191,49 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("jaro_winkler: canonical reference values and conventions") {
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("CRATE", "TRACE", 0.7333333333333334),   // jaro <= 0.7? no: >0.7 but prefix 0
+      ("TRATE", "TRACE", 0.9066666666666667),
+      ("prefix", "pref", 0.9333333333333333),
+      ("abcdefgh", "abqqqqqq", 0.5),            // jaro <= 0.7: NO boost
+      ("abc", "abc", 1.0),
+      ("a", "b", 0.0),
+      ("", "abc", 0.0), ("", "", 0.0))          // DuckDB's empty convention
+    cases.foreach { case (a, b, want) =>
+      val got = graft.functions.JaroWinkler.similarity(a, b)
+      assert(got == want, s"jw($a, $b) = $got, want $want")
+      // symmetry
+      assert(graft.functions.JaroWinkler.similarity(b, a) == got)
+    }
+  }
+
+  test("jaro_winkler: SQL entry, nulls, codegen and interpreted paths agree") {
+    val df = Seq(
+      (Some("MARTHA"), Some("MARHTA")),
+      (Some("same"), Some("samexxxxxxxxxxxx")),
+      (None, Some("x")), (Some("x"), None),
+      (Some(""), Some(""))).toDF("a", "b")
+    val expr = org.apache.spark.sql.functions.expr("jaro_winkler(a, b)")
+    val viaCodegen = df.select(expr).as[Option[Double]].collect()
+    assert(viaCodegen(0).contains(0.9611111111111111))
+    assert(viaCodegen(2).isEmpty && viaCodegen(3).isEmpty)
+    assert(viaCodegen(4).contains(0.0))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.select(expr).as[Option[Double]].collect()
+      assert(viaCodegen.toSeq == interpreted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("simhash32 is order-independent over token multisets") {
     val df = Seq(
       (1L, Seq("a", "b", "c", "a")),

@@ -328,6 +328,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch == fin)
   }
 
+  test("cusumStream: exact batch parity across trigger slicings, alarms mid-stream") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[graft.streaming.HoltPoint]
+    val out = StreamingPipeline.cusumStream(mem.toDF(),
+      target = 10.0, slack = 2.0, threshold = 5.0)
+    val q = out.writeStream.format("memory").queryName("cusum_out")
+      .outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-cusum"))
+      .start()
+    def pt(k: String, s: Int, y: Double) =
+      graft.streaming.HoltPoint(k, ts(f"2024-06-01 10:00:$s%02d"), y)
+    // the hand-traced TimeSeriesSpec series, split MID-ALARM-RUN
+    mem.addData(pt("a", 1, 10.0), pt("a", 2, 14.0), pt("a", 3, 15.0),
+      pt("a", 4, 9.0))
+    q.processAllAvailable()
+    mem.addData(pt("a", 5, 1.0), pt("a", 6, 1.0), pt("a", 7, 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.sql(
+      "SELECT k, n_points, n_alarms, first_alarm_i, sp_final, sn_final FROM cusum_out")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .groupBy(_._1).map { case (_, xs) => xs.maxBy(_._2) }.toSet
+    assert(fin == Set(("a", 7L, 2L, 5L, 0.0, 0.0)))
+    // bit-for-bit the batch operator on the same series
+    val batch = graft.operators.TimeSeries.cusum(
+      Seq(10.0, 14.0, 15.0, 9.0, 1.0, 1.0, 10.0).zipWithIndex
+        .map { case (y, i) => ("a", i, y) }.toDF("k", "t", "y"),
+      Seq("k"), "t", "y", 10.0, 2.0, 5.0)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSet
+    assert(batch == fin)
+  }
+
   test("windowedStats: tumbling windows with event-time watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[RawReading]

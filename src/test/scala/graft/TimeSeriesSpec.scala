@@ -265,6 +265,39 @@ class TimeSeriesSpec extends SparkSpec {
       .holtWintersSmooth(df, Seq("k"), "t", "y", 0.5, 0.5, 0.5, m = 1))
   }
 
+  test("cusum: hand-folded alarms, resets, first-alarm index") {
+    // target 10, slack 2, threshold 5; series 10, 14, 15, 9, 1, 1, 10:
+    // t=1: sp=max(0,0+(10-12))=0        sn=max(0,0+(10-10-2))=0
+    // t=2: sp=max(0,0+2)=2              sn=0
+    // t=3: sp=max(0,2+3)=5  (not >5)    sn=0
+    // t=4: sp=max(0,5-3)=2              sn=0
+    // t=5: sp=0                         sn=max(0,0+(10-1-2))=7 > 5 -> ALARM, reset
+    // t=6: sp=0                         sn=max(0,0+7)=7 > 5 -> ALARM, reset
+    // t=7: sp=0                         sn=max(0,0-2)=0
+    val df = Seq(10.0, 14.0, 15.0, 9.0, 1.0, 1.0, 10.0).zipWithIndex
+      .map { case (y, i) => ("a", i.toLong, y) }.toDF("k", "t", "y")
+    val got = graft.operators.TimeSeries
+      .cusum(df, Seq("k"), "t", "y", target = 10.0, slack = 2.0, threshold = 5.0)
+      .as[(String, Long, Long, Long, Double, Double)].collect().head
+    assert(got == (("a", 7L, 2L, 5L, 0.0, 0.0)))
+    // quiet series: zero alarms, first_alarm_i = 0
+    val quiet = (1 to 20).map(i => ("b", i.toLong, 10.0)).toDF("k", "t", "y")
+    val g2 = graft.operators.TimeSeries
+      .cusum(quiet, Seq("k"), "t", "y", 10.0, 2.0, 5.0)
+      .as[(String, Long, Long, Long, Double, Double)].collect().head
+    assert(g2 == (("b", 20L, 0L, 0L, 0.0, 0.0)))
+    // out-of-order input folds in t order
+    val g3 = graft.operators.TimeSeries
+      .cusum(df.orderBy(expr("-t")), Seq("k"), "t", "y", 10.0, 2.0, 5.0)
+      .as[(String, Long, Long, Long, Double, Double)].collect().head
+    assert(g3 == got)
+    // invalid knobs refuse loudly
+    intercept[IllegalArgumentException](graft.operators.TimeSeries
+      .cusum(df, Seq("k"), "t", "y", 10.0, -1.0, 5.0))
+    intercept[IllegalArgumentException](graft.operators.TimeSeries
+      .cusum(df, Seq("k"), "t", "y", 10.0, 2.0, 0.0))
+  }
+
   test("holtWintersSmooth: a pure period-m signal is absorbed into the seasonals") {
     // strict square wave 0/8 with period 2 over many cycles: the level
     // settles near the mean, the trend near 0, and the seasonal pair
