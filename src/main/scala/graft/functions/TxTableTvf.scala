@@ -104,10 +104,28 @@ object TxTableTvf {
       .getOrElse(emptyTable("txtable_asof", s"$path@$tsMs")))
   }
 
+  /** txtable_history(path): the DESCRIBE HISTORY analog — one row per
+    * retained commit, newest first: (version, op, timestamp_ms,
+    * n_added, n_removed). Ops/observability from pure SQL; the detail
+    * map is deliberately flattened away (its keys are op-specific).
+    */
+  def history(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, "txtable_history(path)")
+    val path = litString(exprs.head, "txtable_history", "path")
+    val rows = graft.streaming.TxTable.history(path)
+      .map(c => (c.version, c.op, c.timestampMs, c.nAdded, c.nRemoved))
+    val sp = spark
+    import sp.implicits._
+    plan(rows.toDF("version", "op", "timestamp_ms", "n_added", "n_removed"))
+  }
+
   /** (name, usage, builder) for every TVF — one list consumed by both
     * registration paths so they can never drift.
     */
   val all: Seq[(String, String, Seq[Expression] => LogicalPlan)] = Seq(
+    ("txtable_history",
+      "txtable_history(path) - one row per retained commit, newest first",
+      history _),
     ("txtable_read",
       "txtable_read(path) - raw current snapshot of a graft ACID table",
       read _),

@@ -44,8 +44,18 @@ object Intervals {
       .otherwise(raise_error(concat(
         lit(s"mergeIntervals: end < start ("), col(endCol).cast("string"),
         lit(" < "), col(startCol).cast("string"), lit(")"))))
+    // collapse DUPLICATE intervals before the sweep: identical (s, e)
+    // rows are tied under the sort, and two windows that sort ties
+    // independently (a SQL engine evaluating flag and running-sum in
+    // separate subqueries) can pair one row's flag with the other's
+    // running position — mis-grouping the sweep (caught at sf0.1: two
+    // equal intervals split an unrelated earlier interval's group).
+    // After the collapse (s, e) is UNIQUE per key, the order is total,
+    // and the window input shrinks to distinct intervals as a bonus.
     val keyed = df.select(
-      keyCols.map(col) :+ col(startCol).as("__s") :+ checkedEnd.as("__e"): _*)
+        keyCols.map(col) :+ col(startCol).as("__s") :+ checkedEnd.as("__e"): _*)
+      .groupBy(keyCols.map(col) :+ col("__s") :+ col("__e"): _*)
+      .agg(count(lit(1)).as("__cnt"))
     val order = Seq(col("__s"), col("__e"))
     val prev = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(order: _*)
@@ -61,7 +71,7 @@ object Intervals {
       .groupBy(keyCols.map(col) :+ col("__grp"): _*)
       .agg(min(col("__s")).as("interval_start"),
         max(col("__e")).as("interval_end"),
-        count(lit(1)).as("n_source"))
+        sum(col("__cnt")).as("n_source"))
       .drop("__grp")
   }
 

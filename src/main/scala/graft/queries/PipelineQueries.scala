@@ -3223,19 +3223,21 @@ object PipelineQueries {
         |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
         |      + 1 + l_partkey % 5 AS e
         |  FROM lineitem),
+        |dv AS (
+        |  SELECT k, s, e, count(*) AS cnt FROM iv GROUP BY k, s, e),
         |f AS (
-        |  SELECT k, s, e,
+        |  SELECT k, s, e, cnt,
         |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
         |      THEN 1 ELSE 0 END AS nw
-        |  FROM iv
+        |  FROM dv
         |  WINDOW w AS (PARTITION BY k ORDER BY s, e
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |g AS (
-        |  SELECT k, s, e, sum(nw) OVER (PARTITION BY k ORDER BY s, e
+        |  SELECT k, s, e, cnt, sum(nw) OVER (PARTITION BY k ORDER BY s, e
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
         |  FROM f)
         |SELECT k, min(s)::BIGINT AS interval_start,
-        |  max(e)::BIGINT AS interval_end, count(*)::BIGINT AS n_source
+        |  max(e)::BIGINT AS interval_end, sum(cnt)::BIGINT AS n_source
         |FROM g GROUP BY k, grp
         |ORDER BY k, interval_start""".stripMargin) { (s, d) =>
       import graft.operators.Intervals
@@ -3259,11 +3261,13 @@ object PipelineQueries {
         |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
         |      + 1 + l_partkey % 5 AS e
         |  FROM lineitem),
+        |dv AS (
+        |  SELECT k, s, e FROM iv GROUP BY k, s, e),
         |f AS (
         |  SELECT k, s, e,
         |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
         |      THEN 1 ELSE 0 END AS nw
-        |  FROM iv
+        |  FROM dv
         |  WINDOW w AS (PARTITION BY k ORDER BY s, e
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |g AS (

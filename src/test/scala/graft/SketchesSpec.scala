@@ -88,4 +88,21 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.countMinSketch(a, "k", depth = 0, width = 64))
   }
+
+  test("countMin: NULL keys keep the one-sided est >= exact guarantee (ADVICE r13)") {
+    import spark.implicits._
+    // 3 NULLs + 2 "a": before the sentinel fix a NULL key hashed to a
+    // NULL bucket on the build side and the estimate join missed it —
+    // estimating 0 for a key present 3 times. The sentinel must be
+    // IDENTICAL on both sides (a build/estimate mismatch reintroduces
+    // exactly that bug — regression-pinned here).
+    val items = Seq(Some("a"), None, Some("a"), None, None).toDF("k")
+    val sk = Sketches.countMinSketch(items, "k", depth = 4, width = 4096)
+    val est = Sketches.countMinEstimate(sk,
+      Seq(Some("a"), None).toDF("k"), "k", depth = 4, width = 4096)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(est(Some("a")) >= 2L && est(None) >= 3L, est.toString)
+    // at width 4096 with 2 distinct keys, no collision: exact
+    assert(est(Some("a")) == 2L && est(None) == 3L)
+  }
 }

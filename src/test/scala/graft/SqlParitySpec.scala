@@ -125,6 +125,10 @@ class SqlParitySpec extends SparkSpec {
          |FROM txtable_merged('$path') GROUP BY tag ORDER BY tag""".stripMargin)
       .as[(String, Double)].collect().toSeq
     assert(agg == Seq(("a", 1.5), ("b", 2.0)))
+    // ops surface: DESCRIBE HISTORY analog, newest first
+    val hist = spark.sql(s"SELECT version, op FROM txtable_history('$path')")
+      .as[(Long, String)].collect().toSeq
+    assert(hist == Seq((v1, "upsertDelta"), (v0, "upsertDelta")))
   }
 
   test("multimodal twin: imageDHashes == pure-SQL image_dhash") {
