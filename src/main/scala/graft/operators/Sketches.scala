@@ -88,6 +88,87 @@ object Sketches {
       .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** KMV (k-minimum-values / bottom-k) distinct sketch (Bar-Yossef et
+    * al. 2002; Beyer et al. 2007) — the DETERMINISTIC alternative to
+    * HLL: the signature is the k smallest DISTINCT 60-bit hashes of the
+    * group's values, a pure function of the value SET (order- and
+    * topology-free — k smallest is k smallest however the data is
+    * partitioned or merged), so unlike the HLL family every number here
+    * hash-compares cross-engine and the oracle replays construction AND
+    * estimation exactly (q281/q282).
+    *
+    * Estimator: with the signature full (n ≥ k), D̂ = (k−1)·2⁶⁰ /
+    * kth_min — the classic unbiased KMV estimate over the md5Prefix60
+    * hash space; below k the signature IS the value set and the count
+    * is exact. Signatures MERGE by "k smallest of the union"
+    * (associative, commutative, idempotent — shard/stream merges
+    * compose), and a merged signature estimates set operations:
+    * Jaccard ≈ |sig∩| / k over the merged signature's members present
+    * in both sides, intersection ≈ Jaccard · union estimate.
+    *
+    * Scale shape: one hash aggregate per group (collect_set of hashes
+    * is bounded by the spec contract that per-group distinct values
+    * fit an executor — for unbounded groups pre-shard and [[kmvMerge]]
+    * the shards; the SIGNATURE is k longs regardless).
+    */
+  def kmvSignature(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2,65536], got $k")
+    df
+      .select(col(groupCol),
+        Dedup.hash60(col(valueCol).cast("string")).as("__h"))
+      .where(col("__h").isNotNull)
+      .groupBy(groupCol)
+      .agg(slice(array_sort(collect_set(col("__h"))), 1, k).as("kmv"))
+  }
+
+  /** Distinct-count estimate from a [[kmvSignature]]: exact below k,
+    * the (k−1)·2⁶⁰/kth_min estimator at k. Output: (group, n_sig,
+    * est) with est rounded to 2dp (one IEEE division on exact
+    * integers — replayable, rounded only to absorb formatting).
+    */
+  def kmvDistinctEstimate(sigs: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2,65536], got $k")
+    val n = size(col("kmv"))
+    sigs.select(col(groupCol), n.cast("long").as("n_sig"),
+      round(when(n < k, n.cast("double"))
+        .otherwise(lit((k - 1).toDouble * (1L << 60).toDouble) /
+          element_at(col("kmv"), k).cast("double")), 2).as("est"))
+  }
+
+  /** Merge two signature columns: k smallest of the union (the KMV
+    * merge rule). Null-safe: a missing side passes the other through.
+    */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(
+      coalesce(a, array().cast("array<bigint>")),
+      coalesce(b, array().cast("array<bigint>")))), 1, k)
+
+  /** Set-operation estimates for every pair of groups (a < b): the
+    * merged signature's Jaccard (members present in BOTH sides / its
+    * size), union estimate from the merged signature, intersection =
+    * Jaccard · union. All integer work except the two final divisions.
+    */
+  def kmvSetOps(sigs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2,65536], got $k")
+    val a = sigs.select(col(groupCol).as("ga"), col("kmv").as("__ka"))
+    val b = sigs.select(col(groupCol).as("gb"), col("kmv").as("__kb"))
+    val merged = kmvMerge(col("__ka"), col("__kb"), k)
+    val mSize = size(col("__m"))
+    val inBoth = size(array_intersect(
+      array_intersect(col("__m"), col("__ka")), col("__kb")))
+    a.join(b, col("ga") < col("gb"))
+      .withColumn("__m", merged)
+      .select(col("ga"), col("gb"),
+        mSize.cast("long").as("m_size"),
+        inBoth.cast("long").as("in_both"),
+        round((inBoth.cast("double") / mSize.cast("double")), 6).as("jaccard_est"),
+        round(when(mSize < k, mSize.cast("double"))
+          .otherwise(lit((k - 1).toDouble * (1L << 60).toDouble) /
+            element_at(col("__m"), k).cast("double")), 2).as("union_est"))
+  }
+
   /** Point-frequency estimates from a [[countMinSketch]]: (key, est) =
     * min over rows of the key's cell; absent cells count 0.
     */

@@ -3367,6 +3367,62 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    Q("q281_kmv_distinct",
+      // KMV bottom-k distinct sketch (Beyer et al. 2007) — the
+      // DETERMINISTIC approximate-distinct the HLL family can't be:
+      // the signature (k smallest distinct md5-prefix hashes) is a
+      // pure function of the value SET, so construction AND the
+      // (k−1)·2⁶⁰/kth_min estimate replay exactly in SQL — no
+      // merge-topology envelope, plain hash equality. k = 256 over
+      // ~thousands of distinct parts per supplier bucket = real
+      // estimation territory (n_sig = k everywhere).
+      """WITH h AS (
+        |  SELECT l_suppkey % 10 AS g,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT g, list_sort(list(DISTINCT h))[1:256] AS kmv FROM h GROUP BY g)
+        |SELECT g, len(kmv)::BIGINT AS n_sig,
+        |  round(CASE WHEN len(kmv) < 256 THEN len(kmv)::DOUBLE
+        |    ELSE 255.0 * 1152921504606846976.0 / kmv[256]::DOUBLE END, 2) AS est
+        |FROM s ORDER BY g""".stripMargin) { (s, d) =>
+      val sigs = Sketches.kmvSignature(
+        t(s, d, "lineitem").select((col("l_suppkey") % 10).as("g"),
+          col("l_partkey")), "g", "l_partkey", k = 256)
+      Sketches.kmvDistinctEstimate(sigs, "g", k = 256).orderBy("g")
+    },
+
+    Q("q282_kmv_setops",
+      // set-operation estimates from MERGED KMV signatures: for every
+      // group pair, merge = k smallest of the union (associative,
+      // idempotent — the shard/stream merge rule), Jaccard ≈ members
+      // of the merged signature present in BOTH sides / its size,
+      // union from the merged kth-min. Integer work end to end except
+      // the two final divisions — exact SQL replay, q281's point made
+      // compositional.
+      """WITH h AS (
+        |  SELECT l_suppkey % 10 AS g,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT g, list_sort(list(DISTINCT h))[1:256] AS kmv FROM h GROUP BY g),
+        |m AS (
+        |  SELECT a.g AS ga, b.g AS gb, a.kmv AS ka, b.kmv AS kb,
+        |    list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[1:256] AS mk
+        |  FROM s a JOIN s b ON a.g < b.g)
+        |SELECT ga, gb, len(mk)::BIGINT AS m_size,
+        |  len(list_intersect(list_intersect(mk, ka), kb))::BIGINT AS in_both,
+        |  round(len(list_intersect(list_intersect(mk, ka), kb))::DOUBLE
+        |    / len(mk)::DOUBLE, 6) AS jaccard_est,
+        |  round(CASE WHEN len(mk) < 256 THEN len(mk)::DOUBLE
+        |    ELSE 255.0 * 1152921504606846976.0 / mk[256]::DOUBLE END, 2) AS union_est
+        |FROM m ORDER BY ga, gb""".stripMargin) { (s, d) =>
+      val sigs = Sketches.kmvSignature(
+        t(s, d, "lineitem").select((col("l_suppkey") % 10).as("g"),
+          col("l_partkey")), "g", "l_partkey", k = 256)
+      Sketches.kmvSetOps(sigs, "g", k = 256).orderBy("ga", "gb")
+    },
+
     Q("q267_hashed_features",
       // the HASHING TRICK (Weinberger 2009, Classifier.hashedFeatures):
       // vocabulary-free signed-bucket featurization — each token lands

@@ -105,4 +105,51 @@ class SketchesSpec extends SparkSpec {
     // at width 4096 with 2 distinct keys, no collision: exact
     assert(est(Some("a")) == 2L && est(None) == 3L)
   }
+
+  test("kmv: exact below k, topology-free merge, estimate within the k=256 envelope") {
+    import spark.implicits._
+    // below k: signature IS the set, estimate exact
+    val small = (1 to 40).map(v => ("g1", v)).toDF("g", "v")
+    val sSmall = Sketches.kmvSignature(small, "g", "v", k = 256)
+    val eSmall = Sketches.kmvDistinctEstimate(sSmall, "g", k = 256)
+      .as[(String, Long, Double)].collect().head
+    assert(eSmall == (("g1", 40L, 40.0)))
+    // at k: 5000 distinct values, estimate within 20% (k=256 → se ~6%)
+    val big = (1 to 5000).map(v => ("g2", v)).toDF("g", "v")
+    val eBig = Sketches.kmvDistinctEstimate(
+      Sketches.kmvSignature(big, "g", "v", k = 256), "g", k = 256)
+      .as[(String, Long, Double)].collect().head
+    assert(eBig._2 == 256L)
+    assert(math.abs(eBig._3 - 5000.0) / 5000.0 < 0.2, eBig.toString)
+    // topology-free: signature of the whole == merge of two shard
+    // signatures == signature under any repartitioning
+    val a = (1 to 3000).map(v => ("g", v)).toDF("g", "v")
+    val b = (2000 to 5000).map(v => ("g", v)).toDF("g", "v")
+    val whole = Sketches.kmvSignature(a.unionAll(b), "g", "v", 256)
+      .select("kmv").as[Seq[Long]].collect().head
+    val merged = Sketches.kmvSignature(a, "g", "v", 256)
+      .join(Sketches.kmvSignature(b, "g", "v", 256)
+        .withColumnRenamed("kmv", "kmv2"), "g")
+      .select(Sketches.kmvMerge(col("kmv"), col("kmv2"), 256))
+      .as[Seq[Long]].collect().head
+    assert(whole == merged)
+    val repart = Sketches.kmvSignature(
+        a.unionAll(b).repartition(13), "g", "v", 256)
+      .select("kmv").as[Seq[Long]].collect().head
+    assert(whole == repart)
+    intercept[IllegalArgumentException](Sketches.kmvSignature(a, "g", "v", 1))
+  }
+
+  test("kmv set ops: ground-truth Jaccard recovered within the sketch envelope") {
+    import spark.implicits._
+    // A = 1..4000, B = 2001..6000: |A∩B|=2000, |A∪B|=6000, J = 1/3
+    val rows = (1 to 4000).map(v => ("A", v)) ++ (2001 to 6000).map(v => ("B", v))
+    val sigs = Sketches.kmvSignature(rows.toDF("g", "v"), "g", "v", k = 256)
+    val ops = Sketches.kmvSetOps(sigs, "g", k = 256)
+      .as[(String, String, Long, Long, Double, Double)].collect().head
+    val (ga, gb, mSize, _, jac, union) = ops
+    assert(ga == "A" && gb == "B" && mSize == 256L)
+    assert(math.abs(jac - 1.0 / 3) < 0.12, ops.toString)
+    assert(math.abs(union - 6000.0) / 6000.0 < 0.2, ops.toString)
+  }
 }
