@@ -3359,6 +3359,13 @@ object PipelineQueries {
         col("p_name").as("__n1"))
       val b = p.select(col("p_brand"), col("p_partkey").as("id2"),
         col("p_name").as("__n2"))
+      // A sound length-bound prune (jw <= bound + 0.4*(1-bound) with
+      // bound = (min/l1 + min/l2 + 1)/3) was MEASURED here and removed:
+      // on this fixture (names all 8-12 chars) it filters ~nothing and
+      // cost 1.6x (11.9 s vs 7.3 s, 5-rep A/B — the extra conjunct
+      // perturbs the fused join+filter stage). The prune only pays on
+      // length-heterogeneous corpora; gate it on data shape, don't
+      // ship it unconditionally (NOTES item 75).
       a.join(b, "p_brand")
         .filter(col("id1") < col("id2"))
         .withColumn("__jw", GraftFunctions.jaroWinkler(col("__n1"), col("__n2")))
