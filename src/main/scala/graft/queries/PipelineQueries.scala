@@ -3613,6 +3613,60 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     },
 
+    Q("q283_txtable_key_history",
+      // per-key change TRAJECTORY across retained history
+      // (TxTable.keyHistory — the "when did this tag change, from what
+      // to what" audit): the q270 three-commit fixture, trajectories of
+      // the o_orderkey % 91 = 0 keys. The oracle derives every key's
+      // expected CDF rows CLOSED-FORM from the base table: insert at
+      // v0; %13 keys update (+100) at v1; %7 keys REPLACE with base+1000 at v2
+      // (the merge overwrites, it does not accumulate) — pre/postimage pairs exactly
+      // as the merged-view diff emits them.
+      """WITH k AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p0,
+        |    CAST(o_totalprice +
+        |      CASE WHEN o_orderkey % 13 = 0 THEN 100 ELSE 0 END
+        |      AS DECIMAL(18,2)) AS p1
+        |  FROM orders WHERE o_orderkey % 91 = 0)
+        |SELECT o_orderkey, 0::BIGINT AS v, 'insert' AS change_type,
+        |  CAST(p0 AS DOUBLE) AS p FROM k
+        |UNION ALL SELECT o_orderkey, 1, 'update_preimage', CAST(p0 AS DOUBLE)
+        |  FROM k WHERE o_orderkey % 13 = 0
+        |UNION ALL SELECT o_orderkey, 1, 'update_postimage', CAST(p1 AS DOUBLE)
+        |  FROM k WHERE o_orderkey % 13 = 0
+        |UNION ALL SELECT o_orderkey, 2, 'update_preimage', CAST(p1 AS DOUBLE)
+        |  FROM k WHERE o_orderkey % 7 = 0
+        |UNION ALL SELECT o_orderkey, 2, 'update_postimage',
+        |  CAST(CAST(p0 + 1000 AS DECIMAL(18,2)) AS DOUBLE)
+        |  FROM k WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey, v, change_type""".stripMargin) { (s, d) =>
+      import graft.streaming.TxTable
+      val table = Q.scratchDir("graft-q283") + "/orders_tx"
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      val base = t(s, d, "orders").select(
+        col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      TxTable.mergeLatest(s, base.withColumn("seq", lit(0L)),
+        table, "o_orderstatus", keys, Seq("seq"))
+      TxTable.mergeLatest(s,
+        base.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("p", (col("p") + 100).cast("decimal(18,2)"))
+          .withColumn("seq", lit(1L)),
+        table, "o_orderstatus", keys, Seq("seq"))
+      TxTable.mergeLatest(s,
+        base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("p", (col("p") + 1000).cast("decimal(18,2)"))
+          .withColumn("seq", lit(2L)),
+        table, "o_orderstatus", keys, Seq("seq"))
+      TxTable.keyHistory(s, table, "o_orderkey",
+          col("o_orderkey") % 91 === 0, compareCols = Seq("p"), keys = keys,
+          order = Seq("seq"))
+        .select(col("o_orderkey"), col("_commit_version").as("v"),
+          col("change_type"), col("p").cast("double").as("p"))
+        .orderBy("o_orderkey", "v", "change_type")
+    },
+
     Q("q271_orc_roundtrip",
       // ORC — the one Spark-native columnar format the inventory had
       // not exercised (warehouses hand exactly this kind of data over):

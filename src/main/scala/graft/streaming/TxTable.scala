@@ -649,6 +649,40 @@ object TxTable {
     }
   }
 
+  /** Per-key CHANGE TRAJECTORY across the table's retained history —
+    * the audit question a telemetry warehouse answers constantly
+    * ("when did this tag change, from what to what"): for every commit
+    * v in 1..head plus the origin, the CDF rows of keys matching
+    * `keyFilter`, tagged `_commit_version`. Built as the union of
+    * per-commit [[changeDataFeed]]s scoped to each commit's
+    * [[touchedPartitions]] — cost O(versions × touched-partition
+    * reads), never versions × full scans; the key filter pushes into
+    * every per-version scan. History depth follows the retention
+    * window ([[vacuum]]), like [[history]].
+    */
+  def keyHistory(
+      spark: SparkSession,
+      tablePath: String,
+      keyCol: String,
+      keyFilter: Column,
+      compareCols: Seq[String] = Nil,
+      keys: Seq[String] = Seq("serverName", "tag"),
+      order: Seq[String] = Seq("serverTimestamp", "sourceTimestamp")): DataFrame = {
+    val head = snapshot(tablePath).version
+    val perVersion = (0L to head).flatMap { v =>
+      val parts = touchedPartitions(tablePath, v)
+      if (parts.isEmpty) None
+      else Some(
+        changeDataFeed(spark, tablePath, v - 1, v, keyCol, compareCols,
+            keys, order, Some(parts))
+          .filter(keyFilter)
+          .withColumn("_commit_version", lit(v)))
+    }
+    perVersion.reduceOption(_.unionByName(_)).getOrElse(
+      throw new IllegalArgumentException(
+        s"keyHistory: $tablePath has no retained commits"))
+  }
+
   /** Apply a change-data-feed batch to ANOTHER table — the CDC
     * replication primitive: inserts/update-postimages upsert via
     * [[mergeLatest]], deletes erase via [[deleteKeys]], update-preimages
