@@ -432,6 +432,53 @@ object TimeSeries {
         element_at(col("__st.ss"), nextPos0 + 1)).as("forecast_next")): _*)
   }
 
+  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes
+    * (y_j − y_i)/(t_j − t_i), i < j — the standard outlier-immune slope
+    * estimator (up to ~29% arbitrary corruption cannot move it, unlike
+    * least squares which one spike drags arbitrarily). Deterministic:
+    * slopes are plain IEEE divisions over exact epoch-second deltas,
+    * the median an order statistic — the oracle replays both (q284).
+    * Pairs with identical timestamps are skipped (undefined slope).
+    *
+    * O(n²) pairs per key by construction — the bounded-series contract
+    * of the fold family applies doubly here (hours/days per entity;
+    * refuse at 10⁴ points, where n² crosses 10⁸ per key). Keys scale
+    * horizontally; the pair explosion is per-key local.
+    */
+  def theilSen(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tCol: String,
+      yCol: String): DataFrame = {
+    val sorted = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(tCol).as("t"),
+        col(yCol).cast("double").as("y")))).as("__ser"))
+      .withColumn("__guard", expr(
+        "assert_true(size(__ser) <= 10000, " +
+          "'theilSen: series exceeds 1e4 points — n^2 pairs past this is " +
+          "not a sane per-key object; pre-aggregate upstream')"))
+    val pairs = sorted
+      .select(keyCols.map(col) :+ col("__guard") :+
+        posexplode(col("__ser")).as(Seq("__i", "__a")) :+ col("__ser"): _*)
+      .select(keyCols.map(col) :+ col("__guard") :+ col("__i") :+ col("__a") :+
+        posexplode(col("__ser")).as(Seq("__j", "__b")): _*)
+      .filter(col("__i") < col("__j"))
+      .filter(col("__b.t") =!= col("__a.t"))
+      .select(keyCols.map(col) :+ col("__guard") :+
+        ((col("__b.y") - col("__a.y")) /
+          (col("__b.t").cast("double") - col("__a.t").cast("double")))
+          .as("__slope"): _*)
+    pairs
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(__slope, 0.5)").as("slope"),
+        first(col("__guard")).as("__g"))
+      .select(keyCols.map(col) ++ Seq(
+        when(col("__g").isNull, col("n_pairs")).as("n_pairs"),
+        when(col("__g").isNull, col("slope")).as("slope")): _*)
+  }
+
   /** Tabular CUSUM change-point detection (Page 1954) per key — THE
     * classic statistical-process-control drift detector for exactly the
     * industrial telemetry the reference carries: one-sided sums

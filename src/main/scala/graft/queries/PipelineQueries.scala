@@ -3613,6 +3613,36 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     },
 
+    Q("q284_theil_sen_trend",
+      // Theil–Sen robust trend per event_type over hourly counts: the
+      // median of all pairwise slopes — outlier-immune where least
+      // squares is one-spike-fragile. Fully deterministic: slopes are
+      // IEEE divisions over exact epoch-second deltas, the median an
+      // order statistic (Spark `percentile(0.5)` and DuckDB `median`
+      // both interpolate the middle pair — the proven q-family
+      // pairing), so the oracle replays pair set, slopes and median.
+      // Hourly stamps are unique per key, so `a.hr < b.hr` is exactly
+      // the engine's sorted i < j with no equal-t pairs to skip.
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |    count(*)::DOUBLE AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    (b.y - a.y) / (date_part('epoch', b.hr) - date_part('epoch', a.hr)) AS s
+        |  FROM h a JOIN h b ON a.event_type = b.event_type AND a.hr < b.hr)
+        |SELECT event_type, count(*)::BIGINT AS n_pairs,
+        |  round(median(s), 6) AS slope
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      TimeSeries.theilSen(hourly, Seq("event_type"), "hr", "y")
+        .select(col("event_type"), col("n_pairs"),
+          round(col("slope"), 6).as("slope"))
+        .orderBy("event_type")
+    },
+
     Q("q283_txtable_key_history",
       // per-key change TRAJECTORY across retained history
       // (TxTable.keyHistory — the "when did this tag change, from what

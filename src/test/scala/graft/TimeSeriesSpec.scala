@@ -298,6 +298,23 @@ class TimeSeriesSpec extends SparkSpec {
       .cusum(df, Seq("k"), "t", "y", 10.0, 2.0, 0.0))
   }
 
+  test("theilSen: hand median slope; one spike cannot move it; undefined-slope arms") {
+    // y = 2t exactly: every pairwise slope is 2
+    val lin = (1 to 6).map(i => ("a", i.toLong, 2.0 * i)).toDF("k", "t", "y")
+    val gl = graft.operators.TimeSeries.theilSen(lin, Seq("k"), "t", "y")
+      .as[(String, Long, Double)].collect().head
+    assert(gl == (("a", 15L, 2.0)))
+    // same line with one wild spike: median slope stays 2 (LSQ would not)
+    val spiked = lin.unionAll(Seq(("a", 7L, 1000.0)).toDF("k", "t", "y"))
+    val gs = graft.operators.TimeSeries.theilSen(spiked, Seq("k"), "t", "y")
+      .as[(String, Long, Double)].collect().head
+    assert(gs._2 == 21L && gs._3 == 2.0, gs.toString)
+    // all-identical timestamps: no defined slope, key absent
+    val flat = Seq(("b", 1L, 1.0), ("b", 1L, 2.0)).toDF("k", "t", "y")
+    assert(graft.operators.TimeSeries.theilSen(flat, Seq("k"), "t", "y")
+      .count() == 0L)
+  }
+
   test("holtWintersSmooth: a pure period-m signal is absorbed into the seasonals") {
     // strict square wave 0/8 with period 2 over many cycles: the level
     // settles near the mean, the trend near 0, and the seasonal pair
