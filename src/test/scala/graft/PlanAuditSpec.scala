@@ -888,6 +888,38 @@ class PlanAuditSpec extends SparkSpec {
       s"the ORC scan must not read unwritten/unused columns:\n$p")
   }
 
+  test("q275: shortest-path rounds are equi-joins + hash aggregates, no cartesian/window") {
+    val pl = plan("q275_weighted_shortest_paths")
+    assert(!pl.contains("CartesianProduct"), s"no cross product:\n$pl")
+    assert(!pl.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$pl")
+    assert(!pl.contains("Window"), s"no window over nodes:\n$pl")
+  }
+
+  test("q277: the interval sweep windows are KEYED and fed distinct intervals") {
+    val pl = plan("q277_interval_merge")
+    // both windows partition by k — never an unpartitioned corpus sort
+    assert(pl.contains("Window"), s"expected the sweep windows:\n$pl")
+    assert(pl.split("\n").filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("k#")),
+      s"sweep windows must partition by the key:\n$pl")
+    // the duplicate collapse runs BEFORE the window — the tie-hazard
+    // fix is visible in the plan as a pre-sweep aggregation
+    assert(pl.contains("partial_count") || pl.contains("partial_"),
+      s"expected the pre-sweep collapse aggregation:\n$pl")
+  }
+
+  test("q281/q282: KMV signatures are one hash aggregate; set ops never go cartesian on data") {
+    val p1 = plan("q281_kmv_distinct")
+    assert(!p1.contains("Window"), s"no window in signature construction:\n$p1")
+    assert(!p1.contains("CartesianProduct"), s"no cross product:\n$p1")
+    val p2 = plan("q282_kmv_setops")
+    // the pairwise ga < gb join is over O(groups) signature rows — a
+    // nested-loop over GROUPS is the expected (and fine) shape; a
+    // cartesian over the raw value stream would be a bug, and the raw
+    // stream appears only below its hash aggregate
+    assert(!p2.contains("CartesianProduct"), s"no cartesian:\n$p2")
+  }
+
   test("q272: isotonic windows are keyed; only the tiny bins table is ever windowed") {
     val p = plan("q272_isotonic_calibration")
     // the suffix-min window partitions by k — never an unpartitioned
