@@ -179,14 +179,20 @@ object Bench {
     // full per-query evidence: the headline value, its estimator (a
     // 2-run "median" IS the min — slow queries skip the third run, so
     // the label must say so; VERDICT r9 wrong #6), n_runs, min, and the
-    // raw runs — lets a verdict separate signal from load noise per query
+    // raw runs — lets a verdict separate signal from load noise per query.
+    // "median" is the ACTUAL median of every raw run across passes
+    // (ADVICE r14: it used to alias the headline, misrepresenting the
+    // estimator when the headline is a min-over-passes); the headline
+    // lives in "value" with its estimator named next to it.
     val detail = results.map { case (k, (v, runs)) =>
       val estimator =
         if (v < 0) "failed"
         else if (nPasses > 1) s"min_over_${nPasses}_passes"
         else if (runs.size >= 3) "median" else "min_of_2"
+      val trueMedian =
+        if (runs.isEmpty) -1.0 else runs.sorted.apply(runs.size / 2)
       s"\"" + k + "\":{\"value\":" + v + ",\"estimator\":\"" + estimator +
-        "\",\"n_runs\":" + runs.size + ",\"median\":" + v + ",\"min\":" +
+        "\",\"n_runs\":" + runs.size + ",\"median\":" + trueMedian + ",\"min\":" +
         (if (runs.isEmpty) -1.0 else runs.min) + ",\"runs\":" +
         runs.mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")

@@ -22,8 +22,20 @@ case class Gramian(dim: Int, cells: Array[Long])
   * exchange carries O(partitions) buffers instead of O(n·dim²) cell
   * rows, and the merge is elementwise adds.
   *
-  * Semantics are IDENTICAL to the explode form (q273/q274 stay
-  * hash-green; GramianParitySpec pins cell-for-cell equality):
+  * Semantics are IDENTICAL to the explode form for vectors of NON-NULL
+  * elements (q273/q274 stay hash-green; GramianParitySpec pins
+  * cell-for-cell equality). NULL ELEMENTS are outside that contract;
+  * the measured divergence (pinned in GramianParitySpec) is narrower
+  * than it looks: the `Seq[Long]` input encoder deserializes a null
+  * element as 0L, so any cell with at least one non-null product gets
+  * the SAME sum as the explode form (whose `sum` skips null products —
+  * skipping and adding 0 agree), and only a cell whose EVERY product is
+  * null diverges: explode emits NULL there, this Aggregator emits 0.
+  * The null→0L decode is an encoder artifact, not a promise — a caller
+  * with nullable elements must impute upstream (position-shifting null
+  * removal would corrupt the index space).
+  *
+  * Remaining contract points:
   *  - integer products and order-insensitive integer sums — exact under
   *    any partitioning/merge order;
   *  - ragged inputs: the buffer grows to the longest vector seen, and a

@@ -188,6 +188,18 @@ object IncrementalAgg {
     monotonic.unionByName(rescanned)
   }
 
+  /** The join-view refreshers rename the right input's join key to the
+    * left's name before the using-join; if the right side ALREADY has a
+    * distinct column named like the left key, that rename would create
+    * duplicate column names and an ambiguous join — fail loudly instead.
+    */
+  private def requireNoKeyShadow(
+      right: DataFrame, leftKey: String, rightKey: String): Unit =
+    require(leftKey == rightKey || !right.columns.contains(leftKey),
+      s"right input already carries a column named '$leftKey' distinct " +
+        s"from its join key '$rightKey' — renaming would create an " +
+        "ambiguous duplicate; drop or rename it before the refresh")
+
   /** Maintain a JOIN-aggregate view from the change feeds of BOTH join
     * inputs — the sixth IVM algebra, and the one that makes the others
     * compose into real pipelines: V = γ(L ⋈ R) maintained without ever
@@ -222,18 +234,6 @@ object IncrementalAgg {
     *         groups leave, brand-new groups (e.g. a dimension value the
     *         right feed just introduced) appear.
     */
-  /** The join-view refreshers rename the right input's join key to the
-    * left's name before the using-join; if the right side ALREADY has a
-    * distinct column named like the left key, that rename would create
-    * duplicate column names and an ambiguous join — fail loudly instead.
-    */
-  private def requireNoKeyShadow(
-      right: DataFrame, leftKey: String, rightKey: String): Unit =
-    require(leftKey == rightKey || !right.columns.contains(leftKey),
-      s"right input already carries a column named '$leftKey' distinct " +
-        s"from its join key '$rightKey' — renaming would create an " +
-        "ambiguous duplicate; drop or rename it before the refresh")
-
   def refreshJoinSumCount(
       prevAgg: DataFrame,
       cdfLeft: DataFrame,

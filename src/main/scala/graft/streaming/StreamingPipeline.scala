@@ -212,9 +212,15 @@ object StreamingPipeline extends Serializable {
     * sourceTimestamp) lexicographic — shared by both stateful variants.
     */
   private[streaming] def newerValue(a: OpcValue, b: OpcValue): Boolean = {
-    val bySrv = java.lang.Long.compare(a.serverTimestamp.getTime, b.serverTimestamp.getTime)
+    // full-precision comparison (getNanos carries the sub-millisecond
+    // fraction getTime drops), matching the batch twin's column order
+    def cmpTs(x: java.sql.Timestamp, y: java.sql.Timestamp): Int = {
+      val byMs = java.lang.Long.compare(x.getTime, y.getTime)
+      if (byMs != 0) byMs else java.lang.Integer.compare(x.getNanos, y.getNanos)
+    }
+    val bySrv = cmpTs(a.serverTimestamp, b.serverTimestamp)
     if (bySrv != 0) bySrv > 0
-    else a.sourceTimestamp.getTime > b.sourceTimestamp.getTime
+    else cmpTs(a.sourceTimestamp, b.sourceTimestamp) > 0
   }
 
   def latestPerTagStateful(normalized: DataFrame): DataFrame = {
@@ -313,7 +319,8 @@ object StreamingPipeline extends Serializable {
           var st = state.getOption.getOrElse(RunningStats(0L, 0.0, 0.0))
           val out = Seq.newBuilder[AnomalousReading]
           values.toSeq.sortBy(v =>
-            (v.serverTimestamp.getTime, v.sourceTimestamp.getTime)).foreach { v =>
+            (v.serverTimestamp.getTime, v.serverTimestamp.getNanos,
+              v.sourceTimestamp.getTime, v.sourceTimestamp.getNanos)).foreach { v =>
             val x = v.doubleValue
             if (st.n >= minSamples) {
               val sd = math.sqrt(st.m2 / (st.n - 1))
@@ -365,8 +372,12 @@ object StreamingPipeline extends Serializable {
           var st = state.getOption.getOrElse(HoltState(0L, 0.0, 0.0))
           // (t, y) — NOT t alone: the batch twin sorts struct(t, y), so
           // timestamp ties must break by y here too or the advertised
-          // bit-exact parity dies nondeterministically on tied samples
-          values.toSeq.sortBy(p => (p.t.getTime, p.y)).foreach { p =>
+          // bit-exact parity dies nondeterministically on tied samples.
+          // getNanos carries the sub-millisecond fraction getTime drops:
+          // without it two samples differing only below the millisecond
+          // would fold in a different order than the batch twin's full-
+          // precision struct(t, y) sort.
+          values.toSeq.sortBy(p => (p.t.getTime, p.t.getNanos, p.y)).foreach { p =>
             st =
               if (st.n == 0L) HoltState(1L, p.y, 0.0)
               else {
@@ -401,7 +412,9 @@ object StreamingPipeline extends Serializable {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (key, values, state: GroupState[CusumState]) =>
           var st = state.getOption.getOrElse(CusumState(0.0, 0.0, 0L, 0L, 0L))
-          values.toSeq.sortBy(p => (p.t.getTime, p.y)).foreach { p =>
+          // full-precision ordering: getNanos breaks sub-millisecond ties
+          // getTime cannot see (same contract as holtStream above)
+          values.toSeq.sortBy(p => (p.t.getTime, p.t.getNanos, p.y)).foreach { p =>
             val spRaw = math.max(0.0, st.sp + (p.y - target - slack))
             val snRaw = math.max(0.0, st.sn + (target - p.y - slack))
             val alarm = spRaw > threshold || snRaw > threshold

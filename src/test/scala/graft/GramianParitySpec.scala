@@ -44,6 +44,34 @@ class GramianParitySpec extends SparkSpec {
     assert(LinearAlgebra.secondMoment(empty, "v", 64).count() == 0L)
   }
 
+  test("null elements: parity on mixed-null cells, divergence only on all-null cells") {
+    // the documented contract boundary (ADVICE r14, corrected by
+    // measurement): the Seq[Long] encoder decodes a null element as 0L
+    // — it does NOT throw — so cells with any non-null product match the
+    // explode form exactly (its sum skips null products; skipping and
+    // adding 0 agree), and ONLY an all-null-product cell diverges:
+    // explode NULL, accumulator 0. Pin both halves so a refactor can't
+    // silently change either side.
+    val mixed = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS v " +
+        "UNION ALL SELECT array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))")
+    assert(asMap(LinearAlgebra.secondMoment(mixed, "v", 64)) ==
+      asMap(LinearAlgebra.secondMomentExplode(mixed, "v", 64)))
+    // every row null at position 2 → cells (1,2),(2,1),(2,2) all-null
+    val allNull = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS v " +
+        "UNION ALL SELECT array(CAST(2.0 AS FLOAT), CAST(NULL AS FLOAT))")
+    val fast = LinearAlgebra.secondMoment(allNull, "v", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val slow = LinearAlgebra.secondMomentExplode(allNull, "v", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(fast((1L, 1L)) == slow((1L, 1L)) &&
+      fast((1L, 1L)) == Some(5L * 64L * 64L))
+    assert(slow((2L, 2L)).isEmpty && fast((2L, 2L)) == Some(0L))
+  }
+
   test("order independence: repartitioned input gives identical cells") {
     val rnd = new scala.util.Random(11)
     val vecs = Seq.fill(40)(Seq.fill(16)(rnd.nextFloat())).toDF("v")
