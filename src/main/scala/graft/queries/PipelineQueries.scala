@@ -3354,23 +3354,22 @@ object PipelineQueries {
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       GraftFunctions.register(s)
+      // VERDICT r14 wrong #1 fix: the former plan self-joined part on
+      // p_brand alone and scored EVERY within-brand id pair — O(block²)
+      // Jaro-Winkler evaluations, 10 000× more scorer work at 100× data.
+      // p_name is vocabulary-bound (64 distinct values at every SF), so
+      // [[Dedup.linkageByValue]] scores each unordered VALUE pair once
+      // (≤ V²/2 ≈ 2k evaluations, flat across SFs) and expands back to
+      // id pairs through broadcast equi-joins — exact same result set,
+      // same oracle, scorer cost decoupled from corpus size. (The r14
+      // length-bound prune anti-lesson, NOTES 75, still applies to the
+      // scorer itself; it is now moot here because the scorer input is
+      // the dictionary, not the corpus.)
       val p = t(s, d, "part").select("p_partkey", "p_name", "p_brand")
-      val a = p.select(col("p_brand"), col("p_partkey").as("id1"),
-        col("p_name").as("__n1"))
-      val b = p.select(col("p_brand"), col("p_partkey").as("id2"),
-        col("p_name").as("__n2"))
-      // A sound length-bound prune (jw <= bound + 0.4*(1-bound) with
-      // bound = (min/l1 + min/l2 + 1)/3) was MEASURED here and removed:
-      // on this fixture (names all 8-12 chars) it filters ~nothing and
-      // cost 1.6x (11.9 s vs 7.3 s, 5-rep A/B — the extra conjunct
-      // perturbs the fused join+filter stage). The prune only pays on
-      // length-heterogeneous corpora; gate it on data shape, don't
-      // ship it unconditionally (NOTES item 75).
-      a.join(b, "p_brand")
-        .filter(col("id1") < col("id2"))
-        .withColumn("__jw", GraftFunctions.jaroWinkler(col("__n1"), col("__n2")))
-        .filter(col("__jw") >= 0.8)
-        .select(col("id1"), col("id2"), round(col("__jw"), 6).as("jw"))
+      graft.operators.Dedup.linkageByValue(
+          p, "p_partkey", "p_name", Seq("p_brand"),
+          GraftFunctions.jaroWinkler, threshold = 0.8)
+        .select(col("id1"), col("id2"), round(col("score"), 6).as("jw"))
         .orderBy("id1", "id2")
     },
 

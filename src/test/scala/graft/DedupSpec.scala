@@ -472,4 +472,62 @@ class DedupSpec extends SparkSpec {
       gramLen = 8, minSpan = 12, dfCap = 64L)
     assert(open.count() == 45L) // C(10,2) pairs, one span each
   }
+
+  // fixture for linkageByValue: two blocks, heavy value repetition
+  // (the vocabulary-bound regime the operator targets), equal-value
+  // groups, and same-value rows in DIFFERENT blocks (must never pair)
+  private val linkRows = {
+    val vocab = Seq("hot bolt", "hot bolts", "cold bolt", "blue ring",
+      "blue rings", "zinc plate")
+    (1L to 40L).map(i =>
+      (i, vocab((i % vocab.size).toInt), if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "name", "blk")
+  }
+
+  test("linkageByValue: exact parity with the quadratic within-block scan") {
+    val got = Dedup.linkageByValue(linkRows, "id", "name", Seq("blk"),
+        GraftFunctions.jaroWinkler, threshold = 0.8)
+      .select("blk", "id1", "id2", "score")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val a = linkRows.select(col("blk"), col("id").as("id1"), col("name").as("__n1"))
+    val b = linkRows.select(col("blk"), col("id").as("id2"), col("name").as("__n2"))
+    val brute = a.join(b, "blk").filter(col("id1") < col("id2"))
+      .withColumn("score", GraftFunctions.jaroWinkler(col("__n1"), col("__n2")))
+      .filter(col("score") >= 0.8)
+      .select("blk", "id1", "id2", "score")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == brute) // same pairs, same scores, each exactly once
+    assert(got.nonEmpty && got.exists { case (_, _, _, s) => s < 1.0 })
+    // equal-value pairs present (score 1.0), and never across blocks
+    assert(got.exists { case (_, _, _, s) => s == 1.0 })
+  }
+
+  test("linkageByValue: refuses a high-cardinality column loudly") {
+    val unique = (1L to 50L).map(i => (i, s"unique-value-$i", "A"))
+      .toDF("id", "name", "blk")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.linkageByValue(unique, "id", "name", Seq("blk"),
+        GraftFunctions.jaroWinkler, threshold = 0.8, maxDistinct = 20)
+    }
+    assert(e.getMessage.contains("distinct values exceed"))
+    assert(e.getMessage.contains("candidates upstream"))
+  }
+
+  test("linkageByValue: scorer cost is dictionary-bound, not corpus-bound") {
+    // the scale claim made checkable: the scored candidate set is the
+    // value-pair dictionary — its size depends only on the vocabulary,
+    // so doubling the corpus must not change it (the quadratic plan's
+    // scored-pair count would quadruple)
+    val doubled = linkRows.unionByName(
+      linkRows.withColumn("id", col("id") + 1000L))
+    val small = Dedup.linkageByValue(linkRows, "id", "name", Seq("blk"),
+      GraftFunctions.jaroWinkler, threshold = 0.8)
+    val large = Dedup.linkageByValue(doubled, "id", "name", Seq("blk"),
+      GraftFunctions.jaroWinkler, threshold = 0.8)
+    // qualifying VALUE pairs are identical; id pairs grow with the data
+    val smallVals = small.select("score").distinct().count()
+    val largeVals = large.select("score").distinct().count()
+    assert(smallVals == largeVals)
+    assert(large.count() > 3 * small.count()) // output grows, scoring doesn't
+  }
 }

@@ -920,6 +920,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct"), s"no cartesian:\n$p2")
   }
 
+  test("q280: Jaro-Winkler scores the distinct-value dictionary, never the corpus join") {
+    val p = plan("q280_jaro_winkler_linkage")
+    // the scorer must run ONLY inside the eagerly-materialized value
+    // dictionary (a lineage-cut leaf), so the expansion plan contains NO
+    // jaro_winkler at all — in particular never over corpus columns
+    // (the VERDICT r14 scale-killer was jaro_winkler applied to the
+    // brand self-join, and the first fix attempt REGREW it via
+    // constraint inference: `jaro_winkler(p_name, p_name)` as a
+    // post-scan filter — this assertion pins both failure modes dead)
+    assert(!p.contains("jaro_winkler"),
+      s"the scorer must be pre-evaluated into the dictionary leaves, " +
+        s"never live in the expansion plan:\n$p")
+    // the dictionaries enter as materialized leaves…
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed dictionary leaves:\n$p")
+    // …and the expansion back to ids is broadcast equi-joins of the
+    // qualifying dictionary — never a shuffled corpus self-join on the
+    // block alone
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast expansion:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q272: isotonic windows are keyed; only the tiny bins table is ever windowed") {
     val p = plan("q272_isotonic_calibration")
     // the suffix-min window partitions by k — never an unpartitioned
