@@ -134,7 +134,7 @@ object TxTableCdfSource {
       base.fields.iterator.map(_.name).filter(_ != opts.keyCol).toSeq)
   }
 
-  private def tableSchema(spark: SparkSession, opts: Options): StructType =
+  private[streaming] def tableSchema(spark: SparkSession, opts: Options): StructType =
     TxTable.read(spark, opts.path, opts.partitions).getOrElse(
       throw new IllegalArgumentException(
         s"txtable-cdf: table ${opts.path} is empty or absent — commit at " +
@@ -161,6 +161,12 @@ class TxTableCdfSource(spark: SparkSession, opts: TxTableCdfSource.Options)
 
   private val cdfSchema = TxTableCdfSource.cdfSchema(spark, opts)
   private val cmpCols = TxTableCdfSource.resolveCompareCols(spark, opts)
+  // the full table schema, resolved ONCE at stream start: every
+  // per-version read in getBatch passes it as the schema hint, so a
+  // trigger folding N commits costs zero footer-inference jobs instead
+  // of 2N (the keyHistory lesson, applied to the streaming twin)
+  private val tableSchemaHint =
+    Some(TxTableCdfSource.tableSchema(spark, opts))
 
   /** Under Trigger.AvailableNow the engine would otherwise pin a plain
     * v1 source to one up-front offset — with pacing on, that would stop
@@ -235,7 +241,7 @@ class TxTableCdfSource(spark: SparkSession, opts: TxTableCdfSource.Options)
       else
         try Some(
           TxTable.changeDataFeed(spark, opts.path, v - 1, v, opts.keyCol,
-              cmpCols, opts.keys, opts.order, Some(parts))
+              cmpCols, opts.keys, opts.order, Some(parts), tableSchemaHint)
             .withColumn("_commit_version", lit(v)))
         catch {
           case e: org.apache.spark.sql.AnalysisException

@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.TxTable
+
+/** VERDICT r14 task #2 — keyHistory must stay plannable on
+  * long-retention tables and honest on vacuumed ones. The old shape
+  * unioned one CDF (two scoped snapshot reads) per retained commit with
+  * no window parameter: thousands of retained commits meant thousands
+  * of plan branches in one query, and any pruned prefix made the
+  * unconditional 0..head loop throw before producing anything. These
+  * tests pin the bounded-window contract:
+  *
+  *  1. a 120-commit table REFUSES the unbounded default loudly (the
+  *     no-silent-caps rule: the caller paginates or raises the cap
+  *     deliberately), serves a paginated window correctly, and serves
+  *     the FULL history under an explicit maxVersions — with planning
+  *     wall-clock recorded as the scale evidence;
+  *  2. a vacuumed table starts the default window at the first
+  *     still-diffable version (derived from the log listing, like
+  *     history()) instead of crashing on the pruned prefix, and an
+  *     EXPLICIT sinceVersion below the horizon fails loudly with the
+  *     first answerable version named;
+  *  3. window plumbing: untilVersion bounds, empty windows, and
+  *     beyond-HEAD requests all fail loud-and-named.
+  */
+class TxTableKeyHistorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val K = Seq("serverName", "tag")
+  private val O = Seq("seq")
+
+  /** One commit: upsert (srv-0, tag-0) to value v with sequence v —
+    * every commit touches the same key, so its trajectory is one
+    * insert plus a pre/post pair per later commit.
+    */
+  private def commit(path: String, v: Long): Unit =
+    TxTable.upsertDelta(spark,
+      Seq(("srv-0", "tag-0", v.toDouble, v))
+        .toDF("serverName", "tag", "doubleValue", "seq"),
+      path, "serverName", K, O)
+
+  test("120 commits: default refuses, pagination works, explicit cap plans the full span") {
+    val path = tmp("kh-long-")
+    (0L until 120L).foreach(commit(path, _))
+
+    // unbounded default over 120 commits: loud refusal, remedy named
+    val eCap = intercept[IllegalArgumentException] {
+      TxTable.keyHistory(spark, path, "tag", col("tag") === "tag-0",
+        compareCols = Seq("doubleValue"), keys = K, order = O)
+    }
+    assert(eCap.getMessage.contains("maxVersions"))
+    assert(eCap.getMessage.contains("paginate"))
+
+    // a paginated window: versions 110..119, exactly one pre/post pair
+    // per commit for the single hot key
+    val page = TxTable.keyHistory(spark, path, "tag", col("tag") === "tag-0",
+        compareCols = Seq("doubleValue"), keys = K, order = O,
+        sinceVersion = 110L, untilVersion = 119L)
+      .select(col("_commit_version"), col("change_type"),
+        col("doubleValue"))
+      .as[(Long, String, Double)].collect().toSet
+    val expectPage = (110L to 119L).flatMap { v =>
+      Seq((v, "update_preimage", (v - 1).toDouble),
+        (v, "update_postimage", v.toDouble))
+    }.toSet
+    assert(page == expectPage)
+
+    // full span under a deliberate cap: construction+result time is the
+    // scale evidence — the old two-reads-per-version flat-union shape
+    // measured 84 s of pure CONSTRUCTION for these 120 versions before
+    // executing anything (plus ~25 s to execute); the boundary-state
+    // shape reads each version once (window+1 reads total), key-filtered
+    // and lineage-cut, so diffs run leaf-against-leaf. The remaining
+    // cost is the fixture's own worst-case physical shape: 120
+    // uncompacted single-row delta dirs make state v read O(v)
+    // directories — a real table compacts and pays O(1) per state.
+    val t0 = System.nanoTime()
+    val full = TxTable.keyHistory(spark, path, "tag", col("tag") === "tag-0",
+      compareCols = Seq("doubleValue"), keys = K, order = O,
+      maxVersions = 128)
+    val buildMs = (System.nanoTime() - t0) / 1000000
+    val t1 = System.nanoTime()
+    val n = full.count()
+    val execMs = (System.nanoTime() - t1) / 1000000
+    // v0 insert + 119 pre/post pairs
+    assert(n == 1L + 119L * 2L)
+    info(s"120-commit keyHistory: build(+boundary-state materialization) " +
+      s"${buildMs}ms, final count ${execMs}ms " +
+      "(flat-union baseline: 84s construction + 25s execution)")
+    assert(buildMs + execMs < 109000,
+      s"must beat the flat-union total: ${buildMs + execMs}ms")
+  }
+
+  test("vacuumed prefix: default starts at the first diffable version; explicit since is loud") {
+    val path = tmp("kh-vac-")
+    (0L until 25L).foreach(commit(path, _)) // checkpoints at 10 and 20
+    val pruned = TxTable.vacuum(path, minAgeMs = 0L)
+    assert(pruned.exists(_.contains(".commit")), "vacuum must prune the prefix")
+
+    // log now anchors at checkpoint 20: states 20..24 are rebuildable,
+    // so the first DIFFABLE version is 21 (a diff needs v-1 too)
+    val ranges = TxTable.reconstructibleRanges(path)
+    assert(ranges == Seq((20L, 24L)), s"got $ranges")
+
+    val got = TxTable.keyHistory(spark, path, "tag", col("tag") === "tag-0",
+        compareCols = Seq("doubleValue"), keys = K, order = O)
+      .select("_commit_version").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(got == (21L to 24L), s"got $got")
+
+    val eGone = intercept[IllegalArgumentException] {
+      TxTable.keyHistory(spark, path, "tag", col("tag") === "tag-0",
+        compareCols = Seq("doubleValue"), keys = K, order = O,
+        sinceVersion = 5L)
+    }
+    assert(eGone.getMessage.contains("no longer reconstructible"))
+    assert(eGone.getMessage.contains("first answerable version is 21"))
+  }
+
+  test("window plumbing: beyond-HEAD, inverted and single-state windows fail loud") {
+    val path = tmp("kh-edge-")
+    (0L until 3L).foreach(commit(path, _))
+
+    val eHead = intercept[IllegalArgumentException] {
+      TxTable.keyHistory(spark, path, "tag", lit(true), keys = K, order = O,
+        untilVersion = 99L)
+    }
+    assert(eHead.getMessage.contains("beyond HEAD"))
+
+    val eEmpty = intercept[IllegalArgumentException] {
+      TxTable.keyHistory(spark, path, "tag", lit(true), keys = K, order = O,
+        sinceVersion = 2L, untilVersion = 1L)
+    }
+    assert(eEmpty.getMessage.contains("empty window"))
+
+    // untilVersion bounds the window from above
+    val upTo1 = TxTable.keyHistory(spark, path, "tag", lit(true),
+        compareCols = Seq("doubleValue"), keys = K, order = O,
+        untilVersion = 1L)
+      .select("_commit_version").distinct().as[Long].collect().sorted.toSeq
+    assert(upTo1 == Seq(0L, 1L))
+  }
+}
