@@ -260,7 +260,85 @@ case class CdcBounds(child: Expression, window: Int, modulus: Int, minLen: Int)
     copy(child = newChild)
 }
 
+/** IEEE-754 double → order-preserving signed long (an involution with
+  * [[SortableBitsDouble]]): non-negative doubles keep their raw bits
+  * (already ascending); negative doubles map to `Long.MinValue - bits`,
+  * which is negative, ascends with the double, and wraps -0.0 onto
+  * +0.0's image. Lets integer order-statistic machinery
+  * ([[graft.operators.Selection.kthSmallestByGroup]]) select EXACT
+  * order statistics over double columns — bit-level binary search
+  * instead of buffering values. NaN is rejected by contract (its bits
+  * would sort above +∞ in an arbitrary payload order, poisoning the
+  * selection silently): callers filter NaN first, as the top-k family
+  * does.
+  */
+case class DoubleSortableBits(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"double_sortable_bits requires DOUBLE, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "double_sortable_bits"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      HashExpressions.doubleSortableBits(input.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashExpressions.doubleSortableBits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Inverse of [[DoubleSortableBits]] (the same involution formula). */
+case class SortableBitsDouble(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sortable_bits_double requires BIGINT, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sortable_bits_double"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(
+      HashExpressions.sortableBitsDouble(input.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashExpressions.sortableBitsDouble($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
+
+  /** See [[DoubleSortableBits]]. NaN is a contract violation, surfaced
+    * loudly — a silent arbitrary-payload ordering would corrupt order
+    * statistics downstream.
+    */
+  def doubleSortableBits(d: Double): Long = {
+    if (java.lang.Double.isNaN(d))
+      throw new IllegalArgumentException(
+        "double_sortable_bits: NaN has no place in a value ordering — " +
+          "filter NaN upstream")
+    val b = java.lang.Double.doubleToLongBits(d)
+    if (b >= 0L) b else java.lang.Long.MIN_VALUE - b
+  }
+
+  /** Inverse of [[doubleSortableBits]] — the identical involution. */
+  def sortableBitsDouble(s: Long): Double = {
+    val b = if (s >= 0L) s else java.lang.Long.MIN_VALUE - s
+    java.lang.Double.longBitsToDouble(b)
+  }
 
   /** Plan-time literal-int extraction for SQL registration of
     * parameterized expressions: a clear analysis-time message instead of

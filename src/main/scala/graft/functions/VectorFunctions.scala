@@ -568,6 +568,10 @@ object GraftFunctions {
       "image_dhash", exprs => ImageDHash(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "double_sortable_bits", exprs => DoubleSortableBits(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "sortable_bits_double", exprs => SortableBitsDouble(exprs.head), "built-in")
     // ACID-table reads as table-valued functions: FROM txtable_merged(...)
     val tvf = spark.sessionState.tableFunctionRegistry
     TxTableTvf.all.foreach { case (name, _, builder) =>
@@ -596,4 +600,8 @@ object GraftFunctions {
     call_function("cdc_bounds", text, lit(window), lit(modulus), lit(minLen))
   def jaroWinkler(a: Column, b: Column): Column =
     call_function("jaro_winkler", a, b)
+  def doubleSortableBits(d: Column): Column =
+    call_function("double_sortable_bits", d)
+  def sortableBitsDouble(s: Column): Column =
+    call_function("sortable_bits_double", s)
 }

@@ -33,31 +33,42 @@ object Selection {
     * @param kOf k for a group of n rows — e.g. lower median
     *            `n => (n + 1) / 2` (the default), upper quartile
     *            `n => (3 * n + 3) / 4`; must be in [1, n].
-    * @return (groupCol, kth LongType)
+    * @return (groupCol, n, kth LongType)
     *
     * Driver state and per-round collect are O(#groups) — callers with
     * unbounded group cardinality should aggregate upstream first (the
     * operator recomputes nothing per group; rounds are shared, bounded
     * by log2 of the WIDEST group's value range).
+    *
+    * @param cache persist the (group, value) projection across rounds
+    *              (the default — right when the input is a table worth
+    *              one materialization). Pass false when the input is a
+    *              DERIVED relation bigger than its sources (e.g. the
+    *              O(n²) implicit pair set of [[graft.operators
+    *              .TimeSeries.theilSenSelection]]): every round then
+    *              recomputes it — pure compute, zero storage footprint.
     */
   def kthSmallestByGroup(
       df: DataFrame,
       groupCol: String,
       valCol: String,
-      kOf: Long => Long = n => (n + 1) / 2): DataFrame = {
+      kOf: Long => Long = n => (n + 1) / 2,
+      cache: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = df
+    val projected = df
       .filter(col(valCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         col(valCol).cast("long").as("v"))
-      .persist()
+    val vals = if (cache) projected.persist() else projected
     try {
       val stats = vals.groupBy("g")
         .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("mx"))
         .collect() // one row per group — the documented bounded collect
       // state: group -> (k, lo, hi) with the invariant
       //   count(v <= lo - 1) < k  and  count(v <= hi) >= k
+      val nOf: Map[String, Long] =
+        stats.map(r => r.getString(0) -> r.getLong(1)).toMap
       var state: Map[String, (Long, Long, Long)] = stats.map { r =>
         val n = r.getLong(1)
         val k = kOf(n)
@@ -109,15 +120,15 @@ object Selection {
         }
         active = state.filter { case (_, (_, lo, hi)) => lo < hi }
       }
-      state.toSeq.map { case (g, (_, lo, _)) => (g, lo) }
-        .toDF(groupCol, "kth")
-    } finally vals.unpersist(blocking = false)
+      state.toSeq.map { case (g, (_, lo, _)) => (g, nOf(g), lo) }
+        .toDF(groupCol, "n", "kth")
+    } finally if (cache) { vals.unpersist(blocking = false); () }
   }
 
   /** Global exact k-th smallest — the single-group fast path. */
   def kthSmallest(df: DataFrame, valCol: String, k: Long): Long = {
     val one = kthSmallestByGroup(
       df.select(lit("_").as("__g"), col(valCol)), "__g", valCol, _ => k)
-    one.collect().head.getLong(1)
+    one.collect().head.getAs[Long]("kth")
   }
 }

@@ -440,10 +440,15 @@ object TimeSeries {
     * the median an order statistic — the oracle replays both (q284).
     * Pairs with identical timestamps are skipped (undefined slope).
     *
-    * O(n²) pairs per key by construction — the bounded-series contract
-    * of the fold family applies doubly here (hours/days per entity;
-    * refuse at 10⁴ points, where n² crosses 10⁸ per key). Keys scale
-    * horizontally; the pair explosion is per-key local.
+    * O(n²) pairs per key by construction, and every pair lands in ONE
+    * `percentile` buffer — so the guard must match a sane single-task
+    * buffer, not merely a sane pair count: at the former 10⁴-point
+    * boundary the buffer admitted 5·10⁷ doubles (~400 MB) in one task —
+    * an OOM the guard itself blessed (VERDICT r14 wrong #3). Refuse at
+    * 2048 points (≤ 2.1M slopes ≈ 17 MB per key, hours/days-per-entity
+    * series fit with 3× headroom); longer series go through
+    * [[theilSenSelection]], which selects the same order statistic with
+    * O(1) executor memory. Keys scale horizontally either way.
     */
   def theilSen(
       df: DataFrame,
@@ -455,9 +460,11 @@ object TimeSeries {
       .agg(sort_array(collect_list(struct(col(tCol).as("t"),
         col(yCol).cast("double").as("y")))).as("__ser"))
       .withColumn("__guard", expr(
-        "assert_true(size(__ser) <= 10000, " +
-          "'theilSen: series exceeds 1e4 points — n^2 pairs past this is " +
-          "not a sane per-key object; pre-aggregate upstream')"))
+        "assert_true(size(__ser) <= 2048, " +
+          "'theilSen: series exceeds 2048 points — the n^2/2 slope " +
+          "percentile buffer past this is not a sane single-task " +
+          "object; use theilSenSelection (O(1) memory) or " +
+          "pre-aggregate upstream')"))
     val pairs = sorted
       .select(keyCols.map(col) :+ col("__guard") :+
         posexplode(col("__ser")).as(Seq("__i", "__a")) :+ col("__ser"): _*)
@@ -477,6 +484,70 @@ object TimeSeries {
       .select(keyCols.map(col) ++ Seq(
         when(col("__g").isNull, col("n_pairs")).as("n_pairs"),
         when(col("__g").isNull, col("slope")).as("slope")): _*)
+  }
+
+  /** [[theilSen]] for series past the 2048-point buffer boundary: the
+    * EXACT LOWER-MEDIAN slope (k = ⌈n/2⌉ order statistic — no
+    * interpolation, so on even pair counts this differs from
+    * [[theilSen]]'s interpolated `percentile(0.5)` by up to half a gap;
+    * on odd counts the two agree bit-for-bit, TimeSeriesSpec pins both)
+    * selected with O(1) executor memory: slopes map to order-preserving
+    * long bits ([[graft.functions.DoubleSortableBits]] — an exact
+    * involution, no precision loss) and
+    * [[graft.operators.Selection.kthSmallestByGroup]] bisects the bit
+    * domain, counting pairs ≤ pivot with one map-side-combined pass per
+    * round. The O(n²) pair set is never buffered OR cached — it is a
+    * self-join REGENERATED each of the ~⌈log16(bitRange)⌉ rounds
+    * (`cache = false`): the deliberate compute-for-memory trade that
+    * keeps a 10⁵-point key (5·10⁹ slopes ≈ 40 GB if buffered) inside a
+    * fixed task footprint. Keys below the boundary should prefer
+    * [[theilSen]] — one pass beats ~16.
+    *
+    * NaN y-values are rejected loudly by the bit mapping (a NaN slope
+    * has no place in an order statistic); equal-timestamp pairs are
+    * skipped exactly as in [[theilSen]].
+    */
+  def theilSenSelection(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tCol: String,
+      yCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // single synthetic group key (the selection machinery groups on one
+    // string column); the \\u0001 separator cannot appear in printable
+    // key text, so multi-key tuples cannot collide
+    val gCol = concat_ws("\u0001", keyCols.map(col(_).cast("string")): _*)
+    val pts = df.select(gCol.as("__g"), col(tCol).cast("double").as("__t"),
+      col(yCol).cast("double").as("__y"))
+    val a = pts.select(col("__g"), col("__t").as("__ta"), col("__y").as("__ya"))
+    val b = pts.select(col("__g").as("__gb"), col("__t").as("__tb"),
+      col("__y").as("__yb"))
+    // a.t < b.t enumerates exactly theilSen's pair set (sorted i < j
+    // with equal-t pairs skipped), with the identical later-minus-earlier
+    // IEEE division. The division is when-guarded even though the join
+    // condition already excludes equal timestamps: the selection
+    // machinery's isnotnull filter gets FOLDED INTO the join condition,
+    // where conjunct evaluation order is unspecified — measured: the
+    // slope evaluated on equal-t pairs before `<` pruned them, an ANSI
+    // divide-by-zero out of rows that were never going to survive. The
+    // guard makes any evaluation order yield null there instead.
+    val slopes = a.join(b, col("__g") === col("__gb") && col("__ta") < col("__tb"))
+      .select(col("__g"),
+        graft.functions.GraftFunctions.doubleSortableBits(
+          when(col("__tb") =!= col("__ta"),
+            (col("__yb") - col("__ya")) / (col("__tb") - col("__ta"))))
+          .as("__bits"))
+    val kth = graft.operators.Selection.kthSmallestByGroup(
+      slopes, "__g", "__bits", cache = false)
+    // map the group string back to the original key columns (keys with
+    // fewer than two distinct timestamps have no pairs and drop out,
+    // matching theilSen)
+    df.select(keyCols.map(col): _*).distinct()
+      .withColumn("__g", gCol)
+      .join(kth, "__g")
+      .select(keyCols.map(col) ++ Seq(col("n").as("n_pairs"),
+        graft.functions.GraftFunctions.sortableBitsDouble(col("kth"))
+          .as("slope")): _*)
   }
 
   /** Tabular CUSUM change-point detection (Page 1954) per key — THE

@@ -16,8 +16,8 @@ class SelectionSpec extends SparkSpec {
       ("b", 2L), ("b", 2L), ("b", 2L),                           // constant group → 2
       ("c", 10L), ("c", -10L))                                   // even n: lower median -10
     val got = Selection.kthSmallestByGroup(rows.toDF("g", "v"), "g", "v")
-      .as[(String, Long)].collect().toMap
-    assert(got == Map("a" -> 5L, "b" -> 2L, "c" -> -10L))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map("a" -> (5L, 5L), "b" -> (3L, 2L), "c" -> (2L, -10L)))
   }
 
   test("arbitrary k matches a full sort on a deterministic spread") {
@@ -26,7 +26,7 @@ class SelectionSpec extends SparkSpec {
     val sorted = vs.map(_._2).sorted
     for (k <- Seq(1, 37, 100, 101, 200)) {
       val got = Selection.kthSmallestByGroup(df, "g", "v", _ => k.toLong)
-        .as[(String, Long)].collect().head._2
+        .select("g", "kth").as[(String, Long)].collect().head._2
       assert(got == sorted(k - 1), s"k=$k")
     }
   }
@@ -45,7 +45,7 @@ class SelectionSpec extends SparkSpec {
     val df = Seq(Some(10L), None, Some(20L), None, Some(30L))
       .toDF("v").select(lit("g").as("g"), col("v"))
     val got = Selection.kthSmallestByGroup(df, "g", "v", _ => 2L)
-      .as[(String, Long)].collect().head._2
+      .select("g", "kth").as[(String, Long)].collect().head._2
     assert(got == 20L)
   }
 }
