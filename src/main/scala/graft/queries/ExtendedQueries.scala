@@ -886,6 +886,114 @@ object ExtendedQueries {
         .orderBy("query_id", "rank")
     },
 
+    Q("q42b_lsh_topk_replay",
+      // VERDICT r14 task #3 — q42's SRP-LSH result, ORACLE-PAIRED with
+      // zero artifacts: the hyperplanes are md5-derived constants
+      // (planeComponent = first-15-hex-chars-of-md5 / 2^59 − 1, the
+      // q281 hash idiom), so the oracle regenerates them in SQL,
+      // replays every bucket bit as an ordered list_dot_product sign
+      // (sequential fold, same IEEE tree as the SrpBits codegen loop),
+      // joins same-(table, bucket) candidates, dedups across tables and
+      // re-ranks by exact cosine — the whole approximate pipeline is
+      // deterministic GIVEN the planes, and the planes are pure hashes.
+      """WITH planes AS (
+        |  SELECT t, p, list(comp ORDER BY d) AS w
+        |  FROM (
+        |    SELECT t.t, p.p, d.d,
+        |      (('0x' || substr(md5(t.t::VARCHAR || ':' || p.p::VARCHAR || ':'
+        |          || d.d::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+        |        / 576460752303423488.0 - 1.0 AS comp
+        |    FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
+        |         (SELECT unnest(generate_series(0, 3)) AS p) p,
+        |         (SELECT unnest(generate_series(0, 63)) AS d) d)
+        |  GROUP BY t, p),
+        |bk AS (
+        |  SELECT e.vec_id, pl.t,
+        |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) > 0.0
+        |      THEN (1 << pl.p)::BIGINT ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings e, planes pl GROUP BY 1, 2),
+        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |      WHERE vec_id % 50 = 0),
+        |qb AS (SELECT b.vec_id AS query_id, b.t, b.bucket
+        |       FROM bk b JOIN q ON q.query_id = b.vec_id),
+        |cand AS (
+        |  SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+        |  FROM qb JOIN bk cb ON cb.t = qb.t AND cb.bucket = qb.bucket
+        |  WHERE cb.vec_id <> qb.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine
+        |  FROM cand c JOIN q ON q.query_id = c.query_id
+        |  JOIN embeddings e ON e.vec_id = c.neighbor_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+        |  neighbor_id, round(cosine, 6) AS cosine
+        |FROM scored QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.lshTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, nPlanes = 4, nTables = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    Q("q54b_ivf_topk_replay",
+      // VERDICT r14 task #3 — q54's IVF probe, ORACLE-PAIRED via the
+      // q202b artifact-replay stance: trained centroids are not
+      // SQL-replayable (k-means), but GIVEN the saved index every probe
+      // decision is — cell ranking is (cosine DESC, cell) over the
+      // centroids parquet, candidates are the probed cells' inverted
+      // lists, the re-rank is exact cosine with the (cosine DESC, id)
+      // tie-break every exact-top-k twin already hash-matches. The
+      // engine probes the SAME saved artifacts the oracle reads
+      // (ivfQueryIndex over ivfSaveIndex output — the static-pruned
+      // probe path, so the replay covers the production read path, not
+      // a shortcut).
+      s"""WITH cents AS (
+        |  SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q54b_idx/centroids/*.parquet')),
+        |lists AS (
+        |  SELECT neighbor_id, __cvec, CAST(__cell AS INT) AS cell
+        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q54b_idx/lists/*/*.parquet',
+        |                    hive_partitioning = 1)),
+        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |      WHERE vec_id % 50 = 0),
+        |pc AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+        |                   c.centroid::DOUBLE[]) DESC, c.cell) AS rn
+        |    FROM q CROSS JOIN cents c) WHERE rn <= 6),
+        |cand AS (
+        |  SELECT q.query_id, l.neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], l.__cvec::DOUBLE[]) AS cosine
+        |  FROM q JOIN pc ON pc.query_id = q.query_id
+        |  JOIN lists l ON l.cell = pc.cell
+        |  WHERE l.neighbor_id <> q.query_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+        |  neighbor_id, round(cosine, 6) AS cosine
+        |FROM cand QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val path = Q.oracleArtifactDir("q54b_idx")
+      val (cents, assigned) = SimilaritySearch.ivfBuildIndex(
+        emb, "vec_id", "embedding", nCells = 16, iters = 3)
+      SimilaritySearch.ivfSaveIndex(path, cents, assigned)
+      val (lc, lists) = SimilaritySearch.ivfLoadIndex(s, path)
+      SimilaritySearch.ivfQueryIndex(
+          lc, lists, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, nProbe = 6)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     Q.noOracle("q54_ivf_topk") { (s, d) =>
       // IVF (k-means inverted lists, Lloyd's over DataFrames) — the
       // data-adaptive ANN scale path; approximate, so no SQL oracle.
