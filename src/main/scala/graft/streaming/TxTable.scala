@@ -362,6 +362,10 @@ object TxTable {
           val dir = logDir(tablePath)
           val ckpt = new File(dir, f"$base%020d.checkpoint")
           if (!ckpt.exists()) return None // anchor gone: stale hint or corruption
+          // a checkpoint without a complete eof trailer (truncated, or
+          // pre-trailer build) must not anchor a replay — fall back to
+          // the full listing, which re-derives trust per file
+          if (!checkpointComplete(ckpt)) return None
           try {
             var st = LogState()
             val read = Seq.newBuilder[File]
@@ -399,12 +403,33 @@ object TxTable {
     * state. 3-field adds (stats-less writers, pre-stats logs) carry
     * empty stats — readable forever; unknown line shapes stay
     * informational.
+    *
+    * Integrity: files written by this build end with an `eof\t<n>`
+    * trailer (n = payload lines above it). When the trailer is present
+    * it is VALIDATED — a count mismatch or content after it means the
+    * file was damaged after publish (bit rot, manual truncation), and
+    * folding a silently-shorter listing would be a wrong read wearing a
+    * right one's clothes, so this throws instead. Trailer-less files
+    * (pre-trailer builds) still fold — but are not trusted as replay
+    * ANCHORS (see [[checkpointComplete]]).
     */
   private def applyLogFile(f: File, st0: LogState): LogState = {
     var st = st0
+    var seen = 0
+    var eofAt = -1
     new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).foreach { line =>
+        if (eofAt >= 0)
+          throw new IllegalStateException(
+            s"corrupt log file $f: content after the eof trailer")
         line.split("\t") match {
+          case Array("eof", n) =>
+            if (!n.toLongOption.contains(seen.toLong))
+              throw new IllegalStateException(
+                s"truncated/corrupt log file $f: eof trailer declares $n " +
+                  s"lines, found $seen — restore the file from a replica " +
+                  "or vacuum past it; refusing a silently-partial fold")
+            eofAt = seen
           case Array("add", part, path) =>
             st = st.copy(files = st.files + (path -> (part, "")))
           case Array("add", part, path, stats) =>
@@ -420,8 +445,37 @@ object TxTable {
             st = st.copy(schemaJson = Some(StatsCodec.unescField(j)))
           case _ => // header/op lines are informational
         }
+        if (eofAt < 0) seen += 1
       }
     st
+  }
+
+  /** Whether a checkpoint file carries a complete payload — i.e. ends
+    * with an `eof` trailer line (the count itself is validated at fold
+    * time by [[applyLogFile]]). A checkpoint WITHOUT one is never
+    * trusted as a replay anchor: it might be a pre-trailer-build file,
+    * or a truncated current-build file whose trailer was cut — the two
+    * are indistinguishable, and anchoring on a truncated listing
+    * silently drops data. Cheap tail read (last 4 KiB), not a full
+    * parse — this runs per retained checkpoint per snapshot probe.
+    */
+  private[graft] def checkpointComplete(f: File): Boolean = {
+    var raf: java.io.RandomAccessFile = null
+    try {
+      raf = new java.io.RandomAccessFile(f, "r")
+      val len = raf.length()
+      val n = math.min(len, 4096L).toInt
+      raf.seek(len - n)
+      val buf = new Array[Byte](n)
+      raf.readFully(buf)
+      val tail = new String(buf, StandardCharsets.UTF_8)
+      val lastLine = tail.split("\n").filter(_.nonEmpty).lastOption
+      lastLine.exists(l => l.split("\t") match {
+        case Array("eof", c) => c.toLongOption.isDefined
+        case _               => false
+      })
+    } catch { case _: java.io.IOException => false }
+    finally if (raf != null) raf.close()
   }
 
   /** Snapshot from a fully-folded replay state. */
@@ -458,12 +512,36 @@ object TxTable {
     */
   private[graft] def replay(entries: Seq[File]): Snapshot = {
     val commits = entries.flatMap(f => versionOf(f, ".commit").map(_ -> f)).sortBy(_._1)
+    // only a COMPLETE checkpoint (eof trailer present) may anchor: a
+    // truncated one would fold as a silently-shorter file listing. An
+    // incomplete latest checkpoint falls back to the newest complete
+    // one, or to a commits-from-origin replay — and if neither can
+    // anchor the retained suffix, that is a LOUD failure, never a
+    // partial state.
     val ckpt = entries.flatMap(f => versionOf(f, ".checkpoint").map(_ -> f))
-      .sortBy(_._1).lastOption
+      .sortBy(_._1).filter { case (_, f) => checkpointComplete(f) }.lastOption
     var st = LogState() // files: rel path -> (partition, stats)
     ckpt.foreach { case (_, f) => st = applyLogFile(f, st) }
     val base = ckpt.map(_._1).getOrElse(-1L)
-    commits.filter(_._1 > base).foreach { case (_, f) => st = applyLogFile(f, st) }
+    val suffix = commits.filter(_._1 > base)
+    suffix.map(_._1).headOption.foreach { first =>
+      if (first != base + 1 && !(base == -1L && first == 0L))
+        throw new IllegalStateException(
+          s"log of ${entries.headOption.map(_.getParent).getOrElse("?")} is " +
+            s"not anchored: retained commits start at $first but the newest " +
+            s"complete checkpoint is at $base — a checkpoint is truncated/" +
+            "corrupt or the log was damaged; restore it from a replica or " +
+            "re-checkpoint before reading")
+    }
+    suffix.zipWithIndex.foreach { case ((v, f), i) =>
+      val expect = base + 1 + i
+      if (v != expect)
+        throw new IllegalStateException(
+          s"log gap: expected commit $expect, found $v (${f.getName}) — " +
+            "versions are dense by contract, so a missing commit means " +
+            "deleted/damaged log files; refusing a partial fold")
+      st = applyLogFile(f, st)
+    }
     toSnapshot(commits.lastOption.map(_._1).getOrElse(base), st)
   }
 
@@ -503,7 +581,12 @@ object TxTable {
         snap.schemaJson.map(j => s"schema\t${StatsCodec.escField(j)}").toSeq
       val dir = logDir(tablePath)
       val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
-      Files.write(tmp.toPath, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      // eof trailer (line count above it): a checkpoint is trusted as a
+      // replay ANCHOR only when its trailer validates — a truncated
+      // checkpoint otherwise parses as a silently-shorter file listing,
+      // the worst storage failure mode there is (wrong data, no error)
+      Files.write(tmp.toPath,
+        (lines :+ s"eof\t${lines.size}").mkString("\n").getBytes(StandardCharsets.UTF_8))
       // name the checkpoint by the version the listing ACTUALLY captured
       // (snap.version), not the trigger version: under concurrent writers
       // snapshot() may already include later commits, and a checkpoint
@@ -554,7 +637,8 @@ object TxTable {
           .filter { f =>
             versionOf(f, ".commit").exists(_ <= version) ||
               versionOf(f, ".checkpoint").exists(v =>
-                v <= version && checkpointHeaderVersion(f).contains(v))
+                v <= version && checkpointHeaderVersion(f).contains(v) &&
+                  checkpointComplete(f))
           }
         // the replayed prefix must be ANCHORED: either it starts at
         // commit 0, or a trusted checkpoint covers everything before the
@@ -1005,7 +1089,12 @@ object TxTable {
     val dir = logDir(tablePath)
     dir.mkdirs()
     val tmp = new File(dir, s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp.toPath, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    // eof trailer: line count of the payload above it. The link publish
+    // is atomic, so the trailer's job is detecting LATER damage (bit
+    // rot, manual truncation) — applyLogFile validates it when present
+    // and fails LOUDLY instead of folding a silently-shorter file.
+    Files.write(tmp.toPath,
+      (lines :+ s"eof\t${lines.size}").mkString("\n").getBytes(StandardCharsets.UTF_8))
     val target = Paths.get(dir.getPath, f"$version%020d.commit")
     try Files.createLink(target, tmp.toPath)
     finally Files.deleteIfExists(tmp.toPath)

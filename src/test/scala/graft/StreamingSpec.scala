@@ -1140,8 +1140,13 @@ class StreamingSpec extends SparkSpec {
     }
     val e = intercept[IllegalArgumentException](TxTable.snapshotAt(table, 10L))
     assert(e.getMessage.contains("no verifiable checkpoint anchor"))
-    // head reads stay correct either way (commits after the anchor fix it)
-    assert(TxTable.snapshot(table).version == 12L)
+    // head reads refuse too (r15 hardening): an untrusted checkpoint is
+    // indistinguishable from a TRUNCATED one, and a truncated listing
+    // loses files that later commits never re-add — the old "commits
+    // after the anchor fix it" reasoning only covered naming races, not
+    // damage. Loud beats silently-partial.
+    val eh = intercept[IllegalStateException](TxTable.snapshot(table))
+    assert(eh.getMessage.contains("not anchored"))
   }
 
   test("TxTable checkpoints are version-EXACT states (concurrent-writer over-capture)") {
