@@ -1103,6 +1103,90 @@ object ExtendedQueries {
         .orderBy("query_id")
     },
 
+    Q("q163b_ivfpq_topk_replay",
+      // VERDICT r14 task #3, third twin — the IVF-PQ probe oracle-paired
+      // via the q202b artifact stance: trained centroids/codebooks are
+      // not SQL-replayable, but GIVEN the saved index every step is
+      // deterministic — cell probing is (cosine DESC, cell) over the
+      // centroids parquet; the per-query ADC LUT is m×ksub ordered
+      // sub-vector dot products against the codebooks parquet (replayed
+      // as explicit list_reduce left-folds — the identical IEEE
+      // sequence as the engine's aggregate() lambda, not an engine
+      // sum() whose order is unspecified); the ADC score is an ordered
+      // m-term fold of LUT lookups by the saved codes; the shortlist is
+      // (adc DESC, neighbor_id) top k·refine; the final answer is the
+      // exact-cosine re-rank of the shortlist. The engine probes the
+      // SAME saved artifacts through ivfPqQueryIndex — the production
+      // saved-index read path.
+      s"""WITH cents AS (
+        |  SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q163b_idx/centroids/*.parquet')),
+        |books AS (
+        |  SELECT sub, code, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q163b_idx/codebooks/*.parquet')),
+        |codes AS (
+        |  SELECT neighbor_id, __codes, CAST(__cell AS INT) AS cell
+        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q163b_idx/codes/*/*.parquet',
+        |                    hive_partitioning = 1)),
+        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |      WHERE vec_id % 50 = 0),
+        |pc AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+        |                   c.centroid::DOUBLE[]) DESC, c.cell) AS rn
+        |    FROM q CROSS JOIN cents c) WHERE rn <= 6),
+        |lut AS (
+        |  SELECT q.query_id, b.sub, b.code,
+        |    list_reduce(
+        |      list_transform(generate_series(1, 8), t ->
+        |        q.embedding[b.sub * 8 + t]::DOUBLE * b.centroid[t]::DOUBLE),
+        |      (a, x) -> a + x) AS lutval
+        |  FROM q CROSS JOIN books b),
+        |lutl AS (
+        |  SELECT query_id, list(lutval ORDER BY sub, code) AS lut
+        |  FROM lut GROUP BY query_id),
+        |adc AS (
+        |  SELECT pc.query_id, cd.neighbor_id,
+        |    list_reduce(
+        |      list_transform(generate_series(0, 7), s ->
+        |        l.lut[s * 16 + cd.__codes[s + 1] + 1]),
+        |      (a, x) -> a + x) AS score
+        |  FROM pc JOIN codes cd ON cd.cell = pc.cell
+        |  JOIN lutl l ON l.query_id = pc.query_id
+        |  WHERE cd.neighbor_id <> pc.query_id),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, neighbor_id) AS rn
+        |    FROM adc) WHERE rn <= 40),
+        |rer AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine
+        |  FROM short s JOIN q ON q.query_id = s.query_id
+        |  JOIN embeddings e ON e.vec_id = s.neighbor_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+        |  neighbor_id, round(cosine, 6) AS cosine
+        |FROM rer QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val path = Q.oracleArtifactDir("q163b_idx")
+      val (cents, books, coded) = SimilaritySearch.ivfPqBuildIndex(
+        emb, "vec_id", "embedding", nCells = 16, m = 8, ksub = 16, iters = 3)
+      SimilaritySearch.ivfPqSaveIndex(path, cents, books, coded)
+      val (lc, lb, lcoded) = SimilaritySearch.ivfPqLoadIndex(s, path)
+      SimilaritySearch.ivfPqQueryIndex(
+          lc, lb, lcoded, emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5, nProbe = 6, refine = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     Q.noOracle("q163_ivfpq_topk") { (s, d) =>
       // IVF-PQ: int8 product-quantization codes over the inverted lists
       // (m bytes/vector instead of 4·dim — the 100 TB ANN memory story),
