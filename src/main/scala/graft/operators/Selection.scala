@@ -76,11 +76,23 @@ object Selection {
           s"kOf($n) = $k out of [1, $n] for group '${r.getString(0)}'")
         r.getString(0) -> (k, r.getLong(2), r.getLong(3))
       }.toMap
-      // 16-way search, not binary: each round counts rows ≤ p for up to
-      // 15 pivots per group in ONE pass (the filter fanout is free next
-      // to a scan), so rounds shrink from log2(range) to log16(range) —
-      // round count, not per-round work, dominates wall-clock (each
-      // round is a full scheduling+collect cycle)
+      // 16-way search via the JOIN-FANOUT counting pass: each row joins
+      // its group's ≤ 15 broadcast pivots, the codegen'd (v <= p) filter
+      // + PARTIAL aggregation collapse the fanout map-side — only
+      // O(groups × pivots) rows ever cross the exchange. TWO measured
+      // anti-lessons pin this shape (interleaved A/B on q285's pair
+      // stream, r15):
+      //  - a "no-fanout" rewrite (per-row pivot index via an array HOF,
+      //    then count per index) was ~2× SLOWER: higher-order functions
+      //    evaluate interpreted per element (the q76 lesson, again) —
+      //    63 interpreted comparisons per row lose to codegen'd
+      //    duplicate rows that never leave the map side;
+      //  - widening to 64 pivots to cut rounds (log64 vs log16) was
+      //    also ~2× slower: per-round cost here is fanout × rows of
+      //    codegen work, so 4.2× per-round work bought only a 1.6×
+      //    round reduction. Round count only dominates when the input
+      //    is small enough that scheduling outweighs row work — and
+      //    then wall-clock is already seconds.
       val nSplit = 16
       var active = state.filter { case (_, (_, lo, hi)) => lo < hi }
       while (active.nonEmpty) {
