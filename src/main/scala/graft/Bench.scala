@@ -226,8 +226,12 @@ object Bench {
     println(json)
     // also persist to a file: round 2's driver capture truncated the
     // stdout tail mid-JSON and lost 18 queries' timings — the file is the
-    // complete record either way
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // complete record either way. A FILTERED run defaults to a different
+    // file: BENCH_LOCAL.json is the definitive full-sweep artifact, and
+    // the r14 hygiene failure (VERDICT task #8) was exactly a local
+    // single-query iteration silently clobbering it in cwd.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (nameFilter.isDefined) "BENCH_FILTERED.json" else "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case t: Throwable =>
       System.err.println(s"bench: could not write $outPath: ${t.getMessage}") }
