@@ -119,10 +119,38 @@ object TxTableTvf {
     plan(rows.toDF("version", "op", "timestamp_ms", "n_added", "n_removed"))
   }
 
+  /** txtable_key_history(path, keyCol, keyValue[, sinceVersion,
+    * untilVersion]): one key's change trajectory across the (bounded)
+    * retained history — the [[graft.streaming.TxTable.keyHistory]]
+    * audit from pure SQL, with the same windowing contract (64-version
+    * cap, pagination via the version bounds, vacuumed prefixes skipped
+    * by default and refused when named explicitly). The key filter is
+    * an equality on one key column — the audit question as asked
+    * ("this tag: when, from what, to what").
+    */
+  def keyHistory(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 3 || exprs.size == 5,
+      "txtable_key_history(path, keyCol, keyValue[, sinceVersion, untilVersion])")
+    val path = litString(exprs.head, "txtable_key_history", "path")
+    val keyCol = litString(exprs(1), "txtable_key_history", "keyCol")
+    val keyValue = litString(exprs(2), "txtable_key_history", "keyValue")
+    val since = if (exprs.size == 5)
+      litLong(exprs(3), "txtable_key_history", "sinceVersion") else -1L
+    val until = if (exprs.size == 5)
+      litLong(exprs(4), "txtable_key_history", "untilVersion") else -1L
+    plan(graft.streaming.TxTable.keyHistory(spark, path, keyCol,
+      org.apache.spark.sql.functions.col(keyCol) === keyValue,
+      sinceVersion = since, untilVersion = until))
+  }
+
   /** (name, usage, builder) for every TVF — one list consumed by both
     * registration paths so they can never drift.
     */
   val all: Seq[(String, String, Seq[Expression] => LogicalPlan)] = Seq(
+    ("txtable_key_history",
+      "txtable_key_history(path, keyCol, keyValue[, sinceVersion, untilVersion]) " +
+        "- one key's change trajectory across the bounded retained history",
+      keyHistory _),
     ("txtable_history",
       "txtable_history(path) - one row per retained commit, newest first",
       history _),

@@ -129,6 +129,17 @@ class SqlParitySpec extends SparkSpec {
     val hist = spark.sql(s"SELECT version, op FROM txtable_history('$path')")
       .as[(Long, String)].collect().toSeq
     assert(hist == Seq((v1, "upsertDelta"), (v0, "upsertDelta")))
+    // audit surface: one key's change trajectory, SQL == DSL, and the
+    // version window plumbs through (the r15 bounded-keyHistory contract)
+    assertTwin(
+      TxTable.keyHistory(spark, path, "tag", col("tag") === "a"),
+      spark.sql(s"SELECT * FROM txtable_key_history('$path', 'tag', 'a')"))
+    val traj = spark.sql(
+      s"""SELECT _commit_version, change_type, doubleValue
+         |FROM txtable_key_history('$path', 'tag', 'a', $v1, $v1)
+         |ORDER BY change_type""".stripMargin)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(traj == Seq((v1, "update_postimage", 1.5), (v1, "update_preimage", 1.0)))
   }
 
   test("multimodal twin: imageDHashes == pure-SQL image_dhash") {
