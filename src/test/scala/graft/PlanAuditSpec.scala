@@ -942,6 +942,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("q54b/q163b: saved-index probes prune to the probed cell directories") {
+    // the 100 TB ANN read story: a probe of p cells must READ p list
+    // directories, not scan the index — the static IN filter lands as
+    // PartitionFilters on the cell-partitioned parquet (ivfSaveIndex /
+    // ivfPqSaveIndex layout), decided at plan time, not left to DPP
+    val p54 = plan("q54b_ivf_topk_replay")
+    assert(p54.contains("PartitionFilters") && p54.contains("__cell"),
+      s"expected static cell pruning on the lists scan:\n$p54")
+    assert(!p54.contains("CartesianProduct"), s"no cartesian:\n$p54")
+    val p163 = plan("q163b_ivfpq_topk_replay")
+    assert(p163.contains("PartitionFilters") && p163.contains("__cell"),
+      s"expected static cell pruning on the codes scan:\n$p163")
+    assert(!p163.contains("CartesianProduct"), s"no cartesian:\n$p163")
+  }
+
   test("q272: isotonic windows are keyed; only the tiny bins table is ever windowed") {
     val p = plan("q272_isotonic_calibration")
     // the suffix-min window partitions by k — never an unpartitioned
