@@ -137,6 +137,16 @@ object Selection {
     } finally if (cache) { vals.unpersist(blocking = false); () }
   }
 
+  /** Known lever, deliberately not landed yet (needs its own invariant
+    * battery): SEEDING the bracket from a sampled per-group quantile —
+    * one sample pass + one exact certify round would replace most of
+    * the log16(range) bisection when values concentrate (slopes near
+    * 0, prices near a mode). Each saved round is one full input pass,
+    * which matters most exactly where this operator is chosen: derived
+    * O(n²) streams regenerated per round ([[graft.operators.TimeSeries
+    * .theilSenSelection]]).
+    */
+
   /** Global exact k-th smallest — the single-group fast path. */
   def kthSmallest(df: DataFrame, valCol: String, k: Long): Long = {
     val one = kthSmallestByGroup(
