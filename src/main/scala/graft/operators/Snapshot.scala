@@ -43,7 +43,7 @@ object Snapshot {
     // ("a","b1c") vs ("a1b","c")) and null vs "" stay distinct. The
     // outer hash still narrows the shuffle to 16 bytes per row.
     def hashed(df: DataFrame, hc: String) = df.select(col(keyCol),
-      md5(concat_ws("", cols.map(c =>
+      md5(concat_ws("\u0001", cols.map(c =>
         concat(when(col(c).isNull, "0").otherwise("1"),
           md5(coalesce(col(c).cast("string"), lit(""))))): _*)).as(hc))
     hashed(oldDf, "__oh").join(hashed(newDf, "__nh"), Seq(keyCol), "full_outer")

@@ -515,8 +515,15 @@ object TimeSeries {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // single synthetic group key (the selection machinery groups on one
     // string column); the \\u0001 separator cannot appear in printable
-    // key text, so multi-key tuples cannot collide
-    val gCol = concat_ws("\u0001", keyCols.map(col(_).cast("string")): _*)
+    // key text, so multi-key tuples cannot collide. Each component is
+    // coalesced to a \\u0002 null marker BEFORE concat_ws: concat_ws
+    // silently DROPS null arguments, so without the marker ('a', null)
+    // and (null, 'a') would both encode as "a" — merging two distinct
+    // groupBy key tuples into one slope population and assigning the
+    // merged slope to both on join-back. With it, null stays a distinct
+    // grouping value exactly as in theilSen's groupBy.
+    val gCol = concat_ws("\u0001",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
     val pts = df.select(gCol.as("__g"), col(tCol).cast("double").as("__t"),
       col(yCol).cast("double").as("__y"))
     val a = pts.select(col("__g"), col("__t").as("__ta"), col("__y").as("__ya"))

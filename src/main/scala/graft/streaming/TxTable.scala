@@ -753,7 +753,13 @@ object TxTable {
     val bases: Seq[Long] =
       ((if (commits.contains(0L)) Seq(-1L) else Nil) ++
         entries.flatMap(f => versionOf(f, ".checkpoint")
-          .filter(v => checkpointHeaderVersion(f).contains(v)))).distinct.sorted
+          // mirror snapshotAt's trust predicate EXACTLY (header match
+          // AND complete eof trailer): a header-intact but tail-truncated
+          // checkpoint must not seed a window whose stateAt calls then
+          // die with the raw "no verifiable checkpoint anchor" error
+          // instead of the guided skip / first-answerable-version message
+          .filter(v => checkpointHeaderVersion(f).contains(v) &&
+            checkpointComplete(f)))).distinct.sorted
     val runs = bases.map { b =>
       var end = b
       while (commits.contains(end + 1)) end += 1
@@ -2342,7 +2348,21 @@ object TxTable {
     // checkpoint per interval accumulates forever and snapshot() listing
     // cost grows with table age.
     val entries = Option(logDir(tablePath).listFiles()).toSeq.flatten
-    val latestCkpt = entries.flatMap(f => versionOf(f, ".checkpoint")).sorted.lastOption
+    // the retention anchor must satisfy the SAME trust predicate replay
+    // and snapshotAt use (complete eof trailer + header matching the
+    // filename): anchoring on a trailer-less or truncated checkpoint and
+    // then deleting the commits below it would irreversibly convert a
+    // recoverable table (truncated checkpoint, retained prefix) into a
+    // bricked one — every snapshot() would throw "not anchored" and
+    // re-checkpointing is impossible because it calls snapshot(). When
+    // no checkpoint qualifies, log pruning is SKIPPED (data-dir pruning
+    // above is snapshot-derived and stays safe).
+    val latestCkpt = entries
+      .flatMap(f => versionOf(f, ".checkpoint").map(_ -> f))
+      .filter { case (v, f) =>
+        checkpointHeaderVersion(f).contains(v) && checkpointComplete(f)
+      }
+      .map(_._1).sorted.lastOption
     val logGone = latestCkpt.toSeq.flatMap { base =>
       // refresh the anchor hint BEFORE deleting subsumed commits: the
       // anchored replay's stale-hint detection (re-read after probing)

@@ -312,7 +312,7 @@ class ExpressionsSpec extends SparkSpec {
     // NFC: decomposed e + COMBINING ACUTE composes to é
     assert(c("café") == "café")
     // idempotent: canonicalize(canonicalize(x)) == canonicalize(x)
-    for (s <- Seq("A  bc", "x\r\ny", "café  CAFÉ"))
+    for (s <- Seq("A  b\u000bc", "x\r\ny", "café  CAFÉ"))
       assert(c(c(s)) == c(s), s"not idempotent on ${s}")
     assert(TextFunctions.canonicalize(null) == null)
     // SQL registration + codegen path

@@ -140,7 +140,7 @@ class RoundTripPropertySpec extends SparkSpec {
       // collapsible chars survive
       assert(!once.contains("  ") && once == once.trim,
         s"residual whitespace in ${once.getBytes("UTF-8").toSeq}")
-      assert(!once.exists(ch => "\t\n\r\f".contains(ch)))
+      assert(!once.exists(ch => "\t\n\r\f\u000b".contains(ch)))
       // whitespace-run equivalence: any run maps like a single space
       assert(c(s.replace("\t", " \n ")) == once,
         s"collapse not run-invariant on ${s.getBytes("UTF-8").toSeq}")

@@ -46,7 +46,7 @@ class TiffSpec extends SparkSpec {
   }
 
   test("structural corruption is loud; wrong magic routes to None") {
-    assert(Tiff.decode("PKjunkjunk".getBytes).isEmpty)
+    assert(Tiff.decode("PK\u0003\u0004junkjunk".getBytes).isEmpty)
     val bad42 = Tiff.encode(2, 1, 3, Array(rgb(1, 2, 3), rgb(4, 5, 6)))
     bad42(2) = 43
     assert(Tiff.decode(bad42).isEmpty) // not-42 magic: not a TIFF at all

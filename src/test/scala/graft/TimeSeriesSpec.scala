@@ -379,6 +379,33 @@ class TimeSeriesSpec extends SparkSpec {
       .theilSenSelection(flat, Seq("k"), "t", "y").count() == 0L)
   }
 
+  test("theilSenSelection: null key components stay distinct groups (ADVICE r15)") {
+    // concat_ws silently drops null args, so ('a', null) and (null, 'a')
+    // used to merge into one synthetic group '__g' = "a" — one merged
+    // slope assigned to BOTH tuples. The coalesce-to-marker encoding must
+    // keep them apart: slope 2 for ('a', null), slope 5 for (null, 'a'),
+    // and a null-null tuple keeps its own slope too.
+    val rows = Seq(
+      (Some("a"), None: Option[String], 1L, 2.0), (Some("a"), None, 2L, 4.0),
+      (Some("a"), None, 3L, 6.0),
+      (None: Option[String], Some("a"), 1L, 5.0), (None, Some("a"), 2L, 10.0),
+      (None, Some("a"), 3L, 15.0),
+      (None: Option[String], None: Option[String], 1L, 7.0), (None, None, 2L, 14.0),
+      (None, None, 3L, 21.0))
+    val df = rows.toDF("k1", "k2", "t", "y")
+    val got = graft.operators.TimeSeries
+      .theilSenSelection(df, Seq("k1", "k2"), "t", "y")
+      .as[(Option[String], Option[String], Long, Double)].collect().toSet
+    assert(got == Set(
+      (Some("a"), None, 3L, 2.0),
+      (None, Some("a"), 3L, 5.0),
+      (None, None, 3L, 7.0)), got.toString)
+    // and the selection path agrees with theilSen's groupBy semantics
+    val exact = graft.operators.TimeSeries.theilSen(df, Seq("k1", "k2"), "t", "y")
+      .as[(Option[String], Option[String], Long, Double)].collect().toSet
+    assert(got == exact, s"sel=$got exact=$exact")
+  }
+
   test("holtWintersSmooth: a pure period-m signal is absorbed into the seasonals") {
     // strict square wave 0/8 with period 2 over many cycles: the level
     // settles near the mean, the trend near 0, and the seasonal pair
