@@ -791,10 +791,12 @@ object Dedup {
     * sane only while V is dictionary-sized, so the operator counts V
     * first (one metadata-scale aggregate) and REFUSES past
     * `maxDistinct` rather than melting down: a high-cardinality column
-    * needs a candidate generator upstream instead ([[editDistancePairs]]'
-    * deletion neighborhoods for edit-distance predicates; prefix/length
-    * blocking for prefix-weighted scorers like Jaro-Winkler — a lossy
-    * trade this exact operator refuses to make silently).
+    * needs a candidate generator instead — [[editDistancePairs]]'
+    * deletion neighborhoods for edit-distance predicates, or
+    * [[linkageBlocked]]'s prefix/length blocking for prefix-weighted
+    * scorers like Jaro-Winkler (a lossy trade THAT operator makes with
+    * a documented recall contract; this exact one refuses to make it
+    * silently).
     *
     * @param score  scorer over two string columns (e.g.
     *               [[graft.functions.GraftFunctions.jaroWinkler]]);
@@ -819,9 +821,11 @@ object Dedup {
     require(nv <= maxDistinct,
       s"linkageByValue: $nv distinct values exceed maxDistinct=$maxDistinct " +
         s"— the value-pair dictionary would hold ~${nv * nv / 2} scored " +
-        "pairs; this column is not vocabulary-bound, so generate " +
-        "candidates upstream (deletion neighborhoods, prefix/length " +
-        "blocking) instead of value-deduped exhaustive scoring")
+        "pairs; this column is not vocabulary-bound, so use " +
+        "Dedup.linkageBlocked (prefix/length blocked candidates, recall " +
+        "contract in its scaladoc) or Dedup.editDistancePairs (deletion " +
+        "neighborhoods, exact for edit-distance predicates) instead of " +
+        "value-deduped exhaustive scoring")
     // unordered value pairs scored once (strict < keeps one canonical
     // order). Both dictionaries are materialized UNFILTERED and the
     // threshold applied on the materialized __score column AFTER the
@@ -870,6 +874,148 @@ object Dedup {
       .select(blockCols.map(col) ++ Seq(
         col("__ida").as("id1"), col("__idb").as("id2"),
         col("__score").as("score")): _*)
+    unequal.unionByName(equal)
+  }
+
+  /** Sub-quadratic CANDIDATE GENERATION for prefix-weighted string
+    * scorers (Jaro-Winkler) over an UNBOUNDED-cardinality value
+    * dictionary — the upstream path [[linkageByValue]]'s 4096-distinct
+    * refusal names (VERDICT r15 task #1). Input: one-column DataFrame of
+    * distinct non-null values `__v`; output: distinct unordered value
+    * pairs (`__v1` < `__v2`) that share a blocking key.
+    *
+    * Blocking rule (EXACT, deterministic, SQL-replayable — the rule IS
+    * the operator's contract, so an oracle replays it verbatim):
+    * a pair is a candidate iff |len(v1) − len(v2)| ≤ `maxLenDiff` AND
+    * (v1, v2 agree on characters 1..k, OR agree on characters 2..k+1).
+    * The second pass covers any single edit at position 1 (substitution,
+    * or the insert/delete that shifts the head), so a typo in the very
+    * first character — the classic failure of naive prefix blocking —
+    * still pairs.
+    *
+    * WHY LOSSY BLOCKING, STATED HONESTLY: no sub-quadratic LOSSLESS
+    * filter exists for Jaro-Winkler at practical thresholds. The tight
+    * upper bound jw ≤ 0.4 + 0.6·jaro and jaro ≤ (2 + min/max)/3 give
+    * jw ≤ 0.8 + 0.2·(min_len/max_len) — at τ = 0.8 EVERY length ratio
+    * survives, and the matching-character window (⌊max/2⌋ − 1) is so
+    * wide that character-multiset count filters admit nearly all pairs.
+    * Jaro-Winkler's own prefix weighting is the one exploitable
+    * structure: pairs scoring high either share a long prefix (boosted)
+    * or have near-identical bodies (which overwhelmingly share the
+    * shifted prefix the second pass catches). Pairs differing in 2+ of
+    * their first k+1 characters are missed BY CONTRACT — k is the
+    * recall knob (k = 4 aligns the block with JW's boost window).
+    *
+    * Scale shape: candidates come from equi-joins on
+    * (pass, prefix, length-bucket) — never an all-pairs scan. The
+    * probe side fans out 3× (neighbor length buckets) × 2 passes over
+    * the DICTIONARY (not the corpus). Candidate volume is
+    * Σ_buckets C(bucket_size, 2): sub-quadratic whenever prefix entropy
+    * grows with the dictionary (names, titles, addresses do; a column
+    * whose values all share one prefix degrades to the quadratic scan —
+    * and that column belongs in [[linkageByValue]] if vocabulary-bound).
+    */
+  def prefixBlockedCandidates(
+      vals: DataFrame,
+      k: Int = 4,
+      maxLenDiff: Int = 2): DataFrame = {
+    require(k >= 1, s"prefix length k must be >= 1, got $k")
+    require(maxLenDiff >= 0, s"maxLenDiff must be >= 0, got $maxLenDiff")
+    // bucket width w = maxLenDiff + 1: two lengths within maxLenDiff
+    // land in the same or adjacent buckets, so probing 3 neighbor
+    // buckets (one equi-join + bounded fanout) covers the band exactly;
+    // the precise |Δlen| filter then prunes the corners.
+    val w = maxLenDiff + 1
+    val keyed = vals
+      .select(col("__v"), length(col("__v")).as("__len"))
+      .select(col("__v"), col("__len"),
+        explode(array(lit(1), lit(2))).as("__pass"))
+      .withColumn("__pfx",
+        when(col("__pass") === 1, substring(col("__v"), 1, k))
+          .otherwise(substring(col("__v"), 2, k)))
+    val left = keyed
+      .withColumn("__bkt", floor(col("__len") / w))
+      .select(col("__v").as("__v1"), col("__len").as("__len1"),
+        col("__pass"), col("__pfx"), col("__bkt"))
+    val right = keyed
+      .select(col("__v").as("__v2"), col("__len").as("__len2"),
+        col("__pass"), col("__pfx"),
+        explode(array(lit(-1), lit(0), lit(1))).as("__off"))
+      .withColumn("__bkt", floor(col("__len2") / w) + col("__off"))
+      .drop("__off")
+    left.join(right, Seq("__pass", "__pfx", "__bkt"))
+      .filter(col("__v1") < col("__v2") &&
+        abs(col("__len1") - col("__len2")) <= maxLenDiff &&
+        // structural dedup, no distinct shuffle: a pair matches exactly
+        // one length bucket (one __off satisfies the equality), so the
+        // only duplication source is pass overlap — pass 2 therefore
+        // admits only pairs pass 1 does NOT (first-k prefixes differ).
+        // The emitted pair set is exactly DISTINCT(pass1 ∪ pass2).
+        (col("__pass") === 1 ||
+          substring(col("__v1"), 1, k) =!= substring(col("__v2"), 1, k)))
+      .select(col("__v1"), col("__v2"))
+  }
+
+  /** [[linkageByValue]] for UNBOUNDED-cardinality columns: candidates
+    * from [[prefixBlockedCandidates]] (recall contract documented
+    * there), each distinct value pair scored ONCE, qualifying pairs
+    * expanded to id pairs through plain equi-joins (no broadcast — the
+    * qualifying dictionary grows with the corpus vocabulary, AQE picks
+    * the join strategy). Equal-value id pairs ride a separate
+    * self-score arm exactly as in [[linkageByValue]].
+    *
+    * Scorer-once placement mirrors linkageByValue: the scored candidate
+    * dictionary is lineage-truncated BEFORE the threshold filter lands
+    * on the materialized leaf attribute, so constraint inference can
+    * never re-manufacture per-corpus-row scoring (the q280 hazard,
+    * pinned by PlanAuditSpec).
+    *
+    * @return (id1, id2, score) with id1 < id2
+    */
+  def linkageBlocked(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      score: (Column, Column) => Column,
+      threshold: Double,
+      k: Int = 4,
+      maxLenDiff: Int = 2): DataFrame = {
+    val vals = Checkpoints.truncate(
+      df.select(col(strCol).as("__v")).filter(col("__v").isNotNull).distinct())
+    // scoring happens once per candidate pair during the truncate's
+    // materialization, and here the threshold filters BEFORE the
+    // lineage cut so only qualifying pairs are materialized. That
+    // placement is safe for THIS arm precisely because the constraint
+    // it creates — score(__v1, __v2) >= t — references BOTH dictionary
+    // attributes: equality substitution through the expansion join
+    // (__va = __v1) can never reduce it to a single corpus column, so
+    // InferFiltersFromConstraints has nothing to manufacture on the
+    // corpus scans. The EQUAL-value arm below has no such protection
+    // (score(__v, __v) collapses to one attribute — the measured q280
+    // hazard) and keeps the filter-after-truncate placement.
+    // PlanAuditSpec pins the scorer absent from the final plan.
+    val dict = Checkpoints.truncate(
+      prefixBlockedCandidates(vals, k, maxLenDiff)
+        .withColumn("__score", score(col("__v1"), col("__v2")))
+        .filter(col("__score") >= threshold))
+    val eqDict = Checkpoints.truncate(
+      vals.select(col("__v"), score(col("__v"), col("__v")).as("__score")))
+      .filter(col("__score") >= threshold)
+    val aSide = df.select(col(idCol).as("__ida"), col(strCol).as("__va"))
+    val bSide = df.select(col(idCol).as("__idb"), col(strCol).as("__vb"))
+    val unequal = aSide
+      .join(dict, col("__va") === col("__v1"))
+      .join(bSide, col("__vb") === col("__v2"))
+      .select(
+        least(col("__ida"), col("__idb")).as("id1"),
+        greatest(col("__ida"), col("__idb")).as("id2"),
+        col("__score").as("score"))
+    val equal = aSide
+      .join(eqDict, col("__va") === col("__v"))
+      .join(bSide, col("__vb") === col("__v"))
+      .filter(col("__ida") < col("__idb"))
+      .select(col("__ida").as("id1"), col("__idb").as("id2"),
+        col("__score").as("score"))
     unequal.unionByName(equal)
   }
 

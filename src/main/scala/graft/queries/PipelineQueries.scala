@@ -3676,6 +3676,109 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    Q("q286_linkage_blocked_highcard",
+      // High-cardinality Jaro-Winkler linkage (VERDICT r15 task #1) —
+      // the path linkageByValue's 4096-distinct refusal names, now
+      // built: Dedup.linkageBlocked generates candidates from
+      // (prefix-k OR shifted-prefix) × length-band equi-joins, scores
+      // each distinct VALUE pair once, expands to id pairs. Fixture: 8
+      // deterministic name variants per order key — ~111k distinct
+      // values at sf0.01, ~1.11M at sf0.1, cardinality GROWING with the
+      // corpus (prefix entropy grows too: c1..c4 are mixed-radix digits
+      // of key/3, so blocking stays sub-quadratic at every SF). The
+      // variant set exercises every contract arm: suffix/append edits
+      // and a position-5 substitution (pass-1 positives), a
+      // first-character substitution (pass-2-ONLY positive — naive
+      // prefix blocking misses it), a position-4 substitution (a missed
+      // positive BY the documented recall contract — absent from both
+      // engines identically), plus cross-key near-collisions and
+      // value-level duplicates (the equal-value arm). The oracle
+      // replays fixture, blocking rule, scoring, and expansion verbatim
+      // in SQL; per-pair scores round to 6dp before aggregation (q280
+      // pinned graft/DuckDB Jaro-Winkler parity at that precision).
+      """WITH ok AS (SELECT o_orderkey AS key FROM orders),
+        |g AS (SELECT key, key // 3 AS g FROM ok),
+        |base AS (
+        |  SELECT key,
+        |    substr('klmnopqrstuvwxy', CAST(g % 15 AS INT) + 1, 1) ||
+        |    substr('abcdefghijklmnopqrstuvwxyz', CAST((g // 15) % 26 AS INT) + 1, 1) ||
+        |    substr('abcdefghijklmnopqrstuvwxyz', CAST((g // 390) % 26 AS INT) + 1, 1) ||
+        |    substr('abcdefghijklmnopqrstuvwxyz', CAST((g // 10140) % 26 AS INT) + 1, 1) ||
+        |    translate(reverse(lpad(CAST(key AS VARCHAR), 7, '0')),
+        |      '0123456789', 'abcdefghij') AS b
+        |  FROM g),
+        |names AS (
+        |  SELECT key * 8 + j AS rid,
+        |    CASE j WHEN 0 THEN b WHEN 1 THEN b || 's'
+        |      WHEN 2 THEN substr(b,1,4) ||
+        |        translate(substr(b,5,1),'abcdefghij','bcdefghija') || substr(b,6)
+        |      WHEN 3 THEN 'z' || substr(b,2)
+        |      WHEN 4 THEN b || 'qq'
+        |      WHEN 5 THEN substr(b,1,10)
+        |      WHEN 6 THEN substr(b,1,10) || 'z'
+        |      WHEN 7 THEN substr(b,1,3) ||
+        |        translate(substr(b,4,1),
+        |          'abcdefghijklmnopqrstuvwxyz','bcdefghijklmnopqrstuvwxyza') ||
+        |        substr(b,5) END AS name
+        |  FROM base, (SELECT unnest(range(8)) AS j)),
+        |vals AS (SELECT DISTINCT name AS v FROM names),
+        |keyed AS (
+        |  SELECT v, length(v) AS len, p,
+        |    CASE p WHEN 1 THEN substr(v,1,4) ELSE substr(v,2,4) END AS pfx
+        |  FROM vals, (SELECT unnest([1,2]) AS p)),
+        |cand AS (
+        |  SELECT DISTINCT a.v AS v1, b.v AS v2
+        |  FROM keyed a JOIN keyed b ON a.p = b.p AND a.pfx = b.pfx
+        |  WHERE a.v < b.v AND abs(a.len - b.len) <= 2),
+        |scored AS (
+        |  SELECT v1, v2, round(jaro_winkler_similarity(v1, v2), 6) AS jw
+        |  FROM cand WHERE jaro_winkler_similarity(v1, v2) >= 0.9),
+        |idpairs AS (
+        |  SELECT least(a.rid, b.rid) AS id1, greatest(a.rid, b.rid) AS id2, s.jw
+        |  FROM scored s JOIN names a ON a.name = s.v1 JOIN names b ON b.name = s.v2
+        |  UNION ALL
+        |  SELECT a.rid, b.rid, 1.0::DOUBLE AS jw
+        |  FROM names a JOIN names b ON a.name = b.name AND a.rid < b.rid)
+        |SELECT CAST(id1 % 8 AS BIGINT) AS ja, CAST(id2 % 8 AS BIGINT) AS jb,
+        |  count(*)::BIGINT AS n_pairs, round(avg(jw), 4) AS avg_jw,
+        |  min(jw) AS min_jw, max(jw) AS max_jw
+        |FROM idpairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val names = t(s, d, "orders")
+        .select(col("o_orderkey").cast("long").as("key"))
+        .withColumn("g", expr("key div 3"))
+        .withColumn("b", concat(
+          expr("substring('klmnopqrstuvwxy', cast(g % 15 as int) + 1, 1)"),
+          expr(s"substring('$lower', cast((g div 15) % 26 as int) + 1, 1)"),
+          expr(s"substring('$lower', cast((g div 390) % 26 as int) + 1, 1)"),
+          expr(s"substring('$lower', cast((g div 10140) % 26 as int) + 1, 1)"),
+          translate(reverse(lpad(col("key").cast("string"), 7, "0")),
+            "0123456789", "abcdefghij")))
+        .select(col("key"), posexplode(array(
+          col("b"),
+          concat(col("b"), lit("s")),
+          concat(substring(col("b"), 1, 4),
+            translate(substring(col("b"), 5, 1), "abcdefghij", "bcdefghija"),
+            expr("substring(b, 6)")),
+          concat(lit("z"), expr("substring(b, 2)")),
+          concat(col("b"), lit("qq")),
+          substring(col("b"), 1, 10),
+          concat(substring(col("b"), 1, 10), lit("z")),
+          concat(substring(col("b"), 1, 3),
+            translate(substring(col("b"), 4, 1), lower, lower.tail + lower.head),
+            expr("substring(b, 5)")))).as(Seq("j", "name")))
+        .select((col("key") * 8 + col("j")).as("rid"), col("name"))
+      Dedup.linkageBlocked(names, "rid", "name",
+          GraftFunctions.jaroWinkler, threshold = 0.9)
+        .select((col("id1") % 8).as("ja"), (col("id2") % 8).as("jb"),
+          round(col("score"), 6).as("jw"))
+        .groupBy("ja", "jb")
+        .agg(count(lit(1)).as("n_pairs"), round(avg(col("jw")), 4).as("avg_jw"),
+          min(col("jw")).as("min_jw"), max(col("jw")).as("max_jw"))
+        .orderBy("ja", "jb")
+    },
+
     Q("q283_txtable_key_history",
       // per-key change TRAJECTORY across retained history
       // (TxTable.keyHistory — the "when did this tag change, from what

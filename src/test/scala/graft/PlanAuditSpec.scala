@@ -942,6 +942,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("q286: blocked linkage — scorer confined to the dictionary; candidates sub-quadratic") {
+    val p = plan("q286_linkage_blocked_highcard")
+    // same contract as q280, now on the HIGH-CARDINALITY path: the
+    // scorer runs once per blocked candidate pair inside the truncated
+    // dictionary subplan; the final expansion/aggregation plan carries
+    // no live jaro_winkler anywhere (in particular, the dict-side
+    // score(__v1,__v2) >= t constraint must never be re-manufactured
+    // onto a corpus scan by constraint inference)
+    assert(!p.contains("jaro_winkler"),
+      s"the scorer must be pre-evaluated into the dictionary leaves:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed dictionary leaves:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the candidate generator itself is sub-quadratic on the fixture:
+    // count blocked pairs vs the all-pairs scan on the sf0.001 value
+    // dictionary (VERDICT r15 task #1 "Done" bar)
+    val vals = spark.read.parquet(s"$sf/orders.parquet")
+      .select(org.apache.spark.sql.functions.col("o_orderkey").cast("long").as("key"))
+      .selectExpr("concat(substring('klmnopqrstuvwxy', cast((key div 3) % 15 as int) + 1, 1)," +
+        " substring('abcdefghijklmnopqrstuvwxyz', cast(((key div 3) div 15) % 26 as int) + 1, 1)," +
+        " substring('abcdefghijklmnopqrstuvwxyz', cast(((key div 3) div 390) % 26 as int) + 1, 1)," +
+        " substring('abcdefghijklmnopqrstuvwxyz', cast(((key div 3) div 10140) % 26 as int) + 1, 1)," +
+        " translate(reverse(lpad(cast(key as string), 7, '0')), '0123456789', 'abcdefghij')) as __v")
+      .distinct()
+    val n = vals.count()
+    val cand = graft.operators.Dedup.prefixBlockedCandidates(vals).count()
+    assert(cand < n * (n - 1) / 2 / 10,
+      s"blocked candidates $cand must be far under C($n,2)=${n * (n - 1) / 2}")
+  }
+
   test("q54b/q163b: saved-index probes prune to the probed cell directories") {
     // the 100 TB ANN read story: a probe of p cells must READ p list
     // directories, not scan the index — the static IN filter lands as
