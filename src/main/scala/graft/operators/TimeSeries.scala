@@ -497,11 +497,16 @@ object TimeSeries {
     * [[graft.operators.Selection.kthSmallestByGroup]] bisects the bit
     * domain, counting pairs ≤ pivot with one map-side-combined pass per
     * round. The O(n²) pair set is never buffered OR cached — it is a
-    * self-join REGENERATED each of the ~⌈log16(bitRange)⌉ rounds
-    * (`cache = false`): the deliberate compute-for-memory trade that
-    * keeps a 10⁵-point key (5·10⁹ slopes ≈ 40 GB if buffered) inside a
-    * fixed task footprint. Keys below the boundary should prefer
-    * [[theilSen]] — one pass beats ~16.
+    * self-join REGENERATED each counting round (`cache = false`): the
+    * deliberate compute-for-memory trade that keeps a 10⁵-point key
+    * (5·10⁹ slopes ≈ 40 GB if buffered) inside a fixed task footprint.
+    * Round count is small because selection seeds its first probes
+    * from a quantile sketch fused into the stats pass (slopes
+    * concentrate near the trend, so the seeded round lands inside the
+    * populated bit region directly — measured ~15 → ≤4 regeneration
+    * rounds; see [[graft.operators.Selection.kthSmallestByGroup]]).
+    * Keys below the boundary should still prefer [[theilSen]] — one
+    * pass beats several.
     *
     * NaN y-values are rejected loudly by the bit mapping (a NaN slope
     * has no place in an order statistic); equal-timestamp pairs are

@@ -1038,6 +1038,57 @@ object ExtendedQueries {
         .orderBy("query_id", "rank")
     },
 
+    Q("q175b_ivf_incremental_replay",
+      // VERDICT r15 task #3 — q175's incremental-maintenance lifecycle
+      // ORACLE-PAIRED via the q54b/q163b artifact stance: the trained
+      // quantizer is not SQL-replayable, but GIVEN the saved centroids
+      // every assignment ever made — seed build, both append batches —
+      // is a pure argmax over read_parquet. The engine runs the FULL
+      // lifecycle (build on 60%, save, two O(batch) appends against the
+      // saved quantizer, compact) and then emits what is physically ON
+      // DISK in the compacted lists; the oracle recomputes each
+      // vector's cell independently (cosine DESC, lowest cell on ties —
+      // assignCell's array_position semantics). Hash equality therefore
+      // certifies three things at once: append assignment == bulk SQL
+      // argmax, save/append/compact preserve list content byte-for-id,
+      // and no row is lost or duplicated across the two appends and the
+      // compaction swap. The remaining q175 residue (probe top-k over
+      // these lists) is the already-paired q54b read path.
+      """WITH cents AS (
+        |  SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q175b_idx/centroids/*.parquet')),
+        |a AS (
+        |  SELECT e.vec_id, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY coalesce(list_cosine_similarity(e.embedding::DOUBLE[],
+        |                 c.centroid::DOUBLE[]), -2.0) DESC, c.cell) AS rn
+        |  FROM embeddings e CROSS JOIN cents c)
+        |SELECT vec_id AS neighbor_id,
+        |  CASE WHEN vec_id % 5 < 3 THEN 'seed'
+        |       WHEN vec_id % 5 = 3 THEN 'b1' ELSE 'b2' END AS batch,
+        |  CAST(cell AS BIGINT) AS cell
+        |FROM a WHERE rn = 1 ORDER BY neighbor_id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val path = Q.oracleArtifactDir("q175b_idx")
+      val seed = emb.filter(col("vec_id") % 5 < 3)
+      val (cents, assigned) = SimilaritySearch.ivfBuildIndex(
+        seed, "vec_id", "embedding", nCells = 16, iters = 3)
+      SimilaritySearch.ivfSaveIndex(path, cents, assigned)
+      SimilaritySearch.ivfAppendIndex(
+        s, path, emb.filter(col("vec_id") % 5 === 3), "vec_id", "embedding")
+      SimilaritySearch.ivfAppendIndex(
+        s, path, emb.filter(col("vec_id") % 5 === 4), "vec_id", "embedding")
+      SimilaritySearch.compactIndexLists(s, path, "lists")
+      val (_, lists) = SimilaritySearch.ivfLoadIndex(s, path)
+      lists.select(col("neighbor_id"),
+          when(col("neighbor_id") % 5 < 3, lit("seed"))
+            .when(col("neighbor_id") % 5 === 3, lit("b1"))
+            .otherwise(lit("b2")).as("batch"),
+          col("__cell").cast("long").as("cell"))
+        .orderBy("neighbor_id")
+    },
+
     Q("q170_hard_negatives",
       // hard-negative mining for contrastive training: per query the
       // rank-(6..15] cosine band — informative negatives below the

@@ -25,13 +25,16 @@ import graft.operators.LastValue
   *   - `_log/<version>.commit` files form the table's source of truth:
   *     each lists files added/removed (with their partition value).
   *     Snapshot = replay adds minus removes.
-  *   - A commit is PUBLISHED by `Files.createLink` (atomic hard-link
-  *     creation: fails with FileAlreadyExistsException if the version
-  *     exists) — the same atomic-rename trick Delta uses on HDFS.
-  *     Losers of the race re-read the new snapshot, re-apply their merge
-  *     on top (the last-value merge is commutative/associative, so rebase
-  *     is semantics-preserving) and retry at the next version: optimistic
-  *     concurrency, serializable history.
+  *   - A commit is PUBLISHED by [[LogStore.putIfAbsent]] (default:
+  *     atomic hard-link creation, which fails with
+  *     FileAlreadyExistsException if the version exists — the same
+  *     atomic-rename trick Delta uses on HDFS; object stores plug in a
+  *     conditional-PUT implementation via [[setLogStore]], see the
+  *     [[LogStore]] deployment matrix). Losers of the race re-read the
+  *     new snapshot, re-apply their merge on top (the last-value merge
+  *     is commutative/associative, so rebase is semantics-preserving)
+  *     and retry at the next version: optimistic concurrency,
+  *     serializable history.
   *   - Partition pruning is metadata-based: the log records each file's
   *     partition value, so a merge or read touching S servers opens only
   *     their files — no directory listing, which is also what makes the
@@ -580,13 +583,10 @@ object TxTable {
         } ++
         snap.schemaJson.map(j => s"schema\t${StatsCodec.escField(j)}").toSeq
       val dir = logDir(tablePath)
-      val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
       // eof trailer (line count above it): a checkpoint is trusted as a
       // replay ANCHOR only when its trailer validates — a truncated
       // checkpoint otherwise parses as a silently-shorter file listing,
-      // the worst storage failure mode there is (wrong data, no error)
-      Files.write(tmp.toPath,
-        (lines :+ s"eof\t${lines.size}").mkString("\n").getBytes(StandardCharsets.UTF_8))
+      // the worst storage failure mode there is (wrong data, no error).
       // name the checkpoint by the version the listing ACTUALLY captured
       // (snap.version), not the trigger version: under concurrent writers
       // snapshot() may already include later commits, and a checkpoint
@@ -595,11 +595,13 @@ object TxTable {
       // Head reads were always safe either way (they replay every commit
       // after the anchor); the exact name keeps version-pinned reads safe
       // too, and the dense-probe fast path is indifferent to which
-      // version anchors it.
-      try Files.createLink(
-        Paths.get(dir.getPath, f"${snap.version}%020d.checkpoint"), tmp.toPath)
+      // version anchors it. Published through the LogStore seam like
+      // commits; a lost race means an identical checkpoint (exact state
+      // of the same version) already exists — not an error.
+      try logStorePlug.putIfAbsent(
+        Paths.get(dir.getPath, f"${snap.version}%020d.checkpoint"),
+        (lines :+ s"eof\t${lines.size}").mkString("\n").getBytes(StandardCharsets.UTF_8))
       catch { case _: FileAlreadyExistsException => () }
-      finally Files.deleteIfExists(tmp.toPath)
       // publish the anchor hint AFTER the checkpoint exists; a crash in
       // between leaves a stale hint, which replays more commits but stays
       // correct (and the next checkpoint or vacuum refreshes it)
@@ -1086,6 +1088,28 @@ object TxTable {
       pruneBy: Seq[ColRange] = Nil): Option[DataFrame] =
     readSnapshot(spark, tablePath, snapshot(tablePath), partitions, pruneBy)
 
+  /** The pluggable atomic-publish primitive behind every commit and
+    * checkpoint (the [[LogStore]] deployment seam). Global per JVM —
+    * a deployment choice, not per-call state: set it once at process
+    * start (e.g. an S3 conditional-PUT store on object storage) before
+    * any table traffic. Defaults to [[HardLinkLogStore]], which is
+    * correct on POSIX/HDFS-semantics filesystems.
+    */
+  @volatile private var logStorePlug: LogStore = HardLinkLogStore
+
+  def setLogStore(store: LogStore): Unit = { logStorePlug = store }
+  def logStore: LogStore = logStorePlug
+
+  /** Run `f` with `store` installed, restoring the previous store after
+    * — the spec harness for scripted stores; production code should use
+    * [[setLogStore]] once at startup instead.
+    */
+  private[graft] def withLogStore[T](store: LogStore)(f: => T): T = {
+    val prev = logStorePlug
+    logStorePlug = store
+    try f finally logStorePlug = prev
+  }
+
   /** Atomically publish commit `version`; throws
     * FileAlreadyExistsException when a concurrent writer won the race.
     * Package-visible so the log-scaling spec can drive synthetic commit
@@ -1094,16 +1118,14 @@ object TxTable {
   private[graft] def publishCommit(tablePath: String, version: Long, lines: Seq[String]): Unit = {
     val dir = logDir(tablePath)
     dir.mkdirs()
-    val tmp = new File(dir, s".tmp-${UUID.randomUUID()}")
-    // eof trailer: line count of the payload above it. The link publish
-    // is atomic, so the trailer's job is detecting LATER damage (bit
-    // rot, manual truncation) — applyLogFile validates it when present
-    // and fails LOUDLY instead of folding a silently-shorter file.
-    Files.write(tmp.toPath,
+    // eof trailer: line count of the payload above it. The publish
+    // is atomic (LogStore contract), so the trailer's job is detecting
+    // LATER damage (bit rot, manual truncation) — applyLogFile validates
+    // it when present and fails LOUDLY instead of folding a
+    // silently-shorter file.
+    logStorePlug.putIfAbsent(
+      Paths.get(dir.getPath, f"$version%020d.commit"),
       (lines :+ s"eof\t${lines.size}").mkString("\n").getBytes(StandardCharsets.UTF_8))
-    val target = Paths.get(dir.getPath, f"$version%020d.commit")
-    try Files.createLink(target, tmp.toPath)
-    finally Files.deleteIfExists(tmp.toPath)
   }
 
   /** Row-level last-value merge with optimistic concurrency: upsert the
