@@ -914,6 +914,18 @@ object Dedup {
     * grows with the dictionary (names, titles, addresses do; a column
     * whose values all share one prefix degrades to the quadratic scan —
     * and that column belongs in [[linkageByValue]] if vocabulary-bound).
+    *
+    * SIZE k WITH THE VOCABULARY: k-char prefixes offer at most σ^k
+    * blocking keys, so once n ≫ σ^k the per-bucket population — and
+    * with it candidate volume ~ n²/σ^k — grows linearly in n (the
+    * blocked join still completes: all joins downstream are
+    * merge-hinted and spill; it just pays the saturated volume).
+    * MEASURED at an 11.1M-value dictionary (sf1 scale-step, r16):
+    * k=4 → 522M candidates, k=5 → 85M, k=6 → 28M — each added prefix
+    * character divides the volume by its per-position entropy, vs
+    * all-pairs C(11.1M, 2) ≈ 6.2·10¹³. Rule of thumb:
+    * k ≈ log_σ(n / target_bucket_size), at the recall contract's
+    * documented cost (agreement on chars 1..k or 2..k+1).
     */
   def prefixBlockedCandidates(
       vals: DataFrame,
@@ -943,7 +955,11 @@ object Dedup {
         explode(array(lit(-1), lit(0), lit(1))).as("__off"))
       .withColumn("__bkt", floor(col("__len2") / w) + col("__off"))
       .drop("__off")
-    left.join(right, Seq("__pass", "__pfx", "__bkt"))
+    // merge-hinted: both sides are corpus-vocabulary-sized, and AQE's
+    // runtime SMJ->BHJ conversion must never broadcast either (measured
+    // at 11M distinct values: the hashed relation died in deserialization
+    // under the storage pressure of the pinned dictionary checkpoints)
+    left.join(right.hint("merge"), Seq("__pass", "__pfx", "__bkt"))
       .filter(col("__v1") < col("__v2") &&
         abs(col("__len1") - col("__len2")) <= maxLenDiff &&
         // structural dedup, no distinct shuffle: a pair matches exactly
@@ -959,10 +975,16 @@ object Dedup {
   /** [[linkageByValue]] for UNBOUNDED-cardinality columns: candidates
     * from [[prefixBlockedCandidates]] (recall contract documented
     * there), each distinct value pair scored ONCE, qualifying pairs
-    * expanded to id pairs through plain equi-joins (no broadcast — the
-    * qualifying dictionary grows with the corpus vocabulary, AQE picks
-    * the join strategy). Equal-value id pairs ride a separate
-    * self-score arm exactly as in [[linkageByValue]].
+    * expanded to id pairs through plain equi-joins. NO BROADCAST — the
+    * qualifying dictionary grows with the corpus vocabulary, so every
+    * join here is merge-HINTED rather than left to AQE: measured at 11M
+    * distinct values (sf1 scale-step), AQE's runtime SMJ->BHJ
+    * conversion broadcast a vocabulary-scale side and every task died
+    * deserializing the hashed relation ("Could not allocate memory to
+    * grow BytesToBytesMap") while the dictionary checkpoints pinned
+    * storage memory — sort-merge spills instead. PlanAuditSpec pins
+    * broadcast-free. Equal-value id pairs ride a separate self-score
+    * arm exactly as in [[linkageByValue]].
     *
     * Scorer-once placement mirrors linkageByValue: the scored candidate
     * dictionary is lineage-truncated BEFORE the threshold filter lands
@@ -1004,15 +1026,15 @@ object Dedup {
     val aSide = df.select(col(idCol).as("__ida"), col(strCol).as("__va"))
     val bSide = df.select(col(idCol).as("__idb"), col(strCol).as("__vb"))
     val unequal = aSide
-      .join(dict, col("__va") === col("__v1"))
-      .join(bSide, col("__vb") === col("__v2"))
+      .join(dict.hint("merge"), col("__va") === col("__v1"))
+      .join(bSide.hint("merge"), col("__vb") === col("__v2"))
       .select(
         least(col("__ida"), col("__idb")).as("id1"),
         greatest(col("__ida"), col("__idb")).as("id2"),
         col("__score").as("score"))
     val equal = aSide
-      .join(eqDict, col("__va") === col("__v"))
-      .join(bSide, col("__vb") === col("__v"))
+      .join(eqDict.hint("merge"), col("__va") === col("__v"))
+      .join(bSide.hint("merge"), col("__vb") === col("__v"))
       .filter(col("__ida") < col("__idb"))
       .select(col("__ida").as("id1"), col("__idb").as("id2"),
         col("__score").as("score"))

@@ -955,6 +955,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"),
       s"expected the checkpointed dictionary leaves:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // broadcast-free BY CONTRACT (merge-hinted): every join side here is
+    // corpus-vocabulary-sized, and AQE's runtime SMJ->BHJ conversion
+    // must never broadcast one — measured at 11M distinct values, the
+    // converted broadcast died deserializing its hashed relation while
+    // the dictionary checkpoints pinned storage memory
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      s"linkageBlocked joins must stay shuffle-based:\n$p")
     // the candidate generator itself is sub-quadratic on the fixture:
     // count blocked pairs vs the all-pairs scan on the sf0.001 value
     // dictionary (VERDICT r15 task #1 "Done" bar)
