@@ -42,12 +42,22 @@ def cells_equal(a, b):
         pass
     return a == b
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, record_path=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Driver-shaped per-query record (VERDICT r16 task #1): rounds 15/16
+    # lost the driver's CORRECTNESS artifact to driver-side failures, so
+    # this local gate now persists the same shape the driver would have
+    # written -- {query: {rows_match, schema_match, hash_match, err}} --
+    # and the builder commits it each round as CORRECTNESS_LOCAL.json.
+    record = {}
+
+    def rec(name, rows_match, schema_match, hash_match, err=""):
+        record[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "err": err}
     import os
     # manifest.json records which queries Verify ATTEMPTED (name -> "ok" or
     # error text), so a crashed query (attempted, no result dir) counts as
@@ -63,6 +73,7 @@ def main(sf_dir, out_dir):
             if manifest is None:
                 continue  # pre-manifest output dir: can't distinguish, skip
             print(f"FAIL {name}: verify crashed: {manifest.get(name, '?')}")
+            rec(name, False, False, False, f"verify crashed: {manifest.get(name, '?')}")
             n_fail += 1
             continue
         try:
@@ -75,10 +86,13 @@ def main(sf_dir, out_dir):
             exp = canon(exp_arrow.to_pandas())
         except Exception as e:
             print(f"FAIL {name}: {str(e).splitlines()[0]}")
+            rec(name, False, False, False, str(e).splitlines()[0])
             n_fail += 1
             continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            rec(name, len(got) == len(exp), False, False,
+                f"columns {list(got.columns)} != {list(exp.columns)}")
             n_fail += 1
             continue
         # Arrow-level type check, EXACT (not dtype.kind): int64 vs
@@ -94,6 +108,8 @@ def main(sf_dir, out_dir):
             c = type_bad[0]
             print(f"FAIL {name}: col {c} arrow type spark={arrow_types.get(c)} "
                   f"duckdb={exp_types.get(c)} (driver hash is type-sensitive)")
+            rec(name, len(got) == len(exp), False, False,
+                f"col {c} arrow type spark={arrow_types.get(c)} duckdb={exp_types.get(c)}")
             n_fail += 1
             continue
         # DECIMAL output columns are banned outright: in round 12 the
@@ -110,10 +126,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: DECIMAL output column(s) {dec_cols} — "
                   f"driver hash diverges on decimal outputs (r12 "
                   f"q185/q218); present via exact CAST to DOUBLE/BIGINT")
+            rec(name, len(got) == len(exp), False, False,
+                f"DECIMAL output column(s) {dec_cols}")
             n_fail += 1
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            rec(name, False, True, False, f"rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
         bad = None
@@ -128,12 +147,20 @@ def main(sf_dir, out_dir):
         if bad:
             c, i, x, y = bad
             print(f"FAIL {name}: col {c} row {i}: spark={x!r} duckdb={y!r}")
+            rec(name, True, True, False, f"col {c} row {i}: spark={x!r} duckdb={y!r}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
+            rec(name, True, True, True)
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if record_path:
+        with open(record_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": record}, f, indent=0, sort_keys=True)
+        print(f"wrote {record_path} ({len(record)} entries)")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

@@ -247,7 +247,33 @@ object Bench {
       else if (nPasses > 1) s"best_of_${nPasses}_passes" else "single_run"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qs,"detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$streamRps,"stream_p50_ms":$streamP50,"stream_p99_ms":$streamP99,"stream_ctrl_trigger_ms_median":$ctrlMedianMs,"stream_ctrl_rows_per_sec":$ctrlRps,"stream_n_passes":${if (skipStream) 0 else nPasses},"stream_estimator":"$streamEstimator","sf":"$sfDir"}"""
-    println(json)
+    // STDOUT CONTRACT (VERDICT r16 task #1): the driver captures only a
+    // 2000-char stdout TAIL, and the full 291-query line above is ~40 KB —
+    // rounds 15 and 16 both lost the bench signal to truncation
+    // (`BENCH_r{15,16}.json` parsed: null). The printed line is therefore a
+    // COMPACT summary guaranteed under ~1800 chars: totals, failures, the
+    // stream numbers, and a fixed ~24-query headline subset chosen to span
+    // the suite's cost centers (scan control q02, joins, ANN, codecs,
+    // TxTable family, linkage) so cross-round driver tails stay comparable.
+    // The COMPLETE per-query record still goes to the outPath file below
+    // plus BENCH_DETAIL.json unconditionally.
+    val headline = Seq(
+      "q01_pricing_summary", "q02_filter_project", "q03_join_agg",
+      "q04_star_broadcast", "q25_stats", "q29_last_per_key",
+      "q33_exact_dedup", "q40_ann_topk", "q93_decontamination",
+      "q109_pagerank", "q128_tpch_q7", "q156_jpeg420_decode",
+      "q163b_ivfpq_topk_replay", "q173_txtable_pruned_read",
+      "q175b_ivf_incremental_replay", "q187_bpe_pair_counts",
+      "q203_txtable_delete", "q226_txtable_restore",
+      "q246_txtable_partition_census", "q251_txtable_join_view",
+      "q270_txtable_timestamp_travel", "q283_txtable_key_history",
+      "q285_theil_sen_selection", "q286_linkage_blocked_highcard")
+    val resultMap = results.toMap
+    val headQs = headline.flatMap(n => resultMap.get(n).map { case (v, _) =>
+      "\"" + n + "\":" + v }).mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"n_queries":${results.size},"queries":$headQs,"queries_is_headline_subset":true,"failed":$failedJson,"stream_rows_per_sec":$streamRps,"stream_p50_ms":$streamP50,"stream_p99_ms":$streamP99,"stream_ctrl_trigger_ms_median":$ctrlMedianMs,"stream_ctrl_rows_per_sec":$ctrlRps,"stream_estimator":"$streamEstimator","detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    println(compact)
     // also persist to a file: round 2's driver capture truncated the
     // stdout tail mid-JSON and lost 18 queries' timings — the file is the
     // complete record either way. BENCH_LOCAL.json is the DEFINITIVE
@@ -266,6 +292,16 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case t: Throwable =>
       System.err.println(s"bench: could not write $outPath: ${t.getMessage}") }
+    // full record at a fixed name (VERDICT r16 task #1): every UNFILTERED
+    // run's complete per-query detail ALSO lands at BENCH_DETAIL.json so
+    // the judge can always find it even when the run chose another outPath.
+    // Filtered iteration runs never touch it (the r14/r15 hygiene lesson:
+    // scratch runs must not clobber full-sweep artifacts).
+    if (outPath != "BENCH_DETAIL.json" && nameFilter.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"), json + "\n")
+      catch { case t: Throwable =>
+        System.err.println(s"bench: could not write BENCH_DETAIL.json: ${t.getMessage}") }
     spark.stop()
   }
 }

@@ -23,6 +23,12 @@ object Verify {
     // checker can't tell "crashed" from "filtered out" and would silently
     // under-count failures (round-2 ADVICE).
     val attempted = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Per-query structured record (VERDICT r16 task #1): rounds 15/16 lost
+    // the driver's correctness artifact to driver-side failures, so Verify
+    // itself now leaves a machine-readable summary (status, row count,
+    // schema) beside the parquet dumps — a correctness record exists even
+    // when nothing downstream of Verify runs.
+    val summary = scala.collection.mutable.LinkedHashMap.empty[String, (String, Long, String)]
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(name.contains) }
       .foreach { case (name, fn) =>
@@ -30,9 +36,14 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         attempted(name) = "ok"
+        val back = spark.read.parquet(s"$outDir/$name")
+        summary(name) = ("ok", back.count(),
+          back.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+            .mkString(","))
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         attempted(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        summary(name) = (attempted(name), -1L, "")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -53,6 +64,12 @@ object Verify {
     val manifest = attempted
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
+    val summaryJson = summary.map { case (k, (st, rows, schema)) =>
+      s"${q(k)}: {${q("status")}: ${q(st)}, ${q("rows")}: $rows, " +
+        s"${q("schema")}: ${q(schema)}, ${q("has_oracle")}: " +
+        s"${SparkEntry.oracleSql.contains(k)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/summary.json"), summaryJson)
     spark.stop()
   }
 }
