@@ -927,6 +927,30 @@ object Dedup {
     * k ≈ log_σ(n / target_bucket_size), at the recall contract's
     * documented cost (agreement on chars 1..k or 2..k+1).
     */
+  /** Pure decision rule for [[linkageBlocked]]'s AUTO-sized prefix
+    * length (VERDICT r16 task #3): smallest k in [kMin, kMax] whose
+    * measured distinct-prefix count keeps the EXPECTED bucket
+    * population at or under `targetBucket` (distinct prefixes ≥
+    * n / targetBucket), else kMax. Uses MEASURED prefix counts, not
+    * log_σ(n/target) with an assumed alphabet: the r16 scale-step
+    * showed effective per-position entropy on realistic name columns
+    * is ~3–6, nowhere near |alphabet| (k=4→522M candidates, k=5→85M,
+    * k=6→28M at 11.1M values), so an assumed σ=26 would under-size k
+    * exactly where saturation bites. Pure so the sizing policy is
+    * unit-pinned against the sf1-measured counts without an sf1 run.
+    */
+  def choosePrefixK(
+      nDistinct: Long,
+      distinctPrefixAt: Int => Long,
+      targetBucket: Long = 32,
+      kMin: Int = 4,
+      kMax: Int = 8): Int = {
+    require(kMin >= 1 && kMax >= kMin, s"bad k range [$kMin, $kMax]")
+    require(targetBucket >= 1, s"targetBucket must be >= 1, got $targetBucket")
+    val needed = math.max(1L, nDistinct / targetBucket)
+    (kMin to kMax).find(c => distinctPrefixAt(c) >= needed).getOrElse(kMax)
+  }
+
   def prefixBlockedCandidates(
       vals: DataFrame,
       k: Int = 4,
@@ -992,6 +1016,11 @@ object Dedup {
     * never re-manufacture per-corpus-row scoring (the q280 hazard,
     * pinned by PlanAuditSpec).
     *
+    * @param k prefix blocking length; k <= 0 (the DEFAULT) auto-sizes
+    *          from the measured dictionary via [[choosePrefixK]] so the
+    *          prefix space cannot saturate as the corpus grows. Pass an
+    *          explicit k only when the pair set must replay a pinned
+    *          blocking rule (the recall contract changes with k).
     * @return (id1, id2, score) with id1 < id2
     */
   def linkageBlocked(
@@ -1000,10 +1029,33 @@ object Dedup {
       strCol: String,
       score: (Column, Column) => Column,
       threshold: Double,
-      k: Int = 4,
+      k: Int = 0,
       maxLenDiff: Int = 2): DataFrame = {
     val vals = Checkpoints.truncate(
       df.select(col(strCol).as("__v")).filter(col("__v").isNotNull).distinct())
+    // k <= 0 → AUTO-size the prefix from the dictionary (the DEFAULT,
+    // VERDICT r16 task #3): at a fixed k the prefix space saturates once
+    // n ≫ σ_eff^k and candidates grow ~n²/σ^k — measured 522M at k=4 on
+    // 11.1M values vs 85M/28M at k=5/6. One aggregate over the already-
+    // checkpointed dictionary measures n plus approx distinct prefixes
+    // at each candidate length; [[choosePrefixK]] takes the smallest k
+    // whose measured prefix count keeps expected bucket size ≤ 32. The
+    // collect is ONE row (bounded). Callers whose replayed oracle pins a
+    // specific blocking rule (q286: k=4) pass k explicitly — auto-k
+    // trades recall for volume exactly as documented in
+    // [[prefixBlockedCandidates]] (agreement on chars 1..k or 2..k+1).
+    val kEff =
+      if (k > 0) k
+      else {
+        val kMin = 4; val kMax = 8
+        val row = vals.agg(
+          count(lit(1)).as("n"),
+          (kMin to kMax).map(c =>
+            approx_count_distinct(substring(col("__v"), 1, c))
+              .as(s"p$c")): _*).head()
+        val n = row.getLong(0)
+        choosePrefixK(n, c => row.getLong(1 + (c - kMin)), 32L, kMin, kMax)
+      }
     // scoring happens once per candidate pair during the truncate's
     // materialization, and here the threshold filters BEFORE the
     // lineage cut so only qualifying pairs are materialized. That
@@ -1017,7 +1069,7 @@ object Dedup {
     // hazard) and keeps the filter-after-truncate placement.
     // PlanAuditSpec pins the scorer absent from the final plan.
     val dict = Checkpoints.truncate(
-      prefixBlockedCandidates(vals, k, maxLenDiff)
+      prefixBlockedCandidates(vals, kEff, maxLenDiff)
         .withColumn("__score", score(col("__v1"), col("__v2")))
         .filter(col("__score") >= threshold))
     val eqDict = Checkpoints.truncate(

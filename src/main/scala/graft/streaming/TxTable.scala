@@ -598,14 +598,37 @@ object TxTable {
       // version anchors it. Published through the LogStore seam like
       // commits; a lost race means an identical checkpoint (exact state
       // of the same version) already exists — not an error.
-      try logStorePlug.putIfAbsent(
-        Paths.get(dir.getPath, f"${snap.version}%020d.checkpoint"),
-        (lines :+ s"eof\t${lines.size}").mkString("\n").getBytes(StandardCharsets.UTF_8))
-      catch { case _: FileAlreadyExistsException => () }
+      // A checkpoint is an OPTIMIZATION (snapshot() replays from the
+      // previous anchor without it), so a transient publish failure —
+      // likelier on object-store LogStores than on the hard-link default
+      // — must not fail the caller's upsert, whose commit has already
+      // landed (ADVICE r16). Swallow NonFatal, log, and let the next
+      // CheckpointInterval-th commit retry; correctness never depended
+      // on this file existing.
+      val published =
+        try {
+          logStorePlug.putIfAbsent(
+            Paths.get(dir.getPath, f"${snap.version}%020d.checkpoint"),
+            (lines :+ s"eof\t${lines.size}").mkString("\n")
+              .getBytes(StandardCharsets.UTF_8))
+          true
+        } catch {
+          case _: FileAlreadyExistsException => true // identical state exists
+          case scala.util.control.NonFatal(t) =>
+            System.err.println(s"txtable: checkpoint publish failed " +
+              s"(non-fatal — commit already landed; next interval retries): $t")
+            false
+        }
       // publish the anchor hint AFTER the checkpoint exists; a crash in
       // between leaves a stale hint, which replays more commits but stays
-      // correct (and the next checkpoint or vacuum refreshes it)
-      writeHint(tablePath, snap.version)
+      // correct (and the next checkpoint or vacuum refreshes it). Skipped
+      // when the checkpoint publish failed — a hint must never point past
+      // the newest complete checkpoint. Same non-fatal contract.
+      if (published)
+        try writeHint(tablePath, snap.version)
+        catch { case scala.util.control.NonFatal(t) =>
+          System.err.println(s"txtable: anchor-hint write failed " +
+            s"(non-fatal — hint is a replay shortcut): $t") }
     }
 
   /** Time travel: the table state as of commit `version`. Replays the
@@ -1096,19 +1119,42 @@ object TxTable {
     * correct on POSIX/HDFS-semantics filesystems.
     */
   @volatile private var logStorePlug: LogStore = HardLinkLogStore
+  // true once ANY publish has gone through the plug — the install-once
+  // fence below (ADVICE r16: a swap mid-commit in another thread would
+  // change publish semantics for in-flight operations)
+  @volatile private var logTraffic = false
+  private val logStoreLock = new Object
 
-  def setLogStore(store: LogStore): Unit = { logStorePlug = store }
+  /** Install the deployment store — ONCE, at process start, before any
+    * table traffic. Enforced, not just documented (ADVICE r16): a swap
+    * after commits have published would change atomic-publish semantics
+    * under the feet of in-flight writers, so this throws instead.
+    * Tests scope scripted stores with [[withLogStore]], which serializes.
+    */
+  def setLogStore(store: LogStore): Unit = logStoreLock.synchronized {
+    if (logTraffic)
+      throw new IllegalStateException(
+        "setLogStore called after table traffic: the LogStore is a " +
+          "process-start deployment choice; installing it mid-flight would " +
+          "change publish semantics for in-flight commits. Install before " +
+          "any TxTable operation (tests: use withLogStore).")
+    logStorePlug = store
+  }
   def logStore: LogStore = logStorePlug
 
   /** Run `f` with `store` installed, restoring the previous store after
     * — the spec harness for scripted stores; production code should use
-    * [[setLogStore]] once at startup instead.
+    * [[setLogStore]] once at startup instead. Serialized on a lock
+    * (ADVICE r16): two overlapping scopes would otherwise restore
+    * stores out of order. The lock is reentrant (same-thread nesting
+    * composes); distinct threads' scopes queue.
     */
-  private[graft] def withLogStore[T](store: LogStore)(f: => T): T = {
-    val prev = logStorePlug
-    logStorePlug = store
-    try f finally logStorePlug = prev
-  }
+  private[graft] def withLogStore[T](store: LogStore)(f: => T): T =
+    logStoreLock.synchronized {
+      val prev = logStorePlug
+      logStorePlug = store
+      try f finally logStorePlug = prev
+    }
 
   /** Atomically publish commit `version`; throws
     * FileAlreadyExistsException when a concurrent writer won the race.
@@ -1123,6 +1169,7 @@ object TxTable {
     // LATER damage (bit rot, manual truncation) — applyLogFile validates
     // it when present and fails LOUDLY instead of folding a
     // silently-shorter file.
+    logTraffic = true
     logStorePlug.putIfAbsent(
       Paths.get(dir.getPath, f"$version%020d.commit"),
       (lines :+ s"eof\t${lines.size}").mkString("\n").getBytes(StandardCharsets.UTF_8))

@@ -588,6 +588,48 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(_._3 == 1.0) && got.exists(_._3 < 1.0))
   }
 
+  test("choosePrefixK: auto-k unsaturates the sf1 dictionary (measured counts) and clamps at the range ends") {
+    // MEASURED on the q286 fixture dictionary at sf1 (11.1M distinct
+    // values, DuckDB replay, r17): distinct prefixes at length
+    // 4/5/6/7/8 = 281,216 / 1,230,320 / 3,966,560 / 5,100,000 /
+    // 5,100,000. With target bucket 32 the needed key count is
+    // 346,875 — k=4 is SATURATED (281k keys, the measured 522M-candidate
+    // regime) and auto-k must step to 5 (the 85M-candidate regime).
+    val sf1 = Map(4 -> 281216L, 5 -> 1230320L, 6 -> 3966560L,
+      7 -> 5100000L, 8 -> 5100000L)
+    assert(Dedup.choosePrefixK(11100000L, sf1) == 5)
+    // sf0.1 (1.11M values, measured: p4 = 63,474, p5 = 263,760):
+    // needed = 34,687 ≤ p4 — the bench-SF dictionary keeps k=4, so
+    // auto-k at sf0.1/sf0.01 picks the same blocking rule q286's
+    // oracle replays. (Prefix diversity does NOT scale linearly with
+    // the dictionary: sf1 has 4.4× sf0.1's 4-prefixes at 10× values —
+    // which is exactly why k must be auto-sized, not fixed.)
+    val sf01 = Map(4 -> 63474L, 5 -> 263760L, 6 -> 700000L,
+      7 -> 900000L, 8 -> 900000L)
+    assert(Dedup.choosePrefixK(1110000L, sf01) == 4)
+    // tiny dictionary: everything unsaturated, floor at kMin
+    assert(Dedup.choosePrefixK(100L, _ => 100L) == 4)
+    // degenerate single-prefix column: nothing ever qualifies, cap at
+    // kMax (the documented quadratic-degradation case — such a column
+    // belongs in linkageByValue if vocabulary-bound)
+    assert(Dedup.choosePrefixK(1000000L, _ => 1L) == 8)
+  }
+
+  test("linkageBlocked: default auto-k equals explicit k=4 on an unsaturated dictionary") {
+    val rows = (1L to 200L).map { i =>
+      val stem = Seq("garcia", "garciaz", "gracia", "lopez", "lopes",
+        "torres")((i % 6).toInt)
+      (i, s"$stem${(i % 10)}")
+    }.toDF("id", "name")
+    val auto = Dedup.linkageBlocked(rows, "id", "name",
+        GraftFunctions.jaroWinkler, threshold = 0.85)
+      .as[(Long, Long, Double)].collect().toSet
+    val pinned = Dedup.linkageBlocked(rows, "id", "name",
+        GraftFunctions.jaroWinkler, threshold = 0.85, k = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == pinned)
+  }
+
   test("linkageByValue: scorer cost is dictionary-bound, not corpus-bound") {
     // the scale claim made checkable: the scored candidate set is the
     // value-pair dictionary — its size depends only on the vocabulary,

@@ -962,6 +962,22 @@ class PlanAuditSpec extends SparkSpec {
     // the dictionary checkpoints pinned storage memory
     assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
       s"linkageBlocked joins must stay shuffle-based:\n$p")
+    // …and AFTER execution too (ADVICE r16): the string above is the
+    // pre-execution plan, but the measured failure was AQE's RUNTIME
+    // SMJ->BHJ conversion — so execute the query and assert the FINAL
+    // adaptive plan (isFinalPlan=true) still contains no broadcast; a
+    // Spark-version change in merge-hint handling under AQE re-planning
+    // fails here instead of shipping
+    val executed = SparkEntry.queries("q286_linkage_blocked_highcard")(spark, sf)
+    // collect() drives THIS DataFrame's queryExecution (a write would
+    // plan a fresh one and leave this plan un-finalized); the result is
+    // a handful of (ja, jb) groups at sf0.001 — bounded
+    executed.collect()
+    val fin = executed.queryExecution.executedPlan.toString
+    assert(fin.contains("isFinalPlan=true"),
+      s"expected an executed adaptive plan:\n${fin.take(2000)}")
+    assert(!fin.contains("BroadcastHashJoin") && !fin.contains("BroadcastExchange"),
+      s"AQE re-planning must not broadcast a linkage side at runtime:\n$fin")
     // the candidate generator itself is sub-quadratic on the fixture:
     // count blocked pairs vs the all-pairs scan on the sf0.001 value
     // dictionary (VERDICT r15 task #1 "Done" bar)

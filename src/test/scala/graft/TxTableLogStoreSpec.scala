@@ -115,6 +115,58 @@ class TxTableLogStoreSpec extends SparkSpec {
     assert(store.published.count(_.endsWith(".checkpoint")) == 1)
   }
 
+  test("checkpoint publish failure is non-fatal: commit stands, hint not advanced, next interval retries (ADVICE r16)") {
+    val path = tmp("logstore-ckptfail-")
+    val failCheckpoints = new java.util.concurrent.atomic.AtomicInteger(1)
+    // fail ONLY the first .checkpoint publish for this table — a
+    // transient object-store IOException on the optimization path; every
+    // commit publish succeeds
+    val store = new LogStore {
+      override def putIfAbsent(target: Path, bytes: Array[Byte]): Unit = {
+        if (target.startsWith(path) &&
+            target.getFileName.toString.endsWith(".checkpoint") &&
+            failCheckpoints.getAndDecrement() > 0)
+          throw new java.io.IOException(s"scripted checkpoint PUT failure for $target")
+        HardLinkLogStore.putIfAbsent(target, bytes)
+      }
+    }
+    TxTable.withLogStore(store) {
+      // versions 0..10; v10 crosses CheckpointInterval and its checkpoint
+      // publish dies — the upsert itself MUST NOT fail (its commit landed)
+      (0L to 10L).foreach(commit(path, _))
+      val names = Option(new java.io.File(path, "_log").listFiles())
+        .toSeq.flatten.map(_.getName)
+      assert(names.count(_.endsWith(".commit")) == 11)
+      assert(!names.exists(_.endsWith(".checkpoint")),
+        s"scripted failure must have suppressed the checkpoint: $names")
+      // the hint must NOT point past the newest complete checkpoint
+      // (here: none) — a failed checkpoint leaving a hint would send
+      // snapshot() to a nonexistent anchor
+      assert(!names.contains("_last_checkpoint"), s"names=$names")
+      // table still reads correctly without the checkpoint
+      assert(merged(path) ==
+        Set(("tag-0", 9.0), ("tag-1", 10.0), ("tag-2", 8.0)))
+      // the retry (next interval in production; direct call here) lands
+      // the checkpoint and the hint
+      TxTable.maybeCheckpoint(path, 10L)
+      val after = Option(new java.io.File(path, "_log").listFiles())
+        .toSeq.flatten.map(_.getName)
+      assert(after.exists(_.endsWith(".checkpoint")), s"after=$after")
+      assert(after.contains("_last_checkpoint"), s"after=$after")
+      assert(merged(path) ==
+        Set(("tag-0", 9.0), ("tag-1", 10.0), ("tag-2", 8.0)))
+    }
+  }
+
+  test("setLogStore after table traffic throws: the deployment store installs once (ADVICE r16)") {
+    val path = tmp("logstore-install-")
+    commit(path, 0L) // traffic through whatever store is installed
+    val e = intercept[IllegalStateException] {
+      TxTable.setLogStore(HardLinkLogStore)
+    }
+    assert(e.getMessage.contains("process-start"))
+  }
+
   test("OCC race on a conditional-put store: one winner, loser signal preserved, retry lands next version") {
     val path = tmp("logstore-occ-")
     val store = new ConditionalPutStore(path)
