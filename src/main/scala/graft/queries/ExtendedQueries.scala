@@ -2496,11 +2496,11 @@ object ExtendedQueries {
         |  SELECT o_orderkey, o_custkey,
         |    CAST(CASE WHEN o_orderkey % 101 = 0 THEN round(o_totalprice + 1, 2)
         |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p
-        |  FROM orders WHERE o_orderkey % 89 <> 0 AND o_orderkey % 3 = 0),
+        |  FROM orders WHERE o_orderkey % 89 <> 0 AND o_orderkey % 9 = 0),
         |newB AS (
         |  SELECT c_custkey,
         |    CASE WHEN c_custkey % 31 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
-        |  FROM customer WHERE c_custkey % 53 <> 0)
+        |  FROM customer WHERE c_custkey % 53 <> 0 AND c_custkey % 3 = 0)
         |SELECT seg, count(*)::BIGINT AS n_orders,
         |  CAST(CAST(sum(p) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM newA JOIN newB ON newA.o_custkey = newB.c_custkey
@@ -2509,12 +2509,16 @@ object ExtendedQueries {
       import graft.streaming.TxTable
       val root = Q.scratchDir("graft-q251")
       val ordT = root + "/orders_t"; val custT = root + "/cust_t"
-      // fixture restricted to a third of orders: the query proves the
-      // maintenance algebra over the table log — commit volume is fixture
-      // cost, not semantics (the q246 shrink precedent); the oracle
-      // carries the same restriction
-      val orders = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
-      val customer = t(s, d, "customer")
+      // fixture restricted to a NINTH of orders and a THIRD of customers
+      // (VERDICT r16 task #4 — this was the #2 suite cost at 20-51s):
+      // the query proves the maintenance algebra over the table log, so
+      // commit volume is fixture cost, not semantics (the q246 shrink
+      // precedent); every churn modulus (%97 insert, %101 reprice, %89
+      // delete, %31 segment move, %53 customer delete) still lands a
+      // nonempty arm at sf0.01, and the oracle carries the same
+      // restriction
+      val orders = t(s, d, "orders").filter(col("o_orderkey") % 9 === 0)
+      val customer = t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
       val oKeys = Seq("o_orderstatus", "o_orderkey")
       val cKeys = Seq("bucket", "c_custkey")
       // orders_t v0: the %97 base; v1: inserts (%97=0) + reprices
@@ -2538,9 +2542,13 @@ object ExtendedQueries {
       // cust_t partitions by a STABLE hash bucket, not the segment: a
       // segment move must stay an in-partition UPDATE — partitioning by
       // the mutable column would turn it into an insert beside a stale
-      // row under the (partition, key) merge identity
+      // row under the (partition, key) merge identity. TWO buckets, not
+      // eight (VERDICT r16 task #4): mergeLatest writes one data dir per
+      // affected partition per commit, so the bucket count multiplies
+      // fixture job count without adding semantics — two buckets still
+      // exercise multi-partition merge + pruning
       val bucketed = customer.withColumn("bucket",
-        concat(lit("b"), pmod(col("c_custkey"), lit(8))))
+        concat(lit("b"), pmod(col("c_custkey"), lit(2))))
       TxTable.mergeLatest(s,
         bucketed.select(col("bucket"), col("c_custkey"),
           col("c_mktsegment").as("seg"), lit(0L).as("seq")),

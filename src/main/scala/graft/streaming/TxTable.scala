@@ -242,29 +242,55 @@ object TxTable {
     */
   private[graft] val RowsKey = "#rows"
 
+  /** Write `df` as a parquet data dir, returning its encoded stats line
+    * AND the written row count. The count rides the write's own
+    * Observation in BOTH branches — one Spark job total — so callers
+    * never need a separate emptiness/count pre-scan over the data.
+    */
   private def writeWithStats(
-      df: DataFrame, absPath: String, cols: Seq[(String, Char)]): String =
-    if (cols.isEmpty) {
-      df.write.mode("overwrite").parquet(absPath)
-      ""
-    } else {
-      val obs = org.apache.spark.sql.Observation()
-      val aggs = count(lit(1)).cast("string").as("__nrows") +: cols.flatMap { case (c, _) =>
-        Seq(min(col(c)).cast("string").as(s"__mn_$c"),
-          max(col(c)).cast("string").as(s"__mx_$c"))
-      }
-      df.observe(obs, aggs.head, aggs.tail: _*)
-        .write.mode("overwrite").parquet(absPath)
-      val row = obs.get
-      val n = row("__nrows").toString
-      StatsCodec.encode(cols.flatMap { case (c, t) =>
+      df: DataFrame, absPath: String, cols: Seq[(String, Char)]): (String, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = count(lit(1)).cast("string").as("__nrows") +: cols.flatMap { case (c, _) =>
+      Seq(min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(absPath)
+    val row = obs.get
+    val n = row("__nrows").toString
+    val stats =
+      if (cols.isEmpty) ""
+      else StatsCodec.encode(cols.flatMap { case (c, t) =>
         (Option(row(s"__mn_$c")), Option(row(s"__mx_$c"))) match {
           case (Some(mn), Some(mx)) =>
             Some(c -> ColStats(t, mn.toString, mx.toString))
           case _ => None
         }
       }.toMap + (RowsKey -> ColStats('N', n, n)))
+    (stats, n.toLong)
+  }
+
+  /** One partition's data dir for a commit's add list: write it in ONE
+    * Spark job and drop it again if the slice came out EMPTY (the row
+    * count rides the write's Observation). Replaces the
+    * `if (part.isEmpty) None else write` pattern, which cost an extra
+    * job per (partition × commit) on every merge/delete — measured as
+    * the dominant fixture cost of the q251 IVM capstone (VERDICT r16
+    * task #4). Removing the just-written dir is safe: nothing
+    * references it until the commit that would have listed it lands.
+    */
+  private def writePartition(part: DataFrame, absPath: String,
+      statCols: Seq[(String, Char)]): Option[String] = {
+    val (stats, n) = writeWithStats(part, absPath, statCols)
+    if (n > 0) Some(stats)
+    else {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(new File(absPath))
+      None
     }
+  }
 
   /** One `add` log line; stats ride as an optional 4th field so a
     * stats-less writer (or an old log) stays a 3-field line forever.
@@ -1238,9 +1264,8 @@ object TxTable {
         val statCols = eligibleStats(merged, statsCols)
         val adds = affected.flatMap { p =>
           val rel = s"data/${UUID.randomUUID()}"
-          val part = merged.filter(col(partitionCol) === p)
-          if (part.isEmpty) None
-          else Some((p, rel, writeWithStats(part, s"$tablePath/$rel", statCols)))
+          writePartition(merged.filter(col(partitionCol) === p),
+            s"$tablePath/$rel", statCols).map(st => (p, rel, st))
         }
         merged.unpersist(blocking = false)
         val lines = Seq(s"op\tmergeLatest\tattempt\t$attempt") ++
@@ -1317,9 +1342,8 @@ object TxTable {
         val statCols = eligibleStats(kept, statsCols)
         val adds = affected.flatMap { p =>
           val rel = s"data/${UUID.randomUUID()}"
-          val part = kept.filter(col(partitionCol) === p)
-          if (part.isEmpty) None
-          else Some((p, rel, writeWithStats(part, s"$tablePath/$rel", statCols)))
+          writePartition(kept.filter(col(partitionCol) === p),
+            s"$tablePath/$rel", statCols).map(st => (p, rel, st))
         }
         kept.unpersist(blocking = false)
         val lines = Seq(s"op\tdeleteKeys\tattempt\t$attempt") ++
@@ -1483,9 +1507,8 @@ object TxTable {
         val statCols = eligibleStats(materialized, statsCols)
         val adds = affected.flatMap { p =>
           val rel = s"data/${UUID.randomUUID()}"
-          val part = materialized.filter(col(partitionCol) === p)
-          if (part.isEmpty) None
-          else Some((p, rel, writeWithStats(part, s"$tablePath/$rel", statCols)))
+          writePartition(materialized.filter(col(partitionCol) === p),
+            s"$tablePath/$rel", statCols).map(st => (p, rel, st))
         }
         materialized.unpersist(blocking = false)
         // an evolving merge declares the widened schema (all-nullable —
@@ -2127,7 +2150,7 @@ object TxTable {
       val adds = affected.map { p =>
         val rel = s"data/${UUID.randomUUID()}"
         (p, rel, writeWithStats(batchLatest.filter(col(partitionCol) === p),
-          s"$tablePath/$rel", statCols))
+          s"$tablePath/$rel", statCols)._1)
       }
       var attempt = 0
       while (attempt <= maxRetries) {
@@ -2218,7 +2241,7 @@ object TxTable {
             snapReader(spark, snap).parquet(files.map(f => resolveRef(tablePath, f)): _*), keys, order)
           .coalesce(1) // one server's live keys: bounded by tag cardinality
         (p, rel, files,
-          writeWithStats(folded, s"$tablePath/$rel", eligibleStats(folded, statsCols)))
+          writeWithStats(folded, s"$tablePath/$rel", eligibleStats(folded, statsCols))._1)
       }
       val lines = Seq(s"op\tcompact\tattempt\t$attempt") ++
         adds.map { case (p, rel, _, st) => addLine(p, rel, st) } ++
