@@ -2875,6 +2875,40 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     },
 
+    Q("q57b_approx_percentile_envelope",
+      // q57's ENVELOPE replay twin (VERDICT r16 task #7): Spark's
+      // approx_percentile(v, p, acc) contract guarantees the returned
+      // element's exact RANK is within n/acc of p*n — a replayable
+      // bound even though the returned value itself is
+      // implementation-defined. The Spark side joins each group's three
+      // returned quantiles back against the group (broadcast — the
+      // quantile table is groups×3 rows), computes the exact <=/< rank
+      // straddle, and exports the bound check as a boolean; the oracle
+      // recomputes (group, p, n) exactly and asserts the booleans.
+      """SELECT l_returnflag, p, count(*)::BIGINT AS n, true AS in_envelope
+        |FROM lineitem, (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS p)
+        |GROUP BY l_returnflag, p ORDER BY l_returnflag, p""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+      val qs = li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+          .as("qs"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          posexplode(col("qs")).as(Seq("i", "v")))
+        .withColumn("p",
+          element_at(array(lit(0.25), lit(0.5), lit(0.75)),
+            col("i").cast("int") + 1))
+      li.join(broadcast(qs), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("p"), col("n"))
+        .agg(
+          sum(when(col("l_quantity") <= col("v"), 1L).otherwise(0L)).as("__le"),
+          sum(when(col("l_quantity") < col("v"), 1L).otherwise(0L)).as("__lt"))
+        .select(col("l_returnflag"), col("p"), col("n"),
+          (col("__le") >= col("p") * col("n") - (col("n") / lit(1000.0) + 1) &&
+            col("__lt") <= col("p") * col("n") + (col("n") / lit(1000.0) + 1))
+            .as("in_envelope"))
+        .orderBy("l_returnflag", "p")
+    },
+
     Q("q46_pivot",
       """SELECT o_orderpriority,
         |  round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS F,

@@ -710,6 +710,26 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    Q("q123b_hll_rollup_envelope",
+      // q123's ENVELOPE replay twin (VERDICT r16 task #7): the merged
+      // DataSketches estimate is merge-topology-sensitive (no hash
+      // oracle possible), but its error contract is replayable — at
+      // lgK=12 the union estimate must land within the 5% envelope
+      // SketchesSpec pins (3×RSE ≈ 4.9%). Bucket structure (exact) and
+      // the bounded comparison (boolean) are what the oracle checks; a
+      // sketch-merge regression past the envelope hash-mismatches.
+      """SELECT event_type,
+        |  count(DISTINCT date_trunc('day', ts))::BIGINT AS n_buckets,
+        |  count(DISTINCT user_id)::BIGINT AS exact_distinct,
+        |  true AS in_envelope
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Sketches.hllRollup(t(s, d, "events"), "event_type",
+          date_trunc("day", col("ts")), "user_id")
+        .select(col("event_type"), col("n_buckets"), col("exact_distinct"),
+          (col("rel_err") <= 0.05).as("in_envelope"))
+        .orderBy("event_type")
+    },
+
     Q("q124_snapshot_diff",
       // CDC diff between two snapshot versions (old: ~1/97 of orders not
       // yet inserted; new: ~1/89 deleted, ~1/101 repriced): one full

@@ -367,6 +367,35 @@ object RelationalQueries {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     },
 
+    Q("q26b_approx_distinct_envelope",
+      // q26's ENVELOPE replay twin (VERDICT r16 task #7): hash equality
+      // on an HLL++ estimate is impossible by nature, but the published
+      // error contract is replayable — the estimate must land within
+      // 3×rsd (default rsd 0.05 → 15%) of the exact distinct count. The
+      // Spark side computes BOTH and exports the bounded comparison as
+      // a boolean; the oracle recomputes the exact side and asserts the
+      // booleans true — so a Spark HLL regression past its envelope is
+      // a hash MISMATCH, not an unexamined "approx" pass. Estimates are
+      // deterministic given the value set, so the boolean is stable.
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+        |  count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+        |  true AS parts_in_envelope, true AS orders_in_envelope
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey")).as("__ap"),
+          approx_count_distinct(col("l_orderkey")).as("__ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("__ap") - col("exact_parts")).cast("double")
+            <= col("exact_parts") * 0.15).as("parts_in_envelope"),
+          (abs(col("__ao") - col("exact_orders")).cast("double")
+            <= col("exact_orders") * 0.15).as("orders_in_envelope"))
+        .orderBy("l_returnflag")
+    },
+
     // ----------------------------------------------------- scalar functions
     Q("q21_string_funcs",
       """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name,1,10) AS name10,
