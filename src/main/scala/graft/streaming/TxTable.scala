@@ -992,7 +992,23 @@ object TxTable {
       throw new IllegalArgumentException(
         s"keyHistory: no audited-key changes are derivable in " +
           s"[$since, $until] of $tablePath")
-    perVersion.reduce(_.unionByName(_))
+    // UNION IN BOUNDED CHUNKS, truncating lineage per chunk (r17
+    // scale-step finding): one flat union of `window` diff branches —
+    // each branch itself a join of two states — makes Catalyst's
+    // analysis/optimization cost grow superlinearly with the window
+    // (measured on the 10× audit table: 120 versions = 30 s build +
+    // 16 s exec, 1,200 versions = 601 s + 591 s — ~20×/36× at 10× the
+    // versions). Chunks of 64 cap every plan Catalyst ever sees at 64
+    // branches; each chunk executes during construction (the documented
+    // large-window trade) and the final union is over O(window/64)
+    // materialized leaves. Measured after (same table, same box):
+    // 1,200 versions = 527 s build + 1.4 s exec — the remaining cost is
+    // the per-state materialization's fixed job overhead (~0.4 s/state),
+    // linear in the window.
+    perVersion.grouped(64).map { chunk =>
+      val u = chunk.reduce(_.unionByName(_))
+      if (chunk.size == 1) u else graft.operators.Checkpoints.truncate(u)
+    }.reduce(_.unionByName(_))
   }
 
   /** Apply a change-data-feed batch to ANOTHER table — the CDC
