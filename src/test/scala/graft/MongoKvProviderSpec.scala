@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import graft.model.OpcValue
-import graft.streaming.{DocumentSink, KeyValueSink, MongoKvStore}
+import graft.streaming.{DocumentSink, KeyValueSink, MongoKvStore, MongoReflectionSink}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The MongoDB sink binding skeleton: document shape, lifecycle and
@@ -71,9 +71,16 @@ class MongoKvProviderSpec extends AnyFunSuite {
     // resolution (what kvUpsertSink does fail-fast at construction) must
     // succeed with zero driver jars...
     val provider = KeyValueSink.resolveProvider("graft.streaming.MongoKvProvider")
-    val store = provider.open()
-    // ...and the missing artifact surfaces at connect(), by name
-    val e = intercept[ClassNotFoundException](store.connect())
+    provider.open() // instantiation demands nothing
+    // ...and the missing artifact surfaces at connect(), by name. The
+    // TEST classpath now carries real-FQN embedded fakes
+    // (RealNameBindingSpec), so absence is simulated through the load
+    // seam — the fail-point and message under test are unchanged
+    val bare = new MongoKvStore(new MongoReflectionSink("mongodb://h:1", "db") {
+      override protected def loadClass(name: String): Class[_] =
+        throw new ClassNotFoundException(name)
+    })
+    val e = intercept[ClassNotFoundException](bare.connect())
     assert(e.getMessage.contains("mongodb-driver-sync"))
   }
 

@@ -63,7 +63,15 @@ class MiloTagReaderSpec extends AnyFunSuite {
     val r = new MiloTagReaderProvider().open(session)
     // close before connect is safe (idempotent contract)
     r.close()
-    val e = intercept[ClassNotFoundException](r.connect())
+    // the TEST classpath now carries real-FQN embedded fakes
+    // (RealNameBindingSpec), so "Milo absent" is simulated through the
+    // load seam — the assertion under test is unchanged: connect() is
+    // where the missing artifact surfaces, naming it
+    val bare = new MiloTagReader(session, new MiloReflectionSession {
+      override protected def loadClass(name: String): Class[_] =
+        throw new ClassNotFoundException(name)
+    })
+    val e = intercept[ClassNotFoundException](bare.connect())
     assert(e.getMessage.contains("Milo"), e.getMessage)
   }
 
