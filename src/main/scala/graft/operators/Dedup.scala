@@ -979,11 +979,21 @@ object Dedup {
         explode(array(lit(-1), lit(0), lit(1))).as("__off"))
       .withColumn("__bkt", floor(col("__len2") / w) + col("__off"))
       .drop("__off")
-    // merge-hinted: both sides are corpus-vocabulary-sized, and AQE's
-    // runtime SMJ->BHJ conversion must never broadcast either (measured
-    // at 11M distinct values: the hashed relation died in deserialization
-    // under the storage pressure of the pinned dictionary checkpoints)
-    left.join(right.hint("merge"), Seq("__pass", "__pfx", "__bkt"))
+    // shuffle_hash with the UN-exploded side as build (r18, measured
+    // 2.4× over the previous merge hint at 1.11M values: the SMJ sorted
+    // 2.2M + 6.7M string rows only to enumerate bucket pairs, and sort
+    // time dominated the stage). The build side is the 2-pass keyed
+    // dictionary — n·2 rows hash-partitioned over (pass, pfx, bkt), so
+    // the per-task hash table is (2n/shuffle-partitions) rows of short
+    // strings, bounded and uniform (values are near-unique; auto-k keeps
+    // per-prefix buckets ~32, so no single key floods a partition). The
+    // probe side streams the ×3 bucket fanout with no sort at all.
+    // STILL never a broadcast: hint semantics pin the build to the
+    // shuffled left, and AQE's SMJ->BHJ conversion (which died
+    // deserializing a vocabulary-scale hashed relation at 11M values,
+    // r16) has no SMJ to convert. PlanAuditSpec pins broadcast-free on
+    // the executed adaptive plan.
+    left.hint("shuffle_hash").join(right, Seq("__pass", "__pfx", "__bkt"))
       .filter(col("__v1") < col("__v2") &&
         abs(col("__len1") - col("__len2")) <= maxLenDiff &&
         // structural dedup, no distinct shuffle: a pair matches exactly
@@ -1001,13 +1011,18 @@ object Dedup {
     * there), each distinct value pair scored ONCE, qualifying pairs
     * expanded to id pairs through plain equi-joins. NO BROADCAST — the
     * qualifying dictionary grows with the corpus vocabulary, so every
-    * join here is merge-HINTED rather than left to AQE: measured at 11M
-    * distinct values (sf1 scale-step), AQE's runtime SMJ->BHJ
+    * join here is explicitly hinted rather than left to AQE: measured
+    * at 11M distinct values (sf1 scale-step), AQE's runtime SMJ->BHJ
     * conversion broadcast a vocabulary-scale side and every task died
     * deserializing the hashed relation ("Could not allocate memory to
     * grow BytesToBytesMap") while the dictionary checkpoints pinned
-    * storage memory — sort-merge spills instead. PlanAuditSpec pins
-    * broadcast-free. Equal-value id pairs ride a separate self-score
+    * storage memory. The hints are shuffle_hash with the BOUNDED side
+    * as build (r18; previously merge): sorting the ~output-sized pair
+    * stream twice dominated the expansion stages, while a hash of one
+    * shuffled corpus partition per task is the same memory class as any
+    * hash aggregate over the corpus — sized by the shuffle-partition
+    * knob, uniform because values are near-unique. PlanAuditSpec pins
+    * broadcast-free on the executed adaptive plan. Equal-value id pairs ride a separate self-score
     * arm exactly as in [[linkageByValue]].
     *
     * Scorer-once placement mirrors linkageByValue: the scored candidate
@@ -1054,7 +1069,18 @@ object Dedup {
             approx_count_distinct(substring(col("__v"), 1, c))
               .as(s"p$c")): _*).head()
         val n = row.getLong(0)
-        choosePrefixK(n, c => row.getLong(1 + (c - kMin)), 32L, kMin, kMax)
+        val chosen = choosePrefixK(n, c => row.getLong(1 + (c - kMin)), 32L, kMin, kMax)
+        // the chosen k changes the RECALL contract (agreement on chars
+        // 1..k or 2..k+1), so the auto-sizing decision must be observable
+        // at runtime (ADVICE r17): log k plus the measurements it came
+        // from — approx_count_distinct sits on threshold edges, and a
+        // silent k bump as the dictionary grows would otherwise look
+        // like a recall regression with no trace.
+        log.info(s"linkageBlocked auto-k: chose k=$chosen for n=$n distinct " +
+          s"values (approx distinct prefixes: " +
+          (kMin to kMax).map(c => s"k$c=${row.getLong(1 + (c - kMin))}")
+            .mkString(", ") + s"; target bucket 32)")
+        chosen
       }
     // scoring happens once per candidate pair during the truncate's
     // materialization, and here the threshold filters BEFORE the
@@ -1075,18 +1101,35 @@ object Dedup {
     val eqDict = Checkpoints.truncate(
       vals.select(col("__v"), score(col("__v"), col("__v")).as("__score")))
       .filter(col("__score") >= threshold)
+    // the value dictionary has now fed everything that reads it (the
+    // auto-k aggregate, the scored candidate dict, the equal-value
+    // dict — all materialized above); free its pinned blocks instead of
+    // letting ~sizeof(vocabulary) storage ride until the context
+    // cleaner notices (r18: per-query pinned storage is what amplified
+    // this operator 3.4× pass-to-pass inside the 8 GB bench JVM).
+    Checkpoints.free(vals)
+    // expansion joins: shuffle_hash with the CORPUS side as build (r18).
+    // The qualifying-pair stream is the big side (it approaches the
+    // output size, ~10M pairs at sf0.1) and the previous merge hint
+    // sorted it TWICE (once per id expansion); hashing the corpus side —
+    // (id, value) rows, hash-partitioned by value, per-task table =
+    // corpus/shuffle-partitions rows, uniform because values are
+    // near-unique — streams the pair side sort-free. Never a broadcast
+    // (the measured 11M-value failure): the build is the SHUFFLED
+    // corpus partition, sized by the shuffle-partition knob exactly
+    // like any hash aggregate, not a collected relation.
     val aSide = df.select(col(idCol).as("__ida"), col(strCol).as("__va"))
     val bSide = df.select(col(idCol).as("__idb"), col(strCol).as("__vb"))
-    val unequal = aSide
-      .join(dict.hint("merge"), col("__va") === col("__v1"))
-      .join(bSide.hint("merge"), col("__vb") === col("__v2"))
+    val unequal = aSide.hint("shuffle_hash")
+      .join(dict, col("__va") === col("__v1"))
+      .join(bSide.hint("shuffle_hash"), col("__vb") === col("__v2"))
       .select(
         least(col("__ida"), col("__idb")).as("id1"),
         greatest(col("__ida"), col("__idb")).as("id2"),
         col("__score").as("score"))
-    val equal = aSide
-      .join(eqDict.hint("merge"), col("__va") === col("__v"))
-      .join(bSide.hint("merge"), col("__vb") === col("__v"))
+    val equal = aSide.hint("shuffle_hash")
+      .join(eqDict, col("__va") === col("__v"))
+      .join(bSide.hint("shuffle_hash"), col("__vb") === col("__v"))
       .filter(col("__ida") < col("__idb"))
       .select(col("__ida").as("id1"), col("__idb").as("id2"),
         col("__score").as("score"))
