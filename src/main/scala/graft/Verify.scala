@@ -61,6 +61,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-run oracle-artifact root (VERDICT r17 task #4): the saved-index
+    // oracles read parquet this run wrote under a pid-keyed root (no
+    // cross-JVM clobbering); record the root beside the dump so a human
+    // debugging a mismatch can find the exact files the SQL names.
+    Files.writeString(Paths.get(s"$outDir/artifact_root.json"),
+      s"{${q("artifact_root")}: ${q(graft.queries.Q.oracleArtifactRoot)}}")
     val manifest = attempted
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)

@@ -762,16 +762,18 @@ object ExtendedQueries {
       // assignment is an argmax over the centroids parquet, the corpus
       // witness a min over the cell's inverted list, intra-batch
       // keep-first the q193/q201 min-witness algebra. The oracle reads
-      // the SAME parquet artifacts the Spark run wrote (fixed path:
-      // Verify runs before the DuckDB oracles) and replays all three.
+      // the SAME parquet artifacts the Spark run wrote (per-run root
+      // interpolated at class-load, so the dumped SQL names exactly this
+      // JVM's files: Verify runs before the DuckDB oracles) and replays
+      // all three.
       // Unlike q202 this query does NOT append (pure decisions), so the
       // artifacts the oracle reads are exactly what the query probed.
       s"""WITH cents AS (
         |  SELECT cell, centroid
-        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q202b_idx/centroids/*.parquet')),
+        |  FROM read_parquet('${Q.oracleArtifactRoot}/q202b_idx/centroids/*.parquet')),
         |lists AS (
         |  SELECT neighbor_id, __cvec, CAST(__cell AS INT) AS cell
-        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q202b_idx/lists/*/*.parquet',
+        |  FROM read_parquet('${Q.oracleArtifactRoot}/q202b_idx/lists/*/*.parquet',
         |                    hive_partitioning = 1)),
         |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 4),
         |bc AS (
@@ -954,10 +956,10 @@ object ExtendedQueries {
       // a shortcut).
       s"""WITH cents AS (
         |  SELECT cell, centroid
-        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q54b_idx/centroids/*.parquet')),
+        |  FROM read_parquet('${Q.oracleArtifactRoot}/q54b_idx/centroids/*.parquet')),
         |lists AS (
         |  SELECT neighbor_id, __cvec, CAST(__cell AS INT) AS cell
-        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q54b_idx/lists/*/*.parquet',
+        |  FROM read_parquet('${Q.oracleArtifactRoot}/q54b_idx/lists/*/*.parquet',
         |                    hive_partitioning = 1)),
         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |      WHERE vec_id % 50 = 0),
@@ -1054,9 +1056,9 @@ object ExtendedQueries {
       // and no row is lost or duplicated across the two appends and the
       // compaction swap. The remaining q175 residue (probe top-k over
       // these lists) is the already-paired q54b read path.
-      """WITH cents AS (
+      s"""WITH cents AS (
         |  SELECT cell, centroid
-        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q175b_idx/centroids/*.parquet')),
+        |  FROM read_parquet('${Q.oracleArtifactRoot}/q175b_idx/centroids/*.parquet')),
         |a AS (
         |  SELECT e.vec_id, c.cell,
         |    row_number() OVER (PARTITION BY e.vec_id
@@ -1171,13 +1173,13 @@ object ExtendedQueries {
       // saved-index read path.
       s"""WITH cents AS (
         |  SELECT cell, centroid
-        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q163b_idx/centroids/*.parquet')),
+        |  FROM read_parquet('${Q.oracleArtifactRoot}/q163b_idx/centroids/*.parquet')),
         |books AS (
         |  SELECT sub, code, centroid
-        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q163b_idx/codebooks/*.parquet')),
+        |  FROM read_parquet('${Q.oracleArtifactRoot}/q163b_idx/codebooks/*.parquet')),
         |codes AS (
         |  SELECT neighbor_id, __codes, CAST(__cell AS INT) AS cell
-        |  FROM read_parquet('/tmp/graft_oracle_artifacts/q163b_idx/codes/*/*.parquet',
+        |  FROM read_parquet('${Q.oracleArtifactRoot}/q163b_idx/codes/*/*.parquet',
         |                    hive_partitioning = 1)),
         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |      WHERE vec_id % 50 = 0),

@@ -61,16 +61,45 @@ object Q {
     dir.toString
   }
 
-  /** A scratch directory at a FIXED absolute path that SURVIVES this JVM:
-    * for queries whose oracle SQL must read back an artifact the query
-    * wrote (q202b's saved IVF index — the driver runs Verify first, then
-    * the DuckDB oracles in a separate process, so the path has to be
-    * static in the SQL text and the files still on disk). Cleared on
-    * every call like [[scratchDir]], never deleted at exit: steady-state
-    * disk is one copy per name.
+  /** PER-JVM root for oracle artifacts (VERDICT r17 task #4). The
+    * previous FIXED `/tmp/graft_oracle_artifacts/<name>` design raced:
+    * any two JVMs sharing an artifact name (a correctness sweep and a
+    * concurrent test suite) clear/rewrite each other's files mid-run —
+    * the r17 q54b phantom failure (NOTES item 104). Keying the root by
+    * JVM pid makes concurrent runs disjoint BY CONSTRUCTION; the oracle
+    * SQL texts interpolate this root at class-load, so the per-run path
+    * lands verbatim in the `oracle_sql.json` each Verify run dumps, and
+    * the DuckDB oracle (a separate, later process) reads exactly the
+    * files the SAME run's queries wrote.
+    *
+    * The artifacts must OUTLIVE the JVM (the oracle runs after it
+    * exits), so nothing is deleted at exit; instead, first use prunes
+    * sibling run roots idle for >24 h — steady-state disk stays bounded
+    * at the last day's runs instead of growing forever.
+    */
+  lazy val oracleArtifactRoot: String = {
+    val base = new java.io.File("/tmp/graft_oracle_artifacts")
+    base.mkdirs()
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    Option(base.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("run_") && f.lastModified() < cutoff)
+      .foreach(rmTree)
+    val dir = new java.io.File(base, s"run_${ProcessHandle.current().pid()}")
+    dir.mkdirs()
+    dir.getAbsolutePath
+  }
+
+  /** A scratch directory under [[oracleArtifactRoot]] that SURVIVES this
+    * JVM: for queries whose oracle SQL must read back an artifact the
+    * query wrote (q202b's saved IVF index — the driver runs Verify
+    * first, then the DuckDB oracles in a separate process, so the path
+    * must be on disk after exit and spelled verbatim in the dumped SQL).
+    * Cleared on every call like [[scratchDir]] (re-runs within one JVM
+    * stay at one copy per name); cross-JVM isolation comes from the
+    * per-pid root.
     */
   def oracleArtifactDir(name: String): String = {
-    val dir = new java.io.File(s"/tmp/graft_oracle_artifacts/$name")
+    val dir = new java.io.File(s"$oracleArtifactRoot/$name")
     Option(dir.listFiles()).toSeq.flatten.foreach(rmTree)
     dir.mkdirs()
     dir.toString
