@@ -246,7 +246,7 @@ object Bench {
       if (skipStream) "skipped"
       else if (nPasses > 1) s"best_of_${nPasses}_passes" else "single_run"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qs,"detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$streamRps,"stream_p50_ms":$streamP50,"stream_p99_ms":$streamP99,"stream_ctrl_trigger_ms_median":$ctrlMedianMs,"stream_ctrl_rows_per_sec":$ctrlRps,"stream_n_passes":${if (skipStream) 0 else nPasses},"stream_estimator":"$streamEstimator","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"q02_control":${results.toMap.get("q02_filter_project").map(_._1).getOrElse(-1.0)},"divisor_vs_r15":${results.toMap.get("q02_filter_project").map(_._1).filter(_ > 0).map(v => v / 0.302).getOrElse(-1.0)},"queries":$qs,"detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$streamRps,"stream_p50_ms":$streamP50,"stream_p99_ms":$streamP99,"stream_ctrl_trigger_ms_median":$ctrlMedianMs,"stream_ctrl_rows_per_sec":$ctrlRps,"stream_n_passes":${if (skipStream) 0 else nPasses},"stream_estimator":"$streamEstimator","sf":"$sfDir"}"""
     // STDOUT CONTRACT (VERDICT r16 task #1): the driver captures only a
     // 2000-char stdout TAIL, and the full 291-query line above is ~40 KB —
     // rounds 15 and 16 both lost the bench signal to truncation
@@ -271,8 +271,19 @@ object Bench {
     val resultMap = results.toMap
     val headQs = headline.flatMap(n => resultMap.get(n).map { case (v, _) =>
       "\"" + n + "\":" + v }).mkString("{", ",", "}")
+    // self-normalizing control (VERDICT r17 task #6): raw cross-box bench
+    // numbers are uninterpretable without the q02 pure-scan control —
+    // r17's driver box ran q02 at 1.18× the definitive band while
+    // amplifying heavy queries 3–12×. Carry the control and its divisor
+    // against the r15 definitive anchor (q02 = 0.302 s, the cross-round
+    // comparison base every VERDICT since r15 uses) IN the artifact, so
+    // BENCH_r{N}.json normalizes itself instead of needing BENCH_LOCAL.
+    val q02Control = resultMap.get("q02_filter_project").map(_._1).getOrElse(-1.0)
+    val r15Q02Definitive = 0.302
+    val divisorVsR15 =
+      if (q02Control > 0) q02Control / r15Q02Definitive else -1.0
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"n_queries":${results.size},"queries":$headQs,"queries_is_headline_subset":true,"failed":$failedJson,"stream_rows_per_sec":$streamRps,"stream_p50_ms":$streamP50,"stream_p99_ms":$streamP99,"stream_ctrl_trigger_ms_median":$ctrlMedianMs,"stream_ctrl_rows_per_sec":$ctrlRps,"stream_estimator":"$streamEstimator","detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"n_queries":${results.size},"q02_control":$q02Control,"divisor_vs_r15":$divisorVsR15,"queries":$headQs,"queries_is_headline_subset":true,"failed":$failedJson,"stream_rows_per_sec":$streamRps,"stream_p50_ms":$streamP50,"stream_p99_ms":$streamP99,"stream_ctrl_trigger_ms_median":$ctrlMedianMs,"stream_ctrl_rows_per_sec":$ctrlRps,"stream_estimator":"$streamEstimator","detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     println(compact)
     // also persist to a file: round 2's driver capture truncated the
     // stdout tail mid-JSON and lost 18 queries' timings — the file is the
