@@ -142,4 +142,43 @@ class RealNameBindingSpec extends SparkSpec {
       System.clearProperty("graft.mongo.database")
     }
   }
+
+  // ---- negative arms (VERDICT r17 task #8): the fakes must FALSIFY ----
+  // Each binding is resolved against a DRIFTED fake whose static factory
+  // was renamed (create -> newClient) — the smallest realistic vendor
+  // signature change. The production reflective lookup must fail loudly
+  // at exactly that method; if these arms ever stop throwing, the
+  // real-FQN fakes have stopped pinning the vendor contract and the
+  // positive arms above prove nothing.
+
+  test("Milo binding negative arm: a renamed create(String) fails the production lookup loudly") {
+    val s = new MiloReflectionSession {
+      override protected def loadClass(name: String): Class[_] =
+        Class.forName(name match {
+          case "org.eclipse.milo.opcua.sdk.client.OpcUaClient" =>
+            "graft.fakes.milodrift.OpcUaClient"
+          case n => n
+        })
+    }
+    val e = intercept[NoSuchMethodException] {
+      s.connect("opc.tcp://drifted:4840", None, None)
+    }
+    assert(e.getMessage.contains("create"),
+      s"the failure must name the drifted method: ${e.getMessage}")
+  }
+
+  test("Mongo binding negative arm: a renamed create(String) fails the production lookup loudly") {
+    val sink = new graft.streaming.MongoReflectionSink(
+        "mongodb://drifted:27017", "graft_it") {
+      override protected def loadClass(name: String): Class[_] =
+        Class.forName(name match {
+          case "com.mongodb.client.MongoClients" =>
+            "graft.fakes.mongodrift.MongoClients"
+          case n => n
+        })
+    }
+    val e = intercept[NoSuchMethodException] { sink.connect() }
+    assert(e.getMessage.contains("create"),
+      s"the failure must name the drifted method: ${e.getMessage}")
+  }
 }
