@@ -284,10 +284,15 @@ object TxTable {
     val (stats, n) = writeWithStats(part, absPath, statCols)
     if (n > 0) Some(stats)
     else {
-      def rm(f: File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-      }
-      rm(new File(absPath))
+      // delete through the Hadoop FileSystem for the path's scheme
+      // (ADVICE r17): a java.io.File recursive delete only works on the
+      // local FS, silently leaving unreferenced empty dirs behind on the
+      // object-store/HDFS deployments the reliable-checkpoint path
+      // contemplates. Parquet just wrote through this same FS, so the
+      // resolution cost is already paid.
+      val p = new org.apache.hadoop.fs.Path(absPath)
+      p.getFileSystem(part.sparkSession.sessionState.newHadoopConf())
+        .delete(p, true)
       None
     }
   }
@@ -633,7 +638,7 @@ object TxTable {
       // on this file existing.
       val published =
         try {
-          logStorePlug.putIfAbsent(
+          plugForPublish().putIfAbsent(
             Paths.get(dir.getPath, f"${snap.version}%020d.checkpoint"),
             (lines :+ s"eof\t${lines.size}").mkString("\n")
               .getBytes(StandardCharsets.UTF_8))
@@ -851,6 +856,14 @@ object TxTable {
     * starting later would be a wrong answer wearing a right one's
     * clothes. History depth follows the retention window ([[vacuum]]),
     * like [[history]].
+    *
+    * EAGER past 64 versions (ADVICE r17): windows wider than the chunk
+    * size materialize each 64-version chunk via lineage truncation AT
+    * BUILD TIME — this call runs Spark jobs and writes checkpoint
+    * blocks before returning (a flat union's Catalyst analysis went
+    * superlinear at 1,200 branches; chunked truncation is the measured
+    * fix, NOTES item 101). Callers that construct but never execute
+    * the result still pay for the window below the final chunk.
     */
   def keyHistory(
       spark: SparkSession,
@@ -948,26 +961,51 @@ object TxTable {
       throw new IllegalArgumentException(
         s"keyHistory: no commit in [$since, $until] of $tablePath touched " +
           "any partition — nothing to diff")
+    // BATCH THE BOUNDARY-STATE MATERIALIZATIONS (VERDICT r17 task #2):
+    // one localCheckpoint job PER STATE made the window cost ~0.4 s of
+    // fixed job-scheduling overhead × states — linear, but exactly the
+    // constant that multiplies on a busy cluster driver (r17 measured
+    // 3–12× amplification of this family under contention, and the
+    // 1,200-commit scale-step spent 527 s mostly in per-state jobs).
+    // Instead, every needed state rides ONE union tagged with its
+    // version, truncated in 64-branch chunks: ceil(states/64) jobs
+    // total, each a single job whose tasks span 64 scoped snapshot
+    // reads. Per-state frames are then FILTERS over the materialized
+    // leaf — the diffs below join leaf-against-leaf exactly as before,
+    // and row-level results are identical (same reads, same keyFilter,
+    // same last-value collapse; the tag column only routes rows).
+    val needed: Seq[Long] =
+      ((if (since - 1 >= 0) Seq(since - 1) else Nil) ++
+        (since to until).filter(v => touched(v).nonEmpty)).distinct.sorted
+    def planAt(v: Long): Option[DataFrame] =
+      // the log can survive a version whose DATA dirs were vacuumed
+      // (merge-on-write replaces dirs; vacuum removes the replaced
+      // ones) — parquet resolution throws PATH_NOT_FOUND at read
+      // time. Same remedy-surfacing contract as TxTableCdfSource:
+      // name the failure and the way out, never a bare resolver error.
+      try readMergedAt(spark, tablePath, v, keys, order, Some(scope),
+          schemaHint)
+        .map(df => df.filter(keyFilter).withColumn("__kh_state_v", lit(v)))
+      catch {
+        case e: Exception if Option(e.getMessage)
+            .exists(_.contains("PATH_NOT_FOUND")) =>
+          throw new IllegalArgumentException(
+            s"keyHistory: version $v of $tablePath has vacuumed data " +
+              "files — its log survives but the state is no longer " +
+              "readable; restart with sinceVersion past the vacuum " +
+              "horizon, accepting the gap", e)
+      }
+    val statePlans: Seq[(Long, DataFrame)] =
+      needed.flatMap(v => planAt(v).map(v -> _))
+    val stateLeaf: Option[DataFrame] =
+      if (statePlans.isEmpty) None
+      else Some(statePlans.map(_._2).grouped(64)
+        .map(c => graft.operators.Checkpoints.truncate(c.reduce(_.unionByName(_))))
+        .reduce(_.unionByName(_)))
+    val havePlan = statePlans.map(_._1).toSet
     def stateAt(v: Long): Option[DataFrame] =
-      if (v < since - 1 || v < 0) None
-      else
-        // the log can survive a version whose DATA dirs were vacuumed
-        // (merge-on-write replaces dirs; vacuum removes the replaced
-        // ones) — parquet resolution throws PATH_NOT_FOUND at read
-        // time. Same remedy-surfacing contract as TxTableCdfSource:
-        // name the failure and the way out, never a bare resolver error.
-        try readMergedAt(spark, tablePath, v, keys, order, Some(scope),
-            schemaHint)
-          .map(df => graft.operators.Checkpoints.truncate(df.filter(keyFilter)))
-        catch {
-          case e: Exception if Option(e.getMessage)
-              .exists(_.contains("PATH_NOT_FOUND")) =>
-            throw new IllegalArgumentException(
-              s"keyHistory: version $v of $tablePath has vacuumed data " +
-                "files — its log survives but the state is no longer " +
-                "readable; restart with sinceVersion past the vacuum " +
-                "horizon, accepting the gap", e)
-        }
+      if (!havePlan.contains(v)) None
+      else stateLeaf.map(_.filter(col("__kh_state_v") === v).drop("__kh_state_v"))
     def emptyLike(d: DataFrame) = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.schema)
     var prev: Option[DataFrame] = stateAt(since - 1)
@@ -1198,6 +1236,19 @@ object TxTable {
       try f finally logStorePlug = prev
     }
 
+  /** The store to publish through, with the install-once fence armed
+    * ATOMICALLY (ADVICE r17): setting `logTraffic` and reading the plug
+    * under the same lock `setLogStore` checks the flag under closes the
+    * window where an install racing the first in-flight publish could
+    * still swap the store mid-flight. Every publish path — commit AND
+    * checkpoint — must take its store from here, never read
+    * `logStorePlug` directly.
+    */
+  private def plugForPublish(): LogStore = logStoreLock.synchronized {
+    logTraffic = true
+    logStorePlug
+  }
+
   /** Atomically publish commit `version`; throws
     * FileAlreadyExistsException when a concurrent writer won the race.
     * Package-visible so the log-scaling spec can drive synthetic commit
@@ -1211,8 +1262,7 @@ object TxTable {
     // LATER damage (bit rot, manual truncation) — applyLogFile validates
     // it when present and fails LOUDLY instead of folding a
     // silently-shorter file.
-    logTraffic = true
-    logStorePlug.putIfAbsent(
+    plugForPublish().putIfAbsent(
       Paths.get(dir.getPath, f"$version%020d.commit"),
       (lines :+ s"eof\t${lines.size}").mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
