@@ -951,10 +951,30 @@ object Dedup {
     (kMin to kMax).find(c => distinctPrefixAt(c) >= needed).getOrElse(kMax)
   }
 
+  /** SIZE-AWARE join hint for the vocabulary-scale joins here: hash the
+    * `buildRows`-row side only while its per-task table stays under a
+    * conservative budget, else fall back to the spilling sort-merge
+    * join. Calibrated on the two measured points of this operator
+    * (r18): a ~26 MB/task build ran comfortably inside the 8 GB bench
+    * JVM while a ~66 MB/task build died with "not enough memory to
+    * build hash map" on the sf1 dictionary — shuffled-hash builds do
+    * NOT spill, so the dial must err toward merge. 32 MB keeps the
+    * measured sf0.1 win and retreats to SMJ beyond it; per-task size
+    * scales down as shuffle partitions scale up, so bigger clusters
+    * keep the hash path longer. NEVER "broadcast": both sides grow
+    * with the corpus (the r16 AQE broadcast death).
+    */
+  private def sizedJoinHint(
+      buildRows: Long, bytesPerRow: Double, shufflePartitions: Int): String =
+    if (buildRows.toDouble / math.max(1, shufflePartitions) * bytesPerRow
+        <= 32d * 1024 * 1024) "shuffle_hash"
+    else "merge"
+
   def prefixBlockedCandidates(
       vals: DataFrame,
       k: Int = 4,
-      maxLenDiff: Int = 2): DataFrame = {
+      maxLenDiff: Int = 2,
+      buildHint: String = "merge"): DataFrame = {
     require(k >= 1, s"prefix length k must be >= 1, got $k")
     require(maxLenDiff >= 0, s"maxLenDiff must be >= 0, got $maxLenDiff")
     // bucket width w = maxLenDiff + 1: two lengths within maxLenDiff
@@ -979,21 +999,24 @@ object Dedup {
         explode(array(lit(-1), lit(0), lit(1))).as("__off"))
       .withColumn("__bkt", floor(col("__len2") / w) + col("__off"))
       .drop("__off")
-    // shuffle_hash with the UN-exploded side as build (r18, measured
-    // 2.4× over the previous merge hint at 1.11M values: the SMJ sorted
-    // 2.2M + 6.7M string rows only to enumerate bucket pairs, and sort
-    // time dominated the stage). The build side is the 2-pass keyed
+    // `buildHint` on the UN-exploded side (r18): shuffle_hash measured
+    // 2.4× over a merge hint at 1.11M values — the SMJ sorted 2.2M +
+    // 6.7M string rows only to enumerate bucket pairs, and sort time
+    // dominated the stage. The build side is the 2-pass keyed
     // dictionary — n·2 rows hash-partitioned over (pass, pfx, bkt), so
     // the per-task hash table is (2n/shuffle-partitions) rows of short
-    // strings, bounded and uniform (values are near-unique; auto-k keeps
-    // per-prefix buckets ~32, so no single key floods a partition). The
-    // probe side streams the ×3 bucket fanout with no sort at all.
+    // strings, uniform (values are near-unique; auto-k keeps
+    // per-prefix buckets ~32, so no single key floods a partition) —
+    // but UNSPILLABLE, so the caller must size the hint
+    // ([[sizedJoinHint]]): the same build died at the sf1 dictionary
+    // (694k rows/task), where the spilling merge join is correct.
+    // The probe side streams the ×3 bucket fanout sort-free either way.
     // STILL never a broadcast: hint semantics pin the build to the
     // shuffled left, and AQE's SMJ->BHJ conversion (which died
     // deserializing a vocabulary-scale hashed relation at 11M values,
     // r16) has no SMJ to convert. PlanAuditSpec pins broadcast-free on
     // the executed adaptive plan.
-    left.hint("shuffle_hash").join(right, Seq("__pass", "__pfx", "__bkt"))
+    left.hint(buildHint).join(right, Seq("__pass", "__pfx", "__bkt"))
       .filter(col("__v1") < col("__v2") &&
         abs(col("__len1") - col("__len2")) <= maxLenDiff &&
         // structural dedup, no distinct shuffle: a pair matches exactly
@@ -1016,13 +1039,15 @@ object Dedup {
     * conversion broadcast a vocabulary-scale side and every task died
     * deserializing the hashed relation ("Could not allocate memory to
     * grow BytesToBytesMap") while the dictionary checkpoints pinned
-    * storage memory. The hints are shuffle_hash with the BOUNDED side
-    * as build (r18; previously merge): sorting the ~output-sized pair
-    * stream twice dominated the expansion stages, while a hash of one
-    * shuffled corpus partition per task is the same memory class as any
-    * hash aggregate over the corpus — sized by the shuffle-partition
-    * knob, uniform because values are near-unique. PlanAuditSpec pins
-    * broadcast-free on the executed adaptive plan. Equal-value id pairs ride a separate self-score
+    * storage memory. The hints are SIZE-AWARE ([[sizedJoinHint]], r18):
+    * shuffle_hash with the bounded side as build while the per-task
+    * hash table fits a conservative budget — sorting the ~output-sized
+    * pair stream twice dominated the expansion stages under the old
+    * blanket merge hints — and the spilling merge join beyond it
+    * (shuffled-hash builds do not spill: a blanket shuffle_hash died
+    * with "not enough memory to build hash map" on the same sf1
+    * dictionary). PlanAuditSpec pins broadcast-free on the executed
+    * adaptive plan. Equal-value id pairs ride a separate self-score
     * arm exactly as in [[linkageByValue]].
     *
     * Scorer-once placement mirrors linkageByValue: the scored candidate
@@ -1059,17 +1084,27 @@ object Dedup {
     // specific blocking rule (q286: k=4) pass k explicitly — auto-k
     // trades recall for volume exactly as documented in
     // [[prefixBlockedCandidates]] (agreement on chars 1..k or 2..k+1).
+    // ONE bounded-collect aggregate over the cached dictionary measures
+    // everything the sizing decisions below need: n and the mean value
+    // length always (they calibrate the size-aware join hints), plus
+    // the per-k approx distinct prefixes when k is being auto-sized.
+    val kMin = 4; val kMax = 8
+    val sizeAggs = Seq(count(lit(1)).as("n"),
+      avg(length(col("__v"))).as("avgLen")) ++
+      (if (k > 0) Nil
+       else (kMin to kMax).map(c =>
+         approx_count_distinct(substring(col("__v"), 1, c)).as(s"p$c")))
+    val sizeRow = vals.agg(sizeAggs.head, sizeAggs.tail: _*).head()
+    val nVals = sizeRow.getLong(0)
+    val avgLen = Option(sizeRow.get(1)).fold(16d)(_.asInstanceOf[Double])
+    val shufflePartitions = math.max(1,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     val kEff =
       if (k > 0) k
       else {
-        val kMin = 4; val kMax = 8
-        val row = vals.agg(
-          count(lit(1)).as("n"),
-          (kMin to kMax).map(c =>
-            approx_count_distinct(substring(col("__v"), 1, c))
-              .as(s"p$c")): _*).head()
-        val n = row.getLong(0)
-        val chosen = choosePrefixK(n, c => row.getLong(1 + (c - kMin)), 32L, kMin, kMax)
+        val row = sizeRow
+        val n = nVals
+        val chosen = choosePrefixK(n, c => row.getLong(2 + (c - kMin)), 32L, kMin, kMax)
         // the chosen k changes the RECALL contract (agreement on chars
         // 1..k or 2..k+1), so the auto-sizing decision must be observable
         // at runtime (ADVICE r17): log k plus the measurements it came
@@ -1078,7 +1113,7 @@ object Dedup {
         // like a recall regression with no trace.
         log.info(s"linkageBlocked auto-k: chose k=$chosen for n=$n distinct " +
           s"values (approx distinct prefixes: " +
-          (kMin to kMax).map(c => s"k$c=${row.getLong(1 + (c - kMin))}")
+          (kMin to kMax).map(c => s"k$c=${row.getLong(2 + (c - kMin))}")
             .mkString(", ") + s"; target bucket 32)")
         chosen
       }
@@ -1094,8 +1129,12 @@ object Dedup {
     // (score(__v, __v) collapses to one attribute — the measured q280
     // hazard) and keeps the filter-after-truncate placement.
     // PlanAuditSpec pins the scorer absent from the final plan.
+    // candidate build side = the 2-pass keyed dictionary (2n short
+    // strings): hash it only while it fits ([[sizedJoinHint]]; ~88
+    // bytes/row of map overhead on top of the value)
+    val candHint = sizedJoinHint(2L * nVals, avgLen + 88, shufflePartitions)
     val dict = Checkpoints.truncate(
-      prefixBlockedCandidates(vals, kEff, maxLenDiff)
+      prefixBlockedCandidates(vals, kEff, maxLenDiff, candHint)
         .withColumn("__score", score(col("__v1"), col("__v2")))
         .filter(col("__score") >= threshold))
     val eqDict = Checkpoints.truncate(
@@ -1108,28 +1147,32 @@ object Dedup {
     // cleaner notices (r18: per-query pinned storage is what amplified
     // this operator 3.4× pass-to-pass inside the 8 GB bench JVM).
     Checkpoints.free(vals)
-    // expansion joins: shuffle_hash with the CORPUS side as build (r18).
+    // expansion joins: size-hinted with the CORPUS side as build (r18).
     // The qualifying-pair stream is the big side (it approaches the
-    // output size, ~10M pairs at sf0.1) and the previous merge hint
-    // sorted it TWICE (once per id expansion); hashing the corpus side —
+    // output size, ~10M pairs at sf0.1) and a merge hint sorts it
+    // TWICE (once per id expansion); hashing the corpus side —
     // (id, value) rows, hash-partitioned by value, per-task table =
     // corpus/shuffle-partitions rows, uniform because values are
-    // near-unique — streams the pair side sort-free. Never a broadcast
-    // (the measured 11M-value failure): the build is the SHUFFLED
-    // corpus partition, sized by the shuffle-partition knob exactly
-    // like any hash aggregate, not a collected relation.
+    // near-unique — streams the pair side sort-free. The corpus row
+    // count for the sizing comes from ONE count job (the only quantity
+    // the dictionary aggregates cannot bound); past the budget the
+    // spilling merge join returns. Never a broadcast (the measured
+    // 11M-value failure): the build is the SHUFFLED corpus partition,
+    // never a collected relation.
+    val corpusRows = df.count()
+    val expHint = sizedJoinHint(corpusRows, avgLen + 96, shufflePartitions)
     val aSide = df.select(col(idCol).as("__ida"), col(strCol).as("__va"))
     val bSide = df.select(col(idCol).as("__idb"), col(strCol).as("__vb"))
-    val unequal = aSide.hint("shuffle_hash")
+    val unequal = aSide.hint(expHint)
       .join(dict, col("__va") === col("__v1"))
-      .join(bSide.hint("shuffle_hash"), col("__vb") === col("__v2"))
+      .join(bSide.hint(expHint), col("__vb") === col("__v2"))
       .select(
         least(col("__ida"), col("__idb")).as("id1"),
         greatest(col("__ida"), col("__idb")).as("id2"),
         col("__score").as("score"))
-    val equal = aSide.hint("shuffle_hash")
+    val equal = aSide.hint(expHint)
       .join(eqDict, col("__va") === col("__v"))
-      .join(bSide.hint("shuffle_hash"), col("__vb") === col("__v"))
+      .join(bSide.hint(expHint), col("__vb") === col("__v"))
       .filter(col("__ida") < col("__idb"))
       .select(col("__ida").as("id1"), col("__idb").as("id2"),
         col("__score").as("score"))

@@ -297,6 +297,118 @@ object TxTable {
     }
   }
 
+  /** Write EVERY affected partition's data dir in ONE Spark job
+    * (VERDICT r17 task #2): the per-partition `writePartition` loop cost
+    * one job per (partition × commit) — fixed job-scheduling overhead
+    * that multiplies on a busy cluster driver, and at a realistic
+    * serverName cardinality turns a commit into hundreds of jobs. Here
+    * the frame fans out through ONE `partitionBy` write on a DUPLICATE
+    * of the partition column (`__p`), so the real column stays inside
+    * the data files and the per-dir layout readers expect is preserved:
+    * each add entry references the `data/<uuid>/__p=<value>` subdir,
+    * which reads exactly like the old flat dir (leaf dirs passed as
+    * roots contribute no inferred partition columns). Per-partition
+    * stats ride the SAME write action as conditional aggregates on one
+    * `Observation` while the expression count stays bounded; past the
+    * bound they come from one read-back aggregation over the written
+    * files (2 jobs total, the [[stageZOrdered]] pattern) instead of
+    * P write jobs. Returns (partition, rel, statsLine) for each
+    * partition that produced rows — empty slices write no dir and get
+    * no add line, exactly like the old empty-slice drop.
+    *
+    * Fallback: hive-style dir naming collapses empty-string and null
+    * partition values into the default-partition token, so an
+    * empty-string partition value routes to the legacy per-partition
+    * writer rather than silently renaming the partition.
+    */
+  private def writePartitions(
+      df: DataFrame,
+      partitionCol: String,
+      affected: Seq[String],
+      tablePath: String,
+      statCols: Seq[(String, Char)]): Seq[(String, String, String)] = {
+    if (affected.isEmpty) return Nil
+    if (affected.exists(_.isEmpty) || df.columns.contains("__p"))
+      return affected.flatMap { p =>
+        val rel = s"data/${UUID.randomUUID()}"
+        writePartition(df.filter(col(partitionCol) === p),
+          s"$tablePath/$rel", statCols).map(st => (p, rel, st))
+      }
+    val rel = s"data/${UUID.randomUUID()}"
+    val abs = s"$tablePath/$rel"
+    val escaped = affected.map(p =>
+      p -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(p))
+    val nAggs = affected.size * (1 + 2 * statCols.size)
+    val observed: Option[Map[String, (Long, String)]] =
+      if (nAggs > 400) None
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        val aggs = affected.zipWithIndex.flatMap { case (p, i) =>
+          val slice = when(col(partitionCol) === p, lit(1))
+          count(slice).cast("string").as(s"__n_$i") +:
+            statCols.flatMap { case (c, _) =>
+              val v = when(col(partitionCol) === p, col(c))
+              Seq(min(v).cast("string").as(s"__mn_${i}_$c"),
+                max(v).cast("string").as(s"__mx_${i}_$c"))
+            }
+        }
+        df.withColumn("__p", col(partitionCol))
+          .observe(obs, aggs.head, aggs.tail: _*)
+          .write.mode("overwrite").partitionBy("__p").parquet(abs)
+        val row = obs.get
+        Some(affected.zipWithIndex.map { case (p, i) =>
+          val n = row(s"__n_$i").toString.toLong
+          val stats =
+            if (statCols.isEmpty) ""
+            else StatsCodec.encode(statCols.flatMap { case (c, t) =>
+              (Option(row(s"__mn_${i}_$c")), Option(row(s"__mx_${i}_$c"))) match {
+                case (Some(mn), Some(mx)) =>
+                  Some(c -> ColStats(t, mn.toString, mx.toString))
+                case _ => None
+              }
+            }.toMap + (RowsKey -> ColStats('N', n.toString, n.toString)))
+          p -> (n, stats)
+        }.toMap)
+      }
+    if (observed.isEmpty)
+      df.withColumn("__p", col(partitionCol))
+        .write.mode("overwrite").partitionBy("__p").parquet(abs)
+    val stats: Map[String, (Long, String)] = observed.getOrElse {
+      // expression-count overflow: one column-pruned aggregation over
+      // the written files (it scans only the stats columns). The cast
+      // pins `__p` to string — partition-type inference would otherwise
+      // read numeric-looking partition values back as ints and break
+      // the map lookup against the raw string values.
+      val back = df.sparkSession.read.parquet(abs)
+      val aggs = count(lit(1)).cast("string").as("__nrows") +:
+        statCols.flatMap { case (c, _) =>
+          Seq(min(col(c)).cast("string").as(s"__mn_$c"),
+            max(col(c)).cast("string").as(s"__mx_$c"))
+        }
+      back.groupBy(col("__p").cast("string").as("__p")).agg(aggs.head, aggs.tail: _*)
+        .collect() // one row per affected partition — bounded
+        .map { r =>
+          val n = r.getAs[String]("__nrows")
+          val m = statCols.flatMap { case (c, t) =>
+            (Option(r.getAs[String](s"__mn_$c")),
+              Option(r.getAs[String](s"__mx_$c"))) match {
+              case (Some(mn), Some(mx)) => Some(c -> ColStats(t, mn, mx))
+              case _ => None
+            }
+          }.toMap + (RowsKey -> ColStats('N', n, n))
+          r.getAs[String]("__p") -> (n.toLong, StatsCodec.encode(m))
+        }.toMap
+    }
+    // only partitions that produced rows have dirs (partitionBy writes
+    // nothing for an empty group) — and only they get add lines
+    escaped.flatMap { case (p, esc) =>
+      stats.get(p).filter(_._1 > 0).map { case (_, st) =>
+        (p, s"$rel/__p=$esc", st)
+      }
+    }
+  }
+
   /** One `add` log line; stats ride as an optional 4th field so a
     * stats-less writer (or an old log) stays a 3-field line forever.
     */
@@ -1323,17 +1435,13 @@ object TxTable {
         val merged = LastValue.latestPerKey(
           current.fold(batchLatest)(
             _.unionByName(batchLatest, allowMissingColumns = true)), keys, order)
-          .persist()
         // one data directory per affected partition, written before the
-        // commit references it; unique names make them invisible until
-        // (and unless) the commit lands
+        // commit references it in ONE fanned write job (unique names
+        // make the dirs invisible until, and unless, the commit lands).
+        // No persist: the single write is merged's only consumer.
         val statCols = eligibleStats(merged, statsCols)
-        val adds = affected.flatMap { p =>
-          val rel = s"data/${UUID.randomUUID()}"
-          writePartition(merged.filter(col(partitionCol) === p),
-            s"$tablePath/$rel", statCols).map(st => (p, rel, st))
-        }
-        merged.unpersist(blocking = false)
+        val adds = writePartitions(merged, partitionCol, affected,
+          tablePath, statCols)
         val lines = Seq(s"op\tmergeLatest\tattempt\t$attempt") ++
           adds.map { case (p, rel, st) => addLine(p, rel, st) } ++
           removedFiles.map(f => s"remove\t$f")
@@ -1404,14 +1512,10 @@ object TxTable {
         // must NOT rewrite (and re-version, and orphan) whole partitions
         // — the read happens anyway, the semi-join probe is one action
         if (current.join(del, keys, "left_semi").isEmpty) return snap.version
-        val kept = current.join(del, keys, "left_anti").persist()
+        val kept = current.join(del, keys, "left_anti")
         val statCols = eligibleStats(kept, statsCols)
-        val adds = affected.flatMap { p =>
-          val rel = s"data/${UUID.randomUUID()}"
-          writePartition(kept.filter(col(partitionCol) === p),
-            s"$tablePath/$rel", statCols).map(st => (p, rel, st))
-        }
-        kept.unpersist(blocking = false)
+        val adds = writePartitions(kept, partitionCol, affected,
+          tablePath, statCols)
         val lines = Seq(s"op\tdeleteKeys\tattempt\t$attempt") ++
           adds.map { case (p, rel, st) => addLine(p, rel, st) } ++
           removedFiles.map(f => s"remove\t$f")
@@ -1571,11 +1675,8 @@ object TxTable {
         val materialized = newData.persist()
         enforceConstraints(materialized, snap.constraints, "mergeInto")
         val statCols = eligibleStats(materialized, statsCols)
-        val adds = affected.flatMap { p =>
-          val rel = s"data/${UUID.randomUUID()}"
-          writePartition(materialized.filter(col(partitionCol) === p),
-            s"$tablePath/$rel", statCols).map(st => (p, rel, st))
-        }
+        val adds = writePartitions(materialized, partitionCol, affected,
+          tablePath, statCols)
         materialized.unpersist(blocking = false)
         // an evolving merge declares the widened schema (all-nullable —
         // pre-evolution files must read with nulls, and parquet row
@@ -2213,11 +2314,8 @@ object TxTable {
       // non-empty by construction — the check would cost one extra Spark
       // job per partition on the hot O(batch) commit path
       val statCols = eligibleStats(batchLatest, statsCols)
-      val adds = affected.map { p =>
-        val rel = s"data/${UUID.randomUUID()}"
-        (p, rel, writeWithStats(batchLatest.filter(col(partitionCol) === p),
-          s"$tablePath/$rel", statCols)._1)
-      }
+      val adds = writePartitions(batchLatest, partitionCol, affected,
+        tablePath, statCols)
       var attempt = 0
       while (attempt <= maxRetries) {
         val snap = snapshot(tablePath)
@@ -2488,16 +2586,30 @@ object TxTable {
     val live = snapshot(tablePath).allFiles.toSet
     val dataRoot = new File(tablePath, "data")
     val now = System.currentTimeMillis()
+    def rec(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rec)
+      f.delete()
+    }
+    // an add entry may reference a WHOLE top-level dir (`data/<uuid>`,
+    // the flat layout) or a SUBDIR of one (`data/<uuid>/__p=<v>` from
+    // the fanned partitionBy write, `data/<uuid>/__b=<n>` from z-order
+    // staging — both predate-safe: a top-level dir is live while ANY
+    // nested reference survives). The old top-level-only membership
+    // check deleted a z-ordered table's entire uuid dir out from under
+    // its live nested references. Fully-dead top dirs go whole;
+    // partially-dead ones shed exactly their unreferenced subdirs.
     val dataGone = Option(dataRoot.listFiles()).toSeq.flatten
-      .filter(d => d.isDirectory && !live.contains(s"data/${d.getName}"))
+      .filter(d => d.isDirectory)
       .filter(d => now - d.lastModified() >= minAgeMs)
-      .map { d =>
-        def rec(f: File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rec)
-          f.delete()
-        }
-        rec(d)
-        s"data/${d.getName}"
+      .flatMap { d =>
+        val base = s"data/${d.getName}"
+        if (live.contains(base)) Nil
+        else if (!live.exists(_.startsWith(base + "/"))) {
+          rec(d); Seq(base)
+        } else Option(d.listFiles()).toSeq.flatten
+          .filter(s => s.isDirectory && !live.contains(s"$base/${s.getName}"))
+          .filter(s => now - s.lastModified() >= minAgeMs)
+          .map { s => rec(s); s"$base/${s.getName}" }
       }
     // log retention: commits at or below the latest checkpoint are
     // subsumed by it, and so are OLDER checkpoints — prune the aged ones

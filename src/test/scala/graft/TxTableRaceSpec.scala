@@ -92,7 +92,12 @@ class TxTableRaceSpec extends SparkSpec {
     // aggressive vacuum really deletes the superseded delta dirs — the
     // race is real, prove it removed something the old snapshot used
     val gone = TxTable.vacuum(path, minAgeMs = 0L).filter(_.startsWith("data/"))
-    assert(gone.nonEmpty && gone.forall(preDirs.contains),
+    // a gone entry may be a whole top-level dir SUBSUMING nested add
+    // refs (`data/<uuid>` covering `data/<uuid>/__p=<v>` from the fanned
+    // partitionBy write) — vacuum reports the dir it deleted, the old
+    // references live one level below it
+    assert(gone.nonEmpty && gone.forall(g =>
+        preDirs.contains(g) || preDirs.exists(_.startsWith(g + "/"))),
       s"expected superseded pre-compact dirs to be vacuumed, got $gone")
     assert(reader.as[(String, String, Double)].collect().toSet == want)
     // time travel to pre-compact versions is now honestly gone (vacuumed),
