@@ -98,7 +98,8 @@ object Graph {
     * graph has no k-core. Each round is one degree aggregation + two
     * semi-joins, lineage-truncated via [[Checkpoints]] (the PageRank
     * pattern — an iterated self-referential plan otherwise doubles per
-    * round), with ONE count action per round for the convergence test.
+    * round), the convergence count OBSERVED on each round's single
+    * checkpoint materialization (no separate count action).
     * LOUD failure when `maxRounds` rounds do not converge — callers
     * pairing with a fixed-round replay pass the replay's round count
     * here, so drift fails instead of silently mismatching.
@@ -107,8 +108,16 @@ object Graph {
       k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    var e = Checkpoints.truncate(canonicalEdges(edges, srcCol, dstCol))
-    var prevEdges = e.count()
+    // the surviving-edge count rides each round's ONE checkpoint
+    // materialization as an observed sum of a unit column (the
+    // dupClusters convergence pattern) — the old separate `count()`
+    // action doubled the job count per round for a number the
+    // materialization already knew
+    val (e0, n0) = Checkpoints.truncateWithSum(
+      canonicalEdges(edges, srcCol, dstCol).withColumn("__one", lit(1L)),
+      "__one")
+    var e = e0.select("a", "b")
+    var prevEdges = n0
     var rounds = 0
     var converged = prevEdges == 0L
     while (!converged) {
@@ -120,12 +129,13 @@ object Graph {
         .unionAll(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("v")
-      val next = Checkpoints.truncate(
+      val (nextCk, nextEdges) = Checkpoints.truncateWithSum(
         e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi"))
-      val nextEdges = next.count()
+          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .withColumn("__one", lit(1L)),
+        "__one")
       Checkpoints.free(e)
-      e = next
+      e = nextCk.select("a", "b")
       converged = nextEdges == prevEdges || nextEdges == 0L
       prevEdges = nextEdges
     }
@@ -144,7 +154,8 @@ object Graph {
     * candidate neighbors, anti-join against the settled set (a node's
     * FIRST discovery round is its distance — later candidates lose),
     * union into the state. All equi-joins and distincts, rounds
-    * lineage-truncated, ONE count action per round; early-out when a
+    * lineage-truncated, ONE Spark action per round (the frontier size
+    * is observed on that action, never counted separately); early-out when a
     * frontier empties. The bounded-round shape is what makes a static
     * SQL unroll replay it exactly (q259's oracle: r_i = nodes within
     * i hops, dist = min round of first appearance).
@@ -157,29 +168,37 @@ object Graph {
     val bidir = Checkpoints.truncate(
       und.select(col("a").as("u"), col("b").as("v"))
         .unionAll(und.select(col("b").as("u"), col("a").as("v"))))
-    var state = Checkpoints.truncate(
+    // ONE materialization per round (was three: frontier checkpoint,
+    // grown checkpoint, frontier count): the round's grown state carries
+    // a __new flag (1 on rows discovered this round), the frontier size
+    // rides the checkpoint's own action as the observed sum of that
+    // flag, and the next frontier is a lazy filter over the same
+    // checkpointed blocks — same rows, a third of the jobs.
+    val (init, nSources) = Checkpoints.truncateWithSum(
       sources.select(col(sourceCol).cast("long").as("node")).distinct()
-        .withColumn("dist", lit(0L)))
+        .withColumn("dist", lit(0L)).withColumn("__new", lit(1L)),
+      "__new")
+    var state = init.select("node", "dist")
     var frontier = state
     var depth = 0
-    var frontierSize = frontier.count()
+    var frontierSize = nSources
     while (depth < maxDepth && frontierSize > 0) {
       depth += 1
-      val next = Checkpoints.truncate(
-        frontier.join(bidir, col("node") === col("u"))
-          .select(col("v").as("node")).distinct()
-          .join(state, Seq("node"), "left_anti")
-          .withColumn("dist", lit(depth.toLong)))
-      val grown = Checkpoints.truncate(state.unionAll(next))
-      frontierSize = next.count()
+      val discovered = frontier.join(bidir, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+        .join(state, Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth.toLong))
+      val (grown, newCount) = Checkpoints.truncateWithSum(
+        state.withColumn("__new", lit(0L))
+          .unionAll(discovered.withColumn("__new", lit(1L))),
+        "__new")
+      frontierSize = newCount
+      // state and frontier are projections over the SAME superseded
+      // checkpoint from the previous round — freeing state frees both
       Checkpoints.free(state)
-      if (frontier ne state) Checkpoints.free(frontier)
-      state = grown
-      frontier = next
+      state = grown.select("node", "dist")
+      frontier = grown.filter(col("__new") === 1L).select("node", "dist")
     }
-    // the LAST round's frontier blocks are dead too (its rows already
-    // live inside state) — leaving them pinned would leak per call
-    if (frontier ne state) Checkpoints.free(frontier)
     Checkpoints.free(bidir)
     state
   }
@@ -218,7 +237,9 @@ object Graph {
           .groupBy("node")
           .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("top"))
           .select(col("node"), (-col("top.nl")).as("label")))
-      next.count() // materialize before freeing the previous round
+      // truncate() is EAGER in both modes (localCheckpoint()/checkpoint()
+      // default eager=true) — next is already materialized here, so the
+      // old `next.count()` was a redundant extra job per round
       Checkpoints.free(labels)
       labels = next
     }
@@ -266,13 +287,18 @@ object Graph {
       .filter(col("a") =!= col("b"))
       // parallel edges: only the lightest can ever matter
       .groupBy("a", "b").agg(min(col("w")).as("w"))
-    val bidir = Checkpoints.truncate(
+    // the negative-weight refusal rides the bidir checkpoint's own
+    // materialization as an observed conditional sum (was a separate
+    // filter+count job over the edge set)
+    val (bidirCk, negs) = Checkpoints.truncateWithSum(
       und.select(col("a").as("u"), col("b").as("v"), col("w"))
-        .unionAll(und.select(col("b").as("u"), col("a").as("v"), col("w"))))
-    val negs = bidir.filter(col("w") < 0).limit(1).count()
+        .unionAll(und.select(col("b").as("u"), col("a").as("v"), col("w")))
+        .withColumn("__neg", when(col("w") < 0, 1L).otherwise(0L)),
+      "__neg")
     require(negs == 0L,
       "shortestPaths: negative edge weight — an undirected negative " +
         "edge is a negative cycle; distances would be unbounded")
+    val bidir = bidirCk.select("u", "v", "w")
     var state = Checkpoints.truncate(
       sources.select(col(sourceCol).cast("long").as("node")).distinct()
         .withColumn("dist", lit(0L)))
@@ -282,14 +308,28 @@ object Graph {
       round += 1
       val relaxed = state.join(bidir, col("node") === col("u"))
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = Checkpoints.truncate(
-        state.unionAll(relaxed).groupBy("node").agg(min(col("dist")).as("dist")))
-      // fixpoint test: any (node, dist) not already in the old state —
-      // O(state) anti-join, result is the 1-row count the driver holds
-      changed = next.join(state, Seq("node", "dist"), "left_anti")
-        .limit(1).count()
+      // fixpoint test FUSED into the round's single materialization
+      // (was a separate anti-join action — one extra job + one extra
+      // state-sized shuffle per round): old rows carry their distance in
+      // __old (exactly one per node — state is already min-unique),
+      // relaxed rows carry null, and min() ignores nulls, so after the
+      // aggregate __old is the node's previous distance or null when the
+      // node is newly reached. Distances are monotone non-increasing,
+      // hence "dist < __old OR __old IS NULL" is exactly the old
+      // "(node, dist) not already in state" anti-join predicate; the
+      // count of such nodes rides the checkpoint's own action.
+      val (next, chg) = Checkpoints.truncateWithSum(
+        state.withColumn("__old", col("dist"))
+          .unionAll(relaxed.withColumn("__old", lit(null).cast("long")))
+          .groupBy("node")
+          .agg(min(col("dist")).as("dist"), min(col("__old")).as("__old"))
+          .select(col("node"), col("dist"),
+            when(col("__old").isNull || col("dist") < col("__old"), 1L)
+              .otherwise(0L).as("__chg")),
+        "__chg")
+      changed = chg
       Checkpoints.free(state)
-      state = next
+      state = next.select("node", "dist")
     }
     Checkpoints.free(bidir)
     state
