@@ -1277,7 +1277,21 @@ object Dedup {
     // cap bounds the join bomb directly — a doc-df cap would let one
     // document's 1000 internal repeats through. occurrences = 1 cannot
     // pair; same-doc pairs die at id1 < id2 (bounded waste, ≤ cap²/pair)
-    val keep = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+    // ONE shuffle of the exploded gram table, shared by the df-aggregate
+    // and the semi probe (r18, guide-§2.4 "two operations keyed the same
+    // way share one exchange"): the old lazy `keep` made the pruning
+    // materialization run the gram explode TWICE and pay TWO full
+    // exchanges (the aggregate's partial-count exchange and the shuffled
+    // semi-join's raw-gram exchange — different payloads, so no reuse).
+    // Repartitioning by gram first puts both consumers on top of the
+    // SAME exchange: the capped dictionary is a partial aggregate over
+    // it, the semi probe is co-partitioned with the dictionary it
+    // filters against, and Catalyst's ReusedExchange makes the explode
+    // run once and the gram table cross the network once. Scale-safe at
+    // any corpus size: nothing is broadcast, nothing driver-sized, the
+    // exchange is the one the aggregate always needed.
+    val g2 = grams.repartition(col("gram"))
+    val keep = g2.groupBy("gram").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= dfCap)
       .select("gram")
     // pruned is consumed TWICE (both sides of the pair join) and its
@@ -1285,7 +1299,13 @@ object Dedup {
     // — and it is TINY (duplicated grams only). Truncate it once: the
     // q188 lesson (a twice-consumed derived relation is only safe lazy
     // when exchange reuse is PROVEN at the target scale).
-    val pruned = Checkpoints.truncate(grams.join(keep, Seq("gram"), "left_semi"))
+    // merge-hinted: left to itself the planner broadcasts the dictionary
+    // (it fits at small SFs), which floats the semi BELOW the repartition
+    // and runs the explode twice — the hint keeps both sides on the
+    // shared gram partitioning (and an SMJ semi spills gracefully at any
+    // dictionary size, where a broadcast caps out)
+    val pruned = Checkpoints.truncate(
+      g2.join(keep.hint("merge"), Seq("gram"), "left_semi"))
     val pairs = pruned.select(col("gram"), col("doc_id").as("id1"), col("pos").as("p1"))
       .join(pruned.select(col("gram"), col("doc_id").as("id2"), col("pos").as("p2")),
         Seq("gram"))
