@@ -95,8 +95,93 @@ object LinearAlgebra {
     * SCALE is arbitrary (direction is the object); its sign is
     * deterministic (fixed start, deterministic arithmetic). Degenerate
     * all-zero iterates fail loudly.
+    *
+    * Execution shape: the DATA-sized work is exactly one distributed
+    * pass (the [[graft.functions.GramianAgg]] aggregate). The iteration
+    * itself touches only the dim² Gramian, so for dim ≤ `maxDriverDim`
+    * the matrix is collected ONCE as a single flat-array row (dim²
+    * longs — 32 KB at dim 64, 32 MB at the 2048 default cap) and the
+    * rounds run driver-local: integer matvecs are order-independent, so
+    * the result is bit-identical to the distributed loop while paying
+    * one Spark job instead of 3 jobs × rounds (measured: the 12-round
+    * q274 spent ~70% of its wall in per-round job overhead over a
+    * 4096-row table). Above the cap the original lineage-truncated
+    * DataFrame loop runs unchanged — the driver never holds more than
+    * `maxDriverDim`² longs. Equality of the two paths is pinned in
+    * LinearAlgebraSpec.
     */
   def dominantDirection(vecs: DataFrame, vecCol: String,
+      rounds: Int = 12, quantScale: Int = 64,
+      maxDriverDim: Int = 2048): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
+    require(quantScale >= 2 && (quantScale & (quantScale - 1)) == 0,
+      s"quantScale must be a power of two (exact float·scale), got $quantScale")
+    val spark = vecs.sparkSession
+    // Bounded probe: ask the aggregate for the full Gramian struct but
+    // only materialize it on the driver when its dimension is under the
+    // cap. The dim itself is cheap to read off the same single-row
+    // result that carries the cells, so this costs one job either way;
+    // the > cap case falls back before holding the big array.
+    val gramAgg = udaf(graft.functions.GramianAgg(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val gRow = vecs
+      .select(expr(
+        s"transform($vecCol, x -> CAST(floor(x * $quantScale + 0.5D) AS BIGINT))")
+        .as("__qv"))
+      .agg(gramAgg(col("__qv")).as("__g"))
+      .select(col("__g.dim").as("__d"),
+        when(col("__g.dim") <= maxDriverDim, col("__g.cells")).as("__cells"))
+      .head()
+    val dimI = gRow.getInt(0)
+    if (dimI == 0) throw new IllegalArgumentException(
+      "dominantDirection: no vectors (empty input)")
+    if (dimI <= maxDriverDim) {
+      val cells = gRow.getSeq[Long](1).toArray
+      val dim = dimI.toLong
+      var maxM = 0L
+      locally { var c = 0
+        while (c < cells.length) {
+          val a = math.abs(cells(c)); if (a > maxM) maxM = a; c += 1 } }
+      require(maxM > 0, "second moment is identically zero")
+      require(dim <= (1L << 20),
+        s"dominantDirection: dim=$dim exceeds 2^20 components")
+      require(maxM <= Long.MaxValue / (dim * (1L << 22)),
+        s"matvec could overflow: dim=$dim, max|M|=$maxM — lower quantScale")
+      var v = Array.fill(dimI)(1L << 20)
+      var r = 0
+      while (r < rounds) {
+        val w = new Array[Long](dimI)
+        var i = 0
+        while (i < dimI) {
+          var acc = 0L; var j = 0; val base = i * dimI
+          while (j < dimI) { acc += cells(base + j) * v(j); j += 1 }
+          w(i) = acc; i += 1
+        }
+        var maxAbs = 0L
+        i = 0
+        while (i < dimI) {
+          val a = math.abs(w(i)); if (a > maxAbs) maxAbs = a; i += 1 }
+        if (maxAbs == 0L) throw new IllegalStateException(
+          "power iteration collapsed to the zero vector")
+        val k = (63 - java.lang.Long.numberOfLeadingZeros(maxAbs)) - 20
+        if (k > 0) { i = 0; while (i < dimI) { w(i) = w(i) >> k; i += 1 } }
+        v = w
+        r += 1
+      }
+      import spark.implicits._
+      return v.toIndexedSeq.zipWithIndex
+        .map { case (x, i) => ((i + 1).toLong, x) }
+        .toDF("i", "v")
+    }
+    dominantDirectionDistributed(vecs, vecCol, rounds, quantScale)
+  }
+
+  /** The original DataFrame-loop formulation of [[dominantDirection]] —
+    * the > `maxDriverDim` execution path, and the parity witness for the
+    * driver-local iteration (LinearAlgebraSpec pins row-for-row
+    * equality; both are exact integer arithmetic, so equality is bitwise).
+    */
+  private[graft] def dominantDirectionDistributed(vecs: DataFrame, vecCol: String,
       rounds: Int = 12, quantScale: Int = 64): DataFrame = {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
     val mm = Checkpoints.truncate(secondMoment(vecs, vecCol, quantScale))

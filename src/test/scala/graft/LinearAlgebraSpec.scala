@@ -46,6 +46,24 @@ class LinearAlgebraSpec extends SparkSpec {
     assert(math.abs(ratio - 4.0 / 3) < 0.05, s"ratio $ratio")
   }
 
+  test("dominantDirection: driver-local path is bit-identical to the distributed loop") {
+    // mixed-direction data so every round exercises both the matvec and
+    // the shift; 5 rounds keeps the distributed witness quick
+    val vecs = (1 to 16).map(c =>
+      Seq(0.3f * (c % 5), 0.4f * (c % 3), 0.1f * c, -0.2f * (c % 7)))
+      .toDF("embedding")
+    val local = LinearAlgebra.dominantDirection(vecs, "embedding", rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    val dist = LinearAlgebra
+      .dominantDirectionDistributed(vecs, "embedding", rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, s"driver $local vs distributed $dist")
+    // the cap routes to the distributed path without changing the result
+    val capped = LinearAlgebra.dominantDirection(vecs, "embedding", rounds = 5,
+      maxDriverDim = 0).as[(Long, Long)].collect().toMap
+    assert(capped == dist)
+  }
+
   test("degenerate input refuses loudly; quantScale must be a power of two") {
     val zeros = Seq(Seq(0.0f, 0.0f)).toDF("embedding")
     val e = intercept[IllegalArgumentException](
