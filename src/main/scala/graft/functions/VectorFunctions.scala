@@ -472,6 +472,255 @@ case class AdcScore(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization ENCODER as a native codegen expression — the
+  * IVF-PQ index build's per-row hot loop. `left` is the vector
+  * (`ARRAY<FLOAT>`, length m·dsub), `right` the flattened
+  * subvector-major codebooks (`ARRAY<DOUBLE>`, length m·ksub·dsub; ksub
+  * inferred as right.length / left.length), and `m` the subvector count
+  * (a literal, as in [[MaxSim]]). Result: `ARRAY<TINYINT>` of length m —
+  * per subvector the argmin-L2 codebook entry, ties to the LOWEST code.
+  *
+  * Bit-identical to the `transform(sequence)/aggregate` fold chain it
+  * replaces ([[graft.operators.SimilaritySearch.pqEncodeHof]], the
+  * retained parity witness — SimilaritySearchSpec pins element-for-
+  * element equality): the distance accumulates (x−c)² in ascending t
+  * from 0.0 exactly as the fold did, and the strict `<` argmin keeps
+  * the first minimum exactly as `array_position(dists,
+  * array_min(dists))` did. The fold chain is a higher-order lambda —
+  * INTERPRETED per row, m·ksub·dsub lambda steps each (1,024 at the
+  * q163 shape) — and encoding runs over the FULL corpus at index build:
+  * the measured q163 profile put 3.5 s of a 7.9 s warm pass in the one
+  * job that encoded 2,000 rows.
+  *
+  * Null if either input is null, m does not divide the vector length,
+  * the codebook length is not exactly ksub·(vector length) for a
+  * positive ksub, or any touched element is null — corrupt shapes must
+  * poison the codes visibly (the [[AdcScore]] stance). Inputs are
+  * non-null dense by the PQ contract; the HOF's null propagation
+  * differed only on inputs outside that contract.
+  */
+case class PqEncode(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression {
+
+  require(m > 0, s"pq_encode: m must be positive, got $m")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode requires (ARRAY<FLOAT>, ARRAY<DOUBLE>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val flat = b.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val fl = flat.numElements()
+    if (dim == 0 || dim % m != 0 || fl == 0 || fl % dim != 0) return null
+    val dsub = dim / m
+    val ksub = fl / dim
+    if (ksub > 128) return null
+    val out = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      var best = -1
+      var bd = 0.0
+      var j = 0
+      while (j < ksub) {
+        var d2 = 0.0
+        var t = 0
+        val vBase = mi * dsub
+        val cBase = (mi * ksub + j) * dsub
+        while (t < dsub) {
+          if (vec.isNullAt(vBase + t) || flat.isNullAt(cBase + t)) return null
+          val d = vec.getFloat(vBase + t).toDouble - flat.getDouble(cBase + t)
+          d2 += d * d
+          t += 1
+        }
+        if (best < 0 || d2 < bd) { bd = d2; best = j }
+        j += 1
+      }
+      out(mi) = best.toByte
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val vec = ctx.freshName("vec"); val flat = ctx.freshName("flat")
+    val dim = ctx.freshName("dim"); val fl = ctx.freshName("fl")
+    val dsub = ctx.freshName("dsub"); val ksub = ctx.freshName("ksub")
+    val out = ctx.freshName("out"); val mi = ctx.freshName("mi")
+    val j = ctx.freshName("j"); val t = ctx.freshName("t")
+    val d2 = ctx.freshName("d2"); val d = ctx.freshName("d")
+    val bd = ctx.freshName("bd"); val best = ctx.freshName("best")
+    val vBase = ctx.freshName("vBase"); val cBase = ctx.freshName("cBase")
+    val ok = ctx.freshName("ok")
+    val arrayCls = classOf[ArrayData].getName
+    val genericCls = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    ev.copy(code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        $arrayCls ${ev.value} = null;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          $arrayCls $vec = ${leftGen.value};
+          $arrayCls $flat = ${rightGen.value};
+          int $dim = $vec.numElements();
+          int $fl = $flat.numElements();
+          if ($dim > 0 && $dim % $m == 0 && $fl > 0 && $fl % $dim == 0
+              && $fl / $dim <= 128) {
+            int $dsub = $dim / $m;
+            int $ksub = $fl / $dim;
+            byte[] $out = new byte[$m];
+            boolean $ok = true;
+            for (int $mi = 0; $ok && $mi < $m; $mi++) {
+              int $best = -1;
+              double $bd = 0.0;
+              for (int $j = 0; $ok && $j < $ksub; $j++) {
+                double $d2 = 0.0;
+                int $vBase = $mi * $dsub;
+                int $cBase = ($mi * $ksub + $j) * $dsub;
+                for (int $t = 0; $ok && $t < $dsub; $t++) {
+                  if ($vec.isNullAt($vBase + $t) || $flat.isNullAt($cBase + $t)) {
+                    $ok = false;
+                  } else {
+                    double $d = (double) $vec.getFloat($vBase + $t)
+                      - $flat.getDouble($cBase + $t);
+                    $d2 += $d * $d;
+                  }
+                }
+                if ($ok && ($best < 0 || $d2 < $bd)) { $bd = $d2; $best = $j; }
+              }
+              if ($ok) { $out[$mi] = (byte) $best; }
+            }
+            if ($ok) {
+              ${ev.isNull} = false;
+              ${ev.value} = new $genericCls($out);
+            }
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-query ADC lookup table as a native codegen expression — the
+  * flattened lut[mi·ksub + j] = ⟨q_sub(mi), codebook(mi)(j)⟩ that
+  * [[AdcScore]] consumes. Same operand convention as [[PqEncode]]
+  * (vector, flat codebooks, literal m); accumulates x·c in ascending t
+  * from 0.0 — bit-identical to the interpreted fold it replaces
+  * ([[graft.operators.SimilaritySearch.pqLutHof]], parity-pinned).
+  * Query-side only (O(queries) rows), but each row ran m·ksub·dsub
+  * interpreted lambda steps.
+  */
+case class PqLut(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression {
+
+  require(m > 0, s"pq_lut: m must be positive, got $m")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_lut requires (ARRAY<FLOAT>, ARRAY<DOUBLE>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val flat = b.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val fl = flat.numElements()
+    if (dim == 0 || dim % m != 0 || fl == 0 || fl % dim != 0) return null
+    val dsub = dim / m
+    val ksub = fl / dim
+    val out = new Array[Double](m * ksub)
+    var i = 0
+    while (i < m * ksub) {
+      val mi = i / ksub
+      var acc = 0.0
+      var t = 0
+      while (t < dsub) {
+        if (vec.isNullAt(mi * dsub + t) || flat.isNullAt(i * dsub + t)) return null
+        acc += vec.getFloat(mi * dsub + t).toDouble * flat.getDouble(i * dsub + t)
+        t += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val vec = ctx.freshName("vec"); val flat = ctx.freshName("flat")
+    val dim = ctx.freshName("dim"); val fl = ctx.freshName("fl")
+    val dsub = ctx.freshName("dsub"); val ksub = ctx.freshName("ksub")
+    val out = ctx.freshName("out"); val i = ctx.freshName("i")
+    val t = ctx.freshName("t"); val acc = ctx.freshName("acc")
+    val mi = ctx.freshName("mi"); val ok = ctx.freshName("ok")
+    val arrayCls = classOf[ArrayData].getName
+    val genericCls = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    ev.copy(code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        $arrayCls ${ev.value} = null;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          $arrayCls $vec = ${leftGen.value};
+          $arrayCls $flat = ${rightGen.value};
+          int $dim = $vec.numElements();
+          int $fl = $flat.numElements();
+          if ($dim > 0 && $dim % $m == 0 && $fl > 0 && $fl % $dim == 0) {
+            int $dsub = $dim / $m;
+            int $ksub = $fl / $dim;
+            double[] $out = new double[$m * $ksub];
+            boolean $ok = true;
+            for (int $i = 0; $ok && $i < $m * $ksub; $i++) {
+              int $mi = $i / $ksub;
+              double $acc = 0.0;
+              for (int $t = 0; $ok && $t < $dsub; $t++) {
+                if ($vec.isNullAt($mi * $dsub + $t) || $flat.isNullAt($i * $dsub + $t)) {
+                  $ok = false;
+                } else {
+                  $acc += (double) $vec.getFloat($mi * $dsub + $t)
+                    * $flat.getDouble($i * $dsub + $t);
+                }
+              }
+              $out[$i] = $acc;
+            }
+            if ($ok) {
+              ${ev.isNull} = false;
+              ${ev.value} = new $genericCls($out);
+            }
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Hilbert-curve distance of two 16-bit coordinates — the xy2d walk as
   * ONE native expression whose `doGenCode` emits the 16-iteration LOOP.
   * The Column-chain formulation ([[graft.operators.Layout]]'s first
@@ -554,6 +803,12 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "adc_score", exprs => AdcScore(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs(0), exprs(1),
+        HashExpressions.litInt(exprs(2), "pq_encode", "m")), "built-in")
+    registry.createOrReplaceTempFunction(
+      "pq_lut", exprs => PqLut(exprs(0), exprs(1),
+        HashExpressions.litInt(exprs(2), "pq_lut", "m")), "built-in")
+    registry.createOrReplaceTempFunction(
       "hilbert16", exprs => Hilbert16Dist(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "url_canonicalize", exprs => UrlCanonicalize(exprs.head), "built-in")
@@ -594,6 +849,10 @@ object GraftFunctions {
   def hilbert16(x: Column, y: Column): Column = call_function("hilbert16", x, y)
   def adcScore(codes: Column, lut: Column): Column =
     call_function("adc_score", codes, lut)
+  def pqEncode(vec: Column, flatCodebooks: Column, m: Int): Column =
+    call_function("pq_encode", vec, flatCodebooks, lit(m))
+  def pqLut(vec: Column, flatCodebooks: Column, m: Int): Column =
+    call_function("pq_lut", vec, flatCodebooks, lit(m))
   def urlCanonicalize(url: Column): Column = call_function("url_canonicalize", url)
   def textCanonicalize(text: Column): Column = call_function("text_canonicalize", text)
   def cdcBounds(text: Column, window: Int, modulus: Int, minLen: Int): Column =

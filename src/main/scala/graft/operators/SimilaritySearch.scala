@@ -894,6 +894,22 @@ object SimilaritySearch {
     */
   def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column = {
     val m = codebooks.size
+    val flat = typedLit(codebooks.flatten.flatten.map(_.toDouble))
+    // native codegen expression (r18): the transform/aggregate fold this
+    // replaces is a higher-order lambda chain — INTERPRETED, m·ksub·dsub
+    // steps per row (1,024 at the q163 shape) over the FULL corpus at
+    // index build; the q163 profile put 3.5 s of a 7.9 s warm pass in
+    // the one job that encoded 2,000 rows. Bit-identical (same fold
+    // order, same first-minimum argmin); [[pqEncodeHof]] is the retained
+    // parity witness, equality pinned in SimilaritySearchSpec.
+    graft.functions.GraftFunctions.pqEncode(vec, flat, m)
+  }
+
+  /** The original higher-order-function formulation of [[pqEncode]] —
+    * retained as the parity witness for the native expression.
+    */
+  private[graft] def pqEncodeHof(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column = {
+    val m = codebooks.size
     val ksub = codebooks.head.size
     val dsub = codebooks.head.head.size
     val flat = typedLit(codebooks.flatten.flatten.map(_.toDouble))
@@ -915,6 +931,18 @@ object SimilaritySearch {
     * products over the probed lists.
     */
   private[graft] def pqLut(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column = {
+    val m = codebooks.size
+    val flat = typedLit(codebooks.flatten.flatten.map(_.toDouble))
+    // native sibling of [[pqEncode]]'s rewrite — query-side only, but
+    // each row ran m·ksub·dsub interpreted lambda steps; [[pqLutHof]]
+    // is the parity witness.
+    graft.functions.GraftFunctions.pqLut(vec, flat, m)
+  }
+
+  /** The original higher-order-function formulation of [[pqLut]] —
+    * retained as the parity witness for the native expression.
+    */
+  private[graft] def pqLutHof(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column = {
     val m = codebooks.size
     val ksub = codebooks.head.size
     val dsub = codebooks.head.head.size

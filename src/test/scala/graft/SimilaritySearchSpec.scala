@@ -486,6 +486,26 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("pqEncode/pqLut native expressions match the HOF parity witnesses") {
+    val books = SimilaritySearch.trainPqCodebooks(
+      corpus, "vec_id", "embedding", m = 4, ksub = 8)
+    val native = corpus.select(col("vec_id"),
+      SimilaritySearch.pqEncode(col("embedding"), books).as("codes"),
+      SimilaritySearch.pqLut(col("embedding"), books).as("lut"))
+      .as[(Long, Seq[Byte], Seq[Double])].collect().sortBy(_._1)
+    val hof = corpus.select(col("vec_id"),
+      SimilaritySearch.pqEncodeHof(col("embedding"), books).as("codes"),
+      SimilaritySearch.pqLutHof(col("embedding"), books).as("lut"))
+      .as[(Long, Seq[Byte], Seq[Double])].collect().sortBy(_._1)
+    assert(native.length == hof.length && native.nonEmpty)
+    native.zip(hof).foreach { case ((id1, c1, l1), (id2, c2, l2)) =>
+      assert(id1 == id2 && c1 == c2, s"codes diverge at vec $id1")
+      // bit-identical doubles, not approximate: same fold order
+      assert(l1.map(java.lang.Double.doubleToRawLongBits) ==
+        l2.map(java.lang.Double.doubleToRawLongBits), s"lut diverges at vec $id1")
+    }
+  }
+
   test("ivfPqTopK: ADC shortlist + exact re-rank achieves the recall floor") {
     val queries = corpus.filter(col("vec_id") % 20 === 0)
     val exact = SimilaritySearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
