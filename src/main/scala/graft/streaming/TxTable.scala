@@ -1400,22 +1400,40 @@ object TxTable {
     // (an equi-join/filter on the partition value never matches null) and
     // the canonical schema declares serverName non-null — drop them here
     // rather than NPE the micro-batch, which would wedge a restarting
-    // stream on the same checkpointed batch forever
-    val batchLatest = LastValue.latestPerKey(
-      batch.filter(col(partitionCol).isNotNull), keys, order).persist()
+    // stream on the same checkpointed batch forever.
+    //
+    // NO batch pre-aggregation (r18): the old shape ran
+    // latestPerKey(batch) first and merged latestPerKey(current ∪ that) —
+    // a whole extra hash aggregation (two AQE stage jobs) per commit.
+    // latestPerKey is max_by over a total per-key order, so
+    // latestPerKey(current ∪ batch) picks the identical winner in ONE
+    // aggregation (winner of the union = winner among winners; with
+    // order ties the contract is already "caller supplies tie-break
+    // columns", unchanged). Shuffle volume is unchanged at scale:
+    // max_by partial aggregation still reduces map-side to at most one
+    // row per key per input partition. Persisted because foreachBatch
+    // sinks pass micro-batch frames that are consumed here by the
+    // affected-partition collect and the merge write — one evaluation,
+    // as before.
+    val batch0 = batch.filter(col(partitionCol).isNotNull).persist()
     try {
-      val affected = batchLatest.select(partitionCol).distinct()
+      val affected = batch0.select(partitionCol).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
       var attempt = 0
       // constraints come from each attempt's snapshot: a concurrently
       // added CHECK must gate the retry, not be bypassed by a pre-loop
       // read (mergeInto re-reads per attempt; here the agg re-runs only
-      // when the constraint set actually changed under a lost race)
+      // when the constraint set actually changed under a lost race).
+      // The check still sees only the batch's last-value-per-key
+      // SURVIVORS (the rows a commit can land), exactly as before — the
+      // pre-aggregation now runs only on this rare path instead of on
+      // every commit.
       var enforcedFor: Map[String, String] = null
       while (true) {
         val snap = snapshot(tablePath)
         if (affected.nonEmpty && snap.constraints != enforcedFor) {
-          enforceConstraints(batchLatest, snap.constraints, "mergeLatest")
+          enforceConstraints(LastValue.latestPerKey(batch0, keys, order),
+            snap.constraints, "mergeLatest")
           enforcedFor = snap.constraints
         }
         val removedFiles = affected.flatMap(p => snap.filesByPartition.getOrElse(p, Nil))
@@ -1427,14 +1445,14 @@ object TxTable {
         // table does not declare is refused (silent undeclared evolution
         // would make reads file-order-dependent)
         current.foreach { cur =>
-          val unknown = batchLatest.columns.filterNot(cur.columns.contains)
+          val unknown = batch0.columns.filterNot(cur.columns.contains)
           require(unknown.isEmpty,
             s"mergeLatest batch has columns ${unknown.mkString(",")} unknown to " +
               "the table — evolve the schema via mergeInto(mergeSchema = true) first")
         }
         val merged = LastValue.latestPerKey(
-          current.fold(batchLatest)(
-            _.unionByName(batchLatest, allowMissingColumns = true)), keys, order)
+          current.fold(batch0: DataFrame)(
+            _.unionByName(batch0, allowMissingColumns = true)), keys, order)
         // one data directory per affected partition, written before the
         // commit references it in ONE fanned write job (unique names
         // make the dirs invisible until, and unless, the commit lands).
@@ -1442,9 +1460,25 @@ object TxTable {
         val statCols = eligibleStats(merged, statsCols)
         val adds = writePartitions(merged, partitionCol, affected,
           tablePath, statCols)
+        // declare the table schema on the first commit that finds none
+        // (r18): an undeclared table pays an eager parquet footer-
+        // inference job on EVERY snapshot read — each commit's
+        // read-modify-write, every time-travel/CDF/keyHistory boundary
+        // state. mergeLatest already refuses undeclared batch columns,
+        // so the merged schema IS the table schema; declared all-nullable
+        // exactly like mergeInto's evolution line (parquet row groups
+        // never prove non-nullability anyway). Value-identical reads:
+        // every data file carries these columns with these types.
+        val schemaLine =
+          if (snap.schemaJson.nonEmpty) Nil
+          else {
+            val nullable = org.apache.spark.sql.types.StructType(
+              merged.schema.fields.map(_.copy(nullable = true)))
+            Seq(s"schema\t${StatsCodec.escField(nullable.json)}")
+          }
         val lines = Seq(s"op\tmergeLatest\tattempt\t$attempt") ++
           adds.map { case (p, rel, st) => addLine(p, rel, st) } ++
-          removedFiles.map(f => s"remove\t$f")
+          removedFiles.map(f => s"remove\t$f") ++ schemaLine
         try {
           publishCommit(tablePath, snap.version + 1, lines)
           maybeCheckpoint(tablePath, snap.version + 1)
@@ -1461,7 +1495,7 @@ object TxTable {
         }
       }
       -1L // unreachable
-    } finally batchLatest.unpersist(blocking = false)
+    } finally batch0.unpersist(blocking = false)
   }
 
   /** Keyed DELETE — the right-to-be-forgotten surface (GDPR erasure;
