@@ -1071,8 +1071,20 @@ object Dedup {
       threshold: Double,
       k: Int = 0,
       maxLenDiff: Int = 2): DataFrame = {
+    // the dictionary carries each value's OCCURRENCE COUNT (r18): the
+    // same exchange that deduplicated the vocabulary (groupBy == the old
+    // distinct, plus a counted partial aggregate) now also answers two
+    // questions that each cost their own pass before — the corpus row
+    // count for the expansion-join sizing (was a separate df.count()
+    // job) and, decisively, WHICH values can form equal-value id pairs
+    // at all: a value occurring once can never produce an (ida < idb)
+    // pair, so the equal-value arm below scores and probes only the
+    // __n >= 2 subset (90k of 1.11M values at sf0.1 — the arm's scoring
+    // and its expansion dictionaries shrink ~12×, and the shrink grows
+    // with vocabulary).
     val vals = Checkpoints.truncate(
-      df.select(col(strCol).as("__v")).filter(col("__v").isNotNull).distinct())
+      df.select(col(strCol).as("__v")).filter(col("__v").isNotNull)
+        .groupBy("__v").agg(count(lit(1)).as("__n")))
     // k <= 0 → AUTO-size the prefix from the dictionary (the DEFAULT,
     // VERDICT r16 task #3): at a fixed k the prefix space saturates once
     // n ≫ σ_eff^k and candidates grow ~n²/σ^k — measured 522M at k=4 on
@@ -1090,13 +1102,20 @@ object Dedup {
     // the per-k approx distinct prefixes when k is being auto-sized.
     val kMin = 4; val kMax = 8
     val sizeAggs = Seq(count(lit(1)).as("n"),
-      avg(length(col("__v"))).as("avgLen")) ++
+      avg(length(col("__v"))).as("avgLen"),
+      // corpus (non-null) row count off the dictionary's own counts —
+      // replaces the separate df.count() job the expansion-hint sizing
+      // paid below (null-valued rows never match an equi-join on the
+      // value, so the non-null count is the better build-side estimate
+      // anyway)
+      sum(col("__n")).as("rows")) ++
       (if (k > 0) Nil
        else (kMin to kMax).map(c =>
          approx_count_distinct(substring(col("__v"), 1, c)).as(s"p$c")))
     val sizeRow = vals.agg(sizeAggs.head, sizeAggs.tail: _*).head()
     val nVals = sizeRow.getLong(0)
     val avgLen = Option(sizeRow.get(1)).fold(16d)(_.asInstanceOf[Double])
+    val corpusRows = if (sizeRow.isNullAt(2)) 0L else sizeRow.getLong(2)
     val shufflePartitions = math.max(1,
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     val kEff =
@@ -1104,7 +1123,7 @@ object Dedup {
       else {
         val row = sizeRow
         val n = nVals
-        val chosen = choosePrefixK(n, c => row.getLong(2 + (c - kMin)), 32L, kMin, kMax)
+        val chosen = choosePrefixK(n, c => row.getLong(3 + (c - kMin)), 32L, kMin, kMax)
         // the chosen k changes the RECALL contract (agreement on chars
         // 1..k or 2..k+1), so the auto-sizing decision must be observable
         // at runtime (ADVICE r17): log k plus the measurements it came
@@ -1113,7 +1132,7 @@ object Dedup {
         // like a recall regression with no trace.
         log.info(s"linkageBlocked auto-k: chose k=$chosen for n=$n distinct " +
           s"values (approx distinct prefixes: " +
-          (kMin to kMax).map(c => s"k$c=${row.getLong(2 + (c - kMin))}")
+          (kMin to kMax).map(c => s"k$c=${row.getLong(3 + (c - kMin))}")
             .mkString(", ") + s"; target bucket 32)")
         chosen
       }
@@ -1137,8 +1156,13 @@ object Dedup {
       prefixBlockedCandidates(vals, kEff, maxLenDiff, candHint)
         .withColumn("__score", score(col("__v1"), col("__v2")))
         .filter(col("__score") >= threshold))
+    // only values occurring >= 2 times can form an (ida < idb) equal
+    // pair — provably output-identical restriction, and the arm's
+    // scoring + expansion dictionaries shrink from vocabulary-sized to
+    // the duplicated subset (90k of 1.11M at sf0.1)
     val eqDict = Checkpoints.truncate(
-      vals.select(col("__v"), score(col("__v"), col("__v")).as("__score")))
+      vals.filter(col("__n") >= 2)
+        .select(col("__v"), score(col("__v"), col("__v")).as("__score")))
       .filter(col("__score") >= threshold)
     // the value dictionary has now fed everything that reads it (the
     // auto-k aggregate, the scored candidate dict, the equal-value
@@ -1158,8 +1182,8 @@ object Dedup {
     // the dictionary aggregates cannot bound); past the budget the
     // spilling merge join returns. Never a broadcast (the measured
     // 11M-value failure): the build is the SHUFFLED corpus partition,
-    // never a collected relation.
-    val corpusRows = df.count()
+    // never a collected relation. corpusRows came off the dictionary's
+    // occurrence counts above — no separate count job.
     val expHint = sizedJoinHint(corpusRows, avgLen + 96, shufflePartitions)
     val aSide = df.select(col(idCol).as("__ida"), col(strCol).as("__va"))
     val bSide = df.select(col(idCol).as("__idb"), col(strCol).as("__vb"))
