@@ -650,30 +650,41 @@ object SimilaritySearch {
         .toIndexedSeq
       require(cents.size == nCells,
         s"training sample has ${cents.size} rows < nCells=$nCells; lower trainOneIn")
+      val dim = cents.head.size
       for (_ <- 0 until iters) {
-        // element-wise mean per cell, then an executor-side fold of the
-        // per-(cell, pos) scalars into ONE array row per cell: the
-        // driver receives O(nCells) rows carrying dim-length arrays,
-        // not nCells×dim scalar rows — at 100 TB-appropriate shapes
-        // (64k cells × dim 1024) that is 64k rows vs 67M. The packing
-        // is exact (same avg doubles, array_sort orders by the unique
-        // __pos), so centroids are byte-identical to a scalar collect.
-        val means = vecs
+        val perCellPos = vecs
           .select(assignCell(col("__v"), cents).as("__cell"),
             posexplode(col("__v")).as(Seq("__pos", "__x")))
           .groupBy("__cell", "__pos")
           .agg(avg(col("__x")).as("__m"))
-          .groupBy("__cell")
-          .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
-          .collect()
-        val byCell = means.map(r =>
-          r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
-        cents = cents.indices.map { c =>
-          byCell.get(c) match {
-            case Some(ms) => ms.map(_.getDouble(1).toFloat).toIndexedSeq
-            case None => cents(c)
-          }
-        }
+        // two transport shapes for the same numbers (r18): when
+        // nCells × dim is small (≤ 64k cells-worth of scalars) collect
+        // the (cell, pos, mean) rows straight off the one aggregation —
+        // the executor-side pack below added a SECOND exchange + hash
+        // aggregate per Lloyd iteration whose only job was shrinking a
+        // driver transfer that is already tiny at these shapes. At 100
+        // TB-appropriate shapes (64k cells × dim 1024 = 67M scalar
+        // rows) the fold into ONE array row per cell is what keeps the
+        // collect O(nCells) — that path is unchanged. Both are exact:
+        // same avg doubles, ordered by the unique __pos either way, so
+        // centroids are byte-identical across the two transports.
+        val byCell: Map[Int, IndexedSeq[Float]] =
+          if (nCells.toLong * dim <= 65536L)
+            perCellPos.collect()
+              .groupBy(_.getInt(0))
+              .map { case (c, rows) =>
+                c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toIndexedSeq
+              }
+          else
+            perCellPos
+              .groupBy("__cell")
+              .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
+              .collect()
+              .map(r => r.getInt(0) ->
+                r.getSeq[org.apache.spark.sql.Row](1)
+                  .map(_.getDouble(1).toFloat).toIndexedSeq)
+              .toMap
+        cents = cents.indices.map(c => byCell.getOrElse(c, cents(c)))
       }
       cents
     } finally { vecs.unpersist(blocking = false); () }
