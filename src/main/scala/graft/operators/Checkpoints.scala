@@ -76,6 +76,68 @@ private[graft] object Checkpoints {
         (ck, s)
     }
 
+  /** Run an ITERATIVE operator's loop under SIZE-DERIVED parallelism
+    * (r19, guide §2.2 "fewer, larger partitions" + the task rule
+    * "derive partitioning from input size, not a constant"): the
+    * round-latency-bound loops here (dupClusters, BFS, label
+    * propagation, Bellman-Ford, k-core, PageRank) spend their
+    * wall-clock on per-stage fixed costs, not data — measured on the
+    * real q58 pipeline at sf0.1 (LoopProbe, interleaved A/B ×3, min):
+    *
+    *   AQE on,  32 shuffle partitions (session default): 6.49 s
+    *   AQE off, 32:                                      6.57 s
+    *   AQE off,  8 / 4 / 2 / 16:          3.69 / 3.47 / 3.77 / 3.52 s
+    *
+    * i.e. ~1.9× of pure per-task scheduling + per-stage AQE
+    * re-optimization on state that is a few MB. So: estimate the loop
+    * input's size from plan statistics (file-based for scans — no job),
+    * and when the loop state is smaller than the session default would
+    * imply, run the loop at ceil(bytes / graft.loop.partitionBytes)
+    * partitions (floor 4), with AQE off in the tiny zone (see inline).
+    * When the derived count reaches the session default NOTHING
+    * changes: big state keeps the session's partitioning and AQE's
+    * skew/coalesce machinery — that fall-through is what makes this
+    * scale-adaptive rather than a local[32] constant (unknown-size
+    * plans estimate Long.MaxValue and never gate). Session confs are
+    * restored in finally; loops run sequentially in bench/verify
+    * (documented non-reentrancy caveat of the scratch dirs applies
+    * here too).
+    */
+  def sizedLoop[T](input: DataFrame)(body: => T): T = {
+    val spark = input.sparkSession
+    val est: BigInt = input.queryExecution.optimizedPlan.stats.sizeInBytes
+    // 1 MB of PLAN-estimated bytes per partition: plan estimates are
+    // compressed-file-sized for scans, so 1 MB estimated ≈ 4–10 MB of
+    // in-flight rows — small uniform tasks, but an order of magnitude
+    // fewer of them than the session default on loop-sized state.
+    // (Measured on q260's 1.2M-edge label propagation: 32 MB/partition
+    // gave p=4 and under-parallelized the real per-round aggregates —
+    // a wash against baseline; 1 MB keeps those rounds at p≈11.)
+    val perPart = spark.conf.get(
+      "graft.loop.partitionBytes", (1L * 1024 * 1024).toString).toLong
+    val defaultP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val p = math.max(4, ((est + perPart - 1) / perPart).min(BigInt(defaultP)).toInt)
+    if (p >= defaultP) body // big state: session partitioning + AQE untouched
+    else {
+      // AQE off only in the TINY zone (p ≤ graft.loop.aqeOffMaxPartitions,
+      // default 64): there every partition is ≤ a few MB and uniform, so
+      // runtime re-planning has nothing to fix and its per-stage cost
+      // dominates. Between that and defaultP, keep AQE (skew handling on
+      // a medium loop is worth its planning cost) but still size the
+      // shuffle to the state.
+      val aqeOffMax = spark.conf.get("graft.loop.aqeOffMaxPartitions", "64").toInt
+      val oldAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      try {
+        if (p <= aqeOffMax) spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        body
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+        spark.conf.set("spark.sql.shuffle.partitions", defaultP)
+      }
+    }
+  }
+
   /** Drop the storage blocks behind a checkpointed DataFrame (either
     * mode). `Dataset.unpersist` only clears cache-manager entries; the
     * RDD a checkpoint pinned sits inside the plan's `LogicalRDD` leaf and

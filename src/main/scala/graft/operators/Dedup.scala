@@ -522,7 +522,13 @@ object Dedup {
     * (Dataset.observe) during each round's checkpoint materialization —
     * the convergence check costs zero extra Spark actions.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    // size-derived loop parallelism (r19): the label tables are bounded
+    // by the pair set, so the pair plan's size estimate gates the whole
+    // loop — see [[Checkpoints.sizedLoop]] for the measured A/B
+    Checkpoints.sizedLoop(pairs) { dupClustersLoop(pairs, maxIters) }
+
+  private def dupClustersLoop(pairs: DataFrame, maxIters: Int): DataFrame = {
     val c1 = pairs.columns(0); val c2 = pairs.columns(1)
     val e0 = pairs.select(col(c1).cast("long").as("src"), col(c2).cast("long").as("dst"))
     // undirected + a self-loop per node: the self-loop folds the "keep my

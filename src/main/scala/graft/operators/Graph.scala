@@ -108,6 +108,12 @@ object Graph {
       k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    Checkpoints.sizedLoop(edges) {
+      kCoreLoop(edges, srcCol, dstCol, k, maxRounds) }
+  }
+
+  private def kCoreLoop(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxRounds: Int): DataFrame = {
     // the surviving-edge count rides each round's ONE checkpoint
     // materialization as an observed sum of a unit column (the
     // dupClusters convergence pattern) — the old separate `count()`
@@ -163,6 +169,12 @@ object Graph {
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
       sources: DataFrame, sourceCol: String, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    Checkpoints.sizedLoop(edges) {
+      bfsLoop(edges, srcCol, dstCol, sources, sourceCol, maxDepth) }
+  }
+
+  private def bfsLoop(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String, maxDepth: Int): DataFrame = {
     val und = canonicalEdges(edges, srcCol, dstCol)
     // both directions once, so each round is a single equi-join
     val bidir = Checkpoints.truncate(
@@ -221,6 +233,12 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    Checkpoints.sizedLoop(edges) {
+      labelPropagationLoop(edges, srcCol, dstCol, rounds) }
+  }
+
+  private def labelPropagationLoop(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int): DataFrame = {
     val und = canonicalEdges(edges, srcCol, dstCol)
     val bidir = Checkpoints.truncate(
       und.select(col("a").as("u"), col("b").as("v"))
@@ -281,6 +299,14 @@ object Graph {
       wCol: String, sources: DataFrame, sourceCol: String,
       maxRounds: Int): DataFrame = {
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    Checkpoints.sizedLoop(edges) {
+      shortestPathsLoop(edges, srcCol, dstCol, wCol, sources, sourceCol,
+        maxRounds) }
+  }
+
+  private def shortestPathsLoop(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, sources: DataFrame, sourceCol: String,
+      maxRounds: Int): DataFrame = {
     val und = edges.select(
         col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"),
         col(wCol).cast("long").as("w"))

@@ -35,6 +35,10 @@ object PageRank {
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    Checkpoints.sizedLoop(edges) { pageRankLoop(edges, iters, damping) }
+  }
+
+  private def pageRankLoop(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
     val c1 = edges.columns(0); val c2 = edges.columns(1)
     val e = edges
       .select(col(c1).cast("long").as("src"), col(c2).cast("long").as("dst"))

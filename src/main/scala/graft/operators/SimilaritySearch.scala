@@ -398,6 +398,11 @@ object SimilaritySearch {
         .select("query_id", "neighbor_id")
     }
     val gold = topSet(None).persist()
+    // size-derived parallelism (r19): the four count() pipelines below
+    // are brute-force top-k joins over the (small by contract) query ×
+    // corpus product — exact top-k with a total (cosine, id) tie order,
+    // so partitioning cannot change the ranked sets.
+    Checkpoints.sizedLoop(corpus) {
     try {
       val nQ = queries.select(col(idCol)).distinct().count()
       val frames = dims.map { d =>
@@ -409,6 +414,7 @@ object SimilaritySearch {
       }
       frames.reduce(_.unionByName(_))
     } finally { gold.unpersist(blocking = false); () }
+    }
   }
 
   /** The PURE admission-decision semantics of [[semDedupAdmit]],
@@ -494,13 +500,18 @@ object SimilaritySearch {
     // eager localCheckpoint TRUNCATES LINEAGE before the append: a mere
     // persist+count could still recompute an evicted partition against
     // the grown index (batch rows would then self-match)
-    val rejected = semDedupDecisions(spark, path, batch, idCol, vecCol,
-      threshold).localCheckpoint(true)
-    val admitted = batch.join(
-        rejected.select(col(idCol)), Seq(idCol), "left_anti")
-      .localCheckpoint(true)
-    ivfAppendIndex(spark, path, admitted, idCol, vecCol)
-    new Admission(admitted, rejected)
+    // size-derived parallelism (r19): both checkpoints and the append
+    // are batch-bounded actions ([[Checkpoints.sizedLoop]]); decisions
+    // are mins over the saved lists — partitioning-independent.
+    Checkpoints.sizedLoop(batch) {
+      val rejected = semDedupDecisions(spark, path, batch, idCol, vecCol,
+        threshold).localCheckpoint(true)
+      val admitted = batch.join(
+          rejected.select(col(idCol)), Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      ivfAppendIndex(spark, path, admitted, idCol, vecCol)
+      new Admission(admitted, rejected)
+    }
   }
 
   /** The DECISION phase of [[semDedupAdmit]], a pure function of (saved
@@ -527,8 +538,10 @@ object SimilaritySearch {
     // bounded O(nCells) collect — static IN-list so the cell-partitioned
     // parquet prunes at planning time (a dynamic join key would read
     // every partition and hope for DPP)
-    val cells = probed.select(col("__cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val cells = Checkpoints.sizedLoop(batch) {
+      probed.select(col("__cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+    }
     val pruned = lists.filter(col("__cell").isin(cells: _*))
     val corpusRejected = probed.join(pruned, "__cell")
       .select(col(idCol), col("neighbor_id").as("__w"),
@@ -640,6 +653,15 @@ object SimilaritySearch {
     val vecs = if (trainOneIn > 1) {
       all.filter(pmod(xxhash64(col("__id")), lit(trainOneIn)) === 0).persist()
     } else all
+    // size-derived parallelism for the training actions (r19): each Lloyd
+    // iteration is one agg + one bounded collect — at fixture scale the
+    // 32-task AQE stage jobs are the bill ([[Checkpoints.sizedLoop]]).
+    // Centroid floats may move in their last bits when the reduce
+    // partition count changes (double-avg merge order), which the design
+    // already tolerates: every index artifact is replayed FROM the saved
+    // parquet by its oracle twin, and quality is pinned by recall floors,
+    // never by centroid bits.
+    Checkpoints.sizedLoop(vecs) {
     try {
       var cents: Seq[Seq[Float]] = vecs
         .orderBy(md5(col("__id")), col("__id"))
@@ -688,6 +710,7 @@ object SimilaritySearch {
       }
       cents
     } finally { vecs.unpersist(blocking = false); () }
+    }
   }
 
   /** Nearest-centroid cell id (0-based) for a vector column: argmax of
@@ -786,8 +809,10 @@ object SimilaritySearch {
     // exactly the probed list directories instead of relying on runtime
     // DPP heuristics to maybe prune them. (The collect makes this method
     // eager at call time — the price of static pruning.)
-    val probedCells = q.select("__cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val probedCells = Checkpoints.sizedLoop(queries) {
+      q.select("__cell").distinct()
+        .collect().map(_.getInt(0)).toSeq
+    }
     rankTopK(
       assigned.filter(col("__cell").isInCollection(probedCells)).join(q, "__cell")
         .filter(col("query_id") =!= col("neighbor_id"))
@@ -1029,8 +1054,10 @@ object SimilaritySearch {
       explode(probeCells(col(vecCol), centroids, nProbe)).as("__cell"))
     // bounded O(nCells) collect — same static-pruning rationale as
     // [[ivfQueryIndex]]
-    val probedCells = q.select("__cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val probedCells = Checkpoints.sizedLoop(queries) {
+      q.select("__cell").distinct()
+        .collect().map(_.getInt(0)).toSeq
+    }
     // ADC via the native codegen expression (ksub inferred from the
     // array shapes): the candidate stream is O(queries × corpus/nCells)
     // rows — the one place the old interpreted `aggregate` lambda

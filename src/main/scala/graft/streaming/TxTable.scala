@@ -1457,9 +1457,19 @@ object TxTable {
         // commit references it in ONE fanned write job (unique names
         // make the dirs invisible until, and unless, the commit lands).
         // No persist: the single write is merged's only consumer.
+        // SIZE-DERIVED parallelism for the commit's write action (r19):
+        // the merged plan's estimate covers current files + batch, so a
+        // fixture-scale commit runs its aggregation+write as one small
+        // no-AQE job instead of several 32-task stage jobs, while a
+        // production-scale merge falls through untouched
+        // ([[graft.operators.Checkpoints.sizedLoop]] — measured A/B in
+        // its scaladoc). latestPerKey is max_by over a caller-supplied
+        // total order, so the winner set is partitioning-independent.
         val statCols = eligibleStats(merged, statsCols)
-        val adds = writePartitions(merged, partitionCol, affected,
-          tablePath, statCols)
+        val adds = graft.operators.Checkpoints.sizedLoop(merged) {
+          writePartitions(merged, partitionCol, affected,
+            tablePath, statCols)
+        }
         // declare the table schema on the first commit that finds none
         // (r18): an undeclared table pays an eager parquet footer-
         // inference job on EVERY snapshot read — each commit's
@@ -1548,8 +1558,11 @@ object TxTable {
         if (current.join(del, keys, "left_semi").isEmpty) return snap.version
         val kept = current.join(del, keys, "left_anti")
         val statCols = eligibleStats(kept, statsCols)
-        val adds = writePartitions(kept, partitionCol, affected,
-          tablePath, statCols)
+        // size-derived parallelism for the rewrite (r19) — see mergeLatest
+        val adds = graft.operators.Checkpoints.sizedLoop(kept) {
+          writePartitions(kept, partitionCol, affected,
+            tablePath, statCols)
+        }
         val lines = Seq(s"op\tdeleteKeys\tattempt\t$attempt") ++
           adds.map { case (p, rel, st) => addLine(p, rel, st) } ++
           removedFiles.map(f => s"remove\t$f")
