@@ -86,15 +86,54 @@ object Bpe {
   /** One greedy left-to-right merge pass: every non-overlapping adjacent
     * (a, b) becomes the fused symbol a+b — the standard BPE apply.
     */
-  private[graft] def mergeOnce(syms: Seq[String], a: String, b: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
+  private[graft] def mergeOnce(syms: Seq[String], a: String, b: String): Seq[String] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      mergeOnceArr(syms.toArray, a, b))
+
+  /** Array form of [[mergeOnce]] — the tokenize hot path (r19): the old
+    * builder loop indexed a List (O(i) per access) and allocated a new
+    * Seq per merge even when the pair never occurred; this scans the
+    * array once, returns the INPUT array untouched on the (dominant)
+    * no-match case, and only then builds the fused copy. Same
+    * left-to-right non-overlapping semantics, element-for-element.
+    */
+  private[graft] def mergeOnceArr(
+      syms: Array[String], a: String, b: String): Array[String] = {
     var i = 0
-    while (i < syms.length) {
-      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-        out += (a + b); i += 2
-      } else { out += syms(i); i += 1 }
+    val n = syms.length
+    while (i + 1 < n && !(syms(i) == a && syms(i + 1) == b)) i += 1
+    if (i + 1 >= n) syms // no occurrence: zero allocation
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[String](n - 1)
+      var j = 0
+      while (j < i) { out += syms(j); j += 1 }
+      while (j < n) {
+        if (j + 1 < n && syms(j) == a && syms(j + 1) == b) {
+          out += (a + b); j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      out.toArray
     }
-    out.result()
+  }
+
+  /** Bounded per-task memo for a pure per-word function — tokenization
+    * is a function of the word alone and corpora are Zipfian, so the
+    * distinct-word set a task sees is far smaller than its row count.
+    * The cap bounds task memory on adversarial (all-distinct) inputs;
+    * past it the function just runs uncached. One instance per task
+    * (created inside mapPartitions), never shared across threads.
+    */
+  private[graft] def memoized[T](maxEntries: Int = 1 << 20)(f: String => T): String => T = {
+    val cache = new java.util.HashMap[String, T]()
+    w => {
+      val hit = cache.get(w)
+      if (hit != null) hit
+      else {
+        val v = f(w)
+        if (cache.size < maxEntries) cache.put(w, v)
+        v
+      }
+    }
   }
 
   /** One learned merge: fuse (left, right); `cnt` is the weighted pair
@@ -153,9 +192,15 @@ object Bpe {
 
   /** Apply learned merges (in training order) to one word's symbols. */
   private[graft] def applyMerges(word: String, merges: Seq[Merge]): Seq[String] = {
-    var syms: Seq[String] = baseSymbols(word)
-    merges.foreach(m => syms = mergeOnce(syms, m.left, m.right))
-    syms
+    var arr: Array[String] = baseSymbols(word).toArray
+    val it = merges.iterator
+    // a single remaining symbol admits no pair — the rest of the table
+    // is a guaranteed no-op
+    while (it.hasNext && arr.length > 1) {
+      val m = it.next()
+      arr = mergeOnceArr(arr, m.left, m.right)
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
   }
 
   /** Tokenize a corpus with a learned merge table:
@@ -176,10 +221,13 @@ object Bpe {
     val idIdx = docs.schema.fieldIndex(idCol)
     val txtIdx = docs.schema.fieldIndex(textCol)
     docs.mapPartitions { it =>
+      // per-task memo (r19): tokenization is pure per word and corpora
+      // are Zipfian — the cache turns repeated words into a hash lookup
+      val tok = memoized()((w: String) => applyMerges(w, merges))
       it.map { r =>
         val words = Option(r.getString(txtIdx)).getOrElse("")
           .trim.split("\\s+").filter(_.nonEmpty)
-        Row(r.getLong(idIdx), words.toSeq.flatMap(w => applyMerges(w, merges)))
+        Row(r.getLong(idIdx), words.toSeq.flatMap(tok))
       }
     }(enc)
   }
@@ -241,11 +289,14 @@ object Bpe {
     val idIdx = docs.schema.fieldIndex(idCol)
     val txtIdx = docs.schema.fieldIndex(textCol)
     docs.mapPartitions { it =>
+      // per-task memo (r19): word → id seq directly, so repeats skip the
+      // id lookup too
+      val tok = memoized()((w: String) =>
+        applyMerges(w, merges).map(idOf(_, ids)))
       it.map { r =>
         val words = Option(r.getString(txtIdx)).getOrElse("")
           .trim.split("\\s+").filter(_.nonEmpty)
-        Row(r.getLong(idIdx),
-          words.toSeq.flatMap(w => applyMerges(w, merges)).map(idOf(_, ids)))
+        Row(r.getLong(idIdx), words.toSeq.flatMap(tok))
       }
     }(enc)
   }

@@ -105,9 +105,13 @@ object ByteBpe {
     Bpe.trainFromVocab(pieceVocab(docs, textCol), numMerges, minCount)
 
   private[graft] def applyMerges(piece: String, merges: Seq[Bpe.Merge]): Seq[String] = {
-    var syms: Seq[String] = baseSymbols(piece)
-    merges.foreach(m => syms = Bpe.mergeOnce(syms, m.left, m.right))
-    syms
+    var arr: Array[String] = baseSymbols(piece).toArray
+    val it = merges.iterator
+    while (it.hasNext && arr.length > 1) { // 1 symbol left: rest are no-ops
+      val m = it.next()
+      arr = Bpe.mergeOnceArr(arr, m.left, m.right)
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
   }
 
   /** Tokenize to mapped-space token strings: (doc_id, tokens
@@ -123,9 +127,10 @@ object ByteBpe {
     val idIdx = docs.schema.fieldIndex(idCol)
     val txtIdx = docs.schema.fieldIndex(textCol)
     docs.mapPartitions { it =>
+      // per-task memo (r19): pieces repeat Zipf-style, same as Bpe.tokenize
+      val tok = Bpe.memoized()((p: String) => applyMerges(p, merges))
       it.map { r =>
-        Row(r.getLong(idIdx),
-          pretokenize(r.getString(txtIdx)).flatMap(applyMerges(_, merges)))
+        Row(r.getLong(idIdx), pretokenize(r.getString(txtIdx)).flatMap(tok))
       }
     }(enc)
   }
@@ -163,10 +168,10 @@ object ByteBpe {
     val idIdx = docs.schema.fieldIndex(idCol)
     val txtIdx = docs.schema.fieldIndex(textCol)
     docs.mapPartitions { it =>
+      val tok = Bpe.memoized()((p: String) =>
+        applyMerges(p, merges).map(idOf(_, ids)))
       it.map { r =>
-        Row(r.getLong(idIdx),
-          pretokenize(r.getString(txtIdx))
-            .flatMap(applyMerges(_, merges)).map(idOf(_, ids)))
+        Row(r.getLong(idIdx), pretokenize(r.getString(txtIdx)).flatMap(tok))
       }
     }(enc)
   }

@@ -71,7 +71,7 @@ object Sketches {
     * sketch was never inserted — estimate 0.
     */
   def countMinSketch(items: DataFrame, keyCol: String,
-      depth: Int, width: Int): DataFrame = {
+      depth: Int, width: Int, weightCol: Option[String] = None): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
     items
@@ -81,11 +81,19 @@ object Sketches {
       // Coalesce to a sentinel on BOTH sides so NULL is an ordinary key.
       .select(coalesce(col(keyCol).cast("string"), lit(" __cms_null__"))
         .as("__k"),
-        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+        explode(sequence(lit(0), lit(depth - 1))).as("r"),
+        // weighted form (r19): a PRE-COUNTED (key, weight) table builds
+        // the identical sketch — cell = Σ weights = the raw row count —
+        // so a caller that already aggregated exact counts feeds them
+        // here instead of re-scanning the raw stream (q269 used to
+        // tokenize the corpus once for the sketch, once for the keys,
+        // once for the exact counts). Integer sum of integer counts:
+        // provably the same cells.
+        weightCol.fold(lit(1L))(w => col(w).cast("long")).as("__w"))
       .select(col("r"),
         (Dedup.hash60(concat(col("r").cast("string"), lit(":"), col("__k")))
-          % width).as("bucket"))
-      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+          % width).as("bucket"), col("__w"))
+      .groupBy("r", "bucket").agg(sum(col("__w")).as("cnt"))
   }
 
   /** KMV (k-minimum-values / bottom-k) distinct sketch (Bar-Yossef et

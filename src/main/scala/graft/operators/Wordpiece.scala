@@ -231,11 +231,13 @@ object Wordpiece {
     val idIdx = docs.schema.fieldIndex(idCol)
     val txtIdx = docs.schema.fieldIndex(textCol)
     docs.mapPartitions { it =>
+      // per-task memo (r19): segmentation is pure per word — see
+      // Bpe.memoized
+      val tok = Bpe.memoized()((w: String) => encodeWord(w, pieceSet, maxCp))
       it.map { r =>
         val words = Option(r.getString(txtIdx)).getOrElse("")
           .trim.split("\\s+").filter(_.nonEmpty)
-        Row(r.getLong(idIdx),
-          words.toSeq.flatMap(w => encodeWord(w, pieceSet, maxCp)))
+        Row(r.getLong(idIdx), words.toSeq.flatMap(tok))
       }
     }(enc)
   }

@@ -3577,10 +3577,19 @@ object PipelineQueries {
       val toks = t(s, d, "documents")
         .select(explode(Dedup.tokens(col("text"))).as("tok"))
         .filter(length(col("tok")) > 0)
-      val sk = Sketches.countMinSketch(toks, "tok", depth = 4, width = 512)
-      Sketches.countMinEstimate(sk, toks.distinct(), "tok",
+      // ONE tokenize pass (r19): the raw token stream was scanned three
+      // times (sketch build, distinct keys, exact counts). The exact
+      // per-token counts determine all three — the sketch cell is the
+      // sum of its tokens' exact counts (countMinSketch's weighted
+      // form), the key set is the counted table's keys, and the exact
+      // column is carried through. persist() shares the counted table
+      // across the plan's three consumers within the one execution.
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact")).persist()
+      val sk = Sketches.countMinSketch(exact, "tok", depth = 4, width = 512,
+        weightCol = Some("exact"))
+      Sketches.countMinEstimate(sk, exact.select("tok"), "tok",
           depth = 4, width = 512)
-        .join(toks.groupBy("tok").agg(count(lit(1)).as("exact")), Seq("tok"))
+        .join(exact, Seq("tok"))
         .select(col("tok"), col("exact"), col("est"))
         .orderBy("tok")
     },
