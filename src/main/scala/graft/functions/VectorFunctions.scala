@@ -2,12 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
 
 /** Cosine similarity over two `ARRAY<FLOAT>` embedding columns as a native
   * Catalyst expression with whole-stage codegen — the hot inner loop of
@@ -775,6 +775,99 @@ case class Hilbert16Dist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** EXACT point-in-convex-polygon test over integer coordinates —
+  * native codegen replacement (r19) for the interpreted `forall`
+  * half-plane fold in [[graft.operators.SpatialJoin]]: the candidate
+  * stream after the cell join is points × overlapping-bbox polygons,
+  * and every candidate row paid an interpreted lambda per edge. Inside
+  * iff every directed edge (v_i → v_{i+1}, cyclic) keeps the point on
+  * its LEFT: cross = (x_j − x_i)(py − y_i) − (y_j − y_i)(px − x_i) ≥ 0
+  * — identical operand order to the Column formulation it replaces.
+  * Callers guarantee CCW convex rings (refused upstream otherwise) and
+  * grid-bounded coordinates (no cross-product overflow; the Column
+  * form would have thrown under ANSI where this wraps — unreachable
+  * under the documented coordinate bound). NULL if the array, the
+  * point, any vertex, or any coordinate is NULL.
+  */
+case class PointInConvexPoly(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StructType(Array(fx, fy)), _), LongType, LongType)
+          if fx.dataType == LongType && fy.dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, x, y) => TypeCheckResult.TypeCheckFailure(
+        "point_in_convex_poly requires (ARRAY<STRUCT<x BIGINT, y BIGINT>>, " +
+          s"BIGINT, BIGINT), got (${v.simpleString}, ${x.simpleString}, ${y.simpleString})")
+    }
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "point_in_convex_poly"
+
+  override def nullSafeEval(v: Any, x: Any, y: Any): Any = {
+    val verts = v.asInstanceOf[ArrayData]
+    val px = x.asInstanceOf[Long]
+    val py = y.asInstanceOf[Long]
+    val n = verts.numElements()
+    var i = 0
+    while (i < n) {
+      if (verts.isNullAt(i)) return null
+      val vi = verts.getStruct(i, 2)
+      val vj = verts.getStruct((i + 1) % n, 2)
+      if (vi.isNullAt(0) || vi.isNullAt(1) || vj.isNullAt(0) || vj.isNullAt(1))
+        return null
+      val cross = (vj.getLong(0) - vi.getLong(0)) * (py - vi.getLong(1)) -
+        (vj.getLong(1) - vi.getLong(1)) * (px - vi.getLong(0))
+      if (cross < 0) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vGen = first.genCode(ctx)
+    val xGen = second.genCode(ctx)
+    val yGen = third.genCode(ctx)
+    val verts = ctx.freshName("verts"); val n = ctx.freshName("n")
+    val i = ctx.freshName("i"); val vi = ctx.freshName("vi")
+    val vj = ctx.freshName("vj"); val cross = ctx.freshName("cross")
+    val bad = ctx.freshName("bad"); val inside = ctx.freshName("inside")
+    val arrayCls = classOf[ArrayData].getName
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    ev.copy(code =
+      code"""
+        ${vGen.code}
+        ${xGen.code}
+        ${yGen.code}
+        boolean ${ev.isNull} = true;
+        boolean ${ev.value} = false;
+        if (!${vGen.isNull} && !${xGen.isNull} && !${yGen.isNull}) {
+          $arrayCls $verts = ${vGen.value};
+          int $n = $verts.numElements();
+          boolean $bad = false;
+          boolean $inside = true;
+          for (int $i = 0; $i < $n && !$bad && $inside; $i++) {
+            if ($verts.isNullAt($i) || $verts.isNullAt(($i + 1) % $n)) { $bad = true; break; }
+            $rowCls $vi = $verts.getStruct($i, 2);
+            $rowCls $vj = $verts.getStruct(($i + 1) % $n, 2);
+            if ($vi.isNullAt(0) || $vi.isNullAt(1) || $vj.isNullAt(0) || $vj.isNullAt(1)) {
+              $bad = true; break;
+            }
+            long $cross = ($vj.getLong(0) - $vi.getLong(0)) * (${yGen.value} - $vi.getLong(1))
+              - ($vj.getLong(1) - $vi.getLong(1)) * (${xGen.value} - $vi.getLong(0));
+            if ($cross < 0) $inside = false;
+          }
+          if (!$bad) { ${ev.isNull} = false; ${ev.value} = $inside; }
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object GraftFunctions {
 
   /** Idempotent; call once per session before using the helpers below. */
@@ -810,6 +903,9 @@ object GraftFunctions {
         HashExpressions.litInt(exprs(2), "pq_lut", "m")), "built-in")
     registry.createOrReplaceTempFunction(
       "hilbert16", exprs => Hilbert16Dist(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "point_in_convex_poly",
+      exprs => PointInConvexPoly(exprs(0), exprs(1), exprs(2)), "built-in")
     registry.createOrReplaceTempFunction(
       "url_canonicalize", exprs => UrlCanonicalize(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
@@ -847,6 +943,8 @@ object GraftFunctions {
     call_function("sorted_intersect_count", a, b)
   def int8Quant(vec: Column): Column = call_function("int8_quant", vec)
   def hilbert16(x: Column, y: Column): Column = call_function("hilbert16", x, y)
+  def pointInConvexPoly(verts: Column, px: Column, py: Column): Column =
+    call_function("point_in_convex_poly", verts, px, py)
   def adcScore(codes: Column, lut: Column): Column =
     call_function("adc_score", codes, lut)
   def pqEncode(vec: Column, flatCodebooks: Column, m: Int): Column =

@@ -158,19 +158,19 @@ object SpatialJoin {
       cells: DataFrame, vertsCol: String, cellSize: Long): DataFrame = {
     def cellOf(c: Column): Column = floor(c / lit(cellSize.toDouble)).cast("long")
     val verts = col(vertsCol)
-    val n = size(verts)
-    def vx(i: Column) = element_at(verts, i + 1).getField("x")
-    def vy(i: Column) = element_at(verts, i + 1).getField("y")
-    def nxt(i: Column) = (i + 1) % n
     val pts = points
       .withColumn("__cx", cellOf(col(px)))
       .withColumn("__cy", cellOf(col(py)))
-    // inside iff every edge (v_i → v_{i+1}) keeps the point on its left
-    val inside = forall(sequence(lit(0), n - 1), i => {
-      val j = nxt(i)
-      (vx(j) - vx(i)) * (col(py) - vy(i)) -
-        (vy(j) - vy(i)) * (col(px) - vx(i)) >= 0
-    })
+    // inside iff every edge (v_i → v_{i+1}) keeps the point on its left —
+    // the NATIVE codegen expression (r19): the old `forall` half-plane
+    // fold evaluated an interpreted lambda per edge per candidate row,
+    // and the candidate stream (points × bbox-overlapping polygons) is
+    // exactly where this operator's time goes (q245 profile: one 3 s job
+    // = the probe stage). Identical operand order and ≥ 0 test; the
+    // session registration is idempotent.
+    graft.functions.GraftFunctions.register(points.sparkSession)
+    val inside = graft.functions.GraftFunctions.pointInConvexPoly(
+      verts, col(px).cast("long"), col(py).cast("long"))
     pts.join(cells, Seq("__cx", "__cy"))
       .filter(col(px) >= col("__bxlo") && col(px) <= col("__bxhi") &&
         col(py) >= col("__bylo") && col(py) <= col("__byhi"))

@@ -2577,6 +2577,14 @@ object ExtendedQueries {
           Seq("o_custkey"))
         .groupBy("seg")
         .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("p"))
+      // size-derived parallelism for the refresh steps (r19): every
+      // materialization inside the loop is bounded by the two tables'
+      // merged snapshots (scratch-table parquet, a few MB here), and the
+      // per-step truncations otherwise run ~50 AQE stage jobs of 32 tiny
+      // tasks each (ProfQ: 64 jobs, all < 0.5 s, jobs-sum ≈ wall). Gated
+      // on the v0 orders snapshot's plan estimate — production-scale
+      // tables fall through to session confs.
+      graft.operators.Checkpoints.sizedLoop(mergedOrders(0)) {
       for (v <- 1L to 2L) {
         val cdfA = TxTable.changeDataFeed(s, ordT, v - 1, v, "o_orderkey",
           Seq("o_custkey", "p"), oKeys, Seq("seq"))
@@ -2591,6 +2599,7 @@ object ExtendedQueries {
             cdfA.drop("o_orderkey"), mergedOrders(v - 1), cdfB, mergedCust(v),
             leftKey = "o_custkey", rightKey = "c_custkey",
             groupCols = Seq("seg"), cntCol = "n_orders", sumCols = Seq("p")))
+      }
       }
       state
         .select(col("seg"), col("n_orders"),
