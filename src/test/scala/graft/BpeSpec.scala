@@ -40,6 +40,43 @@ class BpeSpec extends SparkSpec {
     assert(toks === Seq("lo", "w", "est</w>"))
   }
 
+  test("mergeOnceArr matches the reference pass and returns the input untouched on no-match") {
+    // reference: the straightforward builder loop the array form replaced
+    def ref(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val alphabet = Seq("a", "b", "ab", "c", "</w>")
+    // exhaustive over all symbol sequences up to length 5 and all pairs —
+    // covers overlap chains, boundary merges, repeats
+    for (n <- 0 to 5;
+         seq <- Seq.fill(n)(alphabet).foldLeft(Seq(Seq.empty[String])) {
+           (acc, alts) => acc.flatMap(p => alts.map(p :+ _)) };
+         a <- alphabet; b <- alphabet) {
+      assert(Bpe.mergeOnceArr(seq.toArray, a, b).toSeq === ref(seq, a, b),
+        s"seq=$seq a=$a b=$b")
+    }
+    // no-match fast path: identical array instance back (zero allocation)
+    val arr = Array("x", "y", "z")
+    assert(Bpe.mergeOnceArr(arr, "a", "b") eq arr)
+  }
+
+  test("memoized returns the function's values and stops inserting at the cap") {
+    var calls = 0
+    val f = Bpe.memoized[Int](maxEntries = 2) { w => calls += 1; w.length }
+    assert(f("aa") === 2 && f("bbb") === 3 && f("aa") === 2 && calls === 2)
+    // cap reached: new keys still computed (every call), never cached
+    assert(f("cccc") === 4 && f("cccc") === 4 && calls === 4)
+    // cached keys keep hitting
+    assert(f("bbb") === 3 && calls === 4)
+  }
+
   test("training is deterministic and stops below minCount") {
     val docs = Seq((1L, "ab ab cd"), (2L, "ab xy zq")).toDF("id", "text")
     val m1 = Bpe.train(docs, "text", numMerges = 10, minCount = 2)
